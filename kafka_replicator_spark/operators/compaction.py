@@ -1,0 +1,208 @@
+"""Compaction — merge N offset-ordered segments into 1 (reference
+pkg/compaction/compactor.go; the flagship operator M1 + planner F3/F4/F5/
+O1/A8).
+
+Split exactly as the reference splits it:
+
+  * **plan** (``plan_compaction``) — pure metadata DataFrame computation:
+    level band (F4), age gate (F5), resume floor from higher-level segments
+    (compactor.go:176-191), heap order (O1), superseded-segment pop (F3),
+    and the bounded take by cumulative count/size (A8) — one window cumsum,
+    no collect until the final (tiny) plan.
+  * **merge** (``merge_segments``) — data-scale: read the chosen files,
+    trim below the floor, drop duplicate offsets from overlapping inputs,
+    assert gap-freeness (compactor.go:219-221 "missing message range"),
+    and write ONE output segment per (topic, partition) at
+    ``level = max(input levels) + 1`` (compactor.go:134-150).
+  * **delete inputs** only after a successful write (compactor.go:314-351);
+    a failed delete is retried implicitly next run via F3.
+
+Scale: each partition's merge is an independent task group (the shuffle key
+is the partition), so 1000 partitions compact 1000-wide.  Output stays one
+file per partition by construction — the same invariant the reference has —
+and its size is bounded by the planner's max_bytes, which bounds task memory.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.operators.egress import write_segments
+from kafka_replicator_spark.sources.segments import read_segment_files
+
+#: reference defaults, pkg/compaction/config.go:29-39
+DEFAULT_MIN_SEGMENT_COUNT = 10
+DEFAULT_MAX_SEGMENT_COUNT = 10_000
+DEFAULT_MIN_SEGMENT_BYTES = 1 << 30
+DEFAULT_MAX_SEGMENT_BYTES = 4 << 30
+DEFAULT_MIN_SEGMENT_AGE = timedelta(hours=1)
+#: reference pkg/compaction/compactor.go:27-29
+DELETE_PARALLELISM = 16
+
+
+def plan_compaction(
+    segments: DataFrame,
+    min_level: int = 0,
+    max_level: int = 0,
+    min_count: int = DEFAULT_MIN_SEGMENT_COUNT,
+    max_count: int = DEFAULT_MAX_SEGMENT_COUNT,
+    min_bytes: int = DEFAULT_MIN_SEGMENT_BYTES,
+    max_bytes: int = DEFAULT_MAX_SEGMENT_BYTES,
+    min_age: timedelta | None = None,
+    now: datetime | None = None,
+) -> DataFrame:
+    """Select, per (topic, partition), the prefix of segments to compact.
+
+    Returns the selected segments augmented with ``compact_floor`` (the
+    resume offset floor derived from already-compacted higher levels) —
+    everything the merge step needs, still as a DataFrame.
+    """
+    in_band = segments.filter(F.col("level").between(min_level, max_level))
+    if min_age is not None:
+        cutoff = (now or datetime.utcnow()) - min_age
+        in_band = in_band.filter(F.col("modified_ts") <= F.lit(cutoff))  # F5
+
+    # resume floor: max end_offset of segments *above* the band, per
+    # partition (compactor.go:176-191) — metadata-scale aggregation.
+    floors = (
+        segments.filter(F.col("level") > max_level)
+        .groupBy("topic", "partition_id")
+        .agg((F.max("end_offset") + 1).alias("compact_floor"))
+    )
+    planned = (
+        in_band.join(F.broadcast(floors), ["topic", "partition_id"], "left")
+        .withColumn("compact_floor", F.coalesce(F.col("compact_floor"), F.lit(0)))
+        # F3: pop segments fully below the floor (superseded / already compacted)
+        .filter(F.col("end_offset") >= F.col("compact_floor"))
+    )
+
+    # O1 heap order + A8 bounded take: include while the running size
+    # *before* this segment is < max_bytes and position <= max_count
+    # (the threshold-crossing segment is included, compactor.go:205-242).
+    w = Window.partitionBy("topic", "partition_id").orderBy(
+        F.asc("start_offset"), F.desc("end_offset")
+    )
+    planned = (
+        planned.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("size_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter((F.col("_rn") <= max_count) & (F.col("_cum_before") < max_bytes))
+    )
+
+    # qualification: a partition compacts only if the take reaches the
+    # min count OR min size (pkg/compaction/config.go:29-36 envelope).
+    qual = (
+        planned.groupBy("topic", "partition_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("size_bytes").alias("_sz"))
+        .filter((F.col("_n") >= min_count) | (F.col("_sz") >= min_bytes))
+        .select("topic", "partition_id")
+    )
+    return planned.join(F.broadcast(qual), ["topic", "partition_id"], "left_semi").drop(
+        "_rn", "_cum_before"
+    )
+
+
+def merge_segments(spark: SparkSession, plan: DataFrame, root: str, region: str) -> DataFrame:
+    """M1: execute a compaction plan → one merged segment per partition.
+
+    Raises ValueError on an offset gap (reference errors with
+    ``missing message range``, compactor.go:219-221) before writing anything.
+    """
+    meta = plan.select(
+        "topic", "partition_id", "level", "start_offset", "end_offset", "path", "compact_floor"
+    ).collect()  # metadata-scale (the reference holds the same list in memory)
+    if not meta:
+        return spark.createDataFrame(
+            [], schema="region string, topic string, partition_id int, level int, "
+            "start_offset long, end_offset long, message_count long, size_bytes long, path string"
+        )
+    paths = sorted({r["path"] for r in meta})
+    out_levels = {}  # (topic, partition) -> max input level + 1
+    floors = {}
+    for r in meta:
+        k = (r["topic"], r["partition_id"])
+        out_levels[k] = max(out_levels.get(k, 0), r["level"] + 1)
+        floors[k] = max(floors.get(k, 0), r["compact_floor"])
+
+    df = read_segment_files(spark, paths, dedup_overlaps=True)
+    floor_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, p, f, out_levels[(t, p)]) for (t, p), f in floors.items()],
+            schema="topic string, partition_id int, compact_floor long, out_level int",
+        )
+    )
+    trimmed = df.join(floor_df, ["topic", "partition_id"]).filter(
+        F.col("msg_offset") >= F.col("compact_floor")
+    )
+
+    # gap check before any write: dense offsets ⇔ count == end-start+1
+    stats = (
+        trimmed.groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("msg_offset").alias("lo"),
+            F.max("msg_offset").alias("hi"),
+        )
+        .withColumn("dense", F.col("n") == F.col("hi") - F.col("lo") + 1)
+    )
+    gaps = [r for r in stats.collect() if not r["dense"]]
+    if gaps:
+        detail = ", ".join(f"{r['topic']}/{r['partition_id']}[{r['lo']}..{r['hi']}] n={r['n']}" for r in gaps)
+        raise ValueError(f"missing message range (offset gap) in: {detail}")
+
+    tagged = trimmed.withColumn("segment_seq", F.lit(0))
+    return write_segments(tagged, root=root, region=region, level="out_level")
+
+
+def delete_segment_files(paths: list[str]) -> list[str]:
+    """Delete input objects after a successful merge, bounded-parallel like
+    the reference's 16-way delete pool (compactor.go:314-351).  Returns the
+    paths that failed (tolerated — F3 skips them next run).
+    """
+    failed: list[str] = []
+
+    def rm(p: str) -> None:
+        try:
+            os.remove(p)
+        except OSError:
+            failed.append(p)
+
+    with ThreadPoolExecutor(max_workers=DELETE_PARALLELISM) as pool:
+        list(pool.map(rm, paths))
+    return failed
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    region: str,
+    delete_inputs: bool = True,
+    **plan_kwargs,
+) -> DataFrame:
+    """End-to-end compaction run: list → plan → merge → delete inputs.
+
+    Returns the metadata of the newly written segments (materialized before
+    deletion so the pipeline is list-once).
+    """
+    from kafka_replicator_spark.sources.segments import list_segments
+
+    segments = list_segments(spark, root)
+    plan = plan_compaction(segments, **plan_kwargs)
+    plan = plan.cache()
+    input_paths = [r["path"] for r in plan.select("path").distinct().collect()]
+    written = merge_segments(spark, plan, root=root, region=region)
+    result = written.collect()  # force the write before deleting inputs
+    plan.unpersist()
+    if delete_inputs and result:
+        delete_segment_files(input_paths)
+    return spark.createDataFrame(result, schema=written.schema)

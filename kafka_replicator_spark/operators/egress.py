@@ -1,0 +1,242 @@
+"""Egress: message stream → parquet segments (reference pkg/egress/).
+
+The reference's egress worker is a per-partition state machine that appends
+messages to an open segment and closes it when full (size/count threshold —
+worker.go:51-56) or old (age timer — worker.go:139-141).  Re-expressed
+declaratively:
+
+  1. *segment assignment* — a column computation tagging each message with
+     the segment it belongs to (two flavors below);
+  2. *segment write* — one writer task per segment group
+     (``applyInPandas``), producing exactly one parquet object named
+     ``{start:020d}-{end:020d}`` with footer metadata, via a temp-file →
+     atomic-rename two-phase publish (reference two-phase CopyObject commit,
+     pkg/stores/s3_segment_store.go:275-298).
+
+Scale notes: assignment is pure column math (codegen); the shuffle that
+feeds the writer is partitioned by (partition_id, segment_seq) so segment
+files are written fully in parallel, one task each, no driver involvement.
+At 100 TB the only knob is segment size (default 100 MiB / 1M messages,
+reference pkg/egress/config.go:28-34) which bounds task memory.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.core.codec import SEGMENT_SUFFIX
+from kafka_replicator_spark.core.schema import message_size_col
+
+#: reference defaults, pkg/egress/config.go:28-34
+DEFAULT_MAX_SEGMENT_BYTES = 100 * 1024 * 1024
+DEFAULT_MAX_SEGMENT_MESSAGES = 1_000_000
+
+#: parquet footer KV metadata keys (reference stamps SegmentMetadata into the
+#: footer — pkg/formats/s3_parquet.go:379-397, messages.proto:57-66)
+FOOTER_KEYS = (
+    "region",
+    "topic",
+    "partition",
+    "level",
+    "startOffset",
+    "endOffset",
+    "messageCount",
+    "createdTimestamp",
+)
+
+
+def assign_segments_by_count(df: DataFrame, max_messages: int) -> DataFrame:
+    """Tag each message with ``segment_seq = msg_offset // max_messages``.
+
+    Count-only rollover over a dense offset stream — one integer division,
+    no window, no shuffle; the SQL-oracle-checkable flavor.
+    """
+    return df.withColumn(
+        "segment_seq", (F.col("msg_offset") / F.lit(max_messages)).cast("long")
+    )
+
+
+def assign_segments_greedy(
+    df: DataFrame,
+    max_bytes: int = DEFAULT_MAX_SEGMENT_BYTES,
+    max_messages: int = DEFAULT_MAX_SEGMENT_MESSAGES,
+) -> DataFrame:
+    """Exact reference rollover semantics: a segment closes when, after an
+    append, ``size >= max_bytes`` OR ``count == max_messages``
+    (reference pkg/egress/worker.go:51-56).
+
+    Greedy reset-on-threshold is inherently sequential per partition, so it
+    runs as ``applyInPandas`` per (topic, partition_id) — still fully
+    parallel across partitions, which is the same parallelism the reference
+    has (one worker goroutine per partition).  Inside the group it is
+    O(#segments · log n) numpy (cumsum + searchsorted), not a Python row loop.
+    """
+    if "msg_size" not in df.columns:
+        df = df.withColumn("msg_size", message_size_col())
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", segment_seq long"
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("msg_offset", kind="mergesort").reset_index(drop=True)
+        sizes = pdf["msg_size"].to_numpy(dtype=np.int64)
+        csum = np.cumsum(sizes)
+        n = len(pdf)
+        seg = np.zeros(n, dtype=np.int64)
+        start = 0
+        seg_id = 0
+        base = 0
+        while start < n:
+            # close at the first row where post-append size >= max_bytes,
+            # or after max_messages rows, whichever comes first
+            cut_size = int(np.searchsorted(csum, base + max_bytes, side="left"))
+            cut = min(cut_size, start + max_messages - 1, n - 1)
+            seg[start : cut + 1] = seg_id
+            seg_id += 1
+            base = int(csum[cut])
+            start = cut + 1
+        pdf["segment_seq"] = seg
+        return pdf
+
+    return df.groupBy("topic", "partition_id").applyInPandas(tag, schema=out_schema)
+
+
+def segment_bounds(tagged: DataFrame, region: str, level: int = 0) -> DataFrame:
+    """Per-segment metadata from a segment-tagged message DataFrame — the
+    reference's running (count, size, startOffset, endOffset) accumulation
+    (A1/A5, pkg/egress/worker.go:174-180) as one partial-aggregable groupBy.
+    """
+    return (
+        tagged.groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("msg_offset").alias("end_offset"),
+            F.count(F.lit(1)).alias("message_count"),
+            F.sum("msg_size").alias("size_bytes"),
+        )
+        .select(
+            F.lit(region).alias("region"),
+            "topic",
+            "partition_id",
+            F.lit(level).cast("int").alias("level"),
+            "segment_seq",
+            "start_offset",
+            "end_offset",
+            "message_count",
+            "size_bytes",
+        )
+    )
+
+
+def _write_one_segment(
+    pdf: pd.DataFrame, root: str, region: str, level: int | str, data_cols: list[str]
+) -> pd.DataFrame:
+    """Write one segment group to its final path (executor-side).
+
+    Two-phase publish: write to ``{root}/temp/{uuid}`` then atomically
+    rename to the final key (reference s3_segment_store.go:135-149,275-312).
+    On object stores without rename, swap for a conditional CopyObject —
+    the call-site contract (temp key, final key, footer) is the same.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pdf.sort_values("msg_offset", kind="mergesort").reset_index(drop=True)
+    if isinstance(level, str):
+        level = int(pdf[level].iloc[0])  # per-group level column (compaction)
+    topic = str(pdf["topic"].iloc[0])
+    partition_id = int(pdf["partition_id"].iloc[0])
+    start = int(pdf["msg_offset"].iloc[0])
+    end = int(pdf["msg_offset"].iloc[-1])
+    count = len(pdf)
+    created_ns = pd.Timestamp.utcnow().value
+
+    final_dir = os.path.join(root, region, topic, str(partition_id), str(level))
+    os.makedirs(final_dir, exist_ok=True)
+    tmp_dir = os.path.join(root, "temp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp_path = os.path.join(tmp_dir, uuid.uuid4().hex)
+    final_path = os.path.join(final_dir, f"{start:020d}-{end:020d}{SEGMENT_SUFFIX}")
+
+    table = pa.Table.from_pandas(pdf[data_cols], preserve_index=False)
+    footer = {
+        "region": region,
+        "topic": topic,
+        "partition": str(partition_id),
+        "level": str(level),
+        "startOffset": str(start),
+        "endOffset": str(end),
+        "messageCount": str(count),
+        "createdTimestamp": str(created_ns),
+    }
+    table = table.replace_schema_metadata(
+        {**(table.schema.metadata or {}), **{k.encode(): v.encode() for k, v in footer.items()}}
+    )
+    pq.write_table(table, tmp_path, compression="snappy")
+    os.replace(tmp_path, final_path)  # atomic publish
+
+    return pd.DataFrame(
+        [
+            {
+                "region": region,
+                "topic": topic,
+                "partition_id": partition_id,
+                "level": level,
+                "start_offset": start,
+                "end_offset": end,
+                "message_count": count,
+                "size_bytes": int(os.path.getsize(final_path)),
+                "path": final_path,
+            }
+        ]
+    )
+
+
+#: applyInPandas output schema for the writer
+_WRITE_RESULT_SCHEMA = (
+    "region string, topic string, partition_id int, level int, "
+    "start_offset long, end_offset long, message_count long, "
+    "size_bytes long, path string"
+)
+
+#: columns persisted inside a segment file (at-rest message schema; binary
+#: key/payload per reference s3_parquet.go:105-116)
+SEGMENT_DATA_COLS = ["msg_offset", "msg_key", "payload", "ts_ns"]
+
+
+def write_segments(
+    tagged: DataFrame,
+    root: str,
+    region: str,
+    level: int | str = 0,
+) -> DataFrame:
+    """Write one parquet segment per (topic, partition_id, segment_seq)
+    group; returns the written-segment metadata DataFrame (K1).
+
+    ``level`` may be an int (all segments at that level — egress) or the
+    name of a column carrying a per-group output level (compaction).
+
+    The groupBy shuffles each segment's rows to one task — segments write
+    concurrently across the cluster.  Returned metadata comes back from the
+    executors, so nothing is listed or re-read.
+    """
+    data = tagged.withColumn("msg_key", F.col("msg_key").cast("binary")).withColumn(
+        "payload", F.col("payload").cast("binary")
+    )
+    cols = [c for c in SEGMENT_DATA_COLS if c in data.columns]
+    extra = [level] if isinstance(level, str) else []
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _write_one_segment(pdf, root=root, region=region, level=level, data_cols=cols)
+
+    return (
+        data.select("topic", "partition_id", "segment_seq", *cols, *extra)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .applyInPandas(fn, schema=_WRITE_RESULT_SCHEMA)
+    )
