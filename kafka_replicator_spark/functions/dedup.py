@@ -1,0 +1,292 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a pure DataFrame composition with a DuckDB SQL mirror:
+
+  * **exact**       — content-hash groupBy (one shuffle on a 128-bit key)
+  * **n-gram Jaccard** — shingle-set self-join; exact pairwise similarity
+  * **MinHash + LSH**  — signature → banded buckets → candidate pairs; the
+    100 TB-scale path (cost ∝ documents, not pairs)
+  * **SimHash**        — near-dup fingerprint + banded candidate join
+
+Scale notes: every operator is groupBy/join on integer hash keys — AQE
+handles skew (a hot shingle like a boilerplate header is the classic skew
+case; the shingle join uses distinct-per-doc shingles so fanout is bounded
+by true duplication).  The LSH band join replaces the O(n²) pair space with
+bucket-local pairs, which is why it is the default at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.hashing import (
+    hash_family_col,
+    hash_family_params,
+    hash_family_sql,
+    portable_hash32,
+    portable_hash32_sql,
+)
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content, with the
+    canonical (min-id) survivor and the duplicate count.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_duplicates_sql() -> str:
+    return """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------- shingles (shared)
+
+def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document, with the portable 32-bit
+    hash — the input of both Jaccard and MinHash.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .withColumn("h", portable_hash32("shingle"))
+    )
+
+
+def word_ngrams_sql(n: int = 3) -> str:
+    """DuckDB mirror of :func:`word_ngrams` (1-based list indexing)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+SELECT DISTINCT doc_id, shingle, {portable_hash32_sql('shingle')} AS h
+FROM (
+  SELECT doc_id, {gram} AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+)
+"""
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact pairwise n-gram Jaccard over candidate pairs that share at
+    least one shingle.  The self-join key is the shingle hash (int join);
+    set sizes come from one aggregation — two shuffles total.
+    """
+    sh = word_ngrams(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS ({word_ngrams_sql(n)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------------ MinHash + LSH
+
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signatures via the universal hash family —
+    one shuffle (groupBy doc), k mins computed map-side.
+    """
+    sh = word_ngrams(docs, n=n)
+    aggs = [
+        F.min(hash_family_col(F.col("h"), a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(hash_family_params(k))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(k: int = 16, n: int = 3) -> str:
+    cols = ", ".join(
+        f"min({hash_family_sql('h', a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(hash_family_params(k))
+    )
+    return f"WITH sh AS ({word_ngrams_sql(n)}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` bands of
+    ``k // bands`` rows; documents agreeing on ALL rows of any band become a
+    candidate pair.  The band join is an equi-join on a string band key —
+    no O(n²) pair enumeration, the property that survives 100 TB.
+    """
+    rows = k // bands
+    sig = minhash_signatures(docs, k=k, n=n)
+    band_rows = []
+    for bidx in range(bands):
+        key = F.concat_ws(":", *[F.col(f"sig_{bidx * rows + j}") for j in range(rows)])
+        band_rows.append(sig.select("doc_id", F.lit(bidx).alias("band"), key.alias("band_key")))
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(k: int = 16, n: int = 3, bands: int = 4) -> str:
+    rows = k // bands
+    selects = []
+    for bidx in range(bands):
+        key = " || ':' || ".join(f"CAST(sig_{bidx * rows + j} AS VARCHAR)" for j in range(rows))
+        selects.append(f"SELECT doc_id, {bidx} AS band, {key} AS band_key FROM sig")
+    banded = " UNION ALL ".join(selects)
+    return f"""
+WITH sig AS ({minhash_signatures_sql(k, n)}),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-frequency SimHash (32-bit): each token occurrence votes ±1 per
+    bit of its hash; the fingerprint takes the sign of each bit sum.
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .withColumn("h", portable_hash32("tok"))
+    )
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).withColumn("vote", F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
+    bitsum = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {portable_hash32_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS b FROM toks
+),
+bitsum AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup candidates: band the 32-bit fingerprint into 4 bytes
+    (pigeonhole: hamming ≤ 6 ⇒ at least one byte equal... for ≤3 strictly;
+    used here as the standard recall/cost dial), then verify by exact
+    hamming distance on candidates.
+    """
+    sig = simhash(docs)
+    banded = None
+    for j in range(4):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(j).alias("band"),
+            F.expr(f"(shiftright(simhash, {8 * j}) & 255)").alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 6) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {8 * j}) & 255 AS band_key FROM sig"
+        for j in range(4)
+    )
+    return f"""
+WITH sig AS ({simhash_sql()}),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 KEY = ["region", "topic", "partition_id"]
 
 
-def latest_checkpoints(updates: DataFrame) -> DataFrame:
+def latest_checkpoints(updates: DataFrame, ts_col: str = "ts_ns") -> DataFrame:
     """Fold a stream of checkpoint updates to the last-write-wins state (A6).
 
     Monotonicity rule per reference checkpoint_store.go:219-237: the largest
@@ -25,8 +25,12 @@ def latest_checkpoints(updates: DataFrame) -> DataFrame:
     """
     return (
         updates.groupBy(*KEY)
-        .agg(F.max(F.struct("msg_offset", "ts_ns")).alias("_s"))
-        .select(*KEY, F.col("_s.msg_offset").alias("msg_offset"), F.col("_s.ts_ns").alias("ts_ns"))
+        .agg(F.max(F.struct("msg_offset", ts_col)).alias("_s"))
+        .select(
+            *KEY,
+            F.col("_s.msg_offset").alias("msg_offset"),
+            F.col(f"_s.{ts_col}").alias(ts_col),
+        )
     )
 
 

@@ -1,0 +1,58 @@
+"""Oracle-checked query registry.
+
+Every operator the engine claims (SURVEY.md §2 inventory + the
+training-data-pipeline extensions) registers here as a named pair:
+
+  * ``fn(spark, sf_dir) -> DataFrame``  — the Spark implementation
+  * ``oracle``                          — equivalent DuckDB SQL (or None for
+    genuinely non-SQL-expressible ops, which the driver checks rows-only)
+
+``__spark_entry__.py`` exposes the registry to the driver.  Column names and
+types are aligned pairwise — the driver's compare hashes values after
+sorting columns by name.
+
+Cross-engine determinism rules used throughout (see functions/hashing.py):
+integer/string outputs wherever possible; money aggregates computed in
+DECIMAL then rounded and cast to DOUBLE; nanosecond timestamps carried as
+int64; float similarity scores rounded to 6 dp with identical fold order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
+        return fn
+
+    return deco
+
+
+def with_ctes(*ctes: str, select: str) -> str:
+    """Assemble ``WITH a AS (...), b AS (...) SELECT ...`` oracle SQL."""
+    return "WITH " + ",\n".join(ctes) + "\n" + select
+
+
+def all_queries() -> dict[str, Query]:
+    # import for side effects (registration) — kept lazy so a syntax error in
+    # one family doesn't take down the whole registry at import time.
+    from kafka_replicator_spark.queries import analytics, pipeline, replicator  # noqa: F401
+
+    return REGISTRY

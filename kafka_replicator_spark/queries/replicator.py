@@ -1,0 +1,629 @@
+"""Reference-parity queries (SURVEY.md §2) over the canonical message
+stream, each with its DuckDB oracle.
+
+The ``events`` table plays the Kafka stream (sources/messages.py); segments
+are derived with the count-based rollover so the whole lifecycle is
+SQL-expressible on the oracle side.  File-producing paths (the real
+segment writer/compactor) are exercised by tests/, not here — DuckDB can't
+see our written files, only the shared testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.core.schema import EVENT_CREATED, EVENT_REMOVED
+from kafka_replicator_spark.operators.checkpoints import (
+    compacted_topic_state,
+    latest_checkpoints,
+    prune_processed_segments,
+    resume_filter,
+)
+from kafka_replicator_spark.operators.compaction import plan_compaction
+from kafka_replicator_spark.operators.egress import assign_segments_by_count, segment_bounds
+from kafka_replicator_spark.queries import register, with_ctes
+from kafka_replicator_spark.sources.messages import MESSAGES_ORACLE_CTE, events_as_messages
+
+MESSAGES_CTE = f"messages AS ({MESSAGES_ORACLE_CTE})"
+
+SEG_MAX_MESSAGES = 100
+
+TAGGED_CTE = (
+    f"tagged AS (SELECT *, msg_offset // {SEG_MAX_MESSAGES} AS segment_seq FROM messages)"
+)
+SEGMENTS_CTE = """segments AS (
+  SELECT 'local' AS region, topic, partition_id, CAST(0 AS INTEGER) AS level, segment_seq,
+         min(msg_offset) AS start_offset, max(msg_offset) AS end_offset,
+         count(*) AS message_count, CAST(sum(msg_size) AS BIGINT) AS size_bytes
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)"""
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    return segment_bounds(
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES), region="local", level=0
+    )
+
+
+# --------------------------------------------------------------- P1 / X6
+
+@register(
+    "r_p1_project_messages",
+    with_ctes(
+        MESSAGES_CTE,
+        select="SELECT topic, partition_id, msg_offset, msg_key, payload, ts_us, msg_size FROM messages",
+    ),
+    tags=("parity", "projection"),
+    doc="P1/P2 Kafka-record→Message projection + X6 message-size expression "
+    "(reference pkg/egress/worker.go:246-268, pkg/core/core.go:136-147)",
+)
+def q_project_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_messages(spark, sf_dir).select(
+        "topic", "partition_id", "msg_offset", "msg_key", "payload", "ts_us", "msg_size"
+    )
+
+
+# -------------------------------------------------------------------- F1
+
+@register(
+    "r_f1_resume_trim",
+    with_ctes(
+        MESSAGES_CTE,
+        select="SELECT partition_id, msg_offset, msg_key FROM messages WHERE msg_offset >= 100",
+    ),
+    tags=("parity", "filter"),
+    doc="F1 head-trim: drop rows already delivered (reference pkg/ingress/worker.go:390-396)",
+)
+def q_resume_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_as_messages(spark, sf_dir)
+        .filter(F.col("msg_offset") >= 100)
+        .select("partition_id", "msg_offset", "msg_key")
+    )
+
+
+# --------------------------------------------------------- T1 / A1 / A2 / A5
+
+@register(
+    "r_t1_segment_plan",
+    with_ctes(MESSAGES_CTE, TAGGED_CTE, SEGMENTS_CTE, select="SELECT * FROM segments"),
+    tags=("parity", "aggregation"),
+    doc="T1/A1/A2 segment rollover accumulation: per-segment count/size/extent "
+    "(reference pkg/egress/worker.go:51-56,174-180)",
+)
+def q_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _segments(spark, sf_dir)
+
+
+# -------------------------------------------------------------------- A6
+
+@register(
+    "r_a6_checkpoint_lww",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT 'src' AS region, topic, partition_id,
+       max(msg_offset) AS msg_offset, max_by(ts_us, msg_offset) AS ts_us
+FROM messages GROUP BY topic, partition_id""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="A6 last-checkpoint-per-key argmax with monotonic rule "
+    "(reference pkg/stores/checkpoint_store.go:219-237)",
+)
+def q_checkpoint_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = events_as_messages(spark, sf_dir).select(
+        F.lit("src").alias("region"), "topic", "partition_id", "msg_offset", "ts_us"
+    )
+    return latest_checkpoints(updates, ts_col="ts_us")
+
+
+# -------------------------------------------------------------- T9 / F1+J2
+
+CHECKPOINTS_VALUES = "(VALUES ('events', 0, 100), ('events', 1, 50)) cp(topic, partition_id, cp_offset)"
+
+
+@register(
+    "r_t9_resume_replay",
+    with_ctes(
+        MESSAGES_CTE,
+        select=f"""
+SELECT m.partition_id, count(*) AS n_delivered,
+       min(m.msg_offset) AS first_offset, max(m.msg_offset) AS last_offset
+FROM messages m
+LEFT JOIN {CHECKPOINTS_VALUES}
+  ON m.topic = cp.topic AND m.partition_id = cp.partition_id
+WHERE cp.cp_offset IS NULL OR m.msg_offset > cp.cp_offset
+GROUP BY m.partition_id""",
+    ),
+    tags=("parity", "join", "filter"),
+    doc="T9 resume-from-checkpoint: deliver exactly offsets > checkpoint; "
+    "J2 broadcast checkpoint lookup (reference pkg/ingress/worker.go:110-127)",
+)
+def q_resume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    cps = spark.createDataFrame(
+        [("src", "events", 0, 100, 0), ("src", "events", 1, 50, 0)],
+        schema="region string, topic string, partition_id int, msg_offset long, ts_ns long",
+    )
+    return (
+        resume_filter(msgs, cps)
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_delivered"),
+            F.min("msg_offset").alias("first_offset"),
+            F.max("msg_offset").alias("last_offset"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- F2
+
+@register(
+    "r_f2_prune_segments",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        select=f"""
+SELECT s.topic, s.partition_id, s.segment_seq, s.start_offset, s.end_offset
+FROM segments s
+LEFT JOIN {CHECKPOINTS_VALUES}
+  ON s.topic = cp.topic AND s.partition_id = cp.partition_id
+WHERE cp.cp_offset IS NULL OR s.end_offset > cp.cp_offset""",
+    ),
+    tags=("parity", "filter"),
+    doc="F2 segment skip: endOffset <= checkpoint pruned at load "
+    "(reference pkg/ingress/worker.go:484-489)",
+)
+def q_prune_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir)
+    cps = spark.createDataFrame(
+        [("src", "events", 0, 100, 0), ("src", "events", 1, 50, 0)],
+        schema="region string, topic string, partition_id int, msg_offset long, ts_ns long",
+    )
+    return prune_processed_segments(segs, cps).select(
+        "topic", "partition_id", "segment_seq", "start_offset", "end_offset"
+    )
+
+
+# ------------------------------------------------------------- A8 / O1 / F4
+
+@register(
+    "r_a8_bounded_take",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        select="""
+SELECT topic, partition_id, segment_seq, start_offset, end_offset,
+       message_count, size_bytes, compact_floor
+FROM (
+  SELECT *,
+         CAST(0 AS BIGINT) AS compact_floor,
+         row_number() OVER w AS rn,
+         coalesce(sum(size_bytes) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM segments
+  WINDOW w AS (PARTITION BY topic, partition_id ORDER BY start_offset ASC, end_offset DESC)
+)
+WHERE rn <= 3 AND cum_before < 25000""",
+    ),
+    tags=("parity", "window"),
+    doc="A8 bounded prefix-sum take + O1 heap order + F4 level band — the "
+    "compaction planner (reference pkg/compaction/compactor.go:165-243)",
+)
+def q_bounded_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir)
+    plan = plan_compaction(
+        segs, min_level=0, max_level=0, min_count=1, max_count=3, min_bytes=1, max_bytes=25000
+    )
+    return plan.select(
+        "topic", "partition_id", "segment_seq", "start_offset", "end_offset",
+        "message_count", "size_bytes", "compact_floor",
+    )
+
+
+# -------------------------------------------------------------------- M1
+
+@register(
+    "r_m1_merge_dedup",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT topic, partition_id, msg_offset, max(payload) AS payload, count(*) AS n_copies
+FROM (
+  SELECT topic, partition_id, msg_offset, payload FROM messages WHERE msg_offset BETWEEN 0 AND 149
+  UNION ALL
+  SELECT topic, partition_id, msg_offset, payload FROM messages WHERE msg_offset BETWEEN 100 AND 249
+)
+GROUP BY topic, partition_id, msg_offset""",
+    ),
+    tags=("parity", "setop"),
+    doc="M1 compaction merge: ordered concat of overlapping segments with "
+    "offset dedup (reference pkg/compaction/compactor.go:245-312)",
+)
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir).select("topic", "partition_id", "msg_offset", "payload")
+    seg_a = msgs.filter(F.col("msg_offset").between(0, 149))
+    seg_b = msgs.filter(F.col("msg_offset").between(100, 249))
+    return (
+        seg_a.unionByName(seg_b)
+        .groupBy("topic", "partition_id", "msg_offset")
+        .agg(F.max("payload").alias("payload"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "r_m1_gap_check",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT topic, partition_id, count(*) AS n,
+       min(msg_offset) AS lo, max(msg_offset) AS hi,
+       count(*) = max(msg_offset) - min(msg_offset) + 1 AS dense
+FROM (
+  SELECT * FROM messages WHERE msg_offset BETWEEN 0 AND 99
+  UNION ALL
+  SELECT * FROM messages WHERE msg_offset BETWEEN 150 AND 249
+)
+GROUP BY topic, partition_id""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="M1 gap detection: count == end-start+1 density assertion "
+    "(reference pkg/compaction/compactor.go:219-221)",
+)
+def q_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg_a = msgs.filter(F.col("msg_offset").between(0, 99))
+    seg_b = msgs.filter(F.col("msg_offset").between(150, 249))
+    return (
+        seg_a.unionByName(seg_b)
+        .groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("msg_offset").alias("lo"),
+            F.max("msg_offset").alias("hi"),
+        )
+        .withColumn("dense", F.col("n") == F.col("hi") - F.col("lo") + 1)
+    )
+
+
+# -------------------------------------------------------------------- A7
+
+EVENTS_OVERLAY_CTE = """seg_events AS (
+  SELECT 'src' AS region, topic, partition_id, level, start_offset, end_offset,
+         size_bytes, 'CREATED' AS event_type, CAST(1000 AS BIGINT) AS event_ts
+  FROM segments
+  UNION ALL
+  SELECT 'src', topic, partition_id, level, start_offset, end_offset,
+         size_bytes, 'REMOVED', CAST(1000 AS BIGINT)
+  FROM segments WHERE segment_seq % 3 = 0
+  UNION ALL
+  SELECT 'src', topic, partition_id, level, start_offset, end_offset,
+         size_bytes, 'REMOVED', CAST(500 AS BIGINT)
+  FROM segments WHERE segment_seq % 5 = 0
+)"""
+
+
+def _overlay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir).withColumn("region", F.lit("src"))
+    base = segs.select(
+        "region", "topic", "partition_id", "level", "start_offset", "end_offset", "size_bytes"
+    )
+    created = base.withColumn("event_type", F.lit(EVENT_CREATED)).withColumn(
+        "event_ts", F.lit(1000).cast("long")
+    )
+    seg3 = segs.filter(F.col("segment_seq") % 3 == 0)
+    removed_tie = seg3.select(base.columns).withColumn(
+        "event_type", F.lit(EVENT_REMOVED)
+    ).withColumn("event_ts", F.lit(1000).cast("long"))
+    seg5 = segs.filter(F.col("segment_seq") % 5 == 0)
+    removed_old = seg5.select(base.columns).withColumn(
+        "event_type", F.lit(EVENT_REMOVED)
+    ).withColumn("event_ts", F.lit(500).cast("long"))
+    return created.unionByName(removed_tie).unionByName(removed_old)
+
+
+@register(
+    "r_a7_last_event",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        EVENTS_OVERLAY_CTE,
+        select="""
+SELECT region, topic, partition_id, level, start_offset, end_offset, event_type, event_ts
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY region, topic, partition_id, level, start_offset, end_offset
+    ORDER BY event_ts DESC, (event_type = 'REMOVED') DESC
+  ) AS rn
+  FROM seg_events
+) WHERE rn = 1""",
+    ),
+    tags=("parity", "window"),
+    doc="A7 last-event-per-segment argmax, REMOVED beats CREATED on a "
+    "timestamp tie (reference pkg/stores/consistent_segment_store.go:361-380)",
+)
+def q_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.consistent import last_event_per_segment
+
+    events = _overlay_events(spark, sf_dir)
+    return last_event_per_segment(events).select(
+        "region", "topic", "partition_id", "level", "start_offset", "end_offset",
+        "event_type", "event_ts",
+    )
+
+
+# -------------------------------------------------------------------- J1
+
+@register(
+    "r_j1_consistent_listing",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        EVENTS_OVERLAY_CTE,
+        """listing AS (
+  SELECT 'src' AS region, topic, partition_id, level, start_offset, end_offset,
+         message_count, size_bytes,
+         printf('data/%s/%s/%d/%d/%020d-%020d.parquet',
+                'src', topic, partition_id, level, start_offset, end_offset) AS path
+  FROM segments WHERE segment_seq % 4 <> 1
+)""",
+        """last_ev AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY region, topic, partition_id, level, start_offset, end_offset
+      ORDER BY event_ts DESC, (event_type = 'REMOVED') DESC
+    ) AS rn FROM seg_events
+  ) WHERE rn = 1
+)""",
+        select="""
+SELECT coalesce(l.region, e.region) AS region,
+       coalesce(l.topic, e.topic) AS topic,
+       coalesce(l.partition_id, e.partition_id) AS partition_id,
+       coalesce(l.level, e.level) AS level,
+       coalesce(l.start_offset, e.start_offset) AS start_offset,
+       coalesce(l.end_offset, e.end_offset) AS end_offset,
+       coalesce(l.size_bytes, e.size_bytes) AS size_bytes,
+       l.path AS path
+FROM listing l
+FULL OUTER JOIN last_ev e
+  ON l.region = e.region AND l.topic = e.topic AND l.partition_id = e.partition_id
+ AND l.level = e.level AND l.start_offset = e.start_offset AND l.end_offset = e.end_offset
+WHERE (l.path IS NOT NULL AND (e.event_type IS NULL OR e.event_type <> 'REMOVED'))
+   OR (l.path IS NULL AND e.event_type = 'CREATED')""",
+    ),
+    tags=("parity", "join"),
+    doc="J1 consistent listing: full outer join of S3 listing with the "
+    "events overlay (reference pkg/stores/consistent_segment_store.go:178-217)",
+)
+def q_consistent_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.core.codec import segment_path_col
+    from kafka_replicator_spark.operators.consistent import consistent_listing
+
+    segs = _segments(spark, sf_dir).withColumn("region", F.lit("src"))
+    listing = (
+        segs.filter(F.col("segment_seq") % 4 != 1)
+        .withColumn("path", segment_path_col("data"))
+        .withColumn("modified_ts", F.lit(None).cast("long"))
+        .select(
+            "region", "topic", "partition_id", "level", "start_offset", "end_offset",
+            "message_count", "size_bytes", "modified_ts", "path",
+        )
+    )
+    events = _overlay_events(spark, sf_dir).withColumnRenamed("event_ts", "event_ts_raw")
+    events = events.withColumn("event_ts", F.col("event_ts_raw")).drop("event_ts_raw")
+    resolved = consistent_listing(listing, events)
+    return resolved.select(
+        "region", "topic", "partition_id", "level", "start_offset", "end_offset",
+        "size_bytes", "path",
+    )
+
+
+# -------------------------------------------------------------------- X1
+
+@register(
+    "r_x1_path_codec",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        """paths AS (
+  SELECT topic, partition_id, segment_seq,
+         printf('data/%s/%s/%d/%d/%020d-%020d.parquet',
+                'src', topic, partition_id, level, start_offset, end_offset) AS path,
+         start_offset, end_offset
+  FROM segments
+)""",
+        select=r"""
+SELECT topic, partition_id, segment_seq, path,
+       CAST(regexp_extract(path, '([^/]+)/([^/]+)/(\d+)/(\d+)/(\d{20})-(\d{20})', 5) AS BIGINT)
+           AS parsed_start,
+       CAST(regexp_extract(path, '([^/]+)/([^/]+)/(\d+)/(\d+)/(\d{20})-(\d{20})', 6) AS BIGINT)
+           AS parsed_end,
+       CAST(regexp_extract(path, '([^/]+)/([^/]+)/(\d+)/(\d+)/(\d{20})-(\d{20})', 5) AS BIGINT)
+           = start_offset
+       AND CAST(regexp_extract(path, '([^/]+)/([^/]+)/(\d+)/(\d+)/(\d{20})-(\d{20})', 6) AS BIGINT)
+           = end_offset AS roundtrip_ok
+FROM paths""",
+    ),
+    tags=("parity", "scalar"),
+    doc="X1/P4 segment path codec round-trip: format_string ↔ regexp_extract "
+    "(reference pkg/stores/s3_segment_store.go:244-371)",
+)
+def q_path_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.core.codec import segment_path_col
+
+    segs = _segments(spark, sf_dir).withColumn("region", F.lit("src"))
+    pat = r"([^/]+)/([^/]+)/(\d+)/(\d+)/(\d{20})-(\d{20})"
+    with_path = segs.withColumn("path", segment_path_col("data"))
+    return with_path.select(
+        "topic",
+        "partition_id",
+        "segment_seq",
+        "path",
+        F.regexp_extract("path", pat, 5).cast("long").alias("parsed_start"),
+        F.regexp_extract("path", pat, 6).cast("long").alias("parsed_end"),
+        (
+            (F.regexp_extract("path", pat, 5).cast("long") == F.col("start_offset"))
+            & (F.regexp_extract("path", pat, 6).cast("long") == F.col("end_offset"))
+        ).alias("roundtrip_ok"),
+    )
+
+
+# -------------------------------------------------------------------- F6
+
+@register(
+    "r_f6_sanity_offsets",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT topic, partition_id, count(*) AS n,
+       min(msg_offset) AS lo, max(msg_offset) AS hi,
+       count(*) = max(msg_offset) - min(msg_offset) + 1 AS dense,
+       count(*) - count(DISTINCT msg_offset) AS n_dup_offsets,
+       sum(CASE WHEN prev IS NOT NULL AND msg_offset <= prev THEN 1 ELSE 0 END) AS n_order_violations
+FROM (
+  SELECT *, lag(msg_offset) OVER (PARTITION BY topic, partition_id ORDER BY msg_offset) AS prev
+  FROM messages
+)
+GROUP BY topic, partition_id""",
+    ),
+    tags=("parity", "window", "quality"),
+    doc="F6 sanity predicates: offset >= 0, strictly-increasing, density "
+    "(reference pkg/egress/worker.go:270-287)",
+)
+def q_sanity_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    w = Window.partitionBy("topic", "partition_id").orderBy("msg_offset")
+    return (
+        msgs.withColumn("prev", F.lag("msg_offset").over(w))
+        .groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("msg_offset").alias("lo"),
+            F.max("msg_offset").alias("hi"),
+            (F.count(F.lit(1)) == F.max("msg_offset") - F.min("msg_offset") + 1).alias("dense"),
+            (F.count(F.lit(1)) - F.count_distinct("msg_offset")).alias("n_dup_offsets"),
+            F.sum(
+                F.when(F.col("prev").isNotNull() & (F.col("msg_offset") <= F.col("prev")), 1)
+                .otherwise(0)
+            ).alias("n_order_violations"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- S5/F8
+
+@register(
+    "r_s5_compacted_state",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT msg_key, val AS payload
+FROM (
+  SELECT msg_key, val, row_number() OVER (PARTITION BY msg_key ORDER BY event_id DESC) AS rn
+  FROM (
+    SELECT msg_key, event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE payload END AS val
+    FROM messages
+  )
+) WHERE rn = 1 AND val IS NOT NULL""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="S5 compacted-topic replay to last state + F8 tombstone skip "
+    "(reference pkg/stores/checkpoint_store.go:170-217,187-190)",
+)
+def q_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir).withColumn(
+        "val", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("payload"))
+    )
+    return compacted_topic_state(msgs, ["msg_key"], "event_id", ["val"]).select(
+        "msg_key", F.col("val").alias("payload")
+    )
+
+
+# -------------------------------------------------------------------- A3
+
+@register(
+    "r_a3_min_ts_per_batch",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT topic, partition_id, msg_offset // 250 AS batch_seq,
+       min(ts_us) AS min_ts_us, count(*) AS n
+FROM messages GROUP BY topic, partition_id, msg_offset // 250""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="A3 min(timestamp) per produced batch — the replication-lag metric "
+    "input (reference pkg/ingress/worker.go:438-445)",
+)
+def q_min_ts_per_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_as_messages(spark, sf_dir)
+        .withColumn("batch_seq", (F.col("msg_offset") / 250).cast("long"))
+        .groupBy("topic", "partition_id", "batch_seq")
+        .agg(F.min("ts_us").alias("min_ts_us"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------- A4 / A5
+
+@register(
+    "r_a4_level_extent",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        select="""
+SELECT topic, partition_id,
+       max(segment_seq % 3) + 1 AS out_level,
+       min(start_offset) AS extent_start, max(end_offset) AS extent_end,
+       count(*) AS n_inputs
+FROM segments GROUP BY topic, partition_id""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="A4 output level = max(input levels)+1; A5 offset-range extent "
+    "(reference pkg/compaction/compactor.go:134-150,353-362)",
+)
+def q_level_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir).withColumn("lvl", F.col("segment_seq") % 3)
+    return segs.groupBy("topic", "partition_id").agg(
+        (F.max("lvl") + 1).alias("out_level"),
+        F.min("start_offset").alias("extent_start"),
+        F.max("end_offset").alias("extent_end"),
+        F.count(F.lit(1)).alias("n_inputs"),
+    )
+
+
+# -------------------------------------------------------------------- X3
+
+@register(
+    "r_x3_json_extract",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT event_type, count(*) AS n,
+       min(CAST(json_extract_string(payload, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(payload, '$.k') AS INTEGER)) AS max_k,
+       CAST(sum(CAST(json_extract_string(payload, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM messages GROUP BY event_type""",
+    ),
+    tags=("parity", "scalar"),
+    doc="X3 JSON payload parse (reference SQS event parse, "
+    "pkg/stores/sqs_segment_event_source.go:297-371) as from_json/get_json_object",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir).withColumn(
+        "k", F.get_json_object("payload", "$.k").cast("int")
+    )
+    return msgs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )

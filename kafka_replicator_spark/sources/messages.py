@@ -50,6 +50,10 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("msg_key"),
             F.col("props").alias("payload"),
             F.col("ts").alias("ts_ns"),
+            # microsecond view for oracle-compared outputs: DuckDB's parquet
+            # reader floors TIMESTAMP(NANOS) to micros, so parity lives at µs.
+            # integer `div` — double division would lose precision at 1e18.
+            F.expr("ts div 1000").alias("ts_us"),
             F.col("event_id"),
             F.col("event_type"),
             F.col("value").alias("event_value"),
@@ -68,6 +72,7 @@ SELECT
     CAST(user_id AS VARCHAR) AS msg_key,
     props AS payload,
     epoch_ns(ts) AS ts_ns,
+    epoch_us(ts) AS ts_us,
     event_id,
     event_type,
     value AS event_value,
