@@ -1,0 +1,446 @@
+"""General analytics queries over the star schema — the relational surface
+(joins, windows, rollup, pivot, semi/anti, top-k, sessionization, as-of)
+that makes the engine a usable analytics system beyond the reference's
+streaming parity (SURVEY.md §2.3 notes the reference has no joins; these are
+the north-star extension mandated by BASELINE.json).
+
+Float-determinism pattern: money aggregates are computed in DECIMAL (exact,
+associative — safe under Spark's parallel partial aggregation), then
+``round(..., 2)`` and cast to DOUBLE so both engines emit bit-identical
+values.  Plain double sums would differ in the last bits because Spark sums
+in shuffle-partition order and DuckDB sequentially.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.messages import MESSAGES_ORACLE_CTE, events_as_messages
+from kafka_replicator_spark.sources.tables import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+# ------------------------------------------------------------ TPC-H Q1
+
+@register(
+    "a_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("analytics", "aggregation"),
+    doc="TPC-H Q1 pricing summary: multi-aggregate groupBy with pushed-down "
+    "date filter; DECIMAL-exact sums",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q3-ish
+
+@register(
+    "a_q3_top_revenue_orders",
+    """
+WITH revenue AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, CAST(round(rev, 2) AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+FROM revenue
+ORDER BY rev DESC, l_orderkey ASC
+LIMIT 10
+""",
+    tags=("analytics", "join", "topk"),
+    doc="TPC-H Q3 shape: 3-way join + group + deterministic top-10 "
+    "(broadcast-able dims, AQE-planned join order)",
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q5-ish
+
+@register(
+    "a_q5_region_revenue",
+    """
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE') AND c_nationkey = s_nationkey
+GROUP BY n_name
+""",
+    tags=("analytics", "join"),
+    doc="TPC-H Q5 shape: 6-way star join with broadcast dims + local "
+    "supplier predicate",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------- sessionization
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "a_sessionization",
+    f"""
+WITH messages AS ({MESSAGES_ORACLE_CTE}),
+flagged AS (
+  SELECT msg_key, ts_us, msg_offset,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM messages
+  WINDOW w AS (PARTITION BY msg_key ORDER BY ts_us, msg_offset)
+),
+sess AS (
+  SELECT msg_key, ts_us,
+         sum(is_new) OVER (PARTITION BY msg_key ORDER BY ts_us, msg_offset
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT msg_key, session_id, count(*) AS n_events,
+         max(ts_us) - min(ts_us) AS duration_us
+  FROM sess GROUP BY msg_key, session_id
+)
+SELECT msg_key AS user_key, count(*) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
+FROM per_session GROUP BY msg_key
+""",
+    tags=("analytics", "window", "streaming-shape"),
+    doc="sessionization via gap detection: lag + running sum of session "
+    "breaks (the batch shape of streaming session windows, T16 upgrade)",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    w = Window.partitionBy("msg_key").orderBy("ts_us", "msg_offset")
+    w_run = Window.partitionBy("msg_key").orderBy("ts_us", "msg_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = msgs.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    per_session = sess.groupBy("msg_key", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    return per_session.groupBy(F.col("msg_key").alias("user_key")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("duration_us").cast("long").alias("max_session_duration_us"),
+    )
+
+
+# -------------------------------------------------------------- top-k
+
+@register(
+    "a_topk_per_group",
+    """
+SELECT event_type, event_id, value AS event_value, rn AS rank
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+    tags=("analytics", "window", "topk"),
+    doc="top-k per group via ranking window (deterministic tie-break)",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", F.col("value").alias("event_value"), "rank")
+    )
+
+
+# -------------------------------------------------------------- rollup
+
+@register(
+    "a_rollup_orders",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("analytics", "aggregation"),
+    doc="hierarchical ROLLUP aggregation with subtotal rows",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------- pivot
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "a_pivot_event_counts",
+    """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+    tags=("analytics", "pivot"),
+    doc="pivot: event-type counts per user as columns",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    for t in EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out
+
+
+# ------------------------------------------------------ running window
+
+@register(
+    "a_running_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS running_total
+FROM orders
+""",
+    tags=("analytics", "window"),
+    doc="running total per customer (cumulative frame — the A8 window shape "
+    "on business data)",
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2).cast("double").alias("running_total"),
+    )
+
+
+# ----------------------------------------------------------- semi / anti
+
+@register(
+    "a_semi_anti_customers",
+    """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("analytics", "join"),
+    doc="left-semi / left-anti join semantics (EXISTS / NOT EXISTS)",
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+# -------------------------------------------------------------- as-of join
+
+@register(
+    "a_asof_join",
+    """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+),
+ord AS (
+  SELECT o_orderkey, o_custkey % 15 AS user_id, epoch_us(o_orderdate) AS od_us FROM orders
+)
+SELECT o_orderkey, user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (
+  SELECT o.o_orderkey, o.user_id, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+  FROM ord o JOIN ev e ON e.user_id = o.user_id AND e.ts_us <= o.od_us
+) WHERE rn = 1
+""",
+    tags=("analytics", "join", "asof"),
+    doc="as-of join: latest event per user at order time — implemented "
+    "Spark-side as per-group pd.merge_asof in applyInPandas (the guide's "
+    "recommended pattern); oracle expresses the same semantics relationally",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 15).alias("user_id"),
+        F.to_unix_timestamp("o_orderdate").alias("od_s"),
+    ).withColumn("od_us", F.col("od_s") * 1_000_000).drop("od_s")
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == "o"].sort_values(["t", "event_id"])[
+            ["o_orderkey", "user_id", "t"]
+        ]
+        right = pdf[pdf["side"] == "e"].sort_values(["t", "event_id"])[
+            ["t", "event_id", "event_type"]
+        ]
+        if left.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "user_id", "last_event_id", "last_event_type"]
+            )
+        merged = pd.merge_asof(left, right, on="t", direction="backward")
+        out = merged.rename(
+            columns={"event_id": "last_event_id", "event_type": "last_event_type"}
+        )[["o_orderkey", "user_id", "last_event_id", "last_event_type"]]
+        out = out.dropna(subset=["last_event_id"])
+        out["last_event_id"] = out["last_event_id"].astype("int64")
+        return out
+
+    # one union frame so each user group carries both sides into the pandas fn
+    tagged_o = orders.select(
+        F.lit("o").alias("side"), "o_orderkey", "user_id",
+        F.col("od_us").alias("t"), F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    tagged_e = ev.select(
+        F.lit("e").alias("side"), F.lit(None).cast("long").alias("o_orderkey"), "user_id",
+        F.col("ts_us").alias("t"), "event_id", "event_type",
+    )
+    both = tagged_o.unionByName(tagged_e)
+    out_schema = "o_orderkey long, user_id long, last_event_id long, last_event_type string"
+    return both.groupBy("user_id").applyInPandas(asof, schema=out_schema)

@@ -26,6 +26,10 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.ts is Parquet TIMESTAMP(NANOS): without this (runtime-settable)
+    # legacy flag Spark 4 refuses the file.  Set defensively — the driver
+    # supplies its own SparkSession that may not carry our session config.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
