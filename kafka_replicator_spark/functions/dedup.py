@@ -26,6 +26,7 @@ from kafka_replicator_spark.functions.hashing import (
     hash_family_sql,
     portable_hash32,
     portable_hash32_sql,
+    spread,
 )
 
 # ---------------------------------------------------------------- exact
@@ -67,7 +68,8 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str
         ),
     ).otherwise(F.array())
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        spread(docs)  # single-file inputs would explode on one core otherwise
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .withColumn("h", portable_hash32("shingle"))
     )
 
@@ -94,7 +96,9 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFr
     least one shingle.  The self-join key is the shingle hash (int join);
     set sizes come from one aggregation — two shuffles total.
     """
-    sh = word_ngrams(docs, n=n)
+    # the shingle set feeds three plan branches (sizes + both join sides);
+    # Spark does no cross-branch subtree reuse, so cache or pay 3× recompute
+    sh = word_ngrams(docs, n=n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -170,13 +174,26 @@ def lsh_candidate_pairs(
     """
     rows = k // bands
     sig = minhash_signatures(docs, k=k, n=n)
-    band_rows = []
-    for bidx in range(bands):
-        key = F.concat_ws(":", *[F.col(f"sig_{bidx * rows + j}") for j in range(rows)])
-        band_rows.append(sig.select("doc_id", F.lit(bidx).alias("band"), key.alias("band_key")))
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+    # one pass over the signatures: bands come out of a single explode, not
+    # a union of per-band selects (which would recompute the signature
+    # subtree `bands` times); the banded set is then cached because the
+    # self-join reads it twice (Spark has no cross-branch subtree reuse).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(
+                    ":", *[F.col(f"sig_{bidx * rows + j}") for j in range(rows)]
+                ).alias("band_key"),
+            )
+            for bidx in range(bands)
+        ]
+    )
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+        .cache()
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -213,7 +230,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     bit of its hash; the fingerprint takes the sign of each bit sum.
     """
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .withColumn("h", portable_hash32("tok"))
     )
     bits = toks.select(
@@ -256,15 +274,20 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     hamming distance on candidates.
     """
     sig = simhash(docs)
-    banded = None
-    for j in range(4):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(j).alias("band"),
-            F.expr(f"(shiftright(simhash, {8 * j}) & 255)").alias("band_key"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(f"(shiftright(simhash, {8 * j}) & 255)").alias("band_key"),
+            )
+            for j in range(4)
+        ]
+    )
+    banded = (
+        sig.select("doc_id", "simhash", F.explode(band_structs).alias("b"))
+        .select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+        .cache()  # self-joined twice below
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_key")
     return (

@@ -34,6 +34,19 @@ def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def spread(df, multiplier: int = 1):
+    """Repartition a *compact* input to full cluster parallelism before an
+    explode-heavy operator (shingling, per-bit fan-out).
+
+    A single-row-group parquet file arrives as ONE input split, so the
+    50-100× row explosion downstream would run on one core.  Shuffling the
+    compact pre-explosion rows is orders of magnitude cheaper than
+    serializing the exploded work — the standard explode-parallelism trade.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    return df.repartition(target)
+
+
 def portable_hash60(c: str | Column, fast: bool = False) -> Column:
     """60-bit positive hash of a string column, reproducible in DuckDB."""
     if fast:

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 
+def _spread_emb(embeddings: DataFrame) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import spread
+
+    return spread(embeddings)
+
+
 def _dbl(c: str | Column) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.transform(c, lambda x: x.cast("double"))
@@ -47,7 +53,7 @@ def brute_force_topk(
     The probe side is broadcast; the corpus never shuffles.  Ranking ties
     are broken by neighbor id for determinism.
     """
-    emb = embeddings.select("vec_id", _dbl("embedding").alias("e"))
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
     )
@@ -105,7 +111,7 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
     """Sign-LSH bucket id per vector: bit p of the bucket = [e·w_p >= 0]."""
-    emb = embeddings.select("vec_id", _dbl("embedding").alias("e"))
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(hyperplanes(n_planes, dim)):
         w = F.array(*[F.lit(float(x)) for x in plane])
@@ -133,9 +139,10 @@ def ann_topk(
     LSH bucket.  At scale the bucket join replaces the N·P cross product
     with bucket-local candidate sets (expected N/2^planes per bucket).
     """
-    emb = embeddings.select("vec_id", _dbl("embedding").alias("e"))
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     buckets = lsh_buckets(embeddings, n_planes, dim)
-    emb_b = emb.join(buckets, "vec_id")
+    # probes + candidates both read this subtree; cache beats 2× recompute
+    emb_b = emb.join(buckets, "vec_id").cache()
     probes = emb_b.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "bucket"
     )
@@ -183,8 +190,8 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs that
     collide in a bucket are scored (the embedding analog of MinHash-LSH)."""
-    emb = embeddings.select("vec_id", _dbl("embedding").alias("e"))
-    emb_b = emb.join(lsh_buckets(embeddings, n_planes, dim), "vec_id")
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    emb_b = emb.join(lsh_buckets(embeddings, n_planes, dim), "vec_id").cache()
     a = emb_b.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket")
     b = emb_b.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "bucket")
     return (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kafka_replicator_spark.functions.hashing import (
     portable_hash32,
     portable_hash32_sql,
+    spread,
 )
 
 #: deterministic stopword list used by the quality score (both engines)
@@ -169,7 +170,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     engine can recompute and match it.
     """
     idx = F.explode(F.sequence(F.lit(1), F.length("text") - (FP_WIDTH - 1))).alias("i")
-    shingled = docs.select("doc_id", F.col("text"), idx).select(
+    shingled = spread(docs).select("doc_id", F.col("text"), idx).select(
         "doc_id", portable_hash32(F.expr(f"substr(text, i, {FP_WIDTH})")).alias("h")
     )
     return shingled.groupBy("doc_id").agg(

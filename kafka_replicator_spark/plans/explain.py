@@ -1,0 +1,52 @@
+"""Physical-plan inspection — the engine's scale guardrails.
+
+At 100 TB the plan *is* the product: a filter that doesn't reach the
+parquet scan re-reads terabytes; a dimension join that doesn't broadcast
+shuffles the fact table; an extra Exchange doubles the job.  These helpers
+turn those properties into assertions that tests/test_plans.py pins down,
+so a regression in plan shape fails CI rather than a cluster bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (excludes broadcast exchanges)."""
+    plan = physical_plan(df, mode="simple")
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+
+
+def has_wholestage_codegen(df: DataFrame) -> bool:
+    # AQE plans don't show '*(n)' markers until finalized; the codegen
+    # explain mode reports generated subtrees regardless.
+    return "WholeStageCodegen" in physical_plan(df, mode="codegen")

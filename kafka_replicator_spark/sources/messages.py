@@ -30,8 +30,13 @@ from kafka_replicator_spark.sources.tables import load_table
 N_PARTITIONS = 4
 TOPIC = "events"
 
+#: (session id, sf_dir) → cached mapping; every r_* query starts from this
+#: frame, and the offset-synthesis window (a 4-key shuffle + sort) is the
+#: single most expensive step of the family — pay it once per session.
+_MESSAGES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
-def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def events_as_messages(spark: SparkSession, sf_dir: str, cached: bool = True) -> DataFrame:
     """Map the events table to the canonical message stream.
 
     Columns: topic, partition_id, msg_offset, msg_key, payload (string form —
@@ -39,10 +44,13 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_ns, msg_size, plus passthrough event_type / event_value for queries
     that need message "content".
     """
+    key = (id(spark), sf_dir.rstrip("/"))
+    if cached and key in _MESSAGES_CACHE:
+        return _MESSAGES_CACHE[key]
     ev = load_table(spark, sf_dir, "events")
     part = (F.col("user_id") % N_PARTITIONS).cast("int")
     w = Window.partitionBy(part).orderBy("event_id")
-    return (
+    out = (
         ev.select(
             F.lit(TOPIC).alias("topic"),
             part.alias("partition_id"),
@@ -60,6 +68,10 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("msg_size", message_size_col("msg_key", "payload", headers=None))
     )
+    if cached:
+        out = out.cache()
+        _MESSAGES_CACHE[key] = out
+    return out
 
 
 #: DuckDB mirror of events_as_messages — compose as `WITH messages AS (...)`.

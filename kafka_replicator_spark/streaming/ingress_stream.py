@@ -1,0 +1,171 @@
+"""Streaming ingress: parquet segments → ordered delivery (reference
+pkg/ingress/ as a Structured Streaming job).
+
+The segment root is consumed as a file stream (S2/S4: new segment files are
+the discovery events; with notification infra, swap in that source).  Each
+microbatch:
+
+  1. recovers segment identity from file paths (P4 codec),
+  2. trims rows at-or-below the delivery checkpoint (F1/T9) and drops
+     duplicate offsets from overlapping segments (T13),
+  3. delivers per partition in offset order (O3: repartition by the stream
+     partition + ``sortWithinPartitions`` — per-task order is what a Kafka
+     producer sink preserves),
+  4. advances the checkpoint store (T8), persisted atomically driver-side —
+     the same metadata scale as the reference's in-memory map backed by a
+     compacted topic (S5/K3).
+
+Late/lost policy (T6/T7): offset continuity is checked before delivery; a
+gap holds the partition back (late) for up to ``max_gap_retries`` batches,
+then is skipped with a ``messages_lost`` count — exactly the reference's
+escalation (pkg/ingress/worker.go:110-154), minus the wall-clock backoff
+(batch cadence plays that role here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.core.codec import parse_segment_path_cols
+
+SEGMENT_DATA_SCHEMA = "msg_offset long, msg_key binary, payload binary, ts_ns long"
+
+
+@dataclass
+class IngressState:
+    """Driver-side delivery state: checkpoint offsets + late/lost tracking.
+
+    Persisted as JSON with atomic replace; the reference keeps the same
+    state in a goroutine-local map mirrored to a compacted Kafka topic.
+    """
+
+    path: str
+    checkpoints: dict[str, int] = field(default_factory=dict)  # "topic/part" -> last offset
+    late_counts: dict[str, int] = field(default_factory=dict)
+    messages_lost: int = 0
+
+    @classmethod
+    def load(cls, path: str) -> "IngressState":
+        if os.path.exists(path):
+            raw = json.load(open(path))
+            return cls(
+                path=path,
+                checkpoints=raw.get("checkpoints", {}),
+                late_counts=raw.get("late_counts", {}),
+                messages_lost=raw.get("messages_lost", 0),
+            )
+        return cls(path=path)
+
+    def save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "checkpoints": self.checkpoints,
+                    "late_counts": self.late_counts,
+                    "messages_lost": self.messages_lost,
+                },
+                f,
+            )
+        os.replace(tmp, self.path)
+
+
+def run_ingress_stream(
+    spark: SparkSession,
+    seg_root: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_path: str,
+    max_gap_retries: int = 3,
+    await_termination: bool = True,
+):
+    """Replay segments to an ordered per-partition sink until no new files
+    remain.  Restart-safe via (engine checkpoint ∧ delivery state): replayed
+    epochs re-trim against the delivery checkpoint, so nothing is delivered
+    twice at-or-below it.
+    """
+    stream = (
+        spark.readStream.schema(SEGMENT_DATA_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(seg_root)
+    )
+
+    def deliver(batch_df: DataFrame, epoch_id: int) -> None:
+        state = IngressState.load(state_path)
+        df = batch_df.select("*", *parse_segment_path_cols())
+        # T13 overlap dedup within the batch
+        df = df.dropDuplicates(["topic", "partition_id", "msg_offset"])
+
+        # F1/T9 trim vs delivery checkpoints (broadcast metadata join)
+        if state.checkpoints:
+            cps = spark.createDataFrame(
+                [
+                    (k.rsplit("/", 1)[0], int(k.rsplit("/", 1)[1]), v)
+                    for k, v in state.checkpoints.items()
+                ],
+                schema="topic string, partition_id int, cp_offset long",
+            )
+            df = (
+                df.join(F.broadcast(cps), ["topic", "partition_id"], "left")
+                .filter(F.col("cp_offset").isNull() | (F.col("msg_offset") > F.col("cp_offset")))
+                .drop("cp_offset")
+            )
+
+        # continuity check per partition (metadata-scale collect)
+        stats = (
+            df.groupBy("topic", "partition_id")
+            .agg(
+                F.min("msg_offset").alias("lo"),
+                F.max("msg_offset").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        deliverable: list[tuple[str, int]] = []
+        for r in stats:
+            key = f"{r['topic']}/{r['partition_id']}"
+            next_needed = state.checkpoints.get(key, -1) + 1
+            if r["lo"] > next_needed:
+                # T6 late segment: hold back, retry next batches
+                state.late_counts[key] = state.late_counts.get(key, 0) + 1
+                if state.late_counts[key] <= max_gap_retries:
+                    continue
+                # T7 lost: log the skipped range, deliver what exists
+                state.messages_lost += r["lo"] - next_needed
+                state.late_counts.pop(key, None)
+            else:
+                state.late_counts.pop(key, None)
+            deliverable.append((r["topic"], r["partition_id"]))
+            state.checkpoints[key] = int(r["hi"])
+
+        if deliverable:
+            keys = [f"{t}/{p}" for t, p in deliverable]
+            out = df.filter(
+                F.concat_ws("/", "topic", F.col("partition_id").cast("string")).isin(keys)
+            )
+            # O3: per-partition offset order into the sink (K2 analog)
+            (
+                out.repartition("topic", "partition_id")
+                .sortWithinPartitions("msg_offset")
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .write.mode("append")
+                .partitionBy("topic", "partition_id")
+                .parquet(sink_dir)
+            )
+        state.save()  # T8 checkpoint-per-batch
+
+    q = (
+        stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,75 @@
+"""Plan-shape guardrails: pushdown reaches the scan, metadata joins
+broadcast, shuffle counts stay minimal, hot paths stay in codegen.
+These are the properties that keep the engine viable at 100 TB — a
+regression here is a performance bug even if results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.operators.checkpoints import resume_filter
+from kafka_replicator_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    has_wholestage_codegen,
+    physical_plan,
+    pushed_filters,
+)
+from kafka_replicator_spark.queries import all_queries
+from kafka_replicator_spark.sources.tables import load_table
+
+QUERIES = all_queries()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), f"no pushdown: {pf}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema, "scan reads unprojected columns"
+
+
+def test_resume_filter_broadcasts_checkpoints(spark, messages):
+    cps = spark.createDataFrame(
+        [("r", "events", 0, 10, 0)],
+        schema="region string, topic string, partition_id int, msg_offset long, ts_ns long",
+    )
+    assert has_broadcast_join(resume_filter(messages, cps))
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["a_q5_region_revenue"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # fact table shuffles once for the final groupBy at most
+    assert count_exchanges(df) <= 2, physical_plan(df)
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    df = QUERIES["a_q1_pricing_summary"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1, "Q1 should shuffle exactly once (partial agg first)"
+    assert has_wholestage_codegen(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df)), "date filter not pushed"
+
+
+def test_minhash_shuffle_budget(spark, sf_dir):
+    # shingle explode + one groupBy: a single shuffle, everything else map-side
+    df = QUERIES["p_minhash_signatures"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1, physical_plan(df)
+
+
+def test_segment_plan_partial_aggregation(spark, sf_dir):
+    df = QUERIES["r_t1_segment_plan"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial" in plan.lower(), "segment accumulation must map-side combine"
+
+
+def test_message_projection_stays_codegen(spark, messages):
+    assert has_wholestage_codegen(messages.select("topic", "partition_id", "msg_offset", "msg_size"))

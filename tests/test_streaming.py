@@ -1,0 +1,150 @@
+"""Streaming egress/ingress tests — the reference's failure-injection
+matrix translated to kill-and-restart against the same checkpointLocation
+(FIXTURES.md invariants 2 and 3).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.sources.segments import list_segments, read_segment_files
+from kafka_replicator_spark.streaming.egress_stream import run_egress_stream
+from kafka_replicator_spark.streaming.ingress_stream import IngressState, run_ingress_stream
+
+REGION = "stream-region"
+
+
+def _stage_message_drops(spark, messages, src_dir, n_drops=3):
+    """Stage the message stream as n parquet 'drops' (poll batches)."""
+    bounds = [(0, 80), (81, 170), (171, 10**9)]
+    for i, (lo, hi) in enumerate(bounds[:n_drops]):
+        (
+            messages.filter(F.col("msg_offset").between(lo, hi))
+            .select("topic", "partition_id", "msg_offset", "msg_key", "payload", "ts_ns")
+            .withColumn("msg_key", F.col("msg_key").cast("binary"))
+            .withColumn("payload", F.col("payload").cast("binary"))
+            .withColumn("headers", F.lit(None).cast(
+                "array<struct<key:string,value:binary>>"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+
+@pytest.fixture(scope="module")
+def staged(spark, messages, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("drops"))
+    _stage_message_drops(spark, messages, src)
+    return src
+
+
+def test_egress_stream_writes_all_segments(spark, messages, staged, tmp_path):
+    seg_root = str(tmp_path / "segments")
+    cp = str(tmp_path / "cp")
+    run_egress_stream(
+        spark, staged, seg_root, cp, region=REGION, max_bytes=4096, max_messages=100
+    )
+    listed = list_segments(spark, seg_root, read_footers=True)
+    total = listed.agg(F.sum("message_count")).collect()[0][0]
+    assert total == messages.count()
+    # offsets gap-free per partition across all segments
+    back = read_segment_files(spark, [r["path"] for r in listed.collect()])
+    stats = back.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("msg_offset").alias("lo"), F.max("msg_offset").alias("hi")
+    )
+    for r in stats.collect():
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_egress_stream_restart_is_idempotent(spark, messages, staged, tmp_path):
+    """Invariant 2: restart from the same checkpoint neither loses nor
+    duplicates (exactly-once-per-file via deterministic naming)."""
+    seg_root = str(tmp_path / "segments")
+    cp = str(tmp_path / "cp")
+    run_egress_stream(spark, staged, seg_root, cp, region=REGION, max_bytes=4096, max_messages=100)
+    first = sorted(r["path"] for r in list_segments(spark, seg_root).collect())
+    # "restart": same checkpoint — no new input, no new files
+    run_egress_stream(spark, staged, seg_root, cp, region=REGION, max_bytes=4096, max_messages=100)
+    second = sorted(r["path"] for r in list_segments(spark, seg_root).collect())
+    assert first == second
+    # crash simulation: wipe the engine checkpoint (full replay) — files are
+    # rewritten in place, still no duplicates in the read-back stream
+    import shutil
+
+    shutil.rmtree(cp)
+    run_egress_stream(spark, staged, seg_root, cp, region=REGION, max_bytes=4096, max_messages=100)
+    back = read_segment_files(spark, [r["path"] for r in list_segments(spark, seg_root).collect()])
+    assert back.count() == messages.count()
+
+
+def test_ingress_stream_delivers_in_order(spark, messages, staged, tmp_path):
+    seg_root = str(tmp_path / "segments")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2"), state_path
+    )
+    delivered = spark.read.parquet(sink)
+    assert delivered.count() == messages.count()
+    # invariant 1: per-partition delivered offsets dense from 0
+    stats = delivered.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("msg_offset").alias("hi")
+    )
+    for r in stats.collect():
+        assert r["n"] == r["hi"] + 1
+    state = IngressState.load(state_path)
+    assert state.messages_lost == 0
+    assert all(v >= 0 for v in state.checkpoints.values())
+
+
+def test_ingress_resume_delivers_only_above_checkpoint(spark, messages, staged, tmp_path):
+    """Invariant 3: replay from checkpoint k delivers exactly offsets >= k+1."""
+    seg_root = str(tmp_path / "segments")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    # pre-seed delivery state: partition 0 already delivered through 150
+    state = IngressState(path=state_path, checkpoints={"events/0": 150})
+    state.save()
+    run_ingress_stream(spark, seg_root, sink, str(tmp_path / "cp2"), state_path)
+    delivered = spark.read.parquet(sink)
+    p0_min = (
+        delivered.filter(F.col("partition_id") == 0).agg(F.min("msg_offset")).collect()[0][0]
+    )
+    assert p0_min == 151
+
+
+def test_ingress_lost_segment_policy(spark, messages, staged, tmp_path):
+    """T6/T7: a leading gap (missing segment file) holds delivery back for
+    max_gap_retries batches, then skips with messages_lost accounting."""
+    seg_root = str(tmp_path / "segments")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    # destroy the first segment of partition 0 → offsets [0..k] missing
+    segs = list_segments(spark, seg_root, partition_id=None).collect()
+    first_p0 = min(
+        (r for r in segs if r["partition_id"] == 0), key=lambda r: r["start_offset"]
+    )
+    os.remove(first_p0["path"])
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2"), state_path, max_gap_retries=0
+    )
+    state = IngressState.load(state_path)
+    assert state.messages_lost == first_p0["end_offset"] - first_p0["start_offset"] + 1
+    delivered = spark.read.parquet(sink)
+    p0_min = (
+        delivered.filter(F.col("partition_id") == 0).agg(F.min("msg_offset")).collect()[0][0]
+    )
+    assert p0_min == first_p0["end_offset"] + 1
