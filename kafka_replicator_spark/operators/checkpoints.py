@@ -112,3 +112,31 @@ def prune_processed_segments(segments: DataFrame, checkpoints: DataFrame) -> Dat
         .filter(F.col("_cp_offset").isNull() | (F.col("end_offset") > F.col("_cp_offset")))
         .drop("_cp_topic", "_cp_part", "_cp_offset")
     )
+
+
+def checkpoint_key_col():
+    """K3: stable message key for log compaction — ``region:topic:partition``
+    (reference checkpoint_store.go:253-255)."""
+    return F.concat_ws(
+        ":", F.col("region"), F.col("topic"), F.col("partition_id").cast("string")
+    ).alias("cp_key")
+
+
+def publish_checkpoints(updates: DataFrame, log_dir: str) -> None:
+    """K3 keyed checkpoint publish: append updates to a compacted-topic-style
+    parquet log (key + monotonically usable order column).  With a real
+    broker this is a Kafka sink write with ``cp_key`` as the message key to
+    a log-compacted topic.
+    """
+    (
+        updates.select(checkpoint_key_col(), *updates.columns)
+        .write.mode("append")
+        .parquet(log_dir)
+    )
+
+
+def load_checkpoint_log(spark, log_dir: str) -> DataFrame:
+    """S5 replay of the checkpoint log to current state: last update per key
+    by offset (the monotonic rule collapses to argmax over the log)."""
+    log = spark.read.parquet(log_dir)
+    return latest_checkpoints(log.drop("cp_key"))

@@ -627,3 +627,117 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum("k").cast("long").alias("sum_k"),
     )
+
+
+# -------------------------------------------------------------------- F7
+
+@register(
+    "r_f7_foreign_region",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        EVENTS_OVERLAY_CTE.replace("'src'", "CASE WHEN segment_seq % 2 = 0 THEN 'local' ELSE 'remote' END"),
+        select="""
+SELECT region, topic, partition_id, count(*) AS n_events
+FROM seg_events WHERE region <> 'local'
+GROUP BY region, topic, partition_id""",
+    ),
+    tags=("parity", "filter"),
+    doc="F7 local-region filter: a region never consumes its own events/"
+    "checkpoints (reference ingress controller.go:100-102, "
+    "checkpoint_store.go:130-133)",
+)
+def q_foreign_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.checkpoints import filter_foreign_region
+
+    events = _overlay_events_regioned(spark, sf_dir)
+    return (
+        filter_foreign_region(events, local_region="local")
+        .groupBy("region", "topic", "partition_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _overlay_events_regioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay events with region alternating by segment_seq (for F7)."""
+    segs = _segments(spark, sf_dir).withColumn(
+        "region",
+        F.when(F.col("segment_seq") % 2 == 0, F.lit("local")).otherwise(F.lit("remote")),
+    )
+    base = segs.select(
+        "region", "topic", "partition_id", "level", "start_offset", "end_offset",
+        "size_bytes", "segment_seq",
+    )
+    created = base.withColumn("event_type", F.lit(EVENT_CREATED)).withColumn(
+        "event_ts", F.lit(1000).cast("long")
+    )
+    removed_tie = (
+        base.filter(F.col("segment_seq") % 3 == 0)
+        .withColumn("event_type", F.lit(EVENT_REMOVED))
+        .withColumn("event_ts", F.lit(1000).cast("long"))
+    )
+    removed_old = (
+        base.filter(F.col("segment_seq") % 5 == 0)
+        .withColumn("event_type", F.lit(EVENT_REMOVED))
+        .withColumn("event_ts", F.lit(500).cast("long"))
+    )
+    return (
+        created.unionByName(removed_tie).unionByName(removed_old).drop("segment_seq")
+    )
+
+
+# -------------------------------------------------------------------- T10
+
+@register(
+    "r_t10_event_expiry",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        EVENTS_OVERLAY_CTE,
+        select="""
+SELECT event_type, count(*) AS n_retained
+FROM seg_events WHERE event_ts > 600
+GROUP BY event_type""",
+    ),
+    tags=("parity", "streaming-shape"),
+    doc="T10 overlay-event TTL expiry (reference "
+    "consistent_segment_store.go:323-397: retention sweep)",
+)
+def q_event_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.consistent import expire_events
+
+    events = _overlay_events(spark, sf_dir)
+    retained = expire_events(events, now=1600, retention=1000)  # cutoff 600
+    return retained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_retained"))
+
+
+# -------------------------------------------------------------------- X8
+
+@register(
+    "r_x8_metric_names",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        select=r"""
+SELECT regexp_replace('segment.' || topic || '.' || CAST(partition_id AS VARCHAR), '\.', '-', 'g')
+           AS metric_name,
+       count(*) AS n_segments
+FROM segments GROUP BY topic, partition_id""",
+    ),
+    tags=("parity", "scalar"),
+    doc="X8 metric-name sanitize: dots to dashes "
+    "(reference pkg/utils/utils.go:52-54)",
+)
+def q_metric_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir)
+    return segs.groupBy("topic", "partition_id").agg(F.count(F.lit(1)).alias("n_segments")).select(
+        F.regexp_replace(
+            F.concat(F.lit("segment."), F.col("topic"), F.lit("."), F.col("partition_id").cast("string")),
+            r"\.",
+            "-",
+        ).alias("metric_name"),
+        "n_segments",
+    )
