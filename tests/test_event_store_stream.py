@@ -1,0 +1,52 @@
+"""Stateful streaming event store (T10): state carries across microbatches,
+resolution follows A7, only changes are emitted."""
+
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.streaming.event_store import streaming_event_store
+
+EVENT_SCHEMA = (
+    "region string, topic string, partition_id int, level int, "
+    "start_offset long, end_offset long, event_type string, event_ts long"
+)
+
+SEG_A = ("r", "t", 0, 0, 0, 9)
+SEG_B = ("r", "t", 0, 0, 10, 19)
+
+
+def test_event_store_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    # batch 1: CREATED for both segments
+    spark.createDataFrame(
+        [(*SEG_A, "CREATED", 5), (*SEG_B, "CREATED", 6)], schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2 (same drop dir, second file): stale REMOVED for A (loses),
+    # fresh REMOVED for B (wins), duplicate CREATED for A (no change)
+    spark.createDataFrame(
+        [(*SEG_A, "REMOVED", 3), (*SEG_A, "CREATED", 5), (*SEG_B, "REMOVED", 9)],
+        schema=EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one file per microbatch
+        .parquet(src)
+    )
+    out = streaming_event_store(stream)  # no TTL: availableNow must terminate
+    q = (
+        out.writeStream.format("memory")
+        .queryName("event_store_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM event_store_out").collect()
+    # emitted changes: batch1 CREATED A + CREATED B; batch2 REMOVED B only
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["start_offset"], []).append((r["event_type"], r["event_ts"]))
+    assert ("CREATED", 5) in by_seg[0]
+    assert by_seg[10][-1] == ("REMOVED", 9)
+    # A's stale REMOVED and duplicate CREATED emitted no extra change row
+    assert len(by_seg[0]) == 1
