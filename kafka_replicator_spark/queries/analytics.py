@@ -444,3 +444,66 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = tagged_o.unionByName(tagged_e)
     out_schema = "o_orderkey long, user_id long, last_event_id long, last_event_type string"
     return both.groupBy("user_id").applyInPandas(asof, schema=out_schema)
+
+
+# ------------------------------------------------------------- set ops
+
+@register(
+    "a_set_ops",
+    """
+WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+SELECT 'intersect' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM building
+                                            INTERSECT SELECT DISTINCT c_nationkey FROM machinery)
+UNION ALL
+SELECT 'except' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM building
+                                         EXCEPT SELECT DISTINCT c_nationkey FROM machinery)
+""",
+    tags=("analytics", "setop"),
+    doc="INTERSECT / EXCEPT set operations (beyond-reference relational "
+    "surface; the reference's only set op is the M1 union)",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    m = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    inter = b.intersect(m).select(F.lit("intersect").alias("op"), "c_nationkey")
+    exc = b.exceptAll(m).distinct().select(F.lit("except").alias("op"), "c_nationkey")
+    return inter.unionByName(exc)
+
+
+# ------------------------------------------------------ scalar functions
+
+@register(
+    "a_scalar_functions",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderstatus, 1, 1) AS status_code,
+       length(o_orderpriority) AS prio_len,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+       CAST(round(o_totalprice / 1000.0, 3) AS DOUBLE) AS price_k,
+       CAST(o_totalprice >= 100000 AS BOOLEAN) AS is_large
+FROM orders
+""",
+    tags=("analytics", "scalar"),
+    doc="scalar function surface: date extraction, string ops, arithmetic, "
+    "predicates (X-family generalization)",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        (F.col("o_totalprice") >= 100000).alias("is_large"),
+    )

@@ -169,3 +169,30 @@ def run_ingress_stream(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def kafka_producer_sink(delivered: DataFrame, brokers: str, topic: str):
+    """K2: produce the ordered per-partition stream to Kafka, preserving
+    key/value/partition/timestamp (reference pkg/kafka/producer.go:156-218).
+
+    The frame must already be repartitioned by the stream partition and
+    sorted within partitions (as run_ingress_stream's delivery path does) —
+    the Kafka sink preserves per-task row order, which is then per-partition
+    order.  Idempotent produce mirrors the reference's
+    ``enable.idempotence=true`` (producer.go:107-111).
+
+    Requires the spark-sql-kafka connector jar; this container has no
+    broker, so only the configuration path is exercised here.
+    """
+    out = delivered.select(
+        F.col("msg_key").alias("key"),
+        F.col("payload").alias("value"),
+        F.col("partition_id").cast("int").alias("partition"),
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("timestamp"),
+    )
+    return (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("kafka.enable.idempotence", "true")
+    )
