@@ -17,7 +17,7 @@ bucket-local pairs, which is why it is the default at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.functions.hashing import (

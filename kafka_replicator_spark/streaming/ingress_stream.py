@@ -47,6 +47,8 @@ class IngressState:
     path: str
     checkpoints: dict[str, int] = field(default_factory=dict)  # "topic/part" -> last offset
     late_counts: dict[str, int] = field(default_factory=dict)
+    first_seen_batch: dict[str, int] = field(default_factory=dict)  # T5 gate
+    batches_run: int = 0
     messages_lost: int = 0
 
     @classmethod
@@ -57,6 +59,8 @@ class IngressState:
                 path=path,
                 checkpoints=raw.get("checkpoints", {}),
                 late_counts=raw.get("late_counts", {}),
+                first_seen_batch=raw.get("first_seen_batch", {}),
+                batches_run=raw.get("batches_run", 0),
                 messages_lost=raw.get("messages_lost", 0),
             )
         return cls(path=path)
@@ -68,6 +72,8 @@ class IngressState:
                 {
                     "checkpoints": self.checkpoints,
                     "late_counts": self.late_counts,
+                    "first_seen_batch": self.first_seen_batch,
+                    "batches_run": self.batches_run,
                     "messages_lost": self.messages_lost,
                 },
                 f,
@@ -82,12 +88,19 @@ def run_ingress_stream(
     checkpoint_dir: str,
     state_path: str,
     max_gap_retries: int = 3,
+    first_segment_delay_batches: int = 0,
     await_termination: bool = True,
 ):
     """Replay segments to an ordered per-partition sink until no new files
     remain.  Restart-safe via (engine checkpoint ∧ delivery state): replayed
     epochs re-trim against the delivery checkpoint, so nothing is delivered
     twice at-or-below it.
+
+    ``first_segment_delay_batches`` is T5 (FirstSegmentDelay, reference
+    pkg/ingress/worker.go:98-108): a partition first seen at batch b is not
+    delivered before batch b + delay — the reference's 30-minute guard
+    against listing lag on eventually-consistent stores, measured in batch
+    cadence here.
     """
     stream = (
         spark.readStream.schema(SEGMENT_DATA_SCHEMA)
@@ -127,9 +140,15 @@ def run_ingress_stream(
             )
             .collect()
         )
+        state.batches_run += 1
         deliverable: list[tuple[str, int]] = []
         for r in stats:
             key = f"{r['topic']}/{r['partition_id']}"
+            # T5 first-segment delay gate
+            if key not in state.first_seen_batch:
+                state.first_seen_batch[key] = state.batches_run
+            if state.batches_run - state.first_seen_batch[key] < first_segment_delay_batches:
+                continue
             next_needed = state.checkpoints.get(key, -1) + 1
             if r["lo"] > next_needed:
                 # T6 late segment: hold back, retry next batches

@@ -148,3 +148,30 @@ def test_ingress_lost_segment_policy(spark, messages, staged, tmp_path):
         delivered.filter(F.col("partition_id") == 0).agg(F.min("msg_offset")).collect()[0][0]
     )
     assert p0_min == first_p0["end_offset"] + 1
+
+
+def test_first_segment_delay_gate(spark, messages, staged, tmp_path):
+    """T5: a partition first seen at batch b is not delivered before
+    batch b + delay (reference FirstSegmentDelay, ingress worker.go:98-108)."""
+    seg_root = str(tmp_path / "segments")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    # first run: everything is newly seen -> gated, nothing delivered
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2a"), state_path,
+        first_segment_delay_batches=1,
+    )
+    assert not os.path.exists(sink) or spark.read.parquet(sink).count() == 0
+    state = IngressState.load(state_path)
+    assert state.batches_run >= 1 and state.first_seen_batch
+    # second run (fresh engine checkpoint replays the files; delivery state
+    # carries the first-seen batch): now past the delay -> delivered
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2b"), state_path,
+        first_segment_delay_batches=1,
+    )
+    assert spark.read.parquet(sink).count() == messages.count()
