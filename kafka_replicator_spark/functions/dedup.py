@@ -262,7 +262,7 @@ bitsum AS (
   FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
 """
 
@@ -308,7 +308,7 @@ def simhash_near_pairs_sql(max_hamming: int = 6) -> str:
 WITH sig AS ({simhash_sql()}),
 banded AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}

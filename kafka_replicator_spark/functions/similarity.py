@@ -87,7 +87,7 @@ ranked AS (
          row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
 
@@ -180,7 +180,7 @@ ranked AS (
          row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
 

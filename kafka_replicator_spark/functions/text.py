@@ -58,9 +58,9 @@ def text_stats(docs: DataFrame) -> DataFrame:
 def text_stats_sql() -> str:
     return """
 SELECT doc_id,
-       length(text) AS n_chars,
-       len(string_split(text, ' ')) AS n_tokens,
-       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
        round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS avg_token_len,
        round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

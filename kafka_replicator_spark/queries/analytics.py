@@ -87,7 +87,8 @@ WITH revenue AS (
   WHERE c_mktsegment = 'BUILDING'
   GROUP BY l_orderkey, o_orderdate, o_orderpriority
 )
-SELECT l_orderkey, CAST(round(rev, 2) AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+SELECT l_orderkey, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
 FROM revenue
 ORDER BY rev DESC, l_orderkey ASC
 LIMIT 10
@@ -111,7 +112,9 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.round("rev", 2).cast("double").alias("revenue"),
-            "o_orderdate",
+            # date as a string: engines disagree on pandas datetime unit
+            # (us vs ns), which can break a stringify-then-hash compare
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             "o_orderpriority",
         )
     )
@@ -231,7 +234,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_topk_per_group",
     """
-SELECT event_type, event_id, value AS event_value, rn AS rank
+SELECT event_type, event_id, value AS event_value, CAST(rn AS INTEGER) AS rank
 FROM (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
@@ -483,7 +486,7 @@ SELECT o_orderkey,
        CAST(day(o_orderdate) AS INTEGER) AS order_day,
        upper(o_orderpriority) AS prio_upper,
        substr(o_orderstatus, 1, 1) AS status_code,
-       length(o_orderpriority) AS prio_len,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
        concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
        CAST(round(o_totalprice / 1000.0, 3) AS DOUBLE) AS price_k,
        CAST(o_totalprice >= 100000 AS BOOLEAN) AS is_large

@@ -486,7 +486,7 @@ SELECT topic, partition_id, count(*) AS n,
        min(msg_offset) AS lo, max(msg_offset) AS hi,
        count(*) = max(msg_offset) - min(msg_offset) + 1 AS dense,
        count(*) - count(DISTINCT msg_offset) AS n_dup_offsets,
-       sum(CASE WHEN prev IS NOT NULL AND msg_offset <= prev THEN 1 ELSE 0 END) AS n_order_violations
+       CAST(sum(CASE WHEN prev IS NOT NULL AND msg_offset <= prev THEN 1 ELSE 0 END) AS BIGINT) AS n_order_violations
 FROM (
   SELECT *, lag(msg_offset) OVER (PARTITION BY topic, partition_id ORDER BY msg_offset) AS prev
   FROM messages
