@@ -39,6 +39,37 @@ HEADLINE = [
 ]
 
 
+def segment_lifecycle_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """The engine's actual job end-to-end: message stream → greedy rollover
+    → segment files → compaction merge → ordered replay.  Returns (sec,
+    messages) — messages/sec here is the number to hold against the
+    reference's 100 MiB / 5 min single-node envelope (BASELINE.md §1).
+    """
+    import shutil
+    import tempfile
+
+    from kafka_replicator_spark.operators.compaction import compact
+    from kafka_replicator_spark.operators.egress import assign_segments_greedy, write_segments
+    from kafka_replicator_spark.sources.messages import events_as_messages
+    from kafka_replicator_spark.sources.segments import read_segment_files
+
+    msgs = events_as_messages(spark, sf_dir)
+    n_msgs = msgs.count()  # cache warm; lifecycle timing starts after
+    root = tempfile.mkdtemp(prefix="krs_bench_")
+    t0 = time.perf_counter()
+    tagged = assign_segments_greedy(msgs, max_bytes=4 << 20, max_messages=100_000)
+    write_segments(tagged, root=root, region="bench", level=0).collect()
+    merged = compact(spark, root, region="bench", min_count=2, min_bytes=1)
+    paths = [r["path"] for r in merged.collect()]
+    # compacted outputs are disjoint by construction — skip the winner-
+    # picking sort (merge_segments makes the same metadata-driven choice)
+    replayed = read_segment_files(spark, paths, dedup_overlaps=False).count()
+    dt = time.perf_counter() - t0
+    assert replayed == n_msgs, f"lifecycle lost rows: {replayed} != {n_msgs}"
+    shutil.rmtree(root, ignore_errors=True)
+    return dt, n_msgs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka_replicator_spark import get_spark
@@ -60,6 +91,15 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    life_sec, life_msgs = segment_lifecycle_bench(spark, sf_dir)
+    timings["segment_lifecycle"] = round(life_sec, 3)
+    total += life_sec
+    print(
+        f"# segment_lifecycle: {life_sec:.3f}s "
+        f"({life_msgs} msgs, {life_msgs / life_sec:,.0f} msg/s)",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

@@ -129,12 +129,28 @@ def merge_segments(spark: SparkSession, plan: DataFrame, root: str, region: str)
     paths = sorted({r["path"] for r in meta})
     out_levels = {}  # (topic, partition) -> max input level + 1
     floors = {}
+    by_part: dict = {}
     for r in meta:
         k = (r["topic"], r["partition_id"])
         out_levels[k] = max(out_levels.get(k, 0), r["level"] + 1)
         floors[k] = max(floors.get(k, 0), r["compact_floor"])
+        by_part.setdefault(k, []).append((r["start_offset"], r["end_offset"]))
 
-    df = read_segment_files(spark, paths, dedup_overlaps=True)
+    # overlap detection on the (tiny) plan: the sort-based winner-picking
+    # dedup is only needed when input ranges actually overlap — the common
+    # steady-state case is disjoint segments, which must not pay a full
+    # data-scale sort at 100 TB.
+    has_overlap = False
+    for ranges in by_part.values():
+        ranges.sort()
+        for (s1, e1), (s2, _e2) in zip(ranges, ranges[1:]):
+            if s2 <= e1:
+                has_overlap = True
+                break
+        if has_overlap:
+            break
+
+    df = read_segment_files(spark, paths, dedup_overlaps=has_overlap)
     floor_df = F.broadcast(
         spark.createDataFrame(
             [(t, p, f, out_levels[(t, p)]) for (t, p), f in floors.items()],

@@ -71,40 +71,60 @@ def assign_segments_greedy(
     append, ``size >= max_bytes`` OR ``count == max_messages``
     (reference pkg/egress/worker.go:51-56).
 
-    Greedy reset-on-threshold is inherently sequential per partition, so it
-    runs as ``applyInPandas`` per (topic, partition_id) — still fully
-    parallel across partitions, which is the same parallelism the reference
-    has (one worker goroutine per partition).  Inside the group it is
-    O(#segments · log n) numpy (cumsum + searchsorted), not a Python row loop.
+    Greedy reset-on-threshold is inherently sequential per partition, but
+    only the *boundaries* need the sequential walk — so the pandas stage
+    sees just (msg_offset, msg_size) per partition and returns the
+    segment-start offsets (metadata-scale), and the data-scale assignment
+    is a broadcast join + array scan that never leaves the JVM.  Moving the
+    full rows through Arrow (the naive applyInPandas shape) costs 2× the
+    message bytes in serialization; this shape costs ~16 bytes/row.
+    Inside the walk it is O(#segments · log n) numpy (cumsum +
+    searchsorted), not a Python row loop.
     """
     if "msg_size" not in df.columns:
         df = df.withColumn("msg_size", message_size_col())
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", segment_seq long"
 
-    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+    def boundaries(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("msg_offset", kind="mergesort").reset_index(drop=True)
-        sizes = pdf["msg_size"].to_numpy(dtype=np.int64)
-        csum = np.cumsum(sizes)
+        offs = pdf["msg_offset"].to_numpy(dtype=np.int64)
+        csum = np.cumsum(pdf["msg_size"].to_numpy(dtype=np.int64))
         n = len(pdf)
-        seg = np.zeros(n, dtype=np.int64)
+        starts: list[int] = []
         start = 0
-        seg_id = 0
         base = 0
         while start < n:
             # close at the first row where post-append size >= max_bytes,
             # or after max_messages rows, whichever comes first
             cut_size = int(np.searchsorted(csum, base + max_bytes, side="left"))
             cut = min(cut_size, start + max_messages - 1, n - 1)
-            seg[start : cut + 1] = seg_id
-            seg_id += 1
+            starts.append(int(offs[start]))
             base = int(csum[cut])
             start = cut + 1
-        pdf["segment_seq"] = seg
-        return pdf
+        return pd.DataFrame(
+            [
+                {
+                    "topic": pdf["topic"].iloc[0],
+                    "partition_id": pdf["partition_id"].iloc[0],
+                    "seg_starts": starts,
+                }
+            ]
+        )
 
-    return df.groupBy("topic", "partition_id").applyInPandas(tag, schema=out_schema)
+    bounds = (
+        df.select("topic", "partition_id", "msg_offset", "msg_size")
+        .groupBy("topic", "partition_id")
+        .applyInPandas(
+            boundaries,
+            schema="topic string, partition_id int, seg_starts array<long>",
+        )
+    )
+    tagged = df.join(F.broadcast(bounds), ["topic", "partition_id"]).withColumn(
+        "segment_seq",
+        (
+            F.size(F.filter("seg_starts", lambda b: b <= F.col("msg_offset"))) - 1
+        ).cast("long"),
+    )
+    return tagged.drop("seg_starts")
 
 
 def segment_bounds(tagged: DataFrame, region: str, level: int = 0) -> DataFrame:

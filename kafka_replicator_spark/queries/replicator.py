@@ -741,3 +741,35 @@ def q_metric_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric_name"),
         "n_segments",
     )
+
+
+# -------------------------------------------------------------------- T16
+
+@register(
+    "r_t16_windowed_counts",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', to_timestamp(ts_us / 1000000.0))) AS window_start_us,
+       topic, partition_id, count(*) AS n_messages,
+       CAST(sum(msg_size) AS BIGINT) AS sum_bytes
+FROM messages
+GROUP BY 1, topic, partition_id""",
+    ),
+    tags=("parity", "window", "streaming-shape"),
+    doc="T16 event-time tumbling-window aggregation (batch form of "
+    "streaming/windowed.windowed_event_counts; the watermark upgrade over "
+    "the reference's processing-time gating)",
+)
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.streaming.windowed import windowed_event_counts
+
+    msgs = events_as_messages(spark, sf_dir)
+    out = windowed_event_counts(msgs, window_duration="1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "topic",
+        "partition_id",
+        "n_messages",
+        F.col("sum_bytes").cast("long").alias("sum_bytes"),
+    )
