@@ -1,0 +1,48 @@
+"""Property test of the greedy rollover (reference isFull semantics,
+pkg/egress/worker.go:51-56) over randomized message sizes."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_replicator_spark.operators.egress import assign_segments_greedy, segment_bounds
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=120),
+    max_bytes=st.integers(min_value=100, max_value=20000),
+    max_messages=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=25, deadline=None)
+def test_greedy_invariants(spark_global, sizes, max_bytes, max_messages):
+    spark = spark_global
+    rows = [("t", 0, i, b"k", b"v", 0, int(s)) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(
+        rows,
+        schema="topic string, partition_id int, msg_offset long, msg_key binary, "
+        "payload binary, ts_ns long, msg_size long",
+    )
+    tagged = assign_segments_greedy(df, max_bytes=max_bytes, max_messages=max_messages)
+    segs = sorted(
+        segment_bounds(tagged, region="r").collect(), key=lambda r: r["start_offset"]
+    )
+    # invariants (worker.go:51-56): every non-final segment crossed a
+    # threshold; no segment exceeds max_messages; removing its last message
+    # would put it back under max_bytes; contiguity.
+    for seg in segs:
+        assert seg["message_count"] <= max_messages
+    for seg in segs[:-1]:
+        assert seg["size_bytes"] >= max_bytes or seg["message_count"] == max_messages
+    for seg in segs:
+        if seg["size_bytes"] >= max_bytes and seg["message_count"] > 1:
+            last_size = sizes[seg["end_offset"]]
+            assert seg["size_bytes"] - last_size < max_bytes
+    for a, b in zip(segs, segs[1:]):
+        assert b["start_offset"] == a["end_offset"] + 1
+    assert segs[0]["start_offset"] == 0
+    assert segs[-1]["end_offset"] == len(sizes) - 1
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
