@@ -180,3 +180,35 @@ def test_multi_partition_independent_merge(spark, tmp_path):
     by_part = {r["partition_id"]: r for r in out}
     for p in (0, 1, 2):
         assert (by_part[p]["start_offset"], by_part[p]["end_offset"]) == (0, 19 + p)
+
+
+def test_cascading_levels(spark, tmp_path):
+    """Leveled design: level-0 segments merge to level 1; a later pass over
+    the level-1 band merges to level 2, with the floor honoring level-2
+    outputs (the reference's MinLevel/MaxLevel cascade, compaction
+    config.go:117-207)."""
+    root = str(tmp_path)
+    for s, e in [(0, 9), (10, 19), (20, 29), (30, 39)]:
+        _write_range(spark, root, 0, s, e)
+    # pass 1: 0 -> 1, bounded to two inputs per run
+    out1 = compact(
+        spark, root, region=REGION, min_count=2, min_bytes=1, max_count=2
+    ).collect()
+    assert len(out1) == 1 and out1[0]["level"] == 1
+    assert (out1[0]["start_offset"], out1[0]["end_offset"]) == (0, 19)
+    # remaining level-0 segments merge next run (floor from level 1)
+    out1b = compact(
+        spark, root, region=REGION, min_count=2, min_bytes=1, max_count=2
+    ).collect()
+    assert len(out1b) == 1 and out1b[0]["level"] == 1
+    assert (out1b[0]["start_offset"], out1b[0]["end_offset"]) == (20, 39)
+    # pass 2: the level-1 band merges to level 2 covering everything
+    out2 = compact(
+        spark, root, region=REGION, min_level=1, max_level=1, min_count=2, min_bytes=1
+    ).collect()
+    assert len(out2) == 1 and out2[0]["level"] == 2
+    assert (out2[0]["start_offset"], out2[0]["end_offset"]) == (0, 39)
+    listed = list_segments(spark, root).collect()
+    assert [r["level"] for r in listed] == [2]
+    back = read_segment_files(spark, [out2[0]["path"]])
+    assert back.count() == 40
