@@ -215,3 +215,90 @@ FROM emb_b a JOIN emb_b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= {threshold}
 """
+
+
+# ------------------------------------------------------------- IVF-style
+
+def ivf_assign(embeddings: DataFrame, centroid_stride: int = 250) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: every
+    ``centroid_stride``-th vector by id serves as a centroid (a k-means-free
+    stand-in with the same plan shape — swap in trained centroids without
+    touching the query).  Assignment = argmax cosine over the broadcast
+    centroid set; one map pass over the corpus, no shuffle.
+    """
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    cents = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        "centroid_id",
+        cosine_col(F.col("e"), F.col("ce")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 5, centroid_stride: int = 250
+) -> DataFrame:
+    """IVF search: rank candidates only within the probe's coarse cell
+    (nprobe=1).  The scale path when buckets must follow the data
+    distribution rather than random hyperplanes."""
+    assigned = ivf_assign(embeddings, centroid_stride).cache()  # probes + cands
+    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id"
+    )
+    cands = assigned.join(F.broadcast(probes), ["centroid_id"]).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def ivf_topk_sql(probe_ids: list[int], k: int = 5, centroid_stride: int = 250) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % {centroid_stride} = 0),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT emb.vec_id, emb.e, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_dot_product(e, ce)
+                      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                      centroid_id ASC
+           ) AS rn
+    FROM emb, cents
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, e AS pe, centroid_id FROM assigned WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT probe_id, c.vec_id AS neighbor_id,
+         list_dot_product(pe, e)
+           / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))) AS cos
+  FROM assigned c JOIN probes USING (centroid_id) WHERE c.vec_id <> probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""

@@ -17,9 +17,10 @@ session.py); these helpers cover the two cases AQE can't fix by itself:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.column import Column
 
 
 def salted_agg(
@@ -75,6 +76,15 @@ def write_bucketed(
     pre-partitioning the segment store by (topic, partition).
     """
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    # mode("overwrite") alone does not clear a stale managed-table location,
+    # and the default in-memory catalog forgets tables across sessions while
+    # their files persist — drop both the entry and the location.
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, keys[0], *keys[1:])

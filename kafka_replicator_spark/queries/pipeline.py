@@ -194,3 +194,136 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.synthesize_media(_docs(spark, sf_dir)))
+
+
+# ------------------------------------------------------ composed pipeline
+
+@register(
+    "p_cleaning_pipeline",
+    f"""
+WITH stats AS ({text.quality_score_sql().strip()}),
+dedup AS (
+  SELECT min(doc_id) AS canonical_id FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.source, s.quality_score
+  FROM documents d
+  JOIN stats s USING (doc_id)
+  JOIN dedup ON dedup.canonical_id = d.doc_id
+  WHERE s.quality_score >= 0.5
+)
+SELECT source, count(*) AS n_kept,
+       round(min(quality_score), 6) AS min_q, round(max(quality_score), 6) AS max_q
+FROM kept GROUP BY source
+""",
+    tags=("pipeline", "composed"),
+    doc="composed cleaning pipeline: quality filter -> exact-dedup survivors "
+    "-> per-source keep counts (the operator-composition path a real "
+    "training-data pipeline runs)",
+)
+def q_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    quality = text.quality_score(docs)
+    survivors = dedup.exact_duplicates(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(survivors, "doc_id", "left_semi")
+        .filter(F.col("quality_score") >= 0.5)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("quality_score"), 6).alias("min_q"),
+        F.round(F.max("quality_score"), 6).alias("max_q"),
+    )
+
+
+# ------------------------------------------------------------ top n-grams
+
+@register(
+    "p_top_ngrams",
+    f"""
+WITH sh AS ({dedup.word_ngrams_sql(2).strip()}),
+counts AS (
+  SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT shingle, n_docs
+FROM (
+  SELECT shingle, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, shingle ASC) AS rn
+  FROM counts
+) WHERE rn <= 20
+""",
+    tags=("pipeline", "text"),
+    doc="corpus-level top-k n-gram document frequencies (vocabulary / "
+    "boilerplate detection input)",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    sh = dedup.word_ngrams(_docs(spark, sf_dir), n=2)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("shingle"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("shingle", "n_docs")
+    )
+
+
+# -------------------------------------------------------- dedup by source
+
+@register(
+    "p_dedup_rate_by_source",
+    """
+WITH survivors AS (
+  SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.canonical_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       count(*) - CAST(sum(CASE WHEN s.canonical_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+FROM documents d
+LEFT JOIN survivors s ON s.canonical_id = d.doc_id
+GROUP BY d.source
+""",
+    tags=("pipeline", "dedup"),
+    doc="dedup-rate accounting per source: canonical survivors vs removed "
+    "copies (pipeline observability)",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    survivors = dedup.exact_duplicates(docs).select("canonical_id")
+    joined = docs.join(
+        survivors, docs["doc_id"] == survivors["canonical_id"], "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("canonical_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_canonical"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.when(F.col("canonical_id").isNotNull(), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+@register(
+    "p_ivf_topk",
+    similarity.ivf_topk_sql(PROBES, k=5, centroid_stride=250),
+    tags=("pipeline", "similarity"),
+    doc="IVF-style ANN: coarse-quantize to deterministic centroids, rank "
+    "within the probe's cell (nprobe=1)",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir), PROBES, k=5, centroid_stride=250)
