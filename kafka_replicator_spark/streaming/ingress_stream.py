@@ -48,6 +48,11 @@ class IngressState:
     checkpoints: dict[str, int] = field(default_factory=dict)  # "topic/part" -> last offset
     late_counts: dict[str, int] = field(default_factory=dict)
     first_seen_batch: dict[str, int] = field(default_factory=dict)  # T5 gate
+    #: held-back segment files per partition (late/gated) — the file source
+    #: surfaces each file exactly once, so anything not delivered in its
+    #: arrival batch must be re-read explicitly in later batches (the
+    #: reference's late-segment re-list, worker.go:110-154)
+    pending_paths: dict[str, list[str]] = field(default_factory=dict)
     batches_run: int = 0
     messages_lost: int = 0
 
@@ -60,6 +65,7 @@ class IngressState:
                 checkpoints=raw.get("checkpoints", {}),
                 late_counts=raw.get("late_counts", {}),
                 first_seen_batch=raw.get("first_seen_batch", {}),
+                pending_paths=raw.get("pending_paths", {}),
                 batches_run=raw.get("batches_run", 0),
                 messages_lost=raw.get("messages_lost", 0),
             )
@@ -73,6 +79,7 @@ class IngressState:
                     "checkpoints": self.checkpoints,
                     "late_counts": self.late_counts,
                     "first_seen_batch": self.first_seen_batch,
+                    "pending_paths": self.pending_paths,
                     "batches_run": self.batches_run,
                     "messages_lost": self.messages_lost,
                 },
@@ -111,7 +118,16 @@ def run_ingress_stream(
 
     def deliver(batch_df: DataFrame, epoch_id: int) -> None:
         state = IngressState.load(state_path)
-        df = batch_df.select("*", *parse_segment_path_cols())
+        df = batch_df.select("*", *parse_segment_path_cols(), F.input_file_name().alias("src_path"))
+        # re-read files held back in earlier batches (late/gated) — the file
+        # source will never surface them again
+        held = sorted({p for ps in state.pending_paths.values() for p in ps if os.path.exists(p)})
+        if held:
+            df = df.unionByName(
+                spark.read.schema(SEGMENT_DATA_SCHEMA)
+                .parquet(*held)
+                .select("*", *parse_segment_path_cols(), F.input_file_name().alias("src_path"))
+            )
         # T13 overlap dedup within the batch
         df = df.dropDuplicates(["topic", "partition_id", "msg_offset"])
 
@@ -130,49 +146,76 @@ def run_ingress_stream(
                 .drop("cp_offset")
             )
 
-        # continuity check per partition (metadata-scale collect)
-        stats = (
-            df.groupBy("topic", "partition_id")
-            .agg(
-                F.min("msg_offset").alias("lo"),
-                F.max("msg_offset").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        # per-partition file ranges (metadata-scale): the continuity walk
+        # runs over segment extents, not rows, so an *internal* gap inside a
+        # batch holds back exactly the files above the gap (O1 heap order,
+        # reference worker.go:110-154)
+        ranges = (
+            df.groupBy("topic", "partition_id", "src_path")
+            .agg(F.min("msg_offset").alias("lo"), F.max("msg_offset").alias("hi"))
             .collect()
         )
+        by_part: dict[str, list] = {}
+        for r in ranges:
+            by_part.setdefault(f"{r['topic']}/{r['partition_id']}", []).append(r)
+
         state.batches_run += 1
-        deliverable: list[tuple[str, int]] = []
-        for r in stats:
-            key = f"{r['topic']}/{r['partition_id']}"
+        frontiers: dict[str, int] = {}
+        pending: dict[str, list[str]] = {}
+        for key, rs in by_part.items():
             # T5 first-segment delay gate
             if key not in state.first_seen_batch:
                 state.first_seen_batch[key] = state.batches_run
             if state.batches_run - state.first_seen_batch[key] < first_segment_delay_batches:
+                pending[key] = [r["src_path"] for r in rs]
                 continue
+            rs.sort(key=lambda r: (r["lo"], -r["hi"]))
             next_needed = state.checkpoints.get(key, -1) + 1
-            if r["lo"] > next_needed:
-                # T6 late segment: hold back, retry next batches
-                state.late_counts[key] = state.late_counts.get(key, 0) + 1
-                if state.late_counts[key] <= max_gap_retries:
+            frontier = next_needed - 1
+            held_paths: list[str] = []
+            lost_skip_used = False
+            bumped = False  # one late-retry tick per partition per batch
+            for r in rs:
+                if r["lo"] <= frontier + 1:
+                    frontier = max(frontier, r["hi"])
                     continue
-                # T7 lost: log the skipped range, deliver what exists
-                state.messages_lost += r["lo"] - next_needed
-                state.late_counts.pop(key, None)
+                # gap before this file: late → hold, or lost → skip once
+                if not bumped:
+                    state.late_counts[key] = state.late_counts.get(key, 0) + 1
+                    bumped = True
+                if state.late_counts[key] > max_gap_retries and not lost_skip_used:
+                    state.messages_lost += r["lo"] - (frontier + 1)  # T7
+                    state.late_counts.pop(key, None)
+                    lost_skip_used = True
+                    frontier = r["hi"]
+                    continue
+                held_paths.append(r["src_path"])  # T6: retry next batch
+            if held_paths:
+                pending[key] = held_paths
             else:
                 state.late_counts.pop(key, None)
-            deliverable.append((r["topic"], r["partition_id"]))
-            state.checkpoints[key] = int(r["hi"])
+            if frontier >= next_needed:
+                frontiers[key] = frontier
+                state.checkpoints[key] = int(frontier)
 
-        if deliverable:
-            keys = [f"{t}/{p}" for t, p in deliverable]
-            out = df.filter(
-                F.concat_ws("/", "topic", F.col("partition_id").cast("string")).isin(keys)
+        state.pending_paths = pending
+        if frontiers:
+            fr = spark.createDataFrame(
+                [
+                    (k.rsplit("/", 1)[0], int(k.rsplit("/", 1)[1]), v)
+                    for k, v in frontiers.items()
+                ],
+                schema="topic string, partition_id int, frontier long",
+            )
+            out = df.join(F.broadcast(fr), ["topic", "partition_id"]).filter(
+                F.col("msg_offset") <= F.col("frontier")
             )
             # O3: per-partition offset order into the sink (K2 analog)
             (
                 out.repartition("topic", "partition_id")
                 .sortWithinPartitions("msg_offset")
                 .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .drop("frontier", "src_path")
                 .write.mode("append")
                 .partitionBy("topic", "partition_id")
                 .parquet(sink_dir)

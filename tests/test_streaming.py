@@ -175,3 +175,51 @@ def test_first_segment_delay_gate(spark, messages, staged, tmp_path):
         first_segment_delay_batches=1,
     )
     assert spark.read.parquet(sink).count() == messages.count()
+
+
+def test_out_of_order_file_arrival_within_run(spark, messages, tmp_path):
+    """Internal-gap correctness: a segment arriving before its predecessor
+    (separate microbatches in ONE run) is held as pending and delivered once
+    the gap closes — nothing lost, nothing out of order."""
+    import shutil
+
+    seg_root = str(tmp_path / "segs")
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    # build segments then hide the FIRST one of partition 0
+    src = str(tmp_path / "drops")
+    _stage_message_drops(spark, messages, src)
+    run_egress_stream(
+        spark, src, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    segs = sorted(
+        (r for r in list_segments(spark, seg_root).collect() if r["partition_id"] == 0),
+        key=lambda r: r["start_offset"],
+    )
+    first = segs[0]
+    hidden = os.path.join(stash, os.path.basename(first["path"]))
+    shutil.move(first["path"], hidden)
+
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    # run 1: later segments of p0 arrive without the first -> held pending
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2"), state_path, max_gap_retries=99
+    )
+    state = IngressState.load(state_path)
+    assert any(k.endswith("/0") for k in state.pending_paths), state.pending_paths
+    if os.path.exists(sink):
+        assert spark.read.parquet(sink).filter(F.col("partition_id") == 0).count() == 0
+    # the missing segment appears; SAME engine stream continues (new files
+    # only) and must merge pending with the new arrival
+    shutil.move(hidden, first["path"])
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2"), state_path, max_gap_retries=99
+    )
+    delivered = spark.read.parquet(sink).filter(F.col("partition_id") == 0)
+    n = delivered.count()
+    hi = delivered.agg(F.max("msg_offset")).collect()[0][0]
+    assert n == hi + 1  # dense from 0: pending segments all delivered
+    state = IngressState.load(state_path)
+    assert state.messages_lost == 0 and not state.pending_paths
