@@ -37,20 +37,15 @@ from kafka_replicator_spark.operators.egress import (
 )
 
 
-def kafka_source(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
-    """Kafka source wrapper (S1) with the P1 record→Message projection.
+def project_kafka_records(raw: DataFrame) -> DataFrame:
+    """P1: Kafka source record → canonical Message (reference
+    pkg/egress/worker.go:246-268).  Input shape is the Kafka connector's
+    fixed schema (topic, partition, offset, key, value, timestamp, headers);
+    pure column projection, testable without a broker.
 
-    Requires the spark-sql-kafka connector on the classpath; this container
-    has no broker, so tests drive the file-source path instead.
+    The reference models "timestamp not available" as zero-valued
+    (worker.go:253-255) — the connector surfaces it as NULL, carried through.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
-    # P1: librdkafka record → canonical Message (worker.go:246-268)
     return raw.select(
         F.col("topic"),
         F.col("partition").alias("partition_id"),
@@ -62,6 +57,23 @@ def kafka_source(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
             "transform(headers, h -> struct(h.key as key, h.value as value))"
         ).alias("headers"),
     )
+
+
+def kafka_source(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
+    """Kafka source wrapper (S1) + P1 projection.
+
+    Requires the spark-sql-kafka connector on the classpath; this container
+    has no broker, so tests drive :func:`project_kafka_records` directly and
+    the file-source path end-to-end.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return project_kafka_records(raw)
 
 
 def run_egress_stream(
