@@ -55,6 +55,10 @@ class IngressState:
     pending_paths: dict[str, list[str]] = field(default_factory=dict)
     batches_run: int = 0
     messages_lost: int = 0
+    #: §2.11 per-partition meters (reference pkg/ingress/metrics.go:25-98):
+    #: messagesProduced + replication lag (now - min event ts of the batch)
+    messages_produced: dict[str, int] = field(default_factory=dict)
+    last_lag_ns: dict[str, int] = field(default_factory=dict)
 
     @classmethod
     def load(cls, path: str) -> "IngressState":
@@ -68,6 +72,8 @@ class IngressState:
                 pending_paths=raw.get("pending_paths", {}),
                 batches_run=raw.get("batches_run", 0),
                 messages_lost=raw.get("messages_lost", 0),
+                messages_produced=raw.get("messages_produced", {}),
+                last_lag_ns=raw.get("last_lag_ns", {}),
             )
         return cls(path=path)
 
@@ -82,6 +88,8 @@ class IngressState:
                     "pending_paths": self.pending_paths,
                     "batches_run": self.batches_run,
                     "messages_lost": self.messages_lost,
+                    "messages_produced": self.messages_produced,
+                    "last_lag_ns": self.last_lag_ns,
                 },
                 f,
             )
@@ -220,6 +228,20 @@ def run_ingress_stream(
                 .partitionBy("topic", "partition_id")
                 .parquet(sink_dir)
             )
+            # §2.11 meters: produced count + replication lag per partition
+            # (A3 min-ts over the produced batch, reference worker.go:438-448)
+            import time as _time
+
+            now_ns = _time.time_ns()
+            for m in (
+                out.groupBy("topic", "partition_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.min("ts_ns").alias("min_ts"))
+                .collect()
+            ):
+                key = f"{m['topic']}/{m['partition_id']}"
+                state.messages_produced[key] = state.messages_produced.get(key, 0) + m["n"]
+                if m["min_ts"] is not None:
+                    state.last_lag_ns[key] = now_ns - int(m["min_ts"])
         state.save()  # T8 checkpoint-per-batch
 
     q = (
