@@ -99,10 +99,18 @@ def run_egress_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
+    #: §2.11 egress meters (reference pkg/egress/metrics.go:24-62):
+    #: messagesConsumed / messagesWritten / segmentsWritten per topic
+    stats: dict[str, dict[str, int]] = {}
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         tagged = assign_segments_greedy(batch_df, max_bytes=max_bytes, max_messages=max_messages)
         # action inside foreachBatch: segments land before the epoch commits (T2)
-        write_segments(tagged, root=seg_root, region=region, level=0).collect()
+        written = write_segments(tagged, root=seg_root, region=region, level=0).collect()
+        for seg in written:
+            t = stats.setdefault(seg["topic"], {"messagesWritten": 0, "segmentsWritten": 0})
+            t["messagesWritten"] += seg["message_count"]
+            t["segmentsWritten"] += 1
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
@@ -112,4 +120,5 @@ def run_egress_stream(
     )
     if await_termination:
         q.awaitTermination()
+    q.egress_stats = stats  # exposed for observability (counters per topic)
     return q
