@@ -161,23 +161,15 @@ def merge_segments(spark: SparkSession, plan: DataFrame, root: str, region: str)
         F.col("msg_offset") >= F.col("compact_floor")
     )
 
-    # gap check before any write: dense offsets ⇔ count == end-start+1
-    stats = (
-        trimmed.groupBy("topic", "partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("msg_offset").alias("lo"),
-            F.max("msg_offset").alias("hi"),
-        )
-        .withColumn("dense", F.col("n") == F.col("hi") - F.col("lo") + 1)
-    )
-    gaps = [r for r in stats.collect() if not r["dense"]]
-    if gaps:
-        detail = ", ".join(f"{r['topic']}/{r['partition_id']}[{r['lo']}..{r['hi']}] n={r['n']}" for r in gaps)
-        raise ValueError(f"missing message range (offset gap) in: {detail}")
-
+    # gap check (compactor.go:219-221) runs INLINE in the writer — the data
+    # is already sorted in-hand there, so a dedicated pre-pass over the full
+    # input would double the read cost for nothing.  A gapped partition
+    # raises before its rename: nothing publishes for it; other partitions
+    # proceed independently, exactly the reference's per-partition isolation.
     tagged = trimmed.withColumn("segment_seq", F.lit(0))
-    return write_segments(tagged, root=root, region=region, level="out_level")
+    return write_segments(
+        tagged, root=root, region=region, level="out_level", require_dense=True
+    )
 
 
 def delete_segment_files(paths: list[str]) -> list[str]:
@@ -217,7 +209,16 @@ def compact(
     plan = plan.cache()
     input_paths = [r["path"] for r in plan.select("path").distinct().collect()]
     written = merge_segments(spark, plan, root=root, region=region)
-    result = written.collect()  # force the write before deleting inputs
+    try:
+        result = written.collect()  # force the write before deleting inputs
+    except Exception as e:  # surface the writer's inline gap check as ValueError
+        if "missing message range" in str(e):
+            first = next(
+                (ln for ln in str(e).splitlines() if "missing message range" in ln),
+                "missing message range (offset gap)",
+            )
+            raise ValueError(first.strip()) from e
+        raise
     plan.unpersist()
     if delete_inputs and result:
         delete_segment_files(input_paths)

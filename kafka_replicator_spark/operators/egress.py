@@ -155,7 +155,12 @@ def segment_bounds(tagged: DataFrame, region: str, level: int = 0) -> DataFrame:
 
 
 def _write_one_segment(
-    pdf: pd.DataFrame, root: str, region: str, level: int | str, data_cols: list[str]
+    pdf: pd.DataFrame,
+    root: str,
+    region: str,
+    level: int | str,
+    data_cols: list[str],
+    require_dense: bool = False,
 ) -> pd.DataFrame:
     """Write one segment group to its final path (executor-side).
 
@@ -163,6 +168,11 @@ def _write_one_segment(
     rename to the final key (reference s3_segment_store.go:135-149,275-312).
     On object stores without rename, swap for a conditional CopyObject —
     the call-site contract (temp key, final key, footer) is the same.
+
+    ``require_dense`` performs the compaction gap check inline (count ==
+    end-start+1, reference compactor.go:219-221) — checked here, on data
+    already in hand, instead of a separate full pass; raising before the
+    rename means nothing is published for the failing partition.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -175,6 +185,11 @@ def _write_one_segment(
     start = int(pdf["msg_offset"].iloc[0])
     end = int(pdf["msg_offset"].iloc[-1])
     count = len(pdf)
+    if require_dense and count != end - start + 1:
+        raise ValueError(
+            f"missing message range (offset gap) in {topic}/{partition_id}"
+            f"[{start}..{end}] n={count}"
+        )
     created_ns = pd.Timestamp.utcnow().value
 
     final_dir = os.path.join(root, region, topic, str(partition_id), str(level))
@@ -235,6 +250,7 @@ def write_segments(
     root: str,
     region: str,
     level: int | str = 0,
+    require_dense: bool = False,
 ) -> DataFrame:
     """Write one parquet segment per (topic, partition_id, segment_seq)
     group; returns the written-segment metadata DataFrame (K1).
@@ -253,7 +269,10 @@ def write_segments(
     extra = [level] if isinstance(level, str) else []
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _write_one_segment(pdf, root=root, region=region, level=level, data_cols=cols)
+        return _write_one_segment(
+            pdf, root=root, region=region, level=level, data_cols=cols,
+            require_dense=require_dense,
+        )
 
     return (
         data.select("topic", "partition_id", "segment_seq", *cols, *extra)
