@@ -30,6 +30,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # legacy flag Spark 4 refuses the file.  Set defensively — the driver
     # supplies its own SparkSession that may not carry our session config.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the DuckDB oracle's timestamps are UTC-naive; NTZ→epoch conversions
+    # (as-of join) and window alignment must agree regardless of the
+    # driver session's local timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
