@@ -119,3 +119,44 @@ def test_heap_order_prefers_longer_on_tie(spark):
     df = spark.createDataFrame(rows, schema=SEGMENT_SCHEMA)
     ordered = heap_order(df).orderBy("heap_rank").select("path").collect()
     assert [r["path"] for r in ordered] == ["b", "a", "c"]
+
+
+def test_native_writer_roundtrip(spark, messages, tmp_path):
+    """write_segments_native: same layout and stream contents as the
+    default writer, metadata from parquet stats instead of footer KV."""
+    from kafka_replicator_spark.operators.egress import write_segments_native
+
+    root = str(tmp_path)
+    tagged = assign_segments_by_count(messages, max_messages=100)
+    meta = write_segments_native(tagged, root=root, region=REGION, level=0).collect()
+    assert sum(r["message_count"] for r in meta) == messages.count()
+    for r in meta:
+        assert r["end_offset"] - r["start_offset"] + 1 == r["message_count"]
+    listed = list_segments(spark, root)
+    assert listed.count() == len(meta)
+    back = read_segment_files(spark, [r["path"] for r in meta])
+    assert back.count() == messages.count()
+    # order within each file preserved (O3)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("topic", "partition_id").orderBy("msg_offset")
+    gaps = (
+        back.withColumn("prev", F.lag("msg_offset").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("msg_offset") != F.col("prev") + 1))
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_native_writer_gap_check(spark, messages, tmp_path):
+    import pytest as _pytest
+
+    from kafka_replicator_spark.operators.egress import write_segments_native
+
+    gappy = messages.filter(
+        (F.col("msg_offset") < 50) | (F.col("msg_offset") >= 60)
+    ).withColumn("segment_seq", F.lit(0))
+    with _pytest.raises(ValueError, match="missing message range"):
+        write_segments_native(
+            gappy, root=str(tmp_path), region=REGION, level=0, require_dense=True
+        )
