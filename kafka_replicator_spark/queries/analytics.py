@@ -510,3 +510,109 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
         (F.col("o_totalprice") >= 100000).alias("is_large"),
     )
+
+
+# ---------------------------------------------------- window function family
+
+@register(
+    "a_window_functions",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INTEGER) AS rn,
+       CAST(rank() OVER v AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER v AS INTEGER) AS drnk,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       first_value(o_orderkey) OVER w AS first_order,
+       CAST(floor((o_totalprice
+             - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER p AS DOUBLE)
+               / count(*) OVER p) * 100 + 0.5) AS BIGINT) AS diff_from_avg_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       v AS (PARTITION BY o_custkey ORDER BY o_orderstatus),
+       p AS (PARTITION BY o_custkey)
+""",
+    tags=("analytics", "window"),
+    doc="analytic window family: row_number/rank/dense_rank/lag/lead/"
+    "first_value + partition-average delta",
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    p = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(v).alias("rnk"),
+        F.dense_rank().over(v).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        # avg(DECIMAL) semantics differ across engines, and round(double)
+        # breaks decimal-string ties differently (Java shortest-repr
+        # HALF_UP vs exact-binary) — quantize via floor(x*100+0.5) instead:
+        # floor on doubles is exact and identical everywhere
+        F.floor(
+            (
+                F.col("o_totalprice")
+                - F.sum(_dec("o_totalprice")).over(p).cast("double")
+                / F.count(F.lit(1)).over(p)
+            )
+            * 100
+            + 0.5
+        ).cast("long").alias("diff_from_avg_cents"),
+    )
+
+
+# -------------------------------------------------- shared-SQL front door
+
+#: identical ANSI SQL text executed by BOTH engines — Spark via spark.sql
+#: over registered views, DuckDB via the oracle. The strongest form of the
+#: correctness contract: not merely equivalent plans, the same query text.
+SHARED_SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+SHARED_SQL_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _run_shared_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from kafka_replicator_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@register(
+    "a_shared_sql_revenue",
+    SHARED_SQL_SEGMENT_REVENUE,
+    tags=("analytics", "sql"),
+    doc="SQL front door: the oracle's exact SQL text runs through spark.sql "
+    "over registered views — same query string, two engines, one answer",
+)
+def q_shared_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_SEGMENT_REVENUE)
+
+
+@register(
+    "a_shared_sql_grouping_sets",
+    SHARED_SQL_GROUPING_SETS,
+    tags=("analytics", "sql", "aggregation"),
+    doc="GROUPING SETS through the shared-SQL front door",
+)
+def q_shared_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_GROUPING_SETS)
