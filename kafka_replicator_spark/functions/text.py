@@ -190,3 +190,43 @@ SELECT doc_id, min(h) AS min_fingerprint,
        count(DISTINCT h) AS n_distinct_shingles
 FROM sh GROUP BY doc_id
 """
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 50, stride: int = 25
+) -> DataFrame:
+    """Chunk documents into overlapping token windows — the training-window
+    primitive of an LLM data pipeline (fixed ``chunk_tokens`` window,
+    ``stride`` overlap, final partial window kept).
+
+    Pure column math: chunk starts are a ``sequence`` (codegen), the window
+    text a ``slice`` + ``concat_ws``; fans out ~n_tokens/stride rows per doc
+    — `spread` upstream applies (see hashing.spread).
+    """
+    toks = tokens_col()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)), F.lit(stride))
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), n.alias("n_tokens"), F.explode(starts).alias("start")
+    ).filter((F.col("start") == 1) | (F.col("start") + chunk_tokens - 1 <= F.col("n_tokens") + stride))
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("toks", F.col("start"), F.lit(chunk_tokens))).alias("chunk_text"),
+        F.least(F.col("n_tokens") - F.col("start") + 1, F.lit(chunk_tokens)).alias("chunk_len"),
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 50, stride: int = 25) -> str:
+    return f"""
+SELECT doc_id,
+       CAST((start - 1) // {stride} AS INTEGER) AS chunk_idx,
+       array_to_string(toks[start:start + {chunk_tokens} - 1], ' ') AS chunk_text,
+       CAST(least(n_tokens - start + 1, {chunk_tokens}) AS INTEGER) AS chunk_len
+FROM (
+  SELECT doc_id, toks, n_tokens, unnest(range(1, greatest(n_tokens - 1, 1) + 1, {stride})) AS start
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens FROM documents)
+)
+WHERE start = 1 OR start + {chunk_tokens} - 1 <= n_tokens + {stride}
+"""

@@ -616,3 +616,24 @@ def q_shared_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shared_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_GROUPING_SETS)
+
+
+SHARED_SQL_SCALAR_SUBQUERY = """
+SELECT c_custkey, c_mktsegment,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders WHERE o_custkey = c_custkey)
+           AS last_orderkey
+FROM customer
+WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 12
+"""
+
+
+@register(
+    "a_shared_sql_scalar_subquery",
+    SHARED_SQL_SCALAR_SUBQUERY,
+    tags=("analytics", "sql", "join"),
+    doc="correlated scalar subqueries through the shared-SQL front door "
+    "(Catalyst decorrelates them into joins)",
+)
+def q_shared_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_SCALAR_SUBQUERY)

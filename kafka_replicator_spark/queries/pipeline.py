@@ -327,3 +327,14 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), PROBES, k=5, centroid_stride=250)
+
+
+@register(
+    "p_chunk_documents",
+    text.chunk_documents_sql(chunk_tokens=50, stride=25),
+    tags=("pipeline", "text"),
+    doc="document chunking into overlapping token windows (training-window "
+    "primitive: 50-token chunks, stride 25)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=50, stride=25)
