@@ -42,9 +42,16 @@ def spread(df, multiplier: int = 1):
     50-100× row explosion downstream would run on one core.  Shuffling the
     compact pre-explosion rows is orders of magnitude cheaper than
     serializing the exploded work — the standard explode-parallelism trade.
+
+    Conditional: an input that already has enough partitions (the 100 TB
+    many-file case) passes through untouched — no gratuitous shuffle.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    return df.repartition(target)
+    try:
+        current = df.rdd.getNumPartitions()  # plan → RDD translation only, no job
+    except Exception:  # streaming frames have no rdd; let them pass through
+        return df
+    return df.repartition(target) if current < target else df
 
 
 def portable_hash60(c: str | Column, fast: bool = False) -> Column:
