@@ -637,3 +637,54 @@ WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 12
 )
 def q_shared_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_SCALAR_SUBQUERY)
+
+
+# ------------------------------------------------------------- range join
+
+@register(
+    "a_range_join",
+    f"""
+WITH messages AS ({MESSAGES_ORACLE_CTE}),
+spans AS (
+  SELECT partition_id, msg_offset // 100 AS span_id,
+         (msg_offset // 100) * 100 AS span_start,
+         (msg_offset // 100) * 100 + 99 AS span_end
+  FROM messages GROUP BY partition_id, msg_offset // 100
+)
+SELECT m.partition_id, s.span_id, count(*) AS n_in_span,
+       min(m.msg_offset) AS first_offset, max(m.msg_offset) AS last_offset
+FROM messages m
+JOIN spans s ON s.partition_id = m.partition_id
+            AND m.msg_offset BETWEEN s.span_start AND s.span_end
+GROUP BY m.partition_id, s.span_id
+""",
+    tags=("analytics", "join", "range"),
+    doc="range (interval-containment) join via bucketization — the scale "
+    "construction for a join Spark lacks natively (equi-join on covered "
+    "buckets + exact refine, not a nested loop)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.temporal import bucketed_range_join
+
+    msgs = events_as_messages(spark, sf_dir).select("partition_id", "msg_offset")
+    spans = (
+        msgs.withColumn("span_id", F.expr("msg_offset div 100"))
+        .groupBy("partition_id", "span_id")
+        .agg(
+            (F.col("span_id") * 100).alias("span_start"),
+            (F.col("span_id") * 100 + 99).alias("span_end"),
+        )
+        .select(
+            F.col("partition_id").alias("s_partition_id"), "span_id", "span_start", "span_end"
+        )
+    )
+    joined = bucketed_range_join(
+        msgs, spans, left_point="msg_offset", right_start="span_start",
+        right_end="span_end", bucket_width=100,
+        extra_cond=F.col("partition_id") == F.col("s_partition_id"),
+    )
+    return joined.groupBy("partition_id", "span_id").agg(
+        F.count(F.lit(1)).alias("n_in_span"),
+        F.min("msg_offset").alias("first_offset"),
+        F.max("msg_offset").alias("last_offset"),
+    )
