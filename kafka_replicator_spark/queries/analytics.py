@@ -488,7 +488,7 @@ SELECT o_orderkey,
        substr(o_orderstatus, 1, 1) AS status_code,
        CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
        concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
-       CAST(round(o_totalprice / 1000.0, 3) AS DOUBLE) AS price_k,
+       CAST(floor(o_totalprice + 0.5) AS BIGINT) AS price_rounded,
        CAST(o_totalprice >= 100000 AS BOOLEAN) AS is_large
 FROM orders
 """,
@@ -507,7 +507,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderstatus", 1, 1).alias("status_code"),
         F.length("o_orderpriority").alias("prio_len"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
-        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        # floor(x+0.5), not round(): see a_window_functions note on
+        # cross-engine round(double) tie-breaking
+        F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("price_rounded"),
         (F.col("o_totalprice") >= 100000).alias("is_large"),
     )
 
