@@ -73,3 +73,21 @@ def test_segment_plan_partial_aggregation(spark, sf_dir):
 
 def test_message_projection_stays_codegen(spark, messages):
     assert has_wholestage_codegen(messages.select("topic", "partition_id", "msg_offset", "msg_size"))
+
+
+def test_jaccard_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = physical_plan(QUERIES["p_dedup_jaccard"].fn(spark, sf_dir), mode="simple")
+    assert "NestedLoop" not in plan, "shingle self-join must be a hash join"
+
+
+def test_cosine_topk_broadcasts_probes(spark, sf_dir):
+    assert has_broadcast_join(QUERIES["p_cosine_topk"].fn(spark, sf_dir))
+
+
+def test_range_join_is_equi_join_on_buckets(spark, sf_dir):
+    plan = physical_plan(QUERIES["a_range_join"].fn(spark, sf_dir), mode="simple")
+    assert "NestedLoop" not in plan, "bucketized range join must not nested-loop"
+
+
+def test_chunking_stays_codegen(spark, sf_dir):
+    assert has_wholestage_codegen(QUERIES["p_chunk_documents"].fn(spark, sf_dir))
