@@ -223,3 +223,35 @@ def test_out_of_order_file_arrival_within_run(spark, messages, tmp_path):
     assert n == hi + 1  # dense from 0: pending segments all delivered
     state = IngressState.load(state_path)
     assert state.messages_lost == 0 and not state.pending_paths
+
+
+def test_full_pipeline_egress_compact_ingress(spark, messages, staged, tmp_path):
+    """Capstone: the reference's deployment end-to-end — streaming egress
+    into level-0 segments, background compaction to level 1, streaming
+    ingress delivering the compacted stream densely and in order."""
+    from kafka_replicator_spark.operators.compaction import compact
+
+    seg_root = str(tmp_path / "segs")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    n_level0 = list_segments(spark, seg_root).count()
+    compacted = compact(spark, seg_root, region=REGION, min_count=2, min_bytes=1).collect()
+    assert len(compacted) > 0
+    levels = [r["level"] for r in list_segments(spark, seg_root).collect()]
+    assert set(levels) == {1} and len(levels) < n_level0
+
+    sink = str(tmp_path / "sink")
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2"), str(tmp_path / "state.json")
+    )
+    delivered = spark.read.parquet(sink)
+    assert delivered.count() == messages.count()
+    stats = delivered.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("msg_offset").alias("hi")
+    )
+    for r in stats.collect():
+        assert r["n"] == r["hi"] + 1  # dense from 0 through the whole pipeline
+    state = IngressState.load(str(tmp_path / "state.json"))
+    assert state.messages_lost == 0
