@@ -112,15 +112,27 @@ def plan_compaction(
     )
 
 
-def merge_segments(spark: SparkSession, plan: DataFrame, root: str, region: str) -> DataFrame:
+def merge_segments(
+    spark: SparkSession, plan: DataFrame | list, root: str, region: str
+) -> DataFrame:
     """M1: execute a compaction plan → one merged segment per partition.
 
+    ``plan`` may be the planner DataFrame or its already-collected rows —
+    the plan is metadata-scale (the reference holds the same list in
+    memory), and collecting once in the caller avoids re-running the
+    planner's tiny Spark jobs.
+
     Raises ValueError on an offset gap (reference errors with
-    ``missing message range``, compactor.go:219-221) before writing anything.
+    ``missing message range``, compactor.go:219-221); the gapped partition
+    publishes nothing.
     """
-    meta = plan.select(
-        "topic", "partition_id", "level", "start_offset", "end_offset", "path", "compact_floor"
-    ).collect()  # metadata-scale (the reference holds the same list in memory)
+    if isinstance(plan, DataFrame):
+        meta = plan.select(
+            "topic", "partition_id", "level", "start_offset", "end_offset",
+            "path", "compact_floor",
+        ).collect()
+    else:
+        meta = plan
     if not meta:
         return spark.createDataFrame(
             [], schema="region string, topic string, partition_id int, level int, "
@@ -205,10 +217,9 @@ def compact(
     from kafka_replicator_spark.sources.segments import list_segments
 
     segments = list_segments(spark, root)
-    plan = plan_compaction(segments, **plan_kwargs)
-    plan = plan.cache()
-    input_paths = [r["path"] for r in plan.select("path").distinct().collect()]
-    written = merge_segments(spark, plan, root=root, region=region)
+    plan_rows = plan_compaction(segments, **plan_kwargs).collect()  # one tiny job
+    input_paths = sorted({r["path"] for r in plan_rows})
+    written = merge_segments(spark, plan_rows, root=root, region=region)
     try:
         result = written.collect()  # force the write before deleting inputs
     except Exception as e:  # surface the writer's inline gap check as ValueError
@@ -219,7 +230,6 @@ def compact(
             )
             raise ValueError(first.strip()) from e
         raise
-    plan.unpersist()
     if delete_inputs and result:
         delete_segment_files(input_paths)
     return spark.createDataFrame(result, schema=written.schema)
