@@ -690,3 +690,56 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("msg_offset").alias("first_offset"),
         F.max("msg_offset").alias("last_offset"),
     )
+
+
+SHARED_SQL_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "a_shared_sql_cube",
+    SHARED_SQL_CUBE,
+    tags=("analytics", "sql", "aggregation"),
+    doc="CUBE aggregation through the shared-SQL front door",
+)
+def q_shared_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_CUBE)
+
+
+# ------------------------------------------------------ exact stats aggs
+
+@register(
+    "a_stats_aggregates",
+    """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                  * 100 + 0.5) AS BIGINT) AS mean_cents,
+       CAST(floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                  / (count(*) - 1) + 0.5) AS BIGINT) AS variance_floor
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("analytics", "aggregation"),
+    doc="exact mean/variance via decimal sums + the textbook identity "
+    "(engines' native stddev use different accumulation orders; exact "
+    "decimal sums make the statistic deterministic)",
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.sum(_dec("o_totalprice")).cast("double")
+    s2 = F.sum(_dec("o_totalprice") * _dec("o_totalprice")).cast("double")
+    n = F.count(F.lit(1))
+    return orders.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.floor(s / n * 100 + 0.5).cast("long").alias("mean_cents"),
+        F.floor((s2 - s * s / n) / (n - 1) + 0.5).cast("long").alias("variance_floor"),
+    )
