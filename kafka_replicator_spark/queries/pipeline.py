@@ -338,3 +338,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=50, stride=25)
+
+
+@register(
+    "p_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS n_bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_len4_estimate
+FROM documents
+""",
+    tags=("pipeline", "text"),
+    doc="token counting: whitespace split, word-regex, BPE-ish fixed-width "
+    "subword regex, and the chars/4 estimator",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias("n_bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("n_len4_estimate"),
+    )

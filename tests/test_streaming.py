@@ -255,3 +255,48 @@ def test_full_pipeline_egress_compact_ingress(spark, messages, staged, tmp_path)
         assert r["n"] == r["hi"] + 1  # dense from 0 through the whole pipeline
     state = IngressState.load(str(tmp_path / "state.json"))
     assert state.messages_lost == 0
+
+
+def test_ingress_sink_failure_then_retry_no_loss_no_dup(spark, messages, staged, tmp_path):
+    """Failure-retry matrix analog (reference ingress_test.go:518-685): the
+    delivery batch crashes mid-write; a restart against the same
+    checkpoints replays the epoch and delivers exactly once."""
+    import kafka_replicator_spark.streaming.ingress_stream as ing
+
+    seg_root = str(tmp_path / "segs")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+
+    # poison the first delivery attempt: fail after the trim join is built
+    original = ing.parse_segment_path_cols
+    calls = {"n": 0}
+
+    def poisoned(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected sink failure")
+        return original(*a, **k)
+
+    ing.parse_segment_path_cols = poisoned
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="injected sink failure"):
+            run_ingress_stream(
+                spark, seg_root, sink, str(tmp_path / "cp2"), state_path
+            )
+    finally:
+        ing.parse_segment_path_cols = original
+
+    # nothing was delivered, no checkpoint advanced
+    state = ing.IngressState.load(state_path)
+    assert state.checkpoints == {}
+    # retry with the SAME engine checkpoint: epoch replays, delivers all
+    run_ingress_stream(spark, seg_root, sink, str(tmp_path / "cp2"), state_path)
+    delivered = spark.read.parquet(sink)
+    assert delivered.count() == messages.count()
+    assert delivered.select("partition_id", "msg_offset").distinct().count() == messages.count()
