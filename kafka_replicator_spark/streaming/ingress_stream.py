@@ -136,8 +136,10 @@ def run_ingress_stream(
                 .parquet(*held)
                 .select("*", *parse_segment_path_cols(), F.input_file_name().alias("src_path"))
             )
-        # T13 overlap dedup within the batch
-        df = df.dropDuplicates(["topic", "partition_id", "msg_offset"])
+        # T13 overlap dedup within the batch; cached — the ranges collect,
+        # the delivery write, and the meters all read this frame, and the
+        # dedup shuffle must not run three times per batch
+        df = df.dropDuplicates(["topic", "partition_id", "msg_offset"]).cache()
 
         # F1/T9 trim vs delivery checkpoints (broadcast metadata join)
         if state.checkpoints:
@@ -242,6 +244,7 @@ def run_ingress_stream(
                 state.messages_produced[key] = state.messages_produced.get(key, 0) + m["n"]
                 if m["min_ts"] is not None:
                     state.last_lag_ns[key] = now_ns - int(m["min_ts"])
+        df.unpersist()
         state.save()  # T8 checkpoint-per-batch
 
     q = (
