@@ -117,7 +117,11 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # best-of-two, same as the queries: one slow run under machine
+    # contention otherwise dominates the recorded trajectory
     life_sec, life_msgs = segment_lifecycle_bench(spark)
+    life_sec2, _ = segment_lifecycle_bench(spark)
+    life_sec = min(life_sec, life_sec2)
     timings["segment_lifecycle"] = round(life_sec, 3)
     total += life_sec
     print(

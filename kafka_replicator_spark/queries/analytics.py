@@ -814,3 +814,29 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ------------------------------------------------------ multi-distinct aggs
+
+@register(
+    "a_distinct_aggregates",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("analytics", "aggregation"),
+    doc="multiple DISTINCT aggregates in one groupBy (Spark's Expand-based "
+    "multi-distinct plan)",
+)
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

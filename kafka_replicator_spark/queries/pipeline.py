@@ -364,3 +364,56 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias("n_bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("n_len4_estimate"),
     )
+
+
+@register(
+    "p_minhash_estimate_audit",
+    f"""
+WITH sig AS ({dedup.minhash_signatures_sql(k=16, n=3).strip()}),
+exact AS ({dedup.jaccard_pairs_sql(n=3, threshold=0.2).strip()})
+SELECT e.doc_a, e.doc_b, e.jaccard AS exact_jaccard,
+       CAST((CASE WHEN a.sig_0 = b.sig_0 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_1 = b.sig_1 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_2 = b.sig_2 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_3 = b.sig_3 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_4 = b.sig_4 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_5 = b.sig_5 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_6 = b.sig_6 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_7 = b.sig_7 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_8 = b.sig_8 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_9 = b.sig_9 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_10 = b.sig_10 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_11 = b.sig_11 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_12 = b.sig_12 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_13 = b.sig_13 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_14 = b.sig_14 THEN 1 ELSE 0 END
+           + CASE WHEN a.sig_15 = b.sig_15 THEN 1 ELSE 0 END) AS INTEGER) AS sig_agreement_16
+FROM exact e
+JOIN sig a ON a.doc_id = e.doc_a
+JOIN sig b ON b.doc_id = e.doc_b
+""",
+    tags=("pipeline", "dedup"),
+    doc="estimator audit: MinHash signature agreement vs exact n-gram "
+    "Jaccard on the near-dup pairs (the sketch-quality measurement a "
+    "pipeline runs before trusting LSH at scale)",
+)
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signatures(docs, k=16, n=3).cache()  # joined twice
+    exact = dedup.jaccard_pairs(docs, n=3, threshold=0.2)
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(16)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(16)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    return (
+        exact.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            agree.cast("int").alias("sig_agreement_16"),
+        )
+    )
