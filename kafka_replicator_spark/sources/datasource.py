@@ -141,3 +141,48 @@ class SegmentDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SegmentDataSource)
+
+
+# ------------------------------------------------------------- streaming
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SegmentStreamReader(DataSourceStreamReader):
+    """Streaming discovery of segment files (S4): the stream offset is the
+    set of files already consumed, so restarts resume exactly from the
+    engine checkpoint — the notification-feed semantics built from listing
+    (SURVEY S4: OSS re-list path), as a real custom streaming source.
+
+    Offsets carry the sorted consumed-path list — metadata-scale (one string
+    per segment, the same magnitude the reference's event store holds); a
+    production variant would compact to (mtime watermark + recent set).
+    """
+
+    def __init__(self, options):
+        self._batch = SegmentReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"paths": []}
+
+    def latestOffset(self) -> dict:
+        current = sorted(p.path for p in self._batch.partitions())
+        return {"paths": current}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["paths"]) - set(start["paths"]))
+        by_path = {p.path: p for p in self._batch.partitions()}
+        return [by_path[p] for p in new if p in by_path]
+
+    def read(self, partition: SegmentInputPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _stream_reader(self, schema):
+    return SegmentStreamReader(self.options)
+
+
+SegmentDataSource.streamReader = _stream_reader
