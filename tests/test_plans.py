@@ -60,7 +60,11 @@ def test_q1_single_shuffle(spark, sf_dir):
 
 
 def test_minhash_shuffle_budget(spark, sf_dir):
-    # shingle explode + one groupBy: a single shuffle, everything else map-side
+    # shingle explode + one groupBy: a single shuffle, everything else
+    # map-side.  Clear cached subtrees first — an InMemoryRelation left by
+    # another query prints its internal exchange into this plan and would
+    # make the count order-dependent.
+    spark.catalog.clearCache()
     df = QUERIES["p_minhash_signatures"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 1, physical_plan(df)
 
