@@ -45,3 +45,40 @@ def test_parse_rejects_garbage():
     for bad in ["/x/region/topic/0/0/123-456", "/x/a/b/c/d/e", "plain.parquet"]:
         with pytest.raises(ValueError):
             parse_segment_path(bad)
+
+
+def test_column_codec_agrees_with_python_codec(spark):
+    """segment_path_col / parse_segment_path_cols are independent
+    implementations of format_segment_path / parse_segment_path — they must
+    agree on every value (FIXTURES invariant 5, both forms)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.core.codec import (
+        parse_segment_path_cols,
+        segment_path_col,
+    )
+
+    rows = [
+        ("us-east-1", "events", 0, 0, 0, 99),
+        ("eu", "topic.with.dots", 107, 3, 12345, 10**15),
+        ("r", "t", 2**31 - 1, 100, 2**62, 2**62 + 10**9),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="region string, topic string, partition_id int, level int, "
+        "start_offset long, end_offset long",
+    ).withColumn("path", segment_path_col("/data"))
+    got = df.collect()
+    for r, seg_tuple in zip(got, rows):
+        seg = SegmentId(*seg_tuple)
+        assert r["path"] == format_segment_path("/data", seg)
+        assert parse_segment_path(r["path"]) == seg
+    # column-side parse of column-side format
+    parsed = df.select(F.col("path"), *[c for c in parse_segment_path_cols("path")])
+    for r, seg_tuple in zip(parsed.collect(), rows):
+        assert (
+            r["region"], r["topic"], r["partition_id"], r["level"],
+            r["start_offset"], r["end_offset"],
+        ) == seg_tuple
