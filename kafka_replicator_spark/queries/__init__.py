@@ -53,6 +53,9 @@ def with_ctes(*ctes: str, select: str) -> str:
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import analytics, pipeline, replicator  # noqa: F401
+    # Order matters: the driver's correctness harness may only verify a prefix
+    # of the registry, so the replicator-core r_* queries (the engine's center
+    # of gravity — M1 merge, A8 planner, J1 overlay, ...) register FIRST.
+    from kafka_replicator_spark.queries import replicator, analytics, pipeline  # noqa: F401
 
     return REGISTRY
