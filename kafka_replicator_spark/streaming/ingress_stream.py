@@ -28,12 +28,23 @@ import json
 import os
 from dataclasses import dataclass, field
 
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.core.codec import parse_segment_path_cols
 
 SEGMENT_DATA_SCHEMA = "msg_offset long, msg_key binary, payload binary, ts_ns long"
+
+
+def _local_path(p: str) -> str:
+    """Normalize ``input_file_name()`` output (``file:///...`` URI) to a plain
+    local path so held-back segment paths survive the store → ``os.path.exists``
+    → re-read roundtrip (the reference re-lists by object key, worker.go:110-154)."""
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return p
 
 
 @dataclass
@@ -129,7 +140,10 @@ def run_ingress_stream(
         df = batch_df.select("*", *parse_segment_path_cols(), F.input_file_name().alias("src_path"))
         # re-read files held back in earlier batches (late/gated) — the file
         # source will never surface them again
-        held = sorted({p for ps in state.pending_paths.values() for p in ps if os.path.exists(p)})
+        held = sorted(
+            {_local_path(p) for ps in state.pending_paths.values() for p in ps}
+        )
+        held = [p for p in held if os.path.exists(p)]
         if held:
             df = df.unionByName(
                 spark.read.schema(SEGMENT_DATA_SCHEMA)
@@ -177,7 +191,7 @@ def run_ingress_stream(
             if key not in state.first_seen_batch:
                 state.first_seen_batch[key] = state.batches_run
             if state.batches_run - state.first_seen_batch[key] < first_segment_delay_batches:
-                pending[key] = [r["src_path"] for r in rs]
+                pending[key] = [_local_path(r["src_path"]) for r in rs]
                 continue
             rs.sort(key=lambda r: (r["lo"], -r["hi"]))
             next_needed = state.checkpoints.get(key, -1) + 1
@@ -199,7 +213,7 @@ def run_ingress_stream(
                     lost_skip_used = True
                     frontier = r["hi"]
                     continue
-                held_paths.append(r["src_path"])  # T6: retry next batch
+                held_paths.append(_local_path(r["src_path"]))  # T6: retry next batch
             if held_paths:
                 pending[key] = held_paths
             else:

@@ -220,6 +220,10 @@ def test_out_of_order_file_arrival_within_run(spark, messages, tmp_path):
     delivered = spark.read.parquet(sink).filter(F.col("partition_id") == 0)
     n = delivered.count()
     hi = delivered.agg(F.max("msg_offset")).collect()[0][0]
+    # the held-back (later) segments must actually land, not just the
+    # gap-filling first segment — compare against the partition's full count
+    expected = messages.filter(F.col("partition_id") == 0).count()
+    assert n == expected, (n, expected)
     assert n == hi + 1  # dense from 0: pending segments all delivered
     state = IngressState.load(state_path)
     assert state.messages_lost == 0 and not state.pending_paths
