@@ -49,6 +49,15 @@ MESSAGE_SCHEMA = T.StructType(
     ]
 )
 
+#: At-rest columns inside a segment parquet file (reference parquet struct
+#: pkg/formats/s3_parquet.go:99-116: offset, key, value, timestamp, headers).
+#: Readers pass this explicitly so pre-headers files surface NULL headers
+#: instead of steering schema inference.
+SEGMENT_DATA_DDL = (
+    "msg_offset long, msg_key binary, payload binary, ts_ns long, "
+    "headers array<struct<key:string,value:binary>>"
+)
+
 #: Segment identity + listing info.
 #: reference: pkg/core/messages.proto:28-35 (identity), pkg/core/core.go:90-94
 #: (SegmentInfo = identity + LastModified + size).

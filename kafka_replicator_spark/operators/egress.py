@@ -82,7 +82,10 @@ def assign_segments_greedy(
     searchsorted), not a Python row loop.
     """
     if "msg_size" not in df.columns:
-        df = df.withColumn("msg_size", message_size_col())
+        df = df.withColumn(
+            "msg_size",
+            message_size_col(headers="headers" if "headers" in df.columns else None),
+        )
 
     def boundaries(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("msg_offset", kind="mergesort").reset_index(drop=True)
@@ -199,7 +202,22 @@ def _write_one_segment(
     tmp_path = os.path.join(tmp_dir, uuid.uuid4().hex)
     final_path = os.path.join(final_dir, f"{start:020d}-{end:020d}{SEGMENT_SUFFIX}")
 
-    table = pa.Table.from_pandas(pdf[data_cols], preserve_index=False)
+    # explicit Arrow types — inference over object columns (binary, list of
+    # header structs) is unstable on empty/all-null groups
+    arrow_types = {
+        "msg_offset": pa.int64(),
+        "msg_key": pa.binary(),
+        "payload": pa.binary(),
+        "ts_ns": pa.int64(),
+        "headers": pa.list_(
+            pa.struct([("key", pa.string()), ("value", pa.binary())])
+        ),
+    }
+    table = pa.Table.from_pandas(
+        pdf[data_cols],
+        schema=pa.schema([(c, arrow_types[c]) for c in data_cols]),
+        preserve_index=False,
+    )
     footer = {
         "region": region,
         "topic": topic,
@@ -241,8 +259,8 @@ _WRITE_RESULT_SCHEMA = (
 )
 
 #: columns persisted inside a segment file (at-rest message schema; binary
-#: key/payload per reference s3_parquet.go:105-116)
-SEGMENT_DATA_COLS = ["msg_offset", "msg_key", "payload", "ts_ns"]
+#: key/payload + repeated headers per reference s3_parquet.go:99-116)
+SEGMENT_DATA_COLS = ["msg_offset", "msg_key", "payload", "ts_ns", "headers"]
 
 
 def write_segments(

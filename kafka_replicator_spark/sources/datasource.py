@@ -25,7 +25,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 SEGMENT_SOURCE_SCHEMA = (
     "region string, topic string, partition_id int, level int, "
     "start_offset long, end_offset long, "
-    "msg_offset long, msg_key binary, payload binary, ts_ns long"
+    "msg_offset long, msg_key binary, payload binary, ts_ns long, "
+    "headers array<struct<key:string,value:binary>>"
 )
 
 
@@ -109,6 +110,13 @@ class SegmentReader(DataSourceReader):
                 pa.array([partition.start_offset] * n, pa.int64()),
                 pa.array([partition.end_offset] * n, pa.int64()),
             ]
+            header_type = pa.list_(
+                pa.struct([("key", pa.string()), ("value", pa.binary())])
+            )
+            if "headers" in batch.schema.names:
+                headers = batch.column("headers").cast(header_type)
+            else:  # pre-headers segment files: surface as NULL
+                headers = pa.nulls(n, header_type)
             yield pa.RecordBatch.from_arrays(
                 ident
                 + [
@@ -116,11 +124,12 @@ class SegmentReader(DataSourceReader):
                     batch.column("msg_key"),
                     batch.column("payload"),
                     batch.column("ts_ns"),
+                    headers,
                 ],
                 names=[
                     "region", "topic", "partition_id", "level",
                     "start_offset", "end_offset",
-                    "msg_offset", "msg_key", "payload", "ts_ns",
+                    "msg_offset", "msg_key", "payload", "ts_ns", "headers",
                 ],
             )
 

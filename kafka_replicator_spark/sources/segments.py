@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.core.codec import parse_segment_path, parse_segment_path_cols
-from kafka_replicator_spark.core.schema import SEGMENT_SCHEMA
+from kafka_replicator_spark.core.schema import SEGMENT_DATA_DDL, SEGMENT_SCHEMA
 
 
 def list_segments(
@@ -108,7 +108,11 @@ def read_segment_files(
     """
     if not paths:
         raise ValueError("no segment paths to read")
-    df = spark.read.parquet(*paths).select("*", *parse_segment_path_cols())
+    df = (
+        spark.read.schema(SEGMENT_DATA_DDL)
+        .parquet(*paths)
+        .select("*", *parse_segment_path_cols())
+    )
     if from_offset is not None:
         df = df.filter(F.col("msg_offset") >= F.lit(from_offset))
     if dedup_overlaps:

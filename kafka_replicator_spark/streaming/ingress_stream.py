@@ -34,8 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.core.codec import parse_segment_path_cols
+from kafka_replicator_spark.core.schema import SEGMENT_DATA_DDL
 
-SEGMENT_DATA_SCHEMA = "msg_offset long, msg_key binary, payload binary, ts_ns long"
+SEGMENT_DATA_SCHEMA = SEGMENT_DATA_DDL
 
 
 def _local_path(p: str) -> str:

@@ -148,6 +148,60 @@ def test_native_writer_roundtrip(spark, messages, tmp_path):
     assert gaps == 0
 
 
+def test_headers_survive_lifecycle(spark, messages, tmp_path):
+    """K1 headers: messages carrying Kafka headers keep them byte-identical
+    through egress → compact → replay (reference parquet struct
+    pkg/formats/s3_parquet.go:99-116; every reference egress scenario carries
+    a header, tests/utils.go:124-149)."""
+    from kafka_replicator_spark.operators.compaction import compact
+
+    root = str(tmp_path / "segs")
+    with_headers = messages.withColumn(
+        "headers",
+        F.array(
+            F.struct(
+                F.lit("source").alias("key"),
+                F.col("msg_key").cast("binary").alias("value"),
+            ),
+            F.struct(
+                F.lit("seq").alias("key"),
+                F.col("msg_offset").cast("string").cast("binary").alias("value"),
+            ),
+        ),
+    )
+    tagged = assign_segments_greedy(with_headers, max_bytes=4096, max_messages=100)
+    write_segments(tagged, root=root, region=REGION, level=0).collect()
+    out = compact(spark, root, region=REGION, min_count=2, min_bytes=1).collect()
+    back = read_segment_files(spark, [r["path"] for r in out])
+    orig = with_headers.select("topic", "partition_id", "msg_offset", "headers")
+    got = back.select("topic", "partition_id", "msg_offset", "headers")
+    assert got.count() == orig.count()
+    assert got.exceptAll(orig).count() == 0
+    assert orig.exceptAll(got).count() == 0
+
+
+def test_headerless_segments_read_as_null_headers(spark, seg_root, written):
+    """Pre-headers segment files stay readable: explicit reader schema
+    surfaces NULL headers instead of failing or dropping the column."""
+    back = read_segment_files(spark, [r["path"] for r in written])
+    assert "headers" in back.columns
+    assert back.filter(F.col("headers").isNotNull()).count() == 0
+
+
+def test_message_size_includes_headers(spark):
+    """X6 size accounting: 16 + len(key) + len(value) + Σ(len(hk)+len(hv))
+    (reference pkg/core/core.go:136-147)."""
+    from kafka_replicator_spark.core.schema import message_size_col
+
+    df = spark.createDataFrame(
+        [("k", b"pay", [("h1", b"v1"), ("hdr2", b"vv22")])],
+        schema="msg_key string, payload binary, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    got = df.select(message_size_col().alias("sz")).collect()[0]["sz"]
+    assert got == 16 + 1 + 3 + (2 + 2) + (4 + 4)
+
+
 def test_native_writer_gap_check(spark, messages, tmp_path):
     import pytest as _pytest
 
