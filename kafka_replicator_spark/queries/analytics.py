@@ -386,66 +386,72 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_asof_join",
     """
-WITH ev AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'click'
 ),
-ord AS (
-  SELECT o_orderkey, o_custkey % 15 AS user_id, epoch_us(o_orderdate) AS od_us FROM orders
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'purchase'
 )
-SELECT o_orderkey, user_id, event_id AS last_event_id, event_type AS last_event_type
+SELECT purchase_id, user_id, last_click_id
 FROM (
-  SELECT o.o_orderkey, o.user_id, e.event_id, e.event_type,
-         row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
-  FROM ord o JOIN ev e ON e.user_id = o.user_id AND e.ts_us <= o.od_us
+  SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
 ) WHERE rn = 1
 """,
     tags=("analytics", "join", "asof"),
-    doc="as-of join: latest event per user at order time — implemented "
-    "Spark-side as per-group pd.merge_asof in applyInPandas (the guide's "
-    "recommended pattern); oracle expresses the same semantics relationally",
+    doc="as-of join: latest click per user at-or-before each purchase — "
+    "implemented Spark-side as per-group pd.merge_asof in applyInPandas "
+    "(the guide's recommended pattern); oracle expresses the same semantics "
+    "relationally.  Both streams live in the events table's time range so "
+    "the fixture is non-degenerate (~1/4 of purchases match at sf0.01).",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id", "event_type"
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_custkey") % 15).alias("user_id"),
-        F.to_unix_timestamp("o_orderdate").alias("od_s"),
-    ).withColumn("od_us", F.col("od_s") * 1_000_000).drop("od_s")
 
     def asof(pdf: pd.DataFrame) -> pd.DataFrame:
-        left = pdf[pdf["side"] == "o"].sort_values(["t", "event_id"])[
-            ["o_orderkey", "user_id", "t"]
-        ]
-        right = pdf[pdf["side"] == "e"].sort_values(["t", "event_id"])[
-            ["t", "event_id", "event_type"]
-        ]
-        if left.empty:
+        left = (
+            pdf[pdf["side"] == "p"]
+            .sort_values(["t", "event_id"])
+            .rename(columns={"event_id": "purchase_id"})[["purchase_id", "user_id", "t"]]
+        )
+        right = (
+            pdf[pdf["side"] == "c"]
+            .sort_values(["t", "event_id"])
+            .rename(columns={"event_id": "last_click_id"})[["t", "last_click_id"]]
+        )
+        if left.empty or right.empty:
             return pd.DataFrame(
-                columns=["o_orderkey", "user_id", "last_event_id", "last_event_type"]
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "last_click_id": pd.Series(dtype="int64")}
             )
+        # backward merge_asof on sorted (t, id) == latest click at-or-before,
+        # max event_id on a timestamp tie — same tie-break as the oracle's
+        # ORDER BY ts_us DESC, event_id DESC
         merged = pd.merge_asof(left, right, on="t", direction="backward")
-        out = merged.rename(
-            columns={"event_id": "last_event_id", "event_type": "last_event_type"}
-        )[["o_orderkey", "user_id", "last_event_id", "last_event_type"]]
-        out = out.dropna(subset=["last_event_id"])
-        out["last_event_id"] = out["last_event_id"].astype("int64")
+        out = merged.dropna(subset=["last_click_id"])[
+            ["purchase_id", "user_id", "last_click_id"]
+        ]
+        out["last_click_id"] = out["last_click_id"].astype("int64")
         return out
 
     # one union frame so each user group carries both sides into the pandas fn
-    tagged_o = orders.select(
-        F.lit("o").alias("side"), "o_orderkey", "user_id",
-        F.col("od_us").alias("t"), F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("string").alias("event_type"),
+    both = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", F.lit("p"))
+            .otherwise(F.lit("c"))
+            .alias("side"),
+            "user_id",
+            F.col("ts_us").alias("t"),
+            "event_id",
+        )
     )
-    tagged_e = ev.select(
-        F.lit("e").alias("side"), F.lit(None).cast("long").alias("o_orderkey"), "user_id",
-        F.col("ts_us").alias("t"), "event_id", "event_type",
-    )
-    both = tagged_o.unionByName(tagged_e)
-    out_schema = "o_orderkey long, user_id long, last_event_id long, last_event_type string"
+    out_schema = "purchase_id long, user_id long, last_click_id long"
     return both.groupBy("user_id").applyInPandas(asof, schema=out_schema)
 
 

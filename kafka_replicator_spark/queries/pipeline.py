@@ -121,13 +121,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p_embedding_neardup",
-    similarity.embedding_neardup_pairs_sql(threshold=0.6, n_planes=4, dim=64),
+    similarity.embedding_neardup_pairs_sql(threshold=0.35, n_planes=4, dim=64),
     tags=("pipeline", "similarity", "dedup"),
-    doc="embedding-cosine near-dup pairs, LSH-bucketed",
+    doc="embedding-cosine near-dup pairs, LSH-bucketed.  Threshold 0.35 sits "
+    "inside the fixture's similarity distribution (max pairwise cos ≈ 0.51 "
+    "at sf0.01) so the gate checks ~55 real pairs, not an empty result.",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=0.6, n_planes=4, dim=64
+        _emb(spark, sf_dir), threshold=0.35, n_planes=4, dim=64
     )
 
 
