@@ -69,6 +69,15 @@ def test_minhash_shuffle_budget(spark, sf_dir):
     assert count_exchanges(df) <= 1, physical_plan(df)
 
 
+def test_simhash_shuffle_budget(spark, sf_dir):
+    # token explode + ONE groupBy(doc_id) carrying 32 conditional sums —
+    # the 32× bit fan-out flavor shuffled 32×|tokens| rows for the same
+    # output.  Budget: spread repartition + the agg shuffle.
+    spark.catalog.clearCache()
+    df = QUERIES["p_simhash"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2, physical_plan(df)
+
+
 def test_segment_plan_partial_aggregation(spark, sf_dir):
     df = QUERIES["r_t1_segment_plan"].fn(spark, sf_dir)
     plan = physical_plan(df)
