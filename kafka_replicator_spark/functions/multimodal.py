@@ -109,6 +109,36 @@ def sample_frames(media: DataFrame, every_bytes: int = 64, max_frames: int = 8) 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def media_frames_oracle_sql(every_bytes: int = 64, max_frames: int = 8) -> str:
+    """DuckDB mirror of :func:`sample_frames` over synthesize_media(documents),
+    digest-compared: frame i of a video payload is bytes
+    [i*every_bytes, (i+1)*every_bytes); the corpus is ASCII so VARCHAR
+    substring reproduces the bytes and sha256(VARCHAR) the digest (DuckDB 1.0
+    has no BLOB substring/sha256).
+    """
+    return f"""
+WITH media AS (
+  SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind, text
+  FROM documents
+),
+video AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM media WHERE kind = 'video'
+),
+frames AS (
+  SELECT doc_id,
+         unnest(range(0, LEAST({max_frames}, GREATEST(1, n // {every_bytes})))) AS fi,
+         text
+  FROM video
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(length(substring(text, CAST(fi * {every_bytes} + 1 AS BIGINT), {every_bytes})) AS BIGINT)
+         AS frame_len,
+       sha256(substring(text, CAST(fi * {every_bytes} + 1 AS BIGINT), {every_bytes})) AS frame_sha
+FROM frames
+"""
+
+
 def media_meta_oracle_sql() -> str:
     """DuckDB mirror of extract_media_meta over synthesize_media(documents):
     byte_len/sha256 are content-derived, the stub properties are arithmetic —
