@@ -55,12 +55,20 @@ def plan_compaction(
     max_bytes: int = DEFAULT_MAX_SEGMENT_BYTES,
     min_age: timedelta | None = None,
     now: datetime | None = None,
+    include_superseded: bool = False,
 ) -> DataFrame:
     """Select, per (topic, partition), the prefix of segments to compact.
 
     Returns the selected segments augmented with ``compact_floor`` (the
     resume offset floor derived from already-compacted higher levels) —
     everything the merge step needs, still as a DataFrame.
+
+    ``include_superseded=True`` additionally returns in-band segments whose
+    whole range sits below the floor, flagged ``superseded = true`` — they
+    are excluded from the merge read but must be deleted after a successful
+    compaction of their partition (the reference pops them into the result
+    list before the skip, compactor.go:192-203, so its post-merge delete
+    covers them; filtering them out entirely would leak storage forever).
     """
     in_band = segments.filter(F.col("level").between(min_level, max_level))
     if min_age is not None:
@@ -74,12 +82,12 @@ def plan_compaction(
         .groupBy("topic", "partition_id")
         .agg((F.max("end_offset") + 1).alias("compact_floor"))
     )
-    planned = (
-        in_band.join(F.broadcast(floors), ["topic", "partition_id"], "left")
-        .withColumn("compact_floor", F.coalesce(F.col("compact_floor"), F.lit(0)))
-        # F3: pop segments fully below the floor (superseded / already compacted)
-        .filter(F.col("end_offset") >= F.col("compact_floor"))
+    with_floor = in_band.join(F.broadcast(floors), ["topic", "partition_id"], "left").withColumn(
+        "compact_floor", F.coalesce(F.col("compact_floor"), F.lit(0))
     )
+    # F3: segments fully below the floor (superseded / already compacted)
+    # are popped out of the merge set
+    planned = with_floor.filter(F.col("end_offset") >= F.col("compact_floor"))
 
     # O1 heap order + A8 bounded take: include while the running size
     # *before* this segment is < max_bytes and position <= max_count
@@ -99,16 +107,26 @@ def plan_compaction(
         .filter((F.col("_rn") <= max_count) & (F.col("_cum_before") < max_bytes))
     )
 
-    # qualification: a partition compacts only if the take reaches the
-    # min count OR min size (pkg/compaction/config.go:29-36 envelope).
+    # qualification: a partition compacts only when the take reaches the min
+    # count AND the min size — the reference skips on either shortfall
+    # (compactor.go:226-235: count < MinSegmentCount skips, then
+    # totalSize < MinSegmentSize skips).
     qual = (
         planned.groupBy("topic", "partition_id")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("size_bytes").alias("_sz"))
-        .filter((F.col("_n") >= min_count) | (F.col("_sz") >= min_bytes))
+        .filter((F.col("_n") >= min_count) & (F.col("_sz") >= min_bytes))
         .select("topic", "partition_id")
     )
-    return planned.join(F.broadcast(qual), ["topic", "partition_id"], "left_semi").drop(
+    selected = planned.join(F.broadcast(qual), ["topic", "partition_id"], "left_semi").drop(
         "_rn", "_cum_before"
+    )
+    if not include_superseded:
+        return selected
+    superseded = with_floor.filter(F.col("end_offset") < F.col("compact_floor")).join(
+        F.broadcast(qual), ["topic", "partition_id"], "left_semi"
+    )
+    return selected.withColumn("superseded", F.lit(False)).unionByName(
+        superseded.withColumn("superseded", F.lit(True))
     )
 
 
@@ -212,13 +230,19 @@ def compact(
     """End-to-end compaction run: list → plan → merge → delete inputs.
 
     Returns the metadata of the newly written segments (materialized before
-    deletion so the pipeline is list-once).
+    deletion so the pipeline is list-once).  Fully-superseded in-band
+    segments are deleted alongside the merge inputs once their partition's
+    compaction succeeds (reference compactor.go:192-203 + 314-351).
     """
     from kafka_replicator_spark.sources.segments import list_segments
 
     segments = list_segments(spark, root)
-    plan_rows = plan_compaction(segments, **plan_kwargs).collect()  # one tiny job
-    input_paths = sorted({r["path"] for r in plan_rows})
+    all_rows = plan_compaction(
+        segments, include_superseded=True, **plan_kwargs
+    ).collect()  # one tiny job
+    plan_rows = [r for r in all_rows if not r["superseded"]]
+    superseded_paths = sorted({r["path"] for r in all_rows if r["superseded"]})
+    input_paths = sorted({r["path"] for r in plan_rows} | set(superseded_paths))
     written = merge_segments(spark, plan_rows, root=root, region=region)
     try:
         result = written.collect()  # force the write before deleting inputs

@@ -157,7 +157,9 @@ def test_bounded_take_by_count_and_size(spark):
 
 
 def test_min_thresholds_skip(spark):
-    """Too few / too small inputs → partition skipped entirely."""
+    """Both thresholds must be met: the reference skips when count <
+    MinSegmentCount and ALSO when totalSize < MinSegmentSize
+    (compactor.go:226-235) — falling short on either skips the partition."""
     now = datetime(2026, 1, 1)
     segs = _seg_df(
         spark,
@@ -167,7 +169,42 @@ def test_min_thresholds_skip(spark):
         ],
     )
     assert plan_compaction(segs, min_count=5, min_bytes=10**9).count() == 0
-    assert plan_compaction(segs, min_count=5, min_bytes=150).count() == 2  # size qualifies
+    assert plan_compaction(segs, min_count=5, min_bytes=150).count() == 0  # count short
+    assert plan_compaction(segs, min_count=2, min_bytes=10**9).count() == 0  # size short
+    assert plan_compaction(segs, min_count=2, min_bytes=150).count() == 2  # both met
+
+
+def test_superseded_segments_deleted_after_merge(spark, tmp_path):
+    """F3 cleanup: segments fully below the floor are excluded from the
+    merge read but deleted with the inputs once their partition compacts
+    (reference pops them into the delete list, compactor.go:192-203) —
+    otherwise they leak storage forever."""
+    import os
+
+    root = str(tmp_path)
+    _write_range(spark, root, 0, 0, 19, level=1)  # earlier compaction output
+    sup = _write_range(spark, root, 0, 10, 19)    # fully below floor=20
+    _write_range(spark, root, 0, 20, 29)
+    _write_range(spark, root, 0, 30, 39)
+    out = compact(spark, root, region=REGION, min_count=2, min_bytes=1).collect()
+    assert len(out) == 1
+    assert (out[0]["start_offset"], out[0]["end_offset"]) == (20, 39)
+    assert not os.path.exists(sup[0]["path"])  # superseded leftover removed
+    assert sorted(r["level"] for r in list_segments(spark, root).collect()) == [1, 1]
+
+
+def test_superseded_kept_when_partition_skips(spark, tmp_path):
+    """No compaction → no deletion: superseded segments outlive a skipped
+    run (deletes happen only after a successful merge, compactor.go:314-351)."""
+    import os
+
+    root = str(tmp_path)
+    _write_range(spark, root, 0, 0, 19, level=1)
+    sup = _write_range(spark, root, 0, 10, 19)
+    _write_range(spark, root, 0, 20, 29)  # single in-band segment < min_count
+    out = compact(spark, root, region=REGION, min_count=2, min_bytes=1).collect()
+    assert out == []
+    assert os.path.exists(sup[0]["path"])
 
 
 def test_multi_partition_independent_merge(spark, tmp_path):
