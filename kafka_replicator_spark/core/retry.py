@@ -22,8 +22,11 @@ def backoff_ms(attempt: int, base_ms: int = S3_BASE_MS, cap_ms: int = S3_CAP_MS)
     """Exponential backoff with cap: ``min(base * 2^attempt, cap)``
     (reference utils/time.go:23-40).  attempt is 0-based.
     """
+    from kafka_replicator_spark.core.validation import validate_backoff
+
     if attempt < 0:
         raise ValueError("attempt must be >= 0")
+    validate_backoff(base_ms, cap_ms)
     # shift-safe: cap the exponent before computing the power
     exp = min(attempt, 63)
     return min(base_ms << exp, cap_ms)

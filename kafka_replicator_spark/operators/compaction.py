@@ -70,6 +70,11 @@ def plan_compaction(
     list before the skip, compactor.go:192-203, so its post-merge delete
     covers them; filtering them out entirely would leak storage forever).
     """
+    from kafka_replicator_spark.core.validation import validate_compaction_config
+
+    validate_compaction_config(
+        min_level, max_level, min_count, max_count, min_bytes, max_bytes, min_age
+    )
     in_band = segments.filter(F.col("level").between(min_level, max_level))
     if min_age is not None:
         cutoff = (now or datetime.utcnow()) - min_age

@@ -57,6 +57,9 @@ def assign_segments_by_count(df: DataFrame, max_messages: int) -> DataFrame:
     Count-only rollover over a dense offset stream — one integer division,
     no window, no shuffle; the SQL-oracle-checkable flavor.
     """
+    from kafka_replicator_spark.core.validation import validate_segment_limits
+
+    validate_segment_limits(1, max_messages)
     return df.withColumn(
         "segment_seq", (F.col("msg_offset") / F.lit(max_messages)).cast("long")
     )
@@ -81,6 +84,9 @@ def assign_segments_greedy(
     Inside the walk it is O(#segments · log n) numpy (cumsum +
     searchsorted), not a Python row loop.
     """
+    from kafka_replicator_spark.core.validation import validate_segment_limits
+
+    validate_segment_limits(max_bytes, max_messages)
     if "msg_size" not in df.columns:
         df = df.withColumn(
             "msg_size",

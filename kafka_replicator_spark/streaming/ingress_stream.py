@@ -71,6 +71,9 @@ class IngressState:
     #: messagesProduced + replication lag (now - min event ts of the batch)
     messages_produced: dict[str, int] = field(default_factory=dict)
     last_lag_ns: dict[str, int] = field(default_factory=dict)
+    #: per-partition sink failure counts (reference pkg/core/breaker.go —
+    #: the error-rate signal the breaker consumes)
+    errors: dict[str, int] = field(default_factory=dict)
 
     @classmethod
     def load(cls, path: str) -> "IngressState":
@@ -86,6 +89,7 @@ class IngressState:
                 messages_lost=raw.get("messages_lost", 0),
                 messages_produced=raw.get("messages_produced", {}),
                 last_lag_ns=raw.get("last_lag_ns", {}),
+                errors=raw.get("errors", {}),
             )
         return cls(path=path)
 
@@ -102,10 +106,23 @@ class IngressState:
                     "messages_lost": self.messages_lost,
                     "messages_produced": self.messages_produced,
                     "last_lag_ns": self.last_lag_ns,
+                    "errors": self.errors,
                 },
                 f,
             )
         os.replace(tmp, self.path)
+
+    def snapshot(self) -> dict:
+        """Meter snapshot (§2.11): produced / lag / late / lost / errors —
+        the same counter families the reference exports via go-metrics."""
+        return {
+            "messages_produced": dict(self.messages_produced),
+            "last_lag_ns": dict(self.last_lag_ns),
+            "late_counts": dict(self.late_counts),
+            "messages_lost": self.messages_lost,
+            "errors": dict(self.errors),
+            "batches_run": self.batches_run,
+        }
 
 
 def run_ingress_stream(
@@ -117,6 +134,7 @@ def run_ingress_stream(
     max_gap_retries: int = 3,
     first_segment_delay_batches: int = 0,
     await_termination: bool = True,
+    breaker=None,
 ):
     """Replay segments to an ordered per-partition sink until no new files
     remain.  Restart-safe via (engine checkpoint ∧ delivery state): replayed
@@ -128,7 +146,14 @@ def run_ingress_stream(
     delivered before batch b + delay — the reference's 30-minute guard
     against listing lag on eventually-consistent stores, measured in batch
     cadence here.
+
+    ``breaker`` (a :class:`~kafka_replicator_spark.core.breaker.ThresholdBreaker`)
+    is marked once per partition on a sink failure — the reference's
+    error-rate signal (pkg/core/breaker.go:34-64).
     """
+    from kafka_replicator_spark.core.validation import validate_ingress_config
+
+    validate_ingress_config(max_gap_retries, first_segment_delay_batches)
     stream = (
         spark.readStream.schema(SEGMENT_DATA_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -236,15 +261,29 @@ def run_ingress_stream(
                 F.col("msg_offset") <= F.col("frontier")
             )
             # O3: per-partition offset order into the sink (K2 analog)
-            (
-                out.repartition("topic", "partition_id")
-                .sortWithinPartitions("msg_offset")
-                .withColumn("epoch_id", F.lit(int(epoch_id)))
-                .drop("frontier", "src_path")
-                .write.mode("append")
-                .partitionBy("topic", "partition_id")
-                .parquet(sink_dir)
-            )
+            try:
+                (
+                    out.repartition("topic", "partition_id")
+                    .sortWithinPartitions("msg_offset")
+                    .withColumn("epoch_id", F.lit(int(epoch_id)))
+                    .drop("frontier", "src_path")
+                    .write.mode("append")
+                    .partitionBy("topic", "partition_id")
+                    .parquet(sink_dir)
+                )
+            except Exception:
+                # error meters + breaker marks, persisted WITHOUT the advanced
+                # checkpoints (a failed delivery must replay, not skip) — the
+                # reference marks its Kafka breaker per produce error
+                # (pkg/core/breaker.go) and leaves the checkpoint untouched.
+                err_state = IngressState.load(state_path)
+                for key in frontiers:
+                    err_state.errors[key] = err_state.errors.get(key, 0) + 1
+                    if breaker is not None:
+                        breaker.mark()
+                err_state.save()
+                df.unpersist()
+                raise
             # §2.11 meters: produced count + replication lag per partition
             # (A3 min-ts over the produced batch, reference worker.go:438-448)
             import time as _time
@@ -273,6 +312,47 @@ def run_ingress_stream(
     return q
 
 
+def kafka_sink_frame(delivered: DataFrame) -> DataFrame:
+    """K2 projection contract (reference pkg/kafka/producer.go:156-218):
+
+    * ``partition`` — the explicit stream partition (the reference produces
+      to the exact source partition, never the default partitioner);
+    * ``timestamp`` — restored only when the source timestamp is non-zero
+      (producer.go's restore-if-nonzero; zero/NULL lets the broker assign);
+    * key/payload pass through as Kafka ``key``/``value`` bytes;
+    * ``headers`` forwarded when present (producer.go:185-193; the Spark
+      Kafka sink picks up the optional headers column natively).
+
+    Pure projection — no exchange — so the caller's per-task order (the O3
+    ``sortWithinPartitions`` contract) reaches the producer intact.
+    """
+    cols = [
+        F.col("msg_key").alias("key"),
+        F.col("payload").alias("value"),
+        F.col("partition_id").cast("int").alias("partition"),
+        F.when(
+            F.col("ts_ns") > 0, F.timestamp_micros(F.expr("ts_ns div 1000"))
+        ).alias("timestamp"),
+    ]
+    if "headers" in delivered.columns:
+        cols.append(F.col("headers"))
+    return delivered.select(*cols)
+
+
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """The full DataFrameWriter option set for the producer sink; idempotent
+    produce mirrors the reference's ``enable.idempotence=true``
+    (producer.go:107-111)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "kafka.enable.idempotence": "true",
+        # the Java client requires acks=all with idempotence (librdkafka
+        # implies it; Spark's producer passthrough does not)
+        "kafka.acks": "all",
+    }
+
+
 def kafka_producer_sink(delivered: DataFrame, brokers: str, topic: str):
     """K2: produce the ordered per-partition stream to Kafka, preserving
     key/value/partition/timestamp (reference pkg/kafka/producer.go:156-218).
@@ -280,21 +360,12 @@ def kafka_producer_sink(delivered: DataFrame, brokers: str, topic: str):
     The frame must already be repartitioned by the stream partition and
     sorted within partitions (as run_ingress_stream's delivery path does) —
     the Kafka sink preserves per-task row order, which is then per-partition
-    order.  Idempotent produce mirrors the reference's
-    ``enable.idempotence=true`` (producer.go:107-111).
+    order.
 
     Requires the spark-sql-kafka connector jar; this container has no
-    broker, so only the configuration path is exercised here.
+    broker, so the projection + option contract is pinned by tests instead.
     """
-    out = delivered.select(
-        F.col("msg_key").alias("key"),
-        F.col("payload").alias("value"),
-        F.col("partition_id").cast("int").alias("partition"),
-        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("timestamp"),
-    )
-    return (
-        out.write.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("kafka.enable.idempotence", "true")
-    )
+    writer = kafka_sink_frame(delivered).write.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic).items():
+        writer = writer.option(k, v)
+    return writer
