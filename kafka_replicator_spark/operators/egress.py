@@ -128,12 +128,41 @@ def assign_segments_greedy(
         )
     )
     tagged = df.join(F.broadcast(bounds), ["topic", "partition_id"]).withColumn(
-        "segment_seq",
-        (
-            F.size(F.filter("seg_starts", lambda b: b <= F.col("msg_offset"))) - 1
-        ).cast("long"),
+        "segment_seq", _bsearch_segment_seq()
     )
     return tagged.drop("seg_starts")
+
+
+#: fixed binary-search depth — covers 2^21 segment boundaries per
+#: partition-batch, far above any real plan (the plan itself is bounded by
+#: max_count), at 21 codegen steps per row
+_BSEARCH_STEPS = 21
+
+
+def _bsearch_segment_seq() -> "F.Column":
+    """Index of the greatest ``seg_starts`` entry ≤ ``msg_offset`` via a
+    fixed-depth binary-search fold over the sorted boundary array.
+
+    Pure column expression (whole-stage codegen): O(log K) comparisons per
+    row instead of the O(K) per-row array scan a higher-order ``filter``
+    would cost — at a 100× batch with thousands of boundaries, the linear
+    scan degrades quadratically while this stays flat.  ``seg_starts`` is
+    sorted ascending by construction and every offset is ≥ its partition's
+    first boundary, so the greatest-≤ entry always exists.
+    """
+    half = "CAST((acc.lo + acc.hi + 1) div 2 AS INT)"
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(1, {_BSEARCH_STEPS}),
+          struct(CAST(1 AS INT) AS lo, CAST(size(seg_starts) AS INT) AS hi),
+          (acc, step) -> IF(acc.lo >= acc.hi, acc,
+            IF(element_at(seg_starts, {half}) <= msg_offset,
+               struct({half} AS lo, acc.hi AS hi),
+               struct(acc.lo AS lo, CAST({half} - 1 AS INT) AS hi))),
+          acc -> CAST(acc.lo - 1 AS BIGINT))
+        """
+    )
 
 
 def segment_bounds(tagged: DataFrame, region: str, level: int = 0) -> DataFrame:

@@ -43,6 +43,42 @@ def test_greedy_invariants(spark_global, sizes, max_bytes, max_messages):
     assert segs[-1]["end_offset"] == len(sizes) - 1
 
 
+@given(
+    starts=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200),
+    probes=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50),
+)
+@settings(max_examples=25, deadline=None)
+def test_bsearch_matches_linear_scan(spark_global, starts, probes):
+    """The fixed-depth binary-search fold must agree with the linear
+    greatest-boundary-≤-offset definition for any sorted boundary array."""
+    from kafka_replicator_spark.operators.egress import _bsearch_segment_seq
+
+    spark = spark_global
+    seg_starts = sorted(set(starts))
+    lo = seg_starts[0]
+    probes = [max(p, lo) for p in probes]  # offsets never precede boundary 0
+    df = spark.createDataFrame(
+        [(p, seg_starts) for p in probes], "msg_offset long, seg_starts array<bigint>"
+    )
+    got = {r["msg_offset"]: r["seq"] for r in df.select(
+        "msg_offset", _bsearch_segment_seq().alias("seq")
+    ).collect()}
+    import bisect
+
+    for p in probes:
+        assert got[p] == bisect.bisect_right(seg_starts, p) - 1
+
+
+def test_greedy_assignment_is_log_depth_not_linear_scan(spark, messages):
+    """Plan pin: the data-scale assignment must not carry a per-row
+    higher-order filter over the boundary array (O(K) per row)."""
+    tagged = assign_segments_greedy(messages, max_bytes=4096, max_messages=100)
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "filter(seg_starts" not in plan
+    # the binary-search fold (its sequence(1,N) literal is constant-folded)
+    assert "aggregate(" in plan and "seg_starts" in plan
+
+
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
