@@ -39,7 +39,9 @@ HEADLINE = [
 ]
 
 
-def segment_lifecycle_bench(spark, n_msgs: int = 2_000_000, n_partitions: int = 8) -> tuple[float, int]:
+def segment_lifecycle_bench(
+    spark, n_msgs: int = 2_000_000, n_partitions: int = 8, split: str = "uniform"
+) -> tuple[float, int]:
     """The engine's actual job end-to-end: message stream → greedy rollover
     → segment files → compaction merge → ordered replay.
 
@@ -48,6 +50,12 @@ def segment_lifecycle_bench(spark, n_msgs: int = 2_000_000, n_partitions: int = 
     throughput figure against the reference's 100 MiB / 5 min single-node
     envelope (BASELINE.md §1).  The testdata events table is only 100k rows
     at sf0.1 — too small to measure throughput.
+
+    ``split="hot"`` sends 90% of messages to partition 0 (offsets stay dense
+    per partition) — the hot-partition stress case.  The engine's skew
+    controls are structural: egress parallelism is per *segment*, not per
+    partition, so the hot partition's writes still fan out; the compaction
+    planner's bounded take caps any single merge task's input.
     """
     import shutil
     import tempfile
@@ -56,14 +64,35 @@ def segment_lifecycle_bench(spark, n_msgs: int = 2_000_000, n_partitions: int = 
 
     from kafka_replicator_spark.operators.compaction import compact
     from kafka_replicator_spark.operators.egress import assign_segments_greedy, write_segments
-    from kafka_replicator_spark.sources.segments import read_segment_files
+    from kafka_replicator_spark.sources.segments import list_segments, read_segment_files
+
+    if split == "uniform":
+        partition = (F.col("id") % n_partitions).cast("int")
+        offset = (F.col("id") / n_partitions).cast("long")
+    elif split == "hot":
+        # 9 of every 10 ids → partition 0; the rest round-robin the others.
+        # Offsets are dense per partition by construction.
+        k = F.expr("id div 10")
+        cold = n_partitions - 1
+        partition = (
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise((k % cold + 1))
+            .cast("int")
+        )
+        offset = (
+            F.when(F.col("id") % 10 < 9, k * 9 + F.col("id") % 10)
+            .otherwise(F.expr(f"(id div 10) div {cold}"))
+            .cast("long")
+        )
+    else:
+        raise ValueError(f"unknown split {split!r}")
 
     msgs = (
         spark.range(n_msgs)
         .select(
             F.lit("bench-topic").alias("topic"),
-            (F.col("id") % n_partitions).cast("int").alias("partition_id"),
-            (F.col("id") / n_partitions).cast("long").alias("msg_offset"),
+            partition.alias("partition_id"),
+            offset.alias("msg_offset"),
             F.col("id").cast("string").cast("binary").alias("msg_key"),
             F.concat(F.lit("payload-payload-payload-payload-payload-payload-"), F.col("id"))
             .cast("binary")
@@ -78,10 +107,16 @@ def segment_lifecycle_bench(spark, n_msgs: int = 2_000_000, n_partitions: int = 
     t0 = time.perf_counter()
     tagged = assign_segments_greedy(msgs, max_bytes=16 << 20, max_messages=250_000)
     write_segments(tagged, root=root, region="bench", level=0).collect()
-    merged = compact(spark, root, region="bench", min_count=2, min_bytes=1)
-    paths = [r["path"] for r in merged.collect()]
-    # compacted outputs are disjoint by construction — skip the winner-
-    # picking sort (merge_segments makes the same metadata-driven choice)
+    # chunked merge output: one writer task per 250k-message output segment,
+    # so a hot partition's merge parallelizes instead of serializing into a
+    # single task (reference is strictly N→1; see merge_segments docstring)
+    compact(
+        spark, root, region="bench", min_count=2, min_bytes=1,
+        max_output_messages=250_000,
+    ).collect()
+    # replay everything still standing (compacted + any below-threshold
+    # level-0 stragglers); inputs were deleted, so no overlaps remain
+    paths = [r["path"] for r in list_segments(spark, root).collect()]
     replayed = read_segment_files(spark, paths, dedup_overlaps=False).count()
     dt = time.perf_counter() - t0
     assert replayed == n, f"lifecycle lost rows: {replayed} != {n}"
@@ -127,6 +162,20 @@ def main() -> None:
     print(
         f"# segment_lifecycle: {life_sec:.3f}s "
         f"({life_msgs} msgs, {life_msgs / life_sec:,.0f} msg/s)",
+        file=sys.stderr,
+    )
+
+    # skew stress: same pipeline, 90% of messages on one partition — must
+    # stay within ~1.5× of the uniform split (per-segment write parallelism
+    # + chunked merge are the structural skew controls)
+    skew_sec, _ = segment_lifecycle_bench(spark, split="hot")
+    skew_sec2, _ = segment_lifecycle_bench(spark, split="hot")
+    skew_sec = min(skew_sec, skew_sec2)
+    timings["segment_lifecycle_skewed"] = round(skew_sec, 3)
+    total += skew_sec
+    print(
+        f"# segment_lifecycle_skewed: {skew_sec:.3f}s "
+        f"({skew_sec / life_sec:.2f}x uniform)",
         file=sys.stderr,
     )
 

@@ -136,7 +136,8 @@ def plan_compaction(
 
 
 def merge_segments(
-    spark: SparkSession, plan: DataFrame | list, root: str, region: str
+    spark: SparkSession, plan: DataFrame | list, root: str, region: str,
+    max_output_messages: int | None = None,
 ) -> DataFrame:
     """M1: execute a compaction plan → one merged segment per partition.
 
@@ -144,6 +145,14 @@ def merge_segments(
     the plan is metadata-scale (the reference holds the same list in
     memory), and collecting once in the caller avoids re-running the
     planner's tiny Spark jobs.
+
+    ``max_output_messages`` (optional) chunks the merged output into
+    multiple contiguous segments of at most that many messages.  The
+    reference merges strictly N→1 (single-writer per partition); on a
+    hot partition that single writer is the skew bottleneck, and chunking
+    re-parallelizes it per output segment — same dense-offset invariants,
+    same read path, bounded writer-task memory.  Default None = reference-
+    exact N→1.
 
     Raises ValueError on an offset gap (reference errors with
     ``missing message range``, compactor.go:219-221); the gapped partition
@@ -201,7 +210,14 @@ def merge_segments(
     # input would double the read cost for nothing.  A gapped partition
     # raises before its rename: nothing publishes for it; other partitions
     # proceed independently, exactly the reference's per-partition isolation.
-    tagged = trimmed.withColumn("segment_seq", F.lit(0))
+    if max_output_messages is None:
+        tagged = trimmed.withColumn("segment_seq", F.lit(0))  # N→1, reference-exact
+    else:
+        # chunked output: contiguous, dense per chunk (offsets are dense per
+        # partition), one writer task per chunk
+        tagged = trimmed.withColumn(
+            "segment_seq", F.expr(f"msg_offset div {int(max_output_messages)}")
+        )
     return write_segments(
         tagged, root=root, region=region, level="out_level", require_dense=True
     )
@@ -230,6 +246,7 @@ def compact(
     root: str,
     region: str,
     delete_inputs: bool = True,
+    max_output_messages: int | None = None,
     **plan_kwargs,
 ) -> DataFrame:
     """End-to-end compaction run: list → plan → merge → delete inputs.
@@ -248,7 +265,10 @@ def compact(
     plan_rows = [r for r in all_rows if not r["superseded"]]
     superseded_paths = sorted({r["path"] for r in all_rows if r["superseded"]})
     input_paths = sorted({r["path"] for r in plan_rows} | set(superseded_paths))
-    written = merge_segments(spark, plan_rows, root=root, region=region)
+    written = merge_segments(
+        spark, plan_rows, root=root, region=region,
+        max_output_messages=max_output_messages,
+    )
     try:
         result = written.collect()  # force the write before deleting inputs
     except Exception as e:  # surface the writer's inline gap check as ValueError

@@ -128,7 +128,7 @@ def assign_segments_greedy(
         )
     )
     tagged = df.join(F.broadcast(bounds), ["topic", "partition_id"]).withColumn(
-        "segment_seq", _bsearch_segment_seq()
+        "segment_seq", _segment_seq_expr()
     )
     return tagged.drop("seg_starts")
 
@@ -137,6 +137,25 @@ def assign_segments_greedy(
 #: partition-batch, far above any real plan (the plan itself is bounded by
 #: max_count), at 21 codegen steps per row
 _BSEARCH_STEPS = 21
+
+#: below this boundary count a straight scan beats the fold's constant
+#: factor (measured ~3× at K=2 on 2M rows); above it the fold's O(log K)
+#: wins and caps the worst case
+_LINEAR_SCAN_MAX = 32
+
+
+def _segment_seq_expr() -> "F.Column":
+    """Greatest ``seg_starts`` entry ≤ ``msg_offset``: linear scan for small
+    boundary arrays (the steady-state case — a partition-batch rolls over a
+    handful of segments), fixed-depth binary search beyond
+    ``_LINEAR_SCAN_MAX`` so a pathological batch with thousands of
+    boundaries stays O(log K) per row instead of O(K)."""
+    linear = (
+        F.size(F.filter("seg_starts", lambda b: b <= F.col("msg_offset"))) - 1
+    ).cast("long")
+    return F.when(
+        F.size("seg_starts") <= _LINEAR_SCAN_MAX, linear
+    ).otherwise(_bsearch_segment_seq())
 
 
 def _bsearch_segment_seq() -> "F.Column":

@@ -174,6 +174,29 @@ def test_min_thresholds_skip(spark):
     assert plan_compaction(segs, min_count=2, min_bytes=150).count() == 2  # both met
 
 
+def test_chunked_merge_output(spark, tmp_path):
+    """max_output_messages chunks the merged output into multiple contiguous
+    segments (hot-partition skew control; default stays reference-exact N→1):
+    same rows, same dense coverage, parallel writer tasks."""
+    root = str(tmp_path)
+    for s, e in [(0, 9), (10, 19), (20, 29), (30, 34)]:
+        _write_range(spark, root, 0, s, e)
+    out = sorted(
+        compact(
+            spark, root, region=REGION, min_count=2, min_bytes=1,
+            max_output_messages=10,
+        ).collect(),
+        key=lambda r: r["start_offset"],
+    )
+    assert len(out) == 4  # 35 msgs / 10 per chunk
+    assert all(r["level"] == 1 for r in out)
+    assert [(r["start_offset"], r["end_offset"]) for r in out] == [
+        (0, 9), (10, 19), (20, 29), (30, 34),
+    ]
+    back = read_segment_files(spark, [r["path"] for r in out])
+    assert [r["msg_offset"] for r in back.orderBy("msg_offset").collect()] == list(range(35))
+
+
 def test_superseded_segments_deleted_after_merge(spark, tmp_path):
     """F3 cleanup: segments fully below the floor are excluded from the
     merge read but deleted with the inputs once their partition compacts

