@@ -324,3 +324,90 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ----------------------------------------------- duplicate clustering (CC)
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters (connected components) and
+    pick the canonical survivor per cluster — the step that turns pairwise
+    dedup output into an actual keep/drop decision.
+
+    Iterative min-label propagation: every node starts labeled with its own
+    id; each round takes the min over itself and its neighbors' labels;
+    converged when the label sum stops decreasing (labels only ever
+    decrease, so equal sums == fixpoint).  Rounds needed = component
+    diameter — small for dedup clusters, which are near-cliques by
+    construction (every member collided with something in the cluster).
+    Each round is one shuffle of |edges| rows; ``localCheckpoint`` truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1.  The known
+    accelerator for adversarially-long chains is the large-star/small-star
+    contraction (Kiveris et al. 2014) — same join shape, O(log n) rounds.
+
+    ``pairs`` defaults to MinHash-LSH candidate pairs (``doc_a``/``doc_b``);
+    singleton documents keep their own id as ``cluster_id`` so the output is
+    a total keep/drop map over the corpus.
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("comp")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.col("cluster_size"),
+        (F.col("node") == F.col("comp")).cast("long").alias("is_canonical"),
+    )
+
+
+def duplicate_clusters_sql(k: int = 16, n: int = 3, bands: int = 4) -> str:
+    """Recursive-CTE oracle: min reachable id over the undirected LSH pair
+    graph == the engine's propagated min label."""
+    return f"""
+WITH RECURSIVE pairs AS ({lsh_candidate_pairs_sql(k=k, n=n, bands=bands)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT node AS doc_id, comp AS cluster_id,
+       count(*) OVER (PARTITION BY comp) AS cluster_size,
+       CAST(node = comp AS BIGINT) AS is_canonical
+FROM lab
+"""

@@ -1,0 +1,64 @@
+"""Curation-stage queries (quality gate, PII scrub, sampling, dup
+clustering).  Registered SECOND — right after the replicator core — so the
+driver's correctness window (which verifies a prefix of the registry) covers
+them on their first round out; the families registered later all carry green
+CORRECTNESS_r01 rows already.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_replicator_spark.functions import curation, dedup
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "p_dup_clusters",
+    dedup.duplicate_clusters_sql(k=16, n=3, bands=4),
+    tags=("pipeline", "dedup"),
+    doc="near-dup clustering: connected components over the LSH pair graph "
+    "via iterative min-label propagation (oracle: recursive CTE); emits the "
+    "total keep/drop map with canonical survivors",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_clusters(_docs(spark, sf_dir))
+
+
+@register(
+    "p_quality_rules",
+    curation.gopher_quality_sql(),
+    tags=("pipeline", "text"),
+    doc="Gopher-style heuristic quality gate: word count, mean word length, "
+    "stopword presence, most-common-bigram repetition — per-rule flags plus "
+    "the conjunction",
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.gopher_quality(_docs(spark, sf_dir))
+
+
+@register(
+    "p_pii_scrub",
+    curation.pii_scrub_sql(),
+    tags=("pipeline", "text"),
+    doc="PII detect + redact (emails/phones/IPv4) over deterministically "
+    "augmented text; counts per doc + md5 of the redacted output",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pii_scrub(_docs(spark, sf_dir))
+
+
+@register(
+    "p_stratified_sample",
+    curation.stratified_sample_sql(),
+    tags=("pipeline", "sampling"),
+    doc="deterministic hash-gated stratified sample (per-language permille "
+    "rates) — reproducible training-mix resampling, no RNG state",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.stratified_sample(_docs(spark, sf_dir))

@@ -429,3 +429,4 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             agree.cast("int").alias("sig_agreement_16"),
         )
     )
+

@@ -1,0 +1,106 @@
+"""Unit tests for the curation operators (functions/curation.py) and
+duplicate clustering (functions/dedup.py::duplicate_clusters) — semantics on
+hand-built inputs; cross-engine parity is covered by test_oracle_parity.
+"""
+
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions import curation, dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_duplicate_clusters_chain_and_singleton(spark):
+    """A chain a-b, b-c must collapse into ONE cluster (transitivity — the
+    property pairwise dedup output lacks); untouched docs stay singletons."""
+    docs = _docs(
+        spark,
+        [(1, "x", "en", "s"), (2, "x", "en", "s"), (3, "x", "en", "s"), (9, "y", "en", "s")],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert out[1] == (1, 3, 1)
+    assert out[2] == (1, 3, 0)
+    assert out[3] == (1, 3, 0)
+    assert out[9] == (9, 1, 1)
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """Propagation needs diameter rounds — a 10-hop chain exercises the
+    convergence loop well past one iteration."""
+    n = 11
+    docs = _docs(spark, [(i, "x", "en", "s") for i in range(n)])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = dedup.duplicate_clusters(docs, pairs=pairs).collect()
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_gopher_quality_single_word_doc(spark):
+    """One-word docs must not crash on the descending sequence(1,0) trap and
+    count as maximally repetitive (top_bigram_frac = 1.0)."""
+    docs = _docs(spark, [(1, "word", "en", "s")])
+    row = curation.gopher_quality(docs).collect()[0]
+    assert row["word_count"] == 1
+    assert row["top_bigram_frac"] == 1.0
+    assert row["passes"] == 0  # fails min_words
+
+
+def test_gopher_quality_repetition_flag(spark):
+    """A degenerate 'spam spam spam ...' doc trips the repetition rule even
+    when its other stats look fine."""
+    spam = " ".join(["the", "of"] * 40)  # bigram 'of the' dominates
+    docs = _docs(spark, [(1, spam, "en", "s")])
+    row = curation.gopher_quality(docs).collect()[0]
+    assert row["flag_word_count"] == 1 and row["flag_stopwords"] == 1
+    assert row["flag_repetition"] == 0 and row["passes"] == 0
+
+
+def test_pii_scrub_redacts_injected_spans(spark):
+    """Redaction must remove every detected span: the redacted text of a doc
+    with all three injections contains the placeholders, not the PII."""
+    docs = _docs(spark, [(0, "hello world", "en", "s"), (7, "plain text", "en", "s")])
+    aug = docs.select(
+        "doc_id",
+        curation._augment_with_pii(F.col("text"), F.col("doc_id")).alias("aug"),
+    )
+    red = aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("aug", curation.EMAIL_RE, "<EMAIL>"),
+                curation.PHONE_RE,
+                "<PHONE>",
+            ),
+            curation.IP_RE,
+            "<IP>",
+        ).alias("red"),
+    )
+    by_id = {r["doc_id"]: r["red"] for r in red.collect()}
+    assert by_id[0] == "hello world contact <EMAIL> call <PHONE> host <IP>"
+    assert by_id[7] == "plain text"  # no injection, identity
+    counts = {r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"]) for r in
+              curation.pii_scrub(docs).collect()}
+    assert counts[0] == (1, 1, 1) and counts[7] == (0, 0, 0)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    """Same input → identical sample (hash gate, no RNG), and the gated
+    language is thinned while default-rate languages pass whole at rate
+    1000."""
+    rows = [(i, "t", "en" if i % 2 == 0 else "fr", f"src{i % 4}") for i in range(400)]
+    docs = _docs(spark, rows)
+    s1 = sorted(r["doc_id"] for r in curation.stratified_sample(docs).collect())
+    s2 = sorted(r["doc_id"] for r in curation.stratified_sample(docs).collect())
+    assert s1 == s2
+    kept = curation.stratified_sample(docs).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang["fr"] == 200  # default rate keeps everything
+    assert 50 < by_lang["en"] < 150  # ~50% hash-gated
