@@ -104,3 +104,21 @@ def test_range_join_is_equi_join_on_buckets(spark, sf_dir):
 
 def test_chunking_stays_codegen(spark, sf_dir):
     assert has_wholestage_codegen(QUERIES["p_chunk_documents"].fn(spark, sf_dir))
+
+
+def test_curation_ops_are_map_only(spark, sf_dir):
+    """The curation stages (quality gate, PII scrub, sampling) must compile
+    to zero-exchange map-only plans — at 100 TB they fuse into the scan."""
+    for name in ("p_quality_rules", "p_pii_scrub", "p_stratified_sample"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert count_exchanges(df) == 0, f"{name} shuffles: " + physical_plan(df)
+        assert has_wholestage_codegen(df), f"{name} fell out of codegen"
+
+
+def test_stratified_sample_prunes_scan(spark, sf_dir):
+    """The sample's 3-column output must not drag the text column through
+    the scan."""
+    df = QUERIES["p_stratified_sample"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, "sample scan reads the text column"
