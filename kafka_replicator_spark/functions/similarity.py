@@ -302,3 +302,249 @@ ranked AS (
 SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------- k-means training
+
+def kmeans_train(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus in pure DataFrame ops —
+    the trainer that turns ``ivf_assign``'s stride-picked stand-in centroids
+    into data-driven ones (nothing else in the IVF query changes).
+
+    Determinism across engines (the part float arithmetic would break):
+
+    * init: the ``k`` smallest ``vec_id`` vectors, cluster = id rank
+    * assignment: squared-L2 argmin decomposed as e.e - 2 e.c + c.c, each
+      dot an in-order sequential fold (identical IEEE op order on both
+      engines); ties break to the smaller cluster
+    * update: component sums in exact integer micro-units
+      (floor(x*1e6 + 0.5) as BIGINT) — associative, so shuffle/partial-agg
+      order can't change the result — then one double division per
+      component, re-quantized to micro-units for the next round
+
+    Each iteration = one broadcast of k centroids (metadata-scale) + one
+    shuffle of the dim-exploded corpus; iterations are a fixed small count,
+    the standard big-data k-means shape.  The per-dim explode (64×) keeps
+    the oracle SQL a literal mirror; the explode-free flavor (64 aggregate
+    columns) is a drop-in if the 64× shuffle ever dominates.
+
+    Returns the final long-format model: one row per (cluster, dim) with
+    the integer micro-unit centroid component and the cluster's member
+    count — integer-only output, no float compare anywhere.
+    """
+    w_init = Window.orderBy("vec_id")
+    emb = (
+        _spread_emb(embeddings)
+        .select("vec_id", _dbl("embedding").alias("e"))
+        .cache()  # scanned once per iteration
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cluster"),
+            F.transform(
+                "e", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("cm"),
+        )
+    )
+    sums = None
+    for _ in range(iters):
+        cd = F.transform(F.col("cm"), lambda m: m / F.lit(1e6))
+        scored = emb.join(F.broadcast(cents)).select(
+            "vec_id",
+            "e",
+            "cluster",
+            (
+                dot_col(F.col("e"), F.col("e"))
+                - 2 * dot_col(F.col("e"), cd)
+                + dot_col(cd, cd)
+            ).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", "cluster")
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("e").alias("dim0", "x"))
+            .groupBy("cluster", (F.col("dim0") + 1).cast("long").alias("dim"))
+            .agg(
+                F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")).alias("s_micro"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        mean_micro = F.floor(F.col("s_micro") / F.col("n_members").cast("double") + F.lit(0.5)).cast("long")
+        cents = (
+            sums.withColumn("m_micro", mean_micro)
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m_micro"))),
+                    lambda s: s["m_micro"],
+                ).alias("cm")
+            )
+        )
+    return sums.select(
+        "cluster",
+        "dim",
+        F.floor(F.col("s_micro") / F.col("n_members").cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("centroid_micro"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def kmeans_train_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-iteration oracle: c0 → (assign → sum → centroid)ⁿ, a
+    literal SQL mirror of the Spark plan above."""
+    d1 = dim + 1
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         list_transform(e, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS cm
+  FROM emb ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT emb.vec_id, emb.e, c.cluster,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_dot_product(e, e)
+                      - 2 * list_dot_product(e, list_transform(cm, m -> m / 1000000.0))
+                      + list_dot_product(list_transform(cm, m -> m / 1000000.0),
+                                         list_transform(cm, m -> m / 1000000.0)) ASC,
+                      c.cluster ASC
+           ) AS rn
+    FROM emb, {prev} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""s{it} AS (
+  SELECT cluster, CAST(t.dim AS BIGINT) AS dim,
+         SUM(CAST(floor(e[t.dim] * 1e6 + 0.5) AS BIGINT)) AS s_micro,
+         COUNT(*) AS n_members
+  FROM a{it}, range(1, {d1}) t(dim)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""c{it} AS (
+  SELECT cluster,
+         list(CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT)
+              ORDER BY dim) AS cm
+  FROM s{it} GROUP BY cluster
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster, dim,
+       CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT) AS centroid_micro,
+       CAST(n_members AS BIGINT) AS n_members
+FROM s{iters}
+"""
+    )
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF search over TRAINED centroids: assign every vector to its
+    nearest k-means centroid (squared-L2, same decomposed fold as the
+    trainer), then rank candidates only within the probe's cell — the
+    end-to-end trained flavor of ``ivf_topk``.  Model and corpus stay
+    DataFrames throughout; the k×dim model broadcasts."""
+    model = kmeans_train(embeddings, k=n_clusters, iters=iters)
+    cents = model.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_micro"))),
+            lambda s: s["centroid_micro"] / F.lit(1e6),
+        ).alias("cd")
+    )
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        "cluster",
+        (
+            dot_col(F.col("e"), F.col("e"))
+            - 2 * dot_col(F.col("e"), F.col("cd"))
+            + dot_col(F.col("cd"), F.col("cd"))
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cluster")
+        .cache()  # probes + candidates
+    )
+    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "cluster"
+    )
+    cands = assigned.join(F.broadcast(probes), ["cluster"]).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    ranked = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def ivf_topk_trained_sql(
+    probe_ids: list[int], k: int = 5, n_clusters: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    km = kmeans_train_sql(k=n_clusters, iters=iters, dim=dim)
+    body = km.partition("WITH ")[2].rpartition("\nSELECT cluster, dim,")[0]
+    return f"""
+WITH {body},
+model AS (
+  SELECT cluster,
+         list(CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
+              ORDER BY dim) AS cd
+  FROM s{iters} GROUP BY cluster
+),
+assigned AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT emb.vec_id, emb.e, m.cluster,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_dot_product(e, e) - 2 * list_dot_product(e, cd)
+                      + list_dot_product(cd, cd) ASC,
+                      m.cluster ASC
+           ) AS rn
+    FROM emb, model m
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, e AS pe, cluster FROM assigned WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT probe_id, c.vec_id AS neighbor_id,
+         list_dot_product(pe, e)
+           / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))) AS cos
+  FROM assigned c JOIN probes USING (cluster) WHERE c.vec_id <> probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""

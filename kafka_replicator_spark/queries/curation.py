@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import curation, dedup
+from kafka_replicator_spark.functions import curation, dedup, similarity
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -62,3 +62,30 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.stratified_sample(_docs(spark, sf_dir))
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "p_kmeans_centroids",
+    similarity.kmeans_train_sql(k=8, iters=2),
+    tags=("pipeline", "similarity"),
+    doc="Lloyd's k-means (2 rounds, k=8) in pure DataFrame ops: exact "
+    "integer-micro centroid sums, in-order fold distances; integer-only "
+    "model output (oracle: unrolled-iteration SQL)",
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_train(_emb(spark, sf_dir), k=8, iters=2)
+
+
+@register(
+    "p_ivf_topk_trained",
+    similarity.ivf_topk_trained_sql(probe_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=5),
+    tags=("pipeline", "similarity"),
+    doc="IVF top-k over TRAINED k-means centroids (nprobe=1): the "
+    "end-to-end trained flavor of p_ivf_topk",
+)
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk_trained(_emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=5)

@@ -104,3 +104,23 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     by_lang = {r["lang"]: r["count"] for r in kept}
     assert by_lang["fr"] == 200  # default rate keeps everything
     assert 50 < by_lang["en"] < 150  # ~50% hash-gated
+
+
+def test_kmeans_recovers_blobs(spark):
+    """Two well-separated blobs, k=2: after 2 Lloyd rounds each blob is its
+    own cluster even though the seed centroids both start inside blob A."""
+    from kafka_replicator_spark.functions.similarity import kmeans_train
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]),
+        (2, [10.0, 10.0]), (3, [10.1, 10.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = kmeans_train(emb, k=2, iters=2, dim=2).collect()
+    by_cluster = {}
+    for r in model:
+        by_cluster.setdefault(r["cluster"], r["n_members"])
+    assert by_cluster == {0: 2, 1: 2}
+    # cluster 0's dim-1 centroid is the blob-A mean (0.05 → 50000 micro)
+    c0d1 = [r for r in model if r["cluster"] == 0 and r["dim"] == 1][0]
+    assert c0d1["centroid_micro"] == 50000
