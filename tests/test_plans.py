@@ -122,3 +122,30 @@ def test_stratified_sample_prunes_scan(spark, sf_dir):
     plan = physical_plan(df)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema, "sample scan reads the text column"
+
+
+def test_q4_semi_join_broadcast(spark, sf_dir):
+    """Q4's EXISTS must compile to a broadcast left-semi join (orders-side
+    date filter pushed), one shuffle for the priority aggregate."""
+    df = QUERIES["a_q4_priority_lateness"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 1
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q7_bination_broadcast_single_shuffle(spark, sf_dir):
+    """Q7's five dimension joins all broadcast; the fact shuffles exactly
+    once for the final group-by."""
+    df = QUERIES["a_q7_bination_volume"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_q19_or_bracket_pushes_single_side_residual(spark, sf_dir):
+    """Catalyst must derive the lineitem-only residual of the OR-of-AND
+    bracket (the l_quantity disjunction) and push it into the scan."""
+    df = QUERIES["a_q19_bracket_scan"].fn(spark, sf_dir)
+    assert any("l_quantity" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert count_exchanges(df) == 1
