@@ -55,7 +55,12 @@ QUALITY_RULES = {
 }
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher-style heuristic quality rules, one boolean flag per rule plus
     the conjunction (``passes``):
 
@@ -87,6 +92,7 @@ def gopher_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     out = docs.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         wc.alias("word_count"),
         _round6(mwl).alias("mean_word_len"),
         n_stop.alias("distinct_stopwords"),
@@ -194,7 +200,12 @@ text
 """
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Detect and redact PII-shaped spans (emails, phone fragments, IPv4):
     per-doc detection counts plus the md5 of the redacted text (stable
     cross-engine evidence that the replacement text is byte-identical).
@@ -211,6 +222,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         F.regexp_count(aug, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(aug, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         F.regexp_count(aug, F.lit(IP_RE)).cast("long").alias("n_ips"),
