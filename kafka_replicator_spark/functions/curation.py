@@ -294,3 +294,26 @@ SELECT doc_id, lang, source
 FROM documents
 WHERE {key_sql} % 1000 < CASE {cases} ELSE {DEFAULT_RATE_PERMILLE} END
 """
+
+
+# ------------------------------------------------- composed batch pipeline
+
+
+def curate_batch_sql() -> str:
+    """Oracle for the full batch curation composition: min-id exact dedup →
+    Gopher quality gate → PII scrub (the batch twin of
+    streaming/curation_stream.curate_stream)."""
+    return f"""
+WITH deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
+    FROM documents
+  ) WHERE _rn = 1
+),
+gated AS (
+  SELECT doc_id FROM ({gopher_quality_sql().replace('FROM documents', 'FROM documents')}
+  ) q WHERE q.passes = 1 AND q.doc_id IN (SELECT doc_id FROM deduped)
+)
+SELECT p.* FROM ({pii_scrub_sql()}) p
+WHERE p.doc_id IN (SELECT doc_id FROM gated)
+"""

@@ -89,3 +89,24 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_trained(_emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=5)
+
+
+@register(
+    "p_curate_batch",
+    curation.curate_batch_sql(),
+    tags=("pipeline", "text"),
+    doc="composed batch curation: exact dedup (min-id winner) -> Gopher "
+    "quality gate -> PII scrub; the batch twin of the streaming intake "
+    "(streaming/curation_stream.py)",
+)
+def q_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    gated = curation.gopher_quality(deduped, keep=("text",)).filter(F.col("passes") == 1)
+    return curation.pii_scrub(gated)

@@ -124,3 +124,59 @@ def test_kmeans_recovers_blobs(spark):
     # cluster 0's dim-1 centroid is the blob-A mean (0.05 → 50000 micro)
     c0d1 = [r for r in model if r["cluster"] == 0 and r["dim"] == 1][0]
     assert c0d1["centroid_micro"] == 50000
+
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_duplicate_clusters_matches_union_find(spark_global, edges):
+    """Min-label propagation over random pair graphs must equal a plain
+    union-find: same components, same min-id cluster labels, singletons
+    included."""
+    spark = spark_global
+    n = 20
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n)}
+
+    from kafka_replicator_spark.functions.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s") for i in range(n)],
+        "doc_id long, text string, lang string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.filter("doc_a <> doc_b")  # empty edge set
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == expected
