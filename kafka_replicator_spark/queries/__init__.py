@@ -56,6 +56,6 @@ def all_queries() -> dict[str, Query]:
     # Order matters: the driver's correctness harness may only verify a prefix
     # of the registry, so the replicator-core r_* queries (the engine's center
     # of gravity — M1 merge, A8 planner, J1 overlay, ...) register FIRST.
-    from kafka_replicator_spark.queries import replicator, curation, analytics, pipeline  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics, pipeline  # noqa: F401
 
     return REGISTRY

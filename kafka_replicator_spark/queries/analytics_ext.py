@@ -1,0 +1,197 @@
+"""TPC-H query shapes added in round 2 (Q4/Q7/Q14/Q19).
+
+Separate module so they register BEFORE the round-1 analytics family: the
+driver's correctness harness verifies a prefix of the registry, and these
+have no round-1 green row yet (the round-1 families do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+# local copies (importing them from .analytics would trigger that module's
+# registrations first and push these queries out of the driver window)
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+@register(
+    "a_q4_priority_lateness",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    tags=("analytics", "semi-join"),
+    doc="TPC-H Q4 shape: EXISTS correlated on a non-equi predicate → "
+    "left-semi join with a composite condition, then count by priority "
+    "(lateness predicate adapted: the fixture lineitem has no "
+    "l_commitdate/l_receiptdate, so 'late' = shipped >30 days after order)",
+)
+def q4_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ------------------------------------------------------------ TPC-H Q7
+
+@register(
+    "a_q7_bination_volume",
+    """
+SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+WHERE (n_s.n_name = 'NATION_1' AND n_c.n_name = 'NATION_2')
+   OR (n_s.n_name = 'NATION_2' AND n_c.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+    tags=("analytics", "join"),
+    doc="TPC-H Q7 shape: two roles of the same dimension (supplier nation "
+    "vs customer nation) with a symmetric pair filter, grouped by year — "
+    "dims broadcast, fact shuffles once for the final aggregate",
+)
+def q7_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    df = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q14
+
+@register(
+    "a_q14_promo_revenue",
+    """
+WITH t AS (
+  SELECT CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              ELSE CAST(0 AS DECIMAL(18,2)) END AS promo,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT CAST(round(sum(promo), 2) AS DOUBLE) AS promo_revenue,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+       floor(100.0 * CAST(round(sum(promo), 2) AS DOUBLE)
+                   / CAST(round(sum(rev), 2) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS promo_pct
+FROM t
+""",
+    tags=("analytics", "aggregation"),
+    doc="TPC-H Q14 shape: conditional aggregate ratio (promo revenue share) "
+    "over a month scan joined to the part dimension",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    agg = li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey")).agg(
+        F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.floor(100.0 * F.col("promo_revenue") / F.col("total_revenue") * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("promo_pct"),
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q19
+
+@register(
+    "a_q19_bracket_scan",
+    """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+    tags=("analytics", "join"),
+    doc="TPC-H Q19 shape: OR-of-AND bracket predicates spanning both join "
+    "sides — the single-side conjuncts (p_brand/p_size brackets) are "
+    "pushable; the cross-side residual evaluates post-join",
+)
+def q19_bracket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == li["l_partkey"])
+    bracket = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
