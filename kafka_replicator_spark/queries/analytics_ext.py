@@ -195,3 +195,71 @@ def q19_bracket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ------------------------------------------------------------ TPC-H Q8
+
+@register(
+    "a_q8_market_share",
+    """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         n_s.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+  JOIN region   ON n_c.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+)
+SELECT CAST(o_year AS INTEGER) AS o_year,
+       CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+           AS nation_revenue,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+       floor(CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+             / CAST(round(sum(rev), 2) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
+FROM base GROUP BY o_year
+""",
+    tags=("analytics", "join"),
+    doc="TPC-H Q8 shape: seven-table star (two nation roles + region gate) "
+    "with a conditional-share aggregate by order year",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_c = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n_s = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    base = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(DEC))
+    agg = base.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum(nat), 2).cast("double").alias("nation_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.floor(F.col("nation_revenue") / F.col("total_revenue") * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("mkt_share"),
+    )
