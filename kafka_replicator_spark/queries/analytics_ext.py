@@ -263,3 +263,98 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("nation_revenue") / F.col("total_revenue") * 1e6 + F.lit(0.5)) / 1e6)
         .alias("mkt_share"),
     )
+
+
+# --------------------------------------------------------- funnel analysis
+
+#: epoch micros in one week (funnel/retention bucketing)
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "a_funnel_steps",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
+         min(CASE WHEN event_type = 'click' THEN ts_us END) AS first_click_us,
+         min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS first_purchase_us
+  FROM e GROUP BY user_id
+)
+SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+       CAST(CASE
+         WHEN first_view_us IS NOT NULL
+          AND first_click_us IS NOT NULL AND first_click_us > first_view_us
+          AND first_purchase_us IS NOT NULL AND first_purchase_us > first_click_us
+         THEN 3
+         WHEN first_view_us IS NOT NULL
+          AND first_click_us IS NOT NULL AND first_click_us > first_view_us
+         THEN 2
+         WHEN first_view_us IS NOT NULL THEN 1
+         ELSE 0 END AS BIGINT) AS funnel_stage
+FROM firsts
+""",
+    tags=("analytics", "events"),
+    doc="ordered funnel (view -> click -> purchase): per-user first-touch "
+    "times via conditional min, stage = deepest strictly-ordered prefix",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_us"))).alias("first_click_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("first_purchase_us"),
+    )
+    v, c, p = F.col("first_view_us"), F.col("first_click_us"), F.col("first_purchase_us")
+    stage = (
+        F.when(v.isNotNull() & c.isNotNull() & (c > v) & p.isNotNull() & (p > c), 3)
+        .when(v.isNotNull() & c.isNotNull() & (c > v), 2)
+        .when(v.isNotNull(), 1)
+        .otherwise(0)
+    )
+    return firsts.select(
+        "user_id", "first_view_us", "first_click_us", "first_purchase_us",
+        stage.cast("long").alias("funnel_stage"),
+    )
+
+
+# --------------------------------------------------------- retention cohorts
+
+@register(
+    "a_retention_cohorts",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week - cohort_week AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+FROM e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("analytics", "events"),
+    doc="weekly retention cohorts: users bucketed by first-seen week, "
+    "distinct-active counts per (cohort, week offset); broadcast cohort "
+    "join, integer week arithmetic",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts div 1000) div {WEEK_US}").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
+    )
