@@ -411,3 +411,75 @@ SELECT node AS doc_id, comp AS cluster_id,
        CAST(node = comp AS BIGINT) AS is_canonical
 FROM lab
 """
+
+
+# ------------------------------------------------- benchmark decontamination
+
+def contamination(
+    docs: DataFrame,
+    benchmark_sources: tuple[str, ...] = ("src0", "src1"),
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination score: for every training document, the
+    fraction of its word ``n``-grams that also appear anywhere in the
+    held-out benchmark slice — the test-set-leakage check a training
+    pipeline runs before a corpus ships.
+
+    Shape at scale: distinct benchmark grams form the (comparatively tiny)
+    probe side; the training-gram frame left-joins it on the gram hash —
+    one shuffle each side of an equi-join, no pair enumeration.  Docs too
+    short to produce an ``n``-gram score 0 and are retained (they cannot
+    leak an ``n``-gram).
+    """
+    is_bench = F.col("source").isin(*benchmark_sources)
+    bench_grams = (
+        word_ngrams(docs.filter(is_bench), n=n).select("h").distinct()
+    )
+    train = docs.filter(~is_bench)
+    train_grams = word_ngrams(train, n=n).select("doc_id", "h").distinct()
+    hits = train_grams.join(
+        bench_grams.withColumn("_hit", F.lit(1)), "h", "left"
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+    )
+    frac = F.floor(
+        F.col("n_contaminated") / F.col("n_grams") * 1e6 + F.lit(0.5)
+    ) / 1e6
+    scored = per_doc.select("doc_id", "n_grams", "n_contaminated", frac.alias("contamination_frac"))
+    gramless = train.select("doc_id").exceptAll(per_doc.select("doc_id")).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0).cast("long").alias("n_contaminated"),
+        F.lit(0.0).alias("contamination_frac"),
+    )
+    return scored.unionByName(gramless)
+
+
+def contamination_sql(benchmark_sources: tuple[str, ...] = ("src0", "src1"), n: int = 8) -> str:
+    srcs = ", ".join(f"'{s}'" for s in benchmark_sources)
+    grams = word_ngrams_sql(n)
+    return f"""
+WITH bench_grams AS (
+  SELECT DISTINCT h FROM ({grams.replace("FROM documents", f"FROM documents WHERE source IN ({srcs})")})
+),
+train_grams AS (
+  SELECT DISTINCT doc_id, h
+  FROM ({grams.replace("FROM documents", f"FROM documents WHERE source NOT IN ({srcs})")})
+),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+  FROM train_grams t LEFT JOIN bench_grams b USING (h)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       floor(n_contaminated / CAST(n_grams AS DOUBLE) * 1e6 + 0.5) / 1e6 AS contamination_frac
+FROM per_doc
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM documents
+WHERE source NOT IN ({srcs}) AND doc_id NOT IN (SELECT doc_id FROM per_doc)
+"""

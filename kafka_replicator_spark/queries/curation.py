@@ -110,3 +110,15 @@ def q_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = curation.gopher_quality(deduped, keep=("text",)).filter(F.col("passes") == 1)
     return curation.pii_scrub(gated)
+
+
+@register(
+    "p_contamination",
+    dedup.contamination_sql(benchmark_sources=("src0", "src1"), n=4),
+    tags=("pipeline", "dedup"),
+    doc="benchmark decontamination: per training doc, the fraction of its "
+    "word 4-grams that appear in the held-out benchmark slice "
+    "(test-set-leakage check); equi-join on gram hash, no pair enumeration",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.contamination(_docs(spark, sf_dir), benchmark_sources=("src0", "src1"), n=4)
