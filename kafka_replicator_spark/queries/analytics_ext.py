@@ -358,3 +358,71 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
     )
+
+
+# --------------------------------------------- native session_window parity
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches a_sessionization
+
+
+@register(
+    "a_session_window_builtin",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         -- >= : session_window's end boundary is EXCLUSIVE (an event at
+         -- exactly prev + gap opens a new session)
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(max(session_end_us - session_start_us) AS BIGINT) AS max_session_span_us
+FROM per_session GROUP BY user_id
+""",
+    tags=("analytics", "window", "streaming-shape"),
+    doc="Spark's native session_window aggregation (the state-store-backed "
+    "streaming operator, run in batch) checked against the same lag/cumsum "
+    "gap-sessionization oracle as the hand-rolled a_sessionization — "
+    "built-in and manual semantics must agree",
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    per_session = ev.groupBy(
+        F.session_window("event_time", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.max(F.col("session_end_us") - F.col("session_start_us"))
+        .cast("long")
+        .alias("max_session_span_us"),
+    )
