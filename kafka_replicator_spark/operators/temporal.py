@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def asof_join(
@@ -102,3 +103,31 @@ def bucketed_range_join(
     if extra_cond is not None:
         joined = joined.filter(extra_cond)
     return joined.drop("__bucket")
+
+
+def versioned_history(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD2-style temporal versioning: treat each row as a keyed change
+    event and emit validity ranges — ``valid_from`` (the row's own
+    timestamp), ``valid_to`` (the successor's timestamp, open interval; NULL
+    for the live version) and ``is_current``.
+
+    The window is partitioned by key, so versioning shuffles each key's
+    (typically short) history to one task — the same partition-local shape
+    as the engine's checkpoint LWW (A6), which keeps only the newest
+    version; this keeps them all, the audit/time-travel flavor.
+
+    ``order_cols`` break timestamp ties deterministically (defaults to the
+    timestamp alone).
+    """
+    order = [ts_col] + list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("long"))
+    )

@@ -8,6 +8,7 @@ CORRECTNESS_r01 rows already.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_replicator_spark.functions import curation, dedup, similarity
 from kafka_replicator_spark.queries import register
@@ -122,3 +123,36 @@ def q_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination(_docs(spark, sf_dir), benchmark_sources=("src0", "src1"), n=4)
+
+
+@register(
+    "p_versioned_history",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT user_id, event_id, event_type, ts_us AS valid_from,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+       CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+            AS BIGINT) AS is_current
+FROM e
+""",
+    tags=("pipeline", "temporal"),
+    doc="SCD2 temporal versioning: each keyed change event gets a validity "
+    "range (valid_from/valid_to open interval, is_current) — the "
+    "time-travel flavor of the checkpoint LWW (A6 keeps only the winner)",
+)
+def q_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.temporal import versioned_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    return versioned_history(
+        ev, key_cols=["user_id"], ts_col="ts_us", order_cols=["event_id"]
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+    )
