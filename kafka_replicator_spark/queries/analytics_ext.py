@@ -426,3 +426,35 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_session_span_us"),
     )
+
+
+# ------------------------------------------------------------ exact quantiles
+
+@register(
+    "a_quantiles",
+    """
+SELECT l_returnflag,
+       floor(quantile_cont(l_quantity, 0.25) * 1e6 + 0.5) / 1e6 AS qty_p25,
+       floor(quantile_cont(l_quantity, 0.50) * 1e6 + 0.5) / 1e6 AS qty_p50,
+       floor(quantile_cont(l_quantity, 0.75) * 1e6 + 0.5) / 1e6 AS qty_p75,
+       floor(quantile_cont(l_quantity, 0.95) * 1e6 + 0.5) / 1e6 AS qty_p95,
+       floor(quantile_cont(l_extendedprice, 0.50) * 1e6 + 0.5) / 1e6 AS price_median
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("analytics", "aggregation"),
+    doc="exact linear-interpolation percentiles (Spark percentile == DuckDB "
+    "quantile_cont bit-for-bit: same sorted-index formula) per return flag",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def q6(expr):
+        return (F.floor(F.expr(expr) * 1e6 + F.lit(0.5)) / 1e6)
+
+    return li.groupBy("l_returnflag").agg(
+        q6("percentile(l_quantity, 0.25)").alias("qty_p25"),
+        q6("percentile(l_quantity, 0.50)").alias("qty_p50"),
+        q6("percentile(l_quantity, 0.75)").alias("qty_p75"),
+        q6("percentile(l_quantity, 0.95)").alias("qty_p95"),
+        q6("percentile(l_extendedprice, 0.50)").alias("price_median"),
+    )
