@@ -458,3 +458,48 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6("percentile(l_quantity, 0.95)").alias("qty_p95"),
         q6("percentile(l_extendedprice, 0.50)").alias("price_median"),
     )
+
+
+# ------------------------------------------------------------ rolling window
+
+@register(
+    "a_rolling_revenue",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS day_revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       day_revenue,
+       floor(avg(day_revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             * 1e6 + 0.5) / 1e6 AS ma7,
+       CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_days_in_frame
+FROM daily
+""",
+    tags=("analytics", "window"),
+    doc="bounded-frame rolling aggregate: 7-day moving average over daily "
+    "revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW); decimal-exact "
+    "daily sums, quantized average",
+)
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("day_revenue")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "day_revenue",
+        (F.floor(F.avg("day_revenue").over(w) * 1e6 + F.lit(0.5)) / 1e6).alias("ma7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_frame"),
+    )
