@@ -503,3 +503,55 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg("day_revenue").over(w) * 1e6 + F.lit(0.5)) / 1e6).alias("ma7"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_frame"),
     )
+
+
+# ----------------------------------------------------------- exact correlation
+
+@register(
+    "a_correlation",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+           AS corr_qty_price
+FROM s
+""",
+    tags=("analytics", "aggregation"),
+    doc="exact Pearson correlation via decimal sums + the product-moment "
+    "identity (native corr() accumulates floats in shuffle order; decimal "
+    "sums make it deterministic across engines)",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(_dec("l_quantity")).cast("double")
+    sy = F.sum(_dec("l_extendedprice")).cast("double")
+    sxx = F.sum(_dec("l_quantity") * _dec("l_quantity")).cast("double")
+    syy = F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")).cast("double")
+    sxy = F.sum(_dec("l_quantity") * _dec("l_extendedprice")).cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(corr * 1e6 + F.lit(0.5)) / 1e6).alias("corr_qty_price"),
+    )
