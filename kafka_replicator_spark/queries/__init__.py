@@ -50,12 +50,37 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
+#: queries whose round-1 driver verification is stale — retuned out of a
+#: vacuous 0-row pass (a_asof_join, p_embedding_neardup) or structurally
+#: rewritten (p_simhash single-shuffle, and its dependent near-pairs) this
+#: round.  They are hoisted directly behind the replicator core so the
+#: driver's prefix-of-50 correctness window re-verifies them; everything
+#: else beyond the window carries a still-valid round-1 green row.
+_REVERIFY_FIRST = [
+    "a_asof_join",
+    "p_embedding_neardup",
+    "p_simhash",
+    "p_simhash_near_pairs",
+]
+
+
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
     # Order matters: the driver's correctness harness may only verify a prefix
     # of the registry, so the replicator-core r_* queries (the engine's center
-    # of gravity — M1 merge, A8 planner, J1 overlay, ...) register FIRST.
+    # of gravity — M1 merge, A8 planner, J1 overlay, ...) register FIRST,
+    # then the changed-this-round hoists, then new families, then the
+    # round-1-verified remainder.
     from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics, pipeline  # noqa: F401
 
-    return REGISTRY
+    names = list(REGISTRY)
+    n_replicator = 0
+    for n in names:  # the contiguous r_* prefix (replicator module registers first)
+        if not n.startswith("r_"):
+            break
+        n_replicator += 1
+    head = names[:n_replicator]
+    hoist = [n for n in _REVERIFY_FIRST if n in REGISTRY]
+    rest = [n for n in names[n_replicator:] if n not in hoist]
+    return {n: REGISTRY[n] for n in head + hoist + rest}

@@ -189,24 +189,6 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_meta(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
 
-@register(
-    "p_media_frames",
-    multimodal.media_frames_oracle_sql(),
-    tags=("pipeline", "multimodal"),
-    doc="video frame-sampling plumbing (1→N bounded batch explosion).  Frames "
-    "are deterministic payload byte windows, so the oracle reproduces them "
-    "via substring and compares sha256 digests (the corpus is ASCII, so "
-    "VARCHAR slicing equals byte slicing; DuckDB 1.0 has no BLOB substring)",
-)
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frames = multimodal.sample_frames(multimodal.synthesize_media(_docs(spark, sf_dir)))
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        F.length("frame_bytes").cast("long").alias("frame_len"),
-        F.sha2("frame_bytes", 256).alias("frame_sha"),
-    )
-
 
 # ------------------------------------------------------ composed pipeline
 
