@@ -149,3 +149,22 @@ def test_q19_or_bracket_pushes_single_side_residual(spark, sf_dir):
     df = QUERIES["a_q19_bracket_scan"].fn(spark, sf_dir)
     assert any("l_quantity" in f for f in pushed_filters(df)), pushed_filters(df)
     assert count_exchanges(df) == 1
+
+
+def test_new_aggregate_queries_single_shuffle(spark, sf_dir):
+    """Funnel, quantiles and correlation are one-shuffle aggregations;
+    Q8's seven-table star broadcasts every dim and shuffles once."""
+    for name in ("a_funnel_steps", "a_quantiles", "a_correlation"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert count_exchanges(df) == 1, f"{name}: " + physical_plan(df)
+    q8 = QUERIES["a_q8_market_share"].fn(spark, sf_dir)
+    assert has_broadcast_join(q8)
+    assert count_exchanges(q8) == 1
+
+
+def test_retention_cohort_shuffle_budget(spark, sf_dir):
+    """Retention pays the cohort aggregate plus the distinct-count's
+    two-phase expansion — 3 exchanges, no more (the cohort map broadcasts)."""
+    df = QUERIES["a_retention_cohorts"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3, physical_plan(df)
