@@ -168,3 +168,44 @@ def test_retention_cohort_shuffle_budget(spark, sf_dir):
     df = QUERIES["a_retention_cohorts"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+# ------------------------------------------------------ round-3 TPC-H suite
+
+TPCH_R3_EXCHANGE_BUDGET = {
+    # measured at sf0.001 with dims explicitly broadcast; budgets leave one
+    # exchange of headroom for when the fixture outgrows auto-broadcast of
+    # the orders side (AQE re-plans those joins at scale)
+    "a_q17_small_qty_revenue": 3,
+    "a_q21_waiting_suppliers": 4,
+    "a_q13_order_count_histogram": 3,
+    "a_q22_idle_balances": 3,
+    "a_q2_min_cost_supplier": 3,
+    "a_q9_product_profit": 3,
+    "a_q11_important_stock": 3,
+    "a_q12_ship_priority_classes": 2,
+    "a_q15_top_supplier": 4,
+    "a_q16_part_supplier_variety": 3,
+    "a_q18_large_volume_customers": 3,
+    "a_q20_excess_supply": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(TPCH_R3_EXCHANGE_BUDGET))
+def test_tpch_r3_plan_shape(spark, sf_dir, name):
+    """Every round-3 TPC-H query broadcasts its dimension side(s), stays in
+    whole-stage codegen, and keeps its shuffle count within budget."""
+    spark.catalog.clearCache()
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert has_broadcast_join(df), name
+    assert has_wholestage_codegen(df), name
+    assert count_exchanges(df) <= TPCH_R3_EXCHANGE_BUDGET[name], (
+        f"{name}: " + physical_plan(df)
+    )
+
+
+def test_tpch_r3_date_filters_pushed(spark, sf_dir):
+    """Q12/Q15/Q20's shipdate windows must reach the parquet scan."""
+    for name in ("a_q12_ship_priority_classes", "a_q15_top_supplier", "a_q20_excess_supply"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert any("l_shipdate" in f for f in pushed_filters(df)), name
