@@ -1,0 +1,186 @@
+"""Training-batch sequence packing and TF-IDF term ranking.
+
+Sequence packing is the standard LLM-training preprocessing step: concat
+documents into fixed-token-budget bins so a training batch wastes no pad
+tokens.  The greedy close-before-exceed walk is the same sequential
+boundary problem as the reference's segment rollover
+(pkg/egress/worker.go:51-56), so it reuses the identical scale shape as
+``assign_segments_greedy`` (operators/egress.py): the pandas stage sees
+only per-doc metadata (rank, token count) per group — ~12 bytes/doc —
+and returns the pack-start ranks; the data-scale assignment is a
+broadcast join + sorted-array scan that never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.text import tokens_col
+
+DEFAULT_PACK_BUDGET = 256
+
+
+def pack_sequences(docs: DataFrame, budget: int = DEFAULT_PACK_BUDGET) -> DataFrame:
+    """Greedily pack documents (in ``doc_id`` order, per ``source``) into
+    token-budget bins: a pack closes when appending the next document would
+    exceed ``budget``; a document longer than the whole budget gets a pack
+    of its own.  Returns one row per document with its pack assignment and
+    the pack's fill statistics.
+
+    Scale: one shuffle on ``source`` for the per-group rank; the greedy
+    walk runs on (rank, n_tokens) metadata only; pack-start arrays are
+    broadcast back.  Pack ids are dense per source and deterministic.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack budget must be positive, got {budget}")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+
+    def boundaries(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
+        csum = np.cumsum(pdf["n_tokens"].to_numpy(dtype=np.int64))
+        n = len(pdf)
+        starts: list[int] = []
+        start = 0
+        base = 0
+        while start < n:
+            starts.append(start + 1)  # ranks are 1-based
+            # last row that still fits: csum[e] <= base + budget; at least
+            # the start row itself (oversize doc packs alone)
+            e = int(np.searchsorted(csum, base + budget, side="right")) - 1
+            e = max(e, start)
+            base = int(csum[e])
+            start = e + 1
+        return pd.DataFrame(
+            [{"source": pdf["source"].iloc[0], "pack_starts": starts}]
+        )
+
+    bounds = (
+        ranked.select("source", "rn", "n_tokens")
+        .groupBy("source")
+        .applyInPandas(boundaries, schema="source string, pack_starts array<int>")
+    )
+    assigned = (
+        ranked.join(F.broadcast(bounds), "source")
+        # packs per source are few (bounded by group size / ~docs-per-pack);
+        # the linear scan matches egress's small-K fast path
+        .withColumn(
+            "pack_id",
+            (F.size(F.filter("pack_starts", lambda b: b <= F.col("rn"))) - 1).cast("int"),
+        )
+        .drop("pack_starts", "rn")
+    )
+    pw = Window.partitionBy("source", "pack_id")
+    return assigned.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "pack_id",
+        F.sum("n_tokens").over(pw).alias("pack_tokens"),
+        F.count(F.lit(1)).over(pw).cast("long").alias("pack_docs"),
+        F.round(F.sum("n_tokens").over(pw) / F.lit(float(budget)), 6).alias("pack_fill"),
+    )
+
+
+def pack_sequences_sql(budget: int = DEFAULT_PACK_BUDGET) -> str:
+    """Recursive-CTE oracle: walk the same close-before-exceed recurrence
+    over the per-source running token sum."""
+    return f"""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rn,
+         CAST(sum(len(string_split(text, ' ')))
+              OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS csum
+  FROM documents
+),
+walk(source, start_rn, base, pack_id) AS (
+  SELECT source, 1, CAST(0 AS BIGINT), 0 FROM (SELECT DISTINCT source FROM ranked)
+  UNION ALL
+  SELECT w.source, nxt.rn, nxt.csum - nxt.n_tokens, w.pack_id + 1
+  FROM walk w
+  JOIN LATERAL (
+    SELECT r.rn, r.csum, r.n_tokens FROM ranked r
+    WHERE r.source = w.source
+      AND r.rn > GREATEST(w.start_rn,
+            (SELECT coalesce(max(r2.rn), w.start_rn) FROM ranked r2
+             WHERE r2.source = w.source AND r2.csum <= w.base + {budget}))
+    ORDER BY r.rn LIMIT 1
+  ) nxt ON true
+),
+assigned AS (
+  SELECT r.doc_id, r.source, r.n_tokens,
+         (SELECT max(w.pack_id) FROM walk w
+          WHERE w.source = r.source AND w.start_rn <= r.rn) AS pack_id
+  FROM ranked r
+)
+SELECT doc_id, source, n_tokens, CAST(pack_id AS INTEGER) AS pack_id,
+       sum(n_tokens) OVER (PARTITION BY source, pack_id) AS pack_tokens,
+       count(*) OVER (PARTITION BY source, pack_id) AS pack_docs,
+       round(CAST(sum(n_tokens) OVER (PARTITION BY source, pack_id) AS DOUBLE)
+             / {budget}.0, 6) AS pack_fill
+FROM assigned
+"""
+
+
+# ----------------------------------------------------------------- TF-IDF
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: tf = in-doc term count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed), ranked by rounded score with a
+    lexicographic tie-break so the cut is deterministic cross-engine.
+
+    Scale: one explode + one shuffle for per-(doc, term) counts; the
+    document-frequency frame aggregates from the same frame (term-level,
+    far smaller than the token stream) and broadcasts back; the final
+    window ranks within each doc.  Scores are rounded to 6 dp BEFORE
+    ranking — both engines compute ln within 1-2 ulp, and the rounding
+    absorbs it for ranking and hashing alike.
+    """
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= {k}
+"""

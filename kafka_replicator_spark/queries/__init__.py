@@ -72,7 +72,7 @@ def all_queries() -> dict[str, Query]:
     # of gravity — M1 merge, A8 planner, J1 overlay, ...) register FIRST,
     # then the changed-this-round hoists, then new families, then the
     # round-1-verified remainder.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, analytics, pipeline  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, analytics, pipeline  # noqa: F401
 
     names = list(REGISTRY)
     n_replicator = 0
