@@ -483,3 +483,86 @@ SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
 FROM documents
 WHERE source NOT IN ({srcs}) AND doc_id NOT IN (SELECT doc_id FROM per_doc)
 """
+
+
+# ------------------------------------------- exact prefix containment
+
+def _with_truncated_variants(docs: DataFrame, every: int = 7, id_offset: int = 100_000) -> DataFrame:
+    """Union the corpus with deterministic truncated copies (every ``every``-th
+    document contributes its first-half prefix under ``doc_id + id_offset``)
+    so the prefix-dedup operator has real containment chains to resolve —
+    the same synthetic-augmentation pattern as the PII scrubber's injected
+    spans (functions/curation.py).
+    """
+    base = docs.select("doc_id", "text")
+    variants = (
+        base.filter(F.col("doc_id") % every == 0)
+        .select(
+            (F.col("doc_id") + id_offset).alias("doc_id"),
+            F.substring(F.col("text"), 1, F.greatest(F.lit(8), (F.length("text") / 2).cast("int"))).alias("text"),
+        )
+    )
+    return base.unionByName(variants)
+
+
+def prefix_duplicates(docs: DataFrame, partitions: int = 32) -> DataFrame:
+    """Exact prefix-containment dedup via sorted adjacency (the substring-
+    dedup family of Lee et al. 2022, restricted to whole-document prefixes).
+
+    If ``a`` is a prefix of any ``b`` then ``a``'s immediate successor in
+    lexicographic order also has ``a`` as a prefix — so a single global sort
+    plus an adjacent-pair check finds every prefix-superseded document in
+    O(n log n), no pairwise join.
+
+    Distributed form: ``repartitionByRange`` on the sort key gives each
+    partition a contiguous key range; the adjacent check runs as a
+    partition-local window (parallel), and the one cross-partition pair per
+    boundary is stitched by broadcasting each partition's first row to its
+    predecessor — one range shuffle + one tiny broadcast at any scale.
+    Equal texts chain via the (text, doc_id) tie-break, so exact duplicates
+    are also flagged (all but the highest id).
+    """
+    from pyspark.sql.window import Window
+
+    aug = _with_truncated_variants(docs)
+    d = aug.repartitionByRange(partitions, "text", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("text", "doc_id")
+    d = d.withColumn("next_text", F.lead("text").over(w))
+    # each non-empty partition's first row, and the first row of the NEXT
+    # non-empty partition (lead over the tiny per-partition frame)
+    bounds = d.groupBy("pid").agg(F.min(F.struct("text", "doc_id")).alias("first"))
+    wb = Window.orderBy("pid")
+    bounds = bounds.select(
+        "pid", F.lead(F.col("first.text")).over(wb).alias("next_part_first")
+    )
+    d = d.join(F.broadcast(bounds), "pid", "left")
+    eff_next = F.coalesce(F.col("next_text"), F.col("next_part_first"))
+    return d.select(
+        "doc_id",
+        F.when(eff_next.isNotNull() & eff_next.startswith(F.col("text")), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_prefix_dup"),
+    )
+
+
+def prefix_duplicates_sql(every: int = 7, id_offset: int = 100_000) -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {id_offset} AS doc_id,
+         substr(text, 1, greatest(8, CAST(length(text) / 2 AS INTEGER))) AS text
+  FROM documents WHERE doc_id % {every} = 0
+), adj AS (
+  SELECT doc_id, text,
+         lead(text) OVER (ORDER BY text, doc_id) AS next_text
+  FROM aug
+)
+SELECT doc_id,
+       CAST(CASE WHEN next_text IS NOT NULL AND starts_with(next_text, text)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_prefix_dup
+FROM adj
+"""

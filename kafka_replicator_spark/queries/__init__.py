@@ -77,7 +77,10 @@ _R01_VERIFIED = frozenset({
 #: Queries added or materially changed in round 3 — hoisted to the front of
 #: the verification window (right behind the unverified replicator core) so
 #: the driver's prefix-of-50 correctness run covers them first.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "p_unigram_logprob",
+    "p_prefix_dedup",
+]
 
 
 def all_queries() -> dict[str, Query]:

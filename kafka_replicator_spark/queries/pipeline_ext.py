@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import packing
+from kafka_replicator_spark.functions import dedup, packing, scoring
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -36,3 +36,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "p_unigram_logprob",
+    scoring.unigram_logprob_sql(),
+    tags=("pipeline", "quality"),
+    doc="CCNet-style corpus unigram-LM scoring: vocabulary aggregation + "
+    "token-key hash join + decimal-exact per-document logprob fold "
+    "(functions/scoring.py)",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_prefix_dedup",
+    dedup.prefix_duplicates_sql(),
+    tags=("pipeline", "dedup"),
+    doc="exact prefix-containment dedup by sorted adjacency (Lee et al. "
+    "2022 substring-dedup family): one range shuffle + partition-local "
+    "windows + a broadcast boundary stitch (functions/dedup.py)",
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_duplicates(load_table(spark, sf_dir, "documents"))

@@ -209,3 +209,26 @@ def test_tpch_r3_date_filters_pushed(spark, sf_dir):
     for name in ("a_q12_ship_priority_classes", "a_q15_top_supplier", "a_q20_excess_supply"):
         df = QUERIES[name].fn(spark, sf_dir)
         assert any("l_shipdate" in f for f in pushed_filters(df)), name
+
+
+def test_unigram_logprob_plan(spark, sf_dir):
+    # vocab agg + token-key join + per-doc agg: bounded shuffles, total
+    # broadcast (1-row), codegen end to end.
+    spark.catalog.clearCache()
+    df = QUERIES["p_unigram_logprob"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), "1-row total frame must broadcast"
+    assert count_exchanges(df) <= 5, physical_plan(df)
+    assert has_wholestage_codegen(df)
+
+
+def test_prefix_dedup_plan(spark, sf_dir):
+    # one range shuffle for the sort, partition-local windows, and a tiny
+    # broadcast for the boundary stitch — NO global single-partition window.
+    spark.catalog.clearCache()
+    df = QUERIES["p_prefix_dedup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), "boundary bounds frame must broadcast"
+    assert "rangepartitioning" in plan.lower(), plan
+    # the only single-partition exchange allowed is the tiny bounds frame's
+    # global window; the document-scale window must be pid-partitioned
+    assert plan.count("SinglePartition") <= 1, plan
