@@ -184,3 +184,95 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------- corpus mixing
+
+DEFAULT_MIX_BUDGET = 20_000
+
+
+def corpus_mix(docs: DataFrame, budget_tokens: int = DEFAULT_MIX_BUDGET) -> DataFrame:
+    """Token-budget-aware corpus mixing: split a global token budget across
+    sources by domain weight, then fill each source's share with a
+    deterministic hash-priority sample (greedy close-before-exceed on the
+    running token count — the same boundary rule as sequence packing and
+    the segment rollover planner).
+
+    Domain weights here derive from the source id (``1 + idx % 3``) —
+    stand-ins for the sampling ratios a data-mixing recipe assigns per
+    domain.  The hash priority (portable md5 of the doc id) makes the
+    sample reproducible in DuckDB and stable under re-runs/backfills:
+    adding documents never reorders the already-chosen prefix priorities.
+
+    Scale: one shuffle on ``source`` for the per-source ranking window; the
+    weight/budget dimension is a per-source aggregate joined back broadcast.
+    """
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("prio"),
+    )
+    src_w = (
+        toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "w", (F.lit(1) + F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 3).cast("long")
+        )
+    )
+    total_w = src_w.agg(F.sum("w").alias("w_total"))
+    budgets = src_w.join(F.broadcast(total_w)).select(
+        "source",
+        F.floor(F.lit(budget_tokens) * F.col("w") / F.col("w_total")).alias("src_budget"),
+    )
+    w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    cum = Window.partitionBy("source").orderBy("prio", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        toks.join(F.broadcast(budgets), "source")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(cum))
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("src_budget"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+            F.col("cum_tokens").alias("cum_tokens"),
+        )
+    )
+
+
+def corpus_mix_sql(budget_tokens: int = DEFAULT_MIX_BUDGET) -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    prio = portable_hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {prio} AS prio
+  FROM documents
+), src_w AS (
+  SELECT source, 1 + CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 3 AS w
+  FROM (SELECT DISTINCT source FROM documents)
+), budgets AS (
+  SELECT source, CAST(floor({budget_tokens} * w / (SELECT CAST(sum(w) AS DOUBLE) FROM src_w)) AS BIGINT) AS src_budget
+  FROM src_w
+), ranked AS (
+  SELECT t.*, b.src_budget,
+         row_number() OVER (PARTITION BY t.source ORDER BY prio, doc_id) AS pick_rank,
+         CAST(sum(n_tokens) OVER (PARTITION BY t.source ORDER BY prio, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM toks t JOIN budgets b USING (source)
+)
+SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(pick_rank AS INTEGER) AS pick_rank, cum_tokens
+FROM ranked
+WHERE cum_tokens - n_tokens < src_budget
+"""

@@ -548,3 +548,92 @@ ranked AS (
 SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- int8 quantized search
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = floor(x_i * 127 /
+    max|x| + 0.5)`` — the storage/compute scale path for ANN (4× smaller
+    vectors, integer SIMD dot products on real hardware).
+
+    ``floor(v + 0.5)`` is used instead of ``round`` deliberately: Spark and
+    DuckDB disagree on round-half semantics, but evaluate this floor form
+    bit-identically, so the quantized vectors are engine-exact integers.
+    All-zero vectors quantize to zeros (scale is null-guarded).
+    """
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    scale = F.nullif(F.array_max(F.transform(F.col("e"), F.abs)), F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("e"),
+            lambda x: F.coalesce(
+                F.floor(x * F.lit(127.0) / scale + F.lit(0.5)), F.lit(0)
+            ).cast("long"),
+        ).alias("qe"),
+        F.round(F.coalesce(scale, F.lit(0.0)), 6).alias("scale"),
+    )
+
+
+def quantized_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k by integer dot product over int8-quantized vectors —
+    the quantized analog of ``brute_force_topk``; scores are exact BIGINTs
+    so ranking is engine-deterministic with no float rounding at all.
+    """
+    q = quantize_embeddings(embeddings).select("vec_id", "qe")
+    probes = q.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq")
+    )
+    pairs = q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("pq", "qe", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qdot")
+    )
+
+
+def _quantized_sql_cte() -> str:
+    return """
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scaled AS (
+  SELECT vec_id, e,
+         nullif(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 0.0) AS s
+  FROM emb
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(coalesce(floor(x * 127.0 / s + 0.5), 0) AS BIGINT)) AS qe,
+         round(coalesce(s, 0.0), 6) AS scale
+  FROM scaled
+)"""
+
+
+def quantized_topk_sql(probe_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH {_quantized_sql_cte()},
+probes AS (SELECT vec_id AS probe_id, qe AS pq FROM q WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT probe_id, q.vec_id AS neighbor_id,
+         CAST(list_dot_product(pq::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS qdot
+  FROM q, probes WHERE q.vec_id <> probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, qdot
+FROM ranked WHERE rank <= {k}
+"""

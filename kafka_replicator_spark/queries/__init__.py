@@ -80,6 +80,8 @@ _R01_VERIFIED = frozenset({
 _NEW_THIS_ROUND: list[str] = [
     "p_unigram_logprob",
     "p_prefix_dedup",
+    "p_quantized_topk",
+    "p_corpus_mix",
 ]
 
 

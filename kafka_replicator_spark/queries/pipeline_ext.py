@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, packing, scoring
+from kafka_replicator_spark.functions import dedup, packing, scoring, similarity
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -60,3 +60,29 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_quantized_topk",
+    similarity.quantized_topk_sql(probe_ids=[0, 1, 2, 3], k=5),
+    tags=("pipeline", "similarity"),
+    doc="int8 symmetric quantization + exact integer dot-product top-k — "
+    "the quantized scale path of the ANN family; floor(x+0.5) quantizer is "
+    "bit-identical across engines so scores are exact BIGINTs",
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantized_topk(
+        load_table(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2, 3], k=5
+    )
+
+
+@register(
+    "p_corpus_mix",
+    packing.corpus_mix_sql(),
+    tags=("pipeline", "mixing"),
+    doc="token-budget corpus mixing: per-source domain weights split a "
+    "global budget, hash-priority sampling fills each share with the "
+    "close-before-exceed rule (functions/packing.py)",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.corpus_mix(load_table(spark, sf_dir, "documents"))

@@ -232,3 +232,20 @@ def test_prefix_dedup_plan(spark, sf_dir):
     # the only single-partition exchange allowed is the tiny bounds frame's
     # global window; the document-scale window must be pid-partitioned
     assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_quantized_topk_plan(spark, sf_dir):
+    # probes broadcast against the quantized corpus — the corpus itself
+    # never shuffles; scores stay integer (no float expression in the sort).
+    spark.catalog.clearCache()
+    df = QUERIES["p_quantized_topk"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), "probe side must broadcast"
+
+
+def test_corpus_mix_plan(spark, sf_dir):
+    # per-source windows after one source shuffle; the budgets dim joins
+    # back broadcast.
+    spark.catalog.clearCache()
+    df = QUERIES["p_corpus_mix"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), "budget dim must broadcast"
+    assert "SinglePartition" not in physical_plan(df).split("Project")[0], physical_plan(df)
