@@ -164,20 +164,13 @@ def minhash_signatures_sql(k: int = 16, n: int = 3) -> str:
     return f"WITH sh AS ({word_ngrams_sql(n)}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4
-) -> DataFrame:
-    """LSH banding: split the k-wide signature into ``bands`` bands of
-    ``k // bands`` rows; documents agreeing on ALL rows of any band become a
-    candidate pair.  The band join is an equi-join on a string band key —
-    no O(n²) pair enumeration, the property that survives 100 TB.
+def minhash_bands(docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_key) rows for LSH banding — one pass over the
+    signatures: bands come out of a single explode, not a union of per-band
+    selects (which would recompute the signature subtree ``bands`` times).
     """
     rows = k // bands
     sig = minhash_signatures(docs, k=k, n=n)
-    # one pass over the signatures: bands come out of a single explode, not
-    # a union of per-band selects (which would recompute the signature
-    # subtree `bands` times); the banded set is then cached because the
-    # self-join reads it twice (Spark has no cross-branch subtree reuse).
     band_structs = F.array(
         *[
             F.struct(
@@ -189,11 +182,21 @@ def lsh_candidate_pairs(
             for bidx in range(bands)
         ]
     )
-    banded = (
+    return (
         sig.select("doc_id", F.explode(band_structs).alias("b"))
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
-        .cache()
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` bands of
+    ``k // bands`` rows; documents agreeing on ALL rows of any band become a
+    candidate pair.  The band join is an equi-join on a string band key —
+    no O(n²) pair enumeration, the property that survives 100 TB.
+    """
+    banded = minhash_bands(docs, k=k, n=n, bands=bands).cache()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -565,4 +568,100 @@ SELECT doc_id,
        CAST(CASE WHEN next_text IS NOT NULL AND starts_with(next_text, text)
                  THEN 1 ELSE 0 END AS INTEGER) AS is_prefix_dup
 FROM adj
+"""
+
+
+# ------------------------------------------------- incremental dedup
+
+def incremental_dedup(
+    docs: DataFrame,
+    base_sources: int = 10,
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus — the
+    shape of every refresh of a training set: the historical corpus
+    contributes only its (small) hash index, never re-reads its text.
+
+    Sources ``src0..src{base_sources-1}`` play the corpus; the rest are the
+    incoming batch.  Each incoming document gets a verdict:
+
+      * ``exact`` — content hash already present in the corpus
+      * ``near``  — shares a full MinHash LSH band with a corpus document
+      * ``kept``  — novel
+
+    Scale: two semi-joins on hash keys (content hash, band key); the corpus
+    side of both is the distinct-key index, which is what an incremental
+    pipeline persists between runs.
+    """
+    src_idx = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    base = docs.filter(src_idx < base_sources)
+    inc = docs.filter(src_idx >= base_sources)
+
+    base_hashes = base.select(F.md5("text").alias("content_hash")).distinct()
+    inc_hashed = inc.select("doc_id", F.md5("text").alias("content_hash"))
+    exact = (
+        inc_hashed.join(F.broadcast(base_hashes), "content_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("v_exact", F.lit(1))
+    )
+    base_bands = minhash_bands(base, k=k, n=n, bands=bands).select("band", "band_key").distinct()
+    near = (
+        minhash_bands(inc, k=k, n=n, bands=bands)
+        .join(base_bands, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("v_near", F.lit(1))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("v_exact") == 1, F.lit("exact"))
+            .when(F.col("v_near") == 1, F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+def _bands_sql(k: int, n: int, bands: int, where: str) -> str:
+    rows = k // bands
+    sig_sql = minhash_signatures_sql(k, n).replace(
+        "FROM documents", f"FROM documents WHERE {where}"
+    )
+    selects = []
+    for bidx in range(bands):
+        key = " || ':' || ".join(f"CAST(sig_{bidx * rows + j} AS VARCHAR)" for j in range(rows))
+        selects.append(f"SELECT doc_id, {bidx} AS band, {key} AS band_key FROM s")
+    return f"WITH s AS ({sig_sql}) " + " UNION ALL ".join(selects)
+
+
+def incremental_dedup_sql(
+    base_sources: int = 10, k: int = 16, n: int = 3, bands: int = 4
+) -> str:
+    base_w = f"CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) < {base_sources}"
+    inc_w = f"CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) >= {base_sources}"
+    return f"""
+WITH base_hashes AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE {base_w}
+), inc AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE {inc_w}
+), exact AS (
+  SELECT doc_id FROM inc WHERE content_hash IN (SELECT content_hash FROM base_hashes)
+), base_bands AS (
+  SELECT DISTINCT band, band_key FROM ({_bands_sql(k, n, bands, base_w)})
+), near AS (
+  SELECT DISTINCT doc_id FROM ({_bands_sql(k, n, bands, inc_w)}) ib
+  WHERE EXISTS (SELECT 1 FROM base_bands bb
+                WHERE bb.band = ib.band AND bb.band_key = ib.band_key)
+)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+            WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'kept' END AS verdict
+FROM inc
 """

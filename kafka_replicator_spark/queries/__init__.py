@@ -82,6 +82,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_prefix_dedup",
     "p_quantized_topk",
     "p_corpus_mix",
+    "p_incremental_dedup",
+    "p_udtf_tokenize",
 ]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, packing, scoring, similarity
+from kafka_replicator_spark.functions import dedup, packing, scoring, similarity, udtfs
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -86,3 +86,27 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.corpus_mix(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_incremental_dedup",
+    dedup.incremental_dedup_sql(),
+    tags=("pipeline", "dedup"),
+    doc="incremental corpus refresh: incoming batch deduped against the "
+    "historical corpus via its content-hash + LSH-band index — two hash "
+    "semi-joins, the corpus text is never re-read (functions/dedup.py)",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_udtf_tokenize",
+    udtfs.tokenize_lateral_sql(),
+    tags=("pipeline", "udtf"),
+    doc="Python UDTF surface (§2.10): LATERAL table function emitting one "
+    "row per token with position/length/stopword flag; the 1-to-N "
+    "extension point the reference lacks (functions/udtfs.py)",
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return udtfs.tokenize_lateral(spark, load_table(spark, sf_dir, "documents"))

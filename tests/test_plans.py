@@ -249,3 +249,14 @@ def test_corpus_mix_plan(spark, sf_dir):
     df = QUERIES["p_corpus_mix"].fn(spark, sf_dir)
     assert has_broadcast_join(df), "budget dim must broadcast"
     assert "SinglePartition" not in physical_plan(df).split("Project")[0], physical_plan(df)
+
+
+def test_incremental_dedup_semi_joins_broadcast(spark, sf_dir):
+    # both corpus indexes (content hashes, band keys) reach the incoming
+    # side as broadcast left-semi joins — the incoming batch never shuffles
+    # for the lookup.
+    spark.catalog.clearCache()
+    df = QUERIES["p_incremental_dedup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_broadcast_join(df)
