@@ -39,6 +39,11 @@ HEADLINE = [
     # curation surface
     "p_quality_rules",
     "p_dup_clusters",
+    # round-3 additions: LM scoring, prefix dedup, quantized ANN, mixing
+    "p_unigram_logprob",
+    "p_prefix_dedup",
+    "p_quantized_topk",
+    "p_corpus_mix",
 ]
 
 

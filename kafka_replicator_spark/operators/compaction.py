@@ -17,10 +17,13 @@ Split exactly as the reference splits it:
   * **delete inputs** only after a successful write (compactor.go:314-351);
     a failed delete is retried implicitly next run via F3.
 
-Scale: each partition's merge is an independent task group (the shuffle key
-is the partition), so 1000 partitions compact 1000-wide.  Output stays one
-file per partition by construction — the same invariant the reference has —
-and its size is bounded by the planner's max_bytes, which bounds task memory.
+Scale: each output segment's merge is an independent Spark task that reads
+its own input files directly (inputs are already grouped by partition on
+storage, so there is NO data shuffle — regrouping by the same key would be
+pure network waste at 100 TB).  1000 partitions compact 1000-wide; output
+stays one file per partition by construction — the same invariant the
+reference has — and its size is bounded by the planner's max_bytes, which
+bounds task memory.
 """
 
 from __future__ import annotations
@@ -31,9 +34,6 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from kafka_replicator_spark.operators.egress import write_segments
-from kafka_replicator_spark.sources.segments import read_segment_files
 
 #: reference defaults, pkg/compaction/config.go:29-39
 DEFAULT_MIN_SEGMENT_COUNT = 10
@@ -154,6 +154,13 @@ def merge_segments(
     same read path, bounded writer-task memory.  Default None = reference-
     exact N→1.
 
+    Execution is shuffle-free: the plan expands to one task spec per output
+    segment; each task pyarrow-reads exactly its input files (row-group
+    pruned to its offset chunk), heap-order-dedups overlaps in Arrow, and
+    publishes via the shared two-phase commit.  Spark schedules the task
+    fan-out; no message bytes cross the network (compactor.go:219-311 as a
+    distributed task set).
+
     Raises ValueError on an offset gap (reference errors with
     ``missing message range``, compactor.go:219-221); the gapped partition
     publishes nothing.
@@ -170,7 +177,6 @@ def merge_segments(
             [], schema="region string, topic string, partition_id int, level int, "
             "start_offset long, end_offset long, message_count long, size_bytes long, path string"
         )
-    paths = sorted({r["path"] for r in meta})
     out_levels = {}  # (topic, partition) -> max input level + 1
     floors = {}
     by_part: dict = {}
@@ -178,48 +184,133 @@ def merge_segments(
         k = (r["topic"], r["partition_id"])
         out_levels[k] = max(out_levels.get(k, 0), r["level"] + 1)
         floors[k] = max(floors.get(k, 0), r["compact_floor"])
-        by_part.setdefault(k, []).append((r["start_offset"], r["end_offset"]))
-
-    # overlap detection on the (tiny) plan: the sort-based winner-picking
-    # dedup is only needed when input ranges actually overlap — the common
-    # steady-state case is disjoint segments, which must not pay a full
-    # data-scale sort at 100 TB.
-    has_overlap = False
-    for ranges in by_part.values():
-        ranges.sort()
-        for (s1, e1), (s2, _e2) in zip(ranges, ranges[1:]):
-            if s2 <= e1:
-                has_overlap = True
-                break
-        if has_overlap:
-            break
-
-    df = read_segment_files(spark, paths, dedup_overlaps=has_overlap)
-    floor_df = F.broadcast(
-        spark.createDataFrame(
-            [(t, p, f, out_levels[(t, p)]) for (t, p), f in floors.items()],
-            schema="topic string, partition_id int, compact_floor long, out_level int",
+        by_part.setdefault(k, []).append(
+            (r["start_offset"], r["end_offset"], r["level"], r["path"])
         )
-    )
-    trimmed = df.join(floor_df, ["topic", "partition_id"]).filter(
-        F.col("msg_offset") >= F.col("compact_floor")
-    )
 
-    # gap check (compactor.go:219-221) runs INLINE in the writer — the data
-    # is already sorted in-hand there, so a dedicated pre-pass over the full
-    # input would double the read cost for nothing.  A gapped partition
-    # raises before its rename: nothing publishes for it; other partitions
-    # proceed independently, exactly the reference's per-partition isolation.
-    if max_output_messages is None:
-        tagged = trimmed.withColumn("segment_seq", F.lit(0))  # N→1, reference-exact
-    else:
-        # chunked output: contiguous, dense per chunk (offsets are dense per
-        # partition), one writer task per chunk
-        tagged = trimmed.withColumn(
-            "segment_seq", F.expr(f"msg_offset div {int(max_output_messages)}")
+    # The merge is deliberately SHUFFLE-FREE: inputs are already grouped by
+    # (topic, partition) on storage, so shuffling every message row to
+    # regroup by the same key is pure waste — the anti-pattern that breaks
+    # at 100 TB.  Instead the (tiny) plan is turned into one task spec per
+    # output segment; each task reads exactly its input files/row-groups
+    # with pyarrow, merges in Arrow, and publishes — Spark schedules the
+    # task fan-out (one task per output segment, exactly like the grouped
+    # writer) but no message bytes ever cross the network.  This is the
+    # reference's streaming copy loop (compactor.go:219-311) as a
+    # distributed task set.
+    specs = []  # one per output segment
+    for (topic, pid), files in by_part.items():
+        floor = floors[(topic, pid)]
+        lo = max(floor, min(s for s, _, _, _ in files))
+        hi = max(e for _, e, _, _ in files)
+        if max_output_messages is None:
+            chunks = [(lo, hi)]
+        else:
+            k = int(max_output_messages)
+            first = (lo // k) * k
+            chunks = [
+                (max(lo, c), min(hi, c + k - 1))
+                for c in range(first, hi + 1, k)
+            ]
+        for c_lo, c_hi in chunks:
+            in_files = [
+                (s, e, lvl, p) for (s, e, lvl, p) in files if s <= c_hi and e >= c_lo
+            ]
+            if not in_files:
+                continue
+            specs.append(
+                {
+                    "topic": topic,
+                    "partition_id": pid,
+                    "out_level": out_levels[(topic, pid)],
+                    "chunk_lo": c_lo,
+                    "chunk_hi": c_hi,
+                    "starts": [s for s, _, _, _ in in_files],
+                    "ends": [e for _, e, _, _ in in_files],
+                    "levels": [lvl for _, _, lvl, _ in in_files],
+                    "paths": [p for _, _, _, p in in_files],
+                }
+            )
+
+    def merge_task(spec_table):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from kafka_replicator_spark.operators.egress import (
+            SEGMENT_DATA_COLS,
+            _arrow_segment_types,
+            _publish_segment_table,
         )
-    return write_segments(
-        tagged, root=root, region=region, level="out_level", require_dense=True
+
+        spec = spec_table.to_pylist()[0]
+        c_lo, c_hi = spec["chunk_lo"], spec["chunk_hi"]
+        arrow_types = _arrow_segment_types()
+        canonical = pa.schema([(c, arrow_types[c]) for c in SEGMENT_DATA_COLS])
+        parts = []
+        for s, e, lvl, path in sorted(
+            zip(spec["starts"], spec["ends"], spec["levels"], spec["paths"])
+        ):
+            t = pq.read_table(
+                path,
+                filters=[("msg_offset", ">=", c_lo), ("msg_offset", "<=", c_hi)],
+            )
+            cols = []
+            for c in SEGMENT_DATA_COLS:  # fill columns absent in old files
+                if c in t.column_names:
+                    col = t.column(c)
+                    if col.type != arrow_types[c]:
+                        col = pc.cast(col, arrow_types[c])
+                else:
+                    col = pa.nulls(t.num_rows, type=arrow_types[c])
+                cols.append(col)
+            part = pa.Table.from_arrays(cols, schema=canonical)
+            parts.append(
+                part.append_column("__s", pa.array([s] * t.num_rows, pa.int64()))
+                .append_column("__e", pa.array([e] * t.num_rows, pa.int64()))
+                .append_column("__l", pa.array([lvl] * t.num_rows, pa.int64()))
+            )
+        merged = pa.concat_tables(parts)
+        # heap-order winner picking for overlaps (start asc, end desc, level
+        # asc per offset — utils/heap.go:71-91), then first-per-offset
+        merged = merged.sort_by(
+            [
+                ("msg_offset", "ascending"),
+                ("__s", "ascending"),
+                ("__e", "descending"),
+                ("__l", "ascending"),
+            ]
+        )
+        offs = merged.column("msg_offset").to_numpy()
+        if len(offs):
+            keep = np.concatenate([[True], offs[1:] != offs[:-1]])
+            if not keep.all():
+                merged = merged.filter(pa.array(keep))
+        out = merged.select(SEGMENT_DATA_COLS)
+        return _publish_segment_table(
+            out, root=root, region=region, topic=spec["topic"],
+            partition_id=int(spec["partition_id"]), level=int(spec["out_level"]),
+            require_dense=True,
+        )
+
+    spec_schema = (
+        "topic string, partition_id int, out_level int, chunk_lo long, "
+        "chunk_hi long, starts array<long>, ends array<long>, "
+        "levels array<int>, paths array<string>"
+    )
+    spec_df = spark.createDataFrame(
+        [tuple(s.values()) for s in specs], schema=spec_schema
+    )
+    result_schema = (
+        "region string, topic string, partition_id int, level int, "
+        "start_offset long, end_offset long, message_count long, "
+        "size_bytes long, path string"
+    )
+    return (
+        spec_df.repartition(len(specs), "topic", "partition_id", "chunk_lo")
+        .groupBy("topic", "partition_id", "chunk_lo")
+        .applyInArrow(lambda t: merge_task(t), schema=result_schema)
     )
 
 

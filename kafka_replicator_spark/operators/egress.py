@@ -305,6 +305,140 @@ def _write_one_segment(
     )
 
 
+def _arrow_segment_types():
+    import pyarrow as pa
+
+    return {
+        "msg_offset": pa.int64(),
+        "msg_key": pa.binary(),
+        "payload": pa.binary(),
+        "ts_ns": pa.int64(),
+        "headers": pa.list_(pa.struct([("key", pa.string()), ("value", pa.binary())])),
+    }
+
+
+def _arrow_result_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("region", pa.string()),
+            ("topic", pa.string()),
+            ("partition_id", pa.int32()),
+            ("level", pa.int32()),
+            ("start_offset", pa.int64()),
+            ("end_offset", pa.int64()),
+            ("message_count", pa.int64()),
+            ("size_bytes", pa.int64()),
+            ("path", pa.string()),
+        ]
+    )
+
+
+def _publish_segment_table(
+    out,
+    root: str,
+    region: str,
+    topic: str,
+    partition_id: int,
+    level: int,
+    require_dense: bool = False,
+):
+    """Publish a sorted, canonical-schema Arrow table of message rows as one
+    segment object (footer KV + temp-file → atomic-rename two-phase commit)
+    and return its metadata as a 1-row Arrow table.  Shared by the grouped
+    writer and the shuffle-free compaction merge.
+    """
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offs = out.column("msg_offset")
+    start = int(offs[0].as_py())
+    end = int(offs[-1].as_py())
+    count = out.num_rows
+    if require_dense and count != end - start + 1:
+        raise ValueError(
+            f"missing message range (offset gap) in {topic}/{partition_id}"
+            f"[{start}..{end}] n={count}"
+        )
+    created_ns = _time.time_ns()
+
+    final_dir = os.path.join(root, region, topic, str(partition_id), str(level))
+    os.makedirs(final_dir, exist_ok=True)
+    tmp_dir = os.path.join(root, "temp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp_path = os.path.join(tmp_dir, uuid.uuid4().hex)
+    final_path = os.path.join(final_dir, f"{start:020d}-{end:020d}{SEGMENT_SUFFIX}")
+
+    footer = {
+        "region": region,
+        "topic": topic,
+        "partition": str(partition_id),
+        "level": str(level),
+        "startOffset": str(start),
+        "endOffset": str(end),
+        "messageCount": str(count),
+        "createdTimestamp": str(created_ns),
+    }
+    out = out.replace_schema_metadata(
+        {**(out.schema.metadata or {}), **{k.encode(): v.encode() for k, v in footer.items()}}
+    )
+    pq.write_table(out, tmp_path, compression="snappy")
+    os.replace(tmp_path, final_path)  # atomic publish
+
+    return pa.Table.from_pylist(
+        [
+            {
+                "region": region,
+                "topic": topic,
+                "partition_id": partition_id,
+                "level": int(level),
+                "start_offset": start,
+                "end_offset": end,
+                "message_count": count,
+                "size_bytes": int(os.path.getsize(final_path)),
+                "path": final_path,
+            }
+        ],
+        schema=_arrow_result_schema(),
+    )
+
+
+def _write_one_segment_arrow(
+    table,
+    root: str,
+    region: str,
+    level: int | str,
+    data_cols: list[str],
+    require_dense: bool = False,
+):
+    """Arrow-native flavor of :func:`_write_one_segment` for
+    ``applyInArrow`` — the group arrives as a ``pyarrow.Table`` and is
+    written without ever materializing pandas objects.  For binary payloads
+    and the repeated-headers column the pandas round-trip is pure
+    conversion overhead (python object boxing of every key/payload/header);
+    staying in Arrow cuts the writer to sort + cast + write.
+    """
+    import pyarrow as pa
+
+    table = table.sort_by([("msg_offset", "ascending")])
+    if isinstance(level, str):
+        level = int(table.column(level)[0].as_py())
+    topic = str(table.column("topic")[0].as_py())
+    partition_id = int(table.column("partition_id")[0].as_py())
+    arrow_types = _arrow_segment_types()
+    out = table.select(data_cols)
+    canonical = pa.schema([(c, arrow_types[c]) for c in data_cols])
+    if out.schema != canonical:  # Spark may hand over large_binary etc.
+        out = out.cast(canonical)
+    return _publish_segment_table(
+        out, root=root, region=region, topic=topic, partition_id=partition_id,
+        level=int(level), require_dense=require_dense,
+    )
+
+
 #: applyInPandas output schema for the writer
 _WRITE_RESULT_SCHEMA = (
     "region string, topic string, partition_id int, level int, "
@@ -339,6 +473,19 @@ def write_segments(
     )
     cols = [c for c in SEGMENT_DATA_COLS if c in data.columns]
     extra = [level] if isinstance(level, str) else []
+    grouped = data.select(
+        "topic", "partition_id", "segment_seq", *cols, *extra
+    ).groupBy("topic", "partition_id", "segment_seq")
+
+    if hasattr(grouped, "applyInArrow"):  # Spark 4: no pandas round-trip
+
+        def afn(table):
+            return _write_one_segment_arrow(
+                table, root=root, region=region, level=level, data_cols=cols,
+                require_dense=require_dense,
+            )
+
+        return grouped.applyInArrow(afn, schema=_WRITE_RESULT_SCHEMA)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _write_one_segment(
@@ -346,11 +493,7 @@ def write_segments(
             require_dense=require_dense,
         )
 
-    return (
-        data.select("topic", "partition_id", "segment_seq", *cols, *extra)
-        .groupBy("topic", "partition_id", "segment_seq")
-        .applyInPandas(fn, schema=_WRITE_RESULT_SCHEMA)
-    )
+    return grouped.applyInPandas(fn, schema=_WRITE_RESULT_SCHEMA)
 
 
 def write_segments_native(

@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_corpus_mix",
     "p_incremental_dedup",
     "p_udtf_tokenize",
+    "a_interval_join",
 ]
 
 

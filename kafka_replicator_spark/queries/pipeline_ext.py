@@ -110,3 +110,47 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udtfs.tokenize_lateral(spark, load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "a_interval_join",
+    """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+v AS (SELECT user_id, us, value FROM ev WHERE event_type = 'view'),
+b AS (SELECT user_id, us, value FROM ev WHERE event_type = 'purchase')
+SELECT v.user_id, v.us AS view_us, b.us AS buy_us,
+       v.value AS view_value, b.value AS buy_value
+FROM v JOIN b ON v.user_id = b.user_id
+              AND b.us > v.us AND b.us <= v.us + 3600000000
+""",
+    tags=("analytics", "streaming"),
+    doc="event-time interval join (batch shape of streaming/joins."
+    "interval_join): attribute each purchase to views within the hour "
+    "before it; the same operator runs watermarked on two live streams "
+    "(tests/test_stream_join.py)",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "value",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_time", F.col("value").alias("view_value")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_time", F.col("value").alias("buy_value")
+    )
+    j = interval_join(views, buys, on=["user_id"], max_delay="60 minutes")
+    return j.select(
+        F.col("l.user_id").alias("user_id"),
+        F.unix_micros(F.col("l.event_time")).alias("view_us"),
+        F.unix_micros(F.col("r.event_time")).alias("buy_us"),
+        "view_value",
+        "buy_value",
+    )
