@@ -1,0 +1,106 @@
+"""Property tests for the round-3 operators: invariants that must hold on
+ANY input, independent of the oracle comparison.
+
+* prefix dedup — after dropping flagged docs, no surviving text is a
+  proper prefix (or equal-text duplicate) of another survivor;
+* corpus mix — every source stays within its token budget under the
+  close-before-exceed rule, and the picked set is a hash-priority prefix;
+* quantized top-k — quantized vectors are int8-ranged and all-zero
+  vectors survive (scale null-guard).
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.dedup import prefix_duplicates
+from kafka_replicator_spark.functions.packing import corpus_mix
+from kafka_replicator_spark.functions.similarity import quantize_embeddings
+
+TOKENS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(TOKENS), min_size=1, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_prefix_dedup_survivors_are_prefix_free(spark_global, docs):
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], schema="doc_id long, text string"
+    )
+    flags = {r["doc_id"]: r["is_prefix_dup"] for r in prefix_duplicates(df).collect()}
+    # reconstruct the augmented corpus exactly as the operator does
+    aug = {i: t for i, t in enumerate(docs)}
+    for i, t in enumerate(docs):
+        if i % 7 == 0:
+            aug[i + 100_000] = t[: max(8, len(t) // 2)]
+    survivors = sorted(
+        (t, i) for i, t in aug.items() if flags[i] == 0
+    )
+    # no survivor is a prefix of (or equal to) any other survivor
+    for (t1, i1), (t2, i2) in zip(survivors, survivors[1:]):
+        assert not t2.startswith(t1), (t1, i1, t2, i2)
+    # every dropped doc IS a prefix of some other doc (or an equal-text dup)
+    for i, dup in flags.items():
+        if dup:
+            t = aug[i]
+            others = [v for j, v in aug.items() if j != i]
+            assert any(o.startswith(t) for o in others), (i, t)
+
+
+def test_corpus_mix_budgets_respected(spark, sf_dir):
+    from kafka_replicator_spark.sources.tables import load_table
+
+    budget = 20_000
+    docs = load_table(spark, sf_dir, "documents")
+    picked = corpus_mix(docs, budget_tokens=budget)
+    rows = picked.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    import math
+
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    src_w = {s: 1 + int(s[3:]) % 3 for s in sources}
+    w_total = sum(src_w.values())
+    for s, rs in by_src.items():
+        src_budget = math.floor(budget * src_w[s] / w_total)
+        rs.sort(key=lambda r: r["pick_rank"])
+        # close-before-exceed: every pick starts below the budget; all but
+        # the last stay within it entirely
+        for r in rs[:-1]:
+            assert r["cum_tokens"] - r["n_tokens"] < src_budget
+        last = rs[-1]
+        assert last["cum_tokens"] - last["n_tokens"] < src_budget
+        # ranks are a dense prefix (hash-priority sample is a prefix cut)
+        assert [r["pick_rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_quantize_embeddings_int8_range_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25]),
+            (2, [0.0, 0.0, 0.0]),  # all-zero: scale null-guarded
+            (3, [3.0]),
+        ],
+        schema="vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, r in rows.items():
+        assert all(-127 <= q <= 127 for q in r["qe"]), r
+    assert rows[2]["qe"] == [0, 0, 0]
+    assert rows[2]["scale"] == 0.0
+    assert rows[3]["qe"] == [127]
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    # hypothesis forbids function-scoped fixtures inside @given; alias the
+    # session Spark at module scope (same pattern as test_greedy_properties)
+    return spark
