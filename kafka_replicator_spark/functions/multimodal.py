@@ -163,3 +163,104 @@ SELECT doc_id, kind,
                       WHEN 'video' THEN octet_length(payload) * 40 END AS BIGINT) AS duration_ms
 FROM media
 """
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = "doc_id long, kind string, e array<double>"
+
+
+def embed_media(media: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: payload bytes → fixed-dim embedding.
+
+    Arrow-batched ``mapInPandas``, partition-preserving — the exact shape a
+    real encoder (CLIP / wav2vec / video encoder) plugs into; the STUB
+    derives each dimension from the portable md5 hash of the payload text
+    so the DuckDB oracle reproduces the vectors bit-for-bit
+    (``(hash60(text || ':' || i) % 2000 - 1000) / 1000`` — thousandths are
+    exact doubles).  Swapping in a real model changes the inner function
+    only; schema, batching, and the downstream ANN plan stay fixed.
+    """
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                text = bytes(payload).decode("utf-8")
+                embs.append(
+                    [
+                        (int(_hl.md5(f"{text}:{i}".encode()).hexdigest()[:15], 16) % 2000 - 1000)
+                        / 1000.0
+                        for i in range(EMBED_DIM)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "e": embs}
+            )
+
+    return media.mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+def media_embed_topk(docs: DataFrame, probe_ids: list[int], k: int = 5) -> DataFrame:
+    """End-to-end multimodal retrieval: synthesize media → embed (pandas
+    stub) → brute-force cosine top-k per probe, JVM-side scoring (the
+    embedding is the only Python stage).
+    """
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions.similarity import cosine_col
+
+    emb = embed_media(synthesize_media(docs)).cache()
+    probes = emb.filter(F.col("doc_id").isin(probe_ids)).select(
+        F.col("doc_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("doc_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("doc_id").alias("neighbor_id"),
+        "kind",
+        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "kind",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def media_embed_topk_sql(probe_ids: list[int], k: int = 5) -> str:
+    dims = ", ".join(
+        f"(CAST(('0x' || substr(md5(text || ':{i}'), 1, 15)) AS BIGINT) % 2000 - 1000) / 1000.0"
+        for i in range(EMBED_DIM)
+    )
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INTEGER] AS kind,
+         text
+  FROM documents
+), emb AS (
+  SELECT doc_id, kind, [{dims}] AS e FROM media
+), probes AS (
+  SELECT doc_id AS probe_id, e AS pe FROM emb WHERE doc_id IN ({ids})
+), scored AS (
+  SELECT probe_id, emb.doc_id AS neighbor_id, kind,
+         list_dot_product(pe, e)
+           / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))) AS cos
+  FROM emb, probes WHERE emb.doc_id <> probe_id
+), ranked AS (
+  SELECT probe_id, neighbor_id, kind, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, kind, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""

@@ -85,6 +85,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_incremental_dedup",
     "p_udtf_tokenize",
     "a_interval_join",
+    "p_media_embed_topk",
 ]
 
 

@@ -181,3 +181,20 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("long").alias("frame_len"),
         F.sha2("frame_bytes", 256).alias("frame_sha"),
     )
+
+
+_EMBED_PROBES = [1, 2, 3, 4]
+
+
+@register(
+    "p_media_embed_topk",
+    multimodal.media_embed_topk_sql(_EMBED_PROBES, k=5),
+    tags=("pipeline", "multimodal", "similarity"),
+    doc="multimodal retrieval end-to-end: media payload → Arrow-batched "
+    "embedding stub (mapInPandas, the slot a CLIP/wav2vec encoder plugs "
+    "into) → broadcast brute-force cosine top-k.  Embeddings are "
+    "md5-derived thousandths so the DuckDB oracle reproduces the vectors "
+    "bit-for-bit and the cosine fold is exact at 6 dp",
+)
+def q_media_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_embed_topk(_docs(spark, sf_dir), _EMBED_PROBES, k=5)
