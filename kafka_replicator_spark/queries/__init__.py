@@ -86,6 +86,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_udtf_tokenize",
     "a_interval_join",
     "p_media_embed_topk",
+    "p_hll_distinct",
 ]
 
 

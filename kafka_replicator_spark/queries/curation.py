@@ -198,3 +198,57 @@ _EMBED_PROBES = [1, 2, 3, 4]
 )
 def q_media_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_embed_topk(_docs(spark, sf_dir), _EMBED_PROBES, k=5)
+
+
+def _hll_oracle() -> str:
+    from kafka_replicator_spark.functions import sketches
+
+    inner = sketches.hll_estimate_sql(
+        key_expr="event_id::VARCHAR", group_expr="event_type", table="events"
+    )
+    return f"""
+WITH hll AS ({inner}),
+exact AS (
+  SELECT event_type, count(DISTINCT event_id::VARCHAR) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT hll.grp AS event_type, reg_sum, empty_buckets, hll_estimate, exact_distinct,
+       round(abs(hll_estimate - exact_distinct) / exact_distinct * 100, 2) AS rel_err_pct
+FROM hll JOIN exact ON hll.grp = exact.event_type
+"""
+
+
+@register(
+    "p_hll_distinct",
+    _hll_oracle(),
+    tags=("pipeline", "sketch", "aggregation"),
+    doc="cross-engine-deterministic HyperLogLog: per-event-type distinct "
+    "event_id estimate from 256 registers over the portable md5 hash, "
+    "register sum kept exact in int64 so partial-agg order can't change "
+    "the estimate; paired with the exact distinct count as an audit "
+    "(raw estimator, no ln() small-range correction — see "
+    "functions/sketches.py)",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("eid")
+    )
+    est = sketches.hll_estimate(ev, F.col("eid"), ["event_type"])
+    exact = ev.groupBy("event_type").agg(F.countDistinct("eid").alias("exact_distinct"))
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "reg_sum",
+        "empty_buckets",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            2,
+        ).alias("rel_err_pct"),
+    )
+
+
