@@ -260,3 +260,24 @@ def test_incremental_dedup_semi_joins_broadcast(spark, sf_dir):
     plan = physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert has_broadcast_join(df)
+
+
+def test_hll_register_path_two_shuffles(spark, sf_dir):
+    # production sketch path: (group,bucket) partial-max, then group combine —
+    # bounded state (256 registers/group) regardless of key cardinality
+    from kafka_replicator_spark.functions.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("eid")
+    )
+    df = hll_estimate(ev, F.col("eid"), ["event_type"])
+    assert count_exchanges(df) == 2, physical_plan(df)
+    assert has_wholestage_codegen(df)
+
+
+def test_media_embed_topk_broadcasts_probes(spark, sf_dir):
+    df = QUERIES["p_media_embed_topk"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # probes broadcast + one window shuffle on probe_id; the corpus embedding
+    # side never exchanges
+    assert count_exchanges(df) <= 2, physical_plan(df)
