@@ -104,3 +104,35 @@ def spark_global(spark):
     # hypothesis forbids function-scoped fixtures inside @given; alias the
     # session Spark at module scope (same pattern as test_greedy_properties)
     return spark
+
+
+def test_hll_registers_merge_distributively(spark, sf_dir):
+    """The property that makes HLL scale-correct: registers computed over a
+    UNION equal the elementwise max of registers computed over the parts —
+    so partial sketches from any partitioning merge without re-reading data,
+    and the estimate is independent of how the input was split.
+    """
+    from kafka_replicator_spark.functions.sketches import hll_estimate, hll_registers
+    from kafka_replicator_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("eid")
+    )
+    a = ev.filter(F.col("eid").cast("long") % 2 == 0)
+    b = ev.filter(F.col("eid").cast("long") % 2 == 1)
+    merged_parts = (
+        hll_registers(a, F.col("eid"), ["event_type"])
+        .unionByName(hll_registers(b, F.col("eid"), ["event_type"]))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(ev, F.col("eid"), ["event_type"])
+    assert merged_parts.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged_parts).count() == 0
+
+    # estimates agree with the single-pass query too
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(ev, F.col("eid"), ["event_type"]).collect()
+    }
+    assert len(est) == 5 and all(v > 0 for v in est.values())
