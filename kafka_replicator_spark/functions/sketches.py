@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.functions.hashing import (
+    P32,
+    hash_family_col,
+    hash_family_params,
+    hash_family_sql,
+    portable_hash32,
+    portable_hash32_sql,
     portable_hash60,
     portable_hash60_sql,
 )
@@ -117,4 +123,116 @@ SELECT grp,
        round({_NUMER!r} / (s_nonempty + ({HLL_M} - nb) * (1::BIGINT << 53)), 4)
          AS hll_estimate
 FROM per
+"""
+
+
+#: count-min sketch geometry: D independent hash rows × W counters
+CMS_D = 4
+CMS_W = 1024
+_CMS_PARAMS = hash_family_params(CMS_D)
+
+
+def cms_sketch(
+    keyed_counts: DataFrame, key_col: str = "key", cnt_col: str = "cnt", w: int = CMS_W
+) -> DataFrame:
+    """Count-min sketch table (row i, bucket, counter) from per-key counts.
+
+    Pre-aggregating occurrences per key first (the caller's groupBy) and
+    summing counts into buckets is algebraically identical to incrementing
+    per occurrence — that map-side-combine shape is what keeps the shuffle
+    at D×|vocab| rows instead of D×|occurrences|.  The sketch itself is
+    D·W integers regardless of cardinality, and two sketches merge by
+    elementwise addition (exact int64 sums — order-free).
+    """
+    h32 = portable_hash32(key_col)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (hash_family_col(h32, a, b) % F.lit(w)).alias("b"),
+                )
+                for i, (a, b) in enumerate(_CMS_PARAMS)
+            ]
+        )
+    ).alias("rb")
+    return (
+        keyed_counts.select(F.col(cnt_col).alias("_c"), rows)
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.sum("_c").cast("long").alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, key_col: str = "key", w: int = CMS_W
+) -> DataFrame:
+    """min over the D row counters a key hashes to — the classic CMS read.
+
+    The sketch is at most D·W rows, so it broadcasts; estimating any number
+    of candidate keys is a broadcast join + partial min, no shuffle of the
+    candidate side beyond its own groupBy.
+    """
+    h32 = portable_hash32(key_col)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (hash_family_col(h32, a, b) % F.lit(w)).alias("b"),
+                )
+                for i, (a, b) in enumerate(_CMS_PARAMS)
+            ]
+        )
+    ).alias("rb")
+    probes = candidates.select(F.col(key_col).alias("_k"), rows).select(
+        "_k", F.col("rb.i").alias("i"), F.col("rb.b").alias("b")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("_k")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .withColumnRenamed("_k", key_col)
+    )
+
+
+def _cms_bucket_sql(h32_expr: str, w: int = CMS_W) -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN (({h32_expr}) * {a} + {b}) % {P32} % {w}"
+        for i, (a, b) in enumerate(_CMS_PARAMS)
+    )
+    return f"CASE r.i {cases} END"
+
+
+def cms_heavy_hitters_sql(top_n: int = 20, w: int = CMS_W) -> str:
+    """DuckDB mirror of the registered heavy-hitters query: CMS over the
+    whitespace token stream of ``documents``, read back for the true top-N
+    tokens with the exact count as audit.  Pure integer arithmetic end to
+    end — bit-identical across engines.
+    """
+    bucket = _cms_bucket_sql(portable_hash32_sql("t.tok"), w)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tok_counts AS (
+  SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok
+), rows_ AS (
+  SELECT unnest(range(0, {CMS_D})) AS i
+), sketch AS (
+  SELECT r.i AS i, {bucket} AS b, CAST(sum(t.cnt) AS BIGINT) AS counter
+  FROM tok_counts t CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), top AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+  FROM tok_counts QUALIFY rk <= {top_n}
+), probes AS (
+  SELECT t.tok, t.cnt, r.i AS i, {bucket} AS b
+  FROM top t CROSS JOIN rows_ r
+)
+SELECT p.tok AS token,
+       CAST(p.cnt AS BIGINT) AS exact_cnt,
+       CAST(min(s.counter) AS BIGINT) AS cms_estimate,
+       CAST(min(s.counter) - p.cnt AS BIGINT) AS overcount
+FROM probes p JOIN sketch s ON p.i = s.i AND p.b = s.b
+GROUP BY p.tok, p.cnt
 """

@@ -87,6 +87,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_interval_join",
     "p_media_embed_topk",
     "p_hll_distinct",
+    "p_cms_heavy_hitters",
 ]
 
 

@@ -252,3 +252,47 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+from kafka_replicator_spark.functions.sketches import cms_heavy_hitters_sql  # noqa: E402
+
+
+@register(
+    "p_cms_heavy_hitters",
+    cms_heavy_hitters_sql(top_n=20, w=16),
+    tags=("pipeline", "sketch", "text"),
+    doc="count-min-sketch heavy hitters over the corpus token stream: "
+    "4×1024 integer counters from the portable hash family, read back for "
+    "the true top-20 tokens with exact counts as audit.  Pure int64 "
+    "arithmetic end to end (no floats), so the estimate — including the "
+    "collision overcount — is bit-identical across engines; sketches merge "
+    "by elementwise addition (functions/sketches.py).  Width 16 here: the "
+    "fixture vocabulary is 31 tokens, so the production 4x1024 geometry "
+    "would be collision-free and the overcount audit vacuous",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions import sketches
+    from kafka_replicator_spark.functions.hashing import spread
+
+    toks = spread(_docs(spark, sf_dir)).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    sketch = sketches.cms_sketch(tok_counts, key_col="tok", cnt_col="cnt", w=16)
+    top = (
+        tok_counts.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        )
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    est = sketches.cms_estimate(sketch, top.select("tok"), key_col="tok", w=16)
+    return top.join(est, "tok").select(
+        F.col("tok").alias("token"),
+        F.col("cnt").cast("long").alias("exact_cnt"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("cnt")).cast("long").alias("overcount"),
+    )
+

@@ -136,3 +136,37 @@ def test_hll_registers_merge_distributively(spark, sf_dir):
         for r in hll_estimate(ev, F.col("eid"), ["event_type"]).collect()
     }
     assert len(est) == 5 and all(v > 0 for v in est.values())
+
+
+def test_cms_never_underestimates_and_merges_additively(spark, sf_dir):
+    """CMS guarantees estimate >= true count for EVERY key (min of sums
+    that each include the key's own mass), and part-sketches sum to the
+    whole sketch — the two properties that make it a safe distributed
+    counter at any scale.
+    """
+    from kafka_replicator_spark.functions.sketches import cms_estimate, cms_sketch
+    from kafka_replicator_spark.sources.tables import load_table
+
+    W = 16
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    sketch = cms_sketch(counts, key_col="tok", cnt_col="cnt", w=W).cache()
+
+    est = cms_estimate(sketch, counts.select("tok"), key_col="tok", w=W)
+    under = est.join(counts, "tok").filter(F.col("cms_estimate") < F.col("cnt"))
+    assert under.count() == 0
+
+    a = counts.filter(F.length("tok") % 2 == 0)
+    b = counts.filter(F.length("tok") % 2 == 1)
+    merged = (
+        cms_sketch(a, key_col="tok", cnt_col="cnt", w=W)
+        .unionByName(cms_sketch(b, key_col="tok", cnt_col="cnt", w=W))
+        .groupBy("i", "b")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
