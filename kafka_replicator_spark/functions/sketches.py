@@ -83,7 +83,15 @@ def hll_registers(df: DataFrame, key, group_cols: list[str]) -> DataFrame:
 
 def hll_estimate(df: DataFrame, key, group_cols: list[str]) -> DataFrame:
     """Per-group HLL cardinality estimate with exact integer register sum."""
-    regs = hll_registers(df, key, group_cols)
+    return hll_estimate_from_registers(hll_registers(df, key, group_cols), group_cols)
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Estimate from a (group, bucket, r) register table — the readout stage.
+
+    Separated so streaming register maintenance (streaming/sketch_stream.py)
+    and batch both finish through the identical arithmetic.
+    """
     per = regs.groupBy(*group_cols).agg(
         F.sum(F.expr("shiftleft(1L, 53 - r)")).alias("s_nonempty"),
         F.count(F.lit(1)).alias("nb"),

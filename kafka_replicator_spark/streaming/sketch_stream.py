@@ -1,0 +1,66 @@
+"""Streaming cardinality monitoring: windowed HLL register maintenance.
+
+The reference's observability layer keeps per-partition volume meters
+(ingress/metrics.go, SURVEY §2.11); a distinct-count meter (unique keys /
+users / documents per window) is the natural extension, and the exact
+version is unbounded state.  HLL registers bound it: the streaming state per
+window is ≤ 256 (bucket → max rho) rows no matter how many distinct keys
+pass through.
+
+Structured Streaming allows ONE stateful aggregation per query, so the
+stream maintains the *register table* (a single windowed groupBy — max is
+an idempotent, order-free merge, exactly what the state store replays on
+recovery) and the estimate readout (`hll_estimate_from_registers`) runs as
+a batch query over the sink — the same split a register store at 100 TB
+would use, and the identical arithmetic the batch/oracle path uses
+(functions/sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.hashing import portable_hash60
+from kafka_replicator_spark.functions.sketches import _W_BITS, _W_MASK
+
+
+def windowed_hll_registers(
+    df: DataFrame,
+    key,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Per-(event-time window, bucket) max-rho register stream.
+
+    Works on both batch and streaming frames — the batch run over the same
+    complete input is the oracle for the streaming one (the test strategy
+    of streaming/windowed.py).
+    """
+    with_ts = df.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark_delay)
+    h = portable_hash60(key)
+    w = h.bitwiseAND(F.lit(_W_MASK))
+    rho = (
+        F.when(w == 0, F.lit(_W_BITS))
+        .otherwise(F.lit(_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        with_ts.select(
+            F.window("event_time", window_duration).alias("win"),
+            F.shiftright(h, _W_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("win", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "bucket",
+            "r",
+        )
+    )

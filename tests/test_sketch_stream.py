@@ -1,0 +1,54 @@
+"""Streaming HLL register maintenance: the streamed register table (with
+watermark, incremental state) must equal the batch register table over the
+same complete input, and the estimate read out from the streamed registers
+must equal the batch estimate — sketch state is mergeable, so microbatch
+order can't change it.
+"""
+
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.sketches import hll_estimate_from_registers
+from kafka_replicator_spark.streaming.sketch_stream import windowed_hll_registers
+
+
+def test_streaming_hll_registers_match_batch(spark, messages, tmp_path):
+    src = str(tmp_path / "drops")
+    data = messages.select("topic", "partition_id", "msg_offset", "ts_ns").withColumn(
+        "key_s", F.concat_ws(":", "topic", "partition_id", "msg_offset")
+    )
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+
+    batch_regs = windowed_hll_registers(data, F.col("key_s"))
+
+    stream = (
+        spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long, ts_ns long, key_s string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_hll_registers(stream, F.col("key_s"), watermark_delay="10 seconds")
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_regs = spark.sql("SELECT * FROM hll_regs")
+
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0
+
+    got_est = {
+        r["window_start"]: r["hll_estimate"]
+        for r in hll_estimate_from_registers(got_regs, ["window_start"]).collect()
+    }
+    exp_est = {
+        r["window_start"]: r["hll_estimate"]
+        for r in hll_estimate_from_registers(batch_regs, ["window_start"]).collect()
+    }
+    assert got_est == exp_est and len(exp_est) > 1
+    assert all(v > 0 for v in exp_est.values())
