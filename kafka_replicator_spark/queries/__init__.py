@@ -88,6 +88,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_media_embed_topk",
     "p_hll_distinct",
     "p_cms_heavy_hitters",
+    "a_bloom_semi_join",
 ]
 
 

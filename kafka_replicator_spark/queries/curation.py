@@ -296,3 +296,36 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_estimate") - F.col("cnt")).cast("long").alias("overcount"),
     )
 
+
+
+@register(
+    "a_bloom_semi_join",
+    """
+WITH neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM neg)
+GROUP BY o_orderpriority
+""",
+    tags=("analytics", "join", "bloom"),
+    doc="bloom-prefiltered semi join (operators/bloom.py): negative-balance "
+    "customers fold into a 2^16-bit filter of OR-aggregated int64 blocks; "
+    "a pure column predicate drops non-matching orders BEFORE the exact "
+    "semi join, so the shuffle sees ~selectivity+fp of the fact side.  "
+    "Result is bit-identical to the plain semi join (no false negatives; "
+    "the exact join kills false positives) — the explicit form of Spark's "
+    "AQE runtime bloom filter",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    neg = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    picked = bloom_semi_join(orders, neg, "o_custkey", "c_custkey")
+    return picked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
