@@ -44,6 +44,11 @@ HEADLINE = [
     "p_prefix_dedup",
     "p_quantized_topk",
     "p_corpus_mix",
+    # round-3 late additions: sketches, multimodal retrieval, bloom semi join
+    "p_hll_distinct",
+    "p_cms_heavy_hitters",
+    "p_media_embed_topk",
+    "a_bloom_semi_join",
 ]
 
 
