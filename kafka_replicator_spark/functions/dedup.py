@@ -665,3 +665,66 @@ SELECT doc_id,
             ELSE 'kept' END AS verdict
 FROM inc
 """
+
+
+# ------------------------------------------------- duplicated token spans
+
+def dup_spans(
+    docs: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-span detection: the fraction of each document's
+    sliding ``w``-token windows that occur more than once corpus-wide
+    (including within-document repeats) — the window-hash flavour of the
+    substring dedup in Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"); the suffix-array variant finds
+    maximal spans, this one is the shuffle-friendly approximation whose
+    cost is linear in tokens.
+
+    Plan: one explode to the window frame (~tokens rows), one shuffle to
+    count occurrences per window hash (window function, no join back),
+    one shuffle for the per-document rollup.  ``dup_ppm`` is integer
+    parts-per-million — no float ever reaches the output.
+
+    Documents shorter than ``w`` tokens have no windows and are absent,
+    matching the oracle (Spark's ``sequence(1, 0)`` would be DESCENDING,
+    hence the explicit guard).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+        ),
+    ).otherwise(F.array())
+    win = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("wh"))
+    occ = win.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn("dup_ppm", F.expr("n_dup * 1000000 div n_windows"))
+    )
+
+
+def dup_spans_sql(w: int = 8) -> str:
+    return f"""
+WITH win AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+{w - 1}], ' ')) AS wh
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+occ AS (SELECT doc_id, count(*) OVER (PARTITION BY wh) AS n_occ FROM win)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+FROM occ GROUP BY doc_id
+"""

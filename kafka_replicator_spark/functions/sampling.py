@@ -1,0 +1,261 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Two families, both exact-integer so the DuckDB oracle reproduces every row
+bit-for-bit (no float RNG, no engine-local ``rand()``):
+
+  * **PPS Poisson sampling** — probability-proportional-to-size inclusion
+    (Hájek/Poisson sampling): document *i* in group *g* is kept iff
+
+        h32(i) * Σw_g  <  n * w_i * 2^32
+
+    which realises inclusion probability ``min(1, n·w_i/Σw_g)`` with the
+    portable 32-bit hash standing in for the uniform draw.  The comparison
+    is exact integer arithmetic (DECIMAL(38,0) on the Spark side, HUGEINT
+    in DuckDB) — no rounding, no cross-engine float divergence.  This is
+    the weighted counterpart of the hash-gated stratified resample in
+    :mod:`kafka_replicator_spark.functions.curation`.
+
+  * **KMV bottom-k sketch** — per-source distinct-shingle sketches of k
+    minimum 60-bit hash values.  Sketches are mergeable (union = bottom-k
+    of the concatenation) and support *set-intersection* estimation, which
+    the HyperLogLog sketch (functions/sketches.py) cannot: for sources A,B
+    the estimator is ``|L ∩ A ∩ B| / k`` where L is the bottom-k of the
+    merged sketch.  Ratios are reported in integer parts-per-million
+    (``x * 1000000 div k``) so no float rounding ever reaches the output.
+
+Scale: PPS is map-only after one tiny per-group total (broadcast back);
+the KMV sketch bounds per-source state at k rows regardless of corpus
+size, so the pairwise-overlap stage runs on a sources×k frame — at 100 TB
+the expensive exact audit drops out and only the sketch path remains.
+
+The reference engine has no sampling surface (cf. SURVEY.md §2 "pipeline
+extensions"); semantics follow the published PPS / KMV literature
+(Beyer et al., "On synopses for distinct-value estimation", SIGMOD'07).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash32_sql,
+    portable_hash60,
+    portable_hash60_sql,
+    spread,
+)
+
+# ------------------------------------------------------------------ PPS
+
+#: 2^32 — scales the hash draw to the inclusion-probability comparison
+_TWO32 = 4294967296
+
+
+def pps_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Deterministic PPS Poisson sample of ~``n`` docs per group.
+
+    Inclusion is decided per row from the portable hash of the id — no
+    global sort, no RNG state; the only shuffle is the per-group weight
+    total, which is metadata-scale and broadcast back onto the fact side.
+    The DECIMAL(38,0) product keeps the comparison exact far beyond the
+    int64 range (Σw at 100 TB overflows BIGINT; 38 digits do not).
+    """
+    w = F.col(weight_col).cast("long")
+    totals = docs.groupBy(group_col).agg(F.sum(w).alias("_sw"))
+    lhs = portable_hash32(F.col(id_col).cast("string")).cast("decimal(38,0)") * F.col("_sw")
+    rhs = (w * F.lit(n)).cast("decimal(38,0)") * F.lit(_TWO32)
+    return (
+        docs.join(F.broadcast(totals), group_col)
+        .filter(lhs < rhs)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            w.alias("weight"),
+        )
+    )
+
+
+def pps_sample_sql(
+    group_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n: int = 10,
+    table: str = "documents",
+) -> str:
+    h = portable_hash32_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH tot AS (
+  SELECT {group_col}, CAST(sum({weight_col}) AS BIGINT) AS sw
+  FROM {table} GROUP BY {group_col}
+)
+SELECT d.{group_col} AS grp, d.{id_col} AS doc_id,
+       CAST(d.{weight_col} AS BIGINT) AS weight
+FROM {table} d JOIN tot USING ({group_col})
+WHERE CAST({h} AS HUGEINT) * sw
+    < CAST(d.{weight_col} * {n} AS HUGEINT) * {_TWO32}
+"""
+
+
+# ------------------------------------------------------------------ KMV
+
+def source_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per source with the 60-bit portable
+    hash — the input universe of the KMV sketch."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())  # sequence(1,0) is DESCENDING in Spark — must guard
+    return (
+        spread(docs)
+        .select("source", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+        .withColumn("h", portable_hash60("shingle"))
+    )
+
+
+def _source_shingles_sql(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+  SELECT DISTINCT source, shingle, {portable_hash60_sql('shingle')} AS h
+  FROM (
+    SELECT source, {gram} AS shingle
+    FROM (
+      SELECT source, t, unnest(range(1, len(t) - {n - 2})) AS i
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+    )
+  )
+"""
+
+
+def kmv_overlap(docs: DataFrame, n: int = 3, k: int = 128) -> DataFrame:
+    """Pairwise source-overlap from KMV bottom-k sketches, audited exactly.
+
+    Per unordered source pair (sa, sb):
+
+      * ``n_both``        — sketch members of the merged bottom-k seen in
+        BOTH per-source sketches
+      * ``jacc_est_ppm``  — ``n_both * 1e6 div k_used`` (the KMV Jaccard
+        estimator, integer ppm)
+      * ``n_inter`` / ``jacc_ppm`` — the exact values from the full
+        shingle sets (the audit; drops out at scale)
+
+    The sketch frame is sources×k rows however large the corpus is — the
+    pairwise stage is metadata-scale, and distinct-h ordering makes the
+    sketch content independent of partitioning and engine.
+    """
+    sh = source_shingles(docs, n=n).cache()
+    hs = sh.select("source", "h").distinct()
+    rk = Window.partitionBy("source").orderBy("h")
+    sk = hs.withColumn("_rk", F.row_number().over(rk)).filter(F.col("_rk") <= k).drop("_rk")
+
+    others = sk.select(F.col("source").alias("other")).distinct()
+    paired = (
+        sk.join(others, F.col("source") != F.col("other"))
+        .select(
+            F.least("source", "other").alias("sa"),
+            F.greatest("source", "other").alias("sb"),
+            "h",
+            (F.col("source") < F.col("other")).alias("from_a"),
+        )
+    )
+    merged = (
+        paired.groupBy("sa", "sb", "h")
+        .agg(
+            F.max(F.when(F.col("from_a"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(~F.col("from_a"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    mk = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        merged.withColumn("_rk", F.row_number().over(mk))
+        .filter(F.col("_rk") <= k)
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+            F.count(F.lit(1)).alias("k_used"),
+        )
+        .withColumn("jacc_est_ppm", F.expr("n_both * 1000000 div k_used"))
+    )
+
+    a = sh.select(F.col("source").alias("sa"), "shingle")
+    b = sh.select(F.col("source").alias("sb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    sza = sizes.select(F.col("source").alias("sa"), F.col("n_sh").alias("_na"))
+    szb = sizes.select(F.col("source").alias("sb"), F.col("n_sh").alias("_nb"))
+    exact = (
+        est.join(inter, ["sa", "sb"], "left")
+        .join(F.broadcast(sza), "sa")
+        .join(F.broadcast(szb), "sb")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn("jacc_ppm", F.expr("n_inter * 1000000 div (_na + _nb - n_inter)"))
+    )
+    return exact.select(
+        "sa", "sb", "n_both", "k_used", "jacc_est_ppm", "n_inter", "jacc_ppm"
+    )
+
+
+def kmv_overlap_sql(n: int = 3, k: int = 128) -> str:
+    return f"""
+WITH sh AS ({_source_shingles_sql(n)}),
+hs AS (SELECT DISTINCT source, h FROM sh),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM hs
+  ) WHERE rk <= {k}
+),
+paired AS (
+  SELECT least(s.source, o.other) AS sa, greatest(s.source, o.other) AS sb,
+         s.h, (s.source < o.other) AS from_a
+  FROM sk s JOIN (SELECT DISTINCT source AS other FROM sk) o
+    ON s.source <> o.other
+),
+merged AS (
+  SELECT sa, sb, h,
+         max(CASE WHEN from_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN from_a THEN 0 ELSE 1 END) AS in_b
+  FROM paired GROUP BY sa, sb, h
+),
+est AS (
+  SELECT sa, sb,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         CAST(count(*) AS BIGINT) AS k_used
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+    FROM merged
+  ) WHERE rk <= {k}
+  GROUP BY sa, sb
+),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source)
+SELECT e.sa, e.sb, e.n_both, e.k_used,
+       CAST(e.n_both * 1000000 // e.k_used AS BIGINT) AS jacc_est_ppm,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(coalesce(i.n_inter, 0) * 1000000
+            // (x.n_sh + y.n_sh - coalesce(i.n_inter, 0)) AS BIGINT) AS jacc_ppm
+FROM est e
+LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
+JOIN sizes x ON e.sa = x.source
+JOIN sizes y ON e.sb = y.source
+"""

@@ -89,6 +89,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_hll_distinct",
     "p_cms_heavy_hitters",
     "a_bloom_semi_join",
+    "p_dup_spans",
+    "p_pps_sample",
+    "p_kmv_overlap",
 ]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, packing, scoring, similarity, udtfs
+from kafka_replicator_spark.functions import dedup, packing, sampling, scoring, similarity, udtfs
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -110,6 +110,44 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udtfs.tokenize_lateral(spark, load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_dup_spans",
+    dedup.dup_spans_sql(w=8),
+    tags=("pipeline", "dedup"),
+    doc="exact duplicated-span detection: per-document fraction of sliding "
+    "8-token window hashes that repeat corpus-wide (Lee et al. 2022 "
+    "substring-dedup family, window-hash flavour; functions/dedup.py)",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dup_spans(load_table(spark, sf_dir, "documents"), w=8)
+
+
+@register(
+    "p_pps_sample",
+    sampling.pps_sample_sql(n=10),
+    tags=("pipeline", "sampling"),
+    doc="deterministic probability-proportional-to-size Poisson sample "
+    "(~10 docs/language, inclusion prob ∝ n_chars) — exact-integer hash "
+    "gate, no RNG; map-only after a broadcast per-group total "
+    "(functions/sampling.py)",
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.pps_sample(load_table(spark, sf_dir, "documents"), n=10)
+
+
+@register(
+    "p_kmv_overlap",
+    sampling.kmv_overlap_sql(n=3, k=128),
+    tags=("pipeline", "sketches"),
+    doc="pairwise cross-source overlap from KMV bottom-k sketches "
+    "(k=128 minimum 60-bit hashes of distinct 3-gram shingles) with the "
+    "exact-intersection audit; integer-ppm Jaccard, sketch state bounded "
+    "at sources×k rows at any corpus size (functions/sampling.py)",
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.kmv_overlap(load_table(spark, sf_dir, "documents"), n=3, k=128)
 
 
 @register(

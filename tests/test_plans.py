@@ -281,3 +281,26 @@ def test_media_embed_topk_broadcasts_probes(spark, sf_dir):
     # probes broadcast + one window shuffle on probe_id; the corpus embedding
     # side never exchanges
     assert count_exchanges(df) <= 2, physical_plan(df)
+
+
+def test_pps_sample_broadcasts_group_totals(spark, sf_dir):
+    # per-group weight totals are metadata-scale: one agg shuffle, broadcast
+    # back onto the fact side — the document scan itself never exchanges
+    df = QUERIES["p_pps_sample"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 1, physical_plan(df)
+    assert has_wholestage_codegen(df)
+
+
+def test_dup_spans_shuffle_budget(spark, sf_dir):
+    # explode → window-count on wh → per-doc rollup: the window frame moves
+    # at most twice (plus the conditional spread() of a compact input)
+    df = QUERIES["p_dup_spans"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_kmv_overlap_pairwise_stage_is_sketch_scale(spark, sf_dir):
+    # the pairwise estimator joins a sources×k sketch against the source
+    # list — that join must broadcast, never shuffle the corpus
+    df = QUERIES["p_kmv_overlap"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
