@@ -244,3 +244,74 @@ SELECT p.tok AS token,
 FROM probes p JOIN sketch s ON p.i = s.i AND p.b = s.b
 GROUP BY p.tok, p.cnt
 """
+
+
+# ------------------------------------------------- one-permutation MinHash
+
+#: OPH bucket count — per-group sketch state is <= OPH_B (bucket, min) rows
+OPH_B = 64
+
+
+def oph_registers(df: DataFrame, key, group_cols: list[str], b: int = OPH_B) -> DataFrame:
+    """One-permutation MinHash register table (Li et al., NIPS 2012):
+    per (group, bucket) the MINIMUM 60-bit portable hash, bucket = h mod b.
+
+    ``min`` is idempotent and order-free — the same mergeability that lets
+    the HLL registers above run as a single stateful streaming aggregation
+    (streaming/sketch_stream.windowed_oph_registers) with bounded state.
+    """
+    h = portable_hash60(key)
+    return (
+        df.select(*group_cols, (h % F.lit(b)).alias("bucket"), h.alias("hv"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.min("hv").alias("mh"))
+    )
+
+
+def oph_jaccard_from_registers(
+    regs: DataFrame, group_col: str, b: int = OPH_B
+) -> DataFrame:
+    """Pairwise Jaccard estimates from an OPH register table: the fraction
+    of buckets whose minima agree (integer ppm; empty buckets count as
+    disagreement, the conservative choice for near-full sketches).
+
+    The register table is groups×b rows whatever the corpus size, so this
+    join is metadata-scale — broadcast, never a corpus shuffle.
+    """
+    a = regs.select(
+        F.col(group_col).alias("ga"), F.col("bucket").alias("bk"), F.col("mh").alias("ma")
+    )
+    c = regs.select(
+        F.col(group_col).alias("gb"), F.col("bucket").alias("bk"), F.col("mh").alias("mb")
+    )
+    return (
+        a.join(F.broadcast(c), "bk")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).alias("n_match"))
+        .withColumn("jacc_est_ppm", F.expr(f"n_match * 1000000 div {b}"))
+    )
+
+
+def oph_jaccard_sql(key_expr: str, group_expr: str, table: str, b: int = OPH_B) -> str:
+    """DuckDB mirror of registers → pairwise readout (+ exact audit)."""
+    return f"""
+WITH u AS (
+  SELECT {group_expr} AS grp,
+         {portable_hash60_sql(key_expr)} AS hk
+  FROM {table}
+),
+regs AS (
+  SELECT grp, hk % {b} AS bucket, min(hk) AS mh
+  FROM u GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.grp AS ga, c.grp AS gb,
+         CAST(sum(CASE WHEN a.mh = c.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM regs a JOIN regs c ON a.bucket = c.bucket AND a.grp < c.grp
+  GROUP BY 1, 2
+)
+SELECT ga, gb, n_match,
+       CAST(n_match * 1000000 // {b} AS BIGINT) AS jacc_est_ppm
+FROM pairs
+"""

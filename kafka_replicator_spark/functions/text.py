@@ -230,3 +230,70 @@ FROM (
 )
 WHERE start = 1 OR start + {chunk_tokens} - 1 <= n_tokens + {stride}
 """
+
+
+# ---------------------------------------------------------- inverted index
+
+def inverted_index(
+    docs: DataFrame, max_postings: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus inverted index: per token the document frequency, collection
+    frequency, and the first ``max_postings`` postings as a deterministic
+    ``doc:tf`` string (ordered by doc id) — the retrieval-side primitive a
+    training-data search/inspection tool builds on.
+
+    Plan: one explode to the token frame, one shuffle to (token, doc)
+    term frequencies, one shuffle to the per-token rollup.  Output rows
+    are bounded by vocabulary size and postings are capped, so the result
+    stays metadata-scale however large the corpus; collect_list here
+    gathers at most the per-token DISTINCT doc list (bounded further by
+    the postings slice after sorting — swap in a windowed top-k cut
+    before the rollup if a token's doc list itself exceeds memory).
+    """
+    toks = F.split(F.col(text_col), " ")
+    tok = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "token"))
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), (F.min("pos") + 1).alias("first_pos")
+    )
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                1,
+                max_postings,
+            ),
+            lambda s: F.concat_ws(":", s["doc_id"].cast("string"), s["tf"].cast("string")),
+        ),
+    )
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("tf").alias("cf"),
+        postings.alias("postings"),
+    )
+
+
+def inverted_index_sql(max_postings: int = 8) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t[i] AS token, i AS pos
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+per_doc AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf, min(pos) AS first_pos
+  FROM tok GROUP BY token, doc_id
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df_docs,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string(
+         (list(doc_id || ':' || tf ORDER BY doc_id, tf))[1:{max_postings}], ','
+       ) AS postings
+FROM per_doc GROUP BY token
+"""

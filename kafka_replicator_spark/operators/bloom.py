@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from kafka_replicator_spark.functions.hashing import (
     hash_family_col,
     hash_family_params,
-    portable_hash32,
 )
 
 #: default geometry: 2^16 bits (1024 int64 blocks), 4 hash positions
@@ -39,9 +38,11 @@ BLOOM_K = 4
 
 
 def _positions(key_col, k: int, m_bits: int):
-    # hash the string rendering so numeric and string keys agree with the
-    # DuckDB oracle's ::VARCHAR cast
-    h32 = portable_hash32(key_col.cast("string"))
+    # xxhash64, NOT the portable md5 hash: bit positions never reach the
+    # oracle compare (false positives die in the exact join), so the only
+    # requirement is that build and probe agree — and xxhash64 is pure JVM
+    # codegen, removing the md5-per-fact-row tax from the probe side.
+    h32 = F.pmod(F.xxhash64(key_col.cast("string")), F.lit(4294967296))
     return [hash_family_col(h32, a, b) % F.lit(m_bits) for a, b in hash_family_params(k)]
 
 

@@ -92,6 +92,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_dup_spans",
     "p_pps_sample",
     "p_kmv_overlap",
+    "p_oph_jaccard",
+    "p_inverted_index",
 ]
 
 

@@ -9,7 +9,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, packing, sampling, scoring, similarity, udtfs
+from kafka_replicator_spark.functions import (
+    dedup,
+    packing,
+    sampling,
+    scoring,
+    similarity,
+    sketches,
+    text,
+    udtfs,
+)
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -148,6 +157,40 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.kmv_overlap(load_table(spark, sf_dir, "documents"), n=3, k=128)
+
+
+@register(
+    "p_oph_jaccard",
+    sketches.oph_jaccard_sql(
+        key_expr="shingle",
+        group_expr="source",
+        table=f"({sampling._source_shingles_sql(3)})",
+    ),
+    tags=("pipeline", "sketches"),
+    doc="pairwise source Jaccard from one-permutation-MinHash registers "
+    "(64 bucket-minima of the portable hash over distinct 3-gram "
+    "shingles; Li et al. 2012) — the batch shape of the streaming "
+    "register maintenance in streaming/sketch_stream.py; integer-ppm "
+    "output, register state bounded at groups×64 rows",
+)
+def q_oph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    sh = sampling.source_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    regs = sketches.oph_registers(sh, F.col("shingle"), ["source"], b=64)
+    return sketches.oph_jaccard_from_registers(regs, "source", b=64)
+
+
+@register(
+    "p_inverted_index",
+    text.inverted_index_sql(max_postings=8),
+    tags=("pipeline", "text"),
+    doc="corpus inverted index: per-token document/collection frequencies "
+    "and capped deterministic doc:tf postings — output bounded by "
+    "vocabulary, postings capped at 8 (functions/text.py)",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.inverted_index(load_table(spark, sf_dir, "documents"), max_postings=8)
 
 
 @register(

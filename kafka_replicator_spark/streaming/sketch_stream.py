@@ -64,3 +64,38 @@ def windowed_hll_registers(
             "r",
         )
     )
+
+
+def windowed_oph_registers(
+    df: DataFrame,
+    key,
+    group_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts_ns",
+    b: int = 64,
+) -> DataFrame:
+    """Per-(event-time window, group, bucket) minimum-hash register stream —
+    the one-permutation-MinHash analog of :func:`windowed_hll_registers`.
+
+    ``min`` is an idempotent, order-free merge, so this is a single
+    replay-safe stateful aggregation with state bounded at b rows per
+    (window, group) however many keys stream through; the pairwise Jaccard
+    readout (functions/sketches.oph_jaccard_from_registers) runs as a batch
+    query over the sink, identical to the batch/oracle arithmetic.
+    """
+    from kafka_replicator_spark.functions.sketches import oph_registers
+
+    with_ts = df.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark_delay)
+    win = F.window("event_time", window_duration).alias("win")
+    regs = oph_registers(
+        with_ts.select(win, F.col(group_col).alias("grp"), *df.columns),
+        key,
+        ["win", "grp"],
+        b=b,
+    )
+    return regs.select(F.col("win.start").alias("window_start"), "grp", "bucket", "mh")

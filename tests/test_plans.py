@@ -304,3 +304,16 @@ def test_kmv_overlap_pairwise_stage_is_sketch_scale(spark, sf_dir):
     # list — that join must broadcast, never shuffle the corpus
     df = QUERIES["p_kmv_overlap"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_oph_jaccard_readout_broadcasts_registers(spark, sf_dir):
+    # registers are groups×64 rows — the pairwise readout joins them
+    # broadcast; the corpus-scale shingle frame never reaches that join
+    df = QUERIES["p_oph_jaccard"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_inverted_index_shuffle_budget(spark, sf_dir):
+    # explode → (token, doc) tf agg → per-token rollup (+ conditional spread)
+    df = QUERIES["p_inverted_index"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 3, physical_plan(df)

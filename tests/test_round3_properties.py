@@ -173,7 +173,7 @@ def test_cms_never_underestimates_and_merges_additively(spark, sf_dir):
 
 
 def test_bloom_semi_join_exact_even_with_heavy_false_positives(spark, sf_dir):
-    """Shrink the filter to 256 bits so false positives are guaranteed; the
+    """Shrink the filter to 64 bits so false positives are guaranteed; the
     operator must still return exactly the plain semi join (no false
     negatives by construction, FPs removed by the exact join).
     """
@@ -186,7 +186,7 @@ def test_bloom_semi_join_exact_even_with_heavy_false_positives(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     neg = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
-    got = bloom_semi_join(orders, neg, "o_custkey", "c_custkey", m_bits=256)
+    got = bloom_semi_join(orders, neg, "o_custkey", "c_custkey", m_bits=64)
     exp = orders.join(
         neg.select(F.col("c_custkey").alias("o_custkey")).dropDuplicates(),
         "o_custkey",
@@ -195,10 +195,10 @@ def test_bloom_semi_join_exact_even_with_heavy_false_positives(spark, sf_dir):
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
 
-    # at 256 bits the prefilter passes MORE than the true matches (real FPs),
-    # proving the final exact join is doing the correctness work
-    blocks = bloom_build(neg, "c_custkey", m_bits=256)
+    # at 64 bits the filter saturates, so the prefilter passes MORE than the
+    # true matches (real FPs) — the final exact join does the correctness work
+    blocks = bloom_build(neg, "c_custkey", m_bits=64)
     passed = orders.filter(
-        bloom_might_contain(F.col("o_custkey"), blocks, m_bits=256)
+        bloom_might_contain(F.col("o_custkey"), blocks, m_bits=64)
     ).count()
     assert passed > exp.count()

@@ -52,3 +52,65 @@ def test_streaming_hll_registers_match_batch(spark, messages, tmp_path):
     }
     assert got_est == exp_est and len(exp_est) > 1
     assert all(v > 0 for v in exp_est.values())
+
+
+def test_streaming_oph_registers_match_batch(spark, messages, tmp_path):
+    from kafka_replicator_spark.functions.sketches import oph_jaccard_from_registers
+    from kafka_replicator_spark.streaming.sketch_stream import windowed_oph_registers
+
+    src = str(tmp_path / "oph_drops")
+    data = messages.select("topic", "partition_id", "msg_offset", "ts_ns").withColumn(
+        "key_s", F.concat_ws(":", "topic", "msg_offset")
+    )
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+
+    batch_regs = windowed_oph_registers(data, F.col("key_s"), "partition_id")
+
+    stream = (
+        spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long, ts_ns long, key_s string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_oph_registers(
+            stream, F.col("key_s"), "partition_id", watermark_delay="10 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("oph_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_regs = spark.sql("SELECT * FROM oph_regs")
+
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0
+
+    # per-group state is bounded at b rows per window
+    per = got_regs.groupBy("window_start", "grp").count().agg(F.max("count")).first()[0]
+    assert per <= 64
+
+    # pairwise readout over one window's registers is sane ppm
+    one = got_regs.orderBy("window_start").first()["window_start"]
+    jac = oph_jaccard_from_registers(
+        got_regs.filter(F.col("window_start") == one), "grp"
+    ).toPandas()
+    assert len(jac) > 0
+    assert ((jac.jacc_est_ppm >= 0) & (jac.jacc_est_ppm <= 1_000_000)).all()
+
+
+def test_oph_identical_groups_estimate_full_overlap(spark):
+    from kafka_replicator_spark.functions.sketches import (
+        oph_jaccard_from_registers,
+        oph_registers,
+    )
+
+    rows = [(g, f"k{i}") for g in ("a", "b") for i in range(500)]
+    df = spark.createDataFrame(rows, schema="grp string, k string")
+    regs = oph_registers(df, F.col("k"), ["grp"])
+    jac = oph_jaccard_from_registers(regs, "grp").toPandas()
+    assert jac.iloc[0]["jacc_est_ppm"] == 1_000_000
