@@ -123,7 +123,7 @@ assigned AS (
   FROM ranked r
 )
 SELECT doc_id, source, n_tokens, CAST(pack_id AS INTEGER) AS pack_id,
-       sum(n_tokens) OVER (PARTITION BY source, pack_id) AS pack_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY source, pack_id) AS BIGINT) AS pack_tokens,
        count(*) OVER (PARTITION BY source, pack_id) AS pack_docs,
        round(CAST(sum(n_tokens) OVER (PARTITION BY source, pack_id) AS DOUBLE)
              / {budget}.0, 6) AS pack_fill

@@ -50,51 +50,47 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
-#: Names that already have a green row in CORRECTNESS_r01.json (static
-#: history — the driver's round-1 correctness run).  The driver verifies only
-#: a prefix (~50) of the registry each round, so the ordering below puts every
-#: query WITHOUT a round-1 row inside that window: r01 ∪ r03 then covers the
-#: whole registry even if the round-2 correctness artifact never landed.
-_R01_VERIFIED = frozenset({
-    'a_asof_join', 'a_distinct_aggregates', 'a_pivot_event_counts',
-    'a_q10_returned_items', 'a_q1_pricing_summary', 'a_q3_top_revenue_orders',
-    'a_q5_region_revenue', 'a_q6_forecast_revenue', 'a_range_join',
-    'a_rollup_orders', 'a_running_revenue', 'a_scalar_functions',
-    'a_semi_anti_customers', 'a_sessionization', 'a_set_ops',
-    'a_shared_sql_cube', 'a_shared_sql_grouping_sets', 'a_shared_sql_revenue',
+#: Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
+#: (static history of the driver's correctness runs; oracle-less queries count
+#: as green on a clean rows-only row).  The driver verifies only a prefix
+#: (~50) of the registry each round, so ``all_queries`` orders every name
+#: WITHOUT a green row — the 16 r_* that errored on the round-2 testdata
+#: regeneration, a_interval_join, p_pack_sequences (HUGEINT dtype drift,
+#: fixed), and the 17 that have never yet fallen inside a window — ahead of
+#: this set, then the round's new queries, then this remainder as ballast.
+_EVER_GREEN = frozenset({
+    'a_asof_join', 'a_bloom_semi_join', 'a_distinct_aggregates',
+    'a_pivot_event_counts', 'a_q10_returned_items', 'a_q11_important_stock',
+    'a_q12_ship_priority_classes', 'a_q15_top_supplier',
+    'a_q16_part_supplier_variety', 'a_q18_large_volume_customers',
+    'a_q1_pricing_summary', 'a_q20_excess_supply', 'a_q2_min_cost_supplier',
+    'a_q3_top_revenue_orders', 'a_q5_region_revenue', 'a_q6_forecast_revenue',
+    'a_q9_product_profit', 'a_range_join', 'a_rollup_orders',
+    'a_running_revenue', 'a_scalar_functions', 'a_semi_anti_customers',
+    'a_sessionization', 'a_set_ops', 'a_shared_sql_cube',
+    'a_shared_sql_grouping_sets', 'a_shared_sql_revenue',
     'a_shared_sql_scalar_subquery', 'a_stats_aggregates', 'a_topk_per_group',
     'a_window_functions', 'p_ann_topk', 'p_chunk_documents',
-    'p_cleaning_pipeline', 'p_cosine_topk', 'p_dedup_exact', 'p_dedup_jaccard',
-    'p_dedup_rate_by_source', 'p_embedding_neardup', 'p_fingerprint',
-    'p_ivf_topk', 'p_lang_id', 'p_lsh_buckets', 'p_lsh_candidate_pairs',
-    'p_media_frames', 'p_media_meta', 'p_minhash_estimate_audit',
-    'p_minhash_signatures', 'p_simhash', 'p_simhash_near_pairs',
-    'p_text_quality', 'p_text_stats', 'p_token_counts', 'p_top_ngrams',
-    'r_a6_checkpoint_lww', 'r_f1_resume_trim', 'r_p1_project_messages',
-    'r_t1_segment_plan', 'r_t9_resume_replay',
+    'p_cleaning_pipeline', 'p_cms_heavy_hitters', 'p_contamination',
+    'p_corpus_mix', 'p_cosine_topk', 'p_curate_batch', 'p_dedup_exact',
+    'p_dedup_jaccard', 'p_dedup_rate_by_source', 'p_dup_clusters',
+    'p_dup_spans', 'p_embedding_neardup', 'p_fingerprint', 'p_hll_distinct',
+    'p_incremental_dedup', 'p_inverted_index', 'p_ivf_topk',
+    'p_ivf_topk_trained', 'p_kmeans_centroids', 'p_kmv_overlap', 'p_lang_id',
+    'p_lsh_buckets', 'p_lsh_candidate_pairs', 'p_media_embed_topk',
+    'p_media_meta', 'p_minhash_estimate_audit', 'p_minhash_signatures',
+    'p_oph_jaccard', 'p_pii_scrub', 'p_pps_sample', 'p_prefix_dedup',
+    'p_quality_rules', 'p_quantized_topk', 'p_simhash', 'p_simhash_near_pairs',
+    'p_stratified_sample', 'p_text_quality', 'p_text_stats',
+    'p_tfidf_top_terms', 'p_token_counts', 'p_top_ngrams', 'p_udtf_tokenize',
+    'p_unigram_logprob', 'r_a6_checkpoint_lww', 'r_f1_resume_trim',
+    'r_p1_project_messages', 'r_t1_segment_plan', 'r_t9_resume_replay',
 })
 
-#: Queries added or materially changed in round 3 — hoisted to the front of
-#: the verification window (right behind the unverified replicator core) so
-#: the driver's prefix-of-50 correctness run covers them first.
-_NEW_THIS_ROUND: list[str] = [
-    "p_unigram_logprob",
-    "p_prefix_dedup",
-    "p_quantized_topk",
-    "p_corpus_mix",
-    "p_incremental_dedup",
-    "p_udtf_tokenize",
-    "a_interval_join",
-    "p_media_embed_topk",
-    "p_hll_distinct",
-    "p_cms_heavy_hitters",
-    "a_bloom_semi_join",
-    "p_dup_spans",
-    "p_pps_sample",
-    "p_kmv_overlap",
-    "p_oph_jaccard",
-    "p_inverted_index",
-]
+#: Queries added or materially changed THIS round — verified nowhere yet, so
+#: they go inside the window right behind the never-green backlog.  Keep the
+#: backlog (35) + this list ≤ 50 or the tail spills to next round.
+_NEW_THIS_ROUND: list[str] = []
 
 
 def all_queries() -> dict[str, Query]:
@@ -105,23 +101,16 @@ def all_queries() -> dict[str, Query]:
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND if n in REGISTRY]
     # Priority for the driver's prefix-of-50 window, most-starved first:
-    # 1. replicator-core r_* with no r01 row (the engine's center of gravity)
-    # 2. round-3 additions (never verified anywhere)
-    # 3. everything else with no r01 row, registration order — round-2's
-    #    window members sort last here since they are the likeliest to carry
-    #    a round-2 row if that artifact exists
-    # 4. the r01-verified remainder (r_* first so an over-50 prefix reaches
-    #    the changed-in-round-2 lifecycle queries next)
-    r_core = [n for n in names if n.startswith("r_") and n not in _R01_VERIFIED]
-    unverified = [
-        n for n in names
-        if n not in _R01_VERIFIED and not n.startswith("r_") and n not in new
-    ]
-    r2_window = set(_ROUND2_WINDOW_TAIL)
-    unverified.sort(key=lambda n: n in r2_window)  # stable: r2-window last
-    verified = [n for n in names if n in _R01_VERIFIED and n not in new]
-    verified.sort(key=lambda n: not n.startswith("r_"))
-    ordered = r_core + new + unverified + verified
+    # 1. never-green backlog, r_* first (the engine's center of gravity),
+    #    then registration order
+    # 2. this round's additions
+    # 3. the ever-green remainder (r_* first so an over-50 prefix re-checks
+    #    the replicator lifecycle before analytics ballast)
+    backlog = [n for n in names if n not in _EVER_GREEN and n not in new]
+    backlog.sort(key=lambda n: not n.startswith("r_"))
+    green = [n for n in names if n in _EVER_GREEN and n not in new]
+    green.sort(key=lambda n: not n.startswith("r_"))
+    ordered = backlog + new + green
     return {n: REGISTRY[n] for n in ordered}
 
 

@@ -53,6 +53,26 @@ def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str, float_t
     assert sorted(got.columns) == sorted(exp.columns), (
         f"{name}: column mismatch {sorted(got.columns)} vs {sorted(exp.columns)}"
     )
+    # the driver's value hash is dtype-sensitive (int 256 vs float 256.0
+    # hash differently even though == says True) — mirror that strictly.
+    # DuckDB quirk: sum(BIGINT)→HUGEINT arrives as float64/object; the
+    # oracle SQL must CAST back (CLAUDE.md).  Decimal columns arrive as
+    # object — _norm_cell floats them, so treat O/f as compatible only
+    # when every cell is Decimal.
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if gk == ek:
+            continue
+        if {gk, ek} <= {"i", "u"}:
+            continue  # signedness/width never reaches the hash
+        if "O" in (gk, ek):
+            col = got[c] if gk == "O" else exp[c]
+            if col.map(lambda v: isinstance(v, Decimal) or v is None).all():
+                continue
+        raise AssertionError(
+            f"{name} col {c}: pandas dtype kind mismatch spark={got[c].dtype} "
+            f"oracle={exp[c].dtype} — the driver hash will differ"
+        )
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
     g_rows, cols = _normalize(got)
     e_rows, _ = _normalize(exp)
