@@ -1,0 +1,273 @@
+"""Corpus-level statistics operators for training-data curation: boilerplate
+n-gram detection, DSIR-style importance weighting, and BPE merge statistics.
+
+These extend the documents-table pipeline family (functions/dedup.py,
+functions/scoring.py) with the three remaining curation primitives a
+large-scale pretraining pipeline runs between dedup and packing:
+
+  * **boilerplate detection** (RefinedWeb / CCNet style): n-grams that recur
+    across many *distinct* documents are navigation chrome, license
+    headers, templated spam — measure each document's boilerplate share.
+  * **DSIR importance weights** (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram log-ratio
+    of a target-domain LM vs the raw-corpus LM; documents that look like
+    the target get high weight and win the resampling lottery.
+  * **BPE merge statistics**: the first round of byte-pair-encoding vocab
+    induction — corpus-weighted adjacent-symbol pair counts — the
+    aggregation that dominates distributed tokenizer training.
+
+The reference engine has no analog (it moves bytes, not tokens; its closest
+surface is the per-topic metrics pipeline, pkg/core/metrics.go) — this is
+the LLM-pipeline surface grafted onto the same exactness conventions:
+integer or DECIMAL-fold outputs everywhere, floats only at the final
+rounded division.
+
+Scale notes (100 TB):
+  * boiler_ngrams: the df aggregation is map-side combinable; the boiler
+    set (df ≥ min_df) is tiny by Zipf — broadcast it back against the
+    exploded stream.  Spark picks the broadcast automatically below the
+    10 MB threshold; at pathological boiler-set sizes AQE falls back to a
+    shuffle join and correctness is unchanged.
+  * dsir_weights: bucket tables are fixed-size (n_buckets rows) — always
+    broadcast; the only big shuffle is the per-doc fold, keyed by doc_id.
+  * bpe_merges: pair counting runs over *distinct words × positions*, not
+    raw tokens — the word-count aggregation collapses the corpus first
+    (Zipf again: distinct words ≪ token occurrences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash32_sql,
+    spread,
+)
+from kafka_replicator_spark.functions.text import tokens_col
+
+# ------------------------------------------------------------- boilerplate
+
+
+def boiler_ngrams(
+    docs: DataFrame, n: int = 4, min_df: int = 3
+) -> DataFrame:
+    """Per-document boilerplate share by corpus-frequent n-grams.
+
+    An n-gram present in ≥ ``min_df`` distinct documents is boilerplate;
+    each document reports its distinct-n-gram count, how many of those are
+    boilerplate, and the share in integer ppm (no float rounding anywhere).
+    Documents shorter than ``n`` tokens have no n-grams and report zeros.
+    """
+    toks = tokens_col()
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array())
+    per_doc = spread(docs.select("doc_id", grams.alias("grams"))).select(
+        "doc_id", F.explode_outer("grams").alias("g")
+    )
+    df_counts = (
+        per_doc.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = df_counts.filter(F.col("df") >= min_df).select("g", F.lit(1).alias("is_boiler"))
+    joined = per_doc.join(F.broadcast(boiler), "g", "left")
+    out = joined.groupBy("doc_id").agg(
+        F.count("g").alias("n_ngrams"),
+        F.coalesce(F.sum("is_boiler"), F.lit(0)).alias("n_boiler"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.floor((F.col("n_boiler") * F.lit(1000000)) / F.col("n_ngrams")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("boiler_ppm"),
+    )
+
+
+def boiler_ngrams_sql(n: int = 4, min_df: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+), all_docs AS (
+  SELECT doc_id FROM documents
+), df_counts AS (
+  SELECT g, count(*) AS df FROM per_doc GROUP BY g
+), boiler AS (
+  SELECT g FROM df_counts WHERE df >= {min_df}
+), agg AS (
+  SELECT p.doc_id,
+         count(*) AS n_ngrams,
+         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM per_doc p LEFT JOIN boiler b ON p.g = b.g
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(a.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(CASE WHEN coalesce(a.n_ngrams, 0) > 0
+                 THEN (a.n_boiler * 1000000) // a.n_ngrams
+                 ELSE 0 END AS BIGINT) AS boiler_ppm
+FROM all_docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR hashed-unigram importance weights.
+
+    Tokens hash into ``n_buckets`` buckets; two corpus aggregations build the
+    target-domain (``source = target_source``) and raw bucket counts; each
+    bucket carries the add-1-smoothed log-ratio ``ln((t_b+1)/(T+B)) -
+    ln((r_b+1)/(R+B))`` rounded to 9 dp, and a document's log-weight is the
+    exact DECIMAL sum of its tokens' bucket ratios (order-independent), with
+    only the final per-token average in DOUBLE rounded to 6 dp.
+    """
+    toks = spread(docs.select("doc_id", "source", F.explode(tokens_col()).alias("tok"))).select(
+        "doc_id", "source", (portable_hash32("tok") % n_buckets).alias("b")
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        toks.filter(F.col("source") == target_source)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    buckets = raw.join(tgt, "b", "left").select(
+        "b", "r", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    totals = buckets.agg(
+        F.sum("r").alias("tot_r"), F.sum("t").alias("tot_t")
+    )  # 1 row — broadcast into the bucket table
+    ratio = buckets.join(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("t") + 1).cast("double") / (F.col("tot_t") + n_buckets).cast("double"))
+            - F.log((F.col("r") + 1).cast("double") / (F.col("tot_r") + n_buckets).cast("double")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("s"))
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias("dsir_logweight"),
+    )
+
+
+def dsir_weights_sql(target_source: str = "src0", n_buckets: int = 1024) -> str:
+    h = portable_hash32_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, ({h} % {n_buckets}) AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)
+), raw AS (
+  SELECT b, count(*) AS r FROM toks GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS t FROM toks WHERE source = '{target_source}' GROUP BY b
+), buckets AS (
+  SELECT raw.b, raw.r, coalesce(tgt.t, 0) AS t FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+), totals AS (
+  SELECT CAST(sum(r) AS BIGINT) AS tot_r, CAST(sum(t) AS BIGINT) AS tot_t FROM buckets
+), ratio AS (
+  SELECT b,
+         CAST(round(
+           ln(CAST(t + 1 AS DOUBLE) / CAST(tot_t + {n_buckets} AS DOUBLE))
+           - ln(CAST(r + 1 AS DOUBLE) / CAST(tot_r + {n_buckets} AS DOUBLE)),
+         9) AS DECIMAL(18,9)) AS lr
+  FROM buckets, totals
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(lr) AS s
+  FROM toks JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(CAST(s AS DOUBLE) / n_tokens, 6) AS dsir_logweight
+FROM per_doc
+"""
+
+
+# ------------------------------------------------------------- BPE merges
+
+
+def bpe_merges(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` byte-pair-encoding merge candidates (round 1).
+
+    The corpus collapses to distinct words with occurrence counts first
+    (the Zipf win — pair extraction then runs over the vocabulary, not the
+    token stream); every adjacent character pair inside a word contributes
+    the word's corpus count.  Ranking is count desc then pair asc, fully
+    deterministic, all integers.
+    """
+    words = spread(docs.select(F.explode(tokens_col()).alias("w"))).filter(
+        F.length("w") >= 2
+    )
+    word_counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = word_counts.select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    pair_counts = pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+    # distributed top-k (TakeOrderedAndProject) first; the global row_number
+    # window then runs over k rows, not the whole pair table.
+    top = pair_counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "pair",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def bpe_merges_sql(k: int = 20) -> str:
+    return f"""
+WITH words AS (
+  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+), word_counts AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair, c
+  FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM word_counts)
+), pair_counts AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INTEGER) AS rank,
+       pair, cnt
+FROM pair_counts
+ORDER BY cnt DESC, pair ASC
+LIMIT {k}
+"""

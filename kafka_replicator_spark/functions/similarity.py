@@ -637,3 +637,217 @@ ranked AS (
 SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, qdot
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- product quantization
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    code_stride: int = 250,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-scale tier of the ANN
+    family (Jégou et al. 2011): vectors split into ``m`` subspaces, each
+    subvector replaced by the id of its nearest codebook entry; search
+    scans the (tiny) code table and sums per-subspace distances from a
+    lookup, never touching the raw vectors.
+
+    Engine-exact by construction: runs over the int8-quantized vectors
+    (``quantize_embeddings`` — floor(x+0.5) is bit-identical cross-engine)
+    so every L2 distance is an exact BIGINT; codebooks are deterministic
+    (every ``code_stride``-th vector's subvectors, the same k-means-free
+    stand-in as ``ivf_assign``).  Asymmetric distance: probes use their own
+    quantized subvectors against candidates' codebook entries.
+
+    Scale: codebooks and the probe set broadcast (m × n_codes × 8 ints);
+    the corpus side is one map pass to assign codes and one aggregation of
+    m partial distances per (probe, candidate) — no corpus shuffle.
+    """
+    d_sub = dim // m
+    q = quantize_embeddings(embeddings).select("vec_id", "qe")
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice("qe", s * d_sub + 1, d_sub).alias("sub"),
+                ),
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sub")
+    code_entries = subs.filter(F.col("vec_id") % code_stride == 0).select(
+        F.col("vec_id").alias("code_id"), "s", F.col("sub").alias("csub")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    w_assign = Window.partitionBy("vec_id", "s").orderBy(F.asc("cdist"), F.asc("code_id"))
+    codes = (
+        subs.join(F.broadcast(code_entries), "s")
+        .select("vec_id", "s", "code_id", l2(F.col("sub"), F.col("csub")).alias("cdist"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code_id")
+    )
+    probe_subs = subs.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), "s", F.col("sub").alias("psub")
+    )
+    partials = (
+        codes.filter(~F.col("vec_id").isin(probe_ids))
+        .join(F.broadcast(probe_subs), "s")
+        .join(F.broadcast(code_entries), ["s", "code_id"])
+        .select("probe_id", "vec_id", l2(F.col("psub"), F.col("csub")).alias("pd"))
+    )
+    dists = partials.groupBy("probe_id", "vec_id").agg(F.sum("pd").alias("adc_dist"))
+    w_rank = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+    )
+
+
+def pq_topk_sql(
+    probe_ids: list[int], k: int = 5, m: int = 8, dim: int = 64, code_stride: int = 250
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    d_sub = dim // m
+    # ||a-b||^2 via three dot products — list_dot_product returns DOUBLE but
+    # int8 subvector dots stay far below 2^53, so the BIGINT cast is exact.
+    dist = (
+        "CAST(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+        " - 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        " + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+    )
+    return f"""
+WITH {_quantized_sql_cte()},
+subs AS (
+  SELECT vec_id, s, qe[s * {d_sub} + 1 : s * {d_sub} + {d_sub}] AS sub
+  FROM q, (SELECT unnest(range(0, {m})) AS s)
+),
+code_entries AS (
+  SELECT vec_id AS code_id, s, sub AS csub FROM subs WHERE vec_id % {code_stride} = 0
+),
+codes AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT subs.vec_id, subs.s, code_entries.code_id,
+           row_number() OVER (
+             PARTITION BY subs.vec_id, subs.s
+             ORDER BY {dist.format(a='sub', b='csub')} ASC, code_id ASC
+           ) AS rn
+    FROM subs JOIN code_entries USING (s)
+  ) WHERE rn = 1
+),
+probe_subs AS (
+  SELECT vec_id AS probe_id, s, sub AS psub FROM subs WHERE vec_id IN ({ids})
+),
+partials AS (
+  SELECT probe_id, c.vec_id,
+         {dist.format(a='psub', b='csub')} AS pd
+  FROM codes c
+  JOIN probe_subs USING (s)
+  JOIN code_entries USING (s, code_id)
+  WHERE c.vec_id NOT IN ({ids})
+),
+dists AS (
+  SELECT probe_id, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+  FROM partials GROUP BY probe_id, vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id AS neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM dists
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------ semantic dedup
+
+def semantic_dedup(
+    embeddings: DataFrame, tau: float = 0.92, centroid_stride: int = 250
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus coarsely (``ivf_assign`` — deterministic centroids), then
+    inside each cluster drop any vector whose cosine to a *lower-id*
+    cluster-mate reaches ``tau``; the lowest id of each near-duplicate
+    group survives.
+
+    Scale: the all-pairs comparison is confined to single clusters — the
+    O(N²) term becomes Σ|cluster|², the same bound the paper exploits; the
+    cluster assignment itself is one broadcast map pass.  Cosines are
+    rounded to 6 dp before the threshold compare so both engines make the
+    same keep/drop call at the boundary.
+    """
+    assigned = ivf_assign(embeddings, centroid_stride).cache()
+    a = assigned.select("centroid_id", F.col("vec_id").alias("a_id"), F.col("e").alias("ae"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("b_id"), F.col("e").alias("be"))
+    near = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            F.round(cosine_col(F.col("ae"), F.col("be")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        assigned.join(near, assigned.vec_id == near.b_id, "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.coalesce("n_near", F.lit(0)).cast("int").alias("n_near"),
+            (F.col("n_near").isNull()).cast("int").alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(tau: float = 0.92, centroid_stride: int = 250) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % {centroid_stride} = 0),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT emb.vec_id, emb.e, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_dot_product(e, ce)
+                      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                      centroid_id ASC
+           ) AS rn
+    FROM emb, cents
+  ) WHERE rn = 1
+),
+near AS (
+  SELECT b.vec_id AS b_id, count(*) AS n_near
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id,
+       CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       CAST(coalesce(n.n_near, 0) AS INTEGER) AS n_near,
+       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
+"""

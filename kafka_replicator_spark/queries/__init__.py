@@ -90,13 +90,22 @@ _EVER_GREEN = frozenset({
 #: Queries added or materially changed THIS round — verified nowhere yet, so
 #: they go inside the window right behind the never-green backlog.  Keep the
 #: backlog (35) + this list ≤ 50 or the tail spills to next round.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "p_boiler_ngrams",
+    "p_dsir_weights",
+    "p_bpe_merges",
+    "p_pq_topk",
+    "p_semantic_dedup",
+    "a_salted_agg",
+    "a_salted_join",
+    "a_dedup_first_event",
+]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, analytics, pipeline  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, analytics, pipeline  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND if n in REGISTRY]
