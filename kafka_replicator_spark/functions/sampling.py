@@ -108,16 +108,18 @@ WHERE CAST({h} AS HUGEINT) * sw
 def source_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per source with the 60-bit portable
     hash — the input universe of the KMV sketch."""
-    toks = F.split(F.col("text"), " ")
+    toks = F.col("__toks")  # materialized below — splitting inside the
+    # lambda would re-split per element access (O(len²) splits per doc)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array())  # sequence(1,0) is DESCENDING in Spark — must guard
     return (
         spread(docs)
+        .select("source", F.split(F.col("text"), " ").alias("__toks"))
         .select("source", F.explode(F.array_distinct(grams)).alias("shingle"))
         .distinct()
         .withColumn("h", portable_hash60("shingle"))

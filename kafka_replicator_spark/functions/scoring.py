@@ -40,7 +40,10 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     toks = spread(docs.select(id_col, F.explode(tokens_col(text_col)).alias("tok")))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("t_total"))  # 1-row frame, broadcast below
+    # t_total == Σ vocab.c == |toks| — count the token stream directly so the
+    # plan doesn't rebuild the whole vocabulary aggregation (tok-keyed
+    # shuffle included) a second time just to sum it.
+    total = toks.agg(F.count(F.lit(1)).alias("t_total"))  # 1-row frame, broadcast below
     per_tok = toks.join(vocab, "tok").select(
         id_col,
         # order-independent fold: round ln(c) to 9 dp, sum exactly in DECIMAL
