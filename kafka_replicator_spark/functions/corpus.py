@@ -158,8 +158,9 @@ def dsir_weights(
 ) -> DataFrame:
     """DSIR hashed-unigram importance weights.
 
-    Tokens hash into ``n_buckets`` buckets; two corpus aggregations build the
-    target-domain (``source = target_source``) and raw bucket counts; each
+    Tokens hash into ``n_buckets`` buckets; one conditional corpus
+    aggregation builds both the target-domain (``source = target_source``)
+    and raw bucket counts; each
     bucket carries the add-1-smoothed log-ratio ``ln((t_b+1)/(T+B)) -
     ln((r_b+1)/(R+B))`` rounded to 9 dp, and a document's log-weight is the
     exact DECIMAL sum of its tokens' bucket ratios (order-independent), with
@@ -168,14 +169,11 @@ def dsir_weights(
     toks = spread(docs.select("doc_id", "source", F.explode(tokens_col()).alias("tok"))).select(
         "doc_id", "source", (portable_hash32("tok") % n_buckets).alias("b")
     )
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt = (
-        toks.filter(F.col("source") == target_source)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    buckets = raw.join(tgt, "b", "left").select(
-        "b", "r", F.coalesce("t", F.lit(0)).alias("t")
+    # one conditional aggregation builds both LMs — not two passes (and two
+    # bucket shuffles) over the token stream
+    buckets = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count_if(F.col("source") == target_source).alias("t"),
     )
     totals = buckets.agg(
         F.sum("r").alias("tot_r"), F.sum("t").alias("tot_t")
@@ -208,12 +206,10 @@ def dsir_weights_sql(target_source: str = "src0", n_buckets: int = 1024) -> str:
 WITH toks AS (
   SELECT doc_id, source, ({h} % {n_buckets}) AS b
   FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)
-), raw AS (
-  SELECT b, count(*) AS r FROM toks GROUP BY b
-), tgt AS (
-  SELECT b, count(*) AS t FROM toks WHERE source = '{target_source}' GROUP BY b
 ), buckets AS (
-  SELECT raw.b, raw.r, coalesce(tgt.t, 0) AS t FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+  SELECT b, count(*) AS r,
+         count(*) FILTER (WHERE source = '{target_source}') AS t
+  FROM toks GROUP BY b
 ), totals AS (
   SELECT CAST(sum(r) AS BIGINT) AS tot_r, CAST(sum(t) AS BIGINT) AS tot_t FROM buckets
 ), ratio AS (
