@@ -285,3 +285,120 @@ FROM pair_counts
 ORDER BY cnt DESC, pair ASC
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------ PMI pairs
+
+
+def cooccur_pmi(
+    docs: DataFrame, window: int = 2, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-``k`` word pairs by pointwise mutual information, co-occurring
+    within ``window`` positions — the association statistic behind
+    embedding-prep co-occurrence matrices (word2vec/GloVe preprocessing).
+
+    ``pmi(a,b) = ln(c_ab · N_pairs / (m_a · m_b))`` with ``m_x`` the
+    pair-slot marginal of ``x`` and pairs canonicalized (least, greatest);
+    rare pairs (< min_count) are cut before ranking so PMI's low-count
+    blow-up can't dominate.  Counts are exact integers; ln runs in double
+    identically in both engines and is rounded to 6 dp before the
+    deterministic (pmi desc, pair asc) cut.
+
+    Scale: pair counting is one map-side-combinable aggregation over the
+    exploded pair stream; marginals come from the same pair stream (one
+    more aggregation), and the final join keys on single words —
+    vocabulary-sized, hash-joinable at any corpus size.
+    """
+    toks = F.col("__toks")
+
+    def pair_at(d: int):
+        # single-arg lambda: a (i, extra=d) signature would make transform
+        # pass the array INDEX as the second argument (pyspark arity probe)
+        def mk(i):
+            x = F.element_at(toks, i.cast("int"))
+            y = F.element_at(toks, (i + d).cast("int"))
+            return F.struct(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+
+        return mk
+
+    pair_arrays = [
+        F.when(
+            F.size(toks) > d,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - d), pair_at(d)),
+        ).otherwise(F.array())
+        for d in range(1, window + 1)
+    ]
+    pairs = (
+        spread(docs.select(F.split(F.col("text"), " ").alias("__toks")))
+        .select(F.explode(F.concat(*pair_arrays)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # pair-slot marginals: how often each word occupies a slot of any pair
+    marg = (
+        pairs.select(F.explode(F.array("a", "b")).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    n_pairs = pc.agg(F.sum("c_ab").alias("n_pairs"))
+    scored = (
+        pc.filter(F.col("c_ab") >= min_count)
+        .join(marg.select(F.col("wd").alias("a"), F.col("m").alias("m_a")), "a")
+        .join(marg.select(F.col("wd").alias("b"), F.col("m").alias("m_b")), "b")
+        .join(F.broadcast(n_pairs))
+        .select(
+            "a", "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_pairs").cast("double")
+                    / (F.col("m_a").cast("double") * F.col("m_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "a", "b", "c_ab", "pmi"
+    )
+
+
+def cooccur_pmi_sql(window: int = 2, min_count: int = 5, k: int = 20) -> str:
+    dists = ", ".join(str(d) for d in range(1, window + 1))
+    return f"""
+WITH toked AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT least(t[i], t[i+d]) AS a, greatest(t[i], t[i+d]) AS b
+  FROM (
+    SELECT t, d, unnest(range(1, len(t) - d + 1)) AS i
+    FROM toked, (SELECT unnest([{dists}]) AS d)
+    WHERE len(t) > d
+  )
+), pc AS (
+  SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b
+), marg AS (
+  SELECT wd, count(*) AS m
+  FROM (SELECT unnest([a, b]) AS wd FROM pairs)
+  GROUP BY wd
+), n AS (
+  SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM pc
+), scored AS (
+  SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+         round(ln(CAST(c_ab AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+                  / (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 6) AS pmi
+  FROM pc
+  JOIN marg ma ON pc.a = ma.wd
+  JOIN marg mb ON pc.b = mb.wd
+  CROSS JOIN n
+  WHERE c_ab >= {min_count}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS INTEGER) AS rank,
+       a, b, c_ab, pmi
+FROM scored
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT {k}
+"""

@@ -851,3 +851,105 @@ SELECT s.vec_id,
        CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
 """
+
+
+# ---------------------------------------------------- IVF multiprobe
+
+def ivf_topk_multiprobe(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 250,
+) -> DataFrame:
+    """IVF search with ``nprobe`` cells per probe — the recall knob of the
+    IVF family: a query near a cell boundary also scans its runner-up
+    cells, the standard fix for nprobe=1's boundary misses (``ivf_topk``).
+
+    One extra broadcast row per (probe, extra cell); candidate volume
+    scales linearly with nprobe, corpus passes stay at one.
+    """
+    assigned = ivf_assign(embeddings, centroid_stride).cache()
+    cents = assigned.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    ).dropDuplicates(["centroid_id"])
+    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pw = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probe_cells = (
+        probes.join(F.broadcast(cents))
+        .select(
+            "probe_id", "pe", "centroid_id",
+            cosine_col(F.col("pe"), F.col("ce")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "pe", "centroid_id")
+    )
+    cands = assigned.join(F.broadcast(probe_cells), ["centroid_id"]).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_topk_multiprobe_sql(
+    probe_ids: list[int], k: int = 5, nprobe: int = 2, centroid_stride: int = 250
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % {centroid_stride} = 0),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT emb.vec_id, emb.e, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY {cos.format(a='e', b='ce')} DESC, centroid_id ASC
+           ) AS rn
+    FROM emb, cents
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM assigned WHERE vec_id IN ({ids})),
+probe_cells AS (
+  SELECT probe_id, pe, centroid_id FROM (
+    SELECT probes.probe_id, probes.pe, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY probe_id
+             ORDER BY {cos.format(a='pe', b='ce')} DESC, centroid_id ASC
+           ) AS rn
+    FROM probes, cents
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT probe_id, c.vec_id AS neighbor_id,
+         {cos.format(a='pe', b='c.e')} AS cos
+  FROM assigned c JOIN probe_cells USING (centroid_id)
+  WHERE c.vec_id <> probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""

@@ -99,6 +99,9 @@ _NEW_THIS_ROUND: list[str] = [
     "a_salted_agg",
     "a_salted_join",
     "a_dedup_first_event",
+    "p_cooccur_pmi",
+    "p_ivf_multiprobe",
+    "p_hll_union",
 ]
 
 

@@ -188,3 +188,87 @@ def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", F.struct("ts_us", "event_id")).cast("long").alias("first_event_id"),
         F.count(F.lit(1)).cast("long").alias("n_dups"),
     )
+
+
+@register(
+    "p_cooccur_pmi",
+    corpus.cooccur_pmi_sql(),
+    tags=("pipeline", "text"),
+    doc="top-20 word pairs by PMI within a ±2 co-occurrence window "
+    "(word2vec/GloVe-style preprocessing): exact integer pair counts, "
+    "vocabulary-keyed marginal joins, deterministic rounded-PMI cut "
+    "(functions/corpus.py)",
+)
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.cooccur_pmi(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_ivf_multiprobe",
+    similarity.ivf_topk_multiprobe_sql([0, 1, 2, 3], k=5),
+    tags=("pipeline", "similarity"),
+    doc="IVF search with nprobe=2 — the recall knob over ivf_topk's "
+    "nprobe=1 boundary misses; one extra broadcast row per probe cell, "
+    "still a single corpus pass (functions/similarity.py)",
+)
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk_multiprobe(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3], k=5
+    )
+
+
+_HLL_UNION_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> 52 AS bucket,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) & ((1::BIGINT << 52) - 1) AS w
+  FROM toks
+), regs AS (
+  SELECT source, bucket,
+         max(CASE WHEN w = 0 THEN 52 ELSE 53 - length(bin(w)) END) AS r
+  FROM hashed GROUP BY source, bucket
+), merged AS (
+  SELECT bucket, max(r) AS r FROM regs GROUP BY bucket
+), per AS (
+  SELECT CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_nonempty, count(*) AS nb
+  FROM merged
+)
+SELECT 'all' AS grp,
+       CAST(s_nonempty + (256 - nb) * (1::BIGINT << 53) AS BIGINT) AS reg_sum,
+       CAST(256 - nb AS BIGINT) AS empty_buckets,
+       round(4.2399330249068963e+20 / (s_nonempty + (256 - nb) * (1::BIGINT << 53)), 4) AS hll_estimate,
+       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS exact_distinct
+FROM per
+"""
+
+
+@register(
+    "p_hll_union",
+    _HLL_UNION_ORACLE,
+    tags=("pipeline", "sketch"),
+    doc="HLL union via register max-merge (functions/sketches.py): "
+    "per-source register tables merge with bucket-wise max — the sketch "
+    "mergeability contract as a query — and the union estimate is read "
+    "out through the identical exact-int64 arithmetic, with the exact "
+    "distinct count as an in-query audit",
+)
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import sketches
+    from kafka_replicator_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_col()).alias("tok"))
+    per_source = sketches.hll_registers(toks, F.col("tok"), ["source"])
+    merged = (
+        per_source.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .withColumn("grp", F.lit("all"))
+    )
+    est = sketches.hll_estimate_from_registers(merged, ["grp"])
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    return est.join(F.broadcast(exact)).select(
+        "grp", "reg_sum", "empty_buckets", "hll_estimate",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
