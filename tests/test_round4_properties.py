@@ -128,3 +128,25 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         ).collect()
     }
     assert plain == salted
+
+
+def test_new_similarity_ops_broadcast(spark, sf_dir):
+    """Codebooks/probes/centroid sets must broadcast — a shuffled corpus
+    side in any of these would be the 100 TB bottleneck."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert has_broadcast_join(similarity.pq_topk(emb, [0, 1, 2, 3], k=5))
+    assert has_broadcast_join(similarity.ivf_topk_multiprobe(emb, [0, 1, 2, 3], k=5))
+    assert has_broadcast_join(similarity.semantic_dedup(emb))
+
+
+def test_multiprobe_recall_superset_of_nprobe1(spark, sf_dir):
+    """nprobe=2's candidate set contains nprobe=1's, so its top-k cosine at
+    each rank is >= the nprobe=1 value (recall can only improve)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3]
+    one = {(r["probe_id"], r["rank"]): r["cos_sim"]
+           for r in similarity.ivf_topk(emb, probes, k=3).collect()}
+    two = {(r["probe_id"], r["rank"]): r["cos_sim"]
+           for r in similarity.ivf_topk_multiprobe(emb, probes, k=3).collect()}
+    for key, cos1 in one.items():
+        assert two[key] >= cos1 - 1e-9, f"{key}: multiprobe regressed {two[key]} < {cos1}"
