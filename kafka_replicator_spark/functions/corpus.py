@@ -402,3 +402,96 @@ FROM scored
 ORDER BY pmi DESC, a ASC, b ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------- n-gram novelty
+
+
+def ngram_novelty(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Per-document n-gram novelty against everything that came before it.
+
+    Processing the corpus in ``doc_id`` order, a document's novelty is the
+    fraction of its distinct n-grams whose FIRST corpus occurrence is this
+    document (min doc_id over the gram's postings) — the statistic behind
+    data-curation growth curves ("how much new text does each shard add?")
+    and dedup-policy tuning.  Integer ppm output; first-occurrence is an
+    aggregation, not a sequential scan, so the "in order" semantics cost
+    one gram-keyed shuffle at any scale.
+
+    Shares the hashed-shingle stream shape with :func:`boiler_ngrams`
+    (int64 gram keys on the wire, never the text).
+    """
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array())
+    per_doc = (
+        spread(docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks")))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.explode_outer(F.transform("grams", lambda g: portable_hash60(g))).alias("g"),
+        )
+    )
+    first_seen = (
+        per_doc.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    out = (
+        per_doc.join(first_seen, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_ngrams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.floor((F.col("n_novel") * F.lit(1000000)) / F.col("n_ngrams")),
+        )
+        .otherwise(F.lit(1000000))  # an empty doc adds nothing but repeats nothing
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
+
+
+def ngram_novelty_sql(n: int = 4) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    h = portable_hash60_sql("shingle")
+    return f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, {h} AS g
+  FROM (
+    SELECT doc_id, {gram} AS shingle
+    FROM (
+      SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+  )
+), first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM per_doc GROUP BY g
+), agg AS (
+  SELECT p.doc_id, count(*) AS n_ngrams,
+         count(*) FILTER (WHERE f.first_doc = p.doc_id) AS n_novel
+  FROM per_doc p JOIN first_seen f ON p.g = f.g
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(a.n_ngrams, 0) > 0
+                 THEN (a.n_novel * 1000000) // a.n_ngrams
+                 ELSE 1000000 END AS BIGINT) AS novelty_ppm
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""

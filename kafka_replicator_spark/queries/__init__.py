@@ -102,6 +102,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_cooccur_pmi",
     "p_ivf_multiprobe",
     "p_hll_union",
+    "p_ngram_novelty",
 ]
 
 

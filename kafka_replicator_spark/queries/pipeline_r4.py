@@ -272,3 +272,16 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", "reg_sum", "empty_buckets", "hll_estimate",
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+@register(
+    "p_ngram_novelty",
+    corpus.ngram_novelty_sql(),
+    tags=("pipeline", "dedup"),
+    doc="per-document n-gram novelty vs all earlier doc_ids (corpus growth "
+    "curves): first-occurrence is min(doc_id) per hashed gram — an "
+    "aggregation, not a sequential scan — integer-ppm output "
+    "(functions/corpus.py)",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.ngram_novelty(load_table(spark, sf_dir, "documents"))

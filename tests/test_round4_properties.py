@@ -150,3 +150,21 @@ def test_multiprobe_recall_superset_of_nprobe1(spark, sf_dir):
            for r in similarity.ivf_topk_multiprobe(emb, probes, k=3).collect()}
     for key, cos1 in one.items():
         assert two[key] >= cos1 - 1e-9, f"{key}: multiprobe regressed {two[key]} < {cos1}"
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark, sf_dir):
+    """The lowest doc_id can only contain first occurrences; novel counts
+    never exceed totals; the corpus-wide sum of novel grams equals the
+    number of distinct grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.ngram_novelty(docs).cache()
+    first = out.orderBy("doc_id").first()
+    assert first["novelty_ppm"] == 1_000_000
+    assert out.filter(F.col("n_novel") > F.col("n_ngrams")).count() == 0
+    total_novel = out.agg(F.sum("n_novel")).collect()[0][0]
+    distinct_grams = (
+        corpus.boiler_ngrams(docs)  # same hashed-shingle stream
+        .agg(F.sum("n_ngrams"))
+        .collect()[0][0]
+    )
+    assert total_novel <= distinct_grams
