@@ -57,9 +57,14 @@ def validate_compaction_config(
 
 
 def validate_ingress_config(
-    max_gap_retries: int, first_segment_delay_batches: int
+    max_gap_retries: int,
+    first_segment_delay_batches: int,
+    first_segment_delay: timedelta | None = None,
+    lost_segment_timeout: timedelta | None = None,
 ) -> None:
-    """Ingress late/lost + T5 gate knobs (reference pkg/ingress/config.go)."""
+    """Ingress late/lost + T5 gate knobs (reference pkg/ingress/config.go:32-40
+    — durations: FirstSegmentDelay 30 min, LostSegmentTimeout 24 h — plus
+    the batch-cadence analogs this engine adds for availableNow replays)."""
     require(
         max_gap_retries >= 0, f"max_gap_retries must be >= 0, got {max_gap_retries}"
     )
@@ -67,6 +72,16 @@ def validate_ingress_config(
         first_segment_delay_batches >= 0,
         f"first_segment_delay_batches must be >= 0, got {first_segment_delay_batches}",
     )
+    if first_segment_delay is not None:
+        require(
+            first_segment_delay >= timedelta(0),
+            f"first_segment_delay must be >= 0, got {first_segment_delay}",
+        )
+    if lost_segment_timeout is not None:
+        require(
+            lost_segment_timeout > timedelta(0),
+            f"lost_segment_timeout must be > 0, got {lost_segment_timeout}",
+        )
 
 
 def validate_backoff(base_ms: int, cap_ms: int) -> None:

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from datetime import timedelta  # noqa: F401  (signature annotations)
 
 from urllib.parse import unquote, urlparse
 
@@ -60,6 +61,10 @@ class IngressState:
     checkpoints: dict[str, int] = field(default_factory=dict)  # "topic/part" -> last offset
     late_counts: dict[str, int] = field(default_factory=dict)
     first_seen_batch: dict[str, int] = field(default_factory=dict)  # T5 gate
+    #: wall-clock twins of the batch-cadence gates (reference
+    #: pkg/ingress/config.go:32-40 measures both in durations)
+    first_seen_ts: dict[str, float] = field(default_factory=dict)  # T5 (seconds)
+    gap_since_ts: dict[str, float] = field(default_factory=dict)  # T6→T7 (seconds)
     #: held-back segment files per partition (late/gated) — the file source
     #: surfaces each file exactly once, so anything not delivered in its
     #: arrival batch must be re-read explicitly in later batches (the
@@ -84,6 +89,8 @@ class IngressState:
                 checkpoints=raw.get("checkpoints", {}),
                 late_counts=raw.get("late_counts", {}),
                 first_seen_batch=raw.get("first_seen_batch", {}),
+                first_seen_ts=raw.get("first_seen_ts", {}),
+                gap_since_ts=raw.get("gap_since_ts", {}),
                 pending_paths=raw.get("pending_paths", {}),
                 batches_run=raw.get("batches_run", 0),
                 messages_lost=raw.get("messages_lost", 0),
@@ -101,6 +108,8 @@ class IngressState:
                     "checkpoints": self.checkpoints,
                     "late_counts": self.late_counts,
                     "first_seen_batch": self.first_seen_batch,
+                    "first_seen_ts": self.first_seen_ts,
+                    "gap_since_ts": self.gap_since_ts,
                     "pending_paths": self.pending_paths,
                     "batches_run": self.batches_run,
                     "messages_lost": self.messages_lost,
@@ -133,8 +142,11 @@ def run_ingress_stream(
     state_path: str,
     max_gap_retries: int = 3,
     first_segment_delay_batches: int = 0,
+    first_segment_delay: "timedelta | None" = None,
+    lost_segment_timeout: "timedelta | None" = None,
     await_termination: bool = True,
     breaker=None,
+    clock=None,
 ):
     """Replay segments to an ordered per-partition sink until no new files
     remain.  Restart-safe via (engine checkpoint ∧ delivery state): replayed
@@ -147,13 +159,37 @@ def run_ingress_stream(
     against listing lag on eventually-consistent stores, measured in batch
     cadence here.
 
+    ``first_segment_delay`` / ``lost_segment_timeout`` are the wall-clock
+    twins matching the reference's operating envelope exactly
+    (pkg/ingress/config.go:32-40 — durations, defaults 30 min / 24 h):
+    a partition first seen at wall time t delivers no earlier than
+    t + first_segment_delay, and a partition held back on an offset gap
+    since wall time g escalates late → lost once now - g exceeds
+    lost_segment_timeout (overriding the batch-count escalation).  Both
+    compose with a processing-time trigger; under availableNow replays the
+    batch-cadence knobs are usually the better fit.  ``clock`` (defaults to
+    ``time.time``) is injectable for deterministic tests.
+
     ``breaker`` (a :class:`~kafka_replicator_spark.core.breaker.ThresholdBreaker`)
     is marked once per partition on a sink failure — the reference's
     error-rate signal (pkg/core/breaker.go:34-64).
     """
+    import time as _time_mod
+
     from kafka_replicator_spark.core.validation import validate_ingress_config
 
-    validate_ingress_config(max_gap_retries, first_segment_delay_batches)
+    validate_ingress_config(
+        max_gap_retries,
+        first_segment_delay_batches,
+        first_segment_delay,
+        lost_segment_timeout,
+    )
+    if clock is None:
+        clock = _time_mod.time
+    delay_s = first_segment_delay.total_seconds() if first_segment_delay else 0.0
+    lost_timeout_s = (
+        lost_segment_timeout.total_seconds() if lost_segment_timeout else None
+    )
     stream = (
         spark.readStream.schema(SEGMENT_DATA_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -210,13 +246,20 @@ def run_ingress_stream(
             by_part.setdefault(f"{r['topic']}/{r['partition_id']}", []).append(r)
 
         state.batches_run += 1
+        now_s = clock()
         frontiers: dict[str, int] = {}
         pending: dict[str, list[str]] = {}
         for key, rs in by_part.items():
-            # T5 first-segment delay gate
+            # T5 first-segment delay gate (batch cadence AND/OR wall clock)
             if key not in state.first_seen_batch:
                 state.first_seen_batch[key] = state.batches_run
-            if state.batches_run - state.first_seen_batch[key] < first_segment_delay_batches:
+            if key not in state.first_seen_ts:
+                state.first_seen_ts[key] = now_s
+            gated = (
+                state.batches_run - state.first_seen_batch[key]
+                < first_segment_delay_batches
+            ) or (now_s - state.first_seen_ts[key] < delay_s)
+            if gated:
                 pending[key] = [_local_path(r["src_path"]) for r in rs]
                 continue
             rs.sort(key=lambda r: (r["lo"], -r["hi"]))
@@ -232,10 +275,17 @@ def run_ingress_stream(
                 # gap before this file: late → hold, or lost → skip once
                 if not bumped:
                     state.late_counts[key] = state.late_counts.get(key, 0) + 1
+                    state.gap_since_ts.setdefault(key, now_s)
                     bumped = True
-                if state.late_counts[key] > max_gap_retries and not lost_skip_used:
+                escalate = (
+                    now_s - state.gap_since_ts.get(key, now_s) > lost_timeout_s
+                    if lost_timeout_s is not None
+                    else state.late_counts[key] > max_gap_retries
+                )
+                if escalate and not lost_skip_used:
                     state.messages_lost += r["lo"] - (frontier + 1)  # T7
                     state.late_counts.pop(key, None)
+                    state.gap_since_ts.pop(key, None)
                     lost_skip_used = True
                     frontier = r["hi"]
                     continue
@@ -244,6 +294,7 @@ def run_ingress_stream(
                 pending[key] = held_paths
             else:
                 state.late_counts.pop(key, None)
+                state.gap_since_ts.pop(key, None)
             if frontier >= next_needed:
                 frontiers[key] = frontier
                 state.checkpoints[key] = int(frontier)

@@ -304,3 +304,89 @@ def test_ingress_sink_failure_then_retry_no_loss_no_dup(spark, messages, staged,
     delivered = spark.read.parquet(sink)
     assert delivered.count() == messages.count()
     assert delivered.select("partition_id", "msg_offset").distinct().count() == messages.count()
+
+
+def test_first_segment_delay_wall_clock(spark, messages, staged, tmp_path):
+    """T5 duration semantics (reference pkg/ingress/config.go:32-36 — the
+    30-minute FirstSegmentDelay is a wall-clock duration): a partition first
+    seen at wall time t is gated until t + delay, independent of how many
+    batches run in between."""
+    from datetime import timedelta
+
+    seg_root = str(tmp_path / "segments")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    fake_now = [1_000_000.0]
+    delay = timedelta(minutes=30)
+    # run 1 at t0: everything newly seen -> gated, nothing delivered
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2a"), state_path,
+        first_segment_delay=delay, clock=lambda: fake_now[0],
+    )
+    assert not os.path.exists(sink) or spark.read.parquet(sink).count() == 0
+    # run 2 at t0 + 1s (fresh engine checkpoint replays the files): still
+    # inside the delay window -> still gated, even though batches advanced
+    fake_now[0] += 1.0
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2b"), state_path,
+        first_segment_delay=delay, clock=lambda: fake_now[0],
+    )
+    assert not os.path.exists(sink) or spark.read.parquet(sink).count() == 0
+    # run 3 past the delay -> delivered in full
+    fake_now[0] += delay.total_seconds()
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2c"), state_path,
+        first_segment_delay=delay, clock=lambda: fake_now[0],
+    )
+    assert spark.read.parquet(sink).count() == messages.count()
+
+
+def test_lost_segment_timeout_wall_clock(spark, messages, staged, tmp_path):
+    """T6/T7 duration semantics (reference pkg/ingress/config.go:37-40 — the
+    24 h LostSegmentTimeout): a gap held since wall time g escalates
+    late → lost only once now - g exceeds the timeout, overriding the
+    batch-count escalation (max_gap_retries=0 must NOT skip while the
+    wall-clock timeout is configured and unexpired)."""
+    from datetime import timedelta
+
+    seg_root = str(tmp_path / "segments")
+    run_egress_stream(
+        spark, staged, seg_root, str(tmp_path / "cp1"), region=REGION,
+        max_bytes=4096, max_messages=100,
+    )
+    segs = list_segments(spark, seg_root).collect()
+    first_p0 = min(
+        (r for r in segs if r["partition_id"] == 0), key=lambda r: r["start_offset"]
+    )
+    os.remove(first_p0["path"])
+    sink = str(tmp_path / "sink")
+    state_path = str(tmp_path / "state.json")
+    fake_now = [2_000_000.0]
+    timeout = timedelta(hours=24)
+    # run 1: gap is fresh -> held back (despite max_gap_retries=0), 0 lost
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2a"), state_path,
+        max_gap_retries=0, lost_segment_timeout=timeout,
+        clock=lambda: fake_now[0],
+    )
+    state = IngressState.load(state_path)
+    assert state.messages_lost == 0
+    assert any(k.endswith("/0") for k in state.pending_paths), state.pending_paths
+    if os.path.exists(sink):
+        assert spark.read.parquet(sink).filter(F.col("partition_id") == 0).count() == 0
+    # run 2 past the timeout: escalates to lost, skips the missing range
+    fake_now[0] += timeout.total_seconds() + 1.0
+    run_ingress_stream(
+        spark, seg_root, sink, str(tmp_path / "cp2b"), state_path,
+        max_gap_retries=0, lost_segment_timeout=timeout,
+        clock=lambda: fake_now[0],
+    )
+    state = IngressState.load(state_path)
+    expected_lost = first_p0["end_offset"] - first_p0["start_offset"] + 1
+    assert state.messages_lost == expected_lost
+    delivered = spark.read.parquet(sink).filter(F.col("partition_id") == 0)
+    assert delivered.agg(F.min("msg_offset")).collect()[0][0] == first_p0["end_offset"] + 1
