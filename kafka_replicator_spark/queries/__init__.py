@@ -103,13 +103,16 @@ _NEW_THIS_ROUND: list[str] = [
     "p_ivf_multiprobe",
     "p_hll_union",
     "p_ngram_novelty",
+    "p_doc_repetition",
+    "p_doc_entropy",
+    "p_curriculum_buckets",
 ]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, analytics, pipeline  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, analytics, pipeline  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND if n in REGISTRY]
