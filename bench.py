@@ -56,6 +56,10 @@ HEADLINE = [
     "p_pq_topk",
     "p_semantic_dedup",
     "a_salted_agg",
+    # round-5 additions: distributional text stats
+    "p_doc_repetition",
+    "p_doc_entropy",
+    "p_curriculum_buckets",
 ]
 
 
