@@ -317,3 +317,29 @@ def test_inverted_index_shuffle_budget(spark, sf_dir):
     # explode → (token, doc) tf agg → per-token rollup (+ conditional spread)
     df = QUERIES["p_inverted_index"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_doc_repetition_single_shuffle(spark, sf_dir):
+    # doc-hash pre-partitioning satisfies BOTH downstream groupBys (subset
+    # rule): the exploded gram stream itself is never shuffled.
+    spark.catalog.clearCache()
+    df = QUERIES["p_doc_repetition"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_doc_entropy_single_shuffle(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_doc_entropy"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_curriculum_buckets_plan(spark, sf_dir):
+    # ONE range shuffle for the global order (cached), ranks from
+    # monotonically_increasing_id — no Window operator, no pid re-shuffle,
+    # no single-partition exchange; offsets broadcast.
+    spark.catalog.clearCache()
+    df = QUERIES["p_curriculum_buckets"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), "per-partition offset frame must broadcast"
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
