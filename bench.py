@@ -60,6 +60,7 @@ HEADLINE = [
     "p_doc_repetition",
     "p_doc_entropy",
     "p_curriculum_buckets",
+    "p_bigram_logprob",
 ]
 
 

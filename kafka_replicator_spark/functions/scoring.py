@@ -89,3 +89,106 @@ SELECT doc_id,
             AS INTEGER) AS surprise_bucket
 FROM per_doc, total
 """
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Average add-one-smoothed bigram log-probability per document — the
+    next LM tier above :func:`unigram_logprob` (CCNet's KenLM slot, reduced
+    to the distributable count model):
+
+    ``score(d) = (1/B_d) * Σ_(w1,w2)∈d ln((c(w1 w2) + 1) / (ctx(w1) + V))``
+
+    where ``c`` is the corpus bigram count, ``ctx(w1)`` the corpus count of
+    ``w1`` as a bigram context, and ``V`` the context vocabulary size.
+
+    Plan: one doc-keyed explode builds the (doc, w1, w2, c_in_doc) stream
+    (pre-aggregated per doc so the stats join touches distinct bigrams per
+    doc, not occurrences); corpus bigram counts and context counts join on
+    their natural keys; V broadcasts as a one-row frame.  Per-distinct-term
+    logs round to 9 dp and fold exactly in DECIMAL weighted by the in-doc
+    count, so aggregation order cannot move the result.
+    """
+    pre = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
+    )
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.slice("toks", 1, F.size("toks") - 1),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at("toks", i + 2).alias("w2")
+            ),
+        ),
+    ).otherwise(F.lit(None).cast("array<struct<w1:string,w2:string>>"))
+    bg = pre.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    # doc_bg feeds three plan branches (corpus counts, context counts via
+    # them, and the scoring join) — cache so the explode runs once
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("dc")).cache()
+    bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("dc").alias("c12"))
+    ctx_counts = bg_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    vocab = ctx_counts.agg(F.count(F.lit(1)).alias("v"))  # 1 row, broadcast
+    term = F.round(
+        F.log(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    per_doc = (
+        doc_bg.join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts.select("w1", "c1"), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dc").alias("nb"),
+            F.sum(F.col("dc").cast("decimal(10,0)") * term).alias("s"),
+        )
+    )
+    scored = per_doc.select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.round(F.col("s").cast("double") / F.col("nb"), 6).alias("avg_logprob"),
+    )
+    return scored.withColumn(
+        "surprise_bucket", F.floor(-F.col("avg_logprob")).cast("int")
+    )
+
+
+def bigram_logprob_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS g
+  FROM t
+), doc_bg AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, count(*) AS dc FROM bg GROUP BY 1, 2, 3
+), bg_counts AS (
+  SELECT w1, w2, sum(dc) AS c12 FROM doc_bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM bg_counts GROUP BY w1
+), vocab AS (
+  SELECT count(*) AS v FROM ctx
+), per_doc AS (
+  SELECT doc_id,
+         sum(dc) AS nb,
+         sum(CAST(dc AS DECIMAL(10,0))
+             * CAST(round(ln((c12 + 1) / CAST(c1 + v AS DOUBLE)), 9) AS DECIMAL(18,9)))
+             AS s
+  FROM doc_bg
+  JOIN bg_counts USING (w1, w2)
+  JOIN ctx USING (w1)
+  CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bigrams,
+       round(CAST(s AS DOUBLE) / nb, 6) AS avg_logprob,
+       CAST(floor(-round(CAST(s AS DOUBLE) / nb, 6)) AS INTEGER) AS surprise_bucket
+FROM per_doc
+"""

@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_doc_repetition",
     "p_doc_entropy",
     "p_curriculum_buckets",
+    "p_bigram_logprob",  # position 50: first spill, verified next round
 ]
 
 

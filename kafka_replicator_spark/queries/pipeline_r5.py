@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import textstats
+from kafka_replicator_spark.functions import scoring, textstats
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -54,3 +54,16 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.curriculum_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "p_bigram_logprob",
+    scoring.bigram_logprob_sql(),
+    tags=("pipeline", "quality"),
+    doc="add-one-smoothed corpus bigram-LM average log-probability per doc "
+    "(CCNet's KenLM slot reduced to the distributable count model); "
+    "distinct-bigram-per-doc pre-aggregation keeps the stats join off the "
+    "occurrence stream",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.bigram_logprob(_docs(spark, sf_dir))
