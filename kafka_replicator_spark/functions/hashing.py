@@ -54,6 +54,21 @@ def spread(df, multiplier: int = 1):
     return df.repartition(target) if current < target else df
 
 
+def spread_by_key(df, *cols: str | Column, multiplier: int = 1):
+    """:func:`spread`, but hash-partitioned on ``cols`` instead of
+    round-robin.
+
+    Partitioning on a key that is a SUBSET of every downstream grouping
+    satisfies ClusteredDistribution for all of them, so an explode-heavy
+    plan with ``groupBy(key, …)`` / ``groupBy(key)`` stages shuffles the
+    compact pre-explosion rows exactly once and never moves the exploded
+    stream.  Unconditional (unlike :func:`spread`): the exchange IS the
+    clustering contract, not just a parallelism fix.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    return df.repartition(target, *[_col(c) for c in cols])
+
+
 def portable_hash60(c: str | Column, fast: bool = False) -> Column:
     """60-bit positive hash of a string column, reproducible in DuckDB."""
     if fast:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_replicator_spark.functions.hashing import spread
+from kafka_replicator_spark.functions.hashing import spread, spread_by_key
 from kafka_replicator_spark.functions.text import tokens_col
 
 
@@ -108,8 +108,9 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     logs round to 9 dp and fold exactly in DECIMAL weighted by the in-doc
     count, so aggregation order cannot move the result.
     """
-    pre = spread(
-        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
+    pre = spread_by_key(
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")),
+        "doc_id",
     )
     grams = F.when(
         F.size("toks") >= 2,

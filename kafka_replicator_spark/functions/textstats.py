@@ -21,21 +21,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.functions.hashing import spread_by_key
+
 _EMPTY_STR_ARRAY = "array<string>"
 
 
 def _spread_by_doc(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fan a compact input out to full parallelism *keyed by document*.
-
-    Unlike the round-robin ``hashing.spread``, hash-partitioning on the doc
-    id up front means every downstream ``groupBy(doc, …)`` and
-    ``groupBy(doc)`` is already clustered (partitioning on a subset of the
-    grouping keys satisfies ClusteredDistribution), so the explode-heavy
+    """Fan a compact input out to full parallelism *keyed by document*
+    (hashing.spread_by_key): every downstream ``groupBy(doc, …)`` /
+    ``groupBy(doc)`` is then already clustered, so the explode-heavy
     doc-keyed aggregations in this module run with exactly ONE exchange of
     the compact pre-explosion rows — the exploded gram/token stream itself
-    is never shuffled.
-    """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    is never shuffled."""
+    return spread_by_key(df, id_col)
 
 
 def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
