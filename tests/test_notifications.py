@@ -112,3 +112,26 @@ def test_events_feed_consistency_overlay(spark):
     out = consistent_listing(listing, events).collect()
     assert [(r["start_offset"], r["end_offset"]) for r in out] == [(10, 19)]
     assert out[0]["size_bytes"] == 1024  # size carried from the CREATED event
+
+
+def test_streaming_mode_parse(spark, tmp_path):
+    """The parser is pure column expressions, so the same call works on a
+    readStream frame (the docstring's streaming claim, proven)."""
+    import os
+
+    src = tmp_path / "bodies"
+    os.makedirs(src)
+    (src / "b1.txt").write_text(_body([_record()]))
+    stream = spark.readStream.format("text").schema("value string").load(str(src))
+    parsed = parse_s3_notification_events(stream, body_col="value")
+    assert parsed.isStreaming
+    sink = str(tmp_path / "sink")
+    (
+        parsed.writeStream.option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start(sink)
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "CREATED"
+    assert rows[0]["topic"] == "topic-a"
