@@ -162,49 +162,64 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         q = registry[name]
         # best of two: the first run pays JIT/codegen/cache warmup that a
         # long-running deployment amortizes; min is the steady-state latency
         best, n = None, 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = q.fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = q.fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as ex:  # isolate: one broken query must never zero
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     # best-of-two, same as the queries: one slow run under machine
     # contention otherwise dominates the recorded trajectory
-    life_sec, life_msgs = segment_lifecycle_bench(spark)
-    life_sec2, _ = segment_lifecycle_bench(spark)
-    life_sec = min(life_sec, life_sec2)
-    timings["segment_lifecycle"] = round(life_sec, 3)
-    total += life_sec
-    print(
-        f"# segment_lifecycle: {life_sec:.3f}s "
-        f"({life_msgs} msgs, {life_msgs / life_sec:,.0f} msg/s)",
-        file=sys.stderr,
-    )
+    life_sec = None
+    try:
+        life_sec, life_msgs = segment_lifecycle_bench(spark)
+        life_sec2, _ = segment_lifecycle_bench(spark)
+        life_sec = min(life_sec, life_sec2)
+        timings["segment_lifecycle"] = round(life_sec, 3)
+        total += life_sec
+        print(
+            f"# segment_lifecycle: {life_sec:.3f}s "
+            f"({life_msgs} msgs, {life_msgs / life_sec:,.0f} msg/s)",
+            file=sys.stderr,
+        )
+    except Exception as ex:
+        errors["segment_lifecycle"] = f"{type(ex).__name__}: {ex}"[:300]
+        print(f"# segment_lifecycle: ERROR {errors['segment_lifecycle']}", file=sys.stderr)
 
     # skew stress: same pipeline, 90% of messages on one partition — must
     # stay within ~1.5× of the uniform split (per-segment write parallelism
     # + chunked merge are the structural skew controls)
-    skew_sec, _ = segment_lifecycle_bench(spark, split="hot")
-    skew_sec2, _ = segment_lifecycle_bench(spark, split="hot")
-    skew_sec = min(skew_sec, skew_sec2)
-    timings["segment_lifecycle_skewed"] = round(skew_sec, 3)
-    # reported per-query but excluded from the headline total: the total is
-    # the round-over-round comparable set (headline queries + uniform
-    # lifecycle); the skew line's signal is its ratio to the uniform split
-    print(
-        f"# segment_lifecycle_skewed: {skew_sec:.3f}s "
-        f"({skew_sec / life_sec:.2f}x uniform)",
-        file=sys.stderr,
-    )
+    try:
+        skew_sec, _ = segment_lifecycle_bench(spark, split="hot")
+        skew_sec2, _ = segment_lifecycle_bench(spark, split="hot")
+        skew_sec = min(skew_sec, skew_sec2)
+        timings["segment_lifecycle_skewed"] = round(skew_sec, 3)
+        # reported per-query but excluded from the headline total: the total
+        # is the round-over-round comparable set (headline queries + uniform
+        # lifecycle); the skew line's signal is its ratio to the uniform split
+        ratio = f" ({skew_sec / life_sec:.2f}x uniform)" if life_sec else ""
+        print(f"# segment_lifecycle_skewed: {skew_sec:.3f}s{ratio}", file=sys.stderr)
+    except Exception as ex:
+        errors["segment_lifecycle_skewed"] = f"{type(ex).__name__}: {ex}"[:300]
+        print(
+            f"# segment_lifecycle_skewed: ERROR {errors['segment_lifecycle_skewed']}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -213,6 +228,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf_dir,
             }
         )
