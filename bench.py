@@ -61,6 +61,7 @@ HEADLINE = [
     "p_doc_entropy",
     "p_curriculum_buckets",
     "p_bigram_logprob",
+    "p_quality_classifier",
 ]
 
 

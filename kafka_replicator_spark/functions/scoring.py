@@ -193,3 +193,67 @@ SELECT doc_id,
        CAST(floor(-round(CAST(s AS DOUBLE) / nb, 6)) AS INTEGER) AS surprise_bucket
 FROM per_doc
 """
+
+
+def quality_classifier(
+    docs: DataFrame,
+    n_buckets: int = 1 << 20,
+    threshold_milli: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the "apply a trained
+    fastText/logreg filter at scale" slot of modern curation pipelines
+    (DCLM / FineWeb-Edu style classifier gating), with a deterministic
+    stand-in model so the scoring path is exactly testable: the weight of
+    hash bucket ``b`` is ``(b % 2001) - 1000`` milli-units (a real
+    deployment broadcasts a learned weight table instead; the plan is
+    identical — hash, lookup/derive, weighted sum).
+
+    Scoring is EXACT integer arithmetic end to end: per-token weights are
+    integer milli-units, the document score is their sum, and the mean is
+    the only division (DOUBLE, rounded to 6 dp).  ``keep`` gates on the
+    mean exceeding ``threshold_milli``.
+
+    One doc-keyed exchange (spread_by_key), explode, one aggregation — the
+    same single-shuffle shape as doc_entropy; the hashed projection means
+    no vocabulary table, no join, O(1) memory per executor.
+    """
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    toks = spread_by_key(
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")),
+        "doc_id",
+    ).select("doc_id", F.explode("toks").alias("tok"))
+    w_milli = (portable_hash60(F.col("tok")) % F.lit(n_buckets)) % F.lit(2001) - F.lit(1000)
+    per_doc = toks.select("doc_id", w_milli.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("s").cast("long").alias("score_milli"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_milli"),
+        (F.col("s") > F.col("n") * F.lit(threshold_milli)).cast("int").alias("keep"),
+    )
+
+
+def quality_classifier_sql(n_buckets: int = 1 << 20, threshold_milli: int = 0) -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), weighted AS (
+  SELECT doc_id, (({h} % {n_buckets}) % 2001) - 1000 AS w FROM toks
+), per_doc AS (
+  SELECT doc_id, count(*) AS n, sum(w) AS s FROM weighted GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(s AS BIGINT) AS score_milli,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_milli,
+       CAST(s > n * {threshold_milli} AS INTEGER) AS keep
+FROM per_doc
+"""

@@ -107,6 +107,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_doc_entropy",
     "p_curriculum_buckets",
     "p_bigram_logprob",  # position 50: first spill, verified next round
+    "p_quality_classifier",  # position 51
 ]
 
 

@@ -67,3 +67,15 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.bigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "p_quality_classifier",
+    scoring.quality_classifier_sql(),
+    tags=("pipeline", "quality"),
+    doc="hashed-BoW linear classifier gate (the DCLM/FineWeb classifier-"
+    "filtering slot, deterministic stand-in weights); exact integer "
+    "milli-unit scoring, single doc-keyed shuffle, no vocabulary join",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.quality_classifier(_docs(spark, sf_dir))

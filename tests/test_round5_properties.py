@@ -105,3 +105,17 @@ def test_spread_by_key_clusters_groupbys(spark):
         .agg(F.sum("c").alias("n"))
     )
     assert count_exchanges(chained) == 1
+
+
+def test_quality_classifier_integer_exactness(spark, sf_dir):
+    """score_milli is an exact integer sum; keep == (mean > 0); every doc
+    scores (no vocabulary join to drop OOV rows)."""
+    docs = _docs(spark, sf_dir)
+    out = scoring.quality_classifier(docs).cache()
+    assert out.count() == docs.count()
+    bad = out.filter(
+        ((F.col("score_milli") > F.col("n_tokens") * 0) != (F.col("keep") == 1))
+        | (F.col("score_milli") > F.col("n_tokens") * 1000)
+        | (F.col("score_milli") < F.col("n_tokens") * -1000)
+    )
+    assert bad.count() == 0
