@@ -145,16 +145,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     ranking — both engines compute ln within 1-2 ulp, and the rounding
     absorbs it for ranking and hashing alike.
     """
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    # N folds in as a broadcast one-row frame (corpus_mix's pattern) — no
+    # driver-blocking job inside the query builder
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("__n_docs"))
     terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "score",
-        F.round(
-            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
