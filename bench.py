@@ -62,6 +62,7 @@ HEADLINE = [
     "p_curriculum_buckets",
     "p_bigram_logprob",
     "p_quality_classifier",
+    "p_temperature_mix",
 ]
 
 

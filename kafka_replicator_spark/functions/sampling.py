@@ -261,3 +261,93 @@ LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
 JOIN sizes x ON e.sa = x.source
 JOIN sizes y ON e.sb = y.source
 """
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total_sample: int = 200,
+    temperature: float = 2.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual/multi-domain
+    sampling rule of Llama/PaLM-style pretraining): source ``s`` with
+    ``n_s`` documents receives a quota ∝ ``n_s^(1/T)`` — ``T > 1`` flattens
+    the distribution toward small domains, ``T = 1`` is proportional.
+
+    Quota arithmetic is integer-exact cross-engine: the only float op is
+    ``pow(n_s, 1/T)``, immediately rounded to integer milli-units per
+    source (one value per source, never summed as floats); quotas are then
+    ``total * w_milli div Σw_milli`` in pure integers.  Within each source
+    the quota is filled by ascending portable document hash (a determinate
+    "uniform" order both engines reproduce), tie-broken by id.
+
+    Plan: one tiny per-source count (broadcast back as quotas), one
+    source-partitioned window to rank by hash — no global sort, no RNG.
+    The quota frame is sources-scale; everything else is map-side.
+    """
+    w_milli = F.round(
+        F.pow(F.col("n_s").cast("double"), F.lit(1.0 / temperature)) * 1000
+    ).cast("long")
+    quotas = (
+        docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("w_milli", w_milli)
+    )
+    tot = quotas.agg(F.sum("w_milli").alias("w_tot"))  # 1 row, broadcast
+    quotas = quotas.join(F.broadcast(tot)).select(
+        "src",
+        "n_s",
+        F.expr(f"CAST({total_sample} * w_milli AS BIGINT) div w_tot").alias("quota"),
+    )
+    ranked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("src"),
+        portable_hash60(F.col("text")).alias("h"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy("h", "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "src")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            F.col("src").alias("source"),
+            F.col("n_s").cast("long").alias("n_source"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("rnk").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+def temperature_mix_sql(total_sample: int = 200, temperature: float = 2.0) -> str:
+    h = portable_hash60_sql("text")
+    return f"""
+WITH counts AS (
+  SELECT source AS src, count(*) AS n_s FROM documents GROUP BY source
+), weighted AS (
+  SELECT src, n_s,
+         CAST(round(pow(CAST(n_s AS DOUBLE), 1.0 / {temperature}) * 1000)
+              AS BIGINT) AS w_milli
+  FROM counts
+), quotas AS (
+  SELECT src, n_s,
+         CAST({total_sample} * w_milli AS BIGINT)
+           // (SELECT CAST(sum(w_milli) AS BIGINT) FROM weighted) AS quota
+  FROM weighted
+), ranked AS (
+  SELECT doc_id, source AS src, {h} AS h,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id,
+       src AS source,
+       CAST(n_s AS BIGINT) AS n_source,
+       CAST(quota AS BIGINT) AS quota,
+       CAST(rnk AS BIGINT) AS sample_rank
+FROM ranked JOIN quotas USING (src)
+WHERE rnk <= quota
+"""

@@ -108,6 +108,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_curriculum_buckets",
     "p_bigram_logprob",  # position 50: first spill, verified next round
     "p_quality_classifier",  # position 51
+    "p_temperature_mix",  # position 52
 ]
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import scoring, textstats
+from kafka_replicator_spark.functions import sampling, scoring, textstats
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -79,3 +79,15 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.quality_classifier(_docs(spark, sf_dir))
+
+
+@register(
+    "p_temperature_mix",
+    sampling.temperature_mix_sql(),
+    tags=("pipeline", "sampling"),
+    doc="temperature-based domain mixing (quota per source ∝ n^(1/T), "
+    "T=2 flattens toward small domains); integer-exact quotas, hash-order "
+    "deterministic fill, source-partitioned window — no RNG, no global sort",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.temperature_mix(_docs(spark, sf_dir))

@@ -119,3 +119,26 @@ def test_quality_classifier_integer_exactness(spark, sf_dir):
         | (F.col("score_milli") < F.col("n_tokens") * -1000)
     )
     assert bad.count() == 0
+
+
+def test_temperature_mix_flattens_toward_small_domains(spark, sf_dir):
+    """T=2 must give small sources a LARGER share of the sample than their
+    corpus share, large sources a smaller one; total stays within budget."""
+    from kafka_replicator_spark.functions.sampling import temperature_mix
+
+    docs = _docs(spark, sf_dir)
+    total = 200
+    out = temperature_mix(docs, total_sample=total, temperature=2.0).cache()
+    picked = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("got"), F.max("quota").alias("quota"),
+        F.max("n_source").alias("n_s"),
+    ).collect()
+    assert sum(r["got"] for r in picked) <= total
+    n_corpus = docs.count()
+    smallest = min(picked, key=lambda r: r["n_s"])
+    largest = max(picked, key=lambda r: r["n_s"])
+    if smallest["n_s"] < largest["n_s"]:  # distinct sizes exist
+        assert smallest["got"] / smallest["n_s"] > largest["got"] / largest["n_s"]
+    # quotas are honored exactly: got == min(quota, n_s)
+    for r in picked:
+        assert r["got"] == min(r["quota"], r["n_s"])
