@@ -343,3 +343,22 @@ def test_curriculum_buckets_plan(spark, sf_dir):
     assert has_broadcast_join(df), "per-partition offset frame must broadcast"
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_quality_classifier_single_shuffle(spark, sf_dir):
+    # hashed projection: no vocabulary join, one doc-keyed exchange total
+    spark.catalog.clearCache()
+    df = QUERIES["p_quality_classifier"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_temperature_mix_no_global_sort(spark, sf_dir):
+    # quota frame broadcasts; the rank window is source-partitioned.  The
+    # single allowed SinglePartition exchange is the sources-scale (~20 row)
+    # quota-total aggregation — the document stream itself must never
+    # funnel through one partition.
+    spark.catalog.clearCache()
+    df = QUERIES["p_temperature_mix"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert plan.count("SinglePartition") <= 1, plan
