@@ -263,6 +263,18 @@ JOIN sizes y ON e.sb = y.source
 """
 
 
+#: 2^60 — the exclusive upper bound of :func:`portable_hash60` values
+_TWO60 = 1 << 60
+
+#: Prefilter sizing: expected survivors per source ≈ MARGIN·quota + CUSHION.
+#: P(Binomial(n_s, thr/2^60) < quota) ≤ exp(-Θ(quota + CUSHION)) by Chernoff —
+#: with CUSHION=64 even a quota-1 source under-fills with probability
+#: ~e^-68; the driver-side guard below still makes that case *correct*,
+#: not just improbable.
+_PREFILTER_MARGIN = 4
+_PREFILTER_CUSHION = 64
+
+
 def temperature_mix(
     docs: DataFrame,
     total_sample: int = 200,
@@ -282,10 +294,26 @@ def temperature_mix(
     the quota is filled by ascending portable document hash (a determinate
     "uniform" order both engines reproduce), tie-broken by id.
 
-    Plan: one tiny per-source count (broadcast back as quotas), one
-    source-partitioned window to rank by hash — no global sort, no RNG.
-    The quota frame is sources-scale; everything else is map-side.
+    Scale: ranking every row per source to fill a quota ≪ n_s would put
+    the largest domain of a 100 TB corpus on ONE window task.  Instead the
+    PPS hash-threshold trick (cf. :func:`pps_sample`) prefilters each
+    source to ``h < thr_s`` with ``thr_s ≈ (4·quota_s + 64)·2^60/n_s``
+    (exact integer arithmetic, capped at 2^60): because selection is by
+    ascending ``(h, doc_id)``, any row with ``h ≥ thr_s`` ranks behind all
+    survivors, so whenever a source keeps ≥ quota_s survivors (or kept all
+    its rows) the survivor ranks EQUAL the full-table ranks for every
+    emitted row.  The window therefore sees ~4·total_sample rows, not the
+    corpus.  A sources-scale metadata check (the compaction-planner
+    pattern) verifies per-source survivor counts and falls back to a full
+    rank for any under-filled source — output is bit-identical to the
+    unfiltered plan on ANY input, adversarial hash distributions included.
+
+    Plan: one tiny per-source count (broadcast back as quotas+thresholds),
+    one map-side hash prefilter, one window over the tiny survivor frame.
+    No global sort, no RNG, no per-source full sort.
     """
+    from kafka_replicator_spark.cacheutil import track_cached
+
     w_milli = F.round(
         F.pow(F.col("n_s").cast("double"), F.lit(1.0 / temperature)) * 1000
     ).cast("long")
@@ -300,19 +328,49 @@ def temperature_mix(
         "n_s",
         F.expr(f"CAST({total_sample} * w_milli AS BIGINT) div w_tot").alias("quota"),
     )
-    ranked = docs.select(
+    # per-source hash threshold — decimal product so 2^60·(4q+64) cannot
+    # overflow BIGINT before the 2^60 cap is applied
+    quotas = quotas.withColumn(
+        "thr",
+        F.expr(
+            "CASE WHEN quota <= 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(least(CAST({_TWO60} AS DECIMAL(38,0)), "
+            f"CAST({_TWO60} div n_s AS DECIMAL(38,0)) "
+            f"* (quota * {_PREFILTER_MARGIN} + {_PREFILTER_CUSHION})) AS BIGINT) END"
+        ),
+    )
+    hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("src"),
         portable_hash60(F.col("text")).alias("h"),
-    ).withColumn(
+    )
+    # survivor frame is ~MARGIN·total_sample rows at any corpus size — cached
+    # (and tracked for release) because the guard below counts it and the
+    # returned plan re-reads it
+    surv = track_cached(hashed.join(F.broadcast(quotas), "src").filter(F.col("h") < F.col("thr")))
+    # exactness guard (sources-scale metadata, driver-side like the
+    # compaction planner): a source is safe iff it kept ≥ quota survivors
+    # or kept every row; anything else re-ranks from the full table
+    checks = (
+        quotas.join(
+            surv.groupBy("src").agg(F.count(F.lit(1)).alias("n_surv")), "src", "left"
+        )
+        .withColumn("n_surv", F.coalesce("n_surv", F.lit(0)))
+        .filter((F.col("n_surv") < F.col("quota")) & (F.col("n_surv") < F.col("n_s")))
+    )
+    underfilled = [r["src"] for r in checks.select("src").collect()]
+    base = surv
+    if underfilled:  # cryptographically rare — adversarial hash clustering
+        full = hashed.filter(F.col("src").isin(underfilled)).join(
+            F.broadcast(quotas), "src"
+        )
+        base = surv.filter(~F.col("src").isin(underfilled)).unionByName(full)
+    ranked = base.withColumn(
         "rnk",
-        F.row_number().over(
-            Window.partitionBy("src").orderBy("h", "doc_id")
-        ),
+        F.row_number().over(Window.partitionBy("src").orderBy("h", "doc_id")),
     )
     return (
-        ranked.join(F.broadcast(quotas), "src")
-        .filter(F.col("rnk") <= F.col("quota"))
+        ranked.filter(F.col("rnk") <= F.col("quota"))
         .select(
             "doc_id",
             F.col("src").alias("source"),

@@ -207,8 +207,10 @@ def curriculum_buckets(
                 "lrank"
             ),
         )
-        .cache()
     )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    d = track_cached(d)
     counts = {r["pid"]: r["c"] for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
     n = sum(counts.values())
     offsets, acc = [], 0
@@ -219,13 +221,14 @@ def curriculum_buckets(
     ranked = d.join(F.broadcast(off), "pid").withColumn(
         "rank", F.col("off") + F.col("lrank")
     )
-    # exact NTILE(k) over n rows: the first n % k buckets take ceil(n/k)
+    # exact NTILE(k) over n rows: the first n % k buckets take ceil(n/k).
+    # Integer `div`, not double `/`: float division silently loses exactness
+    # past 2^53 ranks, and ranks at 100 TB exceed that.
     q, r = divmod(n, n_buckets)
-    big = F.lit(q + 1)
-    cutoff = F.lit(r * (q + 1))
+    cutoff = r * (q + 1)
     bucket = F.when(
-        F.col("rank") <= cutoff, ((F.col("rank") - 1) / big).cast("long") + 1
-    ).otherwise(F.lit(r) + ((F.col("rank") - cutoff - 1) / F.lit(max(q, 1))).cast("long") + 1)
+        F.col("rank") <= F.lit(cutoff), F.expr(f"(rank - 1) div {q + 1} + 1")
+    ).otherwise(F.expr(f"(rank - {cutoff} - 1) div {max(q, 1)} + {r} + 1"))
     tiered = ranked.withColumn(
         "bucket", bucket.cast("long")
     )
@@ -243,10 +246,12 @@ def curriculum_buckets(
             F.round(F.col("schars").cast("double") / F.col("n_docs"), 6).alias("avg_chars"),
         )
     )
-    # NOTE: d stays cached until the session drops it — the returned plan is
-    # lazy and its ranks are only correct against the SAME range placement
-    # the counts job materialized; unpersisting here would let a later action
-    # recompute repartitionByRange with fresh boundary samples.
+    # NOTE: d must stay cached through the caller's output action — the
+    # returned plan is lazy and its ranks are only correct against the SAME
+    # range placement the counts job materialized; unpersisting here would
+    # let a later action recompute repartitionByRange with fresh boundary
+    # samples.  It is registered with cacheutil.track_cached, so callers
+    # release it with cacheutil.release_cached() once done (bench.py does).
     return out
 
 

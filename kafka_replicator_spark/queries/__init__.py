@@ -50,66 +50,63 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
-#: Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
-#: (static history of the driver's correctness runs; oracle-less queries count
-#: as green on a clean rows-only row).  The driver verifies only a prefix
-#: (~50) of the registry each round, so ``all_queries`` orders every name
-#: WITHOUT a green row — the 16 r_* that errored on the round-2 testdata
-#: regeneration, a_interval_join, p_pack_sequences (HUGEINT dtype drift,
-#: fixed), and the 17 that have never yet fallen inside a window — ahead of
-#: this set, then the round's new queries, then this remainder as ballast.
+#: Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 (static history of
+#: the driver's correctness runs; oracle-less queries count as green on a
+#: clean rows-only row).  The driver verifies only a prefix (~50) of the
+#: registry each round, so ``all_queries`` orders every name WITHOUT a green
+#: row ahead of this set, then the round's new queries, then this remainder
+#: as ballast.  After round 3 (50/50 green) only three names lack a row:
+#: p_bigram_logprob, p_quality_classifier, p_temperature_mix — round 3's
+#: registry positions 50-52, past the window edge.
 _EVER_GREEN = frozenset({
-    'a_asof_join', 'a_bloom_semi_join', 'a_distinct_aggregates',
+    'a_asof_join', 'a_bloom_semi_join', 'a_correlation', 'a_dedup_first_event',
+    'a_distinct_aggregates', 'a_funnel_steps', 'a_interval_join',
     'a_pivot_event_counts', 'a_q10_returned_items', 'a_q11_important_stock',
-    'a_q12_ship_priority_classes', 'a_q15_top_supplier',
-    'a_q16_part_supplier_variety', 'a_q18_large_volume_customers',
-    'a_q1_pricing_summary', 'a_q20_excess_supply', 'a_q2_min_cost_supplier',
-    'a_q3_top_revenue_orders', 'a_q5_region_revenue', 'a_q6_forecast_revenue',
-    'a_q9_product_profit', 'a_range_join', 'a_rollup_orders',
-    'a_running_revenue', 'a_scalar_functions', 'a_semi_anti_customers',
-    'a_sessionization', 'a_set_ops', 'a_shared_sql_cube',
-    'a_shared_sql_grouping_sets', 'a_shared_sql_revenue',
+    'a_q12_ship_priority_classes', 'a_q13_order_count_histogram',
+    'a_q14_promo_revenue', 'a_q15_top_supplier', 'a_q16_part_supplier_variety',
+    'a_q17_small_qty_revenue', 'a_q18_large_volume_customers',
+    'a_q19_bracket_scan', 'a_q1_pricing_summary', 'a_q20_excess_supply',
+    'a_q21_waiting_suppliers', 'a_q22_idle_balances', 'a_q2_min_cost_supplier',
+    'a_q3_top_revenue_orders', 'a_q4_priority_lateness', 'a_q5_region_revenue',
+    'a_q6_forecast_revenue', 'a_q7_bination_volume', 'a_q8_market_share',
+    'a_q9_product_profit', 'a_quantiles', 'a_range_join', 'a_retention_cohorts',
+    'a_rolling_revenue', 'a_rollup_orders', 'a_running_revenue', 'a_salted_agg',
+    'a_salted_join', 'a_scalar_functions', 'a_semi_anti_customers',
+    'a_session_window_builtin', 'a_sessionization', 'a_set_ops',
+    'a_shared_sql_cube', 'a_shared_sql_grouping_sets', 'a_shared_sql_revenue',
     'a_shared_sql_scalar_subquery', 'a_stats_aggregates', 'a_topk_per_group',
-    'a_window_functions', 'p_ann_topk', 'p_chunk_documents',
-    'p_cleaning_pipeline', 'p_cms_heavy_hitters', 'p_contamination',
-    'p_corpus_mix', 'p_cosine_topk', 'p_curate_batch', 'p_dedup_exact',
-    'p_dedup_jaccard', 'p_dedup_rate_by_source', 'p_dup_clusters',
-    'p_dup_spans', 'p_embedding_neardup', 'p_fingerprint', 'p_hll_distinct',
-    'p_incremental_dedup', 'p_inverted_index', 'p_ivf_topk',
+    'a_window_functions', 'p_ann_topk', 'p_boiler_ngrams', 'p_bpe_merges',
+    'p_chunk_documents', 'p_cleaning_pipeline', 'p_cms_heavy_hitters',
+    'p_contamination', 'p_cooccur_pmi', 'p_corpus_mix', 'p_cosine_topk',
+    'p_curate_batch', 'p_curriculum_buckets', 'p_dedup_exact',
+    'p_dedup_jaccard', 'p_dedup_rate_by_source', 'p_doc_entropy',
+    'p_doc_repetition', 'p_dsir_weights', 'p_dup_clusters', 'p_dup_spans',
+    'p_embedding_neardup', 'p_fingerprint', 'p_hll_distinct', 'p_hll_union',
+    'p_incremental_dedup', 'p_inverted_index', 'p_ivf_multiprobe', 'p_ivf_topk',
     'p_ivf_topk_trained', 'p_kmeans_centroids', 'p_kmv_overlap', 'p_lang_id',
     'p_lsh_buckets', 'p_lsh_candidate_pairs', 'p_media_embed_topk',
-    'p_media_meta', 'p_minhash_estimate_audit', 'p_minhash_signatures',
-    'p_oph_jaccard', 'p_pii_scrub', 'p_pps_sample', 'p_prefix_dedup',
-    'p_quality_rules', 'p_quantized_topk', 'p_simhash', 'p_simhash_near_pairs',
-    'p_stratified_sample', 'p_text_quality', 'p_text_stats',
-    'p_tfidf_top_terms', 'p_token_counts', 'p_top_ngrams', 'p_udtf_tokenize',
-    'p_unigram_logprob', 'r_a6_checkpoint_lww', 'r_f1_resume_trim',
-    'r_p1_project_messages', 'r_t1_segment_plan', 'r_t9_resume_replay',
+    'p_media_frames', 'p_media_meta', 'p_minhash_estimate_audit',
+    'p_minhash_signatures', 'p_ngram_novelty', 'p_oph_jaccard',
+    'p_pack_sequences', 'p_pii_scrub', 'p_pps_sample', 'p_pq_topk',
+    'p_prefix_dedup', 'p_quality_rules', 'p_quantized_topk', 'p_semantic_dedup',
+    'p_simhash', 'p_simhash_near_pairs', 'p_stratified_sample',
+    'p_text_quality', 'p_text_stats', 'p_tfidf_top_terms', 'p_token_counts',
+    'p_top_ngrams', 'p_udtf_tokenize', 'p_unigram_logprob',
+    'p_versioned_history', 'r_a3_min_ts_per_batch', 'r_a4_level_extent',
+    'r_a6_checkpoint_lww', 'r_a7_last_event', 'r_a8_bounded_take',
+    'r_f1_resume_trim', 'r_f2_prune_segments', 'r_f6_sanity_offsets',
+    'r_f7_foreign_region', 'r_j1_consistent_listing', 'r_m1_gap_check',
+    'r_m1_merge_dedup', 'r_p1_project_messages', 'r_s5_compacted_state',
+    'r_t10_event_expiry', 'r_t16_windowed_counts', 'r_t1_segment_plan',
+    'r_t9_resume_replay', 'r_x1_path_codec', 'r_x3_json_extract',
+    'r_x8_metric_names',
 })
 
 #: Queries added or materially changed THIS round — verified nowhere yet, so
-#: they go inside the window right behind the never-green backlog.  Keep the
-#: backlog (35) + this list ≤ 50 or the tail spills to next round.
-_NEW_THIS_ROUND: list[str] = [
-    "p_boiler_ngrams",
-    "p_dsir_weights",
-    "p_bpe_merges",
-    "p_pq_topk",
-    "p_semantic_dedup",
-    "a_salted_agg",
-    "a_salted_join",
-    "a_dedup_first_event",
-    "p_cooccur_pmi",
-    "p_ivf_multiprobe",
-    "p_hll_union",
-    "p_ngram_novelty",
-    "p_doc_repetition",
-    "p_doc_entropy",
-    "p_curriculum_buckets",
-    "p_bigram_logprob",  # position 50: first spill, verified next round
-    "p_quality_classifier",  # position 51
-    "p_temperature_mix",  # position 52
-]
+#: they go inside the window right behind the never-green backlog (3 names
+#: after the round-3 rotation).  Keep backlog + this list ≤ 50 or the tail
+#: spills to next round.
+_NEW_THIS_ROUND: list[str] = []
 
 
 def all_queries() -> dict[str, Query]:

@@ -352,13 +352,25 @@ def test_quality_classifier_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 1, physical_plan(df)
 
 
-def test_temperature_mix_no_global_sort(spark, sf_dir):
-    # quota frame broadcasts; the rank window is source-partitioned.  The
-    # single allowed SinglePartition exchange is the sources-scale (~20 row)
-    # quota-total aggregation — the document stream itself must never
-    # funnel through one partition.
+def test_temperature_mix_prefilter_precedes_window(spark, sf_dir):
+    # The rank window must see the hash-prefiltered survivor frame
+    # (~4·total_sample rows, cached during the exactness guard), NEVER the
+    # raw corpus: the returned plan reads InMemoryTableScan only — no
+    # parquet scan of documents, no SinglePartition funnel of the document
+    # stream.  The broadcast quota join and the h < thr prefilter live
+    # inside the cached frame, upstream of the window by construction.
+    from kafka_replicator_spark.cacheutil import release_cached
+
     spark.catalog.clearCache()
+    release_cached()
     df = QUERIES["p_temperature_mix"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert has_broadcast_join(df), plan
-    assert plan.count("SinglePartition") <= 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    # explain() inlines the cached relation's own (already-materialized)
+    # plan below the InMemoryTableScan node — only the section ABOVE it is
+    # what the caller's action executes
+    live = plan[: plan.index("InMemoryTableScan")]
+    assert "Window" in live, plan
+    assert "Scan parquet" not in live, f"window input must be the prefiltered cache\n{plan}"
+    assert "SinglePartition" not in live, plan
+    release_cached()

@@ -106,3 +106,48 @@ def test_dup_spans_counts_within_doc_repeats(spark):
     rows = [(0, text, "en", "s", len(text))]
     got = dedup.dup_spans(_docs(spark, rows), w=8).toPandas()
     assert got.iloc[0]["n_dup"] >= 2  # the repeated span hashes twice
+
+
+# ------------------------------------------------- temperature mix prefilter
+
+def _tmix_rows(n_big=400, n_small=5):
+    rows = [(i, f"doc body {i} alpha beta", "en", "web", 20) for i in range(n_big)]
+    rows += [(10_000 + i, f"rare doc {i}", "en", "books", 12) for i in range(n_small)]
+    return rows
+
+
+def test_temperature_mix_prefilter_matches_full_rank(spark, monkeypatch):
+    """The hash prefilter must not change output vs a full per-source rank
+    (forced by an always-pass threshold via a huge cushion)."""
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    docs = _docs(spark, _tmix_rows())
+    got = sampling.temperature_mix(docs, total_sample=50).toPandas()
+    monkeypatch.setattr(sampling, "_PREFILTER_CUSHION", 1 << 40)  # thr caps at 2^60
+    full = sampling.temperature_mix(docs, total_sample=50).toPandas()
+    release_cached()
+    key = ["doc_id", "source", "n_source", "quota", "sample_rank"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, full[key].values.tolist())
+    )
+    assert len(got) > 0
+
+
+def test_temperature_mix_underfill_falls_back_exactly(spark, monkeypatch):
+    """Force the prefilter to keep nothing (margin=cushion=0 → thr=0): the
+    sources-scale guard must detect every source under-filled and re-rank
+    from the full table — output unchanged."""
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    docs = _docs(spark, _tmix_rows())
+    expected = None
+    for margin, cushion in ((4, 64), (0, 0)):
+        monkeypatch.setattr(sampling, "_PREFILTER_MARGIN", margin)
+        monkeypatch.setattr(sampling, "_PREFILTER_CUSHION", cushion)
+        out = sampling.temperature_mix(docs, total_sample=50).toPandas()
+        rows = sorted(map(tuple, out.values.tolist()))
+        if expected is None:
+            expected = rows
+        else:
+            assert rows == expected
+    release_cached()
