@@ -152,12 +152,116 @@ def segment_lifecycle_bench(
     return dt, n
 
 
+def segment_lifecycle_latelost_bench(
+    spark, n_msgs: int = 500_000, n_partitions: int = 4, seg_messages: int = 50_000
+) -> tuple[float, int, int]:
+    """Wall-clock T5/T6/T7 escalation end-to-end at bench volume: egress a
+    dense stream to segments, destroy the first segment of partition 0 (an
+    offset gap at the delivery frontier), then drive the ingress stream
+    through hold-back (late) → retry (still held) → lost-range skip under an
+    injectable clock crossing ``lost_segment_timeout``.  Returns
+    (seconds, messages_delivered, messages_lost); lost MUST be > 0 — the
+    escalation path itself is what this line measures, not just throughput.
+    """
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.operators.egress import (
+        assign_segments_greedy,
+        write_segments,
+    )
+    from kafka_replicator_spark.sources.segments import list_segments
+    from kafka_replicator_spark.streaming.ingress_stream import (
+        IngressState,
+        run_ingress_stream,
+    )
+
+    msgs = (
+        spark.range(n_msgs)
+        .select(
+            F.lit("bench-topic").alias("topic"),
+            (F.col("id") % n_partitions).cast("int").alias("partition_id"),
+            (F.col("id") / n_partitions).cast("long").alias("msg_offset"),
+            F.col("id").cast("string").cast("binary").alias("msg_key"),
+            F.concat(
+                F.lit("payload-payload-payload-payload-payload-payload-"), F.col("id")
+            )
+            .cast("binary")
+            .alias("payload"),
+            (F.lit(1_700_000_000_000_000_000) + F.col("id")).alias("ts_ns"),
+        )
+        .withColumn(
+            "msg_size", (F.lit(16) + F.length("msg_key") + F.length("payload")).cast("long")
+        )
+        .cache()
+    )
+    n = msgs.count()  # materialize outside the timed window
+    root = tempfile.mkdtemp(prefix="krs_latelost_")
+    work = tempfile.mkdtemp(prefix="krs_latelost_w_")
+    seg_root = os.path.join(root, "bench")  # write_segments roots at region
+    try:
+        t0 = time.perf_counter()
+        # ≥2 segments per partition required: the gap is only observable
+        # when a later segment exists above the destroyed one
+        assert n_msgs // n_partitions >= 2 * seg_messages, "need ≥2 segments/partition"
+        tagged = assign_segments_greedy(msgs, max_bytes=64 << 20, max_messages=seg_messages)
+        write_segments(tagged, root=root, region="bench", level=0).collect()
+        segs = list_segments(spark, seg_root).collect()
+        first_p0 = min(
+            (r for r in segs if r["partition_id"] == 0),
+            key=lambda r: r["start_offset"],
+        )
+        os.remove(first_p0["path"])
+        gap = first_p0["end_offset"] - first_p0["start_offset"] + 1
+        sink = os.path.join(work, "sink")
+        state_path = os.path.join(work, "state.json")
+        fake_now = [1_000_000.0]
+        timeout = timedelta(hours=24)
+        common = dict(
+            max_gap_retries=0,
+            lost_segment_timeout=timeout,
+            clock=lambda: fake_now[0],
+        )
+        # batch 1: gap fresh → partition 0 held back (late), others deliver
+        run_ingress_stream(
+            spark, seg_root, sink, os.path.join(work, "cp_a"), state_path, **common
+        )
+        # batch 2: retry inside the timeout → still held, nothing lost yet
+        fake_now[0] += 60.0
+        run_ingress_stream(
+            spark, seg_root, sink, os.path.join(work, "cp_b"), state_path, **common
+        )
+        st = IngressState.load(state_path)
+        assert st.messages_lost == 0, f"lost too early: {st.messages_lost}"
+        # batch 3: clock crosses the timeout → lost-range skip, rest delivers
+        fake_now[0] += timeout.total_seconds() + 1.0
+        run_ingress_stream(
+            spark, seg_root, sink, os.path.join(work, "cp_c"), state_path, **common
+        )
+        dt = time.perf_counter() - t0
+        st = IngressState.load(state_path)
+        delivered = spark.read.parquet(sink).count()
+        assert st.messages_lost == gap > 0, f"lost {st.messages_lost} != gap {gap}"
+        assert delivered == n - gap, f"delivered {delivered} != {n - gap}"
+        return dt, delivered, st.messages_lost
+    finally:
+        msgs.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka_replicator_spark import get_spark
     from kafka_replicator_spark.queries import all_queries
 
     spark = get_spark(app_name="kafka_replicator_spark_bench")
+    from kafka_replicator_spark.cacheutil import release_cached
+
     registry = all_queries()
 
     # warm the JVM + parquet footers with one cheap action
@@ -184,6 +288,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        release_cached()  # drop operator-internal pinned frames between queries
 
     # best-of-two, same as the queries: one slow run under machine
     # contention otherwise dominates the recorded trajectory
@@ -223,12 +328,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # wall-clock late→lost escalation (T5/T6/T7) at bench volume; reported
+    # per-line but excluded from the headline total (same policy as skew —
+    # the total stays the round-over-round comparable set)
+    try:
+        ll_sec, ll_delivered, ll_lost = segment_lifecycle_latelost_bench(spark)
+        timings["segment_lifecycle_latelost"] = round(ll_sec, 3)
+        print(
+            f"# segment_lifecycle_latelost: {ll_sec:.3f}s "
+            f"({ll_delivered} delivered, {ll_lost} lost)",
+            file=sys.stderr,
+        )
+    except Exception as ex:
+        errors["segment_lifecycle_latelost"] = f"{type(ex).__name__}: {ex}"[:300]
+        print(
+            f"# segment_lifecycle_latelost: ERROR {errors['segment_lifecycle_latelost']}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
+                # how many queries the total actually covers — a shrunken
+                # comparable set (errors) must be visible, not silent
+                "timed": len([k for k in timings if k in HEADLINE]) + (1 if "segment_lifecycle" in timings else 0),
                 "queries": timings,
                 "errors": errors,
                 "sf": sf_dir,

@@ -338,6 +338,86 @@ WHERE a.doc_id < b.doc_id
 
 # ----------------------------------------------- duplicate clustering (CC)
 
+def _two_phase_cc(edges: DataFrame, max_iters: int = 25) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): O(log n) rounds on ANY graph — including adversarial
+    long chains, where plain min-label propagation needs diameter rounds.
+
+    * **large-star** processes every edge from both endpoints: node ``u``
+      with neighbors N(u) links each strictly-larger neighbor to
+      ``m = min(N(u) ∪ {u})`` — long chains halve because every node hops
+      to its neighborhood minimum in one step.
+    * **small-star** orients edges toward the smaller endpoint and links
+      each smaller neighbor (and ``u`` itself) to the minimum — collapsing
+      the partial stars large-star leaves behind.
+
+    Each phase is one |edges|-scale shuffle (a groupBy for the neighborhood
+    min + a broadcast-free join back); ``localCheckpoint`` truncates lineage
+    per round.  Converged when the edge multiset signature (count, Σa, Σb)
+    is stable — edges only ever move toward component minima, so a stable
+    signature is a fixpoint, at which the edge set is exactly the star
+    graph centered at each component's minimum.
+
+    ``edges`` must have long columns ``a < b``; returns (membership frame
+    ``node, comp`` covering every non-isolated node, rounds used).
+    """
+    edges = edges.localCheckpoint()
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
+        ).collect()[0]
+        return (r["c"], r["sa"], r["sb"])
+
+    prev = _sig(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        # --- large-star: every edge seen from both endpoints
+        nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))  # m ≤ u < v
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star: edges oriented large→small (u = b side, v = a side)
+        smins = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(smins, "b")
+            .filter(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))  # m < v
+            .union(smins.select(F.col("m").alias("a"), F.col("b").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        edges = small.localCheckpoint()
+        rounds += 1
+        sig = _sig(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"two-phase CC did not converge in {max_iters} rounds")
+    # at fixpoint edges are stars (a = component min): membership = min over
+    # incident edges per node, centers label themselves
+    members = (
+        edges.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+        .union(edges.select(F.col("a").alias("node"), F.col("a").alias("comp")))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return members, rounds
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -348,49 +428,31 @@ def duplicate_clusters(
     pick the canonical survivor per cluster — the step that turns pairwise
     dedup output into an actual keep/drop decision.
 
-    Iterative min-label propagation: every node starts labeled with its own
-    id; each round takes the min over itself and its neighbors' labels;
-    converged when the label sum stops decreasing (labels only ever
-    decrease, so equal sums == fixpoint).  Rounds needed = component
-    diameter — small for dedup clusters, which are near-cliques by
-    construction (every member collided with something in the cluster).
-    Each round is one shuffle of |edges| rows; ``localCheckpoint`` truncates
-    the growing lineage so round N doesn't replay rounds 1..N-1.  The known
-    accelerator for adversarially-long chains is the large-star/small-star
-    contraction (Kiveris et al. 2014) — same join shape, O(log n) rounds.
+    Components come from :func:`_two_phase_cc` (large-star/small-star,
+    Kiveris et al. 2014): O(log n) shuffle rounds on any pair graph,
+    adversarial chains included — min-label propagation's diameter-rounds
+    worst case is gone.  Singleton documents keep their own id as
+    ``cluster_id`` so the output is a total keep/drop map over the corpus;
+    the canonical survivor is the cluster-minimum id.
 
-    ``pairs`` defaults to MinHash-LSH candidate pairs (``doc_a``/``doc_b``);
-    singleton documents keep their own id as ``cluster_id`` so the output is
-    a total keep/drop map over the corpus.
+    ``pairs`` defaults to MinHash-LSH candidate pairs (``doc_a``/``doc_b``).
     """
     if pairs is None:
         pairs = lsh_candidate_pairs(docs)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    e0 = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .cache()
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("comp")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iters):
-        prop = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("comp")
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+    members, _rounds = _two_phase_cc(e0, max_iters=max_iters)
+    labels = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(members, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).cast("long").alias("comp"))
+    )
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),

@@ -180,3 +180,18 @@ def test_duplicate_clusters_matches_union_find(spark_global, edges):
         for r in duplicate_clusters(docs, pairs=pairs).collect()
     }
     assert got == expected
+
+
+def test_two_phase_cc_adversarial_chain_logarithmic_rounds(spark):
+    """Kiveris et al. 2014 upper bound in practice: a 10k-node path graph
+    (diameter 9 999 — min-label propagation's worst case) must converge in
+    ≤ 2·log2(n) large+small rounds and still label every node with the
+    component minimum."""
+    import math
+
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+    members, rounds = dedup._two_phase_cc(edges, max_iters=40)
+    assert rounds <= 2 * math.log2(n), f"{rounds} rounds for n={n}"
+    got = members.groupBy("comp").agg(F.count(F.lit(1)).alias("c")).collect()
+    assert len(got) == 1 and got[0]["comp"] == 0 and got[0]["c"] == n
