@@ -32,12 +32,16 @@ _FIELD_RANGES = (
 
 
 def _parse_field(spec: str, name: str, lo: int, hi: int) -> frozenset[int]:
-    """One cron field: ``*``, ``*/step``, ``a``, ``a-b``, ``a-b/step`` and
-    comma lists thereof (the numeric core of robfig/cron's grammar)."""
+    """One cron field: ``*``, ``*/step``, ``a``, ``a-b``, ``a-b/step``,
+    ``a/step`` and comma lists thereof (the numeric core of robfig/cron's
+    grammar).  Day-of-week accepts 7 as a Sunday alias both as a single
+    value and as a range end (``5-7`` = Fri, Sat, Sun — legal in
+    Vixie/robfig cron)."""
     out: set[int] = set()
     for part in spec.split(","):
         rng, step = part, 1
-        if "/" in part:
+        had_step = "/" in part
+        if had_step:
             rng, step_s = part.split("/", 1)
             step = int(step_s)
             if step < 1:
@@ -47,9 +51,20 @@ def _parse_field(spec: str, name: str, lo: int, hi: int) -> frozenset[int]:
         elif "-" in rng:
             a_s, b_s = rng.split("-", 1)
             a, b = int(a_s), int(b_s)
+            if name == "dow" and b == 7:
+                # range runs through the Sunday alias: keep 7 in the walk,
+                # then fold it onto 0 (5-7 → {5, 6, 0})
+                if not (lo <= a <= 7 and a <= b):
+                    raise ValueError(f"cron {name}: {spec!r} out of range [{lo},7]")
+                out.update(0 if v == 7 else v for v in range(a, 8, step))
+                continue
         else:
             a = int(rng)
-            b = hi if step > 1 else a  # "a/step" = a..hi by step, per cron
+            if name == "dow" and a == 7:
+                a = 0  # single-value Sunday alias
+            # "a/step" (any step, including 1) means a..hi per cron's rule;
+            # a bare "a" is just a
+            b = hi if had_step else a
         if name == "dow":
             a, b = (0 if a == 7 else a), (0 if b == 7 else b)
         if not (lo <= a <= hi and lo <= b <= hi and a <= b):

@@ -51,15 +51,60 @@ STATE_SCHEMA = StructType(
 )
 
 
-def streaming_event_store(events: DataFrame, retention_ms: int | None = None) -> DataFrame:
+def _resolve(best_type, best_ts, pdf: pd.DataFrame):
+    """A7 resolution over one pandas batch: newest wins; REMOVED beats
+    CREATED on a tie."""
+    for et, ts in zip(pdf["event_type"], pdf["event_ts"]):
+        ts = int(ts)
+        if ts > best_ts or (ts == best_ts and et == "REMOVED" and best_type == "CREATED"):
+            best_type, best_ts = et, ts
+    return best_type, best_ts
+
+
+def _tws_available(events: DataFrame) -> bool:
+    """transformWithStateInPandas (Spark ≥ 4.0) needs the RocksDB state
+    store provider AND the ``protobuf`` package (its state-server protocol
+    is protobuf-framed; pyspark lists it as an optional dependency) —
+    auto-select it only when both are present."""
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    return "RocksDB" in (provider or "")
+
+
+def streaming_event_store(
+    events: DataFrame, retention_ms: int | None = None, engine: str = "auto"
+) -> DataFrame:
     """events: streaming DataFrame with SEG_KEY + event_type + event_ts
     (long).  Returns the per-batch state-change stream.
 
-    ``retention_ms`` enables the TTL sweep via processing-time timeouts —
-    use it ONLY with continuous triggers: under ``availableNow`` a pending
-    timeout makes Spark keep scheduling state-cleanup batches and the query
-    never terminates.  Batch-style replays should leave it None.
+    ``engine`` selects the stateful operator API:
+
+    * ``"classic"`` — ``applyInPandasWithState``.  Here ``retention_ms``
+      rides on processing-time timeouts — use it ONLY with continuous
+      triggers: under ``availableNow`` a pending timeout makes Spark keep
+      scheduling state-cleanup batches and the query never terminates.
+    * ``"tws"`` — ``transformWithStateInPandas`` (Spark 4's successor
+      API; requires the RocksDB state store provider,
+      ``spark.sql.streaming.stateStore.providerClass`` =
+      ``...state.RocksDBStateStoreProvider``).  ``retention_ms`` becomes a
+      native value-state TTL — storage-level eviction, no timer batches, so
+      the availableNow quirk is gone.
+    * ``"auto"`` — ``tws`` when the API exists AND the session already runs
+      the RocksDB provider; ``classic`` otherwise.
     """
+    if engine not in ("auto", "classic", "tws"):
+        raise ValueError(f"engine must be auto|classic|tws, got {engine!r}")
+    if engine == "tws" or (engine == "auto" and _tws_available(events)):
+        return _event_store_tws(events, retention_ms)
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -73,11 +118,7 @@ def streaming_event_store(events: DataFrame, retention_ms: int | None = None) ->
 
         best_type, best_ts = (state.get if state.exists else (None, -1))
         for pdf in pdfs:
-            for et, ts in zip(pdf["event_type"], pdf["event_ts"]):
-                ts = int(ts)
-                # A7 resolution: newest wins; REMOVED beats CREATED on a tie
-                if ts > best_ts or (ts == best_ts and et == "REMOVED" and best_type == "CREATED"):
-                    best_type, best_ts = et, ts
+            best_type, best_ts = _resolve(best_type, best_ts, pdf)
         changed = not state.exists or (state.get != (best_type, best_ts))
         state.update((best_type, best_ts))
         if retention_ms is not None:
@@ -106,4 +147,62 @@ def streaming_event_store(events: DataFrame, retention_ms: int | None = None) ->
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout_conf,
+    )
+
+
+def _event_store_tws(events: DataFrame, retention_ms: int | None) -> DataFrame:
+    """transformWithStateInPandas implementation (Spark 4 successor API,
+    SPARK-46815): same A7 semantics, value state with native TTL.
+
+    TTL eviction happens inside the state store — no timer callbacks, no
+    extra cleanup batches — so ``retention_ms`` composes with availableNow
+    replays, which the classic processing-time-timeout path cannot do.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
+
+    class _EventStoreProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "seg_state", STATE_SCHEMA, ttlDurationMs=retention_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                cur = self._state.get()
+                prev = (cur[0], int(cur[1]))
+            else:
+                prev = None
+            best_type, best_ts = prev if prev is not None else (None, -1)
+            for pdf in rows:
+                best_type, best_ts = _resolve(best_type, best_ts, pdf)
+            self._state.update((best_type, best_ts))
+            if prev != (best_type, best_ts):
+                yield pd.DataFrame(
+                    [
+                        {
+                            **dict(zip(SEG_KEY, key)),
+                            "event_type": best_type,
+                            "event_ts": best_ts,
+                        }
+                    ]
+                )
+            else:
+                yield pd.DataFrame(columns=out_cols)
+
+        def close(self) -> None:
+            pass
+
+    # value-state TTL needs the processing-time clock; otherwise no time
+    # semantics are involved
+    time_mode = "ProcessingTime" if retention_ms is not None else "None"
+    return events.groupBy(*SEG_KEY).transformWithStateInPandas(
+        statefulProcessor=_EventStoreProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode=time_mode,
     )

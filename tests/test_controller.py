@@ -94,3 +94,16 @@ def test_scheduled_compaction_cycles(spark, tmp_path):
     assert results[1] == []
     levels = sorted(r["level"] for r in list_segments(spark, root).collect())
     assert levels == [0, 1]
+
+
+def test_cron_dow_wraparound_range_and_step_value():
+    # 5-7 = Fri, Sat, Sun (7 aliases 0) — legal in Vixie/robfig cron
+    s = CronSchedule.parse("0 0 0 * * 5-7")
+    assert s.dows == frozenset({5, 6, 0})
+    # 2024-03-05 is a Tuesday → next match is Friday the 8th
+    assert _nf("0 0 0 * * 5-7", "2024-03-05T12:00:00") == datetime(2024, 3, 8, 0, 0, 0)
+    # a/step means a..hi for ANY step, including 1 (cron's a/step rule)
+    assert CronSchedule.parse("30/1 * * * * *").seconds == frozenset(range(30, 60))
+    assert CronSchedule.parse("10/15 * * * * *").seconds == frozenset({10, 25, 40, 55})
+    # 7/2 in dow: Sunday alias start, every 2nd day → {0, 2, 4, 6}
+    assert CronSchedule.parse("0 0 0 * * 7/2").dows == frozenset({0, 2, 4, 6})

@@ -50,3 +50,63 @@ def test_event_store_state_across_batches(spark, tmp_path):
     assert by_seg[10][-1] == ("REMOVED", 9)
     # A's stale REMOVED and duplicate CREATED emitted no extra change row
     assert len(by_seg[0]) == 1
+
+
+def test_event_store_tws_engine_matches_classic(spark, tmp_path):
+    """transformWithStateInPandas path (engine='tws', RocksDB provider):
+    identical change-stream semantics across microbatches, and retention_ms
+    composes with availableNow (native value-state TTL, no timer batches —
+    the quirk the classic path documents away)."""
+    import pytest
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        pytest.skip("Spark < 4.0: no transformWithState")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed: transformWithState state protocol unavailable")
+
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [(*SEG_A, "CREATED", 5), (*SEG_B, "CREATED", 6)], schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(*SEG_A, "REMOVED", 3), (*SEG_A, "CREATED", 5), (*SEG_B, "REMOVED", 9)],
+        schema=EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # retention_ms SET under availableNow — must terminate on tws
+        out = streaming_event_store(stream, retention_ms=3_600_000, engine="tws")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("event_store_tws_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM event_store_tws_out").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["start_offset"], []).append((r["event_type"], r["event_ts"]))
+    assert ("CREATED", 5) in by_seg[0]
+    assert by_seg[10][-1] == ("REMOVED", 9)
+    assert len(by_seg[0]) == 1
