@@ -106,13 +106,23 @@ _EVER_GREEN = frozenset({
 #: they go inside the window right behind the never-green backlog (3 names
 #: after the round-3 rotation).  Keep backlog + this list ≤ 50 or the tail
 #: spills to next round.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "p_readability",
+    "p_vocab_growth",
+    "p_zipf_slope",
+    "p_perplexity_profile",
+    "p_lang_confusion",
+    "a_markov_transitions",
+    "a_decayed_value",
+    "a_value_histogram",
+    "a_skyline_parts",
+]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, analytics, pipeline  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND if n in REGISTRY]

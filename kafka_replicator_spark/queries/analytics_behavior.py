@@ -1,0 +1,192 @@
+"""Behavioral-analytics query registrations over the events stream plus the
+catalog skyline: Markov event transitions, time-decayed user value, value
+histograms, and the 2-D Pareto frontier (functions/frontier.py).
+
+Reference parity: the reference engine (CrowdStrike/kafka-replicator) has no
+analytics surface — these extend the events/catalog analytics families that
+ride on the same normalized ``ts`` (epoch-nanos LONG via
+sources.tables.load_table; oracle side uses ``epoch_us(ts)``).
+
+Cross-engine determinism: counts and micro/milli units are exact integers;
+the decay weight is ``round(exp(·), 9)`` so the only DOUBLE transcendental
+is itself re-quantized before it multiplies anything; money follows the
+DECIMAL(18,2) → round(2) → DOUBLE convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions.frontier import skyline_2d
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+#: decay time-constant of the exponentially-decayed user value (microseconds)
+DECAY_TAU_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+    )
+
+
+@register(
+    "a_markov_transitions",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+), seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_type
+  FROM e
+), tr AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, sum(n_transitions) AS n_from FROM tr GROUP BY prev_type
+)
+SELECT tr.prev_type, tr.event_type, tr.n_transitions,
+       round(CAST(tr.n_transitions AS DOUBLE) / CAST(tot.n_from AS BIGINT), 6) AS prob
+FROM tr JOIN tot USING (prev_type)
+""",
+    tags=("analytics", "events"),
+    doc="first-order Markov transition matrix over per-user event sequences "
+    "(lag window keyed by user — millions of small partitions at scale, "
+    "never a global sort); probabilities via a broadcast per-state totals "
+    "join, |event_types|^2 output rows",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = tr.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_from"))
+    return tr.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("n_from"), 6).alias("prob"),
+    )
+
+
+@register(
+    "a_decayed_value",
+    f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+), mx AS (
+  SELECT max(ts_us) AS tmax FROM e
+), terms AS (
+  SELECT user_id, value,
+         CAST(round(value * round(exp(-CAST(tmax - ts_us AS DOUBLE) / {DECAY_TAU_US}), 9), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM e, mx
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       CAST(round(sum(term), 6) AS DOUBLE) AS decayed_value
+FROM terms GROUP BY user_id
+""",
+    tags=("analytics", "events"),
+    doc="exponentially time-decayed user value (tau = 7 days against the "
+    "corpus max timestamp, broadcast 1-row frame); decay weight re-quantized "
+    "to 9 dp before the multiply, terms folded as DECIMAL — "
+    "order-independent exact aggregation",
+)
+def q_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts_us").alias("tmax"))
+    term = F.round(
+        F.col("value")
+        * F.round(F.exp(-((F.col("tmax") - F.col("ts_us")).cast("double")) / DECAY_TAU_US), 9),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        ev.join(F.broadcast(mx))
+        .select("user_id", "value", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.round(F.sum("term"), 6).cast("double").alias("decayed_value"),
+        )
+    )
+
+
+@register(
+    "a_value_histogram",
+    """
+WITH e AS (
+  SELECT event_type, value, least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       CAST(round(min(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS min_value,
+       CAST(round(max(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_value
+FROM e GROUP BY event_type, bucket
+""",
+    tags=("analytics", "events"),
+    doc="fixed-width value histogram per event type (width 50, top bucket "
+    "clamped): the one-pass partial-aggregated profile a monitoring "
+    "pipeline keeps per stream; money in DECIMAL throughout",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9).cast("long")).alias("bucket"),
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(dec), 2).cast("double").alias("sum_value"),
+        F.round(F.min(dec), 2).cast("double").alias("min_value"),
+        F.round(F.max(dec), 2).cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "a_skyline_parts",
+    """
+SELECT a.p_partkey,
+       CAST(round(CAST(a.p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price,
+       CAST(a.p_size AS BIGINT) AS size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+""",
+    tags=("analytics", "catalog"),
+    doc="2-D Pareto frontier over parts (cheapest price vs largest size) "
+    "via the distributed sort-based skyline: per-cost group collapse + "
+    "range partition + partition-local running max + broadcast boundary "
+    "stitch (functions/frontier.py) — the oracle states dominance "
+    "declaratively (NOT EXISTS), the Spark plan never goes quadratic",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    sky = skyline_2d(parts, "price", "size")
+    return sky.select(
+        "p_partkey",
+        F.round(F.col("price").cast("decimal(18,2)"), 2).cast("double").alias("price"),
+        "size",
+    )
