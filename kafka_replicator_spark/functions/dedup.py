@@ -797,3 +797,73 @@ SELECT doc_id,
             // count(*) AS BIGINT) AS dup_ppm
 FROM occ GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- asymmetric containment
+
+def minhash_containment(
+    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle containment over LSH candidate pairs — the asymmetric
+    dedup signal Jaccard misses: a short document wholly contained in a long
+    one scores low Jaccard but containment ≈ 1 on the short side.
+
+    ``cont(a→b) = |A∩B| / |A|``; pairs come from :func:`lsh_candidate_pairs`
+    (band equi-join — never all-pairs), and only the candidates' shingles
+    join on the hash key, so the intersection stage is candidate-confined
+    at any corpus size.  Kept where either direction clears ``threshold``.
+    """
+    cand = lsh_candidate_pairs(docs, k=k, n=n, bands=bands)
+    sh = word_ngrams(docs, n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+    )
+
+
+def minhash_containment_sql(
+    k: int = 16, n: int = 3, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH cand AS ({lsh_candidate_pairs_sql(k, n, bands)}),
+sh AS ({word_ngrams_sql(n)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+  SELECT doc_a, doc_b, n_inter,
+         round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+         round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM scored
+WHERE containment_a >= {threshold} OR containment_b >= {threshold}
+"""

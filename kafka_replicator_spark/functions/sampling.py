@@ -409,3 +409,57 @@ SELECT doc_id,
 FROM ranked JOIN quotas USING (src)
 WHERE rnk <= quota
 """
+
+
+# ------------------------------------------------------------- epoch plan
+
+def epoch_plan(docs: DataFrame) -> DataFrame:
+    """Per-source epoch/upsampling plan for a uniform token budget: each
+    source's target is ``total_tokens div n_sources``; a source meets it
+    with ``target div n_s`` full epochs plus a residual sample of
+    ``target mod n_s`` tokens (carried as exact integer ppm) — the repeat-
+    epochs knob of corpus mixing (small domains repeat, large ones
+    subsample), all BIGINT arithmetic so any engine reproduces it.
+
+    One token-count aggregation (map-side ``size(split(...))``, no
+    explode) + a broadcast 1-row totals frame — map-only after the
+    per-source shuffle.
+    """
+    per_src = (
+        docs.select("source", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.join(F.broadcast(tot))
+        .withColumn("target_tokens", F.expr("total_tokens div n_sources"))
+        .select(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            F.expr("target_tokens div n_tokens").alias("epochs"),
+            F.expr("(1000000 * (target_tokens % n_tokens)) div n_tokens").alias("residual_ppm"),
+        )
+    )
+
+
+def epoch_plan_sql() -> str:
+    return """
+WITH per_src AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_src
+)
+SELECT source, n_tokens,
+       total_tokens // n_sources AS target_tokens,
+       (total_tokens // n_sources) // n_tokens AS epochs,
+       (1000000 * ((total_tokens // n_sources) % n_tokens)) // n_tokens AS residual_ppm
+FROM per_src, tot
+"""

@@ -953,3 +953,145 @@ ranked AS (
 SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- label-blocked kNN graph
+
+def _micro(c: str | Column) -> Column:
+    """Embedding components quantized to exact integer micro-units — the
+    same ``floor(x·1e6 + 0.5)`` convention as :func:`kmeans_train`, so all
+    distance arithmetic is associative int64 math both engines reproduce."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"))
+
+
+def label_knn_graph(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """k-nearest-neighbor graph confined to label blocks: exact integer
+    squared L2 (micro-units) between every pair sharing a label, top-``k``
+    edges per vector — the within-class graph SemDeDup-style pruning and
+    kNN-graph diversity filters consume.
+
+    The block key bounds the join fan-out exactly like the IVF cell /
+    LSH bucket in the ANN family: no all-pairs stage, the per-vector rank
+    window sees only its block.  At 100 TB the label is whatever coarse
+    quantizer the pipeline already has (IVF cell id, cluster id).
+    Micro-unit products stay far under 2^53, so the DuckDB mirror's DOUBLE
+    ``list_dot_product`` arithmetic is exact too.
+    """
+    m = _spread_emb(embeddings).select("vec_id", "label", _micro("embedding").alias("em"))
+    a = m.select(F.col("vec_id").alias("vec_id"), "label", F.col("em").alias("ea"))
+    b = m.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("em").alias("eb"))
+    d2 = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "label", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "neighbor_id")
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("nn_rank") <= k)
+        .select("vec_id", F.col("label").cast("int").alias("label"), "nn_rank", "neighbor_id", "d2")
+    )
+
+
+def label_knn_graph_sql(k: int = 3, dim: int = 64) -> str:
+    return f"""
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                      i -> (a.em[i] - b.em[i]) * (a.em[i] - b.em[i])))
+              AS BIGINT) AS d2
+  FROM m a JOIN m b ON a.label = b.label AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, CAST(label AS INTEGER) AS label, neighbor_id, d2,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY d2, neighbor_id)
+              AS INTEGER) AS nn_rank
+  FROM p
+)
+SELECT vec_id, label, nn_rank, neighbor_id, d2 FROM r WHERE nn_rank <= {k}
+"""
+
+
+# ----------------------------------------------------- embedding statistics
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding statistics: vector count, mean vector norm, and
+    the centroid norm (‖mean vector‖ — the collapse indicator: ≈ mean norm
+    when a label's vectors align, ≈ 0 when they cancel).
+
+    All folds are exact: per-vector squared norms are int64 micro² sums,
+    per-vector norms re-quantized to DECIMAL before the label fold, centroid
+    components re-quantized to integer micro-units (the kmeans_train mean
+    convention) before the final norm.  Two shuffles: per-label norms and
+    the (label, dim) component sums.
+    """
+    m = _spread_emb(embeddings).select("label", _micro("embedding").alias("em"))
+    n2 = F.aggregate(
+        F.transform("em", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    norms = m.select("label", F.round(F.sqrt(n2.cast("double")) / 1e6, 6).cast("decimal(18,6)").alias("nrm"))
+    per_label = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 6).alias("avg_norm"),
+    )
+    dims = m.select("label", F.posexplode("em").alias("dim", "v"))
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mm = F.floor(F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5)).cast("long")
+    cn = (
+        sums.select("label", mm.alias("mm"))
+        .groupBy("label")
+        .agg(F.sum(F.col("mm") * F.col("mm")).alias("cn2"))
+        .select("label", F.round(F.sqrt(F.col("cn2").cast("double")) / 1e6, 6).alias("centroid_norm"))
+    )
+    return per_label.join(cn, "label").select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        "avg_norm",
+        "centroid_norm",
+    )
+
+
+def embedding_stats_sql(dim: int = 64) -> str:
+    return f"""
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+  FROM embeddings
+), norms AS (
+  SELECT label,
+         CAST(round(sqrt(CAST(list_sum(list_transform(em, x -> x * x)) AS DOUBLE)) / 1e6, 6)
+              AS DECIMAL(18,6)) AS nrm
+  FROM m
+), per_label AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS avg_norm
+  FROM norms GROUP BY label
+), dims AS (
+  SELECT label, i AS dim, em[i] AS v
+  FROM m, unnest(range(1, {dim + 1})) AS t(i)
+), sums AS (
+  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+  FROM dims GROUP BY label, dim
+), cm AS (
+  SELECT label, CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mm
+  FROM sums
+), cn AS (
+  SELECT label, CAST(sum(mm * mm) AS BIGINT) AS cn2 FROM cm GROUP BY label
+)
+SELECT CAST(label AS INTEGER) AS label, n_vectors, avg_norm,
+       round(sqrt(CAST(cn2 AS DOUBLE)) / 1e6, 6) AS centroid_norm
+FROM per_label JOIN cn USING (label)
+"""

@@ -116,6 +116,10 @@ _NEW_THIS_ROUND: list[str] = [
     "a_decayed_value",
     "a_value_histogram",
     "a_skyline_parts",
+    "p_knn_graph",
+    "p_embedding_stats",
+    "p_minhash_containment",
+    "p_epoch_plan",
 ]
 
 

@@ -12,13 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import textprof
+from kafka_replicator_spark.functions import dedup, sampling, similarity, textprof
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
 
 
 @register(
@@ -79,3 +83,52 @@ def q_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprof.lang_confusion(_docs(spark, sf_dir))
+
+
+@register(
+    "p_knn_graph",
+    similarity.label_knn_graph_sql(),
+    tags=("pipeline", "similarity"),
+    doc="label-blocked exact kNN graph: integer micro-unit squared L2, "
+    "top-k edges per vector via a per-vector rank window confined to the "
+    "block (the IVF-cell/LSH-bucket shape of the ANN family — no "
+    "all-pairs stage)",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_knn_graph(_emb(spark, sf_dir))
+
+
+@register(
+    "p_embedding_stats",
+    similarity.embedding_stats_sql(),
+    tags=("pipeline", "similarity"),
+    doc="per-label embedding stats: mean vector norm (DECIMAL fold of "
+    "exact micro-unit norms) and centroid norm (integer-micro mean "
+    "components, the kmeans convention) — the embedding-collapse dashboard",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "p_minhash_containment",
+    dedup.minhash_containment_sql(),
+    tags=("pipeline", "dedup"),
+    doc="asymmetric containment dedup: exact shingle containment "
+    "(|A∩B|/|A| both directions) computed only over LSH candidate pairs — "
+    "catches short-in-long duplicates Jaccard under-scores",
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_containment(_docs(spark, sf_dir))
+
+
+@register(
+    "p_epoch_plan",
+    sampling.epoch_plan_sql(),
+    tags=("pipeline", "sampling"),
+    doc="per-source epoch/upsampling plan toward a uniform token budget: "
+    "full epochs + residual-ppm sample per source, exact BIGINT arithmetic "
+    "over one token-count aggregation + a broadcast totals frame",
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.epoch_plan(_docs(spark, sf_dir))
