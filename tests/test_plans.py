@@ -374,3 +374,47 @@ def test_temperature_mix_prefilter_precedes_window(spark, sf_dir):
     assert "Scan parquet" not in live, f"window input must be the prefiltered cache\n{plan}"
     assert "SinglePartition" not in live, plan
     release_cached()
+
+
+def test_knn_graph_block_join_no_cartesian(spark, sf_dir):
+    df = QUERIES["p_knn_graph"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the rank window is keyed by vec_id — never a single-partition funnel
+    assert "SinglePartition" not in plan, plan
+
+
+def test_skyline_stitch_broadcasts_prefix(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_skyline_parts"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the per-partition prefix maxima join must broadcast (metadata-scale)
+    assert has_broadcast_join(df), plan
+    # the running-max window is partitioned by spark_partition_id — the
+    # global strict-prefix max arrives via the stitch, not a global window
+    assert "SinglePartition, ENSURE_REQUIREMENTS" not in plan, plan
+    release_cached()
+
+
+def test_lang_confusion_totals_broadcast(spark, sf_dir):
+    df = QUERIES["p_lang_confusion"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_decayed_value_single_fact_shuffle(spark, sf_dir):
+    # max-ts totals ride a broadcast 1-row frame; the event stream itself
+    # shuffles once (user groupBy) — the agg before it is partial
+    df = QUERIES["a_decayed_value"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_epoch_plan_totals_broadcast(spark, sf_dir):
+    df = QUERIES["p_epoch_plan"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "Cartesian" not in plan, plan

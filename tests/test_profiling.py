@@ -1,0 +1,166 @@
+"""Operator invariants for the profiling / frontier / graph additions:
+skyline vs brute-force dominance, kNN graph vs numpy, containment and
+epoch-plan identities, readability arithmetic, Zipf fit vs numpy."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions import dedup, sampling, similarity, textprof
+from kafka_replicator_spark.functions.frontier import skyline_2d
+
+
+# ------------------------------------------------------------------ skyline
+
+def _brute_skyline(rows):
+    out = []
+    for a in rows:
+        dominated = any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2]) for b in rows
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force_with_ties(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), float(rng.integers(0, 40)) / 2.0, int(rng.integers(1, 20)))
+        for i in range(300)
+    ]
+    # inject exact duplicates and same-price ties
+    rows += [(1000, rows[0][1], rows[0][2]), (1001, 5.0, 19), (1002, 5.0, 19)]
+    df = spark.createDataFrame(rows, schema="id long, cost double, size long")
+    got = sorted(
+        (r["id"], r["cost"], r["size"])
+        for r in skyline_2d(df, "cost", "size", partitions=5).collect()
+    )
+    assert got == _brute_skyline(rows)
+
+
+def test_skyline_single_partition_degenerate(spark):
+    df = spark.createDataFrame([(1, 1.0, 1)], schema="id long, cost double, size long")
+    assert skyline_2d(df, "cost", "size").count() == 1
+
+
+# ---------------------------------------------------------------- kNN graph
+
+def test_label_knn_graph_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    n, dim = 40, 8
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    labels = [int(i % 3) for i in range(n)]
+    rows = [(int(i), [float(x) for x in vecs[i]], labels[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>, label int")
+    got = {
+        (r["vec_id"], r["nn_rank"]): (r["neighbor_id"], r["d2"])
+        for r in similarity.label_knn_graph(df, k=2).collect()
+    }
+    micro = np.floor(vecs.astype("float64") * 1e6 + 0.5).astype("int64")
+    for i in range(n):
+        cands = [
+            (int(((micro[i] - micro[j]) ** 2).sum()), j)
+            for j in range(n)
+            if j != i and labels[j] == labels[i]
+        ]
+        cands.sort()
+        for rank, (d2, j) in enumerate(cands[:2], start=1):
+            assert got[(i, rank)] == (j, d2)
+
+
+def test_embedding_stats_centroid_cancellation(spark):
+    v = [1.0, -2.0, 3.0, 0.5]
+    rows = [(0, v, 1), (1, [-x for x in v], 1)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>, label int")
+    out = similarity.embedding_stats(df).collect()[0]
+    assert out["n_vectors"] == 2
+    assert out["centroid_norm"] == 0.0  # vectors cancel exactly
+    norm = round(math.sqrt(sum(int(math.floor(x * 1e6 + 0.5)) ** 2 for x in v)) / 1e6, 6)
+    assert out["avg_norm"] == pytest.approx(norm, abs=1e-6)
+
+
+# -------------------------------------------------------------- containment
+
+def test_containment_identical_docs_score_one(spark):
+    text = " ".join(f"tok{i}" for i in range(40))
+    longer = text + " " + " ".join(f"extra{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, longer)], schema="doc_id long, text string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in dedup.minhash_containment(df).collect()}
+    pair = out[(1, 2)]
+    assert pair["containment_a"] == 1.0 and pair["containment_b"] == 1.0
+    # if LSH surfaced the prefix-contained pair, the short side must be 1.0
+    for key in [(1, 3), (2, 3)]:
+        if key in out:
+            assert out[key]["containment_a"] == 1.0
+            assert out[key]["containment_b"] < 1.0
+
+
+def test_containment_bounds_on_corpus(spark, sf_dir):
+    from kafka_replicator_spark.sources.tables import load_table
+
+    out = dedup.minhash_containment(load_table(spark, sf_dir, "documents")).collect()
+    assert out, "corpus has near-duplicates; containment must surface some"
+    for r in out:
+        assert 0.0 < r["containment_a"] <= 1.0 and 0.0 < r["containment_b"] <= 1.0
+        assert max(r["containment_a"], r["containment_b"]) >= 0.5
+
+
+# --------------------------------------------------------------- epoch plan
+
+def test_epoch_plan_identities(spark, sf_dir):
+    from kafka_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sampling.epoch_plan(docs).collect()
+    assert rows
+    target = rows[0]["target_tokens"]
+    for r in rows:
+        assert r["target_tokens"] == target  # uniform budget
+        assert r["epochs"] == target // r["n_tokens"]
+        resid = target - r["epochs"] * r["n_tokens"]
+        assert 0 <= resid < r["n_tokens"]
+        assert r["residual_ppm"] == (1_000_000 * resid) // r["n_tokens"]
+
+
+# -------------------------------------------------------------- readability
+
+def test_readability_known_words(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat banana xyz")], schema="doc_id long, text string"
+    )
+    r = textprof.readability(df).collect()[0]
+    # syllables: the=1, cat=1, banana=3, xyz=1 (floor at 1) -> 6
+    assert r["n_words"] == 4 and r["n_syllables"] == 6
+    assert r["avg_syllables_milli"] == 1500
+    assert r["mono_ratio"] == 0.75
+    assert r["forcast_milli"] == 20000 - (15000 * 3) // 4
+
+
+# --------------------------------------------------------------- Zipf slope
+
+def test_zipf_slope_matches_numpy(spark, sf_dir):
+    from kafka_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = textprof.zipf_slope(docs).collect()[0]
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(textprof.ZIPF_TOPK)
+        .collect()
+    )
+    x = np.round(np.log(np.arange(1, len(toks) + 1)), 9)
+    y = np.round(np.log([r["count"] for r in toks]), 9)
+    slope = (len(x) * (x * y).sum() - x.sum() * y.sum()) / (
+        len(x) * (x * x).sum() - x.sum() ** 2
+    )
+    assert got["n_terms"] == len(toks)
+    assert got["zipf_slope"] == pytest.approx(slope, abs=1e-5)
+    assert got["zipf_slope"] < 0  # frequencies decrease with rank
