@@ -63,6 +63,11 @@ HEADLINE = [
     "p_bigram_logprob",
     "p_quality_classifier",
     "p_temperature_mix",
+    # this round's additions: profiling, frontier, graph
+    "p_perplexity_profile",
+    "p_knn_graph",
+    "p_minhash_containment",
+    "a_skyline_parts",
 ]
 
 

@@ -151,11 +151,17 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {thre
 
 # ------------------------------------------------------ MinHash + LSH
 
-def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
     """k-permutation MinHash signatures via the universal hash family —
     one shuffle (groupBy doc), k mins computed map-side.
+
+    ``shingles`` lets a caller that already materialized (and typically
+    cached) the :func:`word_ngrams` frame share it instead of paying the
+    shingling explode twice (see :func:`minhash_containment`).
     """
-    sh = word_ngrams(docs, n=n)
+    sh = word_ngrams(docs, n=n) if shingles is None else shingles
     aggs = [
         F.min(hash_family_col(F.col("h"), a, b)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(hash_family_params(k))
@@ -171,13 +177,16 @@ def minhash_signatures_sql(k: int = 16, n: int = 3) -> str:
     return f"WITH sh AS ({word_ngrams_sql(n)}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
-def minhash_bands(docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4) -> DataFrame:
+def minhash_bands(
+    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, band, band_key) rows for LSH banding — one pass over the
     signatures: bands come out of a single explode, not a union of per-band
     selects (which would recompute the signature subtree ``bands`` times).
     """
     rows = k // bands
-    sig = minhash_signatures(docs, k=k, n=n)
+    sig = minhash_signatures(docs, k=k, n=n, shingles=shingles)
     band_structs = F.array(
         *[
             F.struct(
@@ -196,14 +205,15 @@ def minhash_bands(docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4) -> D
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4
+    docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands of
     ``k // bands`` rows; documents agreeing on ALL rows of any band become a
     candidate pair.  The band join is an equi-join on a string band key —
     no O(n²) pair enumeration, the property that survives 100 TB.
     """
-    banded = minhash_bands(docs, k=k, n=n, bands=bands).cache()
+    banded = minhash_bands(docs, k=k, n=n, bands=bands, shingles=shingles).cache()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -813,8 +823,8 @@ def minhash_containment(
     join on the hash key, so the intersection stage is candidate-confined
     at any corpus size.  Kept where either direction clears ``threshold``.
     """
-    cand = lsh_candidate_pairs(docs, k=k, n=n, bands=bands)
     sh = word_ngrams(docs, n=n).cache()
+    cand = lsh_candidate_pairs(docs, k=k, n=n, bands=bands, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
