@@ -17,7 +17,7 @@ bucket-local pairs, which is why it is the default at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.functions.hashing import (
@@ -876,4 +876,130 @@ scored AS (
 )
 SELECT * FROM scored
 WHERE containment_a >= {threshold} OR containment_b >= {threshold}
+"""
+
+
+# --------------------------------------------- cross-source overlap matrix
+
+def cross_source_overlap(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Pairwise source-level n-gram leakage matrix: for every source pair,
+    the number of shared distinct word ``n``-grams and the overlap
+    coefficient ``|A∩B| / min(|A|,|B|)`` — the corpus-level view of the
+    per-document contamination check (:func:`contamination`), used to spot
+    mirrored/scraped-twice domains before mixing.
+
+    The shingle stream collapses to DISTINCT (source, hash) first, so the
+    self-join fan-out per hash is bounded by the source count — output and
+    join are sources²-scale regardless of corpus size.
+    """
+    sh = (
+        word_ngrams(docs, n=n, id_col="source")
+        .select(F.col("doc_id").alias("source"), "h")
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6).alias("overlap_coeff"),
+        )
+    )
+
+
+def cross_source_overlap_sql(n: int = 8) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    h = portable_hash32_sql("shingle")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, {h} AS h
+  FROM (
+    SELECT source, {gram} AS shingle
+    FROM (
+      SELECT source, t, unnest(range(1, len(t) - {n - 2})) AS i
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+    )
+  )
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS overlap_coeff
+FROM shared
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
+# ------------------------------------------ quality-aware survivor choice
+
+def dedup_best_quality(docs: DataFrame) -> DataFrame:
+    """Exact dedup with quality-aware survivor selection: within each
+    content-hash group keep the highest :func:`text.quality_score` document
+    (ties broken by min id) — the curation-pipeline refinement of
+    :func:`exact_duplicates`' min-id canonical choice (metadata like source
+    reputation often rides the same pattern).
+
+    The rank window is keyed by content hash — duplicate-group-sized
+    partitions, never a global sort.
+    """
+    from kafka_replicator_spark.functions.text import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality_score")
+    d = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash")).join(q, "doc_id")
+    w = Window.partitionBy("content_hash").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    counts = d.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(counts, "content_hash")
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality_score").alias("survivor_quality"),
+            "n_copies",
+        )
+    )
+
+
+def dedup_best_quality_sql() -> str:
+    from kafka_replicator_spark.functions.text import quality_score_sql
+
+    return f"""
+WITH q AS ({quality_score_sql()}),
+d AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+),
+ranked AS (
+  SELECT d.content_hash, d.doc_id, q.quality_score,
+         row_number() OVER (
+           PARTITION BY d.content_hash
+           ORDER BY q.quality_score DESC, d.doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY d.content_hash) AS n_copies
+  FROM d JOIN q USING (doc_id)
+)
+SELECT content_hash, doc_id AS survivor_id, quality_score AS survivor_quality,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
 """

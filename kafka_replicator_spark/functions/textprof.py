@@ -281,3 +281,47 @@ SELECT labeled_lang, predicted_lang, n_docs,
              / sum(n_docs) OVER (PARTITION BY labeled_lang), 6) AS share
 FROM cm
 """
+
+
+# -------------------------------------------------------- length quantiles
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-source document-length quartiles (exact, interpolated): the
+    length-distribution fingerprint a curation pipeline tracks per domain.
+    Quartile fractions are powers of two, so the linear interpolation
+    between the two exact integer order statistics is bit-identical on any
+    IEEE engine.  Spark's ``percentile`` is the sort-based exact aggregate
+    (one shuffle, partial sort per partition) — never an approximation.
+    """
+    q = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            q.alias("q"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            F.round(F.col("q")[0], 6).alias("p25"),
+            F.round(F.col("q")[1], 6).alias("p50"),
+            F.round(F.col("q")[2], 6).alias("p75"),
+        )
+    )
+
+
+def length_quantiles_sql() -> str:
+    return """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY source
+"""

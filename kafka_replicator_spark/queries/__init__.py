@@ -120,6 +120,10 @@ _NEW_THIS_ROUND: list[str] = [
     "p_embedding_stats",
     "p_minhash_containment",
     "p_epoch_plan",
+    "p_cross_source_overlap",
+    "p_dedup_best_quality",
+    "p_length_quantiles",
+    "p_graph_pagerank",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, sampling, similarity, textprof
+from kafka_replicator_spark.functions import dedup, graph, sampling, similarity, textprof
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -132,3 +132,61 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_plan(_docs(spark, sf_dir))
+
+
+@register(
+    "p_cross_source_overlap",
+    dedup.cross_source_overlap_sql(),
+    tags=("pipeline", "dedup"),
+    doc="source-pair n-gram leakage matrix (shared distinct 8-grams + "
+    "overlap coefficient): DISTINCT (source, hash) collapse bounds the "
+    "self-join fan-out by the source count — sources^2 output at any "
+    "corpus size",
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cross_source_overlap(_docs(spark, sf_dir))
+
+
+@register(
+    "p_dedup_best_quality",
+    dedup.dedup_best_quality_sql(),
+    tags=("pipeline", "dedup"),
+    doc="exact dedup with quality-aware survivor choice (max quality_score "
+    "per content hash, rank window keyed by the hash — duplicate-group-"
+    "sized partitions)",
+)
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_best_quality(_docs(spark, sf_dir))
+
+
+@register(
+    "p_length_quantiles",
+    textprof.length_quantiles_sql(),
+    tags=("pipeline", "quality"),
+    doc="per-source exact length quartiles (sort-based percentile, "
+    "power-of-two fractions so interpolation is bit-identical cross-engine)",
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprof.length_quantiles(_docs(spark, sf_dir))
+
+
+@register(
+    "p_graph_pagerank",
+    graph.pagerank_fixed_sql(
+        "SELECT vec_id, neighbor_id FROM ("
+        + similarity.label_knn_graph_sql()
+        + ") knn"
+    ),
+    tags=("pipeline", "graph"),
+    doc="fixed-iteration PageRank over the label-blocked kNN graph "
+    "(join-based synchronous iterations, DECIMAL contribution folds — "
+    "|E| shuffle per round, no driver state); centrality for "
+    "representative-document selection",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.graph import pagerank_fixed
+
+    edges = similarity.label_knn_graph(_emb(spark, sf_dir)).select(
+        "vec_id", "neighbor_id"
+    )
+    return pagerank_fixed(edges)

@@ -164,3 +164,70 @@ def test_zipf_slope_matches_numpy(spark, sf_dir):
     assert got["n_terms"] == len(toks)
     assert got["zipf_slope"] == pytest.approx(slope, abs=1e-5)
     assert got["zipf_slope"] < 0  # frequencies decrease with rank
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_matches_hand_computation(spark):
+    from kafka_replicator_spark.functions.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 1)], schema="vec_id long, neighbor_id long"
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank_fixed(edges, n_iter=2).collect()}
+
+    def step(pr, out):
+        contrib = {}
+        for s, d in [(0, 1), (1, 0), (2, 1)]:
+            contrib[d] = contrib.get(d, 0.0) + round(pr[s] / out[s], 9)
+        return {n: round(0.15 + 0.85 * contrib.get(n, 0.0), 9) for n in pr}
+
+    pr = {0: 1.0, 1: 1.0, 2: 1.0}
+    out = {0: 1, 1: 1, 2: 1}
+    for _ in range(2):
+        pr = step(pr, out)
+    assert got == {n: round(v, 6) for n, v in pr.items()}
+    # node 2 has no in-edges: settles at the base score
+    assert got[2] == 0.15
+
+
+# --------------------------------------------------------- length quantiles
+
+def test_length_quantiles_interpolation(spark):
+    from kafka_replicator_spark.functions.textprof import length_quantiles
+
+    df = spark.createDataFrame(
+        [(i, "x", "s", n) for i, n in enumerate([1, 2, 3, 4])],
+        schema="doc_id long, text string, source string, n_chars long",
+    )
+    r = length_quantiles(df).collect()[0]
+    assert (r["p25"], r["p50"], r["p75"]) == (1.75, 2.5, 3.25)
+    assert (r["min_chars"], r["max_chars"], r["n_docs"]) == (1, 4, 4)
+
+
+# ----------------------------------------------------- cross-source overlap
+
+def test_cross_source_overlap_identical_sources(spark):
+    from kafka_replicator_spark.functions.dedup import cross_source_overlap
+
+    text = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"v{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, text, "sa"), (2, text, "sb"), (3, other, "sc")],
+        schema="doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in cross_source_overlap(df).collect()}
+    assert out[("sa", "sb")]["overlap_coeff"] == 1.0
+    assert ("sa", "sc") not in out and ("sb", "sc") not in out
+
+
+def test_dedup_best_quality_survivor(spark):
+    from kafka_replicator_spark.functions.dedup import dedup_best_quality
+
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(5, text), (2, text), (9, "solo doc here")],
+        schema="doc_id long, text string",
+    )
+    out = {r["survivor_id"]: r["n_copies"] for r in dedup_best_quality(df).collect()}
+    assert out == {2: 2, 9: 1}  # equal quality -> min id survives
