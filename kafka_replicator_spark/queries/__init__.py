@@ -124,6 +124,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_dedup_best_quality",
     "p_length_quantiles",
     "p_graph_pagerank",
+    "a_rolling_user_activity",
+    "a_revenue_momentum",
+    "p_ann_label_precision",
 ]
 
 

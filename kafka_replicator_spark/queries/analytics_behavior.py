@@ -190,3 +190,71 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price").cast("decimal(18,2)"), 2).cast("double").alias("price"),
         "size",
     )
+
+
+#: trailing window of the rolling activity count (microseconds)
+ROLLING_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "a_rolling_user_activity",
+    f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts_us
+         RANGE BETWEEN {ROLLING_7D_US} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_7d
+FROM e
+""",
+    tags=("analytics", "events"),
+    doc="trailing-7-day activity count per event (RANGE window keyed by "
+    "user — value-based frame is tie-order-insensitive, partitions are "
+    "per-user at any scale)",
+)
+def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLLING_7D_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts_us", F.count(F.lit(1)).over(w).alias("n_7d")
+    )
+
+
+@register(
+    "a_revenue_momentum",
+    """
+WITH m AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS BIGINT) AS month,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(round(lag(rev) OVER (ORDER BY month), 2) AS DOUBLE) AS prev_revenue,
+       CAST(round(rev - lag(rev) OVER (ORDER BY month), 2) AS DOUBLE) AS delta
+FROM m
+""",
+    tags=("analytics", "tpch"),
+    doc="month-over-month order revenue momentum: the distributed DECIMAL "
+    "aggregation collapses to month grain FIRST, so the lag window runs "
+    "over a bounded-cardinality frame (the guarded small-side pattern) — "
+    "never the order stream",
+)
+def q_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.lag("rev").over(w), 2).cast("double").alias("prev_revenue"),
+        F.round(F.col("rev") - F.lag("rev").over(w), 2).cast("double").alias("delta"),
+    )

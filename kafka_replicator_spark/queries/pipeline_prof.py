@@ -190,3 +190,48 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "neighbor_id"
     )
     return pagerank_fixed(edges)
+
+
+#: probe vectors of the retrieval-quality evaluation (matches p_ann_topk)
+_PRECISION_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+@register(
+    "p_ann_label_precision",
+    f"""
+WITH ann AS ({similarity.ann_topk_sql(_PRECISION_PROBES, k=5, n_planes=4, dim=64)}),
+lbl AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT ann.probe_id, pl.label AS probe_label,
+         CASE WHEN nl.label = pl.label THEN 1 ELSE 0 END AS hit
+  FROM ann
+  JOIN lbl pl ON pl.vec_id = ann.probe_id
+  JOIN lbl nl ON nl.vec_id = ann.neighbor_id
+)
+SELECT probe_id, CAST(probe_label AS INTEGER) AS probe_label,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(hit) AS BIGINT) AS n_same_label,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS precision_at_k
+FROM j GROUP BY probe_id, probe_label
+""",
+    tags=("pipeline", "similarity", "eval"),
+    doc="retrieval-quality evaluation: label precision@k of the LSH-"
+    "bucketed ANN top-k (fraction of retrieved neighbors sharing the "
+    "probe's class) — the recall/precision dashboard an ANN index ships "
+    "with; labels ride two broadcast joins",
+)
+def q_ann_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    ann = similarity.ann_topk(emb, _PRECISION_PROBES, k=5, n_planes=4, dim=64)
+    lbl = emb.select("vec_id", "label")
+    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label"))
+    nl = lbl.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    j = ann.join(F.broadcast(pl), "probe_id").join(F.broadcast(nl), "neighbor_id")
+    hit = F.when(F.col("n_label") == F.col("probe_label"), 1).otherwise(0)
+    return j.groupBy("probe_id", F.col("probe_label").cast("int").alias("probe_label")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(hit).alias("n_same_label"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("precision_at_k"),
+    )
