@@ -325,3 +325,65 @@ SELECT source,
        round(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY source
 """
+
+
+# --------------------------------------------------------- stopword profile
+
+def stopword_profile(docs: DataFrame) -> DataFrame:
+    """Corpus-level stopword profile per (source, lang): token volume,
+    stopword share, and per-stopword hit rate spread — the domain-level
+    aggregate of the per-document stopword ratio in
+    :func:`text.quality_score` (a domain whose stopword share collapses is
+    usually boilerplate or non-prose).
+
+    Map-side array math per document (no explode), one aggregation on the
+    (source, lang) grain.
+    """
+    from kafka_replicator_spark.functions.text import STOPWORDS, tokens_col
+
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("nt"),
+        n_stop.cast("long").alias("ns"),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("ns").alias("n_stopwords"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_stopwords",
+            F.round(F.col("n_stopwords") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        )
+    )
+
+
+def stopword_profile_sql() -> str:
+    from kafka_replicator_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH per_doc AS (
+  SELECT source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop_list})))
+              AS BIGINT) AS ns
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(ns) AS BIGINT) AS n_stopwords,
+       round(CAST(sum(ns) AS DOUBLE) / sum(nt), 6) AS stop_ratio
+FROM per_doc GROUP BY source, lang
+"""

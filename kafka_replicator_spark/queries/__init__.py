@@ -127,6 +127,9 @@ _NEW_THIS_ROUND: list[str] = [
     "a_rolling_user_activity",
     "a_revenue_momentum",
     "p_ann_label_precision",
+    "a_anomaly_zscore",
+    "a_user_rfm",
+    "p_stopword_profile",
 ]
 
 

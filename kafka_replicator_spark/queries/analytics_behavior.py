@@ -258,3 +258,125 @@ def q_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("rev").over(w), 2).cast("double").alias("prev_revenue"),
         F.round(F.col("rev") - F.lag("rev").over(w), 2).cast("double").alias("delta"),
     )
+
+
+@register(
+    "a_anomaly_zscore",
+    """
+WITH e AS (SELECT event_type, value FROM events),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM e GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS std
+  FROM stats
+)
+SELECT e.event_type,
+       m.n AS n_events,
+       round(m.mean, 6) AS mean_value,
+       round(m.std, 6) AS std_value,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.mean) > 3 * m.std) AS BIGINT)
+           AS n_outliers
+FROM e JOIN m USING (event_type)
+GROUP BY e.event_type, m.n, m.mean, m.std
+""",
+    tags=("analytics", "events"),
+    doc="per-type 3-sigma outlier counts: moments from exact DECIMAL "
+    "sums (order-independent), the z-test re-joins the stream against a "
+    "broadcast per-type stats frame — two passes, both partial-aggregated",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("std"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    outlier = F.when(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1)
+    return j.groupBy("event_type", "n", "mean", "std").agg(
+        F.count(outlier).alias("n_outliers")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("mean", 6).alias("mean_value"),
+        F.round("std", 6).alias("std_value"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
+
+
+#: RFM segmentation thresholds: recency days, frequency, monetary
+RFM_RECENT_DAYS = 7
+RFM_FREQ = 70
+RFM_MONETARY = 15000
+
+
+@register(
+    "a_user_rfm",
+    f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+), mx AS (SELECT max(ts_us) AS tmax FROM e),
+per_user AS (
+  SELECT user_id,
+         CAST((tmax - max(ts_us)) // 86400000000 AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
+  FROM e, mx GROUP BY user_id, tmax
+)
+SELECT user_id, recency_days, frequency, monetary,
+       (CASE WHEN recency_days <= {RFM_RECENT_DAYS} THEN 'R' ELSE 'r' END ||
+        CASE WHEN frequency >= {RFM_FREQ} THEN 'F' ELSE 'f' END ||
+        CASE WHEN monetary >= {RFM_MONETARY} THEN 'M' ELSE 'm' END) AS segment
+FROM per_user
+""",
+    tags=("analytics", "events"),
+    doc="recency/frequency/monetary user segmentation against fixed "
+    "thresholds — one user-keyed aggregation + a broadcast corpus-max "
+    "frame; integer day recency, DECIMAL monetary",
+)
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "value", "ts_us")
+    mx = ev.agg(F.max("ts_us").alias("tmax"))
+    per_user = (
+        ev.join(F.broadcast(mx))
+        .groupBy("user_id", "tmax")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.expr("(tmax - last_us) div 86400000000").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= RFM_RECENT_DAYS, F.lit("R")).otherwise(F.lit("r")),
+        F.when(F.col("frequency") >= RFM_FREQ, F.lit("F")).otherwise(F.lit("f")),
+        F.when(F.col("monetary") >= RFM_MONETARY, F.lit("M")).otherwise(F.lit("m")),
+    )
+    return per_user.select(
+        "user_id", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )

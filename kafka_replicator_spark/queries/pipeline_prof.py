@@ -235,3 +235,15 @@ def q_ann_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("n_same_label"),
         F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("precision_at_k"),
     )
+
+
+@register(
+    "p_stopword_profile",
+    textprof.stopword_profile_sql(),
+    tags=("pipeline", "quality"),
+    doc="per-(source, lang) stopword share: map-side array math per doc, "
+    "one (source, lang)-grain aggregation — the domain-level boilerplate "
+    "collapse signal",
+)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprof.stopword_profile(_docs(spark, sf_dir))
