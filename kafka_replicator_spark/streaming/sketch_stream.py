@@ -99,3 +99,54 @@ def windowed_oph_registers(
         b=b,
     )
     return regs.select(F.col("win.start").alias("window_start"), "grp", "bucket", "mh")
+
+
+def windowed_cms_registers(
+    df: DataFrame,
+    key,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts_ns",
+    w: int | None = None,
+) -> DataFrame:
+    """Per-(event-time window, depth-row, bucket) count-min counter stream —
+    the frequency/heavy-hitter analog of :func:`windowed_hll_registers`.
+
+    Counters are exact int64 sums — associative and order-free, so the
+    windowed aggregation is replay-safe under the state store, and two
+    register tables (or microbatch increments) merge by elementwise
+    addition.  State per window is bounded at D×W rows however many keys
+    stream through; the heavy-hitter/point-estimate readout
+    (functions/sketches.cms_estimate) runs as a batch query over the sink
+    with the identical arithmetic the batch/oracle path uses.
+    """
+    from kafka_replicator_spark.functions.hashing import (
+        hash_family_col,
+        portable_hash32,
+    )
+    from kafka_replicator_spark.functions.sketches import _CMS_PARAMS, CMS_W
+
+    w = CMS_W if w is None else w
+    with_ts = df.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark_delay)
+    h32 = portable_hash32(key)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (hash_family_col(h32, a, b) % F.lit(w)).alias("b"),
+                )
+                for i, (a, b) in enumerate(_CMS_PARAMS)
+            ]
+        )
+    ).alias("rb")
+    return (
+        with_ts.select(F.window("event_time", window_duration).alias("win"), rows)
+        .groupBy("win", F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("counter"))
+        .select(F.col("win.start").alias("window_start"), "i", "b", "counter")
+    )

@@ -114,3 +114,62 @@ def test_oph_identical_groups_estimate_full_overlap(spark):
     regs = oph_registers(df, F.col("k"), ["grp"])
     jac = oph_jaccard_from_registers(regs, "grp").toPandas()
     assert jac.iloc[0]["jacc_est_ppm"] == 1_000_000
+
+
+def test_streaming_cms_registers_match_batch(spark, messages, tmp_path):
+    from kafka_replicator_spark.functions.sketches import cms_estimate
+    from kafka_replicator_spark.streaming.sketch_stream import windowed_cms_registers
+
+    src = str(tmp_path / "cms_drops")
+    data = messages.select("topic", "partition_id", "msg_offset", "ts_ns").withColumn(
+        "key_s", F.concat_ws(":", "topic", "partition_id")
+    )
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+
+    batch_regs = windowed_cms_registers(data, F.col("key_s"))
+
+    stream = (
+        spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long, ts_ns long, key_s string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_cms_registers(stream, F.col("key_s"), watermark_delay="10 seconds")
+        .writeStream.format("memory")
+        .queryName("cms_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_regs = spark.sql("SELECT * FROM cms_regs")
+
+    # streamed register table == batch register table over the same input
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0
+
+    # per-window point estimates never underestimate the true counts
+    wins = [r["window_start"] for r in got_regs.select("window_start").distinct().collect()]
+    assert len(wins) > 1
+    for win in sorted(wins)[:2]:  # two windows suffice; the register-equality
+        # check above already covers every window
+        sketch = got_regs.filter(F.col("window_start") == win).select("i", "b", "counter")
+        truth = (
+            data.withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+            .withColumn("win", F.window("event_time", "1 hour"))
+            .filter(F.col("win.start") == win)
+            .groupBy("key_s")
+            .count()
+        )
+        cands = truth.select(F.col("key_s").alias("key"))
+        est = {
+            r["key"]: r["cms_estimate"]
+            for r in cms_estimate(sketch, cands).collect()
+        }
+        for r in truth.collect():
+            assert est[r["key_s"]] >= r["count"]
