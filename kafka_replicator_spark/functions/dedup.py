@@ -1003,3 +1003,63 @@ SELECT content_hash, doc_id AS survivor_id, quality_score AS survivor_quality,
        CAST(n_copies AS BIGINT) AS n_copies
 FROM ranked WHERE rn = 1
 """
+
+
+# ----------------------------------------------------------- winnowing
+
+WINNOW_N = 3
+WINNOW_W = 4
+
+
+def winnowing(docs: DataFrame, n: int = WINNOW_N, w: int = WINNOW_W) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS document-fingerprinting primitive): hash every word ``n``-gram
+    in positional order, slide a ``w``-wide window, keep each window's
+    minimum hash.  Guarantees any match of length ≥ w+n-1 tokens shares a
+    fingerprint while storing ~2/(w+1) of the hashes.
+
+    Pure per-document array math (no explode until the final selected set)
+    — map-only at any scale; documents shorter than one window keep their
+    global minimum (the standard degenerate case).
+    """
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    hs = F.transform(grams, lambda g: portable_hash32(g))
+    nw = F.greatest(F.size(F.col("__hs")) - (w - 1), F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+        )
+    )
+    return (
+        spread(docs)
+        .select(F.col("doc_id"), F.split(F.col("text"), " ").alias("__toks"))
+        .filter(F.size(toks) >= n)
+        .select("doc_id", hs.alias("__hs"))
+        .select("doc_id", F.explode(sel).alias("fp"))
+    )
+
+
+def winnowing_sql(n: int = WINNOW_N, w: int = WINNOW_W) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    h = portable_hash32_sql(gram)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - {n - 2}), i -> {h}) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= {n}
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+           j -> list_min(hs[j:j + {w - 1}]))) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+"""

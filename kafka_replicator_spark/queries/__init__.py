@@ -130,6 +130,8 @@ _NEW_THIS_ROUND: list[str] = [
     "a_anomaly_zscore",
     "a_user_rfm",
     "p_stopword_profile",
+    "p_winnowing",
+    "a_nation_trade_balance",
 ]
 
 

@@ -380,3 +380,64 @@ def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "recency_days", "frequency", "monetary", seg.alias("segment")
     )
+
+
+@register(
+    "a_nation_trade_balance",
+    """
+WITH cust AS (
+  SELECT c.c_nationkey AS nationkey,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS cust_rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+),
+supp AS (
+  SELECT s.s_nationkey AS nationkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS supp_rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey
+)
+SELECT n.n_name,
+       CAST(round(cust.cust_rev, 2) AS DOUBLE) AS cust_revenue,
+       CAST(round(supp.supp_rev, 2) AS DOUBLE) AS supp_revenue,
+       CAST(round(cust.cust_rev - supp.supp_rev, 2) AS DOUBLE) AS balance
+FROM cust JOIN supp USING (nationkey)
+JOIN nation n ON n.n_nationkey = nationkey
+""",
+    tags=("analytics", "tpch"),
+    doc="per-nation trade balance: demand-side order revenue vs supply-side "
+    "discounted lineitem revenue, both DECIMAL-aggregated to nation grain "
+    "before the broadcast nation join — two fact shuffles total",
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("cust_rev"))
+    )
+    supp_rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("supp_rev")
+        )
+    )
+    return (
+        cust_rev.join(supp_rev, "nationkey")
+        .join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.round("cust_rev", 2).cast("double").alias("cust_revenue"),
+            F.round("supp_rev", 2).cast("double").alias("supp_revenue"),
+            F.round(F.col("cust_rev") - F.col("supp_rev"), 2).cast("double").alias("balance"),
+        )
+    )

@@ -247,3 +247,16 @@ def q_ann_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprof.stopword_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "p_winnowing",
+    dedup.winnowing_sql(),
+    tags=("pipeline", "dedup"),
+    doc="winnowing fingerprint selection (Schleimer et al. 2003, the MOSS "
+    "primitive): per-window minimum of positional n-gram hashes — any "
+    "match of length >= w+n-1 tokens shares a fingerprint at ~2/(w+1) "
+    "storage; pure per-doc array math, map-only",
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnowing(_docs(spark, sf_dir))

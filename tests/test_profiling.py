@@ -231,3 +231,27 @@ def test_dedup_best_quality_survivor(spark):
     )
     out = {r["survivor_id"]: r["n_copies"] for r in dedup_best_quality(df).collect()}
     assert out == {2: 2, 9: 1}  # equal quality -> min id survives
+
+
+# ---------------------------------------------------------------- winnowing
+
+def test_winnowing_guarantee_and_density(spark):
+    from kafka_replicator_spark.functions.dedup import WINNOW_N, WINNOW_W, winnowing
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    a = " ".join(rng.choice(vocab, 60))
+    b = " ".join(rng.choice(vocab, 60))
+    shared = " ".join(rng.choice(vocab, WINNOW_W + WINNOW_N - 1))  # guarantee length
+    df = spark.createDataFrame(
+        [(1, a + " " + shared + " " + b), (2, shared)],
+        schema="doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # any match of >= w+n-1 tokens must share at least one fingerprint
+    assert fps[1] & fps[2]
+    # selection stores a fraction of the hash stream (2/(w+1) expected)
+    n_grams = len((a + " " + shared + " " + b).split()) - (WINNOW_N - 1)
+    assert len(fps[1]) < n_grams / 2
