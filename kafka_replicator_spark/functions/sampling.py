@@ -463,3 +463,37 @@ SELECT source, n_tokens,
        (1000000 * ((total_tokens // n_sources) % n_tokens)) // n_tokens AS residual_ppm
 FROM per_src, tot
 """
+
+
+# ---------------------------------------------------- uniform WOR sample
+
+def uniform_sample(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Deterministic uniform sample without replacement: the ``k`` smallest
+    portable document hashes corpus-wide — the hash-as-priority reservoir
+    (every document equally likely under the hash's uniformity, stable
+    across reruns and engines, no RNG state).
+
+    ``orderBy(h).limit(k)`` is a distributed TakeOrdered: each partition
+    keeps its local top-k, the driver merges k-sized heaps — never a global
+    sort.  Output carries the hash so downstream incremental samplers can
+    merge two samples by re-taking the k smallest.
+    """
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    h = portable_hash60(F.concat_ws("|", F.lit("us"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
+def uniform_sample_sql(k: int = 100) -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("'us|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source, {h} AS h
+FROM documents
+ORDER BY h, doc_id LIMIT {k}
+"""

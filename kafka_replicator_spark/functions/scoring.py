@@ -257,3 +257,82 @@ SELECT doc_id,
        CAST(s > n * {threshold_milli} AS INTEGER) AS keep
 FROM per_doc
 """
+
+
+# ------------------------------------------- conditional bigram entropy
+
+def cond_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus conditional bigram entropy H(next | prev) in nats — the
+    information-rate summary of the token stream (low = templated or
+    repetitive corpus, high = diverse):
+
+        H = -(1/N) * sum_ab c(a,b) * ln( c(a,b) / c_left(a) )
+
+    where ``c_left(a)`` counts ``a`` as a bigram left context and N is the
+    bigram total.  Two aggregations over the bigram stream (pair counts,
+    then left-marginals FROM the pair counts — the second shuffle moves
+    vocabulary-sized rows, not the stream) + one join; per-pair terms are
+    rounded to 9 dp and summed as DECIMAL — order-independent,
+    bit-identical on any engine.  Tokens never contain spaces (the corpus
+    tokenizer splits on them), so "a b" keys are unambiguous.
+    """
+    toks = F.col("__toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = spread(
+        docs.select(F.split(F.col(text_col), " ").alias("__toks"))
+    ).select(F.explode(pairs).alias("ab"))
+    pair_counts = bg.groupBy("ab").agg(F.count(F.lit(1)).alias("c_ab"))
+    with_a = pair_counts.withColumn("a", F.substring_index("ab", " ", 1))
+    lefts = with_a.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    joined = with_a.join(lefts, "a")
+    terms = joined.select(
+        "c_ab",
+        F.round(
+            F.col("c_ab").cast("double")
+            * F.log(F.col("c_ab").cast("double") / F.col("c_a").cast("double")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    return terms.agg(
+        F.sum("c_ab").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum("term").cast("double") / F.sum("c_ab").cast("double"), 6
+        ).alias("cond_entropy_nats"),
+    )
+
+
+def cond_entropy_sql() -> str:
+    return """
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS ab
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+), pc AS (
+  SELECT ab, count(*) AS c_ab FROM bg GROUP BY ab
+), wa AS (
+  SELECT ab, c_ab, string_split(ab, ' ')[1] AS a FROM pc
+), lefts AS (
+  SELECT a, sum(c_ab) AS c_a FROM wa GROUP BY a
+), terms AS (
+  SELECT c_ab,
+         CAST(round(CAST(c_ab AS DOUBLE)
+                    * ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS term
+  FROM wa JOIN lefts USING (a)
+)
+SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+       round(-CAST(sum(term) AS DOUBLE) / CAST(sum(c_ab) AS BIGINT), 6)
+           AS cond_entropy_nats
+FROM terms
+"""

@@ -132,6 +132,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_stopword_profile",
     "p_winnowing",
     "a_nation_trade_balance",
+    "p_uniform_sample",
+    "p_cond_entropy",
+    "a_time_seasonality",
 ]
 
 

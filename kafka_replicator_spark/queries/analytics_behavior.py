@@ -441,3 +441,35 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cust_rev") - F.col("supp_rev"), 2).cast("double").alias("balance"),
         )
     )
+
+
+@register(
+    "a_time_seasonality",
+    """
+WITH e AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr FROM events  -- DuckDB dow is 0-based (Sun=0); Spark's is 1-based
+), cells AS (
+  SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY dow, hr
+), tot AS (SELECT sum(n_events) AS t FROM cells)
+SELECT CAST(dow AS INTEGER) AS dow, CAST(hr AS INTEGER) AS hr, n_events,
+       round(CAST(n_events AS DOUBLE) / CAST(t AS BIGINT), 6) AS share
+FROM cells, tot
+""",
+    tags=("analytics", "events"),
+    doc="day-of-week x hour traffic matrix with global shares — one "
+    "partial-aggregated pass, broadcast 1-row total; calendar fields "
+    "derive from the UTC-normalized event time (168 output cells max)",
+)
+def q_time_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("dayofweek(timestamp_micros(ts div 1000))").alias("dow"),
+        F.expr("hour(timestamp_micros(ts div 1000))").alias("hr"),
+    )
+    cells = ev.groupBy("dow", "hr").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cells.agg(F.sum("n_events").alias("t"))
+    return cells.join(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hr").cast("int").alias("hr"),
+        "n_events",
+        F.round(F.col("n_events") / F.col("t"), 6).alias("share"),
+    )

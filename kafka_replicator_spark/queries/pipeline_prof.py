@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, graph, sampling, similarity, textprof
+from kafka_replicator_spark.functions import dedup, graph, sampling, scoring, similarity, textprof
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -260,3 +260,29 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowing(_docs(spark, sf_dir))
+
+
+@register(
+    "p_uniform_sample",
+    sampling.uniform_sample_sql(),
+    tags=("pipeline", "sampling"),
+    doc="deterministic uniform sample without replacement: k smallest "
+    "portable hashes via distributed TakeOrdered (per-partition top-k + "
+    "driver heap merge — never a global sort); mergeable by re-taking "
+    "the k smallest",
+)
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.uniform_sample(_docs(spark, sf_dir))
+
+
+@register(
+    "p_cond_entropy",
+    scoring.cond_entropy_sql(),
+    tags=("pipeline", "quality"),
+    doc="corpus conditional bigram entropy H(next|prev) in nats — the "
+    "information-rate scalar (templated vs diverse corpus); left-marginals "
+    "aggregate FROM the pair counts so the second shuffle is "
+    "vocabulary-sized, DECIMAL term folds",
+)
+def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.cond_entropy(_docs(spark, sf_dir))
