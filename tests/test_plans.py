@@ -418,3 +418,43 @@ def test_epoch_plan_totals_broadcast(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastExchange" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_winnowing_is_map_only_after_spread(spark, sf_dir):
+    # selection is per-document array math: no join, no window, no
+    # aggregation exchange — the only exchange is the explode-parallelism
+    # repartition (hashing.spread)
+    df = QUERIES["p_winnowing"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan and "Join" not in plan, plan
+    # no hash/range/single-partition shuffle at all — only the round-robin
+    # spread repartition (not counted: it carries no clustering contract)
+    assert count_exchanges(df) == 0, plan
+
+
+def test_cond_entropy_marginals_stay_vocab_sized(spark, sf_dir):
+    # pair counts shuffle once on the bigram key; the left-marginal
+    # aggregation and join run over the vocabulary-sized pair-count frame,
+    # never the token stream
+    df = QUERIES["p_cond_entropy"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan, plan
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_nation_trade_balance_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["a_nation_trade_balance"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_time_seasonality_single_pass(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["a_time_seasonality"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    # one event-stream aggregation shuffle + the 1-row total over the
+    # cached 168-row cell frame (the cached relation's defining exchange
+    # prints once per InMemoryTableScan reference, so the string count is
+    # 3 even though the aggregation executes once)
+    assert "InMemoryTableScan" in plan, plan
+    assert count_exchanges(df) <= 3, plan
