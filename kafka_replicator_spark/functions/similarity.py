@@ -1095,3 +1095,75 @@ SELECT CAST(label AS INTEGER) AS label, n_vectors, avg_norm,
        round(sqrt(CAST(cn2 AS DOUBLE)) / 1e6, 6) AS centroid_norm
 FROM per_label JOIN cn USING (label)
 """
+
+
+# --------------------------------------------------------- coreset select
+
+def coreset_select(embeddings: DataFrame, centroid_stride: int = 100) -> DataFrame:
+    """Coreset/representative selection: assign every vector to its nearest
+    coarse centroid (the :func:`ivf_assign` quantizer), keep the closest
+    member per cell — the medoid-style representative set a data-pruning
+    pipeline trains on instead of the full corpus (one row per cell,
+    however large the corpus).
+
+    One broadcast map pass for assignment + one cell-keyed rank window.
+    """
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    cents = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", cosine_col(F.col("e"), F.col("ce")).alias("ccos")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "ccos")
+    )
+    wc = Window.partitionBy("centroid_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    reps = assigned.withColumn("rep_rn", F.row_number().over(wc))
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        reps.filter(F.col("rep_rn") == 1)
+        .join(sizes, "centroid_id")
+        .select(
+            "centroid_id",
+            F.col("vec_id").alias("representative_id"),
+            F.round("ccos", 6).alias("rep_cos"),
+            "n_members",
+        )
+    )
+
+
+def coreset_select_sql(centroid_stride: int = 100) -> str:
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % {centroid_stride} = 0),
+assigned AS (
+  SELECT vec_id, centroid_id, ccos FROM (
+    SELECT emb.vec_id, cents.centroid_id,
+           {cos.format(a='e', b='ce')} AS ccos,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY {cos.format(a='e', b='ce')} DESC, centroid_id ASC
+           ) AS rn
+    FROM emb, cents
+  ) WHERE rn = 1
+),
+sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM assigned GROUP BY centroid_id),
+reps AS (
+  SELECT centroid_id, vec_id, ccos,
+         row_number() OVER (
+           PARTITION BY centroid_id ORDER BY ccos DESC, vec_id ASC
+         ) AS rep_rn
+  FROM assigned
+)
+SELECT r.centroid_id, r.vec_id AS representative_id,
+       round(r.ccos, 6) AS rep_cos, s.n_members
+FROM reps r JOIN sizes s USING (centroid_id) WHERE r.rep_rn = 1
+"""

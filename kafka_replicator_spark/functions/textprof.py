@@ -387,3 +387,83 @@ SELECT source, lang,
        round(CAST(sum(ns) AS DOUBLE) / sum(nt), 6) AS stop_ratio
 FROM per_doc GROUP BY source, lang
 """
+
+
+# --------------------------------------------------------- span corruption
+
+SPAN_GATE_MOD = 20
+SPAN_LEN = 3
+
+
+def span_corruption(docs: DataFrame) -> DataFrame:
+    """T5-style span-corruption planning: deterministically gate span starts
+    by a positional hash (rate 1/``SPAN_GATE_MOD``), mask ``SPAN_LEN``
+    tokens from each start (overlaps union), and report per-document mask
+    statistics — the pretraining-objective planner as a corpus query, no
+    RNG state so any engine (or a resumed job) reproduces the mask.
+
+    Pure per-document array math (gates array, then a positional
+    union-membership test via 0-based ``get`` so out-of-range probes are
+    null-safe) — map-only at any scale.
+    """
+    from kafka_replicator_spark.functions.hashing import portable_hash32
+
+    toks = F.col("__toks")
+    n = F.size(toks)
+    gates = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (
+            portable_hash32(
+                F.concat_ws(":", F.col("doc_id").cast("string"), i.cast("string"))
+            )
+            % SPAN_GATE_MOD
+            == 0
+        ),
+    )
+    g = F.col("__gates")
+    masked = F.filter(
+        F.sequence(F.lit(1), F.size(g)),
+        lambda j: (
+            F.coalesce(F.get(g, j - 1), F.lit(False))
+            | F.coalesce(F.get(g, j - 2), F.lit(False))
+            | F.coalesce(F.get(g, j - 3), F.lit(False))
+        ),
+    )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select("doc_id", F.size(toks).alias("n_tokens"), gates.alias("__gates"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size(F.filter(g, lambda x: x)).alias("n_spans"),
+            F.size(masked).alias("n_masked"),
+        )
+        .withColumn("mask_ppm", F.expr("(1000000 * cast(n_masked as bigint)) div n_tokens"))
+    )
+
+
+def span_corruption_sql() -> str:
+    # DuckDB list indexing is 1-based and NEGATIVE indices wrap from the
+    # END (g[-1] is the last element) — lookbacks must be bounds-guarded
+    # with j >= k, never coalesce'd.
+    from kafka_replicator_spark.functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         list_transform(range(1, len(string_split(text, ' ')) + 1),
+                        i -> {h} % {SPAN_GATE_MOD} = 0) AS g
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(g, x -> x)) AS INTEGER) AS n_spans,
+       CAST(len(list_filter(range(1, n_tokens + 1),
+              j -> g[j] OR (j >= 2 AND g[j-1]) OR (j >= 3 AND g[j-2])))
+            AS INTEGER) AS n_masked,
+       (1000000 * len(list_filter(range(1, n_tokens + 1),
+              j -> g[j] OR (j >= 2 AND g[j-1]) OR (j >= 3 AND g[j-2]))))
+           // n_tokens AS mask_ppm
+FROM t
+"""

@@ -135,6 +135,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_uniform_sample",
     "p_cond_entropy",
     "a_time_seasonality",
+    "p_coreset_select",
+    "p_span_corruption",
+    "p_dedup_funnel",
 ]
 
 

@@ -286,3 +286,64 @@ def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.cond_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "p_coreset_select",
+    similarity.coreset_select_sql(),
+    tags=("pipeline", "similarity", "sampling"),
+    doc="coreset/representative selection: nearest member per coarse IVF "
+    "cell (broadcast assignment pass + cell-keyed rank window) — the "
+    "medoid set a data-pruning pipeline trains on; one output row per "
+    "cell at any corpus size",
+)
+def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.coreset_select(_emb(spark, sf_dir))
+
+
+@register(
+    "p_span_corruption",
+    textprof.span_corruption_sql(),
+    tags=("pipeline", "sampling"),
+    doc="T5-style span-corruption planning: hash-gated span starts, "
+    "3-token spans unioned per doc, mask stats in exact integers — "
+    "RNG-free so any engine or resumed job reproduces the mask; map-only",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprof.span_corruption(_docs(spark, sf_dir))
+
+
+@register(
+    "p_dedup_funnel",
+    f"""
+WITH cand AS ({dedup.lsh_candidate_pairs_sql()}),
+conf AS ({dedup.jaccard_pairs_sql(threshold=0.5)})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents) AS n_exact_unique,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM conf) AS n_confirmed_pairs
+""",
+    tags=("pipeline", "dedup"),
+    doc="end-to-end dedup funnel report (1 row): corpus size, exact-unique "
+    "contents, LSH candidate pairs, Jaccard-confirmed pairs — the "
+    "pipeline-health dashboard every dedup run publishes",
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = docs.agg(
+        F.count_distinct(F.md5(F.col("text"))).alias("n_exact_unique")
+    )
+    n_cand = dedup.lsh_candidate_pairs(docs).agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs")
+    )
+    n_conf = dedup.jaccard_pairs(docs, threshold=0.5).agg(
+        F.count(F.lit(1)).alias("n_confirmed_pairs")
+    )
+    return (
+        n_docs.join(F.broadcast(n_exact))
+        .join(F.broadcast(n_cand))
+        .join(F.broadcast(n_conf))
+    )

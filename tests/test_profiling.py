@@ -255,3 +255,35 @@ def test_winnowing_guarantee_and_density(spark):
     # selection stores a fraction of the hash stream (2/(w+1) expected)
     n_grams = len((a + " " + shared + " " + b).split()) - (WINNOW_N - 1)
     assert len(fps[1]) < n_grams / 2
+
+
+# ---------------------------------------------------------- span corruption
+
+def test_span_corruption_mask_bounds(spark, sf_dir):
+    from kafka_replicator_spark.functions.textprof import SPAN_LEN, span_corruption
+    from kafka_replicator_spark.sources.tables import load_table
+
+    rows = span_corruption(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    assert any(r["n_spans"] > 0 for r in rows)
+    for r in rows:
+        # union of spans: at least one masked token per span start, at most
+        # SPAN_LEN each, never beyond the document
+        if r["n_spans"]:
+            assert r["n_spans"] <= r["n_masked"] <= min(
+                SPAN_LEN * r["n_spans"], r["n_tokens"]
+            )
+        else:
+            assert r["n_masked"] == 0
+        assert r["mask_ppm"] == (1_000_000 * r["n_masked"]) // r["n_tokens"]
+
+
+def test_coreset_covers_all_cells(spark, sf_dir):
+    from kafka_replicator_spark.functions.similarity import coreset_select
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = coreset_select(emb).collect()
+    assert sum(r["n_members"] for r in out) == emb.count()
+    for r in out:
+        assert -1.0 <= r["rep_cos"] <= 1.0
