@@ -458,3 +458,43 @@ def test_time_seasonality_single_pass(spark, sf_dir):
     # 3 even though the aggregation executes once)
     assert "InMemoryTableScan" in plan, plan
     assert count_exchanges(df) <= 3, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    # the 100 TB co-location story: two tables bucketed+sorted on the join
+    # key join with ZERO exchanges — what pre-bucketed segment/checkpoint
+    # storage buys on a real cluster (CLAUDE.md conventions; storage-level
+    # analog of spread_by_key's in-query clustering contract)
+    from kafka_replicator_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/warehouse'")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+               .mode("overwrite").saveAsTable("bkt.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+             .mode("overwrite").saveAsTable("bkt.lineitem_b"))
+        a = spark.table("bkt.orders_b")
+        b = spark.table("bkt.lineitem_b")
+        # the small-SF side would auto-broadcast and hide what bucketing
+        # buys — disable the threshold so the plan shows the shuffle-join
+        # path a 100 TB fact-fact join takes
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a["o_orderkey"] == b["l_orderkey"]).groupBy(
+                "o_orderkey"
+            ).agg(F.sum("l_quantity").alias("q"))
+            plan = physical_plan(joined, mode="simple")
+            assert "SortMergeJoin" in plan, plan
+            # bucketing satisfies the join AND the groupBy distribution:
+            # the only acceptable exchange count is zero
+            assert count_exchanges(joined) == 0, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
