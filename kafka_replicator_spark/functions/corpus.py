@@ -166,8 +166,14 @@ def dsir_weights(
     exact DECIMAL sum of its tokens' bucket ratios (order-independent), with
     only the final per-token average in DOUBLE rounded to 6 dp.
     """
-    toks = spread(docs.select("doc_id", "source", F.explode(tokens_col()).alias("tok"))).select(
-        "doc_id", "source", (portable_hash32("tok") % n_buckets).alias("b")
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    # the hashed token stream feeds BOTH the bucket aggregation and the
+    # per-doc scoring join — cache it or the explode + md5 runs twice
+    toks = track_cached(
+        spread(
+            docs.select("doc_id", "source", F.explode(tokens_col()).alias("tok"))
+        ).select("doc_id", "source", (portable_hash32("tok") % n_buckets).alias("b"))
     )
     # one conditional aggregation builds both LMs — not two passes (and two
     # bucket shuffles) over the token stream
