@@ -38,7 +38,13 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     stand-in for high perplexity.  Emits the score and an integer surprise
     bucket (``floor(-score)``) that downstream filters can gate on.
     """
-    toks = spread(docs.select(id_col, F.explode(tokens_col(text_col)).alias("tok")))
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    # the token stream feeds three plan branches (vocab agg, total agg,
+    # scoring join) — cache so the explode runs once
+    toks = track_cached(
+        spread(docs.select(id_col, F.explode(tokens_col(text_col)).alias("tok")))
+    )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # t_total == Σ vocab.c == |toks| — count the token stream directly so the
     # plan doesn't rebuild the whole vocabulary aggregation (tok-keyed
@@ -289,8 +295,12 @@ def cond_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bg = spread(
         docs.select(F.split(F.col(text_col), " ").alias("__toks"))
     ).select(F.explode(pairs).alias("ab"))
+    from kafka_replicator_spark.cacheutil import track_cached
+
     pair_counts = bg.groupBy("ab").agg(F.count(F.lit(1)).alias("c_ab"))
-    with_a = pair_counts.withColumn("a", F.substring_index("ab", " ", 1))
+    # the vocabulary-sized pair-count frame feeds the marginal aggregation
+    # AND the scoring join — cache so the bigram explode runs once
+    with_a = track_cached(pair_counts.withColumn("a", F.substring_index("ab", " ", 1)))
     lefts = with_a.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     joined = with_a.join(lefts, "a")
     terms = joined.select(
