@@ -283,3 +283,103 @@ SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
 FROM ranked
 WHERE cum_tokens - n_tokens < src_budget
 """
+
+
+def tfidf_topterm_pairs(docs: DataFrame, k: int = 3, max_df: int = 20) -> DataFrame:
+    """Sparse-similarity candidate pairs via top-``k`` TF-IDF word BIGRAMS:
+    two documents become a candidate when they share a top bigram — the
+    classic sparse-retrieval blocking step (an inverted index over only the
+    most discriminative keys).  Bigram keys keep posting lists short where
+    unigram blocking floods on a small vocabulary; the ``max_df`` posting
+    cap bounds the self-join fan-out at df² per key regardless of corpus.
+
+    One explode + (doc, bigram) shuffle; df aggregates from the tf frame
+    (bigram-level); the per-doc rank window cuts to k keys before the
+    candidate join.  The top frame is cached — it feeds both join sides.
+    """
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select("doc_id", F.explode(grams).alias("term"))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("__n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    top = track_cached(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col("df") <= max_df))
+        .select("doc_id", "term", "score")
+    )
+    a = top.select(F.col("doc_id").alias("doc_a"), "term", F.col("score").alias("sa"))
+    b = top.select(F.col("doc_id").alias("doc_b"), "term", F.col("score").alias("sb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.max("term").alias("max_shared_term"),
+            F.round(F.sum(F.least("sa", "sb").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "shared_score"
+            ),
+        )
+    )
+
+
+def tfidf_topterm_pairs_sql(k: int = 3, max_df: int = 20) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+terms AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, df.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term), n
+),
+top AS (
+  SELECT doc_id, term, score FROM (
+    SELECT doc_id, term, df, score, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k} AND df <= {max_df}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_terms,
+       max(a.term) AS max_shared_term,
+       round(CAST(sum(CAST(least(a.score, b.score) AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS shared_score
+FROM top a JOIN top b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""

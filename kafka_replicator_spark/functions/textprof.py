@@ -467,3 +467,92 @@ SELECT doc_id,
            // n_tokens AS mask_ppm
 FROM t
 """
+
+
+# ----------------------------------------- char-trigram profile language ID
+
+CHARGRAM_TOPK = 20
+
+
+def charngram_langid(docs: DataFrame, topk: int = CHARGRAM_TOPK) -> DataFrame:
+    """Profile-based language ID (Cavnar & Trenkle 1994 n-gram category
+    shape): build a top-``topk`` character-trigram profile per labeled
+    language from the corpus itself, then classify every document by
+    distinct-trigram overlap with each profile (argmax, ties to the
+    smaller lang code) — the self-supervised upgrade of the marker-word
+    heuristic (:func:`text.lang_id`).
+
+    Profiles are (langs × topk) rows — broadcast-scale; the per-language
+    rank window runs on aggregated (lang, trigram) counts, never the
+    character stream; the scoring join fans out bounded by the doc's
+    distinct profile hits.
+    """
+    idx = F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i")
+    tri = (
+        spread(docs.select("doc_id", "lang", "text"))
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "lang", "text", idx)
+        .select("doc_id", "lang", F.expr("substr(text, i, 3)").alias("tri"))
+    )
+    lang_counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    profile = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= topk)
+        .select(F.col("lang").alias("plang"), "tri")
+    )
+    doc_tri = tri.select("doc_id", "tri").distinct()
+    hits = (
+        doc_tri.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
+    best = hits.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.coalesce(F.col("plang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("profile_hits"),
+        )
+    )
+
+
+def charngram_langid_sql(topk: int = CHARGRAM_TOPK) -> str:
+    return f"""
+WITH tri AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+lang_counts AS (
+  SELECT lang, tri, count(*) AS c FROM tri GROUP BY lang, tri
+),
+profile AS (
+  SELECT lang AS plang, tri FROM (
+    SELECT lang, tri, row_number() OVER (
+      PARTITION BY lang ORDER BY c DESC, tri ASC) AS rn
+    FROM lang_counts
+  ) WHERE rn <= {topk}
+),
+doc_tri AS (SELECT DISTINCT doc_id, tri FROM tri),
+hits AS (
+  SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS hits
+  FROM doc_tri JOIN profile USING (tri)
+  GROUP BY doc_id, plang
+),
+best AS (
+  SELECT doc_id, plang, hits FROM (
+    SELECT doc_id, plang, hits, row_number() OVER (
+      PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang AS labeled_lang,
+       coalesce(b.plang, 'und') AS predicted_lang,
+       coalesce(b.hits, 0) AS profile_hits
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""

@@ -138,6 +138,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_coreset_select",
     "p_span_corruption",
     "p_dedup_funnel",
+    "p_charngram_langid",
+    "p_tfidf_topterm_pairs",
 ]
 
 

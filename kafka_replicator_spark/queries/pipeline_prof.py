@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_replicator_spark.functions import dedup, graph, sampling, scoring, similarity, textprof
+from kafka_replicator_spark.functions import dedup, graph, packing, sampling, scoring, similarity, textprof
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -347,3 +347,28 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_cand))
         .join(F.broadcast(n_conf))
     )
+
+
+@register(
+    "p_charngram_langid",
+    textprof.charngram_langid_sql(),
+    tags=("pipeline", "quality"),
+    doc="profile-based language ID (Cavnar-Trenkle n-gram shape): "
+    "self-supervised top-k char-trigram profiles per labeled language, "
+    "docs classified by distinct-trigram overlap; profiles broadcast, "
+    "rank windows keyed per lang / per doc",
+)
+def q_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprof.charngram_langid(_docs(spark, sf_dir))
+
+
+@register(
+    "p_tfidf_topterm_pairs",
+    packing.tfidf_topterm_pairs_sql(),
+    tags=("pipeline", "dedup", "similarity"),
+    doc="sparse-retrieval blocking: candidate pairs sharing a top-TF-IDF "
+    "term (high-IDF keys keep posting lists short where naive token "
+    "blocking explodes on stopwords); shared-term counts + min-score fold",
+)
+def q_tfidf_topterm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.tfidf_topterm_pairs(_docs(spark, sf_dir))
