@@ -162,18 +162,3 @@ def all_queries() -> dict[str, Query]:
     green.sort(key=lambda n: not n.startswith("r_"))
     ordered = backlog + new + green
     return {n: REGISTRY[n] for n in ordered}
-
-
-#: Members of round 2's verification window (current positions 21-49 at the
-#: end of round 2) — if CORRECTNESS_r02.json exists they carry a row there,
-#: so they are the safest to spill past position 50 as round-3 queries join.
-_ROUND2_WINDOW_TAIL = (
-    'p_dup_clusters', 'p_quality_rules', 'p_pii_scrub', 'p_stratified_sample',
-    'p_kmeans_centroids', 'p_ivf_topk_trained', 'p_curate_batch',
-    'p_contamination', 'p_versioned_history', 'a_q4_priority_lateness',
-    'a_q7_bination_volume', 'a_q14_promo_revenue', 'a_q19_bracket_scan',
-    'a_q8_market_share', 'a_funnel_steps', 'a_retention_cohorts',
-    'a_session_window_builtin', 'a_quantiles', 'a_rolling_revenue',
-    'a_correlation', 'a_q17_small_qty_revenue', 'a_q21_waiting_suppliers',
-    'a_q13_order_count_histogram', 'a_q22_idle_balances',
-)
