@@ -9,12 +9,14 @@ report (contiguous? gap size? regression?) without any global scan.  State
 is one long per partition — bounded regardless of stream length, the
 property that matters at 1000 partitions × unbounded retention.
 
-Implemented with ``applyInPandasWithState``.  Spark 4's successor API
-(``transformWithStateInPandas``, typed state + timers) is the upgrade
-path, but its Python state-server worker needs a working ``protobuf``
-runtime, which this environment lacks — the call-site shape is identical
-(grouped stream → per-key state + per-batch emission), so swapping is
-mechanical.
+Two engines, same semantics (the event_store.py pattern):
+
+* ``classic`` — ``applyInPandasWithState`` with NoTimeout (the monitor has
+  no TTL semantics, so the availableNow/ProcessingTimeTimeout quirk never
+  applies here).
+* ``tws`` — ``transformWithStateInPandas`` (Spark 4 successor API,
+  SPARK-46815); auto-selected when the API, protobuf, and the RocksDB
+  state store provider are all present.
 
 Batch-shape equivalent (window lag over msg_offset) is oracle-checked as
 ``r_f6_sanity_offsets``; this processor is its cross-batch streaming form.
@@ -33,49 +35,90 @@ CONTINUITY_SCHEMA = (
 )
 
 
-def _continuity_fn(key, pdfs, state):
-    offs = pd.concat([pdf["msg_offset"] for pdf in pdfs], ignore_index=True)
+def _report(key, last_offset, offs: pd.Series):
+    """Continuity math shared by both engines: one report row + new state."""
     lo, hi = int(offs.min()), int(offs.max())
     n, n_distinct = len(offs), int(offs.nunique())
+    expected = int(last_offset) + 1 if last_offset is not None else lo
+    row = {
+        "topic": str(key[0]),
+        "partition_id": int(key[1]),
+        "batch_lo": lo,
+        "batch_hi": hi,
+        "n_rows": n,
+        "n_distinct": n_distinct,
+        "missing_from_last": max(0, lo - expected),
+        "internal_gaps": (hi - lo + 1) - n_distinct,
+        "regressed": lo < expected,
+    }
+    return row, max(hi, expected - 1)
+
+
+def _continuity_fn(key, pdfs, state):
+    offs = pd.concat([pdf["msg_offset"] for pdf in pdfs], ignore_index=True)
     last = state.getOption
-    expected = int(last[0]) + 1 if last is not None else lo
-    missing_from_last = max(0, lo - expected)
-    regressed = lo < expected
-    internal_gaps = (hi - lo + 1) - n_distinct
-    state.update((max(hi, expected - 1),))
-    yield pd.DataFrame(
-        [
-            {
-                "topic": str(key[0]),
-                "partition_id": int(key[1]),
-                "batch_lo": lo,
-                "batch_hi": hi,
-                "n_rows": n,
-                "n_distinct": n_distinct,
-                "missing_from_last": missing_from_last,
-                "internal_gaps": internal_gaps,
-                "regressed": regressed,
-            }
-        ]
+    row, new_last = _report(key, last[0] if last is not None else None, offs)
+    state.update((new_last,))
+    yield pd.DataFrame([row])
+
+
+def offset_continuity_stream(messages: DataFrame, engine: str = "auto") -> DataFrame:
+    """Attach the continuity monitor to a (streaming) message frame.
+
+    ``engine``: ``classic`` (applyInPandasWithState, NoTimeout — state must
+    survive idle partitions), ``tws`` (transformWithStateInPandas), or
+    ``auto`` (tws when API + protobuf + RocksDB provider are all present).
+    """
+    if engine not in ("auto", "classic", "tws"):
+        raise ValueError(f"engine must be auto|classic|tws, got {engine!r}")
+    from kafka_replicator_spark.streaming.event_store import _tws_available
+
+    grouped = messages.select("topic", "partition_id", "msg_offset").groupBy(
+        "topic", "partition_id"
+    )
+    if engine == "tws" or (engine == "auto" and _tws_available(messages)):
+        return _continuity_tws(grouped)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return grouped.applyInPandasWithState(
+        _continuity_fn,
+        outputStructType=CONTINUITY_SCHEMA,
+        stateStructType="last_offset long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
-def offset_continuity_stream(messages: DataFrame) -> DataFrame:
-    """Attach the continuity monitor to a (streaming) message frame.
+def _continuity_tws(grouped) -> DataFrame:
+    """transformWithStateInPandas engine: value state holds the same single
+    long; no time semantics (timeMode None)."""
+    from collections.abc import Iterator
 
-    NoTimeout by design: the monitor state must survive idle partitions
-    (and ProcessingTimeTimeout never fires under availableNow triggers).
-    """
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
 
-    return (
-        messages.select("topic", "partition_id", "msg_offset")
-        .groupBy("topic", "partition_id")
-        .applyInPandasWithState(
-            _continuity_fn,
-            outputStructType=CONTINUITY_SCHEMA,
-            stateStructType="last_offset long",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    class _ContinuityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("last_offset", "last_offset long")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            last = self._state.get()[0] if self._state.exists() else None
+            offs = pd.concat(
+                [pdf["msg_offset"] for pdf in rows], ignore_index=True
+            )
+            row, new_last = _report(key, last, offs)
+            self._state.update((new_last,))
+            yield pd.DataFrame([row])
+
+        def close(self) -> None:
+            pass
+
+    return grouped.transformWithStateInPandas(
+        statefulProcessor=_ContinuityProcessor(),
+        outputStructType=CONTINUITY_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )
