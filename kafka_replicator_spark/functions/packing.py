@@ -383,3 +383,127 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM top a JOIN top b ON a.term = b.term AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
+
+
+def dataset_split(
+    docs: DataFrame, train_pct: int = 98, val_pct: int = 1
+) -> DataFrame:
+    """Deterministic train/val/test assignment by document hash (98/1/1 by
+    default) with per-(source, split) document and token counts — the
+    split must be a pure function of the document identity so any engine,
+    any rerun, and any later incremental batch lands every document in the
+    same split (no RNG state, no shuffle files to preserve).
+
+    Map-only assignment + one (source, split) aggregation.
+    """
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    bucket = portable_hash60(
+        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
+def dataset_split_sql(train_pct: int = 98, val_pct: int = 1) -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN ({h} % 100) < {train_pct} THEN 'train'
+              WHEN ({h} % 100) < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY source, split
+"""
+
+
+def shard_plan(
+    docs: DataFrame, shard_tokens: int = 2000, partitions: int = 16
+) -> DataFrame:
+    """Token-budget shard planner: lay documents out in doc-id order and
+    cut output shards every ``shard_tokens`` tokens — the plan a training-
+    data writer follows to produce evenly-sized sequential files.
+
+    The exclusive running token sum is exact and distributed: range
+    partition on doc_id, partition-local window cumsum, then a broadcast
+    per-partition prefix stitch (the curriculum_buckets / skyline shape —
+    never a global single-partition window).  Output is shard-grain.
+    """
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    d = (
+        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"))
+        .repartitionByRange(partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    # placement must stay stable between the stitch action and the plan
+    d = track_cached(d)
+    w = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = d.withColumn("__local_prev", F.coalesce(F.sum("nt").over(w), F.lit(0)))
+    ptot = {
+        r["__pid"]: r["s"]
+        for r in d.groupBy("__pid").agg(F.sum("nt").alias("s")).collect()
+    }
+    prefix, acc = [], 0
+    for pid in sorted(ptot):
+        prefix.append((pid, acc))
+        acc += ptot[pid]
+    pre = d.sparkSession.createDataFrame(prefix, schema="__pid int, __prefix long")
+    placed = local.join(F.broadcast(pre), "__pid").select(
+        "doc_id",
+        "nt",
+        F.expr(f"(__prefix + __local_prev) div {shard_tokens}").alias("shard_id"),
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def shard_plan_sql(shard_tokens: int = 2000) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+), c AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT CAST(start // {shard_tokens} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""

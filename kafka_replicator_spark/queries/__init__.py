@@ -140,6 +140,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_dedup_funnel",
     "p_charngram_langid",
     "p_tfidf_topterm_pairs",
+    "p_dataset_split",
+    "p_shard_plan",
 ]
 
 

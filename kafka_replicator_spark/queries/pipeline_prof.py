@@ -372,3 +372,27 @@ def q_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_topterm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.tfidf_topterm_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "p_dataset_split",
+    packing.dataset_split_sql(),
+    tags=("pipeline", "sampling"),
+    doc="deterministic train/val/test split (98/1/1 by document hash — a "
+    "pure function of identity, so reruns and incremental batches agree); "
+    "per-(source, split) doc/token counts, map-only + one aggregation",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.dataset_split(_docs(spark, sf_dir))
+
+
+@register(
+    "p_shard_plan",
+    packing.shard_plan_sql(),
+    tags=("pipeline", "packing"),
+    doc="token-budget shard planner: exact exclusive running token sum via "
+    "range partition + partition-local cumsum + broadcast prefix stitch "
+    "(never a global single-partition window); shard-grain output",
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.shard_plan(_docs(spark, sf_dir))

@@ -287,3 +287,38 @@ def test_coreset_covers_all_cells(spark, sf_dir):
     assert sum(r["n_members"] for r in out) == emb.count()
     for r in out:
         assert -1.0 <= r["rep_cos"] <= 1.0
+
+
+# -------------------------------------------------- split and shard planner
+
+def test_dataset_split_partitions_corpus(spark, sf_dir):
+    from kafka_replicator_spark.functions.packing import dataset_split
+    from kafka_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dataset_split(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    splits = {r["split"] for r in rows}
+    assert "train" in splits and splits <= {"train", "val", "test"}
+    # the hash split must heavily favor train at 98/1/1
+    n_train = sum(r["n_docs"] for r in rows if r["split"] == "train")
+    assert n_train > 0.9 * docs.count()
+
+
+def test_shard_plan_boundaries(spark, sf_dir):
+    from kafka_replicator_spark.functions.packing import shard_plan
+    from kafka_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(shard_plan(docs, shard_tokens=2000).collect(), key=lambda r: r["shard_id"])
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # shards are contiguous in doc-id order
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["last_doc"] < cur["first_doc"]
+    # every document starts in the shard its exclusive prefix lands in, so
+    # a shard never BEGINS beyond the budget boundary: its first doc starts
+    # at < (shard_id+1) * budget; totals can overshoot by at most one doc
+    cum = 0
+    for r in rows:
+        assert cum // 2000 == r["shard_id"]
+        cum += r["n_tokens"]
