@@ -142,6 +142,11 @@ _NEW_THIS_ROUND: list[str] = [
     "p_tfidf_topterm_pairs",
     "p_dataset_split",
     "p_shard_plan",
+    "p_doc_dup_category",
+    "p_token_len_histogram",
+    "p_hash_balance_audit",
+    "p_edit_distance_pairs",
+    "a_weekly_active_users",
 ]
 
 

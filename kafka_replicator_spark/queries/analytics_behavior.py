@@ -475,3 +475,44 @@ def q_time_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events") / F.col("t"), 6).alias("share"),
     )
+
+
+#: epoch micros per week (weekly-active bucketing)
+WEEK_US_WAU = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "a_weekly_active_users",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US_WAU} AS week FROM events
+),
+w AS (
+  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY week
+)
+SELECT CAST(week AS BIGINT) AS week, n_active, n_events,
+       CAST(n_active - lag(n_active) OVER (ORDER BY week) AS BIGINT) AS wow_change
+FROM w
+""",
+    tags=("analytics", "events"),
+    doc="weekly active users with week-over-week change: the distinct "
+    "aggregation collapses to week grain FIRST, so the lag window sees a "
+    "bounded-cardinality frame (the guarded small-side pattern)",
+)
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {WEEK_US_WAU}").alias("week")
+    )
+    w = ev.groupBy("week").agg(
+        F.count_distinct("user_id").alias("n_active"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    win = Window.orderBy("week")
+    return w.select(
+        "week",
+        "n_active",
+        "n_events",
+        (F.col("n_active") - F.lag("n_active").over(win)).cast("long").alias("wow_change"),
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_replicator_spark.functions import dedup, graph, packing, sampling, scoring, similarity, textprof
+from kafka_replicator_spark.functions.hashing import portable_hash32_sql
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -396,3 +397,187 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.shard_plan(_docs(spark, sf_dir))
+
+
+@register(
+    "p_doc_dup_category",
+    f"""
+WITH hashes AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+grp AS (SELECT h, count(*) AS n_copies FROM hashes GROUP BY h),
+near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM ({dedup.lsh_candidate_pairs_sql()})
+    UNION ALL
+    SELECT doc_b AS doc_id FROM ({dedup.lsh_candidate_pairs_sql()})
+  )
+),
+cat AS (
+  SELECT hashes.source,
+         CASE WHEN grp.n_copies >= 2 THEN 'exact'
+              WHEN near.doc_id IS NOT NULL THEN 'near'
+              ELSE 'unique' END AS category
+  FROM hashes
+  JOIN grp USING (h)
+  LEFT JOIN near ON near.doc_id = hashes.doc_id
+)
+SELECT source, category, CAST(count(*) AS BIGINT) AS n_docs
+FROM cat GROUP BY source, category
+""",
+    tags=("pipeline", "dedup"),
+    doc="per-source duplication triage: every document classified exact-dup "
+    "(content-hash group >= 2) / near-dup (appears in an LSH candidate "
+    "pair) / unique, with exact taking precedence — the 'how dirty is this "
+    "domain' report that drives curation priorities",
+)
+def q_doc_dup_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    hashes = docs.select("doc_id", "source", F.md5(F.col("text")).alias("h"))
+    grp = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    pairs = dedup.lsh_candidate_pairs(docs)
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    cat = (
+        hashes.join(grp, "h")
+        .join(near, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("n_copies") >= 2, "exact")
+            .when(F.col("is_near").isNotNull(), "near")
+            .otherwise("unique")
+            .alias("category"),
+        )
+    )
+    return cat.groupBy("source", "category").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "p_token_len_histogram",
+    """
+WITH toks AS (
+  SELECT length(unnest(string_split(text, ' '))) AS len FROM documents
+),
+hist AS (SELECT len, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY len),
+tot AS (SELECT sum(n_tokens) AS t FROM hist)
+SELECT CAST(len AS INTEGER) AS len, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(t AS BIGINT), 6) AS share
+FROM hist, tot
+""",
+    tags=("pipeline", "quality"),
+    doc="corpus token-length histogram with shares (tokenizer diagnostic: "
+    "length spikes expose markup/encoding junk); one aggregation + a "
+    "broadcast 1-row total, output bounded by max token length",
+)
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.functions.hashing import spread
+
+    toks = spread(
+        _docs(spark, sf_dir).select(F.explode(F.split("text", " ")).alias("tok"))
+    ).select(F.length("tok").alias("len"))
+    hist = toks.groupBy("len").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tot = hist.agg(F.sum("n_tokens").alias("t"))
+    return hist.join(F.broadcast(tot)).select(
+        F.col("len").cast("int").alias("len"),
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("share"),
+    )
+
+
+HASH_AUDIT_BUCKETS = 32
+
+
+@register(
+    "p_hash_balance_audit",
+    f"""
+WITH b AS (
+  SELECT ({portable_hash32_sql("CAST(doc_id AS VARCHAR)")} % {HASH_AUDIT_BUCKETS}) AS bucket
+  FROM documents
+),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n) AS BIGINT) AS min_count,
+       CAST(max(n) AS BIGINT) AS max_count,
+       CAST((1000 * max(n) * {HASH_AUDIT_BUCKETS}) // sum(n) AS BIGINT) AS skew_ratio_milli
+FROM c
+""",
+    tags=("pipeline", "ops"),
+    doc="partition-balance audit: docs hashed into 32 buckets, max/mean "
+    "occupancy in exact integer milli-units — the pre-flight check before "
+    "committing to a partitioning key at scale",
+)
+def q_hash_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.functions.hashing import portable_hash32
+
+    b = _docs(spark, sf_dir).select(
+        (portable_hash32(F.col("doc_id").cast("string")) % HASH_AUDIT_BUCKETS).alias("bucket")
+    )
+    c = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("n").alias("min_count"),
+        F.max("n").alias("max_count"),
+        F.expr(f"(1000 * max(n) * {HASH_AUDIT_BUCKETS}) div sum(n)").alias(
+            "skew_ratio_milli"
+        ),
+    )
+
+
+@register(
+    "p_edit_distance_pairs",
+    f"""
+WITH cand AS ({dedup.lsh_candidate_pairs_sql()}),
+t AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(levenshtein(ta.p, tb.p) AS BIGINT) AS edit_distance,
+         CAST(greatest(length(ta.p), length(tb.p)) AS BIGINT) AS max_len
+  FROM cand
+  JOIN t ta ON ta.doc_id = cand.doc_a
+  JOIN t tb ON tb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, edit_distance,
+       (1000000 * (max_len - edit_distance)) // max_len AS similarity_ppm
+FROM scored
+""",
+    tags=("pipeline", "dedup"),
+    doc="edit-distance verification of LSH candidates (64-char prefixes): "
+    "the fuzzy-dedup confirmation tier — O(k^2) Levenshtein only on "
+    "candidate pairs, never all-pairs; exact integer ppm similarity",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    t = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_distance"),
+            F.greatest(F.length("pa"), F.length("pb")).cast("long").alias("max_len"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+        F.expr("(1000000 * (max_len - edit_distance)) div max_len").alias(
+            "similarity_ppm"
+        ),
+    )
