@@ -322,3 +322,36 @@ def test_shard_plan_boundaries(spark, sf_dir):
     for r in rows:
         assert cum // 2000 == r["shard_id"]
         cum += r["n_tokens"]
+
+
+# ------------------------------------------------ ts-encoding resilience
+
+def test_event_queries_survive_ts_encoding_flip(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts as timestamp[us] AND TIMESTAMP(NANOS)
+    across corpus builds (CLAUDE.md); load_table normalizes both to
+    epoch-nanos LONG.  The behavioral-analytics queries must produce
+    identical rows on either encoding."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_replicator_spark.queries import all_queries
+
+    alt = tmp_path / "sf_alt"
+    alt.mkdir()
+    for f in os.listdir(sf_dir):
+        if f != "events.parquet":
+            os.symlink(os.path.join(sf_dir, f), alt / f)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    i = t.schema.get_field_index("ts")
+    t2 = t.set_column(
+        i, pa.field("ts", pa.timestamp("ns")), t.column("ts").cast(pa.timestamp("ns"))
+    )
+    pq.write_table(t2, alt / "events.parquet")
+
+    qs = all_queries()
+    for n in ["a_decayed_value", "a_markov_transitions", "a_weekly_active_users"]:
+        a = sorted(map(tuple, qs[n].fn(spark, str(sf_dir)).collect()))
+        b = sorted(map(tuple, qs[n].fn(spark, str(alt)).collect()))
+        assert a == b, f"{n}: results differ across ts encodings"
