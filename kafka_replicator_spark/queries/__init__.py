@@ -147,6 +147,10 @@ _NEW_THIS_ROUND: list[str] = [
     "p_hash_balance_audit",
     "p_edit_distance_pairs",
     "a_weekly_active_users",
+    "a_user_concentration",
+    "a_conversion_lag",
+    "p_crosslingual_dups",
+    "p_dup_cluster_sizes",
 ]
 
 

@@ -516,3 +516,107 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_active") - F.lag("n_active").over(win)).cast("long").alias("wow_change"),
     )
+
+
+@register(
+    "a_user_concentration",
+    """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+thr AS (SELECT round(quantile_cont(n, 0.75), 6) AS p75 FROM per_user),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN n > thr.p75 THEN n ELSE 0 END) AS BIGINT) AS top_events,
+         CAST(sum(CASE WHEN n > thr.p75 THEN 1 ELSE 0 END) AS BIGINT) AS top_users
+  FROM per_user, thr GROUP BY thr.p75
+)
+SELECT agg.n_users, agg.n_events, agg.top_users, agg.top_events,
+       (SELECT p75 FROM thr) AS p75_events,
+       round(CAST(agg.top_events AS DOUBLE) / agg.n_events, 6) AS top_share
+FROM agg
+""",
+    tags=("analytics", "events"),
+    doc="activity concentration (Pareto check): share of all events from "
+    "users above the 75th activity percentile — exact sort-based "
+    "percentile (power-of-two fraction, bit-identical cross-engine), one "
+    "user aggregation + a broadcast 1-row threshold",
+)
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = per_user.agg(F.round(F.expr("percentile(n, 0.75D)"), 6).alias("p75"))
+    j = per_user.join(F.broadcast(thr))
+    return j.groupBy("p75").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.sum(F.when(F.col("n") > F.col("p75"), 1).otherwise(0)).alias("top_users"),
+        F.sum(F.when(F.col("n") > F.col("p75"), F.col("n")).otherwise(0)).alias("top_events"),
+    ).select(
+        "n_users",
+        "n_events",
+        "top_users",
+        "top_events",
+        F.col("p75").alias("p75_events"),
+        F.round(F.col("top_events") / F.col("n_events"), 6).alias("top_share"),
+    )
+
+
+@register(
+    "a_conversion_lag",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS first_purchase
+  FROM e GROUP BY user_id
+),
+conv AS (
+  SELECT user_id, first_purchase - first_view AS lag_us
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase > first_view
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM firsts WHERE first_view IS NOT NULL)
+           AS n_viewers,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(sum(lag_us) AS BIGINT) // count(*) AS avg_lag_us,
+       CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(max(lag_us) AS BIGINT) AS max_lag_us
+FROM conv
+""",
+    tags=("analytics", "events"),
+    doc="view-to-purchase conversion latency: per-user first-touch "
+    "conditional mins, strictly-ordered conversions only; integer-exact "
+    "microsecond lags (avg via integer division)",
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("first_purchase"),
+    )
+    viewers = firsts.filter(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewers")
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("lag_us"))
+    agg = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("sum(lag_us) div count(*)").alias("avg_lag_us"),
+        F.min("lag_us").alias("min_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    )
+    return agg.join(F.broadcast(viewers)).select(
+        "n_viewers", "n_converted", "avg_lag_us", "min_lag_us", "max_lag_us"
+    )

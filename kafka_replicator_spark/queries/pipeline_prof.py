@@ -581,3 +581,60 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "similarity_ppm"
         ),
     )
+
+
+@register(
+    "p_crosslingual_dups",
+    f"""
+WITH cand AS ({dedup.lsh_candidate_pairs_sql()}),
+lng AS (SELECT doc_id, lang FROM documents)
+SELECT la.lang AS lang_a, lb.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN lng la ON la.doc_id = cand.doc_a
+JOIN lng lb ON lb.doc_id = cand.doc_b
+GROUP BY la.lang, lb.lang
+""",
+    tags=("pipeline", "dedup"),
+    doc="near-duplicate language matrix: LSH candidate pairs bucketed by "
+    "their language pair — off-diagonal mass flags translated/mislabeled "
+    "duplicates a monolingual dedup pass would keep twice; langs^2 output",
+)
+def q_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    lng = docs.select("doc_id", "lang")
+    la = lng.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = lng.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        cand.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "p_dup_cluster_sizes",
+    f"""
+WITH clusters AS ({dedup.duplicate_clusters_sql()})
+SELECT cluster_size,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY cluster_size
+""",
+    tags=("pipeline", "dedup"),
+    doc="duplicate-cluster size histogram over the connected-components "
+    "output (how much mass sits in big boilerplate clusters vs pairs) — "
+    "the roll-up that sizes dedup's token savings; output bounded by "
+    "max cluster size",
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    clusters = dedup.duplicate_clusters(_docs(spark, sf_dir))
+    return clusters.groupBy("cluster_size").agg(
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
