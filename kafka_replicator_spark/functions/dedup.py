@@ -98,14 +98,20 @@ FROM (
 
 # ------------------------------------------------------ n-gram Jaccard
 
-def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact pairwise n-gram Jaccard over candidate pairs that share at
     least one shingle.  The self-join key is the shingle hash (int join);
     set sizes come from one aggregation — two shuffles total.
+
+    ``shingles`` shares a pre-materialized (cached) :func:`word_ngrams`
+    frame, as in :func:`minhash_containment`.
     """
     # the shingle set feeds three plan branches (sizes + both join sides);
     # Spark does no cross-branch subtree reuse, so cache or pay 3× recompute
-    sh = word_ngrams(docs, n=n).cache()
+    sh = word_ngrams(docs, n=n).cache() if shingles is None else shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -823,7 +829,9 @@ def minhash_containment(
     join on the hash key, so the intersection stage is candidate-confined
     at any corpus size.  Kept where either direction clears ``threshold``.
     """
-    sh = word_ngrams(docs, n=n).cache()
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    sh = track_cached(word_ngrams(docs, n=n))
     cand = lsh_candidate_pairs(docs, k=k, n=n, bands=bands, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
@@ -892,11 +900,12 @@ def cross_source_overlap(docs: DataFrame, n: int = 8) -> DataFrame:
     self-join fan-out per hash is bounded by the source count — output and
     join are sources²-scale regardless of corpus size.
     """
-    sh = (
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    sh = track_cached(
         word_ngrams(docs, n=n, id_col="source")
         .select(F.col("doc_id").alias("source"), "h")
         .distinct()
-        .cache()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("source").alias("src_a"), "h")

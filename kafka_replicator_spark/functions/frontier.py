@@ -8,15 +8,11 @@ sequential; the distributed restatement splits it into
 
   1. per-cost groups (one shuffle; the frontier only needs each cost's max
      size, so grouped rows collapse map-side),
-  2. a range partition of the cost groups + a partition-local running max
-     (``Window.partitionBy(partition_id)`` — never a single-partition global
-     window),
-  3. a broadcast stitch of per-partition maxima, giving every group the
-     exact max size over all STRICTLY cheaper groups,
-
-the same range-partition + local-scan + boundary-stitch shape as
-functions/dedup.prefix_duplicates and functions/textstats.curriculum_buckets.
-The driver-side stitch state is one value per partition — metadata-scale.
+  2. the shared range-partition prefix stitch (functions/stitch.py): a
+     partition-local running max plus the exact max over all strictly
+     earlier partitions — never a single-partition global window,
+  3. a join back to the rows: survivor iff it holds its cost group's max
+     size AND beats the strict-prefix max.
 
 No reference analog (the reference moves bytes, not rows); this is the
 analytics-side frontier operator (cost/quality trade-off curves over
@@ -28,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.functions.stitch import range_prefix_stitch
 
 
 def skyline_2d(
@@ -38,40 +34,22 @@ def skyline_2d(
     partitions: int = 16,
 ) -> DataFrame:
     """Rows of ``df`` on the Pareto frontier: minimal ``min_col``, maximal
-    ``max_col``.  Exact under duplicates (ties on both keys all survive:
-    neither strictly dominates the other).
+    ``max_col`` (any orderable numeric types).  Exact under duplicates
+    (ties on both keys all survive: neither strictly dominates the other).
     """
     groups = df.groupBy(min_col).agg(F.max(max_col).alias("__gmax"))
-    d = (
-        groups.repartitionByRange(partitions, min_col)
-        .sortWithinPartitions(min_col)
-        .select("*", F.spark_partition_id().alias("__pid"))
+    tagged, prefix = range_prefix_stitch(
+        groups, min_col, "__gmax", agg="max", partitions=partitions
     )
-    # the range placement must stay stable between the stitch action and the
-    # final plan — cache and register for bulk release (cacheutil)
-    d = track_cached(d)
+    # groups are distinct per cost, so earlier rows within a partition are
+    # strictly cheaper — the row-frame running max is the strict-prefix max
     w = Window.partitionBy("__pid").orderBy(min_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = d.withColumn("__local_prev", F.max("__gmax").over(w))
-    pmax = {r["__pid"]: r["m"] for r in d.groupBy("__pid").agg(F.max("__gmax").alias("m")).collect()}
-    prefix, acc = [], None
-    for pid in sorted(pmax):
-        prefix.append((pid, acc))
-        acc = pmax[pid] if acc is None else max(acc, pmax[pid])
-    spark = df.sparkSession
-    pre = spark.createDataFrame(
-        [(pid, p) for pid, p in prefix], schema=f"__pid int, __prefix long"
-    )
+    local = tagged.withColumn("__local_prev", F.max("__gmax").over(w))
     strict = (
-        local.join(F.broadcast(pre), "__pid")
-        .withColumn(
-            "__strict_max",
-            F.greatest(
-                F.coalesce("__local_prev", F.lit(None).cast("long")),
-                F.col("__prefix"),
-            ),
-        )
+        local.join(F.broadcast(prefix), "__pid")
+        .withColumn("__strict_max", F.greatest("__local_prev", "__prefix"))
         .select(min_col, "__gmax", "__strict_max")
     )
     return (

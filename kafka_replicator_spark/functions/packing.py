@@ -309,8 +309,10 @@ def tfidf_topterm_pairs(docs: DataFrame, k: int = 3, max_df: int = 20) -> DataFr
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from kafka_replicator_spark.functions.hashing import spread
+
     terms = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        spread(docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks")))
         .select("doc_id", F.explode(grams).alias("term"))
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -454,29 +456,19 @@ def shard_plan(
     """
     from pyspark.sql import Window
 
-    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
 
-    d = (
-        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"))
-        .repartitionByRange(partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .select("*", F.spark_partition_id().alias("__pid"))
+    d, pre = range_prefix_stitch(
+        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")),
+        "doc_id",
+        "nt",
+        agg="sum",
+        partitions=partitions,
     )
-    # placement must stay stable between the stitch action and the plan
-    d = track_cached(d)
     w = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
     local = d.withColumn("__local_prev", F.coalesce(F.sum("nt").over(w), F.lit(0)))
-    ptot = {
-        r["__pid"]: r["s"]
-        for r in d.groupBy("__pid").agg(F.sum("nt").alias("s")).collect()
-    }
-    prefix, acc = [], 0
-    for pid in sorted(ptot):
-        prefix.append((pid, acc))
-        acc += ptot[pid]
-    pre = d.sparkSession.createDataFrame(prefix, schema="__pid int, __prefix long")
     placed = local.join(F.broadcast(pre), "__pid").select(
         "doc_id",
         "nt",

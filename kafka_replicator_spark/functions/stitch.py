@@ -1,0 +1,68 @@
+"""Range-partition prefix stitch — the shared scaffold of the engine's
+exact global-order operators (2-D skyline, token-budget shard planner;
+curriculum_buckets predates it with a rank-count variant).
+
+Shape: range-partition on the order key, sort within partitions, tag rows
+with their partition id, then give every partition the fold (max/sum) of
+the value column over all STRICTLY earlier partitions via one driver-side
+pass over per-partition aggregates (metadata-scale: one value per
+partition) and a broadcast join — never a global single-partition window.
+
+Invariant carried here once, for every caller: the tagged frame is cached
+(cacheutil.track_cached) BEFORE the per-partition aggregates are collected,
+because the final plan's correctness depends on the SAME range placement
+the stitch observed — an uncached recompute could resample range boundaries.
+Callers must keep using the returned frame (not rebuild it) and release via
+cacheutil.release_cached() after their output action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+
+
+def range_prefix_stitch(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    agg: str = "max",
+    partitions: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(tagged, prefix)``:
+
+    * ``tagged`` — ``df`` range-partitioned and sorted on ``order_col``,
+      with a ``__pid`` partition-id column, cached and registered for
+      release.
+    * ``prefix`` — one row per partition: ``__pid`` plus ``__prefix``, the
+      ``agg`` ("max" or "sum") of ``value_col`` over all earlier
+      partitions (NULL / 0 for the first partition respectively), typed
+      like ``value_col`` so non-integer value columns work unchanged.
+    """
+    if agg not in ("max", "sum"):
+        raise ValueError(f"agg must be max|sum, got {agg!r}")
+    tagged = track_cached(
+        df.repartitionByRange(partitions, order_col)
+        .sortWithinPartitions(order_col)
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    aggfn = F.max if agg == "max" else F.sum
+    per_pid = {
+        r["__pid"]: r["v"]
+        for r in tagged.groupBy("__pid").agg(aggfn(value_col).alias("v")).collect()
+    }
+    rows, acc = [], (None if agg == "max" else 0)
+    for pid in sorted(per_pid):
+        rows.append((pid, acc))
+        v = per_pid[pid]
+        if agg == "max":
+            acc = v if acc is None else max(acc, v)
+        else:
+            acc += v
+    dtype = tagged.schema[value_col].dataType.simpleString()
+    prefix = tagged.sparkSession.createDataFrame(
+        rows, schema=f"__pid int, __prefix {dtype}"
+    )
+    return tagged, prefix

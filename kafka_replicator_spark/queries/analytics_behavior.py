@@ -465,9 +465,11 @@ def q_time_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("dayofweek(timestamp_micros(ts div 1000))").alias("dow"),
         F.expr("hour(timestamp_micros(ts div 1000))").alias("hr"),
     )
+    from kafka_replicator_spark.cacheutil import track_cached
+
     # the 168-row cell frame feeds both output and the totals branch; cache
     # or the event scan + aggregation runs twice (no cross-branch reuse)
-    cells = ev.groupBy("dow", "hr").agg(F.count(F.lit(1)).alias("n_events")).cache()
+    cells = track_cached(ev.groupBy("dow", "hr").agg(F.count(F.lit(1)).alias("n_events")))
     tot = cells.agg(F.sum("n_events").alias("t"))
     return cells.join(F.broadcast(tot)).select(
         F.col("dow").cast("int").alias("dow"),

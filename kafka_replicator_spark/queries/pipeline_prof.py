@@ -332,15 +332,20 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from kafka_replicator_spark.cacheutil import track_cached
+
     docs = _docs(spark, sf_dir)
+    # one shingling explode feeds BOTH the LSH candidate stage and the
+    # exact-Jaccard stage (the shingles= sharing of minhash_containment)
+    sh = track_cached(dedup.word_ngrams(docs))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     n_exact = docs.agg(
         F.count_distinct(F.md5(F.col("text"))).alias("n_exact_unique")
     )
-    n_cand = dedup.lsh_candidate_pairs(docs).agg(
+    n_cand = dedup.lsh_candidate_pairs(docs, shingles=sh).agg(
         F.count(F.lit(1)).alias("n_candidate_pairs")
     )
-    n_conf = dedup.jaccard_pairs(docs, threshold=0.5).agg(
+    n_conf = dedup.jaccard_pairs(docs, threshold=0.5, shingles=sh).agg(
         F.count(F.lit(1)).alias("n_confirmed_pairs")
     )
     return (
