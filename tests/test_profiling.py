@@ -355,3 +355,24 @@ def test_event_queries_survive_ts_encoding_flip(spark, sf_dir, tmp_path):
         a = sorted(map(tuple, qs[n].fn(spark, str(sf_dir)).collect()))
         b = sorted(map(tuple, qs[n].fn(spark, str(alt)).collect()))
         assert a == b, f"{n}: results differ across ts encodings"
+
+
+# ------------------------------------------------------------ prefix stitch
+
+def test_range_prefix_stitch_folds(spark):
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), int(rng.integers(1, 100))) for i in range(200)]
+    df = spark.createDataFrame(rows, schema="k long, v long")
+    for agg, fold in [("sum", sum), ("max", max)]:
+        tagged, prefix = range_prefix_stitch(df, "k", "v", agg=agg, partitions=7)
+        pids = {r["k"]: r["__pid"] for r in tagged.collect()}
+        pre = {r["__pid"]: r["__prefix"] for r in prefix.collect()}
+        by_pid = {}
+        for k, v in rows:
+            by_pid.setdefault(pids[k], []).append(v)
+        for pid in sorted(by_pid):
+            earlier = [v for p in by_pid if p < pid for v in by_pid[p]]
+            expected = (fold(earlier) if earlier else (0 if agg == "sum" else None))
+            assert pre[pid] == expected, (agg, pid)
