@@ -154,17 +154,30 @@ _NEW_THIS_ROUND: list[str] = [
 ]
 
 
+#: Queries registered mid-round AFTER the 50-entry window filled (3 backlog
+#: + 44 new = 47, leaving 3 ballast slots).  Ordered after _NEW_THIS_ROUND:
+#: the first 3 take the remaining window slots this round, the rest queue
+#: just past the edge and rotate in next round (fold any green rows into
+#: _EVER_GREEN then, same as _NEW_THIS_ROUND).
+_STAGED_NEXT_ROUND: list[str] = [
+    "p_column_profile",
+    "p_fk_integrity",
+    "p_uniqueness_audit",
+    "a_benford_totalprice",
+]
+
+
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit  # noqa: F401
 
     names = list(REGISTRY)
-    new = [n for n in _NEW_THIS_ROUND if n in REGISTRY]
+    new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]
     # Priority for the driver's prefix-of-50 window, most-starved first:
     # 1. never-green backlog, r_* first (the engine's center of gravity),
     #    then registration order
-    # 2. this round's additions
+    # 2. this round's additions (then the staged overflow)
     # 3. the ever-green remainder (r_* first so an over-50 prefix re-checks
     #    the replicator lifecycle before analytics ballast)
     backlog = [n for n in names if n not in _EVER_GREEN and n not in new]
