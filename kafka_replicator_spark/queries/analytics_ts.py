@@ -1,0 +1,511 @@
+"""Time-series / behavioral analytics over the events table: autocorrelation,
+changepoint detection, co-occurrence lift, lifespan cohorts, DAU/MAU
+stickiness, robust (MAD) anomaly flags, last-touch attribution.
+
+All queries ride the normalized ``ts`` (epoch-nanos LONG via
+sources.tables.load_table; ``ts_us = ts div 1000``, oracle ``epoch_us(ts)``).
+Day grain is ``ts_us div DAY_US`` — exact integer bucketing on both engines.
+
+Reference parity: the reference engine's temporal surface is segment-grain
+(rollover windows, TTL ordering — covered by the r_t* queries); this family
+is the event-grain analytics layer a consumer of those segments runs.
+
+Scale notes: every query collapses the event stream to a bounded grain
+(day / user-day / type-day) FIRST; windows only ever see the collapsed frame
+(day-count- or per-user-sized partitions), never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+#: epoch micros per day
+DAY_US = 86_400_000_000
+#: last-touch attribution lookback window (7 days, micros)
+ATTRIB_WINDOW_US = 7 * DAY_US
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_autocorr_daily",
+    f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day, CAST(value AS DECIMAL(18,2)) AS v FROM events
+),
+daily AS (SELECT day, sum(v) AS total FROM e GROUP BY day),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+pairs AS (
+  SELECT l.lag, x.total AS xv, y.total AS yv
+  FROM daily x CROSS JOIN lags l JOIN daily y ON y.day = x.day + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xv) AS DOUBLE) AS sx, CAST(sum(yv) AS DOUBLE) AS sy,
+         CAST(sum(xv * yv) AS DOUBLE) AS sxy,
+         CAST(sum(xv * xv) AS DOUBLE) AS sx2,
+         CAST(sum(yv * yv) AS DOUBLE) AS sy2
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 0), 6)
+         AS autocorr
+FROM m
+""",
+    tags=("analytics", "timeseries"),
+    doc="lag-1..7 autocorrelation of daily revenue: events collapse to day "
+    "grain first (the lag self-join touches a day-count-sized frame, "
+    "broadcast at any corpus size); Pearson moments fold as DECIMAL and "
+    "the correlation is one fixed double expression over exact sums",
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.expr(f"ts_us div {DAY_US}").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    daily = track_cached(ev.groupBy("day").agg(F.sum("v").alias("total")))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    x = daily.select(F.col("day").alias("xday"), F.col("total").alias("xv"))
+    y = daily.select(F.col("day").alias("yday"), F.col("total").alias("yv"))
+    pairs = (
+        x.join(F.broadcast(lags))
+        .join(F.broadcast(y), F.col("yday") == F.col("xday") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").cast("double").alias("sx"),
+        F.sum("yv").cast("double").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sx2"),
+        F.sum(F.col("yv") * F.col("yv")).cast("double").alias("sy2"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.sqrt(
+                    (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cusum_changepoint",
+    f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS s_n
+  FROM d GROUP BY event_type
+),
+pre AS (
+  SELECT d.event_type, d.day, tot.n_days, tot.s_n,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(n) OVER w AS BIGINT) AS s_k
+  FROM d JOIN tot USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+splits AS (
+  SELECT event_type, day, n_days,
+         (1000000 * abs(s_k * (n_days - k) - (s_n - s_k) * k))
+           // (k * (n_days - k)) AS delta_ppm
+  FROM pre WHERE k < n_days
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY delta_ppm DESC, day ASC) AS r
+  FROM splits
+)
+SELECT event_type, day AS split_day, n_days, delta_ppm
+FROM best WHERE r = 1
+""",
+    tags=("analytics", "timeseries"),
+    doc="CUSUM-style changepoint per event type: the split maximizing "
+    "|left mean - right mean| of daily counts, exact integer ppm via "
+    "cross-multiplied fractions (earliest-day tie-break); events collapse "
+    "to type-day grain first so every window is day-count-sized",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us div {DAY_US}").alias("day")
+    )
+    d = track_cached(
+        ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("s_n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = d.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "s_n",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("k"),
+        F.sum("n").over(w).cast("long").alias("s_k"),
+    )
+    splits = pre.where(F.col("k") < F.col("n_days")).select(
+        "event_type",
+        "day",
+        "n_days",
+        F.expr(
+            "(1000000 * abs(s_k * (n_days - k) - (s_n - s_k) * k))"
+            " div (k * (n_days - k))"
+        ).alias("delta_ppm"),
+    )
+    r = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("delta_ppm").desc(), F.col("day").asc()
+        )
+    )
+    return (
+        splits.withColumn("r", r)
+        .where(F.col("r") == 1)
+        .select("event_type", F.col("day").alias("split_day"), "n_days", "delta_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_event_type_lift",
+    f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day, event_type FROM events
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT user_id, day FROM ud)),
+n_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ud GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ud a JOIN ud b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both, na.n AS n_a, nb.n AS n_b,
+       (1000000 * p.n_both * tot.n) // (na.n * nb.n) AS lift_ppm
+FROM pairs p
+JOIN n_t na ON na.event_type = p.type_a
+JOIN n_t nb ON nb.event_type = p.type_b
+CROSS JOIN tot
+""",
+    tags=("analytics", "events"),
+    doc="event-type co-occurrence lift over user-days (market-basket "
+    "association): P(a,b)/(P(a)P(b)) in exact integer ppm; the stream "
+    "collapses to DISTINCT (user, day, type) before the self-join, whose "
+    "fan-out is bounded by the type count per user-day — type-pair output",
+)
+def q_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = track_cached(
+        _events(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us div {DAY_US}").alias("day"), "event_type")
+        .distinct()
+    )
+    tot = (
+        ud.select("user_id", "day").distinct().agg(F.count(F.lit(1)).alias("n_tot"))
+    )
+    n_t = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n_t.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n_t.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_both * n_tot) div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_user_lifespan",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+per_user AS (
+  SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+         CAST(count(DISTINCT day) AS BIGINT) AS n_active_days,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY user_id
+)
+SELECT (last_day - first_day) // 7 AS span_weeks,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_active_days) AS BIGINT) AS sum_active_days,
+       CAST(sum(n_events) AS BIGINT) AS sum_events,
+       CAST((1000 * sum(n_active_days)) // count(*) AS BIGINT) AS avg_active_days_milli
+FROM per_user GROUP BY span_weeks
+""",
+    tags=("analytics", "events"),
+    doc="user lifespan cohorts: per-user first/last activity span rolled "
+    "into a weeks-histogram with average active days in exact integer "
+    "milli-units — two aggregations, week-count output rows",
+)
+def q_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.count_distinct("day").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_user.withColumn(
+            "span_weeks", F.expr("(last_day - first_day) div 7")
+        )
+        .groupBy("span_weeks")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_active_days").alias("sum_active_days"),
+            F.sum("n_events").alias("sum_events"),
+            F.expr("(1000 * sum(n_active_days)) div count(1)").alias(
+                "avg_active_days_milli"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_stickiness",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+dau AS (
+  SELECT day // 30 AS w, day, CAST(count(DISTINCT user_id) AS BIGINT) AS du
+  FROM e GROUP BY day // 30, day
+),
+mau AS (
+  SELECT day // 30 AS w, CAST(count(DISTINCT user_id) AS BIGINT) AS mu
+  FROM e GROUP BY day // 30
+),
+agg AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(du) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY w
+)
+SELECT agg.w AS window_30d, agg.n_days, agg.sum_dau, mau.mu AS mau,
+       (1000000 * agg.sum_dau) // (agg.n_days * mau.mu) AS stickiness_ppm
+FROM agg JOIN mau USING (w)
+""",
+    tags=("analytics", "events"),
+    doc="DAU/MAU stickiness per 30-day window (avg daily actives over "
+    "window actives, exact integer ppm): two distinct aggregations at day "
+    "and window grain — window-count output rows",
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = track_cached(
+        _events(spark, sf_dir).select(
+            "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+        )
+    )
+    dau = e.groupBy(F.expr("day div 30").alias("w"), F.col("day")).agg(
+        F.count_distinct("user_id").alias("du")
+    )
+    mau = e.groupBy(F.expr("day div 30").alias("w")).agg(
+        F.count_distinct("user_id").alias("mu")
+    )
+    agg = dau.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("du").alias("sum_dau")
+    )
+    return agg.join(F.broadcast(mau), "w").select(
+        F.col("w").alias("window_30d"),
+        "n_days",
+        "sum_dau",
+        F.col("mu").alias("mau"),
+        F.expr("(1000000 * sum_dau) div (n_days * mu)").alias("stickiness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_anomaly_mad",
+    f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+med AS (
+  SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med FROM d GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, med.med, abs(d.n - med.med) AS dv
+  FROM d JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(dv, 0.5), 6) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, dev.day, dev.n,
+       dev.med AS median_daily, mad.mad AS mad_daily
+FROM dev JOIN mad USING (event_type)
+WHERE dev.dv > 3 * mad.mad
+""",
+    tags=("analytics", "timeseries"),
+    doc="robust daily-volume anomalies via median absolute deviation "
+    "(|count - median| > 3 MAD): the MAD-vs-stddev robustness upgrade of "
+    "a_anomaly_zscore; medians are exact sort-based percentiles at the 0.5 "
+    "fraction (bit-identical cross-engine), computed on the bounded "
+    "type-day frame",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us div {DAY_US}").alias("day")
+    )
+    d = track_cached(
+        ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = d.groupBy("event_type").agg(
+        F.round(F.expr("percentile(n, 0.5D)"), 6).alias("med")
+    )
+    dev = track_cached(
+        d.join(F.broadcast(med), "event_type").withColumn(
+            "dv", F.abs(F.col("n") - F.col("med"))
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dv, 0.5D)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dv") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.col("med").alias("median_daily"),
+            F.col("mad").alias("mad_daily"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_attribution_last_touch",
+    f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER uw AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS)
+           OVER uw AS touch_ts
+  FROM e
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+p AS (
+  SELECT CASE WHEN touch_ts IS NULL OR ts_us - touch_ts > {ATTRIB_WINDOW_US}
+              THEN 'none' ELSE touch_type END AS attributed_to,
+         value
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT attributed_to,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_revenue
+FROM p GROUP BY attributed_to
+""",
+    tags=("analytics", "events"),
+    doc="last-touch attribution: each purchase credits the user's most "
+    "recent prior non-purchase event within 7 days ('none' past the "
+    "window); one per-user ordered window over the event stream — "
+    "per-user partitions, touch-type output rows; DECIMAL revenue fold",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), True
+    ).over(uw)
+    touch_ts = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("ts_us")), True
+    ).over(uw)
+    w = e.select(
+        "event_type",
+        "value",
+        "ts_us",
+        touch_type.alias("touch_type"),
+        touch_ts.alias("touch_ts"),
+    )
+    p = w.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNull()
+            | (F.col("ts_us") - F.col("touch_ts") > ATTRIB_WINDOW_US),
+            "none",
+        )
+        .otherwise(F.col("touch_type"))
+        .alias("attributed_to"),
+        "value",
+    )
+    return p.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
