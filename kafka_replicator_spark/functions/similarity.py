@@ -1167,3 +1167,190 @@ SELECT r.centroid_id, r.vec_id AS representative_id,
        round(r.ccos, 6) AS rep_cos, s.n_members
 FROM reps r JOIN sizes s USING (centroid_id) WHERE r.rep_rn = 1
 """
+
+
+# ------------------------------------------------- covariance / truncation
+
+
+def embedding_covariance(embeddings: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Covariance + correlation matrix over the first ``n_dims`` embedding
+    dimensions — the redundancy/whitening diagnostic before PCA or
+    dimension truncation.
+
+    Components quantize to exact integer micro-units (the kmeans
+    convention), so the second-moment sums are exact BIGINTs at corpus
+    scale; covariance and Pearson correlation are fixed double expressions
+    over those exact sums (bit-identical cross-engine), reported in
+    original (micro^2-descaled) units.
+
+    Plan: one positional explode to (vec, dim, q), one self-join keyed on
+    vec_id with i <= j (fan-out n_dims^2/2 per vector), one pair-grain
+    aggregation; diagonal moments broadcast back for the correlation.
+    At extreme corpus sizes lift the sums to DECIMAL(38,0) — same shape.
+    """
+    dims = _spread_emb(embeddings).select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(slice(embedding, 1, {n_dims}),"
+                " x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))"
+            )
+        ).alias("dim", "q"),
+    )
+    a = dims.select("vec_id", F.col("dim").alias("i"), F.col("q").alias("qi"))
+    b = dims.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qj"))
+    m = (
+        a.join(b, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qi").alias("si"),
+            F.sum("qj").alias("sj"),
+            F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+        )
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    m = track_cached(m)
+    diag = m.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("n").alias("dn"), F.col("si").alias("ds"),
+        F.col("sij").alias("dss"),
+    )
+    di = diag.select(F.col("d").alias("i"), F.col("ds").alias("sii_s"), F.col("dss").alias("sii"))
+    dj = diag.select(F.col("d").alias("j"), F.col("ds").alias("sjj_s"), F.col("dss").alias("sjj"))
+    cov = (
+        F.col("sij").cast("double") / F.col("n")
+        - (F.col("si").cast("double") / F.col("n"))
+        * (F.col("sj").cast("double") / F.col("n"))
+    ) / F.lit(1e12)
+    corr_num = F.col("n") * F.col("sij").cast("double") - F.col("si").cast(
+        "double"
+    ) * F.col("sj").cast("double")
+    corr_den = F.sqrt(
+        (F.col("n") * F.col("sii").cast("double") - F.col("sii_s").cast("double") * F.col("sii_s").cast("double"))
+        * (F.col("n") * F.col("sjj").cast("double") - F.col("sjj_s").cast("double") * F.col("sjj_s").cast("double"))
+    )
+    return (
+        m.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(cov, 6).alias("covariance"),
+            F.round(corr_num / F.nullif(corr_den, F.lit(0.0)), 6).alias("correlation"),
+        )
+    )
+
+
+def embedding_covariance_sql(n_dims: int = 8) -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id,
+         generate_subscripts(embedding[1:{n_dims}], 1) - 1 AS dim,
+         unnest(list_transform(embedding[1:{n_dims}],
+                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS q
+  FROM embeddings
+),
+m AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.q) AS BIGINT) AS si, CAST(sum(b.q) AS BIGINT) AS sj,
+         CAST(sum(a.q * b.q) AS BIGINT) AS sij
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+diag AS (SELECT i AS d, si AS ds, sij AS dss FROM m WHERE i = j)
+SELECT CAST(m.i AS INTEGER) AS dim_i, CAST(m.j AS INTEGER) AS dim_j,
+       m.n AS n_vectors,
+       round((CAST(m.sij AS DOUBLE) / m.n
+              - (CAST(m.si AS DOUBLE) / m.n) * (CAST(m.sj AS DOUBLE) / m.n))
+             / 1e12, 6) AS covariance,
+       round((m.n * CAST(m.sij AS DOUBLE)
+              - CAST(m.si AS DOUBLE) * CAST(m.sj AS DOUBLE))
+             / nullif(sqrt((m.n * CAST(di.dss AS DOUBLE)
+                            - CAST(di.ds AS DOUBLE) * CAST(di.ds AS DOUBLE))
+                           * (m.n * CAST(dj.dss AS DOUBLE)
+                              - CAST(dj.ds AS DOUBLE) * CAST(dj.ds AS DOUBLE))), 0),
+             6) AS correlation
+FROM m
+JOIN diag di ON di.d = m.i
+JOIN diag dj ON dj.d = m.j
+"""
+
+
+def dim_truncation_recall(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 5, trunc: int = 32
+) -> DataFrame:
+    """Matryoshka-style truncation audit: overlap between the exact top-k
+    under the first ``trunc`` dimensions and under the full vector, per
+    probe — the retrieval-quality price of dimension truncation.
+
+    Both rankings are the broadcast-probe brute-force plan (corpus never
+    shuffles); the overlap join is k-row-per-probe scale.
+    """
+    full = brute_force_topk(embeddings, probe_ids, k=k).select(
+        "probe_id", "neighbor_id"
+    )
+    t = embeddings.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {trunc})").alias("embedding")
+    )
+    part = brute_force_topk(t, probe_ids, k=k).select(
+        "probe_id", F.col("neighbor_id").alias("t_neighbor_id")
+    )
+    hits = full.join(
+        part,
+        (full.probe_id == part.probe_id)
+        & (full.neighbor_id == part.t_neighbor_id),
+    ).groupBy(full.probe_id.alias("probe_id")).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    base = full.groupBy("probe_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    return base.join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.col("k_eff").cast("long").alias("k_eff"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr("(1000000 * coalesce(n_overlap, 0)) div k_eff").alias("recall_ppm"),
+    )
+
+
+def dim_truncation_recall_sql(probe_ids: list[int], k: int = 5, trunc: int = 32) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                    (embedding[1:{trunc}])::DOUBLE[] AS et FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, e AS pe, et AS pet FROM emb
+           WHERE vec_id IN ({ids})),
+full_r AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY {cos.format(a='pe', b='e')} DESC, vec_id ASC) AS rank
+    FROM emb, probes WHERE vec_id <> probe_id
+  ) WHERE rank <= {k}
+),
+trunc_r AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY {cos.format(a='pet', b='et')} DESC, vec_id ASC) AS rank
+    FROM emb, probes WHERE vec_id <> probe_id
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT f.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM full_r f JOIN trunc_r t
+    ON t.probe_id = f.probe_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY f.probe_id
+),
+base AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS k_eff
+         FROM full_r GROUP BY probe_id)
+SELECT base.probe_id, base.k_eff,
+       coalesce(hits.n_overlap, 0) AS n_overlap,
+       (1000000 * coalesce(hits.n_overlap, 0)) // base.k_eff AS recall_ppm
+FROM base LEFT JOIN hits USING (probe_id)
+"""
