@@ -498,3 +498,70 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+# ------------------------------------------------ staged-round families
+
+
+def test_column_profile_single_pass(spark, sf_dir):
+    # one scan, no join; the multi-distinct aggregation compiles to Spark's
+    # Expand plan (one gid per distinct column) with partial aggregation
+    # BEFORE each of its two exchanges — distinct-value-scale shuffles
+    df = QUERIES["p_column_profile"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_fk_orphans_distinct_before_antijoin(spark, sf_dir):
+    df = QUERIES["p_fk_integrity"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan, plan
+    # anti joins present for the orphan probes
+    assert "LeftAnti" in plan, plan
+
+
+def test_autocorr_collapses_to_day_grain(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["a_autocorr_daily"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the lag self-join runs on the cached day-grain frame and broadcasts
+    assert has_broadcast_join(df), plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_attribution_window_is_per_user(spark, sf_dir):
+    df = QUERIES["a_attribution_last_touch"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition, ENSURE_REQUIREMENTS" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_kneser_ney_topk_broadcasts_past_vocab(spark, sf_dir):
+    df = QUERIES["p_kneser_ney"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the k-row top frame broadcasts against the vocab-scale stats frames
+    assert has_broadcast_join(df), plan
+    # distributed TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_triangle_census_no_cartesian_no_global_window(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_triangle_census"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only window is the kNN edge builder's per-vector rank — the
+    # census itself must add no global-funnel window
+    assert "SinglePartition, ENSURE_REQUIREMENTS" not in plan, plan
+
+
+def test_embedding_covariance_joins_on_vec_key(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_embedding_covariance"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # diagonal moments ride broadcast frames
+    assert has_broadcast_join(df), plan

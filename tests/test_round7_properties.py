@@ -1,0 +1,208 @@
+"""Property tests for the data-quality / time-series / graph / lexical
+operator families added after the round-4 window filled (the
+_STAGED_NEXT_ROUND registry block)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions import graph, lexstats, profiling
+
+
+# ---------------------------------------------------------------- graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], schema="vec_id long, neighbor_id long"
+    )
+
+
+def test_triangle_census_known_graph(spark):
+    # K4 on {0..3} (4 triangles) + pendant path 3-4-5 (0 triangles)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = graph.undirect(_edges(spark, k4 + [(3, 4), (4, 5), (4, 3)]))
+    row = graph.triangle_stats(e).collect()[0]
+    assert row.n_nodes == 6 and row.n_edges == 8
+    assert row.n_triangles == 4
+    # wedges: deg 3,3,3,4,2,1 -> 3+3+3+6+1+0 = 16; clustering = 3*4/16
+    assert row.n_wedges == 16
+    assert row.clustering_ppm == 750000
+
+
+def test_triangle_census_matches_bruteforce_on_knn(spark, sf_dir):
+    from kafka_replicator_spark.functions import similarity
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = graph.undirect(
+        similarity.label_knn_graph(emb).select("vec_id", "neighbor_id")
+    ).cache()
+    got = graph.triangle_stats(e).collect()[0]
+    edges = {(r.u, r.v) for r in e.collect()}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # closed wedges: center u with adjacent leaf pair v<w that is itself an
+    # edge — each triangle counted once per vertex, i.e. exactly 3 times
+    closed = sum(
+        1 for u in adj for v in adj[u] for w in adj[u] if v < w and w in adj[v]
+    )
+    assert got.n_triangles * 3 == closed
+    e.unpersist()
+
+
+def test_common_neighbors_known_graph(spark):
+    # square 0-1-2-3-0: diagonals (0,2) and (1,3) share 2 neighbors each
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    e = graph.undirect(_edges(spark, sq))
+    rows = {
+        (r.u, r.v): (r.n_common, r.jaccard_ppm)
+        for r in graph.common_neighbor_candidates(e, min_common=2).collect()
+    }
+    assert rows == {(0, 2): (2, 1000000), (1, 3): (2, 1000000)}
+
+
+def test_degree_histogram_shares_sum(spark):
+    e = graph.undirect(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]))
+    rows = graph.degree_histogram(e).collect()
+    assert sum(r.n_nodes for r in rows) == 4
+    assert all(0 < r.share_ppm <= 1000000 for r in rows)
+
+
+# ---------------------------------------------------------------- lexical
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    texts = ["x y x z x y", "y x y z"]
+    got = {
+        (r.w1, r.w2): (r.c12, r.c1, r.n1fw, r.n1bw, r.prob_ppm)
+        for r in lexstats.kneser_ney_bigram(_docs(spark, texts)).collect()
+    }
+    # python reference
+    from collections import Counter
+
+    bigrams = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+    c1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for (a, b), c in bigrams.items():
+        c1[a] += c
+        n1fw[a] += 1
+        n1bw[b] += 1
+    n_types = len(bigrams)
+    for (a, b), c in bigrams.items():
+        num = (4 * c - 3) * n_types + 3 * n1fw[a] * n1bw[b]
+        den = 4 * c1[a] * n_types
+        assert got[(a, b)] == (c, c1[a], n1fw[a], n1bw[b], 1_000_000 * num // den)
+
+
+def test_kneser_ney_context_mass_below_one(spark):
+    # Σ_w2 P(w2|w1) over OBSERVED continuations stays < 1 (the discount
+    # reserves mass for unseen continuations)
+    texts = ["a b a c a b a d", "b a b c"]
+    rows = lexstats.kneser_ney_bigram(_docs(spark, texts)).collect()
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r.w1, 0)
+        by_ctx[r.w1] += r.prob_ppm
+    for w1, mass in by_ctx.items():
+        assert mass <= 1_000_000, (w1, mass)
+
+
+def test_rake_scores_hand_checked(spark):
+    # stopwords include 'of' and 'the'; phrases: "deep learning", "deep net"
+    rows = {
+        r.phrase: (r.n_words, r.n_occurrences, r.score_ppm)
+        for r in lexstats.rake_keywords(
+            _docs(spark, ["deep learning of the deep net"])
+        ).collect()
+    }
+    # deep: freq 2, degree 2+2=4 -> 2.0; learning: 1/2 -> 2.0; net: 1/2 -> 2.0
+    assert rows["deep learning"] == (2, 1, 4_000_000)
+    assert rows["deep net"] == (2, 1, 4_000_000)
+
+
+def test_burstiness_uniform_vs_bursty(spark):
+    # 'u' spread one-per-doc (VMR < 1); 'b' concentrated in one doc (VMR > 1)
+    texts = ["u b b b b", "u", "u", "u"]
+    rows = {
+        r.tok: r.vmr_ppm
+        for r in lexstats.term_burstiness(_docs(spark, texts)).collect()
+    }
+    assert rows["b"] > 1_000_000  # bursty
+    assert rows["u"] < 1_000_000  # under-dispersed
+
+
+def test_token_fertility_exact(spark):
+    docs = _docs(spark, ["ab cd", "efg"])  # 5+3 chars, 2+1 tokens
+    r = {(x.source, x.lang): x for x in lexstats.token_fertility(docs).collect()}
+    row = r[("src", "en")]
+    assert (row.sum_chars, row.sum_tokens) == (8, 3)
+    assert row.chars_per_token_milli == 8000 // 3
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def test_benford_digit_extraction_rounding_edges(spark):
+    # 999.995 rounds to 100000 cents -> leading digit 1; 0 and negatives drop
+    orders = spark.createDataFrame(
+        [(999.995,), (0.004,), (12.34,), (91.0,)], schema="o_totalprice double"
+    )
+    rows = {r.digit: r.n for r in profiling.benford_digits(orders).collect()}
+    assert rows == {1: 2, 9: 1}
+
+
+def test_uniqueness_audit_counts_dup_rows(spark):
+    t = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], schema="event_id long"
+    )
+    tables = dict.fromkeys([n for n, _ in profiling.CANDIDATE_KEYS], t)
+    tables["documents"] = t.withColumnRenamed("event_id", "doc_id")
+    tables["embeddings"] = t.withColumnRenamed("event_id", "vec_id")
+    tables["orders"] = t.withColumnRenamed("event_id", "o_orderkey")
+    tables["lineitem"] = t.withColumnRenamed("event_id", "l_orderkey").withColumn(
+        "l_linenumber", F.lit(1)
+    )
+    rows = {r.table_name: r for r in profiling.uniqueness_audit(tables).collect()}
+    ev = rows["events"]
+    assert (ev.n_rows, ev.n_keys, ev.n_dup_rows) == (4, 3, 2)
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def test_truncation_recall_is_total_at_full_dim(spark, sf_dir):
+    from kafka_replicator_spark.functions import similarity
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.dim_truncation_recall(emb, [0, 1, 2], k=3, trunc=64).collect()
+    assert len(out) == 3
+    assert all(r.recall_ppm == 1_000_000 for r in out)
+
+
+def test_embedding_covariance_diagonal_is_variance(spark, sf_dir):
+    from kafka_replicator_spark.functions import similarity
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.embedding_covariance(emb, n_dims=4).collect()
+    assert len(rows) == 10  # 4*5/2 upper-triangle pairs
+    for r in rows:
+        if r.dim_i == r.dim_j:
+            assert r.covariance >= 0
+            assert r.correlation == pytest.approx(1.0, abs=1e-6)
+        assert -1.0 - 1e-9 <= r.correlation <= 1.0 + 1e-9
