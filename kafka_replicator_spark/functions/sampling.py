@@ -497,3 +497,81 @@ SELECT doc_id, source, {h} AS h
 FROM documents
 ORDER BY h, doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------- Poisson bootstrap
+
+#: Poisson(1) CDF thresholds in 2^60 units (Python-literal on both engines):
+#: replicate count k = number of thresholds <= the document's 60-bit hash,
+#: capped at 5.  floor(cdf_k * 2^60) for k = 0..4.
+POISSON1_THRESHOLDS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+#: bootstrap replicates computed by poisson_bootstrap
+BOOTSTRAP_REPLICATES = 3
+
+
+def poisson_bootstrap(docs: DataFrame, n_replicates: int = BOOTSTRAP_REPLICATES) -> DataFrame:
+    """Deterministic Poisson(1) bootstrap over the corpus: each replicate
+    draws every document k times where k inverts the Poisson CDF at the
+    document's replicate-keyed 60-bit hash — the standard single-pass
+    bootstrap at scale (no global n needed, no RNG state; reruns and
+    engines agree bit-for-bit).
+
+    Per-replicate resampled doc/token totals let a pipeline put error bars
+    on any corpus statistic.  Map-only assignment + one replicate-grain
+    aggregation; ``n_replicates`` output rows.
+    """
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    reps = docs.sparkSession.range(n_replicates).select(
+        F.col("id").cast("int").alias("replicate")
+    )
+    per = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    j = per.join(F.broadcast(reps))
+    h = portable_hash60(
+        F.concat_ws("|", F.lit("boot"), F.col("replicate").cast("string"),
+                    F.col("doc_id").cast("string"))
+    )
+    k = sum(
+        F.when(h >= F.lit(t), 1).otherwise(0) for t in POISSON1_THRESHOLDS
+    )
+    drawn = j.withColumn("k", k.cast("long"))
+    return drawn.groupBy("replicate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("k").alias("n_draws"),
+        F.sum(F.when(F.col("k") > 0, 1).otherwise(0)).alias("n_docs_kept"),
+        F.sum(F.col("k") * F.col("nt")).alias("n_tokens_drawn"),
+    )
+
+
+def poisson_bootstrap_sql(n_replicates: int = BOOTSTRAP_REPLICATES) -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        "'boot|' || CAST(r.replicate AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)"
+    )
+    ks = " + ".join(
+        f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_THRESHOLDS
+    )
+    return f"""
+WITH r AS (SELECT unnest(range({n_replicates})) AS replicate),
+d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+drawn AS (
+  SELECT CAST(r.replicate AS INTEGER) AS replicate, d.nt,
+         CAST({ks} AS BIGINT) AS k
+  FROM d CROSS JOIN r
+)
+SELECT replicate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS n_draws,
+       CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(k * nt) AS BIGINT) AS n_tokens_drawn
+FROM drawn GROUP BY replicate
+"""

@@ -180,13 +180,18 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_rake_keywords",
     "p_embedding_covariance",
     "p_dim_truncation_recall",
+    "p_ngram_coverage",
+    "p_poisson_bootstrap",
+    "a_inactivity_gaps",
+    "a_brand_affinity",
+    "a_supplier_part_overlap",
 ]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]
