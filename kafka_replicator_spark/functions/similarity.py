@@ -1354,3 +1354,98 @@ SELECT base.probe_id, base.k_eff,
        (1000000 * coalesce(hits.n_overlap, 0)) // base.k_eff AS recall_ppm
 FROM base LEFT JOIN hits USING (probe_id)
 """
+
+
+def pca_power_iteration(
+    embeddings: DataFrame, n_dims: int = 8, n_iter: int = 3
+) -> DataFrame:
+    """Dominant principal component by fixed-iteration power method over
+    the (quantized) covariance matrix of the first ``n_dims`` dimensions —
+    the distributed PCA core (deflation for further components repeats the
+    same plan).
+
+    The covariance entries come from :func:`embedding_covariance` (exact
+    moment sums, 6-dp quantized), so the matrix is engine-independent;
+    each iteration is a matrix-vector multiply as a dims^2-row join with
+    9-dp re-quantized DECIMAL folds (the registry's exact-fold convention)
+    and a broadcast 1-row normalizer.  ``n_iter`` is fixed — every engine
+    reproduces the trajectory bit-for-bit, no convergence test, no driver
+    state.  Output: (dim, loading, eigenvalue-estimate = final |Cv|).
+    """
+    import math
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    cov = embedding_covariance(embeddings, n_dims=n_dims).select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"),
+        F.col("covariance").alias("c"),
+    )
+    cm = track_cached(
+        cov.union(
+            cov.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        )
+    )
+    spark = embeddings.sparkSession
+    v0 = round(1.0 / math.sqrt(n_dims), 9)
+    v = spark.range(n_dims).select(
+        F.col("id").cast("int").alias("dim"), F.lit(v0).alias("v")
+    )
+    nrm = None
+    for _ in range(n_iter):
+        w = (
+            cm.join(F.broadcast(v), cm.j == v.dim)
+            .select("i", F.round(F.col("c") * F.col("v"), 9).cast("decimal(28,9)").alias("t"))
+            .groupBy("i")
+            .agg(F.sum("t").cast("double").alias("s"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("s") * F.col("s"), 9).cast("decimal(28,9)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = w.join(F.broadcast(nrm)).select(
+            F.col("i").alias("dim"), F.round(F.col("s") / F.col("nrm"), 9).alias("v")
+        )
+    return v.join(F.broadcast(nrm)).select(
+        "dim",
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigenvalue"),
+    )
+
+
+def pca_power_iteration_sql(n_dims: int = 8, n_iter: int = 3) -> str:
+    import math
+
+    v0 = round(1.0 / math.sqrt(n_dims), 9)
+    sql = f"""
+WITH cov AS (
+  SELECT dim_i AS i, dim_j AS j, covariance AS c
+  FROM ({embedding_covariance_sql(n_dims=n_dims)})
+),
+cm AS (
+  SELECT i, j, c FROM cov
+  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j
+),
+v0 AS (SELECT CAST(unnest(range({n_dims})) AS INTEGER) AS dim, {v0!r}::DOUBLE AS v)"""
+    prev = "v0"
+    for k in range(1, n_iter + 1):
+        sql += f""",
+w{k} AS (
+  SELECT cm.i, CAST(sum(CAST(round(cm.c * p.v, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+  FROM cm JOIN {prev} p ON p.dim = cm.j GROUP BY cm.i
+),
+n{k} AS (
+  SELECT sqrt(CAST(sum(CAST(round(s * s, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+  FROM w{k}
+),
+v{k} AS (SELECT i AS dim, round(s / nrm, 9) AS v FROM w{k}, n{k})"""
+        prev = f"v{k}"
+    sql += f"""
+SELECT dim, round(v, 6) AS loading, round(nrm, 6) AS eigenvalue
+FROM {prev}, n{n_iter}
+"""
+    return sql

@@ -185,6 +185,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_inactivity_gaps",
     "a_brand_affinity",
     "a_supplier_part_overlap",
+    "p_pca_power",
 ]
 
 

@@ -47,3 +47,19 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.dim_truncation_recall(
         load_table(spark, sf_dir, "embeddings"), _TRUNC_PROBES, k=5, trunc=32
     )
+
+
+@register(
+    "p_pca_power",
+    similarity.pca_power_iteration_sql(n_dims=8, n_iter=3),
+    tags=("pipeline", "similarity"),
+    doc="dominant principal component via 3 fixed power iterations over "
+    "the quantized covariance matrix: each iteration is a dims^2-row "
+    "matrix-vector join with 9-dp re-quantized DECIMAL folds and a "
+    "broadcast 1-row normalizer — engine-independent trajectory, no "
+    "driver-side linear algebra; dims output rows",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pca_power_iteration(
+        load_table(spark, sf_dir, "embeddings"), n_dims=8, n_iter=3
+    )
