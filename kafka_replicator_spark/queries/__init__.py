@@ -186,6 +186,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_brand_affinity",
     "a_supplier_part_overlap",
     "p_pca_power",
+    "p_oov_rate",
+    "a_ab_assignment",
+    "p_simhash_eval",
+    "p_centroid_outliers",
 ]
 
 

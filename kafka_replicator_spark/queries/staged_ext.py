@@ -250,3 +250,302 @@ def q_supplier_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: vocabulary size of the OOV-rate audit (sized to the synthetic corpus's
+#: small closed vocabulary; a production run uses the tokenizer's V)
+_OOV_V = 32
+
+
+@register(
+    "p_oov_rate",
+    f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {_OOV_V}
+  )
+),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY source),
+oov AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_oov
+  FROM toks WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.tok = toks.tok)
+  GROUP BY source
+)
+SELECT per.source, per.n_tokens,
+       coalesce(oov.n_oov, 0) AS n_oov,
+       (1000000 * coalesce(oov.n_oov, 0)) // per.n_tokens AS oov_ppm
+FROM per LEFT JOIN oov USING (source)
+""",
+    tags=("pipeline", "quality"),
+    doc="out-of-vocabulary rate per source against the distributed top-V "
+    "vocabulary (tokenizer/vocab sizing dashboard): TakeOrdered top-k, "
+    "V-row broadcast anti join, exact integer ppm — per-source output",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.hashing import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = track_cached(
+        spread(docs.select("source", F.explode(F.split("text", " ")).alias("tok")))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_OOV_V)
+        .select("tok")
+    )
+    per = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return per.join(oov, "source", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        F.expr("(1000000 * coalesce(n_oov, 0)) div n_tokens").alias("oov_ppm"),
+    )
+
+
+@register(
+    "a_ab_assignment",
+    f"""
+WITH e AS (
+  SELECT CAST({portable_hash60_sql("'exp1|' || CAST(user_id AS VARCHAR)")} % 2 AS INTEGER) AS arm,
+         user_id, event_type, value
+  FROM events
+),
+agg AS (
+  SELECT
+    CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS BIGINT) AS users_control,
+    CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS BIGINT) AS users_treatment,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN arm = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(round(sum(CASE WHEN arm = 0 AND event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+         AS DOUBLE) AS revenue_control,
+    CAST(round(sum(CASE WHEN arm = 1 AND event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+         AS DOUBLE) AS revenue_treatment
+  FROM e
+)
+SELECT users_control, users_treatment, n0 AS events_control, n1 AS events_treatment,
+       c0 AS purchases_control, c1 AS purchases_treatment,
+       revenue_control, revenue_treatment,
+       (1000000 * c0) // n0 AS conv_control_ppm,
+       (1000000 * c1) // n1 AS conv_treatment_ppm,
+       round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                           * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                           * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z_score
+FROM agg
+""",
+    tags=("analytics", "events", "eval"),
+    doc="deterministic A/B experiment readout: users hash into two arms "
+    "(pure function of identity — assignment survives reruns and engines), "
+    "per-arm conversion in exact integer ppm and a two-proportion z-score "
+    "as one fixed double expression over exact counts; one aggregation "
+    "pass, 1 output row",
+)
+def q_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        (
+            portable_hash60(
+                F.concat_ws("|", F.lit("exp1"), F.col("user_id").cast("string"))
+            )
+            % 2
+        ).cast("int").alias("arm"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    is_p = F.col("event_type") == "purchase"
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    agg = e.agg(
+        F.count_distinct(F.when(F.col("arm") == 0, F.col("user_id"))).alias("users_control"),
+        F.count_distinct(F.when(F.col("arm") == 1, F.col("user_id"))).alias("users_treatment"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when((F.col("arm") == 0) & is_p, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when((F.col("arm") == 1) & is_p, 1).otherwise(0)).alias("c1"),
+        F.round(
+            F.sum(F.when((F.col("arm") == 0) & is_p, F.col("value").cast("decimal(18,2)")).otherwise(dec0)),
+            2,
+        ).cast("double").alias("revenue_control"),
+        F.round(
+            F.sum(F.when((F.col("arm") == 1) & is_p, F.col("value").cast("decimal(18,2)")).otherwise(dec0)),
+            2,
+        ).cast("double").alias("revenue_treatment"),
+    )
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (
+        F.col("c0").cast("double") / F.col("n0")
+        - F.col("c1").cast("double") / F.col("n1")
+    ) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))), F.lit(0.0)
+    )
+    return agg.select(
+        "users_control",
+        "users_treatment",
+        F.col("n0").alias("events_control"),
+        F.col("n1").alias("events_treatment"),
+        F.col("c0").alias("purchases_control"),
+        F.col("c1").alias("purchases_treatment"),
+        "revenue_control",
+        "revenue_treatment",
+        F.expr("(1000000 * c0) div n0").alias("conv_control_ppm"),
+        F.expr("(1000000 * c1) div n1").alias("conv_treatment_ppm"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "p_simhash_eval",
+    f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({dedup.jaccard_pairs_sql(threshold=0.5)})
+),
+pred AS (
+  SELECT doc_a, doc_b FROM ({dedup.simhash_near_pairs_sql()})
+),
+ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both
+  FROM truth WHERE EXISTS (SELECT 1 FROM pred
+                           WHERE pred.doc_a = truth.doc_a AND pred.doc_b = truth.doc_b)
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred)
+SELECT nt.n_truth, np.n_pred, ov.n_both,
+       CASE WHEN np.n_pred = 0 THEN 0
+            ELSE (1000000 * ov.n_both) // np.n_pred END AS precision_ppm,
+       CASE WHEN nt.n_truth = 0 THEN 0
+            ELSE (1000000 * ov.n_both) // nt.n_truth END AS recall_ppm
+FROM nt, np, ov
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="SimHash-vs-exact-Jaccard evaluation: precision/recall of the "
+    "banded SimHash candidate set against Jaccard >= 0.5 ground truth — "
+    "the detector-quality dashboard a fuzzy-dedup rollout publishes; both "
+    "pair sets are bucketed plans, the overlap is a pair-key semi join",
+)
+def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(dedup.word_ngrams(docs))
+    truth = track_cached(
+        dedup.jaccard_pairs(docs, threshold=0.5, shingles=sh).select("doc_a", "doc_b")
+    )
+    pred = track_cached(dedup.simhash_near_pairs(docs).select("doc_a", "doc_b"))
+    n_both = truth.join(pred, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    return (
+        nt.join(F.broadcast(np_))
+        .join(F.broadcast(n_both))
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_both",
+            F.expr(
+                "CASE WHEN n_pred = 0 THEN 0 ELSE (1000000 * n_both) div n_pred END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN 0 ELSE (1000000 * n_both) div n_truth END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+#: outliers reported per label by p_centroid_outliers
+_OUTLIER_K = 3
+
+
+@register(
+    "p_centroid_outliers",
+    f"""
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(list_transform(embedding::DOUBLE[],
+                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS q
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         CAST(floor(sum(q) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS m
+  FROM dims GROUP BY label, dim
+),
+dist AS (
+  SELECT dims.vec_id, dims.label,
+         CAST(sum((dims.q - cent.m) * (dims.q - cent.m)) AS BIGINT) AS d2
+  FROM dims JOIN cent ON cent.label = dims.label AND cent.dim = dims.dim
+  GROUP BY dims.vec_id, dims.label
+),
+ranked AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS r
+  FROM dist
+)
+SELECT CAST(label AS INTEGER) AS label, vec_id,
+       CAST(r AS INTEGER) AS outlier_rank, d2 AS sq_dist_micro2
+FROM ranked WHERE r <= {_OUTLIER_K}
+""",
+    tags=("pipeline", "similarity", "quality"),
+    doc="noisy-label detection: the 3 vectors farthest from their own "
+    "label centroid (exact integer micro-unit squared L2, the kmeans "
+    "convention); centroid means are label x dim grain, the rank window "
+    "is keyed per label — label-count-bounded output",
+)
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.hashing import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = track_cached(
+        spread(emb).select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+                )
+            ).alias("dim", "q"),
+        )
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.floor(F.sum("q") / F.count(F.lit(1)).cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("m")
+    )
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias("d2"))
+    )
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(
+        W.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+    )
+    return (
+        dist.withColumn("r", r)
+        .where(F.col("r") <= _OUTLIER_K)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "vec_id",
+            F.col("r").cast("int").alias("outlier_rank"),
+            F.col("d2").cast("long").alias("sq_dist_micro2"),
+        )
+    )
