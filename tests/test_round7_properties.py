@@ -206,3 +206,92 @@ def test_embedding_covariance_diagonal_is_variance(spark, sf_dir):
             assert r.covariance >= 0
             assert r.correlation == pytest.approx(1.0, abs=1e-6)
         assert -1.0 - 1e-9 <= r.correlation <= 1.0 + 1e-9
+
+
+# ------------------------------------------------------- staged batch 2
+
+
+def test_poisson_bootstrap_mass_and_determinism(spark, sf_dir):
+    from kafka_replicator_spark.functions import sampling
+    from kafka_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.replicate: r for r in sampling.poisson_bootstrap(docs).collect()}
+    b = {r.replicate: r for r in sampling.poisson_bootstrap(docs).collect()}
+    assert a.keys() == b.keys() and len(a) == 3
+    n = docs.count()
+    for rep, row in a.items():
+        # deterministic across runs
+        assert (row.n_draws, row.n_docs_kept, row.n_tokens_drawn) == (
+            b[rep].n_draws,
+            b[rep].n_docs_kept,
+            b[rep].n_tokens_drawn,
+        )
+        # Poisson(1): E[draws] = n, sd = sqrt(n); allow 5 sigma
+        assert abs(row.n_draws - n) <= 5 * max(1, int(n**0.5)), (rep, row)
+        assert 0 < row.n_docs_kept <= n
+
+
+def test_pca_power_unit_norm_and_positive_eigenvalue(spark, sf_dir):
+    from kafka_replicator_spark.functions import similarity
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.pca_power_iteration(emb, n_dims=8, n_iter=3).collect()
+    assert len(rows) == 8
+    nrm2 = sum(r.loading**2 for r in rows)
+    assert nrm2 == pytest.approx(1.0, abs=1e-3)
+    lam = rows[0].eigenvalue
+    assert lam > 0
+    # eigenvalue bounded by the covariance trace
+    cov = {
+        (r.dim_i, r.dim_j): r.covariance
+        for r in similarity.embedding_covariance(emb, n_dims=8).collect()
+    }
+    trace = sum(v for (i, j), v in cov.items() if i == j)
+    assert lam <= trace + 1e-6
+
+
+def test_ab_arms_partition_users(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.sources.tables import load_table
+
+    row = all_queries()["a_ab_assignment"].fn(spark, sf_dir).collect()[0]
+    total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert row.users_control + row.users_treatment == total
+    assert row.events_control + row.events_treatment == load_table(
+        spark, sf_dir, "events"
+    ).count()
+
+
+def test_simhash_eval_bounds(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+
+    row = all_queries()["p_simhash_eval"].fn(spark, sf_dir).collect()[0]
+    assert row.n_both <= min(row.n_truth, row.n_pred)
+    assert 0 <= row.precision_ppm <= 1_000_000
+    assert 0 <= row.recall_ppm <= 1_000_000
+
+
+def test_centroid_outliers_ranked_per_label(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+
+    rows = all_queries()["p_centroid_outliers"].fn(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r.outlier_rank)
+        assert [r.outlier_rank for r in rs] == list(range(1, len(rs) + 1))
+        d2s = [r.sq_dist_micro2 for r in rs]
+        assert d2s == sorted(d2s, reverse=True)
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+
+    for r in all_queries()["p_oov_rate"].fn(spark, sf_dir).collect():
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_ppm < 1_000_000
