@@ -575,3 +575,83 @@ SELECT replicate,
        CAST(sum(k * nt) AS BIGINT) AS n_tokens_drawn
 FROM drawn GROUP BY replicate
 """
+
+
+def per_source_sample(
+    docs: DataFrame, k: int = 10, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-source sample without replacement: the ``k``
+    smallest portable text hashes per source (tie-broken by id) — the
+    per-domain inspection sample every curation dashboard links to.
+
+    Scale: same two-phase shape as :func:`temperature_mix` — a per-source
+    hash-threshold prefilter (``thr ≈ (4k + 64)·2^60/n_s``) confines the
+    rank window to ~4k rows per source, with the sources-scale metadata
+    guard falling back to a full rank for any (cryptographically rare)
+    under-filled source, so the output is bit-identical to the unfiltered
+    plan on ANY input.  Mergeable: re-taking the k smallest of a union of
+    per-shard samples reproduces the corpus sample.
+    """
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    quotas = (
+        docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("quota", F.least(F.lit(k).cast("long"), F.col("n_s")))
+        .withColumn(
+            "thr",
+            F.expr(
+                f"CAST(least(CAST({_TWO60} AS DECIMAL(38,0)), "
+                f"CAST({_TWO60} div n_s AS DECIMAL(38,0)) "
+                f"* (quota * {_PREFILTER_MARGIN} + {_PREFILTER_CUSHION})) AS BIGINT)"
+            ),
+        )
+    )
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("src"),
+        portable_hash60(F.col("text")).alias("h"),
+    )
+    surv = track_cached(
+        hashed.join(F.broadcast(quotas), "src").filter(F.col("h") < F.col("thr"))
+    )
+    checks = (
+        quotas.join(
+            surv.groupBy("src").agg(F.count(F.lit(1)).alias("n_surv")), "src", "left"
+        )
+        .withColumn("n_surv", F.coalesce("n_surv", F.lit(0)))
+        .filter((F.col("n_surv") < F.col("quota")) & (F.col("n_surv") < F.col("n_s")))
+    )
+    underfilled = [r["src"] for r in checks.select("src").collect()]
+    base = surv
+    if underfilled:
+        full = hashed.filter(F.col("src").isin(underfilled)).join(
+            F.broadcast(quotas), "src"
+        )
+        base = surv.filter(~F.col("src").isin(underfilled)).unionByName(full)
+    ranked = base.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("src").orderBy("h", "doc_id"))
+    )
+    return ranked.filter(F.col("rnk") <= F.col("quota")).select(
+        F.col("src").alias("source"),
+        "doc_id",
+        F.col("n_s").cast("long").alias("n_source"),
+        F.col("rnk").cast("long").alias("sample_rank"),
+    )
+
+
+def per_source_sample_sql(k: int = 10) -> str:
+    h = portable_hash60_sql("text")
+    return f"""
+WITH counts AS (
+  SELECT source AS src, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT doc_id, source AS src,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rnk
+  FROM documents
+)
+SELECT src AS source, doc_id, n_s AS n_source, CAST(rnk AS BIGINT) AS sample_rank
+FROM ranked JOIN counts USING (src)
+WHERE rnk <= least({k}, n_s)
+"""

@@ -315,3 +315,116 @@ SELECT ga, gb, n_match,
        CAST(n_match * 1000000 // {b} AS BIGINT) AS jacc_est_ppm
 FROM pairs
 """
+
+
+# ------------------------------------------------- histogram quantile sketch
+
+#: buckets of the equi-width quantile histogram (mergeable by count addition)
+HIST_BUCKETS = 32
+
+
+def histogram_quantiles(lineitem: DataFrame, col: str = "l_extendedprice") -> DataFrame:
+    """Mergeable equi-width histogram sketch with interpolated quantile
+    estimates — the bounded-state alternative to an exact distributed sort
+    when a pipeline needs approximate percentiles per partition/shard that
+    roll up by pure count addition (unlike exact percentiles, which don't
+    merge).
+
+    Exactness contract: bucket assignment is pure integer arithmetic over
+    cents (``(v - min)·B div (max - min + 1)``); the estimates are one
+    fixed double expression over exact integer counts, so both engines
+    reproduce them bit-for-bit.  The exact p50 (a power-of-two fraction —
+    the only interpolated percentile that is bit-identical cross-engine)
+    rides along as the in-row error audit, the same pattern as
+    p_hll_distinct's exact-count audit.
+
+    Plan: one aggregation to min/max (broadcast 1-row), one map pass to
+    buckets, one B-row aggregation; the cumulative window runs on the
+    B-row frame (bounded at any corpus size).
+    """
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    B = HIST_BUCKETS
+    v = lineitem.select(
+        F.expr(f"CAST(round({col} * 100) AS BIGINT)").alias("v")
+    )
+    v = track_cached(v)
+    ext = v.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    bucketed = v.join(F.broadcast(ext)).select(
+        F.expr(f"((v - mn) * {B}) div (mx - mn + 1)").alias("bucket"), "mn", "mx", "n"
+    )
+    hist = bucketed.groupBy("bucket", "mn", "mx", "n").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # cumulative over the B-row histogram frame — bounded window by design
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("cb", F.col("cum") - F.col("cnt"))
+    qs = lineitem.sparkSession.createDataFrame(
+        [(50,), (90,)], schema="quantile_pct int"
+    )
+    t = cum.join(F.broadcast(qs)).withColumn(
+        "target", F.col("quantile_pct") * F.col("n") / F.lit(100.0)
+    )
+    picked = t.where((F.col("cb") < F.col("target")) & (F.col("cum") >= F.col("target")))
+    est = (
+        F.col("mn")
+        + (F.col("mx") - F.col("mn") + 1)
+        * (F.col("bucket") + (F.col("target") - F.col("cb")) / F.col("cnt"))
+        / F.lit(float(B))
+    ) / F.lit(100.0)
+    exact_p50 = v.agg(
+        F.round(F.expr("percentile(v, 0.5D) / 100.0"), 6).alias("exact_p50")
+    )
+    return picked.join(F.broadcast(exact_p50)).select(
+        "quantile_pct",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(est, 6).alias("est_value"),
+        F.when(F.col("quantile_pct") == 50, F.col("exact_p50")).alias("exact_value"),
+    )
+
+
+def histogram_quantiles_sql(col: str = "l_extendedprice") -> str:
+    B = HIST_BUCKETS
+    return f"""
+WITH v AS (SELECT CAST(round({col} * 100) AS BIGINT) AS v FROM lineitem),
+ext AS (
+  SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v
+),
+bucketed AS (
+  SELECT ((v.v - ext.mn) * {B}) // (ext.mx - ext.mn + 1) AS bucket,
+         ext.mn, ext.mx, ext.n
+  FROM v CROSS JOIN ext
+),
+hist AS (
+  SELECT bucket, mn, mx, n, CAST(count(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY bucket, mn, mx, n
+),
+cum0 AS (
+  SELECT *, CAST(sum(cnt) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+cum AS (SELECT *, cum - cnt AS cb FROM cum0),
+qs AS (SELECT CAST(unnest([50, 90]) AS INTEGER) AS quantile_pct),
+t AS (
+  SELECT cum.*, qs.quantile_pct, qs.quantile_pct * cum.n / 100.0 AS target
+  FROM cum CROSS JOIN qs
+),
+picked AS (SELECT * FROM t WHERE cb < target AND cum >= target),
+exact AS (SELECT round(quantile_cont(v, 0.5) / 100.0, 6) AS exact_p50 FROM v)
+SELECT quantile_pct, n AS n_rows,
+       round((mn + (mx - mn + 1) * (bucket + (target - cb) / cnt) / {float(B)!r})
+             / 100.0, 6) AS est_value,
+       CASE WHEN quantile_pct = 50 THEN exact.exact_p50 END AS exact_value
+FROM picked CROSS JOIN exact
+"""

@@ -190,6 +190,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_ab_assignment",
     "p_simhash_eval",
     "p_centroid_outliers",
+    "p_per_source_sample",
+    "p_histogram_quantiles",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_replicator_spark.functions import dedup, sampling
+from kafka_replicator_spark.functions import dedup, sampling, sketches
 from kafka_replicator_spark.functions.hashing import portable_hash60, portable_hash60_sql
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -549,3 +549,31 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").cast("long").alias("sq_dist_micro2"),
         )
     )
+
+
+@register(
+    "p_per_source_sample",
+    sampling.per_source_sample_sql(k=10),
+    tags=("pipeline", "sampling"),
+    doc="per-source WOR sample (10 smallest portable hashes per source): "
+    "hash-threshold prefilter confines the rank window to ~4k rows per "
+    "source with the sources-scale under-fill guard (the temperature_mix "
+    "two-phase pattern) — output bit-identical to a full per-source rank",
+)
+def q_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.per_source_sample(load_table(spark, sf_dir, "documents"), k=10)
+
+
+@register(
+    "p_histogram_quantiles",
+    sketches.histogram_quantiles_sql(),
+    tags=("pipeline", "sketch"),
+    doc="mergeable equi-width histogram sketch over order prices with "
+    "interpolated p50/p90 estimates (exact-integer bucket math, fixed "
+    "double estimate expression) and the exact p50 as the in-row audit — "
+    "counts merge by addition, unlike exact percentiles; the cumulative "
+    "window runs on the 32-row histogram frame",
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.histogram_quantiles(load_table(spark, sf_dir, "lineitem"))
+
