@@ -565,3 +565,26 @@ def test_embedding_covariance_joins_on_vec_key(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # diagonal moments ride broadcast frames
     assert has_broadcast_join(df), plan
+
+
+def test_per_source_sample_prefilter_precedes_window(spark, sf_dir):
+    # same contract as p_temperature_mix: the rank window reads the cached
+    # hash-prefiltered survivor frame, never the raw document stream
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_per_source_sample"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    release_cached()
+
+
+def test_histogram_quantiles_window_is_bucket_bounded(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_histogram_quantiles"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the raw value stream reaches only min/max + bucket aggregations; the
+    # cumulative window runs AFTER the B-row histogram collapse
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan

@@ -295,3 +295,80 @@ def test_oov_rate_bounds(spark, sf_dir):
     for r in all_queries()["p_oov_rate"].fn(spark, sf_dir).collect():
         assert 0 <= r.n_oov <= r.n_tokens
         assert 0 <= r.oov_ppm < 1_000_000
+
+
+def test_per_source_sample_equals_full_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions import sampling
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+    from kafka_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.source, r.doc_id): r.sample_rank
+        for r in sampling.per_source_sample(docs, k=4).collect()
+    }
+    # reference: full unfiltered per-source rank
+    full = (
+        docs.select(
+            "source", "doc_id", portable_hash60(F.col("text")).alias("h")
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 4)
+        .collect()
+    )
+    exp = {(r.source, r.doc_id): r.rnk for r in full}
+    assert got == exp
+
+
+def test_histogram_counts_merge_by_addition(spark, sf_dir):
+    # the sketch state (bucket counts under fixed min/max) merges by pure
+    # addition: histogram(all) == histogram(part1) + histogram(part2)
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions.sketches import HIST_BUCKETS
+    from kafka_replicator_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+        "l_orderkey",
+    )
+    mn, mx = li.agg(F.min("v"), F.max("v")).collect()[0]
+    bucket = F.expr(f"((v - {mn}) * {HIST_BUCKETS}) div ({mx} - {mn} + 1)")
+
+    def hist(df):
+        return {
+            r.b: r.c
+            for r in df.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    whole = hist(li)
+    h1 = hist(li.where(F.col("l_orderkey") % 2 == 0))
+    h2 = hist(li.where(F.col("l_orderkey") % 2 == 1))
+    merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
+    assert merged == whole
+
+
+def test_histogram_estimates_bounded_by_bucket_width(spark, sf_dir):
+    from kafka_replicator_spark.functions import sketches
+    from kafka_replicator_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = {r.quantile_pct: r for r in sketches.histogram_quantiles(li).collect()}
+    mn, mx = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    width = (mx - mn) / sketches.HIST_BUCKETS
+    p50 = rows[50]
+    assert p50.exact_value is not None
+    assert abs(p50.est_value - p50.exact_value) <= width + 1e-6
+    assert mn <= rows[90].est_value <= mx + 1e-6
