@@ -192,13 +192,16 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_centroid_outliers",
     "p_per_source_sample",
     "p_histogram_quantiles",
+    "p_bm25_scores",
+    "a_revenue_trend_ols",
+    "p_ann_recall",
 ]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

@@ -1,0 +1,247 @@
+"""Retrieval scoring + trend extension queries: BM25 ranking, OLS revenue
+trend, ANN recall against the exact baseline.
+
+Reference parity: no analog in the reference engine — retrieval/analytics
+surface on the shared corpus tables (the scoring tier above
+p_inverted_index, the eval tier above p_ann_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.functions import similarity
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+#: BM25 shape parameters (the Robertson defaults)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: query terms of the BM25 demo ranking (common corpus vocabulary)
+_BM25_TERMS = ("spark", "hash", "merge", "window")
+#: documents reported
+_BM25_TOP = 20
+
+
+@register(
+    "p_bm25_scores",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS t_total
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN {_BM25_TERMS!r}
+  GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           round(ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)), 9)
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * dl.dl * stats.n_docs / CAST(stats.t_total AS DOUBLE))),
+         9) AS DECIMAL(28,9)) AS term_score
+  FROM tf
+  JOIN dft USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}
+""",
+    tags=("pipeline", "retrieval"),
+    doc="BM25 ranking for a literal query-term set (the scoring tier above "
+    "p_inverted_index): idf re-quantized to 9 dp before the multiply, "
+    "per-term scores folded as DECIMAL, top-k via distributed TakeOrdered; "
+    "term/doc stats are one explode + count-grain aggregations, corpus "
+    "stats ride a broadcast 1-row frame",
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from kafka_replicator_spark.functions.hashing import spread
+
+    dl = track_cached(
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+        )
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_total")
+    )
+    toks = spread(
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = (
+        toks.where(F.col("tok").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = track_cached(tf)
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 9
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B
+        + _BM25_B * F.col("dl") * F.col("n_docs") / F.col("t_total").cast("double")
+    )
+    term_score = F.round(
+        idf * (F.col("tf") * (_BM25_K1 + 1)) / denom, 9
+    ).cast("decimal(28,9)")
+    terms = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("term_score").cast("double"), 6).alias("bm25"),
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOP)
+
+
+#: epoch micros per day
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "a_revenue_trend_ols",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders
+),
+daily AS (SELECT day, sum(v) AS y FROM d GROUP BY day),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day) AS BIGINT) AS sd,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(day * y) AS DOUBLE) AS sdy,
+         CAST(sum(day * day) AS BIGINT) AS sdd,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM daily
+)
+SELECT n AS n_days,
+       round((n * sdy - sd * sy) / (n * sdd - CAST(sd AS DOUBLE) * sd), 6) AS slope,
+       round((sy - (n * sdy - sd * sy) / (n * sdd - CAST(sd AS DOUBLE) * sd) * sd) / n, 6)
+         AS intercept,
+       round((n * sdy - sd * sy) * (n * sdy - sd * sy)
+             / nullif((n * sdd - CAST(sd AS DOUBLE) * sd) * (n * syy - sy * sy), 0), 6)
+         AS r_squared
+FROM m
+""",
+    tags=("analytics", "timeseries"),
+    doc="OLS revenue trend: slope/intercept/R^2 of daily order revenue vs "
+    "day index, one fixed double expression over exact DECIMAL/BIGINT "
+    "moments (the zipf_slope regression pattern on the time axis); orders "
+    "collapse to day grain before any moment math — 1 output row",
+)
+def q_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+            "day"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    daily = d.groupBy("day").agg(F.sum("v").alias("y"))
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sd"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).cast("double").alias("sdy"),
+        F.sum(F.col("day") * F.col("day")).alias("sdd"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sdy") - F.col("sd") * F.col("sy")
+    den = F.col("n") * F.col("sdd") - F.col("sd").cast("double") * F.col("sd")
+    slope = num / den
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sd")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            num * num
+            / F.nullif(
+                den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r_squared"),
+    )
+
+
+#: probes of the ANN recall audit (matches p_ann_label_precision)
+_RECALL_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+@register(
+    "p_ann_recall",
+    f"""
+WITH ann AS (
+  SELECT probe_id, neighbor_id
+  FROM ({similarity.ann_topk_sql(_RECALL_PROBES, k=5, n_planes=4, dim=64)})
+),
+truth AS (
+  SELECT probe_id, neighbor_id
+  FROM ({similarity.brute_force_topk_sql(_RECALL_PROBES, k=5)})
+),
+hits AS (
+  SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t
+  WHERE EXISTS (SELECT 1 FROM ann
+                WHERE ann.probe_id = t.probe_id
+                  AND ann.neighbor_id = t.neighbor_id)
+  GROUP BY t.probe_id
+),
+base AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS k_eff FROM truth GROUP BY probe_id)
+SELECT base.probe_id, base.k_eff, coalesce(hits.n_hits, 0) AS n_hits,
+       (1000000 * coalesce(hits.n_hits, 0)) // base.k_eff AS recall_ppm
+FROM base LEFT JOIN hits USING (probe_id)
+""",
+    tags=("pipeline", "similarity", "eval"),
+    doc="ANN recall@k against the exact brute-force baseline per probe "
+    "(the other half of p_ann_label_precision's dashboard): both rankings "
+    "are broadcast-probe plans, the overlap is a k-row-per-probe semi "
+    "join, exact integer ppm",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ann_topk(emb, _RECALL_PROBES, k=5, n_planes=4, dim=64).select(
+        "probe_id", "neighbor_id"
+    )
+    truth = track_cached(
+        similarity.brute_force_topk(emb, _RECALL_PROBES, k=5).select(
+            "probe_id", "neighbor_id"
+        )
+    )
+    hits = truth.join(ann, ["probe_id", "neighbor_id"], "left_semi").groupBy(
+        "probe_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    return base.join(hits, "probe_id", "left").select(
+        "probe_id",
+        "k_eff",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr("(1000000 * coalesce(n_hits, 0)) div k_eff").alias("recall_ppm"),
+    )
