@@ -68,6 +68,11 @@ HEADLINE = [
     "p_knn_graph",
     "p_minhash_containment",
     "a_skyline_parts",
+    # staged-family representatives: audits, time series, LM, sketch
+    "p_column_profile",
+    "a_autocorr_daily",
+    "p_kneser_ney",
+    "p_histogram_quantiles",
 ]
 
 
