@@ -150,3 +150,48 @@ def windowed_cms_registers(
         .agg(F.count(F.lit(1)).cast("long").alias("counter"))
         .select(F.col("win.start").alias("window_start"), "i", "b", "counter")
     )
+
+
+def windowed_histogram_registers(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_buckets: int = 32,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Per-(event-time window, bucket) equi-width histogram counter stream —
+    the quantile-sketch analog of :func:`windowed_cms_registers`
+    (functions/sketches.histogram_quantiles is the batch/readout side).
+
+    The streaming variant uses CONFIGURED bounds ``[lo, hi]`` (a monitoring
+    histogram can't learn min/max retroactively; out-of-range values clamp
+    to the edge buckets).  Counters are exact int64 sums — associative and
+    order-free, so the aggregation is replay-safe and register tables merge
+    by addition; state per window is bounded at ``n_buckets`` rows.  The
+    interpolated-quantile readout runs as a batch query over the sink with
+    the batch operator's arithmetic.
+    """
+    with_ts = df.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark_delay)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"(({value_col} - {lo}) * {n_buckets}) div ({hi} - {lo} + 1)"),
+        ),
+    ).cast("int")
+    return (
+        with_ts.select(
+            F.window("event_time", window_duration).alias("win"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("win", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("counter"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "counter")
+    )

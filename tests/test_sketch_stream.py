@@ -173,3 +173,42 @@ def test_streaming_cms_registers_match_batch(spark, messages, tmp_path):
         }
         for r in truth.collect():
             assert est[r["key_s"]] >= r["count"]
+
+
+def test_streaming_histogram_registers_match_batch(spark, messages, tmp_path):
+    from kafka_replicator_spark.streaming.sketch_stream import (
+        windowed_histogram_registers,
+    )
+
+    src = str(tmp_path / "hist_drops")
+    data = messages.select("msg_offset", "msg_size", "ts_ns")
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+
+    lo, hi = 0, 4096
+    batch_regs = windowed_histogram_registers(data, "msg_size", lo, hi)
+
+    stream = (
+        spark.readStream.schema("msg_offset long, msg_size long, ts_ns long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_histogram_registers(
+            stream, "msg_size", lo, hi, watermark_delay="10 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("hist_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.bucket): r.counter
+        for r in spark.sql("SELECT * FROM hist_regs").collect()
+    }
+    exp = {(r.window_start, r.bucket): r.counter for r in batch_regs.collect()}
+    assert got == exp
+    # counters account for every row (clamping loses nothing)
+    assert sum(got.values()) == data.count()
