@@ -195,6 +195,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_bm25_scores",
     "a_revenue_trend_ols",
     "p_ann_recall",
+    "a_growth_accounting",
+    "a_top_event_paths",
 ]
 
 

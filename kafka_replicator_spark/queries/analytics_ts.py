@@ -509,3 +509,147 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+
+#: epoch micros per week (growth accounting grain)
+WEEK_US = 7 * DAY_US
+
+
+@register(
+    "a_growth_accounting",
+    f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+),
+ext AS (SELECT CAST(max(week) AS BIGINT) AS max_week FROM uw),
+w AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS first_week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM uw
+),
+active AS (
+  SELECT week,
+         CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN week > first_week AND (prev_week IS NULL OR prev_week < week - 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM w GROUP BY week
+),
+churn AS (
+  SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+  FROM w, ext
+  WHERE (next_week IS NULL OR next_week > week + 1) AND week + 1 <= ext.max_week
+  GROUP BY week + 1
+)
+SELECT active.week, active.n_new, active.n_retained, active.n_resurrected,
+       coalesce(churn.n_churned, 0) AS n_churned
+FROM active LEFT JOIN churn USING (week)
+""",
+    tags=("analytics", "events"),
+    doc="growth accounting (new / retained / resurrected / churned users "
+    "per week — the standard growth ledger): the stream collapses to "
+    "DISTINCT (user, week) first, lag/lead windows run on per-user "
+    "partitions of that bounded frame; churn attributes to the following "
+    "week, capped at the corpus horizon",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uw = track_cached(
+        _events(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us div {WEEK_US}").alias("week"))
+        .distinct()
+    )
+    ext = uw.agg(F.max("week").alias("max_week"))
+    per_user = Window.partitionBy("user_id")
+    ordered = Window.partitionBy("user_id").orderBy("week")
+    w = track_cached(
+        uw.select(
+            "user_id",
+            "week",
+            F.min("week").over(per_user).alias("first_week"),
+            F.lag("week").over(ordered).alias("prev_week"),
+            F.lead("week").over(ordered).alias("next_week"),
+        )
+    )
+    active = w.groupBy("week").agg(
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(
+            F.when(
+                (F.col("week") > F.col("first_week"))
+                & (F.col("prev_week").isNull() | (F.col("prev_week") < F.col("week") - 1)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        w.join(F.broadcast(ext))
+        .where(
+            (F.col("next_week").isNull() | (F.col("next_week") > F.col("week") + 1))
+            & (F.col("week") + 1 <= F.col("max_week"))
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return active.join(churn, "week", "left").select(
+        "week",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+    )
+
+
+#: paths reported by a_top_event_paths / path length
+PATH_LEN = 5
+PATH_TOP = 20
+
+
+@register(
+    "a_top_event_paths",
+    f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+ranked AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+  FROM e
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_LEN} GROUP BY user_id
+),
+counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY path
+)
+SELECT path, n_users FROM counts ORDER BY n_users DESC, path LIMIT {PATH_TOP}
+""",
+    tags=("analytics", "events"),
+    doc="top opening event paths (first 5 events per user joined '>'): the "
+    "Sankey/onboarding-flow census; per-user rank windows on user-sized "
+    "partitions, path counts via one aggregation, top-k by distributed "
+    "TakeOrdered",
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    )
+    ranked = e.withColumn("rn", rn).where(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, event_type))),"
+            " x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return counts.orderBy(F.col("n_users").desc(), "path").limit(PATH_TOP)
