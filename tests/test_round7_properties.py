@@ -372,3 +372,39 @@ def test_histogram_estimates_bounded_by_bucket_width(spark, sf_dir):
     assert p50.exact_value is not None
     assert abs(p50.est_value - p50.exact_value) <= width + 1e-6
     assert mn <= rows[90].est_value <= mx + 1e-6
+
+
+def test_growth_accounting_ledger_consistency(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.sources.tables import load_table
+
+    rows = {r.week: r for r in all_queries()["a_growth_accounting"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts div 1000) div {7 * 86_400_000_000}").alias("week")
+    ).distinct()
+    wau = {r.week: r.n for r in ev.groupBy("week").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total_users = ev.select("user_id").distinct().count()
+    # every user is new exactly once
+    assert sum(r.n_new for r in rows.values()) == total_users
+    # each week's actives decompose exactly into new + retained + resurrected
+    for week, r in rows.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == wau[week], week
+    # churn ledger: actives(w) - retained(w+1) == churned(w+1) for interior weeks
+    weeks = sorted(rows)
+    for w0, w1 in zip(weeks, weeks[1:]):
+        if w1 == w0 + 1:
+            assert wau[w0] - rows[w1].n_retained == rows[w1].n_churned, (w0, w1)
+
+
+def test_top_event_paths_cover_all_users(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.sources.tables import load_table
+
+    rows = all_queries()["a_top_event_paths"].fn(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: (-r.n_users, r.path))
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # the corpus is small enough that 20 paths cover every user or not —
+    # either way counts can never exceed the user total
+    assert sum(r.n_users for r in rows) <= n_users
