@@ -197,6 +197,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_ann_recall",
     "a_growth_accounting",
     "a_top_event_paths",
+    "p_source_lang_entropy",
+    "p_props_profile",
 ]
 
 

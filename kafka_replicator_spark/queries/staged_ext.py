@@ -577,3 +577,103 @@ def q_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.histogram_quantiles(load_table(spark, sf_dir, "lineitem"))
 
+
+
+@register(
+    "p_source_lang_entropy",
+    """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM c GROUP BY source),
+terms AS (
+  SELECT c.source,
+         CAST(round((CAST(c.n AS DOUBLE) / tot.n_docs)
+                    * round(ln(CAST(c.n AS DOUBLE) / tot.n_docs), 9), 9)
+              AS DECIMAL(28,9)) AS term
+  FROM c JOIN tot USING (source)
+)
+SELECT tot.source, tot.n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM c WHERE c.source = tot.source) AS n_langs,
+       round(-CAST((SELECT sum(term) FROM terms WHERE terms.source = tot.source)
+                   AS DOUBLE), 6) AS entropy_nats
+FROM tot
+""",
+    tags=("pipeline", "quality"),
+    doc="per-source language-mix entropy (source purity: 0 = monolingual, "
+    "ln(k) = uniform over k languages): ln re-quantized to 9 dp before the "
+    "share multiply, terms folded as DECIMAL — (source x lang)-grain "
+    "aggregation only",
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = track_cached(
+        docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_langs")
+    )
+    share = F.col("n") / F.col("n_docs")
+    term = F.round(share * F.round(F.log(share), 9), 9).cast("decimal(28,9)")
+    ent = (
+        c.join(F.broadcast(tot.select("source", "n_docs")), "source")
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round(-F.sum("term").cast("double"), 6).alias("entropy_nats"))
+    )
+    return tot.join(F.broadcast(ent), "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "entropy_nats",
+    )
+
+
+@register(
+    "p_props_profile",
+    """
+WITH x AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+),
+b AS (SELECT k // 10 AS bucket, k FROM x WHERE k IS NOT NULL),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) - (SELECT count(k) FROM x) AS BIGINT) AS n_missing
+  FROM events
+)
+SELECT b.bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(b.k) AS BIGINT) AS min_k, CAST(max(b.k) AS BIGINT) AS max_k,
+       tot.n_events, tot.n_missing
+FROM b CROSS JOIN tot
+GROUP BY b.bucket, tot.n_events, tot.n_missing
+""",
+    tags=("analytics", "events", "audit"),
+    doc="semi-structured payload profile: the events.props JSON field "
+    "extracted (r_x3's extraction surface at analytics grain), bucketed "
+    "histogram with per-bucket extrema and corpus-wide missing count — "
+    "JSON parse is a scan-time projection, one aggregation after",
+)
+def q_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    ev = load_table(spark, sf_dir, "events")
+    x = track_cached(
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) - F.count("k")).alias("n_missing"),
+    )
+    b = x.where(F.col("k").isNotNull()).select(F.expr("k div 10").alias("bucket"), "k")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .join(F.broadcast(tot))
+    )
