@@ -1188,14 +1188,20 @@ def embedding_covariance(embeddings: DataFrame, n_dims: int = 8) -> DataFrame:
     aggregation; diagonal moments broadcast back for the correlation.
     At extreme corpus sizes lift the sums to DECIMAL(38,0) — same shape.
     """
-    dims = _spread_emb(embeddings).select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(slice(embedding, 1, {n_dims}),"
-                " x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))"
-            )
-        ).alias("dim", "q"),
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    # the exploded frame feeds BOTH sides of the vec-keyed self-join —
+    # cache it or the scan + explode runs twice
+    dims = track_cached(
+        _spread_emb(embeddings).select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(slice(embedding, 1, {n_dims}),"
+                    " x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))"
+                )
+            ).alias("dim", "q"),
+        )
     )
     a = dims.select("vec_id", F.col("dim").alias("i"), F.col("q").alias("qi"))
     b = dims.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qj"))

@@ -545,9 +545,12 @@ churn AS (
   WHERE (next_week IS NULL OR next_week > week + 1) AND week + 1 <= ext.max_week
   GROUP BY week + 1
 )
-SELECT active.week, active.n_new, active.n_retained, active.n_resurrected,
+SELECT coalesce(active.week, churn.week) AS week,
+       coalesce(active.n_new, 0) AS n_new,
+       coalesce(active.n_retained, 0) AS n_retained,
+       coalesce(active.n_resurrected, 0) AS n_resurrected,
        coalesce(churn.n_churned, 0) AS n_churned
-FROM active LEFT JOIN churn USING (week)
+FROM active FULL JOIN churn USING (week)
 """,
     tags=("analytics", "events"),
     doc="growth accounting (new / retained / resurrected / churned users "
@@ -598,11 +601,13 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("week") + 1).alias("week"))
         .agg(F.count(F.lit(1)).alias("n_churned"))
     )
-    return active.join(churn, "week", "left").select(
+    # FULL join: a week can be churn-only (nobody active that week) — a
+    # LEFT join would silently drop its churn count from the ledger
+    return active.join(churn, "week", "full").select(
         "week",
-        "n_new",
-        "n_retained",
-        "n_resurrected",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        F.coalesce(F.col("n_retained"), F.lit(0)).alias("n_retained"),
+        F.coalesce(F.col("n_resurrected"), F.lit(0)).alias("n_resurrected"),
         F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
     )
 

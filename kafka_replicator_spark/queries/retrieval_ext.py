@@ -141,8 +141,9 @@ m AS (
   FROM daily
 )
 SELECT n AS n_days,
-       round((n * sdy - sd * sy) / (n * sdd - CAST(sd AS DOUBLE) * sd), 6) AS slope,
-       round((sy - (n * sdy - sd * sy) / (n * sdd - CAST(sd AS DOUBLE) * sd) * sd) / n, 6)
+       round((n * sdy - sd * sy) / nullif(n * sdd - CAST(sd AS DOUBLE) * sd, 0), 6)
+         AS slope,
+       round((sy - (n * sdy - sd * sy) / nullif(n * sdd - CAST(sd AS DOUBLE) * sd, 0) * sd) / n, 6)
          AS intercept,
        round((n * sdy - sd * sy) * (n * sdy - sd * sy)
              / nullif((n * sdd - CAST(sd AS DOUBLE) * sd) * (n * syy - sy * sy), 0), 6)
@@ -172,7 +173,12 @@ def q_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sdy") - F.col("sd") * F.col("sy")
-    den = F.col("n") * F.col("sdd") - F.col("sd").cast("double") * F.col("sd")
+    # nullif: a single-day corpus zeroes the denominator — Spark doubles
+    # would emit NaN where DuckDB's /0 yields NULL
+    den = F.nullif(
+        F.col("n") * F.col("sdd") - F.col("sd").cast("double") * F.col("sd"),
+        F.lit(0.0),
+    )
     slope = num / den
     return m.select(
         F.col("n").alias("n_days"),

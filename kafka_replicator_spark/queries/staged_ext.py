@@ -51,16 +51,25 @@ FROM tot, cov
     "only — 1 output row",
 )
 def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
     docs = load_table(spark, sf_dir, "documents")
     grams = dedup.word_ngrams(docs, n=_COV_N)
     bucket = portable_hash60(
         F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
     ) % 100
-    assigned = grams.select(
-        "h",
-        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
+    # the 8-gram explode feeds both split branches — cache it, or the
+    # dominant cost of the query runs once per derived frame
+    assigned = track_cached(
+        grams.select(
+            "h",
+            F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
+        )
     )
-    test_h = assigned.where(F.col("split") == "test").select("h").distinct()
+    # test_h feeds the semi join AND the totals branch
+    test_h = track_cached(
+        assigned.where(F.col("split") == "test").select("h").distinct()
+    )
     train_h = assigned.where(F.col("split") == "train").select("h").distinct()
     cov = test_h.join(train_h, "h", "left_semi").agg(
         F.count(F.lit(1)).alias("n_covered")

@@ -294,7 +294,7 @@ def test_oov_rate_bounds(spark, sf_dir):
 
     for r in all_queries()["p_oov_rate"].fn(spark, sf_dir).collect():
         assert 0 <= r.n_oov <= r.n_tokens
-        assert 0 <= r.oov_ppm < 1_000_000
+        assert 0 <= r.oov_ppm <= 1_000_000  # == 1e6 when a source is fully OOV
 
 
 def test_per_source_sample_equals_full_rank(spark, sf_dir):
@@ -387,8 +387,9 @@ def test_growth_accounting_ledger_consistency(spark, sf_dir):
     # every user is new exactly once
     assert sum(r.n_new for r in rows.values()) == total_users
     # each week's actives decompose exactly into new + retained + resurrected
+    # (a churn-only ledger row has zero actives by construction)
     for week, r in rows.items():
-        assert r.n_new + r.n_retained + r.n_resurrected == wau[week], week
+        assert r.n_new + r.n_retained + r.n_resurrected == wau.get(week, 0), week
     # churn ledger: actives(w) - retained(w+1) == churned(w+1) for interior weeks
     weeks = sorted(rows)
     for w0, w1 in zip(weeks, weeks[1:]):

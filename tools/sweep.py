@@ -40,6 +40,10 @@ def main() -> int:
     names = list(qs)
     if args.names:
         names = [n for n in args.names.split(",") if n]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 1
     else:
         end = args.start + args.count if args.count else len(names)
         names = names[args.start : end]
