@@ -199,6 +199,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_top_event_paths",
     "p_source_lang_entropy",
     "p_props_profile",
+    "a_cohort_ltv",
+    "a_shipping_lag",
 ]
 
 

@@ -658,3 +658,108 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
     return counts.orderBy(F.col("n_users").desc(), "path").limit(PATH_TOP)
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_cohort_ltv",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week,
+         CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END AS rev
+  FROM events
+),
+first_w AS (SELECT user_id, CAST(min(week) AS BIGINT) AS cohort FROM e GROUP BY user_id),
+cells AS (
+  SELECT first_w.cohort, CAST(e.week - first_w.cohort AS BIGINT) AS week_index,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+         CAST(round(sum(e.rev), 2) AS DOUBLE) AS revenue
+  FROM e JOIN first_w USING (user_id)
+  GROUP BY first_w.cohort, e.week - first_w.cohort
+),
+sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM first_w GROUP BY cohort)
+SELECT cells.cohort, cells.week_index, sizes.cohort_size, cells.n_active, cells.revenue
+FROM cells JOIN sizes USING (cohort)
+""",
+    tags=("analytics", "events"),
+    doc="cohort lifetime-value matrix: purchase revenue by (first-seen "
+    "week cohort x weeks-since-first) with cohort sizes — the revenue "
+    "companion of a_retention_cohorts; the first-seen map is user-grain "
+    "and joins back on the user key, DECIMAL revenue folds, "
+    "weeks^2-bounded output",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = track_cached(
+        _events(spark, sf_dir).select(
+            "user_id",
+            F.expr(f"ts_us div {WEEK_US}").alias("week"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            )
+            .otherwise(F.lit(0).cast("decimal(18,2)"))
+            .alias("rev"),
+        )
+    )
+    first_w = track_cached(
+        e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    )
+    cells = (
+        e.join(first_w, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_index"))
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+    sizes = first_w.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort", "week_index", "cohort_size", "n_active", "revenue"
+    )
+
+
+@register(
+    "a_shipping_lag",
+    f"""
+WITH lag_days AS (
+  SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // {DAY_US} AS lag_d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(min(lag_d) AS BIGINT) AS min_days,
+       CAST(max(lag_d) AS BIGINT) AS max_days,
+       CAST(sum(lag_d) // count(*) AS BIGINT) AS avg_days,
+       round(quantile_cont(lag_d, 0.25), 6) AS p25_days,
+       round(quantile_cont(lag_d, 0.5), 6) AS p50_days,
+       round(quantile_cont(lag_d, 0.75), 6) AS p75_days
+FROM lag_days
+""",
+    tags=("analytics", "relational"),
+    doc="order-to-ship lag distribution: integer day deltas through the "
+    "orderkey join, exact integer mean + sort-based quartiles at "
+    "power-of-two fractions — 1 output row",
+)
+def q_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").alias("ship_us"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("order_us"),
+    )
+    lag_d = li.join(o, "l_orderkey").select(
+        F.expr(f"(ship_us - order_us) div {DAY_US}").alias("lag_d")
+    )
+    return lag_d.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.min("lag_d").alias("min_days"),
+        F.max("lag_d").alias("max_days"),
+        F.expr("sum(lag_d) div count(1)").alias("avg_days"),
+        F.round(F.expr("percentile(lag_d, 0.25D)"), 6).alias("p25_days"),
+        F.round(F.expr("percentile(lag_d, 0.5D)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lag_d, 0.75D)"), 6).alias("p75_days"),
+    )

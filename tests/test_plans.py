@@ -588,3 +588,19 @@ def test_histogram_quantiles_window_is_bucket_bounded(spark, sf_dir):
     # cumulative window runs AFTER the B-row histogram collapse
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # hive-partitioned layout + a partition-column filter must prune at
+    # planning time: the scan's file index shows a partition filter and the
+    # non-matching directories never appear in the plan's location count
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    back = spark.read.parquet(out).filter(F.col("lang") == langs[0])
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].splitlines()[0], plan
+    got = back.count()
+    exp = docs.filter(F.col("lang") == langs[0]).count()
+    assert got == exp
