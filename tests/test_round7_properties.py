@@ -409,3 +409,36 @@ def test_top_event_paths_cover_all_users(spark, sf_dir):
     # the corpus is small enough that 20 paths cover every user or not —
     # either way counts can never exceed the user total
     assert sum(r.n_users for r in rows) <= n_users
+
+
+def test_cohort_ltv_matrix_invariants(spark, sf_dir):
+    from decimal import Decimal
+
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.sources.tables import load_table
+
+    rows = all_queries()["a_cohort_ltv"].fn(spark, sf_dir).collect()
+    by_cell = {(r.cohort, r.week_index): r for r in rows}
+    # week 0: every cohort member is active (their first event is there)
+    for (cohort, wi), r in by_cell.items():
+        if wi == 0:
+            assert r.n_active == r.cohort_size, (cohort, r)
+        assert r.n_active <= r.cohort_size
+    # total matrix revenue == total purchase revenue
+    ev = load_table(spark, sf_dir, "events")
+    total = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2))
+        .collect()[0][0]
+    )
+    got = round(sum(Decimal(str(r.revenue)) for r in rows), 2)
+    assert got == total
+
+
+def test_shipping_lag_quartiles_ordered(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+
+    r = all_queries()["a_shipping_lag"].fn(spark, sf_dir).collect()[0]
+    assert r.min_days <= r.p25_days <= r.p50_days <= r.p75_days <= r.max_days
+    assert r.min_days <= r.avg_days <= r.max_days
+    assert r.n_lineitems > 0
