@@ -201,6 +201,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_props_profile",
     "a_cohort_ltv",
     "a_shipping_lag",
+    "a_interval_merge",
 ]
 
 

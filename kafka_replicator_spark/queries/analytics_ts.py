@@ -763,3 +763,79 @@ def q_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_d, 0.5D)"), 6).alias("p50_days"),
         F.round(F.expr("percentile(lag_d, 0.75D)"), 6).alias("p75_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+
+#: half-open activity interval attached to each event (30 min, micros)
+INTERVAL_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "a_interval_merge",
+    f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {INTERVAL_US} AS e FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island_id,
+         CAST(min(s) AS BIGINT) AS island_start, CAST(max(e) AS BIGINT) AS island_end
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(island_end - island_start) AS BIGINT) AS covered_us,
+       CAST(max(island_end - island_start) AS BIGINT) AS max_island_us
+FROM merged GROUP BY user_id
+""",
+    tags=("analytics", "events", "temporal"),
+    doc="interval union (gaps-and-islands): each event opens a 30-minute "
+    "activity interval; overlapping intervals merge via the running-max-"
+    "end prefix window (per-user partitions), islands aggregate to "
+    "covered-time stats — the busy-period primitive under SLA/usage "
+    "metering; all integer micros",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + INTERVAL_US).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island_id", F.sum("new_island").over(run))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
+        F.max(F.col("island_end") - F.col("island_start")).alias("max_island_us"),
+    )
