@@ -442,3 +442,89 @@ def test_shipping_lag_quartiles_ordered(spark, sf_dir):
     assert r.min_days <= r.p25_days <= r.p50_days <= r.p75_days <= r.max_days
     assert r.min_days <= r.avg_days <= r.max_days
     assert r.n_lineitems > 0
+
+
+def test_interval_merge_matches_bruteforce(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_replicator_spark.queries.analytics_ts import INTERVAL_US
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            # seconds spread far beyond the 1800 s interval so islands split
+            st.tuples(st.integers(0, 3), st.integers(0, 20_000)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(evts):
+        # brute force: per user, merge [t, t+L) intervals on a number line
+        by_user = {}
+        for u, t in evts:
+            by_user.setdefault(u, []).append((t, t + INTERVAL_US // 1_000_000))
+        exp = {}
+        for u, ivs in by_user.items():
+            ivs.sort()
+            islands = []
+            for s, e in ivs:
+                if islands and s <= islands[-1][1]:
+                    islands[-1][1] = max(islands[-1][1], e)
+                else:
+                    islands.append([s, e])
+            exp[u] = (
+                len(islands),
+                sum(e - s for s, e in islands),
+                max(e - s for s, e in islands),
+            )
+        # run the query's merge logic on a synthetic events frame (seconds
+        # scaled to micros so the 30-min interval constant applies)
+        from kafka_replicator_spark.queries import all_queries
+        import pyspark.sql.functions as F
+
+        rows = [
+            (i, int(t * 1_000_000) * 1000, u, "view", 0.0, "{}")
+            for i, (u, t) in enumerate(evts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        # drive the same operator body directly (bypassing load_table)
+        from pyspark.sql import Window
+
+        iv = df.select(
+            "user_id",
+            F.expr("ts div 1000").alias("s"),
+            (F.expr("ts div 1000") + INTERVAL_US).alias("e"),
+        )
+        prev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        marked = iv.withColumn(
+            "new_island",
+            F.when(F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)), 1).otherwise(0),
+        )
+        islands = marked.withColumn("island_id", F.sum("new_island").over(run))
+        merged = islands.groupBy("user_id", "island_id").agg(
+            F.min("s").alias("st"), F.max("e").alias("en")
+        )
+        got = {
+            r.user_id: (r.n, r.cov, r.mx)
+            for r in merged.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("en") - F.col("st")).alias("cov"),
+                F.max(F.col("en") - F.col("st")).alias("mx"),
+            )
+            .collect()
+        }
+        exp_us = {
+            u: (n, c * 1_000_000, m * 1_000_000) for u, (n, c, m) in exp.items()
+        }
+        assert got == exp_us
+
+    check()
