@@ -60,3 +60,67 @@ def skyline_2d(
         )
         .drop("__gmax", "__strict_max")
     )
+
+
+def weighted_median(
+    df: DataFrame, value_col: str, weight_col: str, partitions: int = 16
+) -> DataFrame:
+    """Exact lower weighted median: the smallest value ``v`` whose running
+    weight (ordered by value) reaches half the total — the robust center
+    a revenue-weighted price dashboard needs, where the plain median
+    ignores volume.
+
+    Scale: the same range-partition prefix-stitch as the skyline and the
+    shard planner (functions/stitch.py) — per-partition weight sums are
+    collected driver-side (metadata-scale), every partition gets its
+    exclusive prefix via a broadcast join, and the running sum inside each
+    partition is a partition-local window.  Never a global single-partition
+    window, so the selection holds at any row count.
+
+    Output (1 row): n_rows, total_weight, weighted_median (the crossing
+    row's value — deterministic even under ties, since every tied row
+    carries the same value).
+    """
+    slim = df.select(F.col(value_col).alias("__v"), F.col(weight_col).cast("long").alias("__w"))
+    tagged, prefix = range_prefix_stitch(slim, "__v", "__w", agg="sum", partitions=partitions)
+    tot = tagged.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("__w").alias("total_weight")
+    )
+    run = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        tagged.join(F.broadcast(prefix), "__pid")
+        .withColumn("__cum", F.col("__prefix") + F.sum("__w").over(run))
+        .join(F.broadcast(tot))
+    )
+    crossing = cum.where(
+        (F.col("__cum") * 2 >= F.col("total_weight"))
+        & ((F.col("__cum") - F.col("__w")) * 2 < F.col("total_weight"))
+    )
+    return crossing.groupBy("n_rows", "total_weight").agg(
+        F.min("__v").alias("weighted_median")
+    ).select("n_rows", "total_weight", "weighted_median")
+
+
+def weighted_median_sql(table: str, value_expr: str, weight_expr: str) -> str:
+    """DuckDB mirror: one global window is fine oracle-side."""
+    return f"""
+WITH slim AS (SELECT {value_expr} AS v, CAST({weight_expr} AS BIGINT) AS w FROM {table}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(w) AS BIGINT) AS total_weight
+  FROM slim
+),
+cum AS (
+  SELECT v, w, CAST(sum(w) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM slim
+)
+SELECT tot.n_rows, tot.total_weight,
+       (SELECT min(v) FROM cum, tot
+        WHERE c * 2 >= tot.total_weight AND (c - w) * 2 < tot.total_weight)
+         AS weighted_median
+FROM tot
+"""

@@ -202,6 +202,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_cohort_ltv",
     "a_shipping_lag",
     "a_interval_merge",
+    "a_weighted_median_price",
 ]
 
 

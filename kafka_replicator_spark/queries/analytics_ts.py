@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.functions import frontier
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -839,3 +840,25 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
         F.max(F.col("island_end") - F.col("island_start")).alias("max_island_us"),
     )
+
+
+@register(
+    "a_weighted_median_price",
+    frontier.weighted_median_sql(
+        "lineitem",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "round(l_quantity)",
+    ),
+    tags=("analytics", "relational"),
+    doc="exact quantity-weighted median line price (cents): the smallest "
+    "price whose running quantity reaches half the total — built on the "
+    "range-partition prefix stitch (functions/stitch.py), the third "
+    "consumer of that scaffold after the skyline and the shard planner; "
+    "never a global single-partition window",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    return frontier.weighted_median(li, "price_cents", "qty")
