@@ -528,3 +528,38 @@ def test_interval_merge_matches_bruteforce(spark):
         assert got == exp_us
 
     check()
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.functions.frontier import weighted_median
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(-50, 50), st.integers(1, 9)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, schema="v long, w long")
+        got = weighted_median(df, "v", "w", partitions=4).collect()[0]
+        release_cached()
+        total = sum(w for _, w in rows)
+        acc = 0
+        exp = None
+        for v, w in sorted(rows):
+            acc += w
+            if acc * 2 >= total:
+                exp = v
+                break
+        assert (got.n_rows, got.total_weight, got.weighted_median) == (
+            len(rows),
+            total,
+            exp,
+        )
+
+    check()
