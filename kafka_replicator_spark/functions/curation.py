@@ -95,7 +95,28 @@ def gopher_quality(
         F.sequence(F.lit(1), F.greatest(wc - 1, F.lit(1)).cast("int")),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    top_gram = F.array_max(F.transform(grams, lambda g: F.size(F.filter(grams, lambda x: x == g))))
+    # most-common-bigram count as the longest equal run of the SORTED gram
+    # array — one O(n log n) sort + one linear fold.  The old nested
+    # filter-inside-transform was O(n^2) lambdas, and worse: a downstream
+    # filter on `passes` inlines this expression into the Filter condition
+    # (predicate pushdown through the projection), where the nested form
+    # re-evaluated without subexpression elimination — measured 10x the
+    # whole query's runtime.  The fold stays cheap even when duplicated.
+    run_acc = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+    )
+
+    def _run_merge(acc, x):
+        cur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    top_gram = F.aggregate(
+        F.array_sort(grams), run_acc, _run_merge, lambda acc: acc["best"]
+    )
     top_frac = F.when(wc >= 2, top_gram / (wc - 1)).otherwise(F.lit(1.0))
 
     out = pre.select(
