@@ -31,6 +31,7 @@ def main() -> int:
     ap.add_argument("--tol", type=float, default=0.0)
     args = ap.parse_args()
 
+    from kafka_replicator_spark.cacheutil import release_cached
     from kafka_replicator_spark.session import get_spark
     from kafka_replicator_spark.queries import all_queries
     from tests.oracle_utils import duck_connection, assert_frames_match
@@ -69,6 +70,10 @@ def main() -> int:
         except Exception:
             failures.append(name)
             print(f"[{i:3d}] ERR  {name}:\n{traceback.format_exc()}", flush=True)
+        finally:
+            # long sweeps would otherwise accumulate every query's tracked
+            # cached frames in one session
+            release_cached()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green"
           + (f"; failures: {failures}" if failures else ""))
