@@ -563,3 +563,38 @@ def test_weighted_median_matches_bruteforce(spark):
         )
 
     check()
+
+
+def test_observed_volume_batch_and_stream(spark, messages, tmp_path):
+    from kafka_replicator_spark.streaming.listeners import observed_volume
+
+    # batch: metrics ride the action, no second pass
+    df, obs = observed_volume(messages.select("msg_offset", "msg_size"))
+    n = df.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["total_bytes"] == (
+        messages.agg(F.sum("msg_size").cast("long")).collect()[0][0]
+    )
+
+    # streaming: metrics appear in per-batch progress
+    src = str(tmp_path / "obs_drops")
+    messages.select("msg_offset", "msg_size").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("msg_offset long, msg_size long").parquet(src)
+    )
+    observed, _ = observed_volume(stream, name="vol")
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = q.lastProgress
+    assert last is not None and "vol" in (last.observedMetrics or {}), last
+    om = last.observedMetrics["vol"]
+    assert om["n_rows"] == n
