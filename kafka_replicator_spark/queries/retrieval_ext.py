@@ -130,66 +130,90 @@ WITH d AS (
          CAST(o_totalprice AS DECIMAL(18,2)) AS v
   FROM orders
 ),
-daily AS (SELECT day, sum(v) AS y FROM d GROUP BY day),
+daily0 AS (SELECT day, CAST(sum(v) * 100 AS BIGINT) AS yc FROM d GROUP BY day),
+mn AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM daily0),
+daily AS (SELECT day - mn.d0 AS x, yc FROM daily0, mn),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(day) AS BIGINT) AS sd,
-         CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(day * y) AS DOUBLE) AS sdy,
-         CAST(sum(day * day) AS BIGINT) AS sdd,
-         CAST(sum(y * y) AS DOUBLE) AS syy
+         CAST(sum(x) AS BIGINT) AS sd,
+         CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(x * yc) AS BIGINT) AS sdy,
+         CAST(sum(x * x) AS BIGINT) AS sdd,
+         CAST(sum(CAST(yc AS HUGEINT) * yc) AS DOUBLE) AS syy
   FROM daily
 )
 SELECT n AS n_days,
-       round((n * sdy - sd * sy) / nullif(n * sdd - CAST(sd AS DOUBLE) * sd, 0), 6)
+       round((n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE)) / nullif(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd, 0) / 100.0, 6)
          AS slope,
-       round((sy - (n * sdy - sd * sy) / nullif(n * sdd - CAST(sd AS DOUBLE) * sd, 0) * sd) / n, 6)
+       round((CAST(sy AS DOUBLE) - (n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE)) / nullif(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd, 0) * sd) / n / 100.0, 6)
          AS intercept,
-       round((n * sdy - sd * sy) * (n * sdy - sd * sy)
-             / nullif((n * sdd - CAST(sd AS DOUBLE) * sd) * (n * syy - sy * sy), 0), 6)
+       round((n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE)) * (n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))
+             / nullif((n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd) * (n * syy - CAST(sy AS DOUBLE) * sy), 0), 6)
          AS r_squared
 FROM m
 """,
     tags=("analytics", "timeseries"),
     doc="OLS revenue trend: slope/intercept/R^2 of daily order revenue vs "
-    "day index, one fixed double expression over exact DECIMAL/BIGINT "
-    "moments (the zipf_slope regression pattern on the time axis); orders "
+    "days-since-first-order, one fixed double expression over exact "
+    "integer-cent moments (day index shifted to zero and revenue held in "
+    "BIGINT cents so every product is exact — mixed long x DECIMAL "
+    "products promote differently across engines, caught at sf0.1); the "
+    "intercept is the fitted revenue at the first observed day; orders "
     "collapse to day grain before any moment math — 1 output row",
 )
 def q_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
     d = load_table(spark, sf_dir, "orders").select(
         F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
             "day"
         ),
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
-    daily = d.groupBy("day").agg(F.sum("v").alias("y"))
+    daily0 = track_cached(
+        d.groupBy("day").agg(
+            F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("yc")
+        )
+    )
+    mn = daily0.agg(F.min("day").alias("d0"))
+    daily = daily0.join(F.broadcast(mn)).select(
+        (F.col("day") - F.col("d0")).alias("x"), "yc"
+    )
     m = daily.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("day").alias("sd"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("day") * F.col("y")).cast("double").alias("sdy"),
-        F.sum(F.col("day") * F.col("day")).alias("sdd"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum("x").alias("sd"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sdy"),
+        F.sum(F.col("x") * F.col("x")).alias("sdd"),
+        # y² overflows int64 at large scale — exact 128-bit-ish product via
+        # DECIMAL(19,0)×(19,0) → (38,0), then one cast to double (DuckDB
+        # mirrors with HUGEINT)
+        F.expr(
+            "CAST(sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS DOUBLE)"
+        ).alias("syy"),
     )
-    num = F.col("n") * F.col("sdy") - F.col("sd") * F.col("sy")
+    num = F.col("n") * F.col("sdy").cast("double") - F.col("sd") * F.col("sy").cast("double")
     # nullif: a single-day corpus zeroes the denominator — Spark doubles
     # would emit NaN where DuckDB's /0 yields NULL
     den = F.nullif(
-        F.col("n") * F.col("sdd") - F.col("sd").cast("double") * F.col("sd"),
+        F.col("n") * F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col("sd"),
         F.lit(0.0),
     )
     slope = num / den
     return m.select(
         F.col("n").alias("n_days"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sd")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        F.round(slope / 100.0, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sd")) / F.col("n") / 100.0, 6
+        ).alias("intercept"),
         F.round(
             num * num
             / F.nullif(
-                den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                den
+                * (
+                    F.col("n") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                ),
                 F.lit(0.0),
             ),
             6,
