@@ -203,6 +203,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_shipping_lag",
     "a_interval_merge",
     "a_weighted_median_price",
+    "p_length_drift",
+    "a_returns_rate_by_brand",
+    "p_jaccard_decile_histogram",
 ]
 
 

@@ -686,3 +686,169 @@ def q_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(tot))
     )
+
+
+#: buckets of the length-drift CDF grid
+_DRIFT_BUCKETS = 32
+
+
+@register(
+    "p_length_drift",
+    f"""
+WITH v AS (SELECT source, n_chars FROM documents),
+ext AS (
+  SELECT CAST(min(n_chars) AS BIGINT) AS mn, CAST(max(n_chars) AS BIGINT) AS mx FROM v
+),
+b AS (
+  SELECT source,
+         ((n_chars - ext.mn) * {_DRIFT_BUCKETS}) // (ext.mx - ext.mn + 1) AS bucket
+  FROM v CROSS JOIN ext
+),
+h AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source, bucket),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM h GROUP BY source),
+grid AS (SELECT CAST(unnest(range({_DRIFT_BUCKETS})) AS BIGINT) AS bucket),
+cdf AS (
+  SELECT tot.source, grid.bucket,
+         (1000000 * CAST(coalesce(sum(h.n), 0) AS BIGINT)) // tot.n_docs AS cdf_ppm
+  FROM tot CROSS JOIN grid
+  LEFT JOIN h ON h.source = tot.source AND h.bucket <= grid.bucket
+  GROUP BY tot.source, grid.bucket, tot.n_docs
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(max(abs(a.cdf_ppm - b.cdf_ppm)) AS BIGINT) AS ks_ppm
+  FROM cdf a JOIN cdf b ON a.bucket = b.bucket AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, ks_ppm FROM pairs WHERE ks_ppm >= 100000
+""",
+    tags=("pipeline", "quality", "audit"),
+    doc="distribution-drift audit: KS-style statistic (max CDF gap on a "
+    "32-bucket global grid, exact integer ppm) between every source pair's "
+    "document-length distribution, reporting pairs drifting >= 10% — the "
+    "data-drift alarm a corpus refresh pipeline runs; CDFs are "
+    "(source x 32)-grain, the pair join is grid-keyed",
+)
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select("source", "n_chars")
+    ext = v.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    b = v.join(F.broadcast(ext)).select(
+        "source",
+        F.expr(f"((n_chars - mn) * {_DRIFT_BUCKETS}) div (mx - mn + 1)").alias(
+            "bucket"
+        ),
+    )
+    h = track_cached(
+        b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = h.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    grid = spark.range(_DRIFT_BUCKETS).select(F.col("id").alias("gbucket"))
+    cdf = (
+        tot.join(F.broadcast(grid))
+        .join(h, (h.source == tot.source) & (h.bucket <= F.col("gbucket")), "left")
+        .groupBy(tot.source.alias("source"), F.col("gbucket"), "n_docs")
+        .agg(
+            F.expr("(1000000 * CAST(coalesce(sum(n), 0) AS BIGINT)) div n_docs").alias(
+                "cdf_ppm"
+            )
+        )
+    )
+    a = cdf.select(
+        F.col("source").alias("source_a"), "gbucket", F.col("cdf_ppm").alias("ca")
+    )
+    bb = cdf.select(
+        F.col("source").alias("source_b"), "gbucket", F.col("cdf_ppm").alias("cb")
+    )
+    pairs = (
+        a.join(bb, "gbucket")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.max(F.abs(F.col("ca") - F.col("cb"))).cast("long").alias("ks_ppm"))
+    )
+    return pairs.where(F.col("ks_ppm") >= 100000)
+
+
+@register(
+    "a_returns_rate_by_brand",
+    """
+WITH j AS (
+  SELECT p.p_brand AS brand, l.l_returnflag, CAST(l.l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       (1000000 * CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS return_ppm,
+       CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN q ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+            AS DOUBLE) AS returned_qty
+FROM j GROUP BY brand
+""",
+    tags=("analytics", "relational"),
+    doc="return rate per brand (the product-quality ranking behind TPC-H "
+    "Q10's customer view): broadcast part dimension, one aggregation, "
+    "exact integer ppm rate + DECIMAL quantity fold — brand-grain output",
+)
+def q_returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+    )
+    is_r = F.col("l_returnflag") == "R"
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    return j.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("n_returned"),
+        F.expr(
+            "(1000000 * CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT))"
+            " div count(1)"
+        ).alias("return_ppm"),
+        F.round(F.sum(F.when(is_r, F.col("q")).otherwise(dec0)), 2)
+        .cast("double")
+        .alias("returned_qty"),
+    )
+
+
+@register(
+    "p_jaccard_decile_histogram",
+    f"""
+WITH pairs AS ({dedup.jaccard_pairs_sql(threshold=0.0)}),
+b AS (
+  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile FROM pairs
+),
+h AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs FROM b GROUP BY decile),
+tot AS (SELECT sum(n_pairs) AS t FROM h)
+SELECT decile, n_pairs,
+       (1000000 * n_pairs) // CAST(t AS BIGINT) AS share_ppm
+FROM h, tot
+""",
+    tags=("pipeline", "dedup"),
+    doc="similarity-mass histogram: exact Jaccard of every shingle-sharing "
+    "candidate pair bucketed by decile — the threshold-tuning curve a "
+    "dedup rollout reads before committing to a cutoff; pairs stay "
+    "shingle-blocked, output bounded at 10 rows",
+)
+def q_jaccard_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(dedup.word_ngrams(docs))
+    pairs = dedup.jaccard_pairs(docs, threshold=0.0, shingles=sh)
+    b = pairs.select(
+        F.least(F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9)).alias(
+            "decile"
+        )
+    )
+    h = track_cached(b.groupBy("decile").agg(F.count(F.lit(1)).alias("n_pairs")))
+    tot = h.agg(F.sum("n_pairs").alias("t"))
+    return h.join(F.broadcast(tot)).select(
+        "decile",
+        "n_pairs",
+        F.expr("(1000000 * n_pairs) div t").alias("share_ppm"),
+    )
