@@ -323,6 +323,20 @@ FROM pairs
 HIST_BUCKETS = 32
 
 
+def equiwidth_bucket(value: str, lo: str, hi: str, n_buckets: int):
+    """Shared exact-integer equi-width bucket expression,
+    ``((v - lo) * B) div (hi - lo + 1)`` — carried once for every
+    histogram-shaped operator (batch quantile sketch, streaming registers,
+    the length-drift CDF) so the arithmetic can never drift between them.
+    Operands are SQL expressions/column names; all must be integral."""
+    return F.expr(f"(({value} - {lo}) * {n_buckets}) div ({hi} - {lo} + 1)")
+
+
+def equiwidth_bucket_sql(value: str, lo: str, hi: str, n_buckets: int) -> str:
+    """DuckDB rendering of :func:`equiwidth_bucket`."""
+    return f"(({value} - {lo}) * {n_buckets}) // ({hi} - {lo} + 1)"
+
+
 def histogram_quantiles(lineitem: DataFrame, col: str = "l_extendedprice") -> DataFrame:
     """Mergeable equi-width histogram sketch with interpolated quantile
     estimates — the bounded-state alternative to an exact distributed sort
@@ -355,7 +369,7 @@ def histogram_quantiles(lineitem: DataFrame, col: str = "l_extendedprice") -> Da
         F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
     )
     bucketed = v.join(F.broadcast(ext)).select(
-        F.expr(f"((v - mn) * {B}) div (mx - mn + 1)").alias("bucket"), "mn", "mx", "n"
+        equiwidth_bucket("v", "mn", "mx", B).alias("bucket"), "mn", "mx", "n"
     )
     hist = bucketed.groupBy("bucket", "mn", "mx", "n").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -393,6 +407,7 @@ def histogram_quantiles(lineitem: DataFrame, col: str = "l_extendedprice") -> Da
 
 def histogram_quantiles_sql(col: str = "l_extendedprice") -> str:
     B = HIST_BUCKETS
+    bucket_sql = equiwidth_bucket_sql("v.v", "ext.mn", "ext.mx", B)
     return f"""
 WITH v AS (SELECT CAST(round({col} * 100) AS BIGINT) AS v FROM lineitem),
 ext AS (
@@ -401,7 +416,7 @@ ext AS (
   FROM v
 ),
 bucketed AS (
-  SELECT ((v.v - ext.mn) * {B}) // (ext.mx - ext.mn + 1) AS bucket,
+  SELECT {bucket_sql} AS bucket,
          ext.mn, ext.mx, ext.n
   FROM v CROSS JOIN ext
 ),

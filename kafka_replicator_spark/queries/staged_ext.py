@@ -737,7 +737,7 @@ def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = v.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
     b = v.join(F.broadcast(ext)).select(
         "source",
-        F.expr(f"((n_chars - mn) * {_DRIFT_BUCKETS}) div (mx - mn + 1)").alias(
+        sketches.equiwidth_bucket("n_chars", "mn", "mx", _DRIFT_BUCKETS).alias(
             "bucket"
         ),
     )

@@ -174,7 +174,11 @@ def windowed_histogram_registers(
     interpolated-quantile readout runs as a batch query over the sink with
     the batch operator's arithmetic.
     """
-    with_ts = df.withColumn(
+    from kafka_replicator_spark.functions.sketches import equiwidth_bucket
+
+    # NULL values are EXCLUDED (greatest() skips nulls, which would
+    # silently count null payloads into bucket 0)
+    with_ts = df.where(F.col(value_col).isNotNull()).withColumn(
         "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     )
     if with_ts.isStreaming:
@@ -182,8 +186,7 @@ def windowed_histogram_registers(
     bucket = F.least(
         F.lit(n_buckets - 1),
         F.greatest(
-            F.lit(0),
-            F.expr(f"(({value_col} - {lo}) * {n_buckets}) div ({hi} - {lo} + 1)"),
+            F.lit(0), equiwidth_bucket(value_col, str(lo), str(hi), n_buckets)
         ),
     ).cast("int")
     return (

@@ -71,9 +71,11 @@ def main() -> int:
             failures.append(name)
             print(f"[{i:3d}] ERR  {name}:\n{traceback.format_exc()}", flush=True)
         finally:
-            # long sweeps would otherwise accumulate every query's tracked
-            # cached frames in one session
+            # long sweeps would otherwise accumulate every query's cached
+            # frames in one session — release tracked frames AND the bare
+            # .cache() calls some operators pin internally
             release_cached()
+            spark.catalog.clearCache()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green"
           + (f"; failures: {failures}" if failures else ""))
