@@ -604,3 +604,36 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     got = back.count()
     exp = docs.filter(F.col("lang") == langs[0]).count()
     assert got == exp
+
+
+def test_bm25_topk_is_takeordered(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_bm25_scores"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_length_drift_pairs_join_on_grid(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_length_drift"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the source-pair comparison joins on the 32-row grid key, never a
+    # cartesian across sources
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_weighted_median_reads_cached_range_placement(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_weighted_median_price"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the stitch contract: the plan reads the cached tagged frame (same
+    # range placement the prefix observed), prefix rides a broadcast join
+    assert "InMemoryTableScan" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
