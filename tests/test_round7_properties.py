@@ -598,3 +598,46 @@ def test_observed_volume_batch_and_stream(spark, messages, tmp_path):
     assert last is not None and "vol" in (last.observedMetrics or {}), last
     om = last.observedMetrics["vol"]
     assert om["n_rows"] == n
+
+
+def test_histogram_estimate_brackets_exact_quantiles(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.functions import sketches
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.floats(1.0, 10_000.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=60,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame(
+            [(round(v, 2),) for v in vals], schema="l_extendedprice double"
+        )
+        rows = {r.quantile_pct: r for r in sketches.histogram_quantiles(df).collect()}
+        release_cached()
+        cents = sorted(round(round(v, 2) * 100) for v in vals)
+        width = (cents[-1] - cents[0] + 1) / sketches.HIST_BUCKETS / 100.0
+        import math
+
+        def exact_q(q):
+            idx = q * (len(cents) - 1)
+            lo, hi = cents[math.floor(idx)], cents[math.ceil(idx)]
+            return (lo + (idx - math.floor(idx)) * (hi - lo)) / 100.0
+
+        for pct in (50, 90):
+            r = rows[pct]
+            assert r.n_rows == len(vals)
+            # estimate lands within one bucket width of the exact quantile
+            assert abs(r.est_value - exact_q(pct / 100)) <= width + 1e-6, (
+                pct,
+                r.est_value,
+                exact_q(pct / 100),
+                width,
+            )
+
+    check()
