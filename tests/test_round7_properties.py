@@ -641,3 +641,65 @@ def test_histogram_estimate_brackets_exact_quantiles(spark):
             )
 
     check()
+
+
+def test_lifecycle_roundtrip_under_random_configs(spark, sf_dir, tmp_path):
+    """Randomized end-to-end lifecycle: write → compact → read preserves
+    every message and per-partition offset order, for arbitrary rollover
+    and compaction thresholds (the fixed-config roundtrip tests, made a
+    property)."""
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_replicator_spark.operators import (
+        assign_segments_greedy,
+        compact,
+        write_segments,
+    )
+    from kafka_replicator_spark.sources import (
+        events_as_messages,
+        list_segments,
+        read_segment_files,
+    )
+
+    msgs = events_as_messages(spark, sf_dir).cache()
+    n_msgs = msgs.count()
+    counter = [0]
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        max_messages=st.integers(50, 400),
+        min_count=st.integers(2, 6),
+    )
+    def check(max_messages, min_count):
+        counter[0] += 1
+        root = str(tmp_path / f"lc{counter[0]}")
+        write_segments(
+            assign_segments_greedy(msgs, max_bytes=1 << 20, max_messages=max_messages),
+            root=root,
+            region="prop-region",
+        ).collect()
+        compact(
+            spark, root, region="prop-region", min_count=min_count, min_bytes=1
+        ).collect()
+        # below-threshold partitions legitimately keep their original
+        # segments — the live listing is the read surface, not the
+        # compaction output alone
+        live = [r["path"] for r in list_segments(spark, root).collect()]
+        back = read_segment_files(spark, live)
+        assert back.count() == n_msgs
+        # per-partition offsets dense and ordered
+        per = (
+            back.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("msg_offset").alias("lo"),
+                F.max("msg_offset").alias("hi"),
+                F.count_distinct("msg_offset").alias("nd"),
+            )
+            .collect()
+        )
+        for r in per:
+            assert r.nd == r.n == r.hi - r.lo + 1, r
+
+    check()
+    msgs.unpersist()
