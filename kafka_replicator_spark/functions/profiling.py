@@ -94,17 +94,41 @@ def fk_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     key set — the shuffle moves |distinct keys| rows, not the fact table,
     and the per-relationship output is one row.  At 100 TB the anti-join is
     a hash join on the key (broadcast when the parent is a dim).
+
+    One scan per CHILD TABLE, not per relationship: each child's slim
+    FK-column projection is cached once and every relationship on that
+    table (lineitem carries three) derives its counts and distinct key set
+    from the cached frame — 3 scans total here instead of 10.
     """
+    from collections import defaultdict
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    by_child: dict[str, list] = defaultdict(list)
+    for edge in FK_EDGES:
+        by_child[edge[1]].append(edge)
+
+    slim: dict[str, DataFrame] = {}
+    counts: dict[str, DataFrame] = {}
+    for child_t, edges in by_child.items():
+        keys = [e[2] for e in edges]
+        slim[child_t] = track_cached(tables[child_t].select(*keys))
+        aggs = [F.count(F.lit(1)).alias("n_child_rows")]
+        for k in keys:
+            aggs.append(F.count_distinct(F.col(k)).alias(f"nd_{k}"))
+        counts[child_t] = slim[child_t].agg(*aggs)
+
     parts = []
     for name, child_t, child_k, parent_t, parent_k in FK_EDGES:
-        child = tables[child_t]
         parent = tables[parent_t].select(F.col(parent_k).alias("__pk")).distinct()
-        rows = child.agg(
-            F.count(F.lit(1)).alias("n_child_rows"),
-            F.count_distinct(F.col(child_k)).alias("n_child_keys"),
-        ).withColumn("relationship", F.lit(name))
+        rows = counts[child_t].select(
+            F.lit(name).alias("relationship"),
+            F.col("n_child_rows"),
+            F.col(f"nd_{child_k}").alias("n_child_keys"),
+        )
         orphan_keys = (
-            child.select(F.col(child_k).alias("__pk"))
+            slim[child_t]
+            .select(F.col(child_k).alias("__pk"))
             .distinct()
             .join(parent, "__pk", "left_anti")
         )
