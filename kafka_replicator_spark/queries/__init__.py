@@ -206,6 +206,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_length_drift",
     "a_returns_rate_by_brand",
     "p_jaccard_decile_histogram",
+    "p_source_gini",
+    "p_hapax_share",
+    "a_repeat_purchase",
 ]
 
 

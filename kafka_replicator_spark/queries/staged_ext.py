@@ -852,3 +852,155 @@ def q_jaccard_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.expr("(1000000 * n_pairs) div t").alias("share_ppm"),
     )
+
+
+@register(
+    "p_source_gini",
+    """
+WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT toks, CAST(row_number() OVER (ORDER BY toks, source) AS BIGINT) AS i
+  FROM per
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(toks) AS BIGINT) AS t,
+         CAST(sum(i * toks) AS BIGINT) AS it
+  FROM ranked
+)
+SELECT n AS n_sources, t AS total_tokens,
+       round(2.0 * it / (n * CAST(t AS DOUBLE)) - (n + 1.0) / n, 6) AS gini
+FROM m
+""",
+    tags=("pipeline", "sampling", "audit"),
+    doc="corpus-balance Gini coefficient over per-source token mass (0 = "
+    "perfectly balanced mix, →1 = one source dominates) — the one-number "
+    "input to mixing decisions; the rank window runs on the source-count-"
+    "sized frame, the coefficient is one fixed double expression over "
+    "exact integer moments",
+)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.expr("CAST(sum(size(split(text, ' '))) AS BIGINT)").alias("toks"))
+    )
+    ranked = per.select(
+        "toks",
+        F.row_number()
+        .over(Window.orderBy("toks", "source"))
+        .cast("long")
+        .alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("toks").alias("t"),
+        F.sum(F.col("i") * F.col("toks")).alias("it"),
+    )
+    return m.select(
+        F.col("n").alias("n_sources"),
+        F.col("t").alias("total_tokens"),
+        F.round(
+            2.0 * F.col("it") / (F.col("n") * F.col("t").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "p_hapax_share",
+    """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, tok)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       (1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+         AS hapax_ppm
+FROM counts GROUP BY source
+""",
+    tags=("pipeline", "quality"),
+    doc="hapax-legomena share per source (types seen exactly once — the "
+    "productive-vocabulary signal; boilerplate-heavy domains collapse "
+    "toward 0): one explode + one (source, type)-grain aggregation, exact "
+    "integer ppm, source-grain output",
+)
+def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import spread
+
+    toks = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.expr(
+            "(1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))"
+            " div count(1)"
+        ).alias("hapax_ppm"),
+    )
+
+
+@register(
+    "a_repeat_purchase",
+    """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+  WHERE event_type = 'purchase'
+),
+per_user AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY user_id),
+gaps AS (
+  SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS gap_us
+  FROM p
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_user) AS n_buyers,
+       (SELECT CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM per_user)
+         AS n_repeat_buyers,
+       (SELECT (1000000 * CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+        FROM per_user) AS repeat_ppm,
+       (SELECT round(quantile_cont(gap_us, 0.5), 6) FROM gaps WHERE gap_us IS NOT NULL)
+         AS median_repurchase_gap_us
+""",
+    tags=("analytics", "events"),
+    doc="repeat-purchase readout: buyer counts, repeat share in exact "
+    "integer ppm, and the median inter-purchase gap (exact 0.5 quantile) "
+    "— the retention KPI next to a_user_rfm; purchase stream collapses to "
+    "user grain, gap window is per-user",
+)
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    p = track_cached(
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
+    )
+    per_user = p.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    buyers = per_user.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_repeat_buyers"),
+        F.expr(
+            "(1000000 * CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT))"
+            " div count(1)"
+        ).alias("repeat_ppm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = p.select((F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    med = gaps.agg(
+        F.round(F.expr("percentile(gap_us, 0.5D)"), 6).alias(
+            "median_repurchase_gap_us"
+        )
+    )
+    return buyers.join(F.broadcast(med))
