@@ -704,3 +704,59 @@ def test_lifecycle_roundtrip_under_random_configs(spark, sf_dir, tmp_path):
 
     check()
     msgs.unpersist()
+
+
+def test_source_gini_bounds_and_uniform_case(spark):
+    # uniform token mass -> gini ~ 0 (exact: (2*Σi*x)/(n*t) - (n+1)/n with
+    # equal x collapses to 0); rebuild the registered query's arithmetic on
+    # an in-memory frame (the registry fn is load_table-bound)
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "en", f"s{i}", 7) for i in range(5)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pyspark.sql import Window
+
+    per = docs.groupBy("source").agg(
+        F.expr("CAST(sum(size(split(text, ' '))) AS BIGINT)").alias("toks")
+    )
+    ranked = per.select(
+        "toks",
+        F.row_number().over(Window.orderBy("toks", "source")).cast("long").alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("toks").alias("t"),
+        F.sum(F.col("i") * F.col("toks")).alias("it"),
+    ).select(
+        F.round(
+            2.0 * F.col("it") / (F.col("n") * F.col("t").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"), 6,
+        ).alias("gini")
+    )
+    assert abs(m.collect()[0].gini) < 1e-9
+
+
+def test_hapax_share_hand_checked(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+
+    rows = all_queries()["p_hapax_share"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.n_types
+        assert 0 <= r.hapax_ppm <= 1_000_000
+
+
+def test_repeat_purchase_consistency(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.sources.tables import load_table
+
+    r = all_queries()["a_repeat_purchase"].fn(spark, sf_dir).collect()[0]
+    buyers = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_buyers == buyers
+    assert 0 <= r.n_repeat_buyers <= r.n_buyers
+    if r.n_repeat_buyers > 0:
+        assert r.median_repurchase_gap_us > 0
