@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
+
 from kafka_replicator_spark.functions.hashing import (
     hash_family_col,
     hash_family_params,
@@ -111,7 +113,7 @@ def jaccard_pairs(
     """
     # the shingle set feeds three plan branches (sizes + both join sides);
     # Spark does no cross-branch subtree reuse, so cache or pay 3× recompute
-    sh = word_ngrams(docs, n=n).cache() if shingles is None else shingles
+    sh = track_cached(word_ngrams(docs, n=n)) if shingles is None else shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -219,7 +221,7 @@ def lsh_candidate_pairs(
     candidate pair.  The band join is an equi-join on a string band key —
     no O(n²) pair enumeration, the property that survives 100 TB.
     """
-    banded = minhash_bands(docs, k=k, n=n, bands=bands, shingles=shingles).cache()
+    banded = track_cached(minhash_bands(docs, k=k, n=n, bands=bands, shingles=shingles))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (

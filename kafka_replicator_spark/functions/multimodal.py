@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
+
 MEDIA_KINDS = ("image", "audio", "video")
 
 #: schema of the metadata extraction output
@@ -210,7 +212,7 @@ def media_embed_topk(docs: DataFrame, probe_ids: list[int], k: int = 5) -> DataF
 
     from kafka_replicator_spark.functions.similarity import cosine_col
 
-    emb = embed_media(synthesize_media(docs)).cache()
+    emb = track_cached(embed_media(synthesize_media(docs)))
     probes = emb.filter(F.col("doc_id").isin(probe_ids)).select(
         F.col("doc_id").alias("probe_id"), F.col("e").alias("pe")
     )

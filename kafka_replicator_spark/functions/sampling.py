@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
+
 from kafka_replicator_spark.functions.hashing import (
     portable_hash32,
     portable_hash32_sql,
@@ -156,7 +158,7 @@ def kmv_overlap(docs: DataFrame, n: int = 3, k: int = 128) -> DataFrame:
     pairwise stage is metadata-scale, and distinct-h ordering makes the
     sketch content independent of partitioning and engine.
     """
-    sh = source_shingles(docs, n=n).cache()
+    sh = track_cached(source_shingles(docs, n=n))
     hs = sh.select("source", "h").distinct()
     rk = Window.partitionBy("source").orderBy("h")
     sk = hs.withColumn("_rk", F.row_number().over(rk)).filter(F.col("_rk") <= k).drop("_rk")

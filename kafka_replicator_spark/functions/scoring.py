@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
+
 from kafka_replicator_spark.functions.hashing import spread, spread_by_key
 from kafka_replicator_spark.functions.text import tokens_col
 
@@ -132,7 +134,7 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     # doc_bg feeds three plan branches (corpus counts, context counts via
     # them, and the scoring join) — cache so the explode runs once
-    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("dc")).cache()
+    doc_bg = track_cached(bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("dc")))
     bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("dc").alias("c12"))
     ctx_counts = bg_counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")

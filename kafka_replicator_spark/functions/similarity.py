@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from kafka_replicator_spark.cacheutil import track_cached
+
 
 def _spread_emb(embeddings: DataFrame) -> DataFrame:
     from kafka_replicator_spark.functions.hashing import spread
@@ -142,7 +144,7 @@ def ann_topk(
     emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     buckets = lsh_buckets(embeddings, n_planes, dim)
     # probes + candidates both read this subtree; cache beats 2× recompute
-    emb_b = emb.join(buckets, "vec_id").cache()
+    emb_b = track_cached(emb.join(buckets, "vec_id"))
     probes = emb_b.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "bucket"
     )
@@ -191,7 +193,7 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs that
     collide in a bucket are scored (the embedding analog of MinHash-LSH)."""
     emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
-    emb_b = emb.join(lsh_buckets(embeddings, n_planes, dim), "vec_id").cache()
+    emb_b = track_cached(emb.join(lsh_buckets(embeddings, n_planes, dim), "vec_id"))
     a = emb_b.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket")
     b = emb_b.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "bucket")
     return (
@@ -250,7 +252,7 @@ def ivf_topk(
     """IVF search: rank candidates only within the probe's coarse cell
     (nprobe=1).  The scale path when buckets must follow the data
     distribution rather than random hyperplanes."""
-    assigned = ivf_assign(embeddings, centroid_stride).cache()  # probes + cands
+    assigned = track_cached(ivf_assign(embeddings, centroid_stride))  # probes + cands
     probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id"
     )
@@ -795,7 +797,7 @@ def semantic_dedup(
     rounded to 6 dp before the threshold compare so both engines make the
     same keep/drop call at the boundary.
     """
-    assigned = ivf_assign(embeddings, centroid_stride).cache()
+    assigned = track_cached(ivf_assign(embeddings, centroid_stride))
     a = assigned.select("centroid_id", F.col("vec_id").alias("a_id"), F.col("e").alias("ae"))
     b = assigned.select("centroid_id", F.col("vec_id").alias("b_id"), F.col("e").alias("be"))
     near = (
@@ -869,7 +871,7 @@ def ivf_topk_multiprobe(
     One extra broadcast row per (probe, extra cell); candidate volume
     scales linearly with nprobe, corpus passes stay at one.
     """
-    assigned = ivf_assign(embeddings, centroid_stride).cache()
+    assigned = track_cached(ivf_assign(embeddings, centroid_stride))
     cents = assigned.filter(F.col("vec_id") % centroid_stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
     ).dropDuplicates(["centroid_id"])
