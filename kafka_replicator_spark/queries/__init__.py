@@ -209,6 +209,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_source_gini",
     "p_hapax_share",
     "a_repeat_purchase",
+    "p_lsh_capture_curve",
+    "p_ann_mrr",
+    "a_value_by_hour_anova",
 ]
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.cacheutil import track_cached
-from kafka_replicator_spark.functions import similarity
+from kafka_replicator_spark.functions import dedup, similarity
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -274,4 +274,189 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_eff",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         F.expr("(1000000 * coalesce(n_hits, 0)) div k_eff").alias("recall_ppm"),
+    )
+
+
+#: banding geometry of the capture-curve audit (rows per band r, bands b)
+_CAP_R = 4
+_CAP_B = 8
+
+
+def _pow_chain_sql(base: str, n: int) -> str:
+    """x^n as a fixed-order multiplication chain (n in {4, 8}) — identical
+    IEEE evaluation on both engines, no pow() (library pow differs in the
+    last ulp across engines)."""
+    assert n in (4, 8)
+    x2 = f"(({base}) * ({base}))"
+    x4 = f"({x2} * {x2})"
+    if n == 4:
+        return x4
+    return f"({x4} * {x4})"
+
+
+@register(
+    "p_lsh_capture_curve",
+    f"""
+WITH pairs AS (
+  SELECT round(jaccard, 6) AS j
+  FROM ({dedup.jaccard_pairs_sql(threshold=0.0)})
+),
+capt AS (
+  SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS decile,
+         1.0 - {_pow_chain_sql(f"1.0 - {_pow_chain_sql('j', _CAP_R)}", _CAP_B)} AS p_capture
+  FROM pairs
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(sum(CAST(round(p_capture, 9) AS DECIMAL(18,9))), 6) AS DOUBLE)
+         AS sum_capture
+FROM capt GROUP BY decile
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="MinHash-LSH capture-probability curve: for every candidate pair's "
+    "exact Jaccard j, the analytic banding capture 1-(1-j^r)^b (r=4, b=8) "
+    "— expanded as a fixed-order multiplication chain so both engines "
+    "evaluate identical IEEE products (library pow differs in the last "
+    "ulp); per-decile pair counts + DECIMAL-folded capture mass, the "
+    "expected-recall audit for a banding choice",
+)
+def q_lsh_capture_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(dedup.word_ngrams(docs))
+    pairs = dedup.jaccard_pairs(docs, threshold=0.0, shingles=sh).select(
+        F.round("jaccard", 6).alias("j")
+    )
+    j = F.col("j")
+    j2 = j * j
+    j4 = j2 * j2
+    q = F.lit(1.0) - j4
+    q2 = q * q
+    q4 = q2 * q2
+    q8 = q4 * q4
+    capt = pairs.select(
+        F.least(F.floor(j * 10).cast("long"), F.lit(9)).alias("decile"),
+        (F.lit(1.0) - q8).alias("p_capture"),
+    )
+    return capt.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(F.round(F.col("p_capture"), 9).cast("decimal(18,9)")), 6)
+        .cast("double")
+        .alias("sum_capture"),
+    )
+
+
+@register(
+    "p_ann_mrr",
+    f"""
+WITH ann AS (
+  SELECT probe_id, neighbor_id, rank
+  FROM ({similarity.ann_topk_sql(_RECALL_PROBES, k=5, n_planes=4, dim=64)})
+),
+lbl AS (SELECT vec_id, label FROM embeddings),
+firsts AS (
+  SELECT ann.probe_id, CAST(min(ann.rank) AS BIGINT) AS first_hit_rank
+  FROM ann
+  JOIN lbl pl ON pl.vec_id = ann.probe_id
+  JOIN lbl nl ON nl.vec_id = ann.neighbor_id
+  WHERE nl.label = pl.label
+  GROUP BY ann.probe_id
+),
+base AS (SELECT DISTINCT probe_id FROM ann)
+SELECT base.probe_id,
+       coalesce(firsts.first_hit_rank, 0) AS first_hit_rank,
+       CASE WHEN firsts.first_hit_rank IS NULL THEN 0
+            ELSE 1000000 // firsts.first_hit_rank END AS rr_ppm
+FROM base LEFT JOIN firsts USING (probe_id)
+""",
+    tags=("pipeline", "similarity", "eval"),
+    doc="ANN mean-reciprocal-rank inputs: per probe, the rank of the first "
+    "same-label neighbor in the LSH top-k (0 = no hit) and its exact-ppm "
+    "reciprocal — the ranking-quality half of p_ann_label_precision; "
+    "labels ride broadcast joins, probe-count output",
+)
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ann_topk(emb, _RECALL_PROBES, k=5, n_planes=4, dim=64)
+    lbl = emb.select("vec_id", "label")
+    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl"))
+    nl = lbl.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
+    )
+    firsts = (
+        ann.join(F.broadcast(pl), "probe_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .where(F.col("n_lbl") == F.col("p_lbl"))
+        .groupBy("probe_id")
+        .agg(F.min("rank").cast("long").alias("first_hit_rank"))
+    )
+    base = ann.select("probe_id").distinct()
+    return base.join(firsts, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce(F.col("first_hit_rank"), F.lit(0)).alias("first_hit_rank"),
+        F.expr(
+            "CASE WHEN first_hit_rank IS NULL THEN 0"
+            " ELSE 1000000 div first_hit_rank END"
+        ).alias("rr_ppm"),
+    )
+
+
+@register(
+    "a_value_by_hour_anova",
+    """
+WITH e AS (
+  SELECT hour(ts) AS hr, CAST(value AS DECIMAL(18,2)) AS v FROM events
+),
+g AS (
+  SELECT hr, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) AS s,
+         CAST(sum(v * v) AS DOUBLE) AS ss
+  FROM e GROUP BY hr
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(s) AS DOUBLE) AS s_tot,
+         CAST(sum(ss) AS DOUBLE) AS ss_tot,
+         CAST(sum(s * s / n) AS DOUBLE) AS sq_group
+  FROM g
+)
+SELECT k AS n_groups, n_tot AS n_events,
+       round((sq_group - s_tot * s_tot / n_tot) / (k - 1)
+             / nullif((ss_tot - sq_group) / (n_tot - k), 0), 6) AS f_stat
+FROM m
+""",
+    tags=("analytics", "events", "eval"),
+    doc="one-way ANOVA of event value by hour of day: between/within sums "
+    "of squares from per-hour DECIMAL-exact moments, the F statistic as "
+    "one fixed double expression — is there an hourly value effect at "
+    "all; 24-group grain, 1 output row",
+)
+def q_value_by_hour_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("hour(timestamp_micros(ts div 1000))").alias("hr"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    g = e.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sq_group"),
+    )
+    between = (F.col("sq_group") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")) / (
+        F.col("k") - 1
+    )
+    within = F.nullif(
+        (F.col("ss_tot") - F.col("sq_group")) / (F.col("n_tot") - F.col("k")),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_tot").alias("n_events"),
+        F.round(between / within, 6).alias("f_stat"),
     )
