@@ -760,3 +760,46 @@ def test_repeat_purchase_consistency(spark, sf_dir):
     assert 0 <= r.n_repeat_buyers <= r.n_buyers
     if r.n_repeat_buyers > 0:
         assert r.median_repurchase_gap_us > 0
+
+
+def test_lsh_capture_curve_matches_python_formula(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.functions import dedup
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.sources.tables import load_table
+
+    rows = {r.decile: r for r in all_queries()["p_lsh_capture_curve"].fn(spark, sf_dir).collect()}
+    release_cached()
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_ngrams(docs).cache()
+    js = [
+        round(r.jaccard, 6)
+        for r in dedup.jaccard_pairs(docs, threshold=0.0, shingles=sh).collect()
+    ]
+    sh.unpersist()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    exp = defaultdict(lambda: [0, Decimal(0)])
+    for j in js:
+        d = min(int(j * 10), 9)
+        j2 = j * j
+        j4 = j2 * j2
+        q = 1.0 - j4
+        q2 = q * q
+        q4 = q2 * q2
+        cap = 1.0 - q4 * q4
+        exp[d][0] += 1
+        exp[d][1] += Decimal(str(round(cap, 9)))
+    assert set(rows) == set(exp)
+    for d, (n, ssum) in exp.items():
+        assert rows[d].n_pairs == n
+        assert float(round(ssum, 6)) == rows[d].sum_capture
+
+
+def test_anova_f_nonnegative_and_moment_consistent(spark, sf_dir):
+    from kafka_replicator_spark.queries import all_queries
+
+    r = all_queries()["a_value_by_hour_anova"].fn(spark, sf_dir).collect()[0]
+    assert r.n_groups <= 24
+    assert r.f_stat is None or r.f_stat >= 0
