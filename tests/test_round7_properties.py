@@ -803,3 +803,29 @@ def test_anova_f_nonnegative_and_moment_consistent(spark, sf_dir):
     r = all_queries()["a_value_by_hour_anova"].fn(spark, sf_dir).collect()[0]
     assert r.n_groups <= 24
     assert r.f_stat is None or r.f_stat >= 0
+
+
+def test_registry_window_lists_are_well_formed():
+    """The driver verifies the first 50 registry entries; the ordering
+    lists must stay disjoint, registered, and duplicate-free or the window
+    silently drops names."""
+    from kafka_replicator_spark.queries import (
+        _EVER_GREEN,
+        _NEW_THIS_ROUND,
+        _STAGED_NEXT_ROUND,
+        all_queries,
+    )
+
+    qs = all_queries()
+    assert len(_NEW_THIS_ROUND) == len(set(_NEW_THIS_ROUND))
+    assert len(_STAGED_NEXT_ROUND) == len(set(_STAGED_NEXT_ROUND))
+    assert not (set(_NEW_THIS_ROUND) & set(_STAGED_NEXT_ROUND))
+    missing = [
+        n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n not in qs
+    ]
+    assert not missing, f"listed but unregistered: {missing}"
+    stale = [n for n in _EVER_GREEN if n not in qs]
+    assert not stale, f"ever-green names no longer registered: {stale}"
+    # every oracle is non-empty SQL or explicitly None
+    for n, q in qs.items():
+        assert q.oracle is None or q.oracle.strip(), n
