@@ -212,6 +212,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_lsh_capture_curve",
     "p_ann_mrr",
     "a_value_by_hour_anova",
+    "a_shared_sql_recursive_spine",
 ]
 
 

@@ -862,3 +862,53 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
     )
     return frontier.weighted_median(li, "price_cents", "qty")
+
+
+# -------------------------------------------- shared-SQL recursive front door
+
+#: identical ANSI SQL text executed by BOTH engines (the shared-SQL front
+#: door convention of queries/analytics.py) — WITH RECURSIVE generates the
+#: complete month spine so zero-activity months surface as explicit rows,
+#: the classic time-series gap fill
+SHARED_SQL_RECURSIVE_SPINE = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS lo,
+         CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS hi
+  FROM orders
+),
+seg(a, b) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT CASE WHEN side = 0 THEN a ELSE CAST(floor((a + b) / 2.0) AS BIGINT) + 1 END,
+         CASE WHEN side = 0 THEN CAST(floor((a + b) / 2.0) AS BIGINT) ELSE b END
+  FROM seg CROSS JOIN (VALUES (0), (1)) AS s(side)
+  WHERE a < b
+),
+monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT seg.a AS month_index, coalesce(monthly.n_orders, 0) AS n_orders
+FROM seg LEFT JOIN monthly ON monthly.m = seg.a
+WHERE seg.a = seg.b
+"""
+
+
+@register(
+    "a_shared_sql_recursive_spine",
+    SHARED_SQL_RECURSIVE_SPINE,
+    tags=("analytics", "sql", "timeseries"),
+    doc="WITH RECURSIVE through the shared-SQL front door (Spark 4's "
+    "recursive CTE + DuckDB, one query text): a complete month spine "
+    "left-joined to monthly order counts so gap months surface as zero "
+    "rows — the calendar-fill primitive; the spine is generated by "
+    "binary interval splitting, so recursion DEPTH is log2(span) "
+    "(7 Spark iterations for ~80 months, vs 80 for the naive m+1 chain "
+    "— each recursive step is a full job in Spark, so depth is the cost)",
+)
+def q_shared_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_SQL_RECURSIVE_SPINE)
