@@ -50,15 +50,33 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
-#: Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 (static history of
-#: the driver's correctness runs; oracle-less queries count as green on a
-#: clean rows-only row).  The driver verifies only a prefix (~50) of the
-#: registry each round, so ``all_queries`` orders every name WITHOUT a green
-#: row ahead of this set, then the round's new queries, then this remainder
-#: as ballast.  After round 3 (50/50 green) only three names lack a row:
-#: p_bigram_logprob, p_quality_classifier, p_temperature_mix — round 3's
-#: registry positions 50-52, past the window edge.
+#: Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 (static
+#: history of the driver's correctness runs; oracle-less queries count as
+#: green on a clean rows-only row).  The driver verifies only a prefix
+#: (~50) of the registry each round, so ``all_queries`` orders every name
+#: WITHOUT a green row ahead of this set, then the round's new queries,
+#: then this remainder as ballast.  After round 4 (50/50 green again) the
+#: only names without a row are the round-4 staged tail, promoted to
+#: ``_NEW_THIS_ROUND`` below — they fill the round-5 window exactly.
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r04 (folded in at the round-5 rotation) ---
+    'p_bigram_logprob', 'p_quality_classifier', 'p_temperature_mix',
+    'p_readability', 'p_vocab_growth', 'p_zipf_slope', 'p_perplexity_profile',
+    'p_lang_confusion', 'a_markov_transitions', 'a_decayed_value',
+    'a_value_histogram', 'a_skyline_parts', 'p_knn_graph', 'p_embedding_stats',
+    'p_minhash_containment', 'p_epoch_plan', 'p_cross_source_overlap',
+    'p_dedup_best_quality', 'p_length_quantiles', 'p_graph_pagerank',
+    'a_rolling_user_activity', 'a_revenue_momentum', 'p_ann_label_precision',
+    'a_anomaly_zscore', 'a_user_rfm', 'p_stopword_profile', 'p_winnowing',
+    'a_nation_trade_balance', 'p_uniform_sample', 'p_cond_entropy',
+    'a_time_seasonality', 'p_coreset_select', 'p_span_corruption',
+    'p_dedup_funnel', 'p_charngram_langid', 'p_tfidf_topterm_pairs',
+    'p_dataset_split', 'p_shard_plan', 'p_doc_dup_category',
+    'p_token_len_histogram', 'p_hash_balance_audit', 'p_edit_distance_pairs',
+    'a_weekly_active_users', 'a_user_concentration', 'a_conversion_lag',
+    'p_crosslingual_dups', 'p_dup_cluster_sizes', 'p_column_profile',
+    'p_fk_integrity', 'p_uniqueness_audit',
+    # --- green in r01 ∪ r02 ∪ r03 ---
     'a_asof_join', 'a_bloom_semi_join', 'a_correlation', 'a_dedup_first_event',
     'a_distinct_aggregates', 'a_funnel_steps', 'a_interval_join',
     'a_pivot_event_counts', 'a_q10_returned_items', 'a_q11_important_stock',
@@ -102,67 +120,13 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries added or materially changed THIS round — verified nowhere yet, so
-#: they go inside the window right behind the never-green backlog (3 names
-#: after the round-3 rotation).  Keep backlog + this list ≤ 50 or the tail
-#: spills to next round.
+#: Queries added or materially changed THIS round (round 5) — verified
+#: nowhere yet, so they go inside the window right behind any never-green
+#: backlog.  At the round-5 rotation this is exactly the round-4 staged
+#: tail (50 names: the 53-name staged list minus the 3 that took window
+#: slots 48-50 and went green in r04) — they fill the 50-entry window
+#: exactly, so NOTHING new may be added ahead of them this round.
 _NEW_THIS_ROUND: list[str] = [
-    "p_readability",
-    "p_vocab_growth",
-    "p_zipf_slope",
-    "p_perplexity_profile",
-    "p_lang_confusion",
-    "a_markov_transitions",
-    "a_decayed_value",
-    "a_value_histogram",
-    "a_skyline_parts",
-    "p_knn_graph",
-    "p_embedding_stats",
-    "p_minhash_containment",
-    "p_epoch_plan",
-    "p_cross_source_overlap",
-    "p_dedup_best_quality",
-    "p_length_quantiles",
-    "p_graph_pagerank",
-    "a_rolling_user_activity",
-    "a_revenue_momentum",
-    "p_ann_label_precision",
-    "a_anomaly_zscore",
-    "a_user_rfm",
-    "p_stopword_profile",
-    "p_winnowing",
-    "a_nation_trade_balance",
-    "p_uniform_sample",
-    "p_cond_entropy",
-    "a_time_seasonality",
-    "p_coreset_select",
-    "p_span_corruption",
-    "p_dedup_funnel",
-    "p_charngram_langid",
-    "p_tfidf_topterm_pairs",
-    "p_dataset_split",
-    "p_shard_plan",
-    "p_doc_dup_category",
-    "p_token_len_histogram",
-    "p_hash_balance_audit",
-    "p_edit_distance_pairs",
-    "a_weekly_active_users",
-    "a_user_concentration",
-    "a_conversion_lag",
-    "p_crosslingual_dups",
-    "p_dup_cluster_sizes",
-]
-
-
-#: Queries registered mid-round AFTER the 50-entry window filled (3 backlog
-#: + 44 new = 47, leaving 3 ballast slots).  Ordered after _NEW_THIS_ROUND:
-#: the first 3 take the remaining window slots this round, the rest queue
-#: just past the edge and rotate in next round (fold any green rows into
-#: _EVER_GREEN then, same as _NEW_THIS_ROUND).
-_STAGED_NEXT_ROUND: list[str] = [
-    "p_column_profile",
-    "p_fk_integrity",
-    "p_uniqueness_audit",
     "a_benford_totalprice",
     "a_autocorr_daily",
     "a_cusum_changepoint",
@@ -214,6 +178,13 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_value_by_hour_anova",
     "a_shared_sql_recursive_spine",
 ]
+
+
+#: Queries registered mid-round AFTER the window filled.  Ordered after
+#: ``_NEW_THIS_ROUND``; any overflow past 50 waits for the next rotation.
+#: Empty at the round-5 rotation — the window is exactly the staged
+#: round-4 tail; new round-5 queries land here (behind the window edge).
+_STAGED_NEXT_ROUND: list[str] = []
 
 
 def all_queries() -> dict[str, Query]:
