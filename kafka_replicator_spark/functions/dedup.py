@@ -356,7 +356,20 @@ WHERE a.doc_id < b.doc_id
 
 # ----------------------------------------------- duplicate clustering (CC)
 
-def _two_phase_cc(edges: DataFrame, max_iters: int = 25) -> tuple[DataFrame, int]:
+#: Edge count below which connected components run as a driver-side
+#: union-find instead of distributed contraction rounds.  Same pattern as
+#: broadcasting a small join side: below ~200k edges the contraction's
+#: per-round shuffle latency dwarfs the work (a 256-edge graph pays 2 full
+#: shuffle rounds), while the collected frame is ≤ a few MB.  At 100 TB the
+#: pair graph blows past this and the O(log n) contraction path runs.
+_SMALL_GRAPH_EDGES = 200_000
+
+
+def _two_phase_cc(
+    edges: DataFrame,
+    max_iters: int = 25,
+    small_graph_edges: int = _SMALL_GRAPH_EDGES,
+) -> tuple[DataFrame, int]:
     """Connected components by alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC 2014): O(log n) rounds on ANY graph — including adversarial
@@ -375,51 +388,109 @@ def _two_phase_cc(edges: DataFrame, max_iters: int = 25) -> tuple[DataFrame, int
     per round.  Converged when the edge multiset signature (count, Σa, Σb)
     is stable — edges only ever move toward component minima, so a stable
     signature is a fixpoint, at which the edge set is exactly the star
-    graph centered at each component's minimum.
+    graph centered at each component's minimum.  The signature rides the
+    checkpoint job itself via ``Dataset.observe`` (one job per round, not a
+    checkpoint job + a separate ``collect``), and the input frame is never
+    signed — the first comparison happens after round 2, since a
+    non-trivial graph can't be a star fixpoint before small-star ran once.
+
+    Graphs at or below ``small_graph_edges`` edges skip the rounds entirely:
+    collect + union-by-min on the driver (broadcast-small-side logic — see
+    ``_SMALL_GRAPH_EDGES``), reported as 0 rounds.  Pass 0 to force the
+    distributed path (tests do, to pin the round bound).
 
     ``edges`` must have long columns ``a < b``; returns (membership frame
     ``node, comp`` covering every non-isolated node, rounds used).
     """
-    edges = edges.localCheckpoint()
+    from pyspark.sql import Observation
 
-    def _sig(df: DataFrame):
-        r = df.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
-        ).collect()[0]
-        return (r["c"], r["sa"], r["sb"])
+    obs0 = Observation()
+    edges = edges.observe(obs0, F.count(F.lit(1)).alias("c")).localCheckpoint()
 
-    prev = _sig(edges)
+    if obs0.get["c"] <= small_graph_edges:
+        # union-by-min: roots are always their component's minimum id, so
+        # find(v) IS the cluster label — no second pass needed.
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        spark = edges.sparkSession
+        members = spark.createDataFrame(
+            [(v, _find(v)) for v in parent], "node long, comp long"
+        )
+        return members, 0
+
+    prev = None
     rounds = 0
     for _ in range(max_iters):
-        # --- large-star: every edge seen from both endpoints
+        # --- large-star: every edge seen from both endpoints.  One grouped
+        # pass per phase (min + collect_list, the Kiveris et al. MR shape):
+        # the neighborhood min and the fan-out ride the SAME shuffle, where
+        # the groupBy+join-back form pays an extra exchange AND recomputes
+        # the union once per consumer.  Per-group lists are bounded by max
+        # degree (= largest dup-cluster size at the fixpoint); if that ever
+        # exceeds executor memory, fall back to the 2014 paper's
+        # secondary-sort variant.
         nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        mins = (
-            nbrs.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", "u").alias("m"))
+        lstars = nbrs.groupBy("u").agg(
+            F.min("v").alias("mv"), F.collect_list("v").alias("vs")
         )
         large = (
-            nbrs.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))  # m ≤ u < v
+            lstars.select(
+                F.least("mv", "u").alias("a"),  # m = min(N(u) ∪ {u})
+                F.explode(
+                    F.filter("vs", lambda v: v > F.col("u"))
+                ).alias("b"),  # each strictly-larger neighbor: m ≤ u < v
+            )
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        # --- small-star: edges oriented large→small (u = b side, v = a side)
-        smins = large.groupBy("b").agg(F.min("a").alias("m"))
+        # --- small-star: orient toward the smaller endpoint (group by b);
+        # attach N(b) ∪ {b} minus the min to m = min(N(b)).  b > m always
+        # (a < b and m ≤ a), so b never self-loops.
+        sstars = large.groupBy("b").agg(
+            F.min("a").alias("m"), F.collect_list("a").alias("as_")
+        )
         small = (
-            large.join(smins, "b")
-            .filter(F.col("a") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("a").alias("b"))  # m < v
-            .union(smins.select(F.col("m").alias("a"), F.col("b").alias("b")))
+            sstars.select(
+                F.col("m").alias("a"),
+                F.explode(
+                    F.concat(
+                        F.filter("as_", lambda a: a != F.col("m")),
+                        F.array(F.col("b")),
+                    )
+                ).alias("b"),
+            )
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        edges = small.localCheckpoint()
+        obs = Observation()
+        edges = small.observe(
+            obs,
+            F.count(F.lit(1)).alias("c"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+        ).localCheckpoint()
         rounds += 1
-        sig = _sig(edges)
+        m = obs.get  # populated by the checkpoint materialization job
+        sig = (m["c"], m["sa"], m["sb"])
         if sig == prev:
             break
         prev = sig

@@ -191,7 +191,9 @@ def test_two_phase_cc_adversarial_chain_logarithmic_rounds(spark):
 
     n = 10_000
     edges = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
-    members, rounds = dedup._two_phase_cc(edges, max_iters=40)
-    assert rounds <= 2 * math.log2(n), f"{rounds} rounds for n={n}"
+    # small_graph_edges=0 forces the distributed contraction path (the
+    # round bound is the subject; the default would broadcast this graph)
+    members, rounds = dedup._two_phase_cc(edges, max_iters=40, small_graph_edges=0)
+    assert 0 < rounds <= 2 * math.log2(n), f"{rounds} rounds for n={n}"
     got = members.groupBy("comp").agg(F.count(F.lit(1)).alias("c")).collect()
     assert len(got) == 1 and got[0]["comp"] == 0 and got[0]["c"] == n
