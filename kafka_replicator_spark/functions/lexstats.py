@@ -13,9 +13,10 @@ no float folds anywhere, so the DuckDB oracle hashes bit-identically.
 
 Scale notes: all operators collapse the token stream to count grain
 (bigram / term / phrase-word) before any join; windows only see per-doc or
-top-k-sized frames.  Integer numerators here are products of two corpus
-counts — exact to ~3·10^18; at extreme corpus sizes lift the numerators to
-DECIMAL(38,0) (same expressions, wider type).
+top-k-sized frames.  Numerators that multiply two corpus-scale counts are
+lifted to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) BEFORE the ×1e6 ppm
+factor — int64 would wrap silently (non-ANSI Spark) once the count product
+passes ~2·10^12; the decimal path is exact to 10^38.
 """
 
 from __future__ import annotations
@@ -91,9 +92,14 @@ def kneser_ney_bigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("c1").cast("long").alias("c1"),
             F.col("n1fw").cast("long").alias("n1fw"),
             F.col("n1bw").cast("long").alias("n1bw"),
+            # the ppm numerator is lifted to DECIMAL(38,0) BEFORE any
+            # multiply (the ×1e6 factor would overflow int64 once
+            # c·n_types ≳ 2e12); `div` on decimals is exact and returns
+            # long, matching DuckDB HUGEINT `//` bit-for-bit
             F.expr(
-                f"(1000000 * ((4 * c - {d}) * n_types + {d} * n1fw * n1bw))"
-                " div (4 * c1 * n_types)"
+                f"(CAST(1000000 AS DECIMAL(38,0)) * (4 * c - {d}) * n_types"
+                f" + CAST(1000000 AS DECIMAL(38,0)) * {d} * n1fw * n1bw)"
+                " div (CAST(4 AS DECIMAL(38,0)) * c1 * n_types)"
             ).alias("prob_ppm"),
         )
     )
@@ -116,8 +122,9 @@ bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM bg GROUP BY w2),
 n_types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg),
 top AS (SELECT * FROM bg ORDER BY c DESC, w1, w2 LIMIT {KN_TOP_K})
 SELECT top.w1, top.w2, top.c AS c12, ctx.c1, ctx.n1fw, bw.n1bw,
-       (1000000 * ((4 * top.c - {d}) * n_types.n_types + {d} * ctx.n1fw * bw.n1bw))
-         // (4 * ctx.c1 * n_types.n_types) AS prob_ppm
+       CAST((1000000::HUGEINT * (4 * top.c - {d}) * n_types.n_types
+             + 1000000::HUGEINT * {d} * ctx.n1fw * bw.n1bw)
+         // (4::HUGEINT * ctx.c1 * n_types.n_types) AS BIGINT) AS prob_ppm
 FROM top JOIN ctx USING (w1) JOIN bw USING (w2) CROSS JOIN n_types
 """
 

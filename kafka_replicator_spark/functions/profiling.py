@@ -88,7 +88,9 @@ FK_EDGES = (
 
 
 def fk_orphans(tables: dict[str, DataFrame]) -> DataFrame:
-    """Referential-integrity audit: orphan child rows per FK relationship.
+    """Referential-integrity audit: orphan child KEYS per FK relationship
+    (``n_orphan_keys`` counts distinct child key values with no parent,
+    not child rows — a key shared by many rows counts once).
 
     Child keys collapse to distinct values FIRST, then anti-join the parent
     key set — the shuffle moves |distinct keys| rows, not the fact table,

@@ -221,7 +221,8 @@ pairs AS (
   GROUP BY a.event_type, b.event_type
 )
 SELECT p.type_a, p.type_b, p.n_both, na.n AS n_a, nb.n AS n_b,
-       (1000000 * p.n_both * tot.n) // (na.n * nb.n) AS lift_ppm
+       CAST((1000000::HUGEINT * p.n_both * tot.n)
+         // (na.n::HUGEINT * nb.n) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN n_t na ON na.event_type = p.type_a
 JOIN n_t nb ON nb.event_type = p.type_b
@@ -263,7 +264,12 @@ def q_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             "n_a",
             "n_b",
-            F.expr("(1000000 * n_both * n_tot) div (n_a * n_b)").alias("lift_ppm"),
+            # DECIMAL(38,0) lift before the x1e6 ppm multiply: the triple
+            # count product wraps int64 silently once n_both*n_tot > ~9e12
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_both * n_tot)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_ppm"),
         )
     )
 

@@ -421,7 +421,7 @@ m AS (
   FROM g
 )
 SELECT k AS n_groups, n_tot AS n_events,
-       round((sq_group - s_tot * s_tot / n_tot) / (k - 1)
+       round((sq_group - s_tot * s_tot / n_tot) / nullif(k - 1, 0)
              / nullif((ss_tot - sq_group) / (n_tot - k), 0), 6) AS f_stat
 FROM m
 """,
@@ -448,9 +448,12 @@ def q_value_by_hour_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ss").alias("ss_tot"),
         F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sq_group"),
     )
-    between = (F.col("sq_group") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")) / (
-        F.col("k") - 1
-    )
+    # nullif-guard (k - 1) like the within denominator: with one hour group
+    # Spark's non-ANSI /0 yields NULL but DuckDB's IEEE division yields inf —
+    # the guard makes degenerate input NULL on BOTH engines.
+    between = (
+        F.col("sq_group") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    ) / F.nullif(F.col("k") - 1, F.lit(0))
     within = F.nullif(
         (F.col("ss_tot") - F.col("sq_group")) / (F.col("n_tot") - F.col("k")),
         F.lit(0.0),

@@ -151,7 +151,8 @@ pairs AS (
   GROUP BY a.brand, b.brand
 )
 SELECT p.brand_a, p.brand_b, p.n_both, na.n AS n_a, nb2.n AS n_b,
-       (1000000 * p.n_both * tot.n_orders) // (na.n * nb2.n) AS lift_ppm
+       CAST((1000000::HUGEINT * p.n_both * tot.n_orders)
+         // (na.n::HUGEINT * nb2.n) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN nb na ON na.brand = p.brand_a
 JOIN nb nb2 ON nb2.brand = p.brand_b
@@ -195,9 +196,12 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             "n_a",
             "n_b",
-            F.expr("(1000000 * n_both * n_orders) div (n_a * n_b)").alias(
-                "lift_ppm"
-            ),
+            # DECIMAL(38,0) lift before the x1e6 ppm multiply (int64 wraps
+            # silently once n_both*n_orders > ~9e12)
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_both * n_orders)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_ppm"),
         )
     )
 
