@@ -356,6 +356,47 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # round-over-round comparable-subset delta against the checked-in
+    # previous-round snapshot (bench_prev.json, refreshed each round from
+    # the recorded BENCH artifact): sum the SAME query set on both sides so
+    # the ratio is meaningful even as the headline list grows.  Skew and
+    # latelost lines are excluded, same policy as the headline total.
+    comparable = {}
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_prev.json")
+    if os.path.exists(prev_path):
+        try:
+            snap = json.load(open(prev_path))
+            # only compare like-for-like scale factors: the snapshot is the
+            # per-round sf0.1 artifact; a quick sf0.01 pass must not emit a
+            # bogus cross-scale ratio
+            if snap.get("sf") and snap["sf"] != os.path.basename(
+                os.path.normpath(sf_dir)
+            ):
+                raise ValueError(f"snapshot sf {snap['sf']!r} != bench dir {sf_dir!r}")
+            common = [
+                k
+                for k in timings
+                if k in snap.get("queries", {})
+                and (k in HEADLINE or k == "segment_lifecycle")
+            ]
+            prev_sum = sum(snap["queries"][k] for k in common)
+            now_sum = sum(timings[k] for k in common)
+            comparable = {
+                "comparable_round": snap.get("round"),
+                "comparable_n": len(common),
+                "comparable_prev_sec": round(prev_sum, 3),
+                "comparable_now_sec": round(now_sum, 3),
+                "comparable_ratio": round(now_sum / prev_sum, 3) if prev_sum else None,
+            }
+            print(
+                f"# comparable vs {snap.get('round')}: {now_sum:.2f}s / "
+                f"{prev_sum:.2f}s = {now_sum / prev_sum:.2f}x over "
+                f"{len(common)} shared lines",
+                file=sys.stderr,
+            )
+        except Exception as ex:  # a corrupt snapshot must never break bench
+            print(f"# comparable snapshot unreadable: {ex}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -367,6 +408,7 @@ def main() -> None:
                 "timed": len([k for k in timings if k in HEADLINE]) + (1 if "segment_lifecycle" in timings else 0),
                 "queries": timings,
                 "errors": errors,
+                **comparable,
                 "sf": sf_dir,
             }
         )
