@@ -184,13 +184,18 @@ _NEW_THIS_ROUND: list[str] = [
 #: ``_NEW_THIS_ROUND``; any overflow past 50 waits for the next rotation.
 #: Empty at the round-5 rotation — the window is exactly the staged
 #: round-4 tail; new round-5 queries land here (behind the window edge).
-_STAGED_NEXT_ROUND: list[str] = []
+_STAGED_NEXT_ROUND: list[str] = [
+    "p_auc_quality",
+    "p_ece_calibration",
+    "p_categorical_drift_chi2",
+    "p_dup_rate_wilson",
+]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]
