@@ -1,0 +1,281 @@
+"""SQL-surface and robust-statistics analytics extensions: correlated
+LATERAL joins through the shared-SQL front door, gaps-and-islands streaks,
+Theil-Sen robust trend, Pareto concentration, and sequence mining.
+
+Reference parity: none (segment-grain transport engine); this family
+widens the relational surface a warehouse user expects — the LATERAL
+correlated-subquery form, the classic islands idiom, robust alternatives
+to the OLS trend (a_revenue_trend_ols), and market-concentration metrics.
+
+Determinism: day grain is exact integer epoch-day; money is BIGINT cents;
+medians/quantiles use power-of-two fractions only (0.5 / 0.75 — the cases
+where Spark ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit,
+CLAUDE.md); per-pair doubles are fixed expressions over exact integers
+rounded to 6 dp before any cross-row fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+# ----------------------------------------------- shared-SQL LATERAL join
+
+#: identical ANSI SQL text executed by BOTH engines (the strongest
+#: correctness contract — same query string, two engines).  The correlated
+#: LATERAL subquery is the "top-n per outer row without a window over the
+#: whole fact table" idiom; Spark ≥ 3.2 and DuckDB both support it.
+SHARED_SQL_LATERAL = """
+SELECT n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+def _run_shared_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from kafka_replicator_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@register(
+    "a_shared_sql_lateral",
+    SHARED_SQL_LATERAL,
+    tags=("analytics", "sql"),
+    doc="SQL front door: correlated LATERAL subquery (top-2 customers by "
+    "balance per nation) — the exact oracle SQL text runs through "
+    "spark.sql over registered views; Catalyst rewrites the correlated "
+    "limit as a partitioned rank, DuckDB as a lateral scan, one answer",
+)
+def q_shared_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_LATERAL)
+
+
+# ------------------------------------------- gaps-and-islands streaks
+
+@register(
+    "a_activity_streaks",
+    f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+runs AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM ud
+),
+lens AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY user_id, island
+),
+longest AS (SELECT user_id, max(run_len) AS streak FROM lens GROUP BY user_id)
+SELECT streak AS streak_len, CAST(count(*) AS BIGINT) AS n_users
+FROM longest GROUP BY streak
+""",
+    tags=("analytics", "events", "window"),
+    doc="gaps-and-islands: longest consecutive-active-day streak per user "
+    "(day minus row_number island key — the classic idiom), reported as a "
+    "streak-length histogram; every window is partitioned by user, so the "
+    "plan holds at any user count — bounded output rows",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"(ts div 1000) div {_DAY_US}").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = ud.select(
+        "user_id", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    lens = runs.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    longest = lens.groupBy("user_id").agg(F.max("run_len").alias("streak"))
+    return longest.groupBy(F.col("streak").alias("streak_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# --------------------------------------------------- Theil-Sen trend
+
+@register(
+    "a_theil_sen_trend",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders
+),
+daily AS (SELECT day, CAST(sum(v) * 100 AS BIGINT) AS yc FROM d GROUP BY day),
+slopes AS (
+  SELECT round(CAST(b.yc - a.yc AS DOUBLE) / (b.day - a.day), 6) AS s
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS med
+  FROM slopes
+)
+SELECT n_days, n_pairs, round(med / 100.0, 6) AS slope_median FROM m
+""",
+    tags=("analytics", "timeseries", "robust"),
+    doc="Theil-Sen robust revenue trend: median of all pairwise daily "
+    "slopes (insensitive to the outlier days that bend the OLS fit in "
+    "a_revenue_trend_ols) — orders collapse to day grain FIRST so the "
+    "pair join is day-range² not row², per-pair slope is one fixed double "
+    "over BIGINT cents rounded 6 dp, median at the power-of-two fraction "
+    "where both engines interpolate identically — 1 output row",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+            "day"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    daily = track_cached(
+        d.groupBy("day").agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("yc"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("yc").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("yc").alias("yb"))
+    slopes = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            F.round(
+                (F.col("yb") - F.col("ya")).cast("double") / (F.col("db") - F.col("da")),
+                6,
+            ).alias("s")
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    m = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(s, 0.5)").alias("med"),
+    )
+    return m.join(F.broadcast(n_days)).select(
+        "n_days", "n_pairs", F.round(F.col("med") / 100.0, 6).alias("slope_median")
+    )
+
+
+# ------------------------------------------- Pareto concentration
+
+@register(
+    "a_pareto_top_quartile",
+    """
+WITH cr AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+thr AS (SELECT quantile_cont(cents, 0.75) AS t FROM cr),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(count(*) FILTER (cents >= t) AS BIGINT) AS n_top,
+         sum(cents::HUGEINT) AS total,
+         sum(cents::HUGEINT) FILTER (cents >= t) AS top_sum,
+         any_value(t) AS t
+  FROM cr CROSS JOIN thr
+)
+SELECT n_customers, n_top,
+       CAST((1000000::HUGEINT * top_sum) // total AS BIGINT) AS share_ppm,
+       round(t / 100.0, 6) AS threshold
+FROM agg
+""",
+    tags=("analytics", "concentration"),
+    doc="revenue concentration: share of total order revenue held by "
+    "customers at or above the 0.75 revenue quantile (power-of-two "
+    "fraction — engines interpolate identically); per-customer cents "
+    "aggregate first, the 1-row threshold broadcasts, share in exact "
+    "integer ppm with HUGEINT/DECIMAL folds — 1 output row",
+)
+def q_pareto_top_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cr = track_cached(
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    thr = cr.agg(F.expr("percentile(cents, 0.75)").alias("t"))
+    agg = cr.join(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum((F.col("cents") >= F.col("t")).cast("long")).cast("long").alias("n_top"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
+        F.sum(
+            F.when(F.col("cents") >= F.col("t"), F.col("cents"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("top_sum"),
+        F.first("t").alias("t"),
+    )
+    return agg.select(
+        "n_customers",
+        "n_top",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * top_sum) div total AS BIGINT)"
+        ).alias("share_ppm"),
+        F.round(F.col("t") / 100.0, 6).alias("threshold"),
+    )
+
+
+# --------------------------------------------------- sequence mining
+
+#: trigram patterns reported
+_TRIGRAM_TOP = 15
+
+
+@register(
+    "a_event_trigrams",
+    f"""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+tri AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS trigram, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT trigram, n FROM tri ORDER BY n DESC, trigram LIMIT {_TRIGRAM_TOP}
+""",
+    tags=("analytics", "events", "sequence"),
+    doc="sequence mining lite: top event-type trigrams over per-user "
+    "time-ordered streams (lead×2 windows partitioned by user, total "
+    "order via the event_id tiebreak), distributed TakeOrdered for the "
+    "top-k — pattern-cardinality intermediate, 15 output rows",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = o.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        seq.where(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tri.orderBy(F.col("n").desc(), "trigram").limit(_TRIGRAM_TOP)
