@@ -199,6 +199,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_textrank_keywords",
     "p_doremi_weights",
     "p_stratified_kfold",
+    "p_rrf_fusion",
 ]
 
 

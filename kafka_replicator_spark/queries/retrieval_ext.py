@@ -25,9 +25,8 @@ _BM25_TERMS = ("spark", "hash", "merge", "window")
 _BM25_TOP = 20
 
 
-@register(
-    "p_bm25_scores",
-    f"""
+#: BM25 oracle SQL, shared with p_rrf_fusion's fused oracle
+_BM25_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
@@ -65,7 +64,12 @@ scored AS (
 )
 SELECT doc_id, n_terms_hit, bm25
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}
-""",
+"""
+
+
+@register(
+    "p_bm25_scores",
+    _BM25_SQL,
     tags=("pipeline", "retrieval"),
     doc="BM25 ranking for a literal query-term set (the scoring tier above "
     "p_inverted_index): idf re-quantized to 9 dp before the multiply, "
@@ -463,3 +467,95 @@ def q_value_by_hour_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tot").alias("n_events"),
         F.round(between / within, 6).alias("f_stat"),
     )
+
+
+# ------------------------------------------------ reciprocal-rank fusion
+
+#: fused documents reported
+_RRF_TOP = 20
+#: the standard RRF dampening constant (Cormack et al. 2009)
+_RRF_K = 60
+
+from kafka_replicator_spark.functions.scoring import quality_classifier_sql as _qc_sql_builder  # noqa: E402
+
+_QC_SQL = _qc_sql_builder()
+
+
+@register(
+    "p_rrf_fusion",
+    f"""
+WITH bm AS ({_BM25_SQL}),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+  FROM bm
+),
+qc AS ({_QC_SQL}),
+qtop AS (
+  SELECT doc_id, mean_milli FROM qc
+  ORDER BY mean_milli DESC, doc_id LIMIT {_RRF_TOP}
+),
+qr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY mean_milli DESC, doc_id) AS BIGINT) AS r
+  FROM qtop
+),
+fused AS (
+  SELECT doc_id,
+         coalesce(b.r, -1) AS bm25_rank,
+         coalesce(q.r, -1) AS quality_rank,
+         (CASE WHEN b.r IS NOT NULL THEN 1000000 // ({_RRF_K} + b.r) ELSE 0 END
+          + CASE WHEN q.r IS NOT NULL THEN 1000000 // ({_RRF_K} + q.r) ELSE 0 END)
+           AS rrf_micro
+  FROM bmr b FULL JOIN qr q USING (doc_id)
+)
+SELECT doc_id, bm25_rank, quality_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOP}
+""",
+    tags=("pipeline", "retrieval"),
+    doc="hybrid ranking via reciprocal-rank fusion (Cormack et al. 2009, "
+    "k=60): the BM25 relevance list fused with the quality-classifier "
+    "list, contributions as exact integer micro-units (1e6 div (60+rank)) "
+    "so the fused order is engine-independent; both input lists are "
+    "top-k distributed TakeOrdered frames, the fusion joins two ≤k-row "
+    "frames — corpus never reshuffles for the fusion stage",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions import scoring
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = q_bm25_scores(spark, sf_dir)  # top-20 (doc_id, n_terms_hit, bm25)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("br"),
+    )
+    qtop = (
+        scoring.quality_classifier(docs)
+        .select("doc_id", "mean_milli")
+        .orderBy(F.col("mean_milli").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    qr = qtop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_milli").desc(), "doc_id"))
+        .cast("long")
+        .alias("qr"),
+    )
+    fused = bmr.join(qr, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("br", F.lit(-1)).alias("bm25_rank"),
+        F.coalesce("qr", F.lit(-1)).alias("quality_rank"),
+        (
+            F.when(F.col("br").isNotNull(), F.expr(f"1000000 div ({_RRF_K} + br)")).otherwise(0)
+            + F.when(F.col("qr").isNotNull(), F.expr(f"1000000 div ({_RRF_K} + qr)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(_RRF_TOP)
