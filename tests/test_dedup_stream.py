@@ -1,0 +1,65 @@
+"""Watermark-bounded streaming dedup (streaming/dedup_stream.py): the
+streaming run over a duplicated message stream must emit each key exactly
+once (matching the batch dropDuplicates oracle), including duplicates that
+arrive in a LATER microbatch than the original.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.sources.messages import events_as_messages
+from kafka_replicator_spark.streaming.dedup_stream import watermarked_dedup
+
+KEYS = ["topic", "partition_id", "msg_offset"]
+
+
+def _msgs(spark, sf_dir):
+    return events_as_messages(spark, sf_dir, cached=False).select(
+        "topic",
+        "partition_id",
+        "msg_offset",
+        "msg_key",
+        F.timestamp_micros(F.col("ts_us")).alias("event_time"),
+    )
+
+
+def test_batch_short_circuit(spark, sf_dir):
+    m = _msgs(spark, sf_dir)
+    doubled = m.union(m)
+    out = watermarked_dedup(doubled, KEYS, "event_time")
+    assert not out.isStreaming
+    assert out.count() == m.count()
+
+
+def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    m = _msgs(spark, sf_dir).limit(200).cache()
+    n_distinct = m.count()
+
+    # original batch in one file, duplicates (same keys, same event time) in
+    # a second file — maxFilesPerTrigger=1 forces them into SEPARATE
+    # microbatches, so suppression must come from state, not batch-local
+    # dedup
+    (m.coalesce(1).write.parquet(str(tmp_path / "in" / "b0")))
+    (m.coalesce(1).write.parquet(str(tmp_path / "in" / "b1")))
+
+    stream = (
+        spark.readStream.schema(m.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = watermarked_dedup(stream, KEYS, "event_time")
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out")
+    assert got.count() == n_distinct, "duplicates crossed the stateful dedup"
+    assert got.select(*KEYS).distinct().count() == n_distinct
+    m.unpersist()
