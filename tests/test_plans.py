@@ -637,3 +637,63 @@ def test_weighted_median_reads_cached_range_placement(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     assert has_broadcast_join(df), plan
     release_cached()
+
+
+def test_auc_stitch_no_global_window(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_auc_quality"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the strictly-below prefix must come from the range-partition stitch
+    # (cached tagged frame + broadcast offsets), NEVER a single-partition
+    # global window over distinct scores
+    assert "SinglePartition, ENSURE_REQUIREMENTS" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_rrf_fusion_joins_topk_frames_only(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_rrf_fusion"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # both input rankings end in TakeOrdered before the fusion join — the
+    # corpus never reshuffles for the fusion stage
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_extents_windows_partition_by_doc(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_dup_span_extents"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # islands/lag windows must be keyed by doc_id (the wh occurrence count
+    # is the only corpus-wide window, keyed by the hash itself)
+    for frag in plan.split("Window [")[1:]:
+        spec = frag.split("]")[0] + frag.split("]")[1][:200]
+        assert ("doc_id" in frag.split("\n")[0]) or ("wh" in frag.split("\n")[0]), spec
+
+
+def test_theil_sen_pairs_at_day_grain(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_theil_sen_trend"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the pairwise-slope join reads the CACHED day-grain frame on both
+    # sides (orders are never self-joined at row grain)
+    assert "InMemoryTableScan" in plan, plan
+    release_cached()
+
+
+def test_pareto_threshold_broadcasts(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_pareto_top_quartile"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    release_cached()
