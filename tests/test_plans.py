@@ -648,8 +648,11 @@ def test_auc_stitch_no_global_window(spark, sf_dir):
     plan = physical_plan(df)
     # the strictly-below prefix must come from the range-partition stitch
     # (cached tagged frame + broadcast offsets), NEVER a single-partition
-    # global window over distinct scores
-    assert "SinglePartition, ENSURE_REQUIREMENTS" not in plan, plan
+    # global window over distinct scores: every window spec must be keyed
+    # by the stitch partition id (the final 1-row aggregate's
+    # SinglePartition exchange is legitimate and ignored)
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("__pid"), frag[:120]
     assert "InMemoryTableScan" in plan, plan
     assert has_broadcast_join(df), plan
     release_cached()
