@@ -643,6 +643,55 @@ FROM ranked WHERE rank <= {k}
 
 # ------------------------------------------------- product quantization
 
+def _l2_int_arrays(a, b):
+    """Exact squared L2 between two int arrays as a BIGINT fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(embeddings: DataFrame, m: int = 8, dim: int = 64) -> DataFrame:
+    """Split int8-quantized vectors into ``m`` subvectors: one row per
+    (vec_id, subspace s, sub array) — the shared front half of the PQ
+    family (pq_topk, pq_distortion)."""
+    d_sub = dim // m
+    q = quantize_embeddings(embeddings).select("vec_id", "qe")
+    return q.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice("qe", s * d_sub + 1, d_sub).alias("sub"),
+                ),
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sub")
+
+
+def pq_code_assign(subs: DataFrame, code_entries: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry assignment per (vec, subspace): broadcast the
+    codebook, exact BIGINT L2, deterministic code_id tiebreak.  Returns
+    (vec_id, s, code_id, cdist) — ``cdist`` is the per-subspace squared
+    quantization error the distortion audit aggregates."""
+    w_assign = Window.partitionBy("vec_id", "s").orderBy(F.asc("cdist"), F.asc("code_id"))
+    return (
+        subs.join(F.broadcast(code_entries), "s")
+        .select(
+            "vec_id",
+            "s",
+            "code_id",
+            _l2_int_arrays(F.col("sub"), F.col("csub")).alias("cdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code_id", "cdist")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -668,39 +717,12 @@ def pq_topk(
     the corpus side is one map pass to assign codes and one aggregation of
     m partial distances per (probe, candidate) — no corpus shuffle.
     """
-    d_sub = dim // m
-    q = quantize_embeddings(embeddings).select("vec_id", "qe")
-    subs = q.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("s"),
-                    F.slice("qe", s * d_sub + 1, d_sub).alias("sub"),
-                ),
-            )
-        ).alias("x"),
-    ).select("vec_id", "x.s", "x.sub")
+    subs = pq_subvectors(embeddings, m=m, dim=dim)
     code_entries = subs.filter(F.col("vec_id") % code_stride == 0).select(
         F.col("vec_id").alias("code_id"), "s", F.col("sub").alias("csub")
     )
-
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    w_assign = Window.partitionBy("vec_id", "s").orderBy(F.asc("cdist"), F.asc("code_id"))
-    codes = (
-        subs.join(F.broadcast(code_entries), "s")
-        .select("vec_id", "s", "code_id", l2(F.col("sub"), F.col("csub")).alias("cdist"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code_id")
-    )
+    l2 = _l2_int_arrays
+    codes = pq_code_assign(subs, code_entries).select("vec_id", "s", "code_id")
     probe_subs = subs.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), "s", F.col("sub").alias("psub")
     )
@@ -777,6 +799,64 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def pq_distortion(
+    embeddings: DataFrame, m: int = 8, dim: int = 64, code_stride: int = 250
+) -> DataFrame:
+    """Per-subspace PQ quantization distortion — the "is the codebook any
+    good" audit next to pq_topk: mean and max squared L2 between each
+    subvector and its assigned codebook entry, exact integer milli-units.
+
+    Same plan as pq_topk's assignment half (shared ``pq_subvectors`` /
+    ``pq_code_assign``): one broadcast codebook join + the per-(vec, s)
+    argmin window, then an m-row aggregation.  Output (m rows): s,
+    n_vectors, mean_err_milli, max_err.
+    """
+    subs = pq_subvectors(embeddings, m=m, dim=dim)
+    code_entries = subs.filter(F.col("vec_id") % code_stride == 0).select(
+        F.col("vec_id").alias("code_id"), "s", F.col("sub").alias("csub")
+    )
+    codes = pq_code_assign(subs, code_entries)
+    return codes.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.expr("(1000 * sum(cdist)) div count(1)").cast("long").alias("mean_err_milli"),
+        F.max("cdist").cast("long").alias("max_err"),
+    )
+
+
+def pq_distortion_sql(m: int = 8, dim: int = 64, code_stride: int = 250) -> str:
+    d_sub = dim // m
+    dist = (
+        "CAST(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+        " - 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        " + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+    )
+    return f"""
+WITH {_quantized_sql_cte()},
+subs AS (
+  SELECT vec_id, s, qe[s * {d_sub} + 1 : s * {d_sub} + {d_sub}] AS sub
+  FROM q, (SELECT unnest(range(0, {m})) AS s)
+),
+code_entries AS (
+  SELECT vec_id AS code_id, s, sub AS csub FROM subs WHERE vec_id % {code_stride} = 0
+),
+codes AS (
+  SELECT vec_id, s, cdist FROM (
+    SELECT subs.vec_id, subs.s,
+           {dist.format(a='sub', b='csub')} AS cdist,
+           row_number() OVER (
+             PARTITION BY subs.vec_id, subs.s
+             ORDER BY {dist.format(a='sub', b='csub')} ASC, code_id ASC
+           ) AS rn
+    FROM subs JOIN code_entries USING (s)
+  ) WHERE rn = 1
+)
+SELECT s, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((1000 * sum(cdist)) // count(*) AS BIGINT) AS mean_err_milli,
+       CAST(max(cdist) AS BIGINT) AS max_err
+FROM codes GROUP BY s
 """
 
 

@@ -200,13 +200,18 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_doremi_weights",
     "p_stratified_kfold",
     "p_rrf_fusion",
+    "p_pack_efficiency",
+    "p_truncation_loss",
+    "p_detector_agreement",
+    "p_cosine_decile_histogram",
+    "p_pq_distortion",
 ]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

@@ -1,0 +1,219 @@
+"""Pipeline self-audit queries: packer efficiency, context-budget
+truncation loss, dedup-detector agreement, candidate cosine distribution,
+PQ codebook distortion.
+
+Reference parity: none — the "audit the pipeline's own machinery" family:
+every operator here measures another operator the engine ships
+(pack_sequences, the MinHash vs SimHash detectors, the embedding LSH
+bucketer, the PQ codebook), so regressions in those operators surface as
+data, not just test failures.
+
+Determinism: exact integer ppm/milli, per-row fixed doubles rounded to
+6 dp, floor-based bucketing (floor on doubles is bit-identical across
+engines; round is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.functions import dedup, packing, similarity
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+#: context-length budgets audited by p_truncation_loss
+_TRUNC_LIMITS = (256, 512, 1024)
+
+
+# ------------------------------------------------------ pack efficiency
+
+@register(
+    "p_pack_efficiency",
+    f"""
+WITH packed AS ({packing.pack_sequences_sql()}),
+pack_grain AS (
+  SELECT source, pack_id, any_value(pack_tokens) AS pack_tokens
+  FROM packed GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST((1000000 * sum(pack_tokens))
+            // (count(*) * {packing.DEFAULT_PACK_BUDGET}) AS BIGINT) AS mean_fill_ppm,
+       CAST((1000000 * min(pack_tokens)) // {packing.DEFAULT_PACK_BUDGET} AS BIGINT)
+         AS min_fill_ppm
+FROM pack_grain GROUP BY source
+""",
+    tags=("pipeline", "packing", "audit"),
+    doc="sequence-packer efficiency audit: per-source pack count, mean and "
+    "worst bin fill in exact ppm of the token budget — the wasted-compute "
+    "metric of p_pack_sequences' greedy close-before-exceed packer; "
+    "pack-grain rollup of the packer's own output, source-cardinality "
+    "output rows",
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = packing.pack_sequences(load_table(spark, sf_dir, "documents"))
+    pack_grain = packed.groupBy("source", "pack_id").agg(
+        F.first("pack_tokens").alias("pack_tokens")
+    )
+    budget = packing.DEFAULT_PACK_BUDGET
+    return pack_grain.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"(1000000 * sum(pack_tokens)) div (count(1) * {budget})")
+        .cast("long")
+        .alias("mean_fill_ppm"),
+        F.expr(f"(1000000 * min(pack_tokens)) div {budget}")
+        .cast("long")
+        .alias("min_fill_ppm"),
+    )
+
+
+# -------------------------------------------------- truncation loss
+
+@register(
+    "p_truncation_loss",
+    f"""
+WITH dl AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+),
+lim AS (SELECT unnest(ARRAY{list(_TRUNC_LIMITS)}) AS max_len)
+SELECT source, CAST(max_len AS BIGINT) AS max_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nt > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       CAST(sum(greatest(nt - max_len, 0)) AS BIGINT) AS tokens_lost,
+       CAST((1000000 * sum(greatest(nt - max_len, 0))) // sum(nt) AS BIGINT)
+         AS loss_ppm
+FROM dl CROSS JOIN lim
+GROUP BY source, max_len
+""",
+    tags=("pipeline", "audit"),
+    doc="context-length budget audit: per (source, max_len in 256/512/1024) "
+    "— documents over the limit, tokens lost to truncation, and the loss "
+    "share in exact ppm; one token-count pass cross-joined with the 3-row "
+    "constant limit frame, source×limit output rows",
+)
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    lim = dl.sparkSession.createDataFrame(
+        [(x,) for x in _TRUNC_LIMITS], "max_len long"
+    )
+    return (
+        dl.join(F.broadcast(lim))
+        .groupBy("source", "max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("nt") > F.col("max_len")).cast("long"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum(F.greatest(F.col("nt") - F.col("max_len"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+            F.expr("(1000000 * sum(greatest(nt - max_len, 0))) div sum(nt)")
+            .cast("long")
+            .alias("loss_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------- detector agreement
+
+@register(
+    "p_detector_agreement",
+    f"""
+WITH jac AS ({dedup.jaccard_pairs_sql()}),
+sim AS ({dedup.simhash_near_pairs_sql()}),
+ja AS (SELECT DISTINCT doc_a, doc_b FROM jac),
+sa AS (SELECT DISTINCT doc_a, doc_b FROM sim),
+u AS (
+  SELECT coalesce(ja.doc_a, sa.doc_a) AS doc_a,
+         CAST(ja.doc_a IS NOT NULL AS INTEGER) AS in_jaccard,
+         CAST(sa.doc_a IS NOT NULL AS INTEGER) AS in_simhash
+  FROM ja FULL JOIN sa USING (doc_a, doc_b)
+)
+SELECT CAST(sum(in_jaccard) AS BIGINT) AS n_jaccard,
+       CAST(sum(in_simhash) AS BIGINT) AS n_simhash,
+       CAST(sum(in_jaccard * in_simhash) AS BIGINT) AS n_both,
+       CAST((1000000 * sum(in_jaccard * in_simhash)) // nullif(count(*), 0) AS BIGINT)
+         AS agreement_ppm
+FROM u
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="dedup-detector agreement: the MinHash-candidate Jaccard detector "
+    "vs the SimHash hamming detector compared as pair SETS (full outer "
+    "join on the candidate pair key) — set sizes, overlap, and Jaccard of "
+    "the two detectors' verdicts in exact ppm; both inputs are the "
+    "already-blocked candidate frames, never all-pairs — 1 output row",
+)
+def q_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ja = dedup.jaccard_pairs(docs).select("doc_a", "doc_b").distinct()
+    sa = dedup.simhash_near_pairs(docs).select("doc_a", "doc_b").distinct()
+    u = (
+        ja.withColumn("in_jaccard", F.lit(1))
+        .join(
+            sa.withColumn("in_simhash", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full",
+        )
+        .select(
+            F.coalesce("in_jaccard", F.lit(0)).alias("in_jaccard"),
+            F.coalesce("in_simhash", F.lit(0)).alias("in_simhash"),
+        )
+    )
+    return u.agg(
+        F.sum("in_jaccard").cast("long").alias("n_jaccard"),
+        F.sum("in_simhash").cast("long").alias("n_simhash"),
+        F.sum(F.col("in_jaccard") * F.col("in_simhash")).cast("long").alias("n_both"),
+        F.expr(
+            "CAST((1000000 * sum(in_jaccard * in_simhash)) div nullif(count(1), 0) AS BIGINT)"
+        ).alias("agreement_ppm"),
+    )
+
+
+# -------------------------------------- candidate cosine distribution
+
+@register(
+    "p_cosine_decile_histogram",
+    f"""
+WITH pairs AS ({similarity.embedding_neardup_pairs_sql(threshold=-1.0)})
+SELECT greatest(least(CAST(floor(cos_sim * 10) AS BIGINT), 9), -10) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+""",
+    tags=("pipeline", "embedding", "eval"),
+    doc="cosine distribution of LSH-bucketed embedding candidate pairs "
+    "(decile histogram over [-1, 1], floor-bucketed on the 6-dp cosine): "
+    "how sharp the sign-LSH bucketer's candidates actually are — the "
+    "threshold-free companion to p_embedding_neardup; bucket-confined "
+    "pair generation, bounded output rows",
+)
+def q_cosine_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=-1.0
+    )
+    return pairs.select(
+        F.greatest(
+            F.least(F.floor(F.col("cos_sim") * 10).cast("long"), F.lit(9)),
+            F.lit(-10),
+        ).alias("decile")
+    ).groupBy("decile").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+# ------------------------------------------------- PQ distortion
+
+@register(
+    "p_pq_distortion",
+    similarity.pq_distortion_sql(),
+    tags=("pipeline", "embedding", "audit"),
+    doc="PQ codebook distortion: per-subspace mean/max squared "
+    "quantization error in exact integer milli (Jégou et al. 2011 "
+    "codebook-quality audit) — shares pq_topk's assignment plan "
+    "(pq_subvectors + pq_code_assign in functions/similarity.py: one "
+    "broadcast codebook join + per-(vec, s) argmin window), m output rows",
+)
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_distortion(load_table(spark, sf_dir, "embeddings"))
