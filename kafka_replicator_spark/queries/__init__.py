@@ -205,6 +205,11 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_detector_agreement",
     "p_cosine_decile_histogram",
     "p_pq_distortion",
+    "a_shared_sql_exists",
+    "a_session_entry_exit",
+    "a_iqr_outliers",
+    "p_ivf_balance",
+    "p_dsir_ess",
 ]
 
 

@@ -279,3 +279,166 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return tri.orderBy(F.col("n").desc(), "trigram").limit(_TRIGRAM_TOP)
+
+
+# ------------------------------------------- shared-SQL correlated EXISTS
+
+SHARED_SQL_EXISTS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "a_shared_sql_exists",
+    SHARED_SQL_EXISTS,
+    tags=("analytics", "sql"),
+    doc="SQL front door: correlated EXISTS + NOT EXISTS in one predicate "
+    "(big-ticket customers with no finished order) — the same query text "
+    "both engines; Catalyst plans a semi + anti join pair, DuckDB a mark "
+    "join, one answer",
+)
+def q_shared_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_EXISTS)
+
+
+# --------------------------------------------- session entry/exit matrix
+
+from kafka_replicator_spark.queries.analytics import SESSION_GAP_US  # noqa: E402
+from kafka_replicator_spark.sources.messages import (  # noqa: E402
+    MESSAGES_ORACLE_CTE,
+    events_as_messages,
+)
+
+
+@register(
+    "a_session_entry_exit",
+    f"""
+WITH messages AS ({MESSAGES_ORACLE_CTE}),
+flagged AS (
+  SELECT msg_key, ts_us, msg_offset, event_type,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM messages
+  WINDOW w AS (PARTITION BY msg_key ORDER BY ts_us, msg_offset)
+),
+sess AS (
+  SELECT msg_key, ts_us, msg_offset, event_type,
+         sum(is_new) OVER (PARTITION BY msg_key ORDER BY ts_us, msg_offset) AS session_id
+  FROM flagged
+),
+ends AS (
+  SELECT msg_key, session_id,
+         first(event_type ORDER BY ts_us, msg_offset) AS entry_type,
+         last(event_type ORDER BY ts_us, msg_offset) AS exit_type
+  FROM sess GROUP BY msg_key, session_id
+)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+FROM ends GROUP BY entry_type, exit_type
+""",
+    tags=("analytics", "events", "session"),
+    doc="session entry/exit matrix: first and last event type of every "
+    "30-minute-gap session (the same sessionization recurrence as "
+    "a_sessionization — shared gap constant and tie-break), counted into "
+    "the entry×exit transition matrix; windows partition by user key, "
+    "bounded output rows",
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = events_as_messages(spark, sf_dir).select(
+        "msg_key", "ts_us", "msg_offset", "event_type"
+    )
+    w = Window.partitionBy("msg_key").orderBy("ts_us", "msg_offset")
+    flagged = m.select(
+        "msg_key",
+        "ts_us",
+        "msg_offset",
+        "event_type",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "msg_key",
+        "event_type",
+        "ts_us",
+        "msg_offset",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    sw = Window.partitionBy("msg_key", "session_id").orderBy("ts_us", "msg_offset")
+    ends = (
+        sess.select(
+            "msg_key",
+            "session_id",
+            F.first("event_type").over(sw).alias("entry_type"),
+            F.last("event_type").over(
+                sw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("exit_type"),
+            F.row_number().over(sw).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return ends.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+
+
+# --------------------------------------------------- Tukey IQR outliers
+
+@register(
+    "a_iqr_outliers",
+    """
+WITH q AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, any_value(q.n) AS n,
+       CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       round(any_value(q.q1 - 1.5 * (q.q3 - q.q1)), 6) AS fence_lo,
+       round(any_value(q.q3 + 1.5 * (q.q3 - q.q1)), 6) AS fence_hi
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+""",
+    tags=("analytics", "quality", "robust"),
+    doc="Tukey IQR outlier fences per event type (the robust-quantile "
+    "companion to a_anomaly_zscore/a_anomaly_mad): quartiles at "
+    "power-of-two fractions (bit-identical interpolation both engines), "
+    "1.5×IQR fences as fixed double expressions, outlier counts from one "
+    "re-scan with the tiny quantile frame broadcast — type-cardinality "
+    "output",
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("value") < lo).cast("long")).cast("long").alias("n_low"),
+            F.sum((F.col("value") > hi).cast("long")).cast("long").alias("n_high"),
+            F.round(F.first(lo), 6).alias("fence_lo"),
+            F.round(F.first(hi), 6).alias("fence_hi"),
+        )
+    )

@@ -217,3 +217,114 @@ def q_cosine_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_distortion(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- IVF balance audit
+
+@register(
+    "p_ivf_balance",
+    """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % 250 = 0),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT emb.vec_id, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_dot_product(e, ce)
+                      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                      centroid_id ASC
+           ) AS rn
+    FROM emb, cents
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS sz FROM assigned GROUP BY centroid_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(sz) AS BIGINT) AS n_vectors,
+       CAST(min(sz) AS BIGINT) AS min_size,
+       CAST(max(sz) AS BIGINT) AS max_size,
+       quantile_cont(sz, 0.5) AS median_size,
+       CAST((1000000 * max(sz) * count(*)) // sum(sz) AS BIGINT) AS imbalance_ppm
+FROM cells
+""",
+    tags=("pipeline", "embedding", "audit"),
+    doc="IVF cell-balance audit: size distribution of the coarse "
+    "quantizer's cells (the p_ivf_topk index) — min/median/max cell size "
+    "and the hot-cell imbalance factor in exact ppm (1e6 = perfectly "
+    "uniform); a skewed cell is the ANN equivalent of a hot shuffle "
+    "partition.  Same assignment plan as ivf_assign, cell-grain rollup, "
+    "1 output row",
+)
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        similarity.ivf_assign(load_table(spark, sf_dir, "embeddings"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.min("sz").cast("long").alias("min_size"),
+        F.max("sz").cast("long").alias("max_size"),
+        F.expr("percentile(sz, 0.5)").alias("median_size"),
+        F.expr("(1000000 * max(sz) * count(1)) div sum(sz)")
+        .cast("long")
+        .alias("imbalance_ppm"),
+    )
+
+
+# ----------------------------------------------- DSIR effective sample size
+
+from kafka_replicator_spark.functions import corpus  # noqa: E402
+
+
+@register(
+    "p_dsir_ess",
+    f"""
+WITH dsir AS ({corpus.dsir_weights_sql()}),
+w AS (
+  SELECT CAST(floor(exp(dsir_logweight) * 1000000 + 0.5) AS BIGINT) AS wm
+  FROM dsir
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(wm::HUGEINT) AS sw,
+         sum(wm::HUGEINT * wm) AS sw2
+  FROM w
+)
+SELECT n AS n_docs,
+       CAST((sw * sw) // nullif(sw2, 0) AS BIGINT) AS ess_docs,
+       CAST((1000000::HUGEINT * ((sw * sw) // nullif(sw2, 0))) // n AS BIGINT)
+         AS ess_ppm
+FROM m
+""",
+    tags=("pipeline", "sampling", "audit"),
+    doc="effective sample size of the DSIR importance weights (Kish ESS = "
+    "(Σw)²/Σw²): how many 'real' documents a weighted resample is worth — "
+    "an ESS collapse flags weights concentrated on a few docs.  Weights "
+    "are exp(logweight) re-quantized to integer micro BEFORE any fold "
+    "(the exp-requantize rule), sums in DECIMAL(38,0)/HUGEINT; rides the "
+    "shared DSIR scorer — 1 output row",
+)
+def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dsir = corpus.dsir_weights(load_table(spark, sf_dir, "documents"))
+    w = dsir.select(
+        F.expr(
+            "CAST(floor(exp(dsir_logweight) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("wm")
+    )
+    m = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("wm").cast("decimal(38,0)")).alias("sw"),
+        F.sum(F.col("wm").cast("decimal(38,0)") * F.col("wm")).alias("sw2"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.expr("CAST((sw * sw) div nullif(sw2, 0) AS BIGINT)").alias("ess_docs"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * ((sw * sw) div nullif(sw2, 0))) div n AS BIGINT)"
+        ).alias("ess_ppm"),
+    )
