@@ -157,6 +157,131 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {thre
 """
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    w: int = 3,
+    key_len: int = 40,
+    n: int = 3,
+    threshold: float = 0.3,
+    partitions: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the corpus
+    by a blocking key (text prefix), compare each document only with its
+    ``w`` successors in sort order, verify candidates with exact n-gram
+    Jaccard — the third blocking family next to LSH (hash-bucket) and
+    SimHash (bit-bucket), and the one that catches prefix-stable edits LSH
+    bands can miss at low Jaccard.
+
+    The global sort rank uses the curriculum/stitch pattern
+    (``repartitionByRange`` + partition-local ``monotonically_increasing_id``
+    rank + broadcast per-partition offsets — textstats.curriculum_buckets),
+    never a single-partition window; the neighbor join is an EQUI join on
+    ``rank + d`` for d ∈ 1..w (w·n candidate rows), and the Jaccard verify
+    is candidate-confined.  Output: doc_a < doc_b, rank_dist, n_inter,
+    jaccard (≥ threshold, 6 dp).
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, key_len).alias("k"),
+    )
+    d = (
+        keyed.repartitionByRange(partitions, "k", "doc_id")
+        .sortWithinPartitions("k", "doc_id")
+        .select(
+            "doc_id",
+            F.spark_partition_id().alias("pid"),
+            (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(
+                "lrank"
+            ),
+        )
+    )
+    d = track_cached(d)
+    counts = {
+        r["pid"]: r["c"]
+        for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = d.sparkSession.createDataFrame(offsets or [(0, 0)], schema="pid int, off long")
+    ranked = d.join(F.broadcast(off), "pid").select(
+        "doc_id", (F.col("off") + F.col("lrank")).alias("r")
+    )
+    succ = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("r").alias("rb"),
+    )
+    cand = (
+        ranked.select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.col("r") + 1, F.col("r") + w)).alias("rb"),
+            F.col("r").alias("ra"),
+        )
+        .join(succ, "rb")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            (F.col("rb") - F.col("ra")).cast("long").alias("rank_dist"),
+        )
+    )
+    sh = track_cached(word_ngrams(docs, n=n, text_col=text_col, id_col=id_col))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "rank_dist")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "rank_dist", F.col("n_inter").cast("long").alias("n_inter"), "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs_sql(
+    w: int = 3, key_len: int = 40, n: int = 3, threshold: float = 0.3
+) -> str:
+    return f"""
+WITH keyed AS (SELECT doc_id, substr(text, 1, {key_len}) AS k FROM documents),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM keyed),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+         CAST(b.r - a.r AS BIGINT) AS rank_dist
+  FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + {w}
+),
+sh AS ({word_ngrams_sql(n)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.rank_dist, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b, c.rank_dist
+)
+SELECT doc_a, doc_b, rank_dist, CAST(n_inter AS BIGINT) AS n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
 # ------------------------------------------------------ MinHash + LSH
 
 def minhash_signatures(

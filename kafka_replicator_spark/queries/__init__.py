@@ -210,6 +210,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_iqr_outliers",
     "p_ivf_balance",
     "p_dsir_ess",
+    "p_sorted_neighborhood",
+    "p_source_token_js",
 ]
 
 

@@ -341,3 +341,21 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("(1000000 * n_docs) div st").alias("fold_share_ppm"),
     )
+
+
+# --------------------------------------------- sorted-neighborhood dedup
+
+@register(
+    "p_sorted_neighborhood",
+    dedup.sorted_neighborhood_pairs_sql(),
+    tags=("pipeline", "dedup"),
+    doc="sorted-neighborhood dedup (Hernández & Stolfo 1995): documents "
+    "sorted by text-prefix blocking key, each compared with its 3 sort "
+    "successors only, candidates verified by exact trigram Jaccard — the "
+    "third blocking family next to LSH and SimHash, catching prefix-stable "
+    "edits that low-Jaccard band collisions miss; global rank via the "
+    "range-partition + local-rank + broadcast-offset pattern (never a "
+    "single-partition sort), w·n candidate rows",
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))

@@ -328,3 +328,102 @@ def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((sw * sw) div nullif(sw2, 0))) div n AS BIGINT)"
         ).alias("ess_ppm"),
     )
+
+
+# ------------------------------------- source token-distribution JS drift
+
+from kafka_replicator_spark.functions.hashing import (  # noqa: E402
+    portable_hash32,
+    portable_hash32_sql,
+    spread,
+)
+
+#: hashed token buckets for the JS comparison (same geometry as DSIR)
+_JS_BUCKETS = 1024
+
+_JS_H = portable_hash32_sql("tok")
+
+#: per-bucket JS term over exact integer counts; p can be 0 on the grid
+#: (source missing the bucket), q never is.  Individual KL terms go
+#: negative (p < m) — floor on doubles is deterministic on both signs.
+_JS_TERM = (
+    "(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END + q * ln(q / m))"
+)
+
+
+@register(
+    "p_source_token_js",
+    f"""
+WITH toks AS (
+  SELECT source, ({_JS_H} % {_JS_BUCKETS}) AS b
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS csb FROM toks GROUP BY source, b),
+cb AS (SELECT b, CAST(sum(csb) AS BIGINT) AS cb FROM sb GROUP BY b),
+ns AS (SELECT source, CAST(sum(csb) AS BIGINT) AS n_s FROM sb GROUP BY source),
+tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM cb),
+grid AS (
+  SELECT ns.source, cb.b, ns.n_s, cb.cb, coalesce(sb.csb, 0) AS csb
+  FROM ns CROSS JOIN cb
+  LEFT JOIN sb ON sb.source = ns.source AND sb.b = cb.b
+),
+terms AS (
+  SELECT source, n_s,
+         CAST(floor({_JS_TERM} * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM (
+    SELECT source, n_s,
+           CAST(csb AS DOUBLE) / n_s AS p,
+           CAST(cb AS DOUBLE) / n AS q,
+           (CAST(csb AS DOUBLE) / n_s + CAST(cb AS DOUBLE) / n) / 2 AS m
+    FROM grid CROSS JOIN tot
+  )
+)
+SELECT source, any_value(n_s) AS n_tokens,
+       CAST(greatest(sum(t_nano), 0) // 2000 AS BIGINT) AS js_micro
+FROM terms GROUP BY source
+""",
+    tags=("pipeline", "drift", "audit"),
+    doc="Jensen-Shannon divergence of each source's hashed-unigram "
+    "distribution from the corpus mixture (1024 buckets, DSIR geometry): "
+    "the 'which sources are distributionally unusual' drift metric; "
+    "per-bucket KL terms are fixed doubles over exact counts quantized to "
+    "integer nano BEFORE the fold (terms go negative — floor handles both "
+    "signs identically), grid = sources × buckets (bounded) — "
+    "source-cardinality output",
+)
+def q_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    ).select("source", (portable_hash32("tok") % _JS_BUCKETS).alias("b"))
+    sb = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("csb"))
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    sb = track_cached(sb)
+    cb = sb.groupBy("b").agg(F.sum("csb").alias("cb"))
+    ns = sb.groupBy("source").agg(F.sum("csb").alias("n_s"))
+    tot = cb.agg(F.sum("cb").alias("n"))
+    grid = (
+        ns.join(F.broadcast(cb))
+        .join(sb, ["source", "b"], "left")
+        .select("source", "b", "n_s", "cb", F.coalesce("csb", F.lit(0)).alias("csb"))
+    )
+    pqm = grid.join(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        (F.col("csb").cast("double") / F.col("n_s")).alias("p"),
+        (F.col("cb").cast("double") / F.col("n")).alias("q"),
+        (
+            (F.col("csb").cast("double") / F.col("n_s") + F.col("cb").cast("double") / F.col("n"))
+            / 2
+        ).alias("m"),
+    )
+    terms = pqm.select(
+        "source",
+        "n_s",
+        F.expr(f"CAST(floor({_JS_TERM} * 1000000000 + 0.5) AS BIGINT)").alias("t_nano"),
+    )
+    return terms.groupBy("source").agg(
+        F.first("n_s").cast("long").alias("n_tokens"),
+        F.expr("CAST(greatest(sum(t_nano), 0) div 2000 AS BIGINT)").alias("js_micro"),
+    )
