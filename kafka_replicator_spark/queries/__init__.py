@@ -212,6 +212,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_dsir_ess",
     "p_sorted_neighborhood",
     "p_source_token_js",
+    "a_promo_diff_in_diff",
+    "a_shared_sql_setops",
+    "p_vocab_coverage",
+    "p_hash_collision_audit",
 ]
 
 

@@ -442,3 +442,110 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first(hi), 6).alias("fence_hi"),
         )
     )
+
+
+# ------------------------------------------- promo difference-in-differences
+
+@register(
+    "a_promo_diff_in_diff",
+    f"""
+WITH li AS (
+  SELECT l_partkey,
+         epoch_us(l_shipdate) // {_DAY_US} AS day,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM li),
+cells AS (
+  SELECT CAST(p.p_type LIKE 'PROMO%' AS INTEGER) AS treated,
+         CAST(li.day >= (b.d0 + b.d1 + 1) // 2 AS INTEGER) AS post,
+         CAST(sum(li.rev) * 100 AS BIGINT) AS cents
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+  CROSS JOIN bounds b
+  GROUP BY 1, 2
+)
+SELECT
+  CAST(max(CASE WHEN treated = 1 AND post = 0 THEN cents END) AS BIGINT) AS treat_pre,
+  CAST(max(CASE WHEN treated = 1 AND post = 1 THEN cents END) AS BIGINT) AS treat_post,
+  CAST(max(CASE WHEN treated = 0 AND post = 0 THEN cents END) AS BIGINT) AS ctrl_pre,
+  CAST(max(CASE WHEN treated = 0 AND post = 1 THEN cents END) AS BIGINT) AS ctrl_post,
+  CAST((max(CASE WHEN treated = 1 AND post = 1 THEN cents END)
+        - max(CASE WHEN treated = 1 AND post = 0 THEN cents END))
+       - (max(CASE WHEN treated = 0 AND post = 1 THEN cents END)
+          - max(CASE WHEN treated = 0 AND post = 0 THEN cents END)) AS BIGINT) AS did_cents
+FROM cells
+""",
+    tags=("analytics", "causal"),
+    doc="difference-in-differences readout: promo-part revenue vs "
+    "non-promo, before vs after the shipdate midpoint — the causal-effect "
+    "shape of an experiment dashboard, exact BIGINT cents end to end "
+    "(DECIMAL sums per cell, the 2x2 pivot via conditional max); part dim "
+    "broadcasts, one fact aggregation — 1 output row",
+)
+def q_promo_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_DAY_US}").alias("day"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").cast("int").alias("treated")
+    )
+    bounds = li.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bounds))
+        .select(
+            "treated",
+            (F.col("day") >= F.expr("(d0 + d1 + 1) div 2")).cast("int").alias("post"),
+            "rev",
+        )
+        .groupBy("treated", "post")
+        .agg(F.expr("CAST(sum(rev) * 100 AS BIGINT)").alias("cents"))
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("cents"))
+    )
+    return cells.agg(
+        cell(1, 0).cast("long").alias("treat_pre"),
+        cell(1, 1).cast("long").alias("treat_post"),
+        cell(0, 0).cast("long").alias("ctrl_pre"),
+        cell(0, 1).cast("long").alias("ctrl_post"),
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)))
+        .cast("long")
+        .alias("did_cents"),
+    )
+
+
+# ------------------------------------------------- shared-SQL set ops
+
+SHARED_SQL_SETOPS = """
+SELECT 'both_statuses' AS bucket, count(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) t
+UNION ALL
+SELECT 'open_only' AS bucket, count(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) t2
+"""
+
+
+@register(
+    "a_shared_sql_setops",
+    SHARED_SQL_SETOPS,
+    tags=("analytics", "sql"),
+    doc="SQL front door: INTERSECT / EXCEPT through the same-text contract "
+    "(customers with both open and finished orders vs open-only) — the "
+    "set-operator surface of a_set_ops exercised as literal ANSI SQL on "
+    "both engines",
+)
+def q_shared_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_SETOPS)

@@ -427,3 +427,154 @@ def q_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n_s").cast("long").alias("n_tokens"),
         F.expr("CAST(greatest(sum(t_nano), 0) div 2000 AS BIGINT)").alias("js_micro"),
     )
+
+
+# ------------------------------------------------- vocab coverage curve
+
+#: top-k vocabulary sizes audited
+_VOCAB_KS = (100, 1000, 10000)
+
+
+@register(
+    "p_vocab_coverage",
+    f"""
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+cg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_types, CAST(c * count(*) AS BIGINT) AS toks
+  FROM tc GROUP BY c
+),
+cum AS (
+  SELECT c, n_types, toks,
+         CAST(coalesce(sum(n_types) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS types_before,
+         CAST(coalesce(sum(toks) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toks_before
+  FROM cg
+),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total, CAST(sum(n_types) AS BIGINT) AS n_vocab FROM cg),
+ks AS (SELECT unnest(ARRAY{list(_VOCAB_KS)}) AS k)
+SELECT CAST(k AS BIGINT) AS k, any_value(tot.n_vocab) AS n_vocab,
+       CAST(max(CASE
+         WHEN types_before >= k THEN NULL
+         WHEN types_before + n_types <= k THEN toks_before + toks
+         ELSE toks_before + (k - types_before) * c
+       END) AS BIGINT) AS covered_tokens,
+       CAST((1000000 * max(CASE
+         WHEN types_before >= k THEN NULL
+         WHEN types_before + n_types <= k THEN toks_before + toks
+         ELSE toks_before + (k - types_before) * c
+       END)) // any_value(tot.total) AS BIGINT) AS coverage_ppm
+FROM cum CROSS JOIN tot CROSS JOIN ks
+GROUP BY k
+""",
+    tags=("pipeline", "text", "audit"),
+    doc="vocabulary coverage curve: share of corpus tokens covered by the "
+    "top-k most frequent types (k in 100/1k/10k) — the 'how big must the "
+    "vocab be' planning metric; the cumulative walk runs at COUNT grain "
+    "(distinct frequency values, O(sqrt(corpus)) rows — a bounded window), "
+    "ties at the k boundary resolved by competition pro-rating so the "
+    "result is independent of tie order — 3 output rows",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        spread(docs.select(F.explode(F.split("text", " ")).alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cg = tc.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("c") * F.count(F.lit(1))).alias("toks"),
+    )
+    # count-grain frame is O(sqrt(corpus)) rows — a global window over it
+    # is bounded at any corpus size (documented exception to the
+    # no-global-window rule)
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    cum = cg.select(
+        "c",
+        "n_types",
+        "toks",
+        F.coalesce(F.sum("n_types").over(w), F.lit(0)).alias("types_before"),
+        F.coalesce(F.sum("toks").over(w), F.lit(0)).alias("toks_before"),
+    )
+    tot = cg.agg(
+        F.sum("toks").alias("total"), F.sum("n_types").alias("n_vocab")
+    )
+    ks = docs.sparkSession.createDataFrame([(k,) for k in _VOCAB_KS], "k long")
+    covered = F.max(
+        F.when(F.col("types_before") >= F.col("k"), None)
+        .when(
+            F.col("types_before") + F.col("n_types") <= F.col("k"),
+            F.col("toks_before") + F.col("toks"),
+        )
+        .otherwise(
+            F.col("toks_before") + (F.col("k") - F.col("types_before")) * F.col("c")
+        )
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.first("n_vocab").cast("long").alias("n_vocab"),
+            covered.cast("long").alias("covered_tokens"),
+            F.expr(
+                "CAST((1000000 * max(CASE"
+                " WHEN types_before >= k THEN NULL"
+                " WHEN types_before + n_types <= k THEN toks_before + toks"
+                " ELSE toks_before + (k - types_before) * c END)) div first(total) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------- hash collision audit
+
+from kafka_replicator_spark.functions.hashing import (  # noqa: E402
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+_H60 = portable_hash60_sql("tok")
+_H32 = portable_hash32_sql("tok")
+
+
+@register(
+    "p_hash_collision_audit",
+    f"""
+WITH types AS (
+  SELECT DISTINCT tok
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) - count(DISTINCT {_H60}) AS BIGINT) AS h60_collisions,
+       CAST(count(*) - count(DISTINCT {_H32}) AS BIGINT) AS h32_collisions
+FROM types
+""",
+    tags=("pipeline", "audit", "hashing"),
+    doc="portable-hash collision audit over the corpus vocabulary: how "
+    "many distinct token types collide under the 60-bit and 32-bit "
+    "md5-prefix hashes every dedup/sketch operator keys on — the "
+    "infrastructure integrity check behind p_hash_balance_audit's "
+    "uniformity check; type-grain aggregation, 1 output row",
+)
+def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    types = (
+        spread(docs.select(F.explode(F.split("text", " ")).alias("tok"))).distinct()
+    )
+    return types.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.count(F.lit(1)) - F.countDistinct(portable_hash60("tok")))
+        .cast("long")
+        .alias("h60_collisions"),
+        (F.count(F.lit(1)) - F.countDistinct(portable_hash32("tok")))
+        .cast("long")
+        .alias("h32_collisions"),
+    )
