@@ -388,12 +388,13 @@ def main() -> None:
                 "comparable_now_sec": round(now_sum, 3),
                 "comparable_ratio": round(now_sum / prev_sum, 3) if prev_sum else None,
             }
-            print(
-                f"# comparable vs {snap.get('round')}: {now_sum:.2f}s / "
-                f"{prev_sum:.2f}s = {now_sum / prev_sum:.2f}x over "
-                f"{len(common)} shared lines",
-                file=sys.stderr,
-            )
+            if prev_sum:
+                print(
+                    f"# comparable vs {snap.get('round')}: {now_sum:.2f}s / "
+                    f"{prev_sum:.2f}s = {now_sum / prev_sum:.2f}x over "
+                    f"{len(common)} shared lines",
+                    file=sys.stderr,
+                )
         except Exception as ex:  # a corrupt snapshot must never break bench
             print(f"# comparable snapshot unreadable: {ex}", file=sys.stderr)
 

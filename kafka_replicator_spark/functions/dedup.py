@@ -157,6 +157,100 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {thre
 """
 
 
+def dup_span_extents(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Merged duplicated-window extents per document — the cut list a
+    substring cutter executes (Lee et al. 2022 ExactSubstr, window-hash
+    flavour; the extent-merging tier above :func:`dup_spans`): corpus-wide
+    repeated ``w``-token windows collapse into maximal overlapping runs
+    via the islands idiom (break when the next window starts past the
+    previous one's end), yielding span count, covered tokens, and longest
+    run per affected document.
+
+    Scale: the only corpus-wide stage is the window-hash occurrence count
+    (keyed by the hash itself); the lag/cumsum windows partition by doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col("text"), " ")
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array())
+    win = spread(docs).select("doc_id", F.explode(wins).alias("x")).select(
+        "doc_id", F.col("x.i").alias("i"), F.col("x.wh").alias("wh")
+    )
+    occ = win.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+    dup = occ.where(F.col("n_occ") > 1).select("doc_id", "i")
+    byi = Window.partitionBy("doc_id").orderBy("i")
+    flagged = dup.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.lag("i").over(byi).isNull()
+            | (F.col("i") - F.lag("i").over(byi) > w - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "i",
+        F.sum("brk").over(byi.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("i").cast("long").alias("s"),
+        (F.max("i") + w - 1).cast("long").alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
+    )
+
+
+def dup_span_extents_sql(w: int = 8) -> str:
+    return f"""
+WITH win AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{w - 1}], ' ')) AS wh
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+occ AS (SELECT doc_id, i, count(*) OVER (PARTITION BY wh) AS n_occ FROM win),
+dup AS (SELECT doc_id, i FROM occ WHERE n_occ > 1),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {w - 1} OR lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, CAST(min(i) AS BIGINT) AS s,
+         CAST(max(i) + {w} - 1 AS BIGINT) AS e
+  FROM islands GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+       CAST(max(e - s + 1) AS BIGINT) AS longest_span
+FROM spans GROUP BY doc_id
+"""
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     w: int = 3,

@@ -70,10 +70,12 @@ def auc_rank_sum(scored: DataFrame, score_col: str, label_col: str) -> DataFrame
     totals = cum.agg(
         F.sum("cnt").alias("n"),
         F.sum("pos").alias("n1"),
+        # pos lifts to DECIMAL BEFORE the multiply (matching the HUGEINT
+        # oracle): the per-term product is O(n²) and wraps int64 silently
+        # past ~3e9 rows under non-ANSI Spark
         F.sum(
-            (F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)).cast(
-                "decimal(38,0)"
-            )
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("cnt") + 1)
         ).alias("two_r1"),
     )
     return totals.select(
@@ -220,12 +222,16 @@ def categorical_drift_chi2(
             "key",
             F.col("ne").cast("long").alias("n_early"),
             F.col("nl").cast("long").alias("n_late"),
+            # nullif-guard the expected counts: a single-day corpus makes
+            # one half empty (te or tl = 0) — Spark's non-ANSI /0 yields
+            # NULL where DuckDB's IEEE division yields inf/NaN, so both
+            # engines must take the NULL path on degenerate input
             F.round(
                 F.expr(
                     "pow(ne - CAST(ne + nl AS DOUBLE) * te / (te + tl), 2)"
-                    " / (CAST(ne + nl AS DOUBLE) * te / (te + tl))"
+                    " / nullif(CAST(ne + nl AS DOUBLE) * te / (te + tl), 0)"
                     " + pow(nl - CAST(ne + nl AS DOUBLE) * tl / (te + tl), 2)"
-                    " / (CAST(ne + nl AS DOUBLE) * tl / (te + tl))"
+                    " / nullif(CAST(ne + nl AS DOUBLE) * tl / (te + tl), 0)"
                 ),
                 6,
             ).alias("chi2_contrib"),
@@ -252,9 +258,9 @@ per_key AS (
 tot AS (SELECT CAST(sum(ne) AS BIGINT) AS te, CAST(sum(nl) AS BIGINT) AS tl FROM per_key)
 SELECT key, ne AS n_early, nl AS n_late,
        round(pow(ne - CAST(ne + nl AS DOUBLE) * te / (te + tl), 2)
-             / (CAST(ne + nl AS DOUBLE) * te / (te + tl))
+             / nullif(CAST(ne + nl AS DOUBLE) * te / (te + tl), 0)
              + pow(nl - CAST(ne + nl AS DOUBLE) * tl / (te + tl), 2)
-             / (CAST(ne + nl AS DOUBLE) * tl / (te + tl)), 6) AS chi2_contrib
+             / nullif(CAST(ne + nl AS DOUBLE) * tl / (te + tl), 0), 6) AS chi2_contrib
 FROM per_key CROSS JOIN tot
 """
 

@@ -746,18 +746,23 @@ def pq_topk(
     )
 
 
+#: ||a-b||^2 via three dot products — list_dot_product returns DOUBLE but
+#: int8 subvector dots stay far below 2^53, so the BIGINT cast is exact.
+#: Shared by pq_topk_sql and pq_distortion_sql so the two oracles can't
+#: silently diverge.
+_PQ_DIST_SQL = (
+    "CAST(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+    " - 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+)
+
+
 def pq_topk_sql(
     probe_ids: list[int], k: int = 5, m: int = 8, dim: int = 64, code_stride: int = 250
 ) -> str:
     ids = ", ".join(str(i) for i in probe_ids)
     d_sub = dim // m
-    # ||a-b||^2 via three dot products — list_dot_product returns DOUBLE but
-    # int8 subvector dots stay far below 2^53, so the BIGINT cast is exact.
-    dist = (
-        "CAST(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
-        " - 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
-        " + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
-    )
+    dist = _PQ_DIST_SQL
     return f"""
 WITH {_quantized_sql_cte()},
 subs AS (
@@ -821,18 +826,17 @@ def pq_distortion(
     codes = pq_code_assign(subs, code_entries)
     return codes.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.expr("(1000 * sum(cdist)) div count(1)").cast("long").alias("mean_err_milli"),
+        # DECIMAL lift: the corpus-wide error sum x1000 wraps int64 at scale
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * sum(cdist)) div count(1) AS BIGINT)"
+        ).alias("mean_err_milli"),
         F.max("cdist").cast("long").alias("max_err"),
     )
 
 
 def pq_distortion_sql(m: int = 8, dim: int = 64, code_stride: int = 250) -> str:
     d_sub = dim // m
-    dist = (
-        "CAST(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
-        " - 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
-        " + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
-    )
+    dist = _PQ_DIST_SQL
     return f"""
 WITH {_quantized_sql_cte()},
 subs AS (

@@ -330,7 +330,8 @@ flagged AS (
 ),
 sess AS (
   SELECT msg_key, ts_us, msg_offset, event_type,
-         sum(is_new) OVER (PARTITION BY msg_key ORDER BY ts_us, msg_offset) AS session_id
+         sum(is_new) OVER (PARTITION BY msg_key ORDER BY ts_us, msg_offset
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 ),
 ends AS (

@@ -38,89 +38,18 @@ _KFOLD = 5
 
 @register(
     "p_dup_span_extents",
-    f"""
-WITH win AS (
-  SELECT doc_id, i, md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')) AS wh
-  FROM (
-    SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_W} + 2)) AS i
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-  )
-),
-occ AS (SELECT doc_id, i, count(*) OVER (PARTITION BY wh) AS n_occ FROM win),
-dup AS (SELECT doc_id, i FROM occ WHERE n_occ > 1),
-flagged AS (
-  SELECT doc_id, i,
-         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                   > {_SPAN_W - 1} OR lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
-              THEN 1 ELSE 0 END AS brk
-  FROM dup
-),
-islands AS (
-  SELECT doc_id, i,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
-  FROM flagged
-),
-spans AS (
-  SELECT doc_id, CAST(min(i) AS BIGINT) AS s,
-         CAST(max(i) + {_SPAN_W} - 1 AS BIGINT) AS e
-  FROM islands GROUP BY doc_id, island
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
-       CAST(max(e - s + 1) AS BIGINT) AS longest_span
-FROM spans GROUP BY doc_id
-""",
+    dedup.dup_span_extents_sql(w=_SPAN_W),
     tags=("pipeline", "dedup"),
     doc="substring-dedup span extents (Lee et al. 2022 ExactSubstr, "
     "window-hash flavour): corpus-repeated 8-token windows per document "
     "merged into maximal overlapping runs via the islands idiom — the "
     "actual cut list (span count, covered tokens, longest run) a "
     "substring cutter executes; all windows partition by doc, the only "
-    "corpus-wide stage is the window-hash occurrence count",
+    "corpus-wide stage is the window-hash occurrence count "
+    "(functions/dedup.dup_span_extents)",
 )
 def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    wins = F.when(
-        F.size(toks) >= _SPAN_W,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SPAN_W - 1)),
-            lambda i: F.struct(
-                i.alias("i"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_W))).alias("wh"),
-            ),
-        ),
-    ).otherwise(F.array())
-    win = spread(docs).select("doc_id", F.explode(wins).alias("w")).select(
-        "doc_id", F.col("w.i").alias("i"), F.col("w.wh").alias("wh")
-    )
-    occ = win.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh")))
-    dup = occ.where(F.col("n_occ") > 1).select("doc_id", "i")
-    byi = Window.partitionBy("doc_id").orderBy("i")
-    flagged = dup.select(
-        "doc_id",
-        "i",
-        F.when(
-            F.lag("i").over(byi).isNull()
-            | (F.col("i") - F.lag("i").over(byi) > _SPAN_W - 1),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    )
-    islands = flagged.select(
-        "doc_id", "i", F.sum("brk").over(byi.rowsBetween(Window.unboundedPreceding, 0)).alias("island")
-    )
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("i").cast("long").alias("s"),
-        (F.max("i") + _SPAN_W - 1).cast("long").alias("e"),
-    )
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
-        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
-    )
+    return dedup.dup_span_extents(load_table(spark, sf_dir, "documents"), w=_SPAN_W)
 
 
 # --------------------------------------------------- dup-cluster purity

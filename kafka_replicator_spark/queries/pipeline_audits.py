@@ -61,9 +61,12 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_grain.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_packs"),
         F.sum("pack_tokens").cast("long").alias("total_tokens"),
-        F.expr(f"(1000000 * sum(pack_tokens)) div (count(1) * {budget})")
-        .cast("long")
-        .alias("mean_fill_ppm"),
+        # DECIMAL lift before the x1e6: the per-source token sum passes
+        # ~9e12 at the design scale and the int64 product would wrap
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(pack_tokens))"
+            f" div (CAST(count(1) AS DECIMAL(38,0)) * {budget}) AS BIGINT)"
+        ).alias("mean_fill_ppm"),
         F.expr(f"(1000000 * min(pack_tokens)) div {budget}")
         .cast("long")
         .alias("min_fill_ppm"),
@@ -112,9 +115,11 @@ def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.greatest(F.col("nt") - F.col("max_len"), F.lit(0)))
             .cast("long")
             .alias("tokens_lost"),
-            F.expr("(1000000 * sum(greatest(nt - max_len, 0))) div sum(nt)")
-            .cast("long")
-            .alias("loss_ppm"),
+            # DECIMAL lift: 1e6 x a corpus-scale token sum wraps int64
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(greatest(nt - max_len, 0))) div sum(nt) AS BIGINT)"
+            ).alias("loss_ppm"),
         )
     )
 
@@ -393,8 +398,10 @@ FROM terms GROUP BY source
 )
 def q_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread(
-        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    # spread() BEFORE the explode (CLAUDE.md: single-row-group input → one
+    # split; the exchange must move compact documents, not token rows)
+    toks = spread(docs.select("source", "text")).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
     ).select("source", (portable_hash32("tok") % _JS_BUCKETS).alias("b"))
     sb = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("csb"))
     from kafka_replicator_spark.cacheutil import track_cached
@@ -480,11 +487,17 @@ GROUP BY k
     "result is independent of tie order — 3 output rows",
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage_frame(load_table(spark, sf_dir, "documents"), _VOCAB_KS)
+
+
+def vocab_coverage_frame(docs, ks_list) -> DataFrame:
+    """Coverage curve over any documents frame — factored so tests can
+    drive the shipped pro-rating logic on synthetic corpora."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     tc = (
-        spread(docs.select(F.explode(F.split("text", " ")).alias("tok")))
+        spread(docs.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -506,7 +519,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cg.agg(
         F.sum("toks").alias("total"), F.sum("n_types").alias("n_vocab")
     )
-    ks = docs.sparkSession.createDataFrame([(k,) for k in _VOCAB_KS], "k long")
+    ks = docs.sparkSession.createDataFrame([(k,) for k in ks_list], "k long")
     covered = F.max(
         F.when(F.col("types_before") >= F.col("k"), None)
         .when(
@@ -524,8 +537,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("n_vocab").cast("long").alias("n_vocab"),
             covered.cast("long").alias("covered_tokens"),
+            # DECIMAL lift: covered_tokens is corpus-scale, x1e6 wraps int64
             F.expr(
-                "CAST((1000000 * max(CASE"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * max(CASE"
                 " WHEN types_before >= k THEN NULL"
                 " WHEN types_before + n_types <= k THEN toks_before + toks"
                 " ELSE toks_before + (k - types_before) * c END)) div first(total) AS BIGINT)"
@@ -567,7 +581,9 @@ FROM types
 def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     types = (
-        spread(docs.select(F.explode(F.split("text", " ")).alias("tok"))).distinct()
+        spread(docs.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
     )
     return types.agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),

@@ -83,9 +83,10 @@ def test_sorted_neighborhood_finds_exact_dups(spark):
 
 # --------------------------------------------- dup-span extent merge
 
-def test_dup_span_extents_merges_overlapping_windows(spark, sf_dir):
-    """A 10-token run shared by two docs yields ONE merged span of exactly
-    10 covered tokens in each (three overlapping 8-windows merged)."""
+def test_dup_span_extents_merges_overlapping_windows(spark):
+    """A 10-token run shared by two docs yields ONE merged span covering
+    exactly 10 tokens in each (three overlapping 8-windows merged) —
+    driving the SHIPPED dedup.dup_span_extents on a synthetic corpus."""
     shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
     docs = spark.createDataFrame(
         [
@@ -94,78 +95,29 @@ def test_dup_span_extents_merges_overlapping_windows(spark, sf_dir):
         ],
         "doc_id long, text string",
     )
-    # rebuild the registered pipeline's span stage on the synthetic frame
-    # (the registered fn reads from sf_dir; the span math is what's under
-    # test and is reproduced here with the same window width and idiom)
-    from pyspark.sql import Window
-
-    _W = 8
-    toks = F.split(F.col("text"), " ")
-    wins = F.when(
-        F.size(toks) >= _W,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_W - 1)),
-            lambda i: F.struct(
-                i.alias("i"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i, _W))).alias("wh"),
-            ),
-        ),
-    ).otherwise(F.array())
-    win = docs.select("doc_id", F.explode(wins).alias("w")).select(
-        "doc_id", F.col("w.i").alias("i"), F.col("w.wh").alias("wh")
-    )
-    occ = win.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh")))
-    dup = occ.where(F.col("n_occ") > 1).select("doc_id", "i")
-    byi = Window.partitionBy("doc_id").orderBy("i")
-    flagged = dup.select(
-        "doc_id",
-        "i",
-        F.when(
-            F.lag("i").over(byi).isNull()
-            | (F.col("i") - F.lag("i").over(byi) > _W - 1),
-            1,
-        ).otherwise(0).alias("brk"),
-    )
-    islands = flagged.select(
-        "doc_id", "i",
-        F.sum("brk").over(byi.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
-    )
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("i").alias("s"), (F.max("i") + _W - 1).alias("e")
-    )
-    got = {
-        r["doc_id"]: (r["s"], r["e"])
-        for r in spans.collect()
-    }
-    # doc 1: shared run at positions 1..10 → windows 1..3 → span [1, 10]
-    assert got[1] == (1, 10)
-    # doc 2: shared run at positions 9..18 → windows 9..11 → span [9, 18]
-    assert got[2] == (9, 18)
+    got = {r["doc_id"]: r for r in dedup.dup_span_extents(docs, w=8).collect()}
+    for d in (1, 2):
+        assert got[d]["n_spans"] == 1, got
+        assert got[d]["covered_tokens"] == 10, got
+        assert got[d]["longest_span"] == 10, got
 
 
 # ------------------------------------------------- vocab coverage
 
 def test_vocab_coverage_competition_prorating(spark):
-    """k cutting through a tie group pro-rates: counts 5,5,5 (3 types) with
-    k=2 → covered = 2 × 5."""
-    import kafka_replicator_spark.queries.pipeline_audits as pa
+    """k cutting through a tie group pro-rates — driving the SHIPPED
+    vocab_coverage_frame: corpus 'a'×7 'b'×5 'c'×5 'd'×1; k=2 lands inside
+    the count-5 tie group → covered = 7 + 1×5 = 12 of 18."""
+    from kafka_replicator_spark.queries.pipeline_audits import vocab_coverage_frame
 
-    rows = [("x x x x x y y y y y z z z z z",)]  # 3 types, 5 each
-    docs = spark.createDataFrame([(1, rows[0][0], "s", "en", 1)],
-                                 "doc_id long, text string, source string, lang string, n_chars long")
-    tc = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    )
-    cg = tc.groupBy("c").agg(
-        F.count(F.lit(1)).alias("n_types"),
-        (F.col("c") * F.count(F.lit(1))).alias("toks"),
-    )
-    r = cg.collect()
-    assert r[0]["c"] == 5 and r[0]["n_types"] == 3 and r[0]["toks"] == 15
-    # pro-rated coverage at k=2: types_before=0, boundary c=5 → 0 + 2*5
-    covered = 0 + (2 - 0) * 5
-    assert covered == 10
+    text = " ".join(["a"] * 7 + ["b"] * 5 + ["c"] * 5 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["k"]: r for r in vocab_coverage_frame(docs, [1, 2, 4]).collect()}
+    assert out[1]["covered_tokens"] == 7
+    assert out[2]["covered_tokens"] == 12  # 7 + pro-rated 1 of the {b,c} tie
+    assert out[4]["covered_tokens"] == 18
+    assert out[4]["coverage_ppm"] == 1_000_000
+    assert out[2]["n_vocab"] == 4
 
 
 # ----------------------------------------------------------- RRF
