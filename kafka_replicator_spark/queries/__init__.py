@@ -216,6 +216,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_shared_sql_setops",
     "p_vocab_coverage",
     "p_hash_collision_audit",
+    "a_seasonal_naive_backtest",
+    "a_churn_hazard",
+    "p_hill_tail_index",
+    "p_semantic_dedup_sweep",
 ]
 
 

@@ -550,3 +550,114 @@ SELECT 'open_only' AS bucket, count(*) AS n FROM (
 )
 def q_shared_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_SETOPS)
+
+
+# ------------------------------------------- seasonal-naive backtest
+
+@register(
+    "a_seasonal_naive_backtest",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders
+),
+daily AS (SELECT day, CAST(sum(v) * 100 AS BIGINT) AS yc FROM d GROUP BY day),
+scored AS (
+  SELECT a.day, a.yc, p.yc AS pred,
+         CAST((1000000 * abs(a.yc - p.yc)) // a.yc AS BIGINT) AS ape_ppm
+  FROM daily a JOIN daily p ON p.day = a.day - 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(sum(ape_ppm) // count(*) AS BIGINT) AS mape_ppm,
+       quantile_cont(ape_ppm, 0.5) AS median_ape_ppm
+FROM scored
+""",
+    tags=("analytics", "timeseries", "backtest"),
+    doc="seasonal-naive forecast backtest: predict each day's revenue with "
+    "the same weekday one week earlier, report MAPE and median APE in "
+    "exact ppm of actual cents — the baseline every forecasting model "
+    "must beat; day-grain self-join on an equality key (day-7), all "
+    "integer arithmetic — 1 output row",
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    daily = track_cached(
+        d.groupBy("day").agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("yc"))
+    )
+    pred = daily.select((F.col("day") + 7).alias("day"), F.col("yc").alias("pred"))
+    scored = daily.join(pred, "day").select(
+        F.expr("CAST((1000000 * abs(yc - pred)) div yc AS BIGINT)").alias("ape_ppm")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.expr("CAST(sum(ape_ppm) div count(1) AS BIGINT)").alias("mape_ppm"),
+        F.expr("percentile(ape_ppm, 0.5)").alias("median_ape_ppm"),
+    )
+
+
+# --------------------------------------------------- churn hazard curve
+
+_WEEK_US = 7 * _DAY_US
+
+
+@register(
+    "a_churn_hazard",
+    f"""
+WITH uw AS (
+  SELECT user_id,
+         min(epoch_us(ts) // {_WEEK_US}) AS w0,
+         max(epoch_us(ts) // {_WEEK_US}) AS w1
+  FROM events GROUP BY user_id
+),
+tenure AS (SELECT CAST(w1 - w0 AS BIGINT) AS t FROM uw),
+per_t AS (SELECT t, CAST(count(*) AS BIGINT) AS n_churned FROM tenure GROUP BY t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tenure),
+curve AS (
+  SELECT t, n_churned,
+         CAST(tot.n - coalesce(sum(n_churned) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM per_t CROSS JOIN tot
+)
+SELECT t AS tenure_weeks, n_churned, n_at_risk,
+       CAST((1000000 * n_churned) // n_at_risk AS BIGINT) AS hazard_ppm
+FROM curve
+""",
+    tags=("analytics", "survival"),
+    doc="discrete churn-hazard curve (survival analysis over user "
+    "tenures): P(last activity at tenure week t | survived to t), with "
+    "the at-risk set from a cumulative walk over the BOUNDED tenure-week "
+    "grain (weeks in the corpus span — a bounded window at any user "
+    "count); right-censoring by end-of-data is intentionally ignored "
+    "(every user's last week counts as churn) — tenure-cardinality output",
+)
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"(ts div 1000) div {_WEEK_US}").alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("w0"), F.max("w").alias("w1"))
+    )
+    tenure = uw.select((F.col("w1") - F.col("w0")).cast("long").alias("t"))
+    per_t = tenure.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    tot = per_t.agg(F.sum("n_churned").alias("n"))
+    # tenure grain is bounded by the corpus week span — global window OK
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = per_t.join(F.broadcast(tot)).select(
+        "t",
+        "n_churned",
+        (F.col("n") - F.coalesce(F.sum("n_churned").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    return curve.select(
+        F.col("t").alias("tenure_weeks"),
+        "n_churned",
+        "n_at_risk",
+        F.expr("CAST((1000000 * n_churned) div n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    )

@@ -594,3 +594,165 @@ def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h32_collisions"),
     )
+
+
+# ------------------------------------------------- Hill tail index
+
+#: order statistics used by the Hill estimator
+_HILL_K = 100
+
+
+@register(
+    "p_hill_tail_index",
+    f"""
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+topk AS (SELECT c FROM tc ORDER BY c DESC, tok LIMIT {_HILL_K + 1}),
+ref AS (SELECT min(c) AS c_ref FROM topk),
+terms AS (
+  SELECT CAST(round(ln(CAST(c AS DOUBLE) / c_ref), 9) AS DECIMAL(18,9)) AS lr
+  FROM topk CROSS JOIN ref WHERE c > c_ref
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS k_eff, sum(lr) AS s FROM terms)
+SELECT k_eff, (SELECT c_ref FROM ref) AS c_ref,
+       round(CAST(s AS DOUBLE) / k_eff, 6) AS hill_mean_log,
+       round(k_eff / CAST(s AS DOUBLE), 6) AS tail_alpha
+FROM m
+""",
+    tags=("pipeline", "text", "stats"),
+    doc="Hill estimator of the token-frequency tail exponent (heavy-tail "
+    "diagnosis for the Zipf fit in p_zipf_slope): mean log-ratio of the "
+    "top-100 counts to the (k+1)-th order statistic, alpha = 1/mean — "
+    "top-k via distributed TakeOrdered with the token tiebreak, ln terms "
+    "requantized to 9 dp and folded as DECIMAL — 1 output row",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        spread(docs.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    topk = track_cached(
+        tc.orderBy(F.col("c").desc(), "tok").limit(_HILL_K + 1).select("c")
+    )
+    ref = topk.agg(F.min("c").alias("c_ref"))
+    terms = (
+        topk.join(F.broadcast(ref))
+        .where(F.col("c") > F.col("c_ref"))
+        .select(
+            F.round(F.log(F.col("c").cast("double") / F.col("c_ref")), 9)
+            .cast("decimal(18,9)")
+            .alias("lr")
+        )
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"), F.sum("lr").alias("s")
+    )
+    return m.join(F.broadcast(ref)).select(
+        "k_eff",
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.round(F.col("s").cast("double") / F.col("k_eff"), 6).alias("hill_mean_log"),
+        F.round(F.col("k_eff") / F.col("s").cast("double"), 6).alias("tail_alpha"),
+    )
+
+
+# --------------------------------------------- SemDeDup threshold sweep
+
+#: cosine thresholds swept (centi units — integer grouping key)
+_SEMDEDUP_TAUS = (90, 92, 95)
+
+
+@register(
+    "p_semantic_dedup_sweep",
+    f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % 250 = 0),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT emb.vec_id, emb.e, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_dot_product(e, ce)
+                      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                      centroid_id ASC
+           ) AS rn
+    FROM emb, cents
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS b_id,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+taus AS (SELECT unnest(ARRAY{list(_SEMDEDUP_TAUS)}) AS tau_centi),
+dropped AS (
+  SELECT tau_centi, CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
+  FROM pairs CROSS JOIN taus
+  WHERE cos >= tau_centi / 100.0
+  GROUP BY tau_centi
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb)
+SELECT CAST(t.tau_centi AS BIGINT) AS tau_centi, tot.n AS n_total,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(tot.n - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept,
+       CAST((1000000 * (tot.n - coalesce(d.n_dropped, 0))) // tot.n AS BIGINT) AS kept_ppm
+FROM taus t LEFT JOIN dropped d USING (tau_centi) CROSS JOIN tot
+""",
+    tags=("pipeline", "embedding", "dedup", "eval"),
+    doc="SemDeDup threshold sweep: corpus kept/dropped at tau in "
+    "0.90/0.92/0.95 — the 'how aggressive can we afford to be' tuning "
+    "curve; cluster-confined cosines computed ONCE and compared against "
+    "the 3-row threshold frame (integer centi keys so the grouping key "
+    "never hashes a float) — 3 output rows",
+)
+def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import cosine_col, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = track_cached(ivf_assign(emb))
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "centroid_id"
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", F.round(cosine_col(F.col("ae"), F.col("be")), 6).alias("cos"))
+    )
+    taus = emb.sparkSession.createDataFrame(
+        [(t,) for t in _SEMDEDUP_TAUS], "tau_centi long"
+    )
+    dropped = (
+        pairs.join(F.broadcast(taus))
+        .where(F.col("cos") >= F.col("tau_centi") / 100.0)
+        .groupBy("tau_centi")
+        .agg(F.countDistinct("b_id").cast("long").alias("n_dropped"))
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        taus.join(dropped, "tau_centi", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "tau_centi",
+            F.col("n").alias("n_total"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "CAST((1000000 * (n - coalesce(n_dropped, 0))) div n AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+    )
