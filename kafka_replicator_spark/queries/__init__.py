@@ -220,6 +220,11 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_churn_hazard",
     "p_hill_tail_index",
     "p_semantic_dedup_sweep",
+    "a_shared_sql_named_windows",
+    "a_nation_share_drift",
+    "a_weekend_effect_ttest",
+    "p_shard_balance",
+    "p_quality_length_bias",
 ]
 
 

@@ -661,3 +661,210 @@ def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_ppm"
         ),
     )
+
+
+# --------------------------------------------- shared-SQL named windows
+
+SHARED_SQL_NAMED_WINDOWS = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       CAST(sum(1) OVER wr AS BIGINT) AS order_seq,
+       CAST(count(*) OVER p AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       p AS (PARTITION BY o_custkey)
+"""
+
+
+@register(
+    "a_shared_sql_named_windows",
+    SHARED_SQL_NAMED_WINDOWS,
+    tags=("analytics", "sql", "window"),
+    doc="SQL front door: the WINDOW clause (three named window specs — "
+    "ordered, explicit-ROWS-frame, unordered; Spark rejects inline "
+    "refinement of a named window, so the frame gets its own name) as literal "
+    "same-text SQL on both engines — the windowed companion to "
+    "a_shared_sql_lateral/exists/setops",
+)
+def q_shared_sql_named_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_NAMED_WINDOWS)
+
+
+# ------------------------------------------- nation revenue share drift
+
+@register(
+    "a_nation_share_drift",
+    f"""
+WITH o AS (
+  SELECT c.c_nationkey AS nk,
+         epoch_us(o.o_orderdate) // {_DAY_US} AS day,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+halves AS (
+  SELECT nk, CAST(day >= (d0 + d1 + 1) // 2 AS INTEGER) AS late,
+         CAST(sum(v) * 100 AS BIGINT) AS cents
+  FROM o CROSS JOIN bounds GROUP BY 1, 2
+),
+tot AS (
+  SELECT late, CAST(sum(cents) AS BIGINT) AS t FROM halves GROUP BY late
+),
+shares AS (
+  SELECT h.nk, h.late,
+         CAST((1000000::HUGEINT * h.cents) // t.t AS BIGINT) AS share_ppm
+  FROM halves h JOIN tot t USING (late)
+)
+SELECT n.n_name,
+       CAST(coalesce(e.share_ppm, 0) AS BIGINT) AS early_share_ppm,
+       CAST(coalesce(l.share_ppm, 0) AS BIGINT) AS late_share_ppm,
+       CAST(coalesce(l.share_ppm, 0) - coalesce(e.share_ppm, 0) AS BIGINT)
+         AS drift_ppm
+FROM nation n
+LEFT JOIN (SELECT nk, share_ppm FROM shares WHERE late = 0) e ON e.nk = n.n_nationkey
+LEFT JOIN (SELECT nk, share_ppm FROM shares WHERE late = 1) l ON l.nk = n.n_nationkey
+""",
+    tags=("analytics", "drift"),
+    doc="nation revenue-share drift: each nation's share of total order "
+    "revenue in the early vs late half of the date range and the ppm "
+    "shift — the money-weighted companion to p_categorical_drift_chi2; "
+    "customer/nation dims broadcast, one fact aggregation at "
+    "nation x half grain, HUGEINT/DECIMAL share folds — 25 output rows",
+)
+def q_nation_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    halves = (
+        o.join(F.broadcast(bounds))
+        .select(
+            "nk",
+            (F.col("day") >= F.expr("(d0 + d1 + 1) div 2")).cast("int").alias("late"),
+            "v",
+        )
+        .groupBy("nk", "late")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    halves = track_cached(halves)
+    tot = halves.groupBy("late").agg(F.sum("cents").alias("t"))
+    shares = halves.join(F.broadcast(tot), "late").select(
+        "nk",
+        "late",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cents) div t AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e = shares.where(F.col("late") == 0).select(
+        F.col("nk").alias("nk_e"), F.col("share_ppm").alias("early_share_ppm")
+    )
+    l = shares.where(F.col("late") == 1).select(
+        F.col("nk").alias("nk_l"), F.col("share_ppm").alias("late_share_ppm")
+    )
+    return (
+        nation.join(F.broadcast(e), nation.n_nationkey == F.col("nk_e"), "left")
+        .join(F.broadcast(l), nation.n_nationkey == F.col("nk_l"), "left")
+        .select(
+            "n_name",
+            F.coalesce("early_share_ppm", F.lit(0)).cast("long").alias("early_share_ppm"),
+            F.coalesce("late_share_ppm", F.lit(0)).cast("long").alias("late_share_ppm"),
+            (
+                F.coalesce("late_share_ppm", F.lit(0))
+                - F.coalesce("early_share_ppm", F.lit(0))
+            )
+            .cast("long")
+            .alias("drift_ppm"),
+        )
+    )
+
+
+# ------------------------------------------- weekend effect Welch t-test
+
+@register(
+    "a_weekend_effect_ttest",
+    f"""
+WITH e AS (
+  SELECT CAST((dayofweek(ts) IN (0, 6)) AS INTEGER) AS weekend,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+g AS (
+  SELECT weekend, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) AS s,
+         CAST(sum(v * v) AS DOUBLE) AS ss
+  FROM e GROUP BY weekend
+),
+m AS (
+  SELECT
+    max(CASE WHEN weekend = 1 THEN n END) AS n1,
+    max(CASE WHEN weekend = 1 THEN s END) AS s1,
+    max(CASE WHEN weekend = 1 THEN ss END) AS ss1,
+    max(CASE WHEN weekend = 0 THEN n END) AS n0,
+    max(CASE WHEN weekend = 0 THEN s END) AS s0,
+    max(CASE WHEN weekend = 0 THEN ss END) AS ss0
+  FROM g
+)
+SELECT n1 AS n_weekend, n0 AS n_weekday,
+       round(s1 / n1 - s0 / n0, 6) AS mean_diff,
+       round((s1 / n1 - s0 / n0)
+             / nullif(sqrt((ss1 / n1 - (s1 / n1) * (s1 / n1)) / nullif(n1 - 1, 0)
+                           + (ss0 / n0 - (s0 / n0) * (s0 / n0)) / nullif(n0 - 1, 0)), 0),
+             6) AS welch_t
+FROM m
+""",
+    tags=("analytics", "stats", "eval"),
+    doc="Welch two-sample t statistic for weekend vs weekday event value "
+    "(the two-group companion to a_value_by_hour_anova): per-group "
+    "DECIMAL-exact moments, one fixed double expression with "
+    "nullif-guarded degenerate groups; Spark dayofweek is 1-based vs "
+    "DuckDB 0-based — the Spark side subtracts 1 (CLAUDE.md gotcha) — "
+    "1 output row",
+)
+def q_weekend_effect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6=Saturday
+        F.expr("CAST((dayofweek(timestamp_micros(ts div 1000)) - 1) IN (0, 6) AS INT)")
+        .alias("weekend"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    g = e.groupBy("weekend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    cell = lambda w, c: F.max(F.when(F.col("weekend") == w, F.col(c)))  # noqa: E731
+    m = g.agg(
+        cell(1, "n").alias("n1"),
+        cell(1, "s").alias("s1"),
+        cell(1, "ss").alias("ss1"),
+        cell(0, "n").alias("n0"),
+        cell(0, "s").alias("s0"),
+        cell(0, "ss").alias("ss0"),
+    )
+    mean_diff = F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+    var1 = (F.col("ss1") / F.col("n1") - (F.col("s1") / F.col("n1")) * (F.col("s1") / F.col("n1"))) / F.nullif(F.col("n1") - 1, F.lit(0))
+    var0 = (F.col("ss0") / F.col("n0") - (F.col("s0") / F.col("n0")) * (F.col("s0") / F.col("n0"))) / F.nullif(F.col("n0") - 1, F.lit(0))
+    return m.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff / F.nullif(F.sqrt(var1 + var0), F.lit(0.0)), 6).alias("welch_t"),
+    )

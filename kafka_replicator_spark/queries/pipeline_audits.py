@@ -756,3 +756,98 @@ def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ppm"),
         )
     )
+
+
+# ------------------------------------------------- shard balance audit
+
+@register(
+    "p_shard_balance",
+    f"""
+WITH plan AS ({packing.shard_plan_sql()}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens
+  FROM plan
+)
+SELECT n_shards, total_tokens, min_tokens, max_tokens,
+       CAST((1000000::HUGEINT * max_tokens * n_shards) // total_tokens AS BIGINT)
+         AS imbalance_ppm
+FROM m
+""",
+    tags=("pipeline", "packing", "audit"),
+    doc="shard-plan balance audit: min/max shard token mass and the "
+    "hot-shard imbalance factor in exact ppm (1e6 = perfectly even) over "
+    "p_shard_plan's own output — the data-parallel step-time ceiling is "
+    "the heaviest shard, so this is the metric a run planner alerts on; "
+    "shard-grain rollup, 1 output row",
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = packing.shard_plan(load_table(spark, sf_dir, "documents"))
+    m = plan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return m.select(
+        "n_shards",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * max_tokens * n_shards)"
+            " div total_tokens AS BIGINT)"
+        ).alias("imbalance_ppm"),
+    )
+
+
+# --------------------------------------------- quality-vs-length bias
+
+from kafka_replicator_spark.functions.scoring import (  # noqa: E402
+    quality_classifier_sql as _qcsql,
+)
+
+_QLB_ORACLE = f"""
+WITH qc AS ({_qcsql()}),
+b AS (
+  SELECT CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT) AS len_bucket,
+         n_tokens, score_milli
+  FROM qc
+)
+SELECT len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST((1000 * sum(score_milli)) // sum(n_tokens) AS BIGINT)
+         AS mean_token_score_micro
+FROM b GROUP BY len_bucket
+"""
+
+
+@register(
+    "p_quality_length_bias",
+    _QLB_ORACLE,
+    tags=("pipeline", "eval", "audit"),
+    doc="quality-classifier length-bias audit: mean per-token score by "
+    "log2 length bucket — a score that tracks document length is "
+    "measuring length, not quality (the classic fastText-filter bias); "
+    "integer log2 bucketing (floor(ln/ln2) on exact counts), exact "
+    "integer micro means — bucket-cardinality output",
+)
+def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import scoring
+
+    qc = scoring.quality_classifier(load_table(spark, sf_dir, "documents"))
+    b = qc.select(
+        F.expr("CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT)").alias("len_bucket"),
+        "n_tokens",
+        "score_milli",
+    )
+    return b.groupBy("len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((1000 * sum(score_milli)) div sum(n_tokens) AS BIGINT)"
+        ).alias("mean_token_score_micro"),
+    )
