@@ -225,6 +225,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_weekend_effect_ttest",
     "p_shard_balance",
     "p_quality_length_bias",
+    "p_media_dedup",
 ]
 
 

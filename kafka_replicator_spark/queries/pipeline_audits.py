@@ -851,3 +851,59 @@ def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * sum(score_milli)) div sum(n_tokens) AS BIGINT)"
         ).alias("mean_token_score_micro"),
     )
+
+
+# ------------------------------------------------- multimodal dedup
+
+@register(
+    "p_media_dedup",
+    """
+WITH media AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+         octet_length(encode(text)) AS byte_len,
+         sha256(text) AS h
+  FROM documents
+),
+g AS (
+  SELECT kind, h, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(any_value(byte_len) AS BIGINT) AS byte_len
+  FROM media GROUP BY kind, h
+)
+SELECT kind,
+       CAST(sum(n_copies) AS BIGINT) AS n_media,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum((n_copies - 1) * byte_len) AS BIGINT) AS dup_bytes_saved,
+       CAST((1000000 * sum(n_copies - 1)) // sum(n_copies) AS BIGINT) AS dup_ppm
+FROM g GROUP BY kind
+""",
+    tags=("pipeline", "multimodal", "dedup"),
+    doc="exact multimodal dedup by payload digest: per media kind, "
+    "duplicate binaries detected at (kind, sha256) grain with the bytes a "
+    "dedup pass would reclaim — the opaque-binary-column dedup slot of "
+    "the multimodal family (functions/multimodal.py; payloads are the "
+    "deterministic synthesize_media stand-ins, the digest grain is what a "
+    "real image/audio corpus dedups on) — 3 output rows",
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.multimodal import synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).select(
+        "kind",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("h"),
+    )
+    g = media.groupBy("kind", "h").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.first("byte_len").alias("byte_len"),
+    )
+    return g.groupBy("kind").agg(
+        F.sum("n_copies").cast("long").alias("n_media"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum((F.col("n_copies") - 1) * F.col("byte_len"))
+        .cast("long")
+        .alias("dup_bytes_saved"),
+        F.expr(
+            "CAST((1000000 * sum(n_copies - 1)) div sum(n_copies) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
