@@ -700,3 +700,44 @@ def test_pareto_threshold_broadcasts(spark, sf_dir):
     df = QUERIES["a_pareto_top_quartile"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     release_cached()
+
+
+def test_sorted_neighborhood_no_cartesian(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_sorted_neighborhood"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # neighbor candidates come from an EQUI join on rank+d, the verify from
+    # the shingle-hash equi join — never a cartesian or range join
+    assert "CartesianProduct" not in plan, plan
+    # the global rank comes from the cached range-placed frame + broadcast
+    # offsets (the curriculum/stitch pattern)
+    assert "InMemoryTableScan" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_semantic_dedup_sweep_cluster_confined(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_semantic_dedup_sweep"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the pair stage joins on centroid_id (cluster-confined); the only
+    # broadcast-cross product is the 3-row threshold frame
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_nation_share_drift_broadcasts_dims(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_nation_share_drift"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    release_cached()
