@@ -226,6 +226,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_shard_balance",
     "p_quality_length_bias",
     "p_media_dedup",
+    "a_hhi_concentration",
+    "a_yoy_growth",
+    "a_basket_size_histogram",
 ]
 
 

@@ -868,3 +868,145 @@ def q_weekend_effect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_diff, 6).alias("mean_diff"),
         F.round(mean_diff / F.nullif(F.sqrt(var1 + var0), F.lit(0.0)), 6).alias("welch_t"),
     )
+
+
+# ------------------------------------------------- HHI market concentration
+
+@register(
+    "a_hhi_concentration",
+    """
+WITH cr AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS t FROM cr GROUP BY seg),
+shares AS (
+  SELECT cr.seg,
+         CAST((1000000::HUGEINT * cr.cents) // tot.t AS BIGINT) AS share_ppm
+  FROM cr JOIN tot USING (seg)
+)
+SELECT seg AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(share_ppm::HUGEINT * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM shares GROUP BY seg
+""",
+    tags=("analytics", "concentration"),
+    doc="Herfindahl-Hirschman revenue concentration per market segment: "
+    "sum of squared customer revenue shares (ppm² scaled back to ppm — "
+    "1e6 = monopoly), shares quantized to integer ppm BEFORE squaring so "
+    "the fold is exact HUGEINT/DECIMAL; customer-grain aggregation + a "
+    "segment totals broadcast — segment-cardinality output",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cr = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    cr = track_cached(cr)
+    tot = cr.groupBy("seg").agg(F.sum("cents").alias("t"))
+    shares = cr.join(F.broadcast(tot), "seg").select(
+        "seg",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cents) div t AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    return shares.groupBy(F.col("seg").alias("mktsegment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr(
+            "CAST(sum(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm)"
+            " div 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+# ------------------------------------------------- year-over-year growth
+
+@register(
+    "a_yoy_growth",
+    """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mon,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(a.mon // 12 AS BIGINT) AS yr,
+       CAST(a.mon % 12 + 1 AS BIGINT) AS mon,
+       a.cents AS cents,
+       p.cents AS cents_prev_year,
+       CAST(CASE WHEN a.cents >= p.cents
+                 THEN (1000000 * (a.cents - p.cents)) // p.cents
+                 ELSE -((1000000 * (p.cents - a.cents)) // p.cents)
+            END AS BIGINT) AS yoy_growth_ppm
+FROM m a JOIN m p ON p.mon = a.mon - 12
+""",
+    tags=("analytics", "timeseries"),
+    doc="year-over-year monthly revenue growth: month-grain revenue in "
+    "BIGINT cents self-joined on the month-minus-12 equality key, growth "
+    "in exact signed ppm of the prior year — the reporting staple next to "
+    "the trend fits; month-cardinality output",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = track_cached(
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias("mon")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    p = m.select((F.col("mon") + 12).alias("mon"), F.col("cents").alias("cents_prev_year"))
+    return m.join(p, "mon").select(
+        F.expr("CAST(mon div 12 AS BIGINT)").alias("yr"),
+        F.expr("CAST(mon % 12 + 1 AS BIGINT)").alias("mon"),
+        "cents",
+        "cents_prev_year",
+        # sign-split so both engines divide POSITIVE operands (Spark div
+        # truncates toward zero, DuckDB // floors — they disagree on
+        # negative numerators)
+        F.expr(
+            "CAST(CASE WHEN cents >= cents_prev_year"
+            " THEN (1000000 * (cents - cents_prev_year)) div cents_prev_year"
+            " ELSE -((1000000 * (cents_prev_year - cents)) div cents_prev_year)"
+            " END AS BIGINT)"
+        ).alias("yoy_growth_ppm"),
+    )
+
+
+# ------------------------------------------------- basket size histogram
+
+@register(
+    "a_basket_size_histogram",
+    """
+WITH b AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY n_items
+""",
+    tags=("analytics", "histogram"),
+    doc="order basket-size distribution: lineitem count per order rolled "
+    "into a bounded histogram (TPC-H caps baskets at 7) — the fact table "
+    "collapses to order grain in one partial-aggregated shuffle, then to "
+    "the bounded size grain; the denominator every per-basket rate in the "
+    "suite normalizes by",
+)
+def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    return b.groupBy("n_items").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
