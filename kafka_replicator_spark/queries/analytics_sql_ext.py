@@ -461,7 +461,7 @@ bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM li),
 cells AS (
   SELECT CAST(p.p_type LIKE 'PROMO%' AS INTEGER) AS treated,
          CAST(li.day >= (b.d0 + b.d1 + 1) // 2 AS INTEGER) AS post,
-         CAST(sum(li.rev) * 100 AS BIGINT) AS cents
+         CAST(round(sum(li.rev), 2) * 100 AS BIGINT) AS cents
   FROM li JOIN part p ON p.p_partkey = li.l_partkey
   CROSS JOIN bounds b
   GROUP BY 1, 2
@@ -506,7 +506,10 @@ def q_promo_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev",
         )
         .groupBy("treated", "post")
-        .agg(F.expr("CAST(sum(rev) * 100 AS BIGINT)").alias("cents"))
+        # the discount product carries scale 4 — round to money scale 2
+        # BEFORE the cents cast (decimal→bigint truncates on Spark but
+        # rounds on DuckDB; at scale 2 the ×100 is exactly integral)
+        .agg(F.expr("CAST(round(sum(rev), 2) * 100 AS BIGINT)").alias("cents"))
     )
     cell = lambda t, p: F.max(  # noqa: E731
         F.when((F.col("treated") == t) & (F.col("post") == p), F.col("cents"))
