@@ -229,6 +229,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_hhi_concentration",
     "a_yoy_growth",
     "a_basket_size_histogram",
+    "a_shared_sql_rollup",
 ]
 
 

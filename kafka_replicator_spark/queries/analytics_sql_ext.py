@@ -1013,3 +1013,29 @@ def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
     )
     return b.groupBy("n_items").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+# ------------------------------------------------- shared-SQL ROLLUP
+
+SHARED_SQL_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "a_shared_sql_rollup",
+    SHARED_SQL_ROLLUP,
+    tags=("analytics", "sql", "rollup"),
+    doc="SQL front door: GROUP BY ROLLUP as literal same-text SQL — "
+    "completes the grouping-analytics front-door set next to "
+    "a_shared_sql_cube/grouping_sets (the DataFrame-side rollup is "
+    "a_rollup_orders); hierarchy totals in one partial-aggregated pass",
+)
+def q_shared_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_ROLLUP)
