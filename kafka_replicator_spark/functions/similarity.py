@@ -272,10 +272,12 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(probe_ids: list[int], k: int = 5, centroid_stride: int = 250) -> str:
-    ids = ", ".join(str(i) for i in probe_ids)
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+def ivf_assign_sql_ctes(centroid_stride: int = 250) -> str:
+    """The emb/cents/assigned CTE block mirroring :func:`ivf_assign` —
+    shared by every oracle that starts from the coarse assignment
+    (ivf_topk, semantic dedup, the sweep, the balance audit) so the
+    assignment rule can never silently diverge between oracles."""
+    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % {centroid_stride} = 0),
 assigned AS (
   SELECT vec_id, e, centroid_id FROM (
@@ -288,7 +290,13 @@ assigned AS (
            ) AS rn
     FROM emb, cents
   ) WHERE rn = 1
-),
+)"""
+
+
+def ivf_topk_sql(probe_ids: list[int], k: int = 5, centroid_stride: int = 250) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+{ivf_assign_sql_ctes(centroid_stride)},
 probes AS (SELECT vec_id AS probe_id, e AS pe, centroid_id FROM assigned WHERE vec_id IN ({ids})),
 scored AS (
   SELECT probe_id, c.vec_id AS neighbor_id,

@@ -945,10 +945,7 @@ SELECT CAST(a.mon // 12 AS BIGINT) AS yr,
        CAST(a.mon % 12 + 1 AS BIGINT) AS mon,
        a.cents AS cents,
        p.cents AS cents_prev_year,
-       CAST(CASE WHEN a.cents >= p.cents
-                 THEN (1000000 * (a.cents - p.cents)) // p.cents
-                 ELSE -((1000000 * (p.cents - a.cents)) // p.cents)
-            END AS BIGINT) AS yoy_growth_ppm
+       CAST((1000000 * (a.cents - p.cents)) // p.cents AS BIGINT) AS yoy_growth_ppm
 FROM m a JOIN m p ON p.mon = a.mon - 12
 """,
     tags=("analytics", "timeseries"),
@@ -975,14 +972,12 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(mon % 12 + 1 AS BIGINT)").alias("mon"),
         "cents",
         "cents_prev_year",
-        # sign-split so both engines divide POSITIVE operands (Spark div
-        # truncates toward zero, DuckDB // floors — they disagree on
-        # negative numerators)
+        # signed division is portable as-is: Spark `div` and DuckDB `//`
+        # BOTH truncate toward zero (verified; the floor-like DuckDB
+        # behavior is negative list indices, not division)
         F.expr(
-            "CAST(CASE WHEN cents >= cents_prev_year"
-            " THEN (1000000 * (cents - cents_prev_year)) div cents_prev_year"
-            " ELSE -((1000000 * (cents_prev_year - cents)) div cents_prev_year)"
-            " END AS BIGINT)"
+            "CAST((1000000 * (cents - cents_prev_year))"
+            " div cents_prev_year AS BIGINT)"
         ).alias("yoy_growth_ppm"),
     )
 

@@ -669,23 +669,15 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAUS = (90, 92, 95)
 
 
+from kafka_replicator_spark.functions.similarity import (  # noqa: E402
+    ivf_assign_sql_ctes as _ivf_ctes,
+)
+
+
 @register(
     "p_semantic_dedup_sweep",
     f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id % 250 = 0),
-assigned AS (
-  SELECT vec_id, e, centroid_id FROM (
-    SELECT emb.vec_id, emb.e, cents.centroid_id,
-           row_number() OVER (
-             PARTITION BY emb.vec_id
-             ORDER BY list_dot_product(e, ce)
-                      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
-                      centroid_id ASC
-           ) AS rn
-    FROM emb, cents
-  ) WHERE rn = 1
-),
+{_ivf_ctes()},
 pairs AS (
   SELECT b.vec_id AS b_id,
          round(list_dot_product(a.e, b.e)
@@ -693,11 +685,12 @@ pairs AS (
   FROM assigned a JOIN assigned b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 ),
+best AS (SELECT b_id, max(cos) AS max_cos FROM pairs GROUP BY b_id),
 taus AS (SELECT unnest(ARRAY{list(_SEMDEDUP_TAUS)}) AS tau_centi),
 dropped AS (
-  SELECT tau_centi, CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
-  FROM pairs CROSS JOIN taus
-  WHERE cos >= tau_centi / 100.0
+  SELECT tau_centi, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM best CROSS JOIN taus
+  WHERE max_cos >= tau_centi / 100.0
   GROUP BY tau_centi
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb)
@@ -710,9 +703,11 @@ FROM taus t LEFT JOIN dropped d USING (tau_centi) CROSS JOIN tot
     tags=("pipeline", "embedding", "dedup", "eval"),
     doc="SemDeDup threshold sweep: corpus kept/dropped at tau in "
     "0.90/0.92/0.95 — the 'how aggressive can we afford to be' tuning "
-    "curve; cluster-confined cosines computed ONCE and compared against "
-    "the 3-row threshold frame (integer centi keys so the grouping key "
-    "never hashes a float) — 3 output rows",
+    "curve; cluster-confined cosines collapse to max(cos) PER VECTOR "
+    "before the threshold compare, so the 3-way threshold stage sees "
+    "vector cardinality, never the pair stream (a vector is dropped at "
+    "tau iff its best lower-id match clears tau); the assignment CTE is "
+    "shared with every IVF oracle (ivf_assign_sql_ctes) — 3 output rows",
 )
 def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
@@ -726,19 +721,24 @@ def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = assigned.select(
         F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "centroid_id"
     )
-    pairs = (
+    # collapse the pair stream to per-vector max(cos) BEFORE the threshold
+    # cross-join: dropped-at-tau == max(cos) >= tau, and the distinct-count
+    # over pairs x thresholds becomes a count over vectors
+    best = (
         a.join(b, "centroid_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("b_id", F.round(cosine_col(F.col("ae"), F.col("be")), 6).alias("cos"))
+        .groupBy("b_id")
+        .agg(F.max("cos").alias("max_cos"))
     )
     taus = emb.sparkSession.createDataFrame(
         [(t,) for t in _SEMDEDUP_TAUS], "tau_centi long"
     )
     dropped = (
-        pairs.join(F.broadcast(taus))
-        .where(F.col("cos") >= F.col("tau_centi") / 100.0)
+        best.join(F.broadcast(taus))
+        .where(F.col("max_cos") >= F.col("tau_centi") / 100.0)
         .groupBy("tau_centi")
-        .agg(F.countDistinct("b_id").cast("long").alias("n_dropped"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
     )
     tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return (
@@ -812,7 +812,7 @@ from kafka_replicator_spark.functions.scoring import (  # noqa: E402
 _QLB_ORACLE = f"""
 WITH qc AS ({_qcsql()}),
 b AS (
-  SELECT CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT) AS len_bucket,
+  SELECT CAST(floor(round(ln(n_tokens) / ln(2), 9)) AS BIGINT) AS len_bucket,
          n_tokens, score_milli
   FROM qc
 )
@@ -840,7 +840,9 @@ def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qc = scoring.quality_classifier(load_table(spark, sf_dir, "documents"))
     b = qc.select(
-        F.expr("CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT)").alias("len_bucket"),
+        # requantize the ln ratio before floor (house exp/ln rule): a 1-ulp
+        # libm disagreement at exact powers of two would flip the bucket
+        F.expr("CAST(floor(round(ln(n_tokens) / ln(2), 9)) AS BIGINT)").alias("len_bucket"),
         "n_tokens",
         "score_milli",
     )
