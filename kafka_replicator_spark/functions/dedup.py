@@ -251,35 +251,14 @@ FROM spans GROUP BY doc_id
 """
 
 
-def sorted_neighborhood_pairs(
-    docs: DataFrame,
-    w: int = 3,
-    key_len: int = 40,
-    n: int = 3,
-    threshold: float = 0.3,
-    partitions: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _snm_candidates(
+    docs: DataFrame, key, w: int, partitions: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the corpus
-    by a blocking key (text prefix), compare each document only with its
-    ``w`` successors in sort order, verify candidates with exact n-gram
-    Jaccard — the third blocking family next to LSH (hash-bucket) and
-    SimHash (bit-bucket), and the one that catches prefix-stable edits LSH
-    bands can miss at low Jaccard.
-
-    The global sort rank uses the curriculum/stitch pattern
-    (``repartitionByRange`` + partition-local ``monotonically_increasing_id``
-    rank + broadcast per-partition offsets — textstats.curriculum_buckets),
-    never a single-partition window; the neighbor join is an EQUI join on
-    ``rank + d`` for d ∈ 1..w (w·n candidate rows), and the Jaccard verify
-    is candidate-confined.  Output: doc_a < doc_b, rank_dist, n_inter,
-    jaccard (≥ threshold, 6 dp).
-    """
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.substring(F.col(text_col), 1, key_len).alias("k"),
-    )
+    """Sorted-neighborhood candidate pairs for ONE blocking key expression:
+    global sort rank via range partition + local monotonic rank + broadcast
+    offsets (the curriculum/stitch pattern), then an EQUI join of each row
+    with its ``w`` rank successors.  Output: (doc_a < doc_b, rank_dist)."""
+    keyed = docs.select(F.col(id_col).alias("doc_id"), key.alias("k"))
     d = (
         keyed.repartitionByRange(partitions, "k", "doc_id")
         .sortWithinPartitions("k", "doc_id")
@@ -308,7 +287,7 @@ def sorted_neighborhood_pairs(
         F.col("doc_id").alias("id_b"),
         F.col("r").alias("rb"),
     )
-    cand = (
+    return (
         ranked.select(
             F.col("doc_id").alias("id_a"),
             F.explode(F.sequence(F.col("r") + 1, F.col("r") + w)).alias("rb"),
@@ -321,6 +300,132 @@ def sorted_neighborhood_pairs(
             (F.col("rb") - F.col("ra")).cast("long").alias("rank_dist"),
         )
     )
+
+
+def snm_multipass_pairs(
+    docs: DataFrame,
+    w: int = 3,
+    key_len: int = 40,
+    n: int = 3,
+    threshold: float = 0.3,
+    partitions: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood (the form Hernández & Stolfo actually
+    prescribe): union the candidate windows of TWO independent blocking
+    keys — the text prefix and the REVERSED-text prefix (suffix-sensitive)
+    — then verify once with exact n-gram Jaccard.  A second key pass is
+    how SNM recovers pairs whose difference falls inside the first key
+    (prefix edits sort apart under the prefix key but adjacent under the
+    suffix key).
+
+    Same per-pass plan as :func:`sorted_neighborhood_pairs`; the union is
+    2·w·n candidate rows before DISTINCT.  Output: doc_a < doc_b, n_inter,
+    jaccard (≥ threshold, 6 dp).
+    """
+    c1 = _snm_candidates(
+        docs, F.substring(F.col(text_col), 1, key_len), w, partitions, text_col, id_col
+    )
+    c2 = _snm_candidates(
+        docs,
+        F.substring(F.reverse(F.col(text_col)), 1, key_len),
+        w,
+        partitions,
+        text_col,
+        id_col,
+    )
+    cand = c1.select("doc_a", "doc_b").union(c2.select("doc_a", "doc_b")).distinct()
+    sh = track_cached(word_ngrams(docs, n=n, text_col=text_col, id_col=id_col))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
+        )
+    )
+
+
+def snm_multipass_pairs_sql(
+    w: int = 3, key_len: int = 40, n: int = 3, threshold: float = 0.3
+) -> str:
+    return f"""
+WITH k1 AS (SELECT doc_id, substr(text, 1, {key_len}) AS k FROM documents),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM k1),
+k2 AS (SELECT doc_id, substr(reverse(text), 1, {key_len}) AS k FROM documents),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM k2),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + {w}
+    UNION ALL
+    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+    FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + {w}
+  )
+),
+sh AS ({{sh}}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+""".replace("{sh}", word_ngrams_sql(n))
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    w: int = 3,
+    key_len: int = 40,
+    n: int = 3,
+    threshold: float = 0.3,
+    partitions: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995): sort the corpus
+    by a blocking key (text prefix), compare each document only with its
+    ``w`` successors in sort order, verify candidates with exact n-gram
+    Jaccard — the third blocking family next to LSH (hash-bucket) and
+    SimHash (bit-bucket), and the one that catches prefix-stable edits LSH
+    bands can miss at low Jaccard.
+
+    The global sort rank uses the curriculum/stitch pattern
+    (``repartitionByRange`` + partition-local ``monotonically_increasing_id``
+    rank + broadcast per-partition offsets — textstats.curriculum_buckets),
+    never a single-partition window; the neighbor join is an EQUI join on
+    ``rank + d`` for d ∈ 1..w (w·n candidate rows), and the Jaccard verify
+    is candidate-confined.  Output: doc_a < doc_b, rank_dist, n_inter,
+    jaccard (≥ threshold, 6 dp).
+    """
+    key = F.substring(F.col(text_col), 1, key_len)
+    cand = _snm_candidates(docs, key, w, partitions, text_col, id_col)
     sh = track_cached(word_ngrams(docs, n=n, text_col=text_col, id_col=id_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")

@@ -230,6 +230,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_yoy_growth",
     "a_basket_size_histogram",
     "a_shared_sql_rollup",
+    "p_snm_multipass",
 ]
 
 

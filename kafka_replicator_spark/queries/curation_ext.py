@@ -288,3 +288,18 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "p_snm_multipass",
+    dedup.snm_multipass_pairs_sql(),
+    tags=("pipeline", "dedup"),
+    doc="multi-pass sorted-neighborhood (the full Hernández-Stolfo form): "
+    "candidate windows from TWO independent blocking keys — text prefix "
+    "and reversed-text prefix — unioned before one exact trigram-Jaccard "
+    "verify; the second pass recovers pairs whose edit falls inside the "
+    "first key (prefix edits sort apart, suffix-adjacent); per-pass plans "
+    "share the stitch rank pattern, candidates stay 2·w·n",
+)
+def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.snm_multipass_pairs(load_table(spark, sf_dir, "documents"))
