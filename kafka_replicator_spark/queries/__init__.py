@@ -231,6 +231,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_basket_size_histogram",
     "a_shared_sql_rollup",
     "p_snm_multipass",
+    "p_centroid_drift",
+    "p_lsh_grid_expected_capture",
 ]
 
 

@@ -909,3 +909,193 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum(n_copies - 1)) div sum(n_copies) AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+# --------------------------------------------- embedding centroid drift
+
+#: full embedding dimensionality
+_EMB_DIM = 64
+
+
+@register(
+    "p_centroid_drift",
+    f"""
+WITH dims AS (
+  SELECT vec_id % 2 AS half, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(list_transform(embedding,
+                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS q
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS se,
+         CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS sl
+  FROM dims GROUP BY label, dim
+),
+counts AS (
+  SELECT label,
+         CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY label
+),
+folded AS (
+  SELECT label,
+         sum(se::HUGEINT * sl) AS dot,
+         sum(se::HUGEINT * se) AS ee,
+         sum(sl::HUGEINT * sl) AS ll
+  FROM per_dim GROUP BY label
+)
+SELECT f.label, c.n_a, c.n_b,
+       round(CAST(f.dot AS DOUBLE)
+             / nullif(sqrt(CAST(f.ee AS DOUBLE)) * sqrt(CAST(f.ll AS DOUBLE)), 0),
+             6) AS centroid_cos
+FROM folded f JOIN counts c USING (label)
+""",
+    tags=("pipeline", "embedding", "drift", "audit"),
+    doc="embedding centroid split-half drift: cosine between each label's "
+    "centroid computed on the even-id half vs the odd-id half — a low "
+    "cosine flags an unstable/multi-modal label cluster (the embedding "
+    "analog of p_length_drift); components quantize to exact integer "
+    "micro, per-dim sums are exact BIGINTs, the 64-term dot/norm folds "
+    "run in DECIMAL(38,0)/HUGEINT (counts cancel in the cosine, so the "
+    "sum vectors stand in for the centroids) — label-cardinality output",
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.similarity import _spread_emb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _spread_emb(emb).select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))")
+        ).alias("dim", "q"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0)).alias("se"),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0)).alias("sl"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).cast("long").alias("n_b"),
+    )
+    folded = per_dim.groupBy("label").agg(
+        F.sum(F.col("se").cast("decimal(38,0)") * F.col("sl")).alias("dot"),
+        F.sum(F.col("se").cast("decimal(38,0)") * F.col("se")).alias("ee"),
+        F.sum(F.col("sl").cast("decimal(38,0)") * F.col("sl")).alias("ll"),
+    )
+    return folded.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("ee").cast("double")) * F.sqrt(F.col("ll").cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
+# --------------------------------------------- LSH banding parameter grid
+
+#: (bands, rows) combinations of the k=16 signature audited by the grid
+_LSH_GRID = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _pow_chain(col, n: int):
+    """x^n as a fixed-order multiplication chain (n in 1/2/4/8/16)."""
+    assert n in (1, 2, 4, 8, 16)
+    x = col
+    if n == 1:
+        return x
+    x2 = x * x
+    if n == 2:
+        return x2
+    x4 = x2 * x2
+    if n == 4:
+        return x4
+    x8 = x4 * x4
+    if n == 8:
+        return x8
+    return x8 * x8
+
+
+def _pow_chain_str(base: str, n: int) -> str:
+    assert n in (1, 2, 4, 8, 16)
+    if n == 1:
+        return f"({base})"
+    x2 = f"(({base}) * ({base}))"
+    if n == 2:
+        return x2
+    x4 = f"({x2} * {x2})"
+    if n == 4:
+        return x4
+    x8 = f"({x4} * {x4})"
+    if n == 8:
+        return x8
+    return f"({x8} * {x8})"
+
+
+def _grid_capture_sql() -> str:
+    from kafka_replicator_spark.functions import dedup as _d
+
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {b} AS b, {r} AS r,
+       CAST(round(sum(CAST(round(
+         1.0 - {_pow_chain_str(f"1.0 - {_pow_chain_str('j', r)}", b)}, 9)
+         AS DECIMAL(18,9))), 6) AS DOUBLE) AS expected_captured,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs"""
+        for b, r in _LSH_GRID
+    )
+    return f"""
+WITH pairs AS (
+  SELECT round(jaccard, 6) AS j
+  FROM ({_d.jaccard_pairs_sql(threshold=0.0)})
+)
+{arms}
+"""
+
+
+@register(
+    "p_lsh_grid_expected_capture",
+    _grid_capture_sql(),
+    tags=("pipeline", "dedup", "eval"),
+    doc="LSH banding parameter grid: expected captured candidate mass of "
+    "the k=16 signature under every (bands, rows) split — 16x1/8x2/4x4/"
+    "2x8 — weighted by the corpus's OWN observed pair-Jaccard "
+    "distribution (Σ over pairs of 1-(1-j^r)^b), the data-dependent "
+    "tuning table behind p_lsh_capture_curve's single shipped point; "
+    "capture polynomials are fixed-order multiplication chains (library "
+    "pow differs in the last ulp), folds in DECIMAL — 4 output rows",
+)
+def q_lsh_grid_expected_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(dedup.word_ngrams(docs))
+    pairs = track_cached(
+        dedup.jaccard_pairs(docs, threshold=0.0, shingles=sh).select(
+            F.round("jaccard", 6).alias("j")
+        )
+    )
+    arms = []
+    for b, r in _LSH_GRID:
+        cap = F.lit(1.0) - _pow_chain(F.lit(1.0) - _pow_chain(F.col("j"), r), b)
+        arms.append(
+            pairs.agg(
+                F.lit(b).cast("int").alias("b"),
+                F.lit(r).cast("int").alias("r"),
+                F.round(F.sum(F.round(cap, 9).cast("decimal(18,9)")), 6)
+                .cast("double")
+                .alias("expected_captured"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            )
+        )
+    return reduce(lambda a_, b_: a_.union(b_), arms)
