@@ -366,12 +366,20 @@ def main() -> None:
     if os.path.exists(prev_path):
         try:
             snap = json.load(open(prev_path))
+
             # only compare like-for-like scale factors: the snapshot is the
             # per-round sf0.1 artifact; a quick sf0.01 pass must not emit a
-            # bogus cross-scale ratio
-            if snap.get("sf") and snap["sf"] != os.path.basename(
-                os.path.normpath(sf_dir)
-            ):
+            # bogus cross-scale ratio.  Normalize BOTH sides to the 'sfN'
+            # basename token — the snapshot may carry any of the forms the
+            # artifacts use ('sf0.1', a full '/root/testdata/sf0.1' path, or
+            # the bare number 0.1 from a BENCH artifact's outer field), so a
+            # verbatim refresh from the artifact must not trip the guard.
+            def _sf_token(v):
+                if isinstance(v, (int, float)):
+                    return f"sf{v:g}"
+                return os.path.basename(os.path.normpath(str(v)))
+
+            if snap.get("sf") is not None and _sf_token(snap["sf"]) != _sf_token(sf_dir):
                 raise ValueError(f"snapshot sf {snap['sf']!r} != bench dir {sf_dir!r}")
             common = [
                 k

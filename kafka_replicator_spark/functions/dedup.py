@@ -323,10 +323,20 @@ def snm_multipass_pairs(
     Same per-pass plan as :func:`sorted_neighborhood_pairs`; the union is
     2·w·n candidate rows before DISTINCT.  Output: doc_a < doc_b, n_inter,
     jaccard (≥ threshold, 6 dp).
+
+    ASCII ASSUMPTION (suffix key): Spark ``reverse`` works on UTF-16 code
+    units while DuckDB ``reverse`` works on grapheme clusters, so the two
+    engines produce different suffix keys — hence different candidate sets
+    — on multi-codepoint text.  The testdata corpus is ASCII, where the
+    two definitions coincide exactly.  For a non-ASCII corpus, derive the
+    suffix key from a byte-stable transform instead (e.g. reverse the md5
+    hex of the prefix-stripped text).
     """
     c1 = _snm_candidates(
         docs, F.substring(F.col(text_col), 1, key_len), w, partitions, text_col, id_col
     )
+    # reverse(): UTF-16 code units on Spark vs graphemes on DuckDB — safe
+    # only on ASCII input (see the ASCII ASSUMPTION note above)
     c2 = _snm_candidates(
         docs,
         F.substring(F.reverse(F.col(text_col)), 1, key_len),

@@ -50,15 +50,33 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
-#: Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 (static
+#: Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 ∪ r05 (static
 #: history of the driver's correctness runs; oracle-less queries count as
 #: green on a clean rows-only row).  The driver verifies only a prefix
 #: (~50) of the registry each round, so ``all_queries`` orders every name
 #: WITHOUT a green row ahead of this set, then the round's new queries,
-#: then this remainder as ballast.  After round 4 (50/50 green again) the
-#: only names without a row are the round-4 staged tail, promoted to
-#: ``_NEW_THIS_ROUND`` below — they fill the round-5 window exactly.
+#: then this remainder as ballast.  After round 5 (50/50 green, fifth
+#: consecutive) the only names without a row are the round-5 staged tail,
+#: promoted to ``_NEW_THIS_ROUND`` below — 48 names, leaving 2 spare
+#: window slots (the headroom rule: at most 2 new queries may join them).
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r05 (folded in at the round-6 rotation) ---
+    'a_benford_totalprice', 'a_autocorr_daily', 'a_cusum_changepoint',
+    'a_event_type_lift', 'a_user_lifespan', 'a_stickiness', 'a_anomaly_mad',
+    'a_attribution_last_touch', 'p_triangle_census', 'p_degree_histogram',
+    'p_link_prediction', 'p_kneser_ney', 'p_term_burstiness',
+    'p_token_fertility', 'p_rake_keywords', 'p_embedding_covariance',
+    'p_dim_truncation_recall', 'p_ngram_coverage', 'p_poisson_bootstrap',
+    'a_inactivity_gaps', 'a_brand_affinity', 'a_supplier_part_overlap',
+    'p_pca_power', 'p_oov_rate', 'a_ab_assignment', 'p_simhash_eval',
+    'p_centroid_outliers', 'p_per_source_sample', 'p_histogram_quantiles',
+    'p_bm25_scores', 'a_revenue_trend_ols', 'p_ann_recall',
+    'a_growth_accounting', 'a_top_event_paths', 'p_source_lang_entropy',
+    'p_props_profile', 'a_cohort_ltv', 'a_shipping_lag', 'a_interval_merge',
+    'a_weighted_median_price', 'p_length_drift', 'a_returns_rate_by_brand',
+    'p_jaccard_decile_histogram', 'p_source_gini', 'p_hapax_share',
+    'a_repeat_purchase', 'p_lsh_capture_curve', 'p_ann_mrr',
+    'a_value_by_hour_anova', 'a_shared_sql_recursive_spine',
     # --- green in CORRECTNESS_r04 (folded in at the round-5 rotation) ---
     'p_bigram_logprob', 'p_quality_classifier', 'p_temperature_mix',
     'p_readability', 'p_vocab_growth', 'p_zipf_slope', 'p_perplexity_profile',
@@ -120,71 +138,13 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries added or materially changed THIS round (round 5) — verified
+#: Queries added or materially changed THIS round (round 6) — verified
 #: nowhere yet, so they go inside the window right behind any never-green
-#: backlog.  At the round-5 rotation this is exactly the round-4 staged
-#: tail (50 names: the 53-name staged list minus the 3 that took window
-#: slots 48-50 and went green in r04) — they fill the 50-entry window
-#: exactly, so NOTHING new may be added ahead of them this round.
+#: backlog.  At the round-6 rotation this is exactly the round-5 staged
+#: tail (48 names) — they leave 2 spare window slots, so AT MOST 2 new
+#: round-6 queries may be appended here (the headroom rule); everything
+#: else lands in ``_STAGED_NEXT_ROUND`` behind the window edge.
 _NEW_THIS_ROUND: list[str] = [
-    "a_benford_totalprice",
-    "a_autocorr_daily",
-    "a_cusum_changepoint",
-    "a_event_type_lift",
-    "a_user_lifespan",
-    "a_stickiness",
-    "a_anomaly_mad",
-    "a_attribution_last_touch",
-    "p_triangle_census",
-    "p_degree_histogram",
-    "p_link_prediction",
-    "p_kneser_ney",
-    "p_term_burstiness",
-    "p_token_fertility",
-    "p_rake_keywords",
-    "p_embedding_covariance",
-    "p_dim_truncation_recall",
-    "p_ngram_coverage",
-    "p_poisson_bootstrap",
-    "a_inactivity_gaps",
-    "a_brand_affinity",
-    "a_supplier_part_overlap",
-    "p_pca_power",
-    "p_oov_rate",
-    "a_ab_assignment",
-    "p_simhash_eval",
-    "p_centroid_outliers",
-    "p_per_source_sample",
-    "p_histogram_quantiles",
-    "p_bm25_scores",
-    "a_revenue_trend_ols",
-    "p_ann_recall",
-    "a_growth_accounting",
-    "a_top_event_paths",
-    "p_source_lang_entropy",
-    "p_props_profile",
-    "a_cohort_ltv",
-    "a_shipping_lag",
-    "a_interval_merge",
-    "a_weighted_median_price",
-    "p_length_drift",
-    "a_returns_rate_by_brand",
-    "p_jaccard_decile_histogram",
-    "p_source_gini",
-    "p_hapax_share",
-    "a_repeat_purchase",
-    "p_lsh_capture_curve",
-    "p_ann_mrr",
-    "a_value_by_hour_anova",
-    "a_shared_sql_recursive_spine",
-]
-
-
-#: Queries registered mid-round AFTER the window filled.  Ordered after
-#: ``_NEW_THIS_ROUND``; any overflow past 50 waits for the next rotation.
-#: Empty at the round-5 rotation — the window is exactly the staged
-#: round-4 tail; new round-5 queries land here (behind the window edge).
-_STAGED_NEXT_ROUND: list[str] = [
     "p_auc_quality",
     "p_ece_calibration",
     "p_categorical_drift_chi2",
@@ -234,6 +194,13 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_centroid_drift",
     "p_lsh_grid_expected_capture",
 ]
+
+
+#: Queries registered mid-round AFTER the window filled.  Ordered after
+#: ``_NEW_THIS_ROUND``; any overflow past 50 waits for the next rotation.
+#: Empty at the round-6 rotation — new round-6 queries land here (behind
+#: the window edge) unless they take one of the 2 spare window slots.
+_STAGED_NEXT_ROUND: list[str] = []
 
 
 def all_queries() -> dict[str, Query]:

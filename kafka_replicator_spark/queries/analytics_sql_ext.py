@@ -568,7 +568,7 @@ WITH d AS (
 daily AS (SELECT day, CAST(sum(v) * 100 AS BIGINT) AS yc FROM d GROUP BY day),
 scored AS (
   SELECT a.day, a.yc, p.yc AS pred,
-         CAST((1000000 * abs(a.yc - p.yc)) // a.yc AS BIGINT) AS ape_ppm
+         CAST((1000000::HUGEINT * abs(a.yc - p.yc)) // a.yc AS BIGINT) AS ape_ppm
   FROM daily a JOIN daily p ON p.day = a.day - 7
 )
 SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
@@ -592,8 +592,13 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("day").agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("yc"))
     )
     pred = daily.select((F.col("day") + 7).alias("day"), F.col("yc").alias("pred"))
+    # numerator lifted to DECIMAL(38,0) (HUGEINT in the oracle): a
+    # high-revenue day at 100TB scale pushes 1e6 * day-cents past 2^63 —
+    # int64 would wrap silently on Spark while DuckDB raises
     scored = daily.join(pred, "day").select(
-        F.expr("CAST((1000000 * abs(yc - pred)) div yc AS BIGINT)").alias("ape_ppm")
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(yc - pred)) div yc AS BIGINT)"
+        ).alias("ape_ppm")
     )
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_days_scored"),

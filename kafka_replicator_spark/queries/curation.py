@@ -271,8 +271,6 @@ from kafka_replicator_spark.functions.sketches import cms_heavy_hitters_sql  # n
     "would be collision-free and the overcount audit vacuous",
 )
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from kafka_replicator_spark.functions import sketches
     from kafka_replicator_spark.functions.hashing import spread
 
@@ -281,13 +279,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
     tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
     sketch = sketches.cms_sketch(tok_counts, key_col="tok", cnt_col="cnt", w=16)
-    top = (
-        tok_counts.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
-        )
-        .filter(F.col("rk") <= 20)
-        .drop("rk")
-    )
+    # Top-k cut via distributed TakeOrdered, never a single-partition
+    # row_number over the vocabulary-scale count frame (the guarded
+    # small-side rank pattern, cf. textprof.zipf_slope).
+    top = tok_counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
     est = sketches.cms_estimate(sketch, top.select("tok"), key_col="tok", w=16)
     return top.join(est, "tok").select(
         F.col("tok").alias("token"),

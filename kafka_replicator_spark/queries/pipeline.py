@@ -256,14 +256,16 @@ FROM (
     "boilerplate detection input)",
 )
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window, functions as F
+    # Top-k cut is a distributed TakeOrdered (orderBy().limit(k)) — never a
+    # single-partition row_number over the full vocabulary-scale frame (the
+    # guarded small-side rank pattern, cf. textprof.zipf_slope).
+    from pyspark.sql import functions as F
 
     sh = dedup.word_ngrams(_docs(spark, sf_dir), n=2)
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy(F.desc("n_docs"), F.asc("shingle"))
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        counts.orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(20)
         .select("shingle", "n_docs")
     )
 

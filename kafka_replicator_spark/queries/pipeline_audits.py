@@ -251,7 +251,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST(min(sz) AS BIGINT) AS min_size,
        CAST(max(sz) AS BIGINT) AS max_size,
        quantile_cont(sz, 0.5) AS median_size,
-       CAST((1000000 * max(sz) * count(*)) // sum(sz) AS BIGINT) AS imbalance_ppm
+       CAST((1000000::HUGEINT * max(sz) * count(*)) // sum(sz) AS BIGINT) AS imbalance_ppm
 FROM cells
 """,
     tags=("pipeline", "embedding", "audit"),
@@ -274,7 +274,12 @@ def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sz").cast("long").alias("min_size"),
         F.max("sz").cast("long").alias("max_size"),
         F.expr("percentile(sz, 0.5)").alias("median_size"),
-        F.expr("(1000000 * max(sz) * count(1)) div sum(sz)")
+        # numerator lifted to DECIMAL(38,0) (HUGEINT in the oracle): at 100TB
+        # scale max_size*n_cells*1e6 can pass 2^63 — int64 would wrap
+        # silently on Spark (non-ANSI) while DuckDB raises
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * max(sz) * count(1)) div sum(sz)"
+        )
         .cast("long")
         .alias("imbalance_ppm"),
     )

@@ -675,8 +675,28 @@ def test_dup_span_extents_windows_partition_by_doc(spark, sf_dir):
     # islands/lag windows must be keyed by doc_id (the wh occurrence count
     # is the only corpus-wide window, keyed by the hash itself)
     for frag in plan.split("Window [")[1:]:
-        spec = frag.split("]")[0] + frag.split("]")[1][:200]
-        assert ("doc_id" in frag.split("\n")[0]) or ("wh" in frag.split("\n")[0]), spec
+        spec = frag.split("\n", 1)[0][:300]
+        assert ("doc_id" in spec) or ("wh" in spec), spec
+
+
+def test_top_ngrams_no_global_window(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_top_ngrams"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the vocabulary-scale top-k cut is a distributed TakeOrdered — there
+    # must be NO single-partition Window over the full bigram-DF frame
+    assert "Window [" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cms_heavy_hitters_no_global_window(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_cms_heavy_hitters"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the token-count top-20 cut is a distributed TakeOrdered — there must
+    # be NO single-partition Window over the vocabulary-scale count frame
+    assert "Window [" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_theil_sen_pairs_at_day_grain(spark, sf_dir):
