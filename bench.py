@@ -163,15 +163,21 @@ def segment_lifecycle_bench(
 
 
 def segment_lifecycle_latelost_bench(
-    spark, n_msgs: int = 500_000, n_partitions: int = 4, seg_messages: int = 50_000
+    spark, n_msgs: int = 80_000, n_partitions: int = 4, seg_messages: int = 10_000
 ) -> tuple[float, int, int]:
-    """Wall-clock T5/T6/T7 escalation end-to-end at bench volume: egress a
-    dense stream to segments, destroy the first segment of partition 0 (an
-    offset gap at the delivery frontier), then drive the ingress stream
-    through hold-back (late) → retry (still held) → lost-range skip under an
-    injectable clock crossing ``lost_segment_timeout``.  Returns
+    """Wall-clock T5/T6/T7 escalation end-to-end: egress a dense stream to
+    segments, destroy the first segment of partition 0 (an offset gap at
+    the delivery frontier), then drive the ingress stream through hold-back
+    (late) → retry (still held) → lost-range skip under an injectable clock
+    crossing ``lost_segment_timeout``.  Returns
     (seconds, messages_delivered, messages_lost); lost MUST be > 0 — the
     escalation path itself is what this line measures, not just throughput.
+
+    This is a BEHAVIORAL line: the cost is dominated by three sequential
+    availableNow streaming-query startups (fresh checkpoints drive the
+    re-delivery), not by data volume, so the corpus is sized to the minimum
+    that still exercises the escalation (2 segments per partition) and the
+    shuffle width is narrowed for the scenario's tiny frames.
     """
     import os
     import shutil
@@ -213,6 +219,8 @@ def segment_lifecycle_latelost_bench(
     root = tempfile.mkdtemp(prefix="krs_latelost_")
     work = tempfile.mkdtemp(prefix="krs_latelost_w_")
     seg_root = os.path.join(root, "bench")  # write_segments roots at region
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         t0 = time.perf_counter()
         # ≥2 segments per partition required: the gap is only observable
@@ -259,6 +267,7 @@ def segment_lifecycle_latelost_bench(
         assert delivered == n - gap, f"delivered {delivered} != {n - gap}"
         return dt, delivered, st.messages_lost
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         msgs.unpersist()
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
