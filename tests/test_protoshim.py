@@ -1,0 +1,167 @@
+"""Unit tests for the vendored minimal protobuf runtime (protoshim).
+
+The shim exists to unlock pyspark's transformWithState state-server
+protocol (StateMessage_pb2); its wire format must match the public
+protobuf encoding spec exactly — the JVM side parses these bytes with
+real protobuf.  Expected byte strings below are hand-derived from
+https://protobuf.dev/programming-guides/encoding/.
+
+The end-to-end proof is tests/test_event_store_stream.py /
+test_continuity.py ``tws`` cases: a live streaming query whose Python
+worker speaks the protocol to the JVM state server through this shim.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+sm = pytest.importorskip(
+    "pyspark.sql.streaming.proto.StateMessage_pb2",
+    reason="pyspark has no transformWithState proto module",
+)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def shim_active() -> bool:
+    import google.protobuf
+
+    return getattr(google.protobuf, "PROTOSHIM", False)
+
+
+# ------------------------------------------------------------ wire bytes
+
+
+def test_varint_and_submessage_bytes_match_spec():
+    call = sm.StatefulProcessorCall(setHandleState=sm.SetHandleState(state=sm.CREATED))
+    req = sm.StateRequest(version=2, statefulProcessorCall=call)
+    # field 1 varint 2 = 08 02; field 2 len-delim(4) = 12 04;
+    # inner field 1 len-delim(2) = 0a 02; SetHandleState.state=1 = 08 01
+    assert req.SerializeToString() == bytes.fromhex("080212040a020801")
+
+
+def test_empty_marker_message_selects_oneof_case():
+    vsc = sm.ValueStateCall(stateName="s", get=sm.Get())
+    # stateName "s" = 0a 01 73; get (field 3, empty message) = 1a 00 —
+    # the zero-length submessage is what tells the peer which case is set
+    assert vsc.SerializeToString() == bytes.fromhex("0a01731a00")
+
+
+def test_proto3_default_scalars_are_omitted():
+    resp = sm.StateResponse(statusCode=0, errorMessage="", value=b"")
+    assert resp.SerializeToString() == b""
+
+
+def test_negative_int64_is_ten_byte_twos_complement():
+    ti = sm.TimerInfo(timestampMs=-5)
+    assert ti.SerializeToString() == bytes.fromhex("10fbffffffffffffffff01")
+
+
+# ------------------------------------------------------- proto3 presence
+
+
+def test_proto3_optional_explicit_default_serializes():
+    implicit = sm.TimerInfo(timestampMs=1)
+    explicit = sm.TimerInfo(timestampMs=1, key=b"")
+    assert implicit.SerializeToString() != explicit.SerializeToString()
+    back = sm.TimerInfo()
+    back.ParseFromString(explicit.SerializeToString())
+    assert back.HasField("key") and back.key == b""
+
+
+def test_oneof_set_clears_previous_case():
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    )
+    req.stateVariableRequest = sm.StateVariableRequest(
+        valueStateCall=sm.ValueStateCall(stateName="x", get=sm.Get())
+    )
+    assert req.WhichOneof("method") == "stateVariableRequest"
+    data = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    assert back.WhichOneof("method") == "stateVariableRequest"
+    assert back.stateVariableRequest.valueStateCall.stateName == "x"
+
+
+def test_unset_fields_read_proto3_defaults():
+    r = sm.StateResponseWithListGet()
+    assert r.statusCode == 0
+    assert r.errorMessage == ""
+    assert list(r.value) == []
+    assert r.requireNextFetch is False
+
+
+# ---------------------------------------------------------- round-trips
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    msg=st.text(max_size=40),
+    values=st.lists(st.binary(max_size=20), max_size=8),
+    more=st.booleans(),
+)
+def test_listget_roundtrip_property(status, msg, values, more):
+    r = sm.StateResponseWithListGet(
+        statusCode=status, errorMessage=msg, value=values, requireNextFetch=more
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(r.SerializeToString())
+    assert back.statusCode == status
+    assert back.errorMessage == msg
+    assert list(back.value) == values
+    assert back.requireNextFetch == more
+
+
+def test_nested_repeated_message_roundtrip():
+    mi = sm.StateResponseWithMapIterator(
+        kvPair=[
+            sm.KeyAndValuePair(key=b"k1", value=b"v1"),
+            sm.KeyAndValuePair(key=b"k2", value=b""),
+        ],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(mi.SerializeToString())
+    assert [(kv.key, kv.value) for kv in back.kvPair] == [(b"k1", b"v1"), (b"k2", b"")]
+    assert back.requireNextFetch is True
+
+
+def test_unknown_fields_are_skipped():
+    if not shim_active():
+        pytest.skip("exercises the shim's decode loop")
+    from google.protobuf.internal import wire
+
+    # splice an unknown field (number 15, varint) between known ones
+    known = sm.StateResponse(statusCode=7).SerializeToString()
+    unknown = wire.encode_tag(15, wire.WT_VARINT) + wire.encode_varint(99)
+    back = sm.StateResponse()
+    back.ParseFromString(unknown + known)
+    assert back.statusCode == 7
+
+
+def test_packed_repeated_varints_decode():
+    if not shim_active():
+        pytest.skip("exercises the shim's decode loop")
+    # no repeated-varint field exists in StateMessage.proto; drive the
+    # decoder directly through a synthetic descriptor
+    from google.protobuf.internal import descriptors as d, wire
+    from google.protobuf.message import build_message_class
+
+    desc = d.MessageDesc(
+        name="Packed",
+        fields=[
+            d.FieldDesc(
+                name="xs", number=1, label=d.LABEL_REPEATED, type=d.TYPE_INT64
+            )
+        ],
+    )
+    cls = build_message_class(desc, {}, ".t.Packed")
+    payload = b"".join(wire.encode_signed_varint(v) for v in (1, -2, 300))
+    data = wire.encode_len_delimited(1, payload)
+    m = cls()
+    m.ParseFromString(data)
+    assert list(m.xs) == [1, -2, 300]
