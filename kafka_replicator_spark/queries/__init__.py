@@ -200,13 +200,23 @@ _NEW_THIS_ROUND: list[str] = [
 #: ``_NEW_THIS_ROUND``; any overflow past 50 waits for the next rotation.
 #: Empty at the round-6 rotation — new round-6 queries land here (behind
 #: the window edge) unless they take one of the 2 spare window slots.
-_STAGED_NEXT_ROUND: list[str] = []
+_STAGED_NEXT_ROUND: list[str] = [
+    "a_ewma_revenue",
+    "a_spearman_daily",
+    "a_kendall_tau_brand",
+    "p_rule_matrix",
+    "p_embedding_norm_profile",
+    "p_pr_curve",
+    "a_shared_sql_filter_clause",
+    "p_kcore_peel",
+    "p_query_likelihood",
+]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

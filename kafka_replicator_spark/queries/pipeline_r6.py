@@ -1,0 +1,633 @@
+"""Round-6 query registrations: rank statistics (Spearman / Kendall),
+exact binary-weight EWMA, labeling-rule agreement, embedding-norm
+profiles, detector PR curves, aggregate-FILTER SQL surface, k-core
+peeling, and query-likelihood retrieval.
+
+Reference parity: no analog in the reference engine
+(CrowdStrike/kafka-replicator) — these extend the analytics and
+training-data-pipeline families on the shared corpus tables.
+
+Cross-engine determinism notes specific to this module:
+
+* EWMA uses alpha = 1/2 so the weights are exact powers of two
+  (``1 << t``) — the weighted fold is pure integer arithmetic, no float
+  decay factor to drift between engines.
+* Rank correlations use ``row_number`` with a documented deterministic
+  tie-break (value, then key) rather than tie-averaged ranks; both
+  engines sort identically, so the ranks — and the statistic — match
+  exactly.  The windows run on bounded grains (day grain ≤ ~2.4k rows,
+  brand grain 25 rows), the documented exemption from the
+  no-global-window rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+#: EWMA window length in days (weights 2^0 .. 2^(N-1) must stay in int64)
+_EWMA_DAYS = 31
+
+
+# ------------------------------------------------ exact binary-weight EWMA
+
+@register(
+    "a_ewma_revenue",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+recent AS (
+  SELECT * FROM d WHERE day > (SELECT max(day) FROM d) - {_EWMA_DAYS}
+),
+lo AS (SELECT min(day) AS dmin FROM recent),
+w AS (
+  SELECT cents, (1::BIGINT << CAST(day - dmin AS INTEGER)) AS wt
+  FROM recent, lo
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         sum(cents::HUGEINT * wt) AS num,
+         sum(wt::HUGEINT) AS den
+  FROM w
+)
+SELECT n_days, CAST(num // den AS BIGINT) AS ewma_cents FROM m
+""",
+    tags=("analytics", "timeseries"),
+    doc="exponentially-weighted moving average of daily revenue with "
+    "alpha = 1/2 over the trailing 31 days: weights are exact powers of "
+    "two (1 << t from the window start), so numerator and denominator "
+    "are pure integer folds in DECIMAL(38,0)/HUGEINT — no float decay "
+    "factor to drift between engines.  Presence-weighted day grain "
+    "(missing days contribute no weight); 1 output row",
+)
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+        .cache()  # day-grain frame feeds the max-day bound AND the window scan
+    )
+    bounds = d.agg(
+        F.max("day").alias("dmax"),
+    )
+    recent = d.join(F.broadcast(bounds), F.col("day") > F.col("dmax") - _EWMA_DAYS)
+    lo = recent.agg(F.min("day").alias("dmin"))
+    w = recent.join(F.broadcast(lo), how="cross").select(
+        "cents",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(day - dmin AS INT))").alias("wt"),
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "CAST(sum(CAST(cents AS DECIMAL(38,0)) * wt)"
+            " div sum(CAST(wt AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ewma_cents"),
+    )
+
+
+# ------------------------------------------- Spearman rank correlation
+
+@register(
+    "a_spearman_daily",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+r AS (
+  SELECT day,
+         row_number() OVER (ORDER BY n_orders, day) AS r1,
+         row_number() OVER (ORDER BY cents, day) AS r2
+  FROM d
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(((r1 - r2) * (r1 - r2))::HUGEINT) AS sd2
+  FROM r
+)
+SELECT n AS n_days,
+       CAST(1000000 - (6000000::HUGEINT * sd2) // (n::HUGEINT * (n * n - 1))
+            AS BIGINT) AS spearman_ppm
+FROM m
+""",
+    tags=("analytics", "stats"),
+    doc="Spearman rank correlation between daily order count and daily "
+    "revenue in exact ppm: row_number ranks with the deterministic "
+    "(value, day) tie-break — not tie-averaged ranks — so both engines "
+    "produce identical rank vectors; Σd² and the 1 - 6Σd²/(n(n²-1)) "
+    "formula fold in DECIMAL(38,0)/HUGEINT.  Day grain (≤ ~2.4k rows, "
+    "bounded-grain window exemption); 1 output row",
+)
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"),
+        )
+    )
+    r = d.select(
+        F.row_number().over(Window.orderBy("n_orders", "day")).alias("r1"),
+        F.row_number().over(Window.orderBy("cents", "day")).alias("r2"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0))"
+            " * sum(CAST((r1 - r2) * (r1 - r2) AS DECIMAL(38,0))))"
+            " div (CAST(count(1) AS DECIMAL(38,0)) * (count(1) * count(1) - 1))"
+            " AS BIGINT)"
+        ).alias("spearman_ppm"),
+    )
+
+
+# --------------------------------------------- Kendall tau over brands
+
+@register(
+    "a_kendall_tau_brand",
+    """
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+),
+pairs AS (
+  SELECT CASE WHEN (a.qty_c - c.qty_c) * (a.rev_c - c.rev_c) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.qty_c - c.qty_c) * (a.rev_c - c.rev_c) < 0 THEN 1 ELSE 0 END AS disc
+  FROM b a JOIN b c ON a.brand < c.brand
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n,
+         CAST(sum(conc) AS BIGINT) AS n_conc,
+         CAST(sum(disc) AS BIGINT) AS n_disc
+  FROM pairs
+)
+SELECT n AS n_brands, n_conc, n_disc,
+       CAST((1000000 * (n_conc - n_disc)) // (n * (n - 1) // 2) AS BIGINT)
+         AS kendall_tau_ppm
+FROM m
+""",
+    tags=("analytics", "stats"),
+    doc="Kendall tau-a between brand total quantity and brand total "
+    "revenue in exact ppm: the brand grain is 25 rows, so the "
+    "concordant/discordant scan is a bounded 300-pair self-join of a "
+    "one-shuffle aggregate — never a row-grain pair scan.  Sign products "
+    "of integer cents; ties count toward neither (tau-a); 1 output row",
+)
+def q_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("qty_c"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("rev_c"),
+        )
+        .cache()
+    )
+    a = b.select(
+        F.col("brand").alias("ba"), F.col("qty_c").alias("qa"), F.col("rev_c").alias("ra")
+    )
+    c = b.select(
+        F.col("brand").alias("bb"), F.col("qty_c").alias("qb"), F.col("rev_c").alias("rb")
+    )
+    pairs = a.join(F.broadcast(c), F.col("ba") < F.col("bb")).select(
+        F.when((F.col("qa") - F.col("qb")) * (F.col("ra") - F.col("rb")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("qa") - F.col("qb")) * (F.col("ra") - F.col("rb")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+    )
+    n = b.count()
+    return pairs.agg(
+        F.lit(n).cast("long").alias("n_brands"),
+        F.sum("conc").cast("long").alias("n_conc"),
+        F.sum("disc").cast("long").alias("n_disc"),
+        F.expr(
+            f"CAST((1000000 * (sum(conc) - sum(disc))) div ({n} * ({n} - 1) div 2)"
+            " AS BIGINT)"
+        ).alias("kendall_tau_ppm"),
+    )
+
+
+# ------------------------------------------ labeling-rule agreement matrix
+
+@register(
+    "p_rule_matrix",
+    """
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS r2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r3
+  FROM documents
+)
+SELECT pair,
+       CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+       CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict
+FROM (
+  SELECT 'r1r2' AS pair, r1 AS a, r2 AS b FROM r
+  UNION ALL SELECT 'r1r3', r1, r3 FROM r
+  UNION ALL SELECT 'r2r3', r2, r3 FROM r
+)
+GROUP BY pair
+""",
+    tags=("pipeline", "curation", "audit"),
+    doc="labeling-function agreement matrix (the Snorkel-style audit "
+    "before weak-supervision training): three deterministic document "
+    "rules — length >= 200 chars, contains ' the ', lang = 'en' — "
+    "cross-tabulated pairwise into both/neither/conflict counts.  One "
+    "corpus pass, a 3-way projected union at doc grain, 3 output rows; "
+    "pure integer counts",
+)
+def q_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("r1"),
+        F.when(F.col("text").contains(" the "), 1).otherwise(0).alias("r2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("r3"),
+    ).cache()
+    pairs = (
+        r.select(F.lit("r1r2").alias("pair"), F.col("r1").alias("a"), F.col("r2").alias("b"))
+        .unionAll(
+            r.select(F.lit("r1r3").alias("pair"), F.col("r1").alias("a"), F.col("r3").alias("b"))
+        )
+        .unionAll(
+            r.select(F.lit("r2r3").alias("pair"), F.col("r2").alias("a"), F.col("r3").alias("b"))
+        )
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neither"),
+        F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflict"),
+    )
+
+
+# -------------------------------------------- embedding norm profile
+
+@register(
+    "p_embedding_norm_profile",
+    """
+WITH q AS (
+  SELECT label,
+         list_aggregate(
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                               * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),
+           'sum') AS norm2
+  FROM embeddings
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(norm2) AS BIGINT) AS min_norm2,
+       CAST(max(norm2) AS BIGINT) AS max_norm2,
+       quantile_cont(norm2, 0.5) AS median_norm2
+FROM q GROUP BY label
+""",
+    tags=("pipeline", "embedding", "audit"),
+    doc="embedding L2-norm² profile per label block: per-component "
+    "micro-unit quantization makes norm² an exact BIGINT (≤ 64·1e12, "
+    "inside double's 2^53 so the median interpolation is exact too); "
+    "min/median/max per label expose un-normalized blocks before any "
+    "cosine index build.  One map pass + label-grain rollup",
+)
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qexpr = F.aggregate(
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    q = emb.select(F.col("label"), qexpr.alias("norm2"))
+    return q.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"),
+        F.expr("percentile(norm2, 0.5)").alias("median_norm2"),
+    )
+
+
+# --------------------------------------------- detector PR curve points
+
+#: fixed audit thresholds on n_chars (chars-as-quality-score demo detector)
+_PR_THRESHOLDS = (100, 200, 400, 800, 1600)
+
+
+@register(
+    "p_pr_curve",
+    f"""
+WITH dup AS (
+  SELECT doc_id, text, n_chars,
+         CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+),
+thr AS (SELECT * FROM (VALUES {', '.join(f'({t})' for t in _PR_THRESHOLDS)}) t(thr)),
+cells AS (
+  SELECT thr,
+         CAST(sum(CASE WHEN n_chars <= thr AND is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN n_chars <= thr AND is_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN n_chars > thr AND is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM dup, thr GROUP BY thr
+)
+SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+       CAST((1000000 * tp) // nullif(tp + fp, 0) AS BIGINT) AS precision_ppm,
+       CAST((1000000 * tp) // nullif(tp + fn, 0) AS BIGINT) AS recall_ppm
+FROM cells
+""",
+    tags=("pipeline", "eval"),
+    doc="precision/recall curve points for a short-doc duplicate detector "
+    "(flag docs with n_chars <= threshold, ground truth = exact text "
+    "duplicate): 5 fixed thresholds cross-joined against the labeled "
+    "corpus, integer confusion counts, exact ppm ratios with nullif "
+    "guards — the PR companion to the rank-sum AUC and ECE eval queries. "
+    "One corpus pass, 5 output rows",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dup = docs.select(
+        "n_chars",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy(F.md5("text"))) > 1, 1
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    thr = spark.createDataFrame([(t,) for t in _PR_THRESHOLDS], schema="thr int")
+    cells = (
+        dup.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("n_chars") <= F.col("thr")) & (F.col("is_dup") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("n_chars") <= F.col("thr")) & (F.col("is_dup") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("n_chars") > F.col("thr")) & (F.col("is_dup") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return cells.select(
+        F.col("thr").cast("long").alias("thr"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST((1000000 * tp) div nullif(tp + fp, 0) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST((1000000 * tp) div nullif(tp + fn, 0) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+# ------------------------------------- aggregate FILTER clause (shared SQL)
+
+#: literal ANSI SQL run verbatim on BOTH engines (the shared-text contract)
+SHARED_SQL_FILTER = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                             FILTER (WHERE o_orderstatus = 'F'), 0), 2)
+            AS DOUBLE) AS finished_price,
+       CAST(count(*) FILTER (WHERE CAST(o_totalprice AS DECIMAL(18,2)) < 1000)
+            AS BIGINT) AS n_small
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "a_shared_sql_filter_clause",
+    SHARED_SQL_FILTER,
+    tags=("analytics", "sql"),
+    doc="SQL front door: aggregate FILTER (WHERE ...) clauses through the "
+    "same-text contract — conditional counts and a conditional DECIMAL "
+    "sum per order priority, the standard-SQL alternative to CASE-WHEN "
+    "pivoting, run as literal identical text on both engines",
+)
+def q_shared_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.analytics_sql_ext import _run_shared_sql
+
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_FILTER)
+
+
+# ------------------------------------------------------ k-core peeling
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    # every CTE is multiply-referenced (each round reads the previous
+    # round's edges twice, the stats read everything again): MATERIALIZED
+    # stops DuckDB inlining the kNN build exponentially (4.5 s -> 0.1 s)
+    from kafka_replicator_spark.functions import graph, similarity
+
+    edges = graph.undirect_sql(similarity.label_knn_graph_sql())
+    parts = [f"e0 AS MATERIALIZED ({edges})"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+  GROUP BY node
+),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN a{i} x ON e.u = x.node JOIN a{i} y ON e.v = y.node
+)"""
+        )
+    stats = "\nUNION ALL ".join(
+        f"SELECT {i} AS round, (SELECT count(*) FROM a{i}) AS n_alive,"
+        f" (SELECT count(*) FROM e{i}) AS n_edges"
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(round AS BIGINT) AS round, CAST(n_alive AS BIGINT) AS n_alive,"
+        f" CAST(n_edges AS BIGINT) AS n_edges FROM ({stats})"
+    )
+
+
+@register(
+    "p_kcore_peel",
+    _kcore_sql(),
+    tags=("pipeline", "graph"),
+    doc="fixed-iteration k-core peeling (k=3, 3 unrolled rounds) on the "
+    "label-blocked kNN graph: each round drops nodes of degree < k and "
+    "the edges touching them, reporting alive-node and surviving-edge "
+    "counts — the coreness prefilter before centrality-based coreset "
+    "selection.  Each round is one degree aggregation + two semi joins "
+    "(|E| work per round, the distributed peel from Montresor et al.); "
+    "pure integer counts, 3 output rows",
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions import graph, similarity
+
+    e = track_cached(
+        graph.undirect(
+            similarity.label_knn_graph(load_table(spark, sf_dir, "embeddings"))
+        )
+    )
+    stats: list[tuple[int, int, int]] = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = track_cached(deg.filter(F.col("deg") >= _KCORE_K).select("node"))
+        e = track_cached(
+            e.join(alive.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .select("u", "v")
+        )
+        # eager per-round counts: materializes each cached frame once and
+        # truncates the 2-joins-per-round lineage that would otherwise
+        # recompute the kNN build for every round's stats; the collected
+        # values are 2 scalars per round (metadata-scale)
+        stats.append((i, alive.count(), e.count()))
+    return spark.createDataFrame(
+        stats, schema="round long, n_alive long, n_edges long"
+    )
+
+
+# ---------------------------------------- query-likelihood retrieval
+
+_QL_MU = 2000
+_QL_TERMS = ("spark", "hash", "merge", "window")
+_QL_TOP = 20
+
+
+@register(
+    "p_query_likelihood",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM toks),
+ctf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS ctf
+  FROM toks WHERE tok IN {_QL_TERMS!r} GROUP BY tok
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN {_QL_TERMS!r} GROUP BY doc_id, tok
+),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+grid AS (
+  SELECT cand.doc_id, ctf.tok, ctf.ctf, coalesce(tf.tf, 0) AS tf, dl.dl
+  FROM cand CROSS JOIN ctf
+  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.tok = ctf.tok
+  JOIN dl ON dl.doc_id = cand.doc_id
+),
+terms AS (
+  SELECT doc_id,
+         CAST(round(ln((tf + ({_QL_MU} * ctf) / CAST(t_total AS DOUBLE))
+                       / CAST(dl + {_QL_MU} AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS term_score
+  FROM grid CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS ql_score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, ql_score FROM scored ORDER BY ql_score DESC, doc_id LIMIT {_QL_TOP}
+""",
+    tags=("pipeline", "retrieval"),
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty, "
+    "mu=2000) over the BM25 demo query terms: candidates are docs with "
+    "at least one term hit, the dense candidate x term grid left-joins "
+    "term frequencies so zero-tf terms still contribute their smoothed "
+    "mass, per-term ln scores re-quantized to 9 dp before the DECIMAL "
+    "fold (the exp/ln re-quantize rule).  Distributed TakeOrdered "
+    "top-20; the language-modeling sibling of p_bm25_scores",
+)
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).cache()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).cache()
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    t_total = toks.count()
+    hits = toks.filter(F.col("tok").isin(*_QL_TERMS))
+    ctf = hits.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+    tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    cand = tf.select("doc_id").distinct()
+    grid = (
+        cand.crossJoin(F.broadcast(ctf))
+        .join(tf, ["doc_id", "tok"], "left")
+        .na.fill({"tf": 0})
+        .join(dl, "doc_id")
+    )
+    terms = grid.select(
+        "doc_id",
+        F.expr(
+            f"CAST(round(ln((tf + ({_QL_MU} * ctf) / CAST({t_total} AS DOUBLE))"
+            f" / CAST(dl + {_QL_MU} AS DOUBLE)), 9) AS DECIMAL(28,9))"
+        ).alias("term_score"),
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.round(F.sum("term_score").cast("double"), 6).alias("ql_score")
+    )
+    return scored.orderBy(F.desc("ql_score"), F.asc("doc_id")).limit(_QL_TOP)
