@@ -210,6 +210,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_shared_sql_filter_clause",
     "p_kcore_peel",
     "p_query_likelihood",
+    "p_jl_distortion",
+    "p_chunk_overlap_audit",
+    "p_hard_negatives",
+    "a_trimmed_mean_price",
 ]
 
 

@@ -631,3 +631,379 @@ def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term_score").cast("double"), 6).alias("ql_score")
     )
     return scored.orderBy(F.desc("ql_score"), F.asc("doc_id")).limit(_QL_TOP)
+
+
+# ------------------------------------ JL random-projection distortion audit
+
+_JL_K = 16
+_JL_DIM = 64
+_JL_PROBE_MOD = 61  # vec_id % 61 == 0 -> 9 probe vectors, 36 probe pairs
+
+
+def _jl_sql() -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    sign = portable_hash60_sql("'jl_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+    return f"""
+WITH probes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+  FROM embeddings WHERE vec_id % {_JL_PROBE_MOD} = 0
+),
+comp AS (
+  SELECT vec_id, i, em[i] AS q
+  FROM probes, unnest(range(1, {_JL_DIM + 1})) t(i)
+),
+signs AS (
+  SELECT i, j, (({sign}) % 2) * 2 - 1 AS s
+  FROM unnest(range(1, {_JL_DIM + 1})) a(i), unnest(range(1, {_JL_K + 1})) b(j)
+),
+proj AS (
+  SELECT c.vec_id, s.j, CAST(sum(s.s * c.q) AS BIGINT) AS y
+  FROM comp c JOIN signs s ON s.i = c.i
+  GROUP BY c.vec_id, s.j
+),
+d2o AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+d2p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+ratios AS (
+  SELECT CAST((1000000::HUGEINT * p.d2) // ({_JL_K}::HUGEINT * o.d2) AS BIGINT)
+           AS ratio_ppm
+  FROM d2o o JOIN d2p p ON p.va = o.va AND p.vb = o.vb
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+       CAST(sum(ratio_ppm::HUGEINT) // count(*) AS BIGINT) AS avg_ratio_ppm
+FROM ratios
+"""
+
+
+@register(
+    "p_jl_distortion",
+    _jl_sql(),
+    tags=("pipeline", "embedding", "audit"),
+    doc="Johnson-Lindenstrauss projection distortion audit: a deterministic "
+    "±1 sign matrix (64x16, signs from the portable hash family) projects "
+    "9 probe vectors; pairwise squared-distance ratios "
+    "d2_proj/(k * d2_orig) in exact ppm quantify how faithfully the "
+    "16-dim sketch preserves geometry (1e6 = perfect, ±1-entry JL gives "
+    "E[d2_proj] = k*d2_orig).  Micro-quantized components make every "
+    "distance an exact BIGINT; ratios fold in HUGEINT/DECIMAL(38,0); the "
+    "probe set is bounded (36 pairs), the sign matrix is a 1024-row "
+    "broadcast join — 1 output row",
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _JL_PROBE_MOD == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("em"),
+    )
+    comp = probes.select(
+        "vec_id", F.posexplode("em").alias("i0", "q")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
+    dims = spark.range(1, _JL_DIM + 1).select(F.col("id").cast("int").alias("i"))
+    ks = spark.range(1, _JL_K + 1).select(F.col("id").cast("int").alias("j"))
+    signs = dims.crossJoin(ks).select(
+        "i",
+        "j",
+        (
+            (
+                portable_hash60(
+                    F.concat(
+                        F.lit("jl_"),
+                        F.col("i").cast("string"),
+                        F.lit("_"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % 2
+            )
+            * 2
+            - 1
+        ).alias("s"),
+    )
+    proj = (
+        comp.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("y"))
+    )
+    ca = comp.select(F.col("vec_id").alias("va"), "i", F.col("q").alias("qa"))
+    cb = comp.select(F.col("vec_id").alias("vb"), "i", F.col("q").alias("qb"))
+    d2o = (
+        ca.join(cb, "i")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("long")
+            .alias("d2o")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("va"), "j", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("vb"), "j", F.col("y").alias("yb"))
+    d2p = (
+        pa.join(pb, "j")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("long")
+            .alias("d2p")
+        )
+    )
+    ratios = d2o.join(d2p, ["va", "vb"]).select(
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * d2p)"
+            f" div (CAST({_JL_K} AS DECIMAL(38,0)) * d2o) AS BIGINT)"
+        ).alias("ratio_ppm")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio_ppm").cast("long").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
+        F.expr(
+            "CAST(sum(CAST(ratio_ppm AS DECIMAL(38,0))) div count(1) AS BIGINT)"
+        ).alias("avg_ratio_ppm"),
+    )
+
+
+# ------------------------------------------------ chunk-overlap audit
+
+_CHUNK_LEN = 128
+_CHUNK_STRIDE = 96
+
+
+@register(
+    "p_chunk_overlap_audit",
+    f"""
+WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+c AS (
+  SELECT source, dl,
+         CASE WHEN dl <= {_CHUNK_LEN} THEN 1
+              ELSE 1 + (dl - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+         END AS n_chunks
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum((n_chunks - 1) * ({_CHUNK_LEN} - {_CHUNK_STRIDE})) AS BIGINT)
+         AS overlap_tokens,
+       CAST((1000000::HUGEINT * sum(dl)) // sum(n_chunks * {_CHUNK_LEN}) AS BIGINT)
+         AS fill_ppm
+FROM c GROUP BY source
+""",
+    tags=("pipeline", "packing", "audit"),
+    doc="sliding-window chunking budget audit (chunk=128 tokens, "
+    "stride=96): per source, how many chunks the corpus yields, how many "
+    "tokens are re-encoded as overlap, and the chunk-slot fill ratio in "
+    "exact ppm — the cost model for overlap-chunked retrieval indexing "
+    "(the audit companion to p_chunk_documents).  Closed-form integer "
+    "arithmetic per doc, one corpus pass, source-grain rollup",
+)
+def q_chunk_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    c = d.select(
+        "source",
+        "dl",
+        F.when(F.col("dl") <= _CHUNK_LEN, F.lit(1).cast("long"))
+        .otherwise(
+            1
+            + F.expr(
+                f"(dl - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}"
+            )
+        )
+        .alias("n_chunks"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum((F.col("n_chunks") - 1) * (_CHUNK_LEN - _CHUNK_STRIDE))
+        .cast("long")
+        .alias("overlap_tokens"),
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(dl))"
+            f" div sum(n_chunks * {_CHUNK_LEN}) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
+# ------------------------------------------- hard-negative mining audit
+
+_HN_TOP = 10
+
+
+@register(
+    "p_hard_negatives",
+    f"""
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+  FROM embeddings
+),
+probes AS (SELECT * FROM m WHERE vec_id % {_JL_PROBE_MOD} = 0),
+p AS (
+  SELECT a.vec_id, a.label,
+         b.vec_id AS neighbor_id, b.label AS n_label,
+         CAST(list_sum(list_transform(range(1, {_JL_DIM + 1}),
+                                      i -> (a.em[i] - b.em[i]) * (a.em[i] - b.em[i])))
+              AS BIGINT) AS d2
+  FROM probes a JOIN m b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, label, n_label, d2,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY d2, neighbor_id)
+              AS BIGINT) AS rk
+  FROM p
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label,
+       CAST(sum(CASE WHEN n_label <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+       CAST(coalesce(min(CASE WHEN n_label <> label THEN rk END), -1) AS BIGINT)
+         AS first_hard_rank
+FROM r WHERE rk <= {_HN_TOP}
+GROUP BY vec_id, label
+""",
+    tags=("pipeline", "embedding", "retrieval"),
+    doc="hard-negative mining audit for contrastive training: for each "
+    "probe vector, the exact 10 nearest neighbors by integer-micro "
+    "squared L2, counting how many carry a different label (hard "
+    "negatives) and the rank of the first one (-1 = none in top-10).  "
+    "Probe side is bounded (9 vectors), corpus side is one map pass — "
+    "the per-probe rank window sees only that probe's candidates; "
+    "9 output rows",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("em"),
+    )
+    probes = m.filter(F.col("vec_id") % _JL_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("em").alias("pem"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("pem", "em", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        m.crossJoin(F.broadcast(probes))
+        .filter(F.col("pid") != F.col("vec_id"))
+        .select(
+            "pid",
+            "plabel",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("d2", "neighbor_id")
+    r = pairs.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= _HN_TOP
+    )
+    return r.groupBy(
+        F.col("pid").alias("vec_id"), F.col("plabel").cast("int").alias("label")
+    ).agg(
+        F.sum(F.when(F.col("n_label") != F.col("plabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hard"),
+        F.coalesce(
+            F.min(F.when(F.col("n_label") != F.col("plabel"), F.col("rk"))),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("first_hard_rank"),
+    )
+
+
+# ----------------------------------------------- trimmed mean (stitch)
+
+@register(
+    "a_trimmed_mean_price",
+    """
+WITH o AS (
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk FROM o
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) // 20 AS BIGINT) AS k FROM o)
+SELECT n.n AS n_orders, n.k AS n_trimmed_each_side,
+       CAST(sum(r.cents::HUGEINT) // (n.n - 2 * n.k) AS BIGINT) AS trimmed_mean_cents
+FROM r, n WHERE r.rk > n.k AND r.rk <= n.n - n.k
+GROUP BY n.n, n.k
+""",
+    tags=("analytics", "stats"),
+    doc="5%-trimmed mean of order totals in exact cents: global rank of "
+    "every order by (cents, key) via the range-partition stitch "
+    "(functions/stitch.py — partition-local row_number + broadcast "
+    "prefix counts, never a single-partition window over the fact "
+    "table), drop the bottom and top n/20 ranks, integer mean of the "
+    "rest.  The robust-location companion to a_weighted_median_price; "
+    "1 output row",
+)
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.lit(1).cast("long").alias("one"),
+    )
+    # rank by cents only: rows with equal cents are interchangeable for a
+    # rank-range SUM, so any tie-break yields the same kept multiset — the
+    # oracle's (cents, o_orderkey) order and the stitch's partition-local
+    # order agree on the aggregate exactly
+    tagged, prefix = range_prefix_stitch(o, "cents", "one", agg="sum")
+    w = Window.partitionBy("__pid").orderBy("cents")
+    ranked = (
+        tagged.withColumn("lrk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(prefix), "__pid")
+        .select("cents", (F.col("__prefix") + F.col("lrk")).alias("rk"))
+    )
+    nk = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(count(1) div 20 AS BIGINT)").alias("k"),
+    )
+    kept = ranked.join(F.broadcast(nk), how="cross").filter(
+        (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    )
+    return kept.groupBy("n", "k").agg(
+        F.expr(
+            "CAST(sum(CAST(cents AS DECIMAL(38,0))) div (max(n) - 2 * max(k))"
+            " AS BIGINT)"
+        ).alias("trimmed_mean_cents")
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_trimmed_each_side"),
+        "trimmed_mean_cents",
+    )
