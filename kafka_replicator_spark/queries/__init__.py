@@ -214,6 +214,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_chunk_overlap_audit",
     "p_hard_negatives",
     "a_trimmed_mean_price",
+    "p_mmr_diversify",
 ]
 
 

@@ -1007,3 +1007,163 @@ def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_trimmed_each_side"),
         "trimmed_mean_cents",
     )
+
+
+# --------------------------------------- MMR diversified re-ranking
+
+_MMR_CAND = 12
+_MMR_SELECT = 5
+#: lambda = 0.7 as integer weights: score = 7*rel - 3*maxsim (x10 scale)
+_MMR_REL_W = 7
+_MMR_DIV_W = 3
+
+
+def _mmr_sql() -> str:
+    dim = _JL_DIM
+    head = f"""
+WITH m AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT i, CAST(floor(sum(em[i]) / count(*) + 0.5) AS BIGINT) AS qv
+  FROM m, unnest(range(1, {dim + 1})) t(i)
+  WHERE label = 0
+  GROUP BY i
+),
+rel AS MATERIALIZED (
+  SELECT m.vec_id, CAST(sum(q.qv * m.em[q.i]) AS BIGINT) AS rel
+  FROM m, q
+  GROUP BY m.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT r.vec_id, r.rel, m.em
+  FROM rel r JOIN m USING (vec_id)
+  ORDER BY r.rel DESC, r.vec_id LIMIT {_MMR_CAND}
+),
+dots AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                      i -> a.em[i] * b.em[i])) AS BIGINT) AS dot
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(-1 AS BIGINT) AS maxsim
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    parts = [head]
+    prev_sel = "SELECT vec_id FROM s1"
+    for t in range(2, _MMR_SELECT + 1):
+        parts.append(
+            f""",
+t{t} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, CAST(max(d.dot) AS BIGINT) AS maxsim
+  FROM cand c
+  JOIN dots d ON d.va = c.vec_id AND d.vb IN ({prev_sel})
+  WHERE c.vec_id NOT IN ({prev_sel})
+  GROUP BY c.vec_id, c.rel
+),
+s{t} AS MATERIALIZED (
+  SELECT vec_id, rel, maxsim FROM t{t}
+  ORDER BY {_MMR_REL_W} * rel - {_MMR_DIV_W} * maxsim DESC, vec_id LIMIT 1
+)"""
+        )
+        prev_sel += f" UNION ALL SELECT vec_id FROM s{t}"
+    sel = "\nUNION ALL ".join(
+        f"SELECT {t} AS sel_rank, vec_id, rel, maxsim FROM s{t}"
+        for t in range(1, _MMR_SELECT + 1)
+    )
+    return (
+        "".join(parts)
+        + f"\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, rel, maxsim"
+        f" FROM ({sel})"
+    )
+
+
+@register(
+    "p_mmr_diversify",
+    _mmr_sql(),
+    tags=("pipeline", "retrieval", "embedding"),
+    doc="maximal-marginal-relevance re-ranking (Carbonell & Goldstein "
+    "lambda=0.7): query = integer-micro centroid of the label-0 block "
+    "(the kmeans rounding rule), relevance = exact integer dot product, "
+    "candidates = distributed TakeOrdered top-12, then 5 greedy "
+    "selections maximizing 7*rel - 3*max-sim-to-selected — every score "
+    "an exact BIGINT, ties broken by vec_id, the per-round argmax reads "
+    "a 12-row frame.  The oracle unrolls the 5 rounds as MATERIALIZED "
+    "CTEs; the Spark side collects one argmax row per round "
+    "(metadata-scale, bounded by the candidate list); 5 output rows",
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("em"),
+    )
+    qdim = (
+        m.filter(F.col("label") == 0)
+        .select(F.posexplode("em").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long")
+            .alias("qv")
+        )
+    )
+    qvec = qdim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "qv"))), lambda s: s["qv"]
+        ).alias("qem")
+    )
+    rel_expr = F.aggregate(
+        F.zip_with("qem", "em", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = m.crossJoin(F.broadcast(qvec)).select(
+        "vec_id", "em", rel_expr.alias("rel")
+    )
+    cand = track_cached(
+        scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_CAND)
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("em").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("em").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dots = track_cached(
+        a.join(b, F.col("va") != F.col("vb")).select("va", "vb", dot.alias("dot"))
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id")).select("vec_id", "rel").head(1)[0]
+    )
+    picked: list[tuple[int, int, int, int]] = [(1, first["vec_id"], first["rel"], -1)]
+    for t in range(2, _MMR_SELECT + 1):
+        sel_ids = [p[1] for p in picked]
+        best = (
+            cand.filter(~F.col("vec_id").isin(sel_ids))
+            .join(
+                dots.filter(F.col("vb").isin(sel_ids)),
+                F.col("vec_id") == F.col("va"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("dot").cast("long").alias("maxsim"))
+            .orderBy(
+                F.desc(_MMR_REL_W * F.col("rel") - _MMR_DIV_W * F.col("maxsim")),
+                F.asc("vec_id"),
+            )
+            .head(1)[0]
+        )
+        picked.append((t, best["vec_id"], best["rel"], best["maxsim"]))
+    return spark.createDataFrame(
+        picked, schema="sel_rank long, vec_id long, rel long, maxsim long"
+    )
