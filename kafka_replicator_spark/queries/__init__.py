@@ -215,6 +215,11 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_hard_negatives",
     "a_trimmed_mean_price",
     "p_mmr_diversify",
+    "p_quota_sample",
+    "p_hamming_histogram",
+    "p_ivf_cost_audit",
+    "a_event_dispersion",
+    "p_char_class_profile",
 ]
 
 

@@ -1167,3 +1167,271 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, schema="sel_rank long, vec_id long, rel long, maxsim long"
     )
+
+
+# ------------------------------------------------- quota sampling per cell
+
+_QUOTA = 5
+
+
+def _quota_hash_sql() -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    return portable_hash60_sql("'qs_' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "p_quota_sample",
+    f"""
+WITH h AS (
+  SELECT doc_id, source, lang,
+         {_quota_hash_sql()} AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_cell,
+       CAST(sum(CASE WHEN rk <= {_QUOTA} THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+       CAST(sum(CASE WHEN rk <= {_QUOTA} THEN doc_id ELSE 0 END) AS BIGINT)
+         AS taken_id_sum
+FROM r GROUP BY source, lang
+""",
+    tags=("pipeline", "sampling"),
+    doc="quota sampling: up to 5 documents per (source, lang) cell, chosen "
+    "by portable-hash order (reproducible across engines and runs), "
+    "reporting each cell's size, take count, and the checksum of taken "
+    "ids.  The rank window is keyed by the cell — scale-safe — and the "
+    "hash order makes the sample independent of physical row order; the "
+    "per-cell balanced cousin of p_stratified_sample's proportional "
+    "allocation",
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        portable_hash60(F.concat(F.lit("qs_"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    w = Window.partitionBy("source", "lang").orderBy("hk", "doc_id")
+    r = h.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell"),
+        F.sum(F.when(F.col("rk") <= _QUOTA, 1).otherwise(0))
+        .cast("long")
+        .alias("n_taken"),
+        F.sum(F.when(F.col("rk") <= _QUOTA, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("taken_id_sum"),
+    )
+
+
+# -------------------------------------- SimHash hamming-distance histogram
+
+_HH_MAX = 16
+
+
+def _hamming_hist_sql() -> str:
+    from kafka_replicator_spark.functions.dedup import simhash_near_pairs_sql
+
+    return f"""
+WITH pairs AS ({simhash_near_pairs_sql(max_hamming=_HH_MAX)})
+SELECT CAST(hamming AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming
+"""
+
+
+@register(
+    "p_hamming_histogram",
+    _hamming_hist_sql(),
+    tags=("pipeline", "dedup"),
+    doc="hamming-distance histogram of SimHash banded candidate pairs "
+    "(distances 0..16): how near-duplicate similarity mass is "
+    "distributed below the usual acceptance cut — the dial-tuning "
+    "companion to p_simhash_near_pairs.  Rides the banded candidate "
+    "generator (bucketed, not all-pairs); integer distances from "
+    "bit_count(xor); ≤17 output rows",
+)
+def q_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import dedup as dd
+
+    pairs = dd.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=_HH_MAX
+    )
+    return pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+# ----------------------------------------------- IVF scan-cost audit
+
+def _ivf_cost_sql() -> str:
+    from kafka_replicator_spark.functions.similarity import ivf_assign_sql_ctes
+
+    return f"""
+{ivf_assign_sql_ctes()},
+cells AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS sz FROM assigned GROUP BY centroid_id
+),
+probes AS (SELECT vec_id, centroid_id FROM assigned WHERE vec_id % {_JL_PROBE_MOD} = 0),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(c.sz - 1) AS BIGINT) AS n_scanned
+  FROM probes p JOIN cells c USING (centroid_id)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM assigned)
+SELECT n_probes, n_scanned, n_corpus,
+       CAST((1000000::HUGEINT * n_scanned) // (n_probes * n_corpus - n_probes)
+            AS BIGINT) AS scan_ppm
+FROM s, n
+"""
+
+
+@register(
+    "p_ivf_cost_audit",
+    _ivf_cost_sql(),
+    tags=("pipeline", "embedding", "audit"),
+    doc="IVF scan-cost audit: for the probe set, how many corpus vectors "
+    "a single-probe IVF search actually scans (the probe's cell size "
+    "minus itself) vs the brute-force n_probes x n_corpus baseline, in "
+    "exact ppm — the cost-model readout that justifies the index "
+    "(p_ivf_balance measures skew, this measures total work).  Same "
+    "shared assignment CTE as every IVF oracle; 1 output row",
+)
+def q_ivf_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb).select("vec_id", "centroid_id").cache()
+    n_corpus = assigned.count()
+    cells = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    probes = assigned.filter(F.col("vec_id") % _JL_PROBE_MOD == 0)
+    scanned = probes.join(F.broadcast(cells), "centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_scanned"),
+    )
+    return scanned.select(
+        "n_probes",
+        "n_scanned",
+        F.lit(n_corpus).cast("long").alias("n_corpus"),
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_scanned)"
+            f" div (n_probes * CAST({n_corpus} AS BIGINT) - n_probes) AS BIGINT)"
+        ).alias("scan_ppm"),
+    )
+
+
+# ------------------------------------------- event arrival dispersion
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "a_event_dispersion",
+    f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hour, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY hour
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x::HUGEINT) AS sx,
+         sum(x::HUGEINT * x) AS sx2
+  FROM c
+)
+SELECT n AS n_hours, CAST(sx AS BIGINT) AS n_events,
+       CAST((1000000::HUGEINT * (n * sx2 - sx * sx)) // (n * sx) AS BIGINT)
+         AS dispersion_ppm
+FROM m
+""",
+    tags=("analytics", "timeseries", "stats"),
+    doc="index of dispersion (variance-to-mean ratio) of hourly event "
+    "arrivals in exact ppm: 1e6 = Poisson-consistent, higher = bursty "
+    "arrivals.  Hour-grain counts, population variance as the integer "
+    "moment identity (n*Σx² - (Σx)²)/(n*Σx), folds in "
+    "DECIMAL(38,0)/HUGEINT; one shuffle, 1 output row",
+)
+def q_event_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(F.expr(f"ts div {_HOUR_US * 1000}").alias("hour")).groupBy(
+        "hour"
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (count(1) * sum(CAST(x AS DECIMAL(38,0)) * x)"
+            "    - sum(CAST(x AS DECIMAL(38,0))) * sum(CAST(x AS DECIMAL(38,0)))))"
+            " div (count(1) * sum(CAST(x AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("dispersion_ppm"),
+    )
+
+
+# ------------------------------------------------ character-class profile
+
+@register(
+    "p_char_class_profile",
+    """
+WITH c AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_all,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_other
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n_all) AS BIGINT) AS n_chars,
+       CAST((1000000::HUGEINT * sum(n_digit)) // nullif(sum(n_all), 0) AS BIGINT)
+         AS digit_ppm,
+       CAST((1000000::HUGEINT * sum(n_space)) // nullif(sum(n_all), 0) AS BIGINT)
+         AS space_ppm,
+       CAST((1000000::HUGEINT * sum(n_other)) // nullif(sum(n_all), 0) AS BIGINT)
+         AS symbol_ppm
+FROM c GROUP BY source
+""",
+    tags=("pipeline", "quality"),
+    doc="character-class composition per source in exact ppm of total "
+    "characters — digits, spaces, and non-alphanumeric symbols; the "
+    "code/markup/table detector input used alongside the quality rules "
+    "(a symbol-heavy source is boilerplate or data dumps, not prose).  "
+    "ASCII character classes so both regex engines agree; one corpus "
+    "pass, source-grain rollup",
+)
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_all"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("n_space"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+        .cast("long")
+        .alias("n_other"),
+    )
+    return c.groupBy("source").agg(
+        F.sum("n_all").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(n_digit))"
+            " div nullif(sum(n_all), 0) AS BIGINT)"
+        ).alias("digit_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(n_space))"
+            " div nullif(sum(n_all), 0) AS BIGINT)"
+        ).alias("space_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(n_other))"
+            " div nullif(sum(n_all), 0) AS BIGINT)"
+        ).alias("symbol_ppm"),
+    )
