@@ -1,7 +1,10 @@
 """Round-6 query registrations: rank statistics (Spearman / Kendall),
 exact binary-weight EWMA, labeling-rule agreement, embedding-norm
 profiles, detector PR curves, aggregate-FILTER SQL surface, k-core
-peeling, and query-likelihood retrieval.
+peeling, query-likelihood retrieval, JL projection distortion, chunking
+budget audits, hard-negative mining, stitch-ranked trimmed means, MMR
+diversified re-ranking, quota sampling, SimHash hamming histograms, IVF
+scan-cost audits, arrival dispersion, and character-class profiles.
 
 Reference parity: no analog in the reference engine
 (CrowdStrike/kafka-replicator) — these extend the analytics and

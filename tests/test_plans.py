@@ -699,6 +699,42 @@ def test_cms_heavy_hitters_no_global_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_trimmed_mean_rides_the_stitch(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_trimmed_mean_price"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the global rank comes from the range-partition stitch: every window
+    # spec keyed by the stitch partition id, prefix offsets broadcast —
+    # never a single-partition row_number over the fact table
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("__pid"), frag[:120]
+    assert "InMemoryTableScan" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_quota_sample_window_keyed_by_cell(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_quota_sample"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the rank window must be keyed by the (source, lang) cell
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    for frag in frags:
+        assert frag.startswith("source"), frag[:120]
+
+
+def test_jl_distortion_broadcasts_sign_matrix(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_jl_distortion"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_theil_sen_pairs_at_day_grain(spark, sf_dir):
     from kafka_replicator_spark.cacheutil import release_cached
 
