@@ -220,6 +220,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_ivf_cost_audit",
     "a_event_dispersion",
     "p_char_class_profile",
+    "a_rfm_migration",
+    "a_lorenz_octiles",
 ]
 
 

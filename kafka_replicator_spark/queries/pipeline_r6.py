@@ -1438,3 +1438,209 @@ def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(n_all), 0) AS BIGINT)"
         ).alias("symbol_ppm"),
     )
+
+
+# -------------------------------------- customer value quartile migration
+
+@register(
+    "a_rfm_migration",
+    f"""
+WITH d AS (
+  SELECT o_custkey AS cust, epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+mid AS (SELECT (min(day) + max(day)) // 2 AS md FROM d),
+h1 AS (
+  SELECT cust, CAST(sum(cents) AS BIGINT) AS v
+  FROM d, mid WHERE day <= md GROUP BY cust
+),
+h2 AS (
+  SELECT cust, CAST(sum(cents) AS BIGINT) AS v
+  FROM d, mid WHERE day > md GROUP BY cust
+),
+t1 AS (
+  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+         quantile_cont(v, 0.75) AS q3 FROM h1
+),
+t2 AS (
+  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+         quantile_cont(v, 0.75) AS q3 FROM h2
+),
+j AS (
+  SELECT CAST(1 + (a.v > t1.q1)::INT + (a.v > t1.q2)::INT + (a.v > t1.q3)::INT
+              AS BIGINT) AS from_q,
+         CAST(1 + (b.v > t2.q1)::INT + (b.v > t2.q2)::INT + (b.v > t2.q3)::INT
+              AS BIGINT) AS to_q
+  FROM h1 a JOIN h2 b USING (cust), t1, t2
+)
+SELECT from_q, to_q, CAST(count(*) AS BIGINT) AS n_customers
+FROM j GROUP BY from_q, to_q
+""",
+    tags=("analytics", "behavior"),
+    doc="customer value-quartile migration matrix: split the order history "
+    "at the midpoint day, bucket each customer's half-period spend into "
+    "quartiles via exact percentile thresholds (0.25/0.5/0.75 — "
+    "power-of-two fractions interpolate bit-identically on both "
+    "engines), and count the from->to transitions for customers active "
+    "in both halves — the churn/upsell drift readout.  Two customer-"
+    "grain aggregates + broadcast thresholds; <=16 output rows",
+)
+def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .cache()
+    )
+    mid = d.agg(F.expr("CAST((min(day) + max(day)) div 2 AS BIGINT)").alias("md"))
+    dd = d.crossJoin(F.broadcast(mid))
+    h1 = (
+        dd.filter(F.col("day") <= F.col("md"))
+        .groupBy("cust")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    h2 = (
+        dd.filter(F.col("day") > F.col("md"))
+        .groupBy("cust")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    t1 = h1.agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.5)").alias("q2"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    t2 = h2.agg(
+        F.expr("percentile(v, 0.25)").alias("p1"),
+        F.expr("percentile(v, 0.5)").alias("p2"),
+        F.expr("percentile(v, 0.75)").alias("p3"),
+    )
+    j = (
+        h1.withColumnRenamed("v", "va")
+        .join(h2.withColumnRenamed("v", "vb"), "cust")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.expr(
+                "CAST(1 + CAST(va > q1 AS INT) + CAST(va > q2 AS INT)"
+                " + CAST(va > q3 AS INT) AS BIGINT)"
+            ).alias("from_q"),
+            F.expr(
+                "CAST(1 + CAST(vb > p1 AS INT) + CAST(vb > p2 AS INT)"
+                " + CAST(vb > p3 AS INT) AS BIGINT)"
+            ).alias("to_q"),
+        )
+    )
+    return j.groupBy("from_q", "to_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+# ------------------------------------------ Lorenz curve octile points
+
+_LORENZ_CUTS = 8
+
+
+@register(
+    "a_lorenz_octiles",
+    f"""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  -- rk and cs MUST share one total order: at a rank cut inside a tie
+  -- group, a cumsum over a different permutation would count a different
+  -- number of tied rows than the rank does
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+         sum(cents) OVER (ORDER BY cents, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM o
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents::HUGEINT) AS total FROM o),
+cuts AS (SELECT * FROM (VALUES {', '.join(f'({k})' for k in range(1, _LORENZ_CUTS + 1))}) t(k))
+SELECT CAST(cuts.k AS BIGINT) AS octile,
+       CAST((n.n * cuts.k) // {_LORENZ_CUTS} AS BIGINT) AS cut_rank,
+       CAST((1000000::HUGEINT * r.cs) // n.total AS BIGINT) AS cum_share_ppm
+FROM cuts, n
+JOIN r ON r.rk = (n.n * cuts.k) // {_LORENZ_CUTS}
+""",
+    tags=("analytics", "stats"),
+    doc="Lorenz curve at octile rank cuts: with orders ranked by value, "
+    "the cumulative revenue share of the bottom k/8 of orders in exact "
+    "ppm — the inequality readout behind the Gini audits.  Rank cuts are "
+    "integer (n*k//8), so no quantile interpolation is involved; the "
+    "running sum at a rank cut is tie-break-invariant because "
+    "equal-value rows contribute equally (same invariance argument as "
+    "a_trimmed_mean_price).  Spark rides the range-partition stitch with "
+    "a sum prefix (partition-local cumsum + broadcast offsets — no "
+    "single-partition window); 8 output rows",
+)
+def q_lorenz_octiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.lit(1).cast("long").alias("one"),
+    )
+    tagged, cnt_prefix = range_prefix_stitch(o, "cents", "one", agg="sum")
+    # second prefix: running cents sum over earlier partitions, computed
+    # from the SAME tagged frame (one collect of 32 partition sums)
+    sum_rows = {
+        r["__pid"]: r["s"]
+        for r in tagged.groupBy("__pid").agg(F.sum("cents").alias("s")).collect()
+    }
+    acc, srows = 0, []
+    for pid in sorted(sum_rows):
+        srows.append((pid, acc))
+        acc += sum_rows[pid]
+    sum_prefix = tagged.sparkSession.createDataFrame(
+        srows or [(0, 0)], schema="__pid int, __sprefix long"
+    )
+    w = Window.partitionBy("__pid").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.partitionBy("__pid").orderBy("cents")
+    ranked = (
+        tagged.withColumn("lcs", F.sum("cents").over(w))
+        .withColumn("lrk", F.row_number().over(wr).cast("long"))
+        .join(F.broadcast(cnt_prefix), "__pid")
+        .join(F.broadcast(sum_prefix), "__pid")
+        .select(
+            (F.col("__prefix") + F.col("lrk")).alias("rk"),
+            (F.col("__sprefix") + F.col("lcs")).alias("cs"),
+        )
+    )
+    nt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("total"),
+    )
+    cuts = spark.createDataFrame(
+        [(k,) for k in range(1, _LORENZ_CUTS + 1)], schema="k long"
+    )
+    cutranks = cuts.crossJoin(F.broadcast(nt)).select(
+        F.col("k").alias("octile"),
+        F.expr(f"CAST((n * k) div {_LORENZ_CUTS} AS BIGINT)").alias("cut_rank"),
+        "total",
+    )
+    return (
+        ranked.join(F.broadcast(cutranks), F.col("rk") == F.col("cut_rank"))
+        .select(
+            "octile",
+            "cut_rank",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * cs) div total AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
