@@ -222,6 +222,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_char_class_profile",
     "a_rfm_migration",
     "a_lorenz_octiles",
+    "p_submodular_coverage",
 ]
 
 

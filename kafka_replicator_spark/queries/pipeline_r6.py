@@ -1644,3 +1644,99 @@ def q_lorenz_octiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_ppm"),
         )
     )
+
+
+# ------------------------------------- greedy max-coverage selection
+
+_COV_SELECT = 5
+
+
+def _coverage_sql() -> str:
+    from kafka_replicator_spark.functions.dedup import word_ngrams_sql
+
+    parts = [
+        f"sh AS MATERIALIZED (SELECT doc_id, h FROM ({word_ngrams_sql(3)}))",
+        """g1 AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh GROUP BY doc_id
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, gain FROM g1 WHERE gain > 0 ORDER BY gain DESC, doc_id LIMIT 1
+),
+c1 AS MATERIALIZED (SELECT DISTINCT h FROM sh JOIN s1 USING (doc_id))""",
+    ]
+    prev_sel = "SELECT doc_id FROM s1"
+    for t in range(2, _COV_SELECT + 1):
+        parts.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM sh LEFT JOIN c{t - 1} c ON sh.h = c.h
+  WHERE c.h IS NULL AND sh.doc_id NOT IN ({prev_sel})
+  GROUP BY sh.doc_id
+),
+s{t} AS MATERIALIZED (
+  SELECT doc_id, gain FROM g{t} WHERE gain > 0 ORDER BY gain DESC, doc_id LIMIT 1
+),
+c{t} AS MATERIALIZED (
+  SELECT h FROM c{t - 1}
+  UNION SELECT h FROM sh JOIN s{t} USING (doc_id)
+)"""
+        )
+        prev_sel += f" UNION ALL SELECT doc_id FROM s{t}"
+    sel = "\nUNION ALL ".join(
+        f"SELECT {t} AS sel_rank, doc_id, gain,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM c{t}) AS covered_total FROM s{t}"
+        for t in range(1, _COV_SELECT + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id, gain, covered_total"
+        f" FROM ({sel})"
+    )
+
+
+@register(
+    "p_submodular_coverage",
+    _coverage_sql(),
+    tags=("pipeline", "curation", "sampling"),
+    doc="greedy maximum-coverage document selection (the classic "
+    "submodular curation objective, Nemhauser 1-1/e guarantee): pick 5 "
+    "documents that maximize marginal distinct-trigram coverage, "
+    "reporting each pick's marginal gain and the running covered-shingle "
+    "total.  Rides the shared word_ngrams shingle frame; each round is "
+    "one anti-join + doc-grain count + bounded argmax (positive-gain "
+    "docs only, vec tie-break); the oracle unrolls the rounds as "
+    "MATERIALIZED CTEs.  <=5 output rows",
+)
+def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions import dedup as dd
+
+    sh = track_cached(
+        dd.word_ngrams(load_table(spark, sf_dir, "documents"), n=3).select(
+            "doc_id", "h"
+        )
+    )
+    covered = None  # DataFrame of distinct h
+    picked: list[tuple[int, int, int, int]] = []
+    excluded: list[int] = []
+    for t in range(1, _COV_SELECT + 1):
+        rem = sh.filter(~F.col("doc_id").isin(excluded)) if excluded else sh
+        if covered is not None:
+            rem = rem.join(covered, "h", "left_anti")
+        gains = rem.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        top = gains.filter(F.col("gain") > 0).orderBy(
+            F.desc("gain"), F.asc("doc_id")
+        ).head(1)
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["gain"]
+        win = sh.filter(F.col("doc_id") == doc).select("h").distinct()
+        covered = track_cached(
+            win if covered is None else covered.unionAll(win).distinct()
+        )
+        picked.append((t, doc, gain, covered.count()))
+        excluded.append(doc)
+    return spark.createDataFrame(
+        picked, schema="sel_rank long, doc_id long, gain long, covered_total long"
+    )
