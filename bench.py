@@ -73,6 +73,11 @@ HEADLINE = [
     "a_autocorr_daily",
     "p_kneser_ney",
     "p_histogram_quantiles",
+    # round-6 additions: retrieval LM, iterative curation/graph selection
+    "p_query_likelihood",
+    "p_submodular_coverage",
+    "p_mmr_diversify",
+    "p_kcore_peel",
 ]
 
 
