@@ -223,6 +223,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_rfm_migration",
     "a_lorenz_octiles",
     "p_submodular_coverage",
+    "p_bloom_fpr_audit",
 ]
 
 

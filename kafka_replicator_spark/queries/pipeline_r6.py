@@ -1740,3 +1740,126 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, schema="sel_rank long, doc_id long, gain long, covered_total long"
     )
+
+
+# ---------------------------------------------- bloom filter FPR audit
+
+_BF_M = 2048
+_BF_K = 4
+
+
+def _bloom_fpr_sql() -> str:
+    from kafka_replicator_spark.functions.hashing import (
+        hash_family_params,
+        hash_family_sql,
+        portable_hash32_sql,
+    )
+
+    h32 = portable_hash32_sql("CAST(c_custkey AS VARCHAR)")
+    pos = " UNION ALL ".join(
+        f"SELECT c_custkey, {i} AS hx, ({hash_family_sql('h', a, b)}) % {_BF_M} AS p"
+        " FROM keys"
+        for i, (a, b) in enumerate(hash_family_params(_BF_K))
+    )
+    return f"""
+WITH keys AS MATERIALIZED (
+  SELECT c_custkey, c_acctbal < 0 AS member, {h32} AS h FROM customer
+),
+pos AS MATERIALIZED ({pos}),
+bits AS MATERIALIZED (
+  SELECT DISTINCT p.p FROM pos p JOIN keys k USING (c_custkey) WHERE k.member
+),
+hits AS (
+  SELECT p.c_custkey, CAST(count(*) AS BIGINT) AS n_hit
+  FROM pos p JOIN bits b ON b.p = p.p
+  GROUP BY p.c_custkey
+),
+probe AS (
+  SELECT k.c_custkey, coalesce(h.n_hit, 0) = {_BF_K} AS passed
+  FROM keys k LEFT JOIN hits h USING (c_custkey)
+  WHERE NOT k.member
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys WHERE member) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+       CAST((1000000::HUGEINT * sum(CASE WHEN passed THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS fpp_ppm
+FROM probe
+"""
+
+
+@register(
+    "p_bloom_fpr_audit",
+    _bloom_fpr_sql(),
+    tags=("pipeline", "sketch", "audit"),
+    doc="measured bloom-filter false-positive rate: negative-balance "
+    "customers fold into a 2048-bit / 4-hash filter built from the "
+    "portable hash family (relational form — bit positions as rows, so "
+    "the oracle reproduces the filter exactly), every non-member key "
+    "probes it, and the audit reports set-bit fill and the measured FPR "
+    "in exact ppm — the empirical check behind a_bloom_semi_join's "
+    "sizing table (which uses JVM xxhash64 in the hot path; the audit "
+    "uses the portable family precisely so both engines can replay it). "
+    "1 output row",
+)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import (
+        hash_family_col,
+        hash_family_params,
+        portable_hash32,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.select(
+        "c_custkey",
+        (F.col("c_acctbal") < 0).alias("member"),
+        portable_hash32(F.col("c_custkey").cast("string")).alias("h"),
+    ).cache()
+    pos_frames = [
+        keys.select(
+            "c_custkey",
+            F.lit(i).alias("hx"),
+            (hash_family_col(F.col("h"), a, b) % _BF_M).alias("p"),
+        )
+        for i, (a, b) in enumerate(hash_family_params(_BF_K))
+    ]
+    pos = pos_frames[0]
+    for f in pos_frames[1:]:
+        pos = pos.unionAll(f)
+    pos = pos.cache()
+    bits = (
+        pos.join(keys.filter("member").select("c_custkey"), "c_custkey")
+        .select("p")
+        .distinct()
+    )
+    hits = (
+        pos.join(F.broadcast(bits), "p")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    probe = (
+        keys.filter(~F.col("member"))
+        .join(hits, "c_custkey", "left")
+        .select((F.coalesce(F.col("n_hit"), F.lit(0)) == _BF_K).alias("passed"))
+    )
+    counts = keys.agg(
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).cast("long").alias("n_members")
+    )
+    nbits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    return (
+        probe.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_positive"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(CASE WHEN passed THEN 1 ELSE 0 END))"
+                " div count(1) AS BIGINT)"
+            ).alias("fpp_ppm"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(nbits))
+        .select("n_members", "n_bits_set", "n_probes", "n_false_positive", "fpp_ppm")
+    )
