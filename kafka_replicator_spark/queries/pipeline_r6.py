@@ -505,19 +505,32 @@ e{i} AS MATERIALIZED (
     )
 
 
+#: Edge count below which the peel runs driver-side on the collected edge
+#: list — the same broadcast-small-side guard as dedup._SMALL_GRAPH_EDGES:
+#: below ~200k edges the 2-joins-plus-2-counts-per-round shuffle latency
+#: dwarfs the work, while the collected frame is ≤ a few MB.  At 100 TB
+#: the kNN graph blows past this and the distributed peel runs.
+_KCORE_SMALL_EDGES = 200_000
+
+
 @register(
     "p_kcore_peel",
     _kcore_sql(),
     tags=("pipeline", "graph"),
-    doc="fixed-iteration k-core peeling (k=3, 3 unrolled rounds) on the "
+    doc="fixed-iteration k-core peeling (k=4, 3 unrolled rounds) on the "
     "label-blocked kNN graph: each round drops nodes of degree < k and "
     "the edges touching them, reporting alive-node and surviving-edge "
     "counts — the coreness prefilter before centrality-based coreset "
-    "selection.  Each round is one degree aggregation + two semi joins "
-    "(|E| work per round, the distributed peel from Montresor et al.); "
-    "pure integer counts, 3 output rows",
+    "selection.  Distributed path: one degree aggregation + two semi "
+    "joins per round (|E| work, the Montresor et al. peel); graphs "
+    "<= 200k edges take a guarded driver-side peel instead (the "
+    "dedup._SMALL_GRAPH_EDGES broadcast-small-side convention — tests "
+    "force the distributed path and assert identical output); pure "
+    "integer counts, 3 output rows",
 )
-def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kcore_peel(
+    spark: SparkSession, sf_dir: str, small_graph_edges: int = _KCORE_SMALL_EDGES
+) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions import graph, similarity
 
@@ -526,7 +539,22 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.label_knn_graph(load_table(spark, sf_dir, "embeddings"))
         )
     )
-    stats: list[tuple[int, int, int]] = []
+    n_edges = e.count()
+    if n_edges <= small_graph_edges:
+        edges = [(r["u"], r["v"]) for r in e.collect()]
+        stats = []
+        for i in range(1, _KCORE_ROUNDS + 1):
+            deg: dict[int, int] = {}
+            for u, v in edges:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            alive = {n for n, d in deg.items() if d >= _KCORE_K}
+            edges = [(u, v) for u, v in edges if u in alive and v in alive]
+            stats.append((i, len(alive), len(edges)))
+        return spark.createDataFrame(
+            stats, schema="round long, n_alive long, n_edges long"
+        )
+    stats = []
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
             e.select(F.col("u").alias("node"))

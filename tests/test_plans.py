@@ -797,3 +797,20 @@ def test_nation_share_drift_broadcasts_dims(spark, sf_dir):
     df = QUERIES["a_nation_share_drift"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     release_cached()
+
+
+def test_kcore_driver_and_distributed_paths_agree(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.queries.pipeline_r6 import q_kcore_peel
+
+    spark.catalog.clearCache()
+    release_cached()
+    fast = sorted(tuple(r) for r in q_kcore_peel(spark, sf_dir).collect())
+    release_cached()
+    # small_graph_edges=0 forces the distributed peel (the guarded driver
+    # fast path must be a pure optimization, never a semantic change)
+    slow = sorted(
+        tuple(r) for r in q_kcore_peel(spark, sf_dir, small_graph_edges=0).collect()
+    )
+    release_cached()
+    assert fast == slow, (fast, slow)
