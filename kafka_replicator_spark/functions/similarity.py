@@ -1059,6 +1059,22 @@ def _micro(c: str | Column) -> Column:
     return F.transform(c, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"))
 
 
+def micro_units(c: str | Column) -> Column:
+    """Public form of the micro-unit quantization rule (see :func:`_micro`).
+    Every query that quantizes an embedding column MUST use this (and
+    :func:`micro_units_sql` on the oracle side) so the rule can never
+    silently diverge between call sites."""
+    return _micro(c)
+
+
+def micro_units_sql(expr: str = "embedding") -> str:
+    """DuckDB mirror of :func:`micro_units`."""
+    return (
+        f"list_transform({expr}, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+    )
+
+
 def label_knn_graph(embeddings: DataFrame, k: int = 3) -> DataFrame:
     """k-nearest-neighbor graph confined to label blocks: exact integer
     squared L2 (micro-units) between every pair sharing a label, top-``k``

@@ -30,6 +30,7 @@ def range_prefix_stitch(
     value_col: str,
     agg: str = "max",
     partitions: int = 16,
+    extra_sum_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(tagged, prefix)``:
 
@@ -40,6 +41,11 @@ def range_prefix_stitch(
       ``agg`` ("max" or "sum") of ``value_col`` over all earlier
       partitions (NULL / 0 for the first partition respectively), typed
       like ``value_col`` so non-integer value columns work unchanged.
+      With ``extra_sum_col`` set, the prefix also carries ``__sprefix``,
+      the running SUM of that column over earlier partitions — computed in
+      the SAME per-partition collect (one job, not two), for consumers
+      that need both a rank offset and a value running total (e.g. Lorenz
+      cuts).
     """
     if agg not in ("max", "sum"):
         raise ValueError(f"agg must be max|sum, got {agg!r}")
@@ -49,20 +55,26 @@ def range_prefix_stitch(
         .select("*", F.spark_partition_id().alias("__pid"))
     )
     aggfn = F.max if agg == "max" else F.sum
+    aggs = [aggfn(value_col).alias("v")]
+    if extra_sum_col is not None:
+        aggs.append(F.sum(extra_sum_col).alias("s"))
     per_pid = {
-        r["__pid"]: r["v"]
-        for r in tagged.groupBy("__pid").agg(aggfn(value_col).alias("v")).collect()
+        r["__pid"]: r for r in tagged.groupBy("__pid").agg(*aggs).collect()
     }
-    rows, acc = [], (None if agg == "max" else 0)
+    rows, acc, sacc = [], (None if agg == "max" else 0), 0
     for pid in sorted(per_pid):
-        rows.append((pid, acc))
-        v = per_pid[pid]
+        rows.append((pid, acc, sacc) if extra_sum_col is not None else (pid, acc))
+        v = per_pid[pid]["v"]
         if agg == "max":
             acc = v if acc is None else max(acc, v)
         else:
             acc += v
+        if extra_sum_col is not None:
+            sacc += per_pid[pid]["s"]
     dtype = tagged.schema[value_col].dataType.simpleString()
-    prefix = tagged.sparkSession.createDataFrame(
-        rows, schema=f"__pid int, __prefix {dtype}"
-    )
+    schema = f"__pid int, __prefix {dtype}"
+    if extra_sum_col is not None:
+        sdtype = tagged.schema[extra_sum_col].dataType.simpleString()
+        schema += f", __sprefix {sdtype}"
+    prefix = tagged.sparkSession.createDataFrame(rows, schema=schema)
     return tagged, prefix

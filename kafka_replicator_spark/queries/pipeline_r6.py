@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.functions.similarity import micro_units, micro_units_sql
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -82,8 +83,10 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
-        .cache()  # day-grain frame feeds the max-day bound AND the window scan
     )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    d = track_cached(d)  # day-grain frame feeds the max-day bound AND the window scan
     bounds = d.agg(
         F.max("day").alias("dmax"),
     )
@@ -125,8 +128,8 @@ m AS (
   FROM r
 )
 SELECT n AS n_days,
-       CAST(1000000 - (6000000::HUGEINT * sd2) // (n::HUGEINT * (n * n - 1))
-            AS BIGINT) AS spearman_ppm
+       CAST(1000000 - (6000000::HUGEINT * sd2)
+            // nullif(n::HUGEINT * (n * n - 1), 0) AS BIGINT) AS spearman_ppm
 FROM m
 """,
     tags=("analytics", "stats"),
@@ -161,8 +164,8 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0))"
             " * sum(CAST((r1 - r2) * (r1 - r2) AS DECIMAL(38,0))))"
-            " div (CAST(count(1) AS DECIMAL(38,0)) * (count(1) * count(1) - 1))"
-            " AS BIGINT)"
+            " div nullif(CAST(count(1) AS DECIMAL(38,0))"
+            " * (count(1) * count(1) - 1), 0) AS BIGINT)"
         ).alias("spearman_ppm"),
     )
 
@@ -216,8 +219,10 @@ def q_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
             ).alias("rev_c"),
         )
-        .cache()
     )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    b = track_cached(b)
     a = b.select(
         F.col("brand").alias("ba"), F.col("qty_c").alias("qa"), F.col("rev_c").alias("ra")
     )
@@ -281,7 +286,10 @@ def q_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("r1"),
         F.when(F.col("text").contains(" the "), 1).otherwise(0).alias("r2"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("r3"),
-    ).cache()
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    r = track_cached(r)
     pairs = (
         r.select(F.lit("r1r2").alias("pair"), F.col("r1").alias("a"), F.col("r2").alias("b"))
         .unionAll(
@@ -308,13 +316,11 @@ def q_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p_embedding_norm_profile",
-    """
+    f"""
 WITH q AS (
   SELECT label,
          list_aggregate(
-           list_transform(embedding,
-                          x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-                               * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),
+           list_transform({micro_units_sql()}, q -> q * q),
            'sum') AS norm2
   FROM embeddings
 )
@@ -335,9 +341,7 @@ FROM q GROUP BY label
 def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qexpr = F.aggregate(
-        F.transform(
-            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
-        ),
+        micro_units("embedding"),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v * v,
     )
@@ -633,12 +637,13 @@ SELECT doc_id, ql_score FROM scored ORDER BY ql_score DESC, doc_id LIMIT {_QL_TO
     "top-20; the language-modeling sibling of p_bm25_scores",
 )
 def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions.hashing import spread
 
-    docs = spread(load_table(spark, sf_dir, "documents")).cache()
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).cache()
+    docs = track_cached(spread(load_table(spark, sf_dir, "documents")))
+    toks = track_cached(
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
     dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
     t_total = toks.count()
     hits = toks.filter(F.col("tok").isin(*_QL_TERMS))
@@ -678,8 +683,7 @@ def _jl_sql() -> str:
     return f"""
 WITH probes AS (
   SELECT vec_id,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+         {micro_units_sql()} AS em
   FROM embeddings WHERE vec_id % {_JL_PROBE_MOD} = 0
 ),
 comp AS (
@@ -708,9 +712,12 @@ d2p AS (
   GROUP BY a.vec_id, b.vec_id
 ),
 ratios AS (
+  -- d2 = 0 (two probes quantizing identically) carries no geometry signal
+  -- and would divide by zero (DuckDB errors, Spark yields NULL): drop it
   SELECT CAST((1000000::HUGEINT * p.d2) // ({_JL_K}::HUGEINT * o.d2) AS BIGINT)
            AS ratio_ppm
   FROM d2o o JOIN d2p p ON p.va = o.va AND p.vb = o.vb
+  WHERE o.d2 > 0
 )
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
@@ -740,9 +747,7 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % _JL_PROBE_MOD == 0).select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
-        ).alias("em"),
+        micro_units("embedding").alias("em"),
     )
     comp = probes.select(
         "vec_id", F.posexplode("em").alias("i0", "q")
@@ -797,7 +802,9 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d2p")
         )
     )
-    ratios = d2o.join(d2p, ["va", "vb"]).select(
+    # identical-quantization pairs (d2o = 0) are dropped on BOTH engines —
+    # a zero denominator errors on DuckDB but NULLs on non-ANSI Spark
+    ratios = d2o.join(d2p, ["va", "vb"]).filter(F.col("d2o") > 0).select(
         F.expr(
             f"CAST((CAST(1000000 AS DECIMAL(38,0)) * d2p)"
             f" div (CAST({_JL_K} AS DECIMAL(38,0)) * d2o) AS BIGINT)"
@@ -890,8 +897,7 @@ _HN_TOP = 10
     f"""
 WITH m AS (
   SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+         {micro_units_sql()} AS em
   FROM embeddings
 ),
 probes AS (SELECT * FROM m WHERE vec_id % {_JL_PROBE_MOD} = 0),
@@ -921,8 +927,10 @@ GROUP BY vec_id, label
     "probe vector, the exact 10 nearest neighbors by integer-micro "
     "squared L2, counting how many carry a different label (hard "
     "negatives) and the rank of the first one (-1 = none in top-10).  "
-    "Probe side is bounded (9 vectors), corpus side is one map pass — "
-    "the per-probe rank window sees only that probe's candidates; "
+    "Probe side is bounded (9 vectors); the top-k is TWO-PHASE — a "
+    "partition-local rank bounds every sort to its input split, then "
+    "the global rank window sees only 9 x partitions x 10 survivor "
+    "rows (never a probe-keyed window over the whole corpus); "
     "9 output rows",
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,9 +938,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = emb.select(
         "vec_id",
         "label",
-        F.transform(
-            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
-        ).alias("em"),
+        micro_units("embedding").alias("em"),
     )
     probes = m.filter(F.col("vec_id") % _JL_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"),
@@ -955,8 +961,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.alias("d2"),
         )
     )
+    # phase 1: local top-k per (probe, input split) — the heavy sort stays
+    # partition-local and bounded by the split size, so no single task
+    # ever sorts probe x corpus rows
+    wl = Window.partitionBy("pid", "part").orderBy("d2", "neighbor_id")
+    local = (
+        pairs.withColumn("part", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= _HN_TOP)
+        .drop("part", "lrk")
+    )
+    # phase 2: exact global top-k over the 9 x partitions x 10 survivors
     w = Window.partitionBy("pid").orderBy("d2", "neighbor_id")
-    r = pairs.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+    r = local.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= _HN_TOP
     )
     return r.groupBy(
@@ -1054,8 +1071,7 @@ def _mmr_sql() -> str:
     head = f"""
 WITH m AS MATERIALIZED (
   SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+         {micro_units_sql()} AS em
   FROM embeddings
 ),
 q AS MATERIALIZED (
@@ -1134,9 +1150,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = emb.select(
         "vec_id",
         "label",
-        F.transform(
-            "embedding", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
-        ).alias("em"),
+        micro_units("embedding").alias("em"),
     )
     qdim = (
         m.filter(F.col("label") == 0)
@@ -1341,7 +1355,11 @@ def q_ivf_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = similarity.ivf_assign(emb).select("vec_id", "centroid_id").cache()
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    assigned = track_cached(
+        similarity.ivf_assign(emb).select("vec_id", "centroid_id")
+    )
     n_corpus = assigned.count()
     cells = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
@@ -1526,8 +1544,10 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             ),
         )
-        .cache()
     )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    d = track_cached(d)
     mid = d.agg(F.expr("CAST((min(day) + max(day)) div 2 AS BIGINT)").alias("md"))
     dd = d.crossJoin(F.broadcast(mid))
     h1 = (
@@ -1622,19 +1642,10 @@ def q_lorenz_octiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(1).cast("long").alias("one"),
     )
-    tagged, cnt_prefix = range_prefix_stitch(o, "cents", "one", agg="sum")
-    # second prefix: running cents sum over earlier partitions, computed
-    # from the SAME tagged frame (one collect of 32 partition sums)
-    sum_rows = {
-        r["__pid"]: r["s"]
-        for r in tagged.groupBy("__pid").agg(F.sum("cents").alias("s")).collect()
-    }
-    acc, srows = 0, []
-    for pid in sorted(sum_rows):
-        srows.append((pid, acc))
-        acc += sum_rows[pid]
-    sum_prefix = tagged.sparkSession.createDataFrame(
-        srows or [(0, 0)], schema="__pid int, __sprefix long"
+    # one stitch call carries BOTH prefixes (rank offset + running cents
+    # sum) from a single per-partition collect
+    tagged, prefix = range_prefix_stitch(
+        o, "cents", "one", agg="sum", extra_sum_col="cents"
     )
     w = Window.partitionBy("__pid").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1643,8 +1654,7 @@ def q_lorenz_octiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         tagged.withColumn("lcs", F.sum("cents").over(w))
         .withColumn("lrk", F.row_number().over(wr).cast("long"))
-        .join(F.broadcast(cnt_prefix), "__pid")
-        .join(F.broadcast(sum_prefix), "__pid")
+        .join(F.broadcast(prefix), "__pid")
         .select(
             (F.col("__prefix") + F.col("lrk")).alias("rk"),
             (F.col("__sprefix") + F.col("lcs")).alias("cs"),
@@ -1843,7 +1853,10 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         (F.col("c_acctbal") < 0).alias("member"),
         portable_hash32(F.col("c_custkey").cast("string")).alias("h"),
-    ).cache()
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    keys = track_cached(keys)
     pos_frames = [
         keys.select(
             "c_custkey",
@@ -1855,7 +1868,7 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = pos_frames[0]
     for f in pos_frames[1:]:
         pos = pos.unionAll(f)
-    pos = pos.cache()
+    pos = track_cached(pos)
     bits = (
         pos.join(keys.filter("member").select("c_custkey"), "c_custkey")
         .select("p")

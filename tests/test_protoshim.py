@@ -70,6 +70,11 @@ def test_proto3_optional_explicit_default_serializes():
 
 
 def test_oneof_set_clears_previous_case():
+    if not shim_active():
+        # real protobuf forbids direct assignment to message-typed fields
+        # (CopyFrom is its idiom); the shim allows it, and the pyspark tws
+        # client only uses keyword construction, so this is shim-only
+        pytest.skip("direct message-field assignment is a shim extension")
     req = sm.StateRequest(
         statefulProcessorCall=sm.StatefulProcessorCall(
             setHandleState=sm.SetHandleState(state=sm.CREATED)
@@ -165,3 +170,46 @@ def test_packed_repeated_varints_decode():
     m = cls()
     m.ParseFromString(data)
     assert list(m.xs) == [1, -2, 300]
+
+
+def test_lazy_attachment_on_submessage_mutation():
+    # the real-protobuf auto-vivification idiom pyspark's tws client uses:
+    # reading an unset message field then mutating the returned instance
+    # must attach it to the parent (state_call_command.ttl.durationMs = v)
+    cmd = sm.StateCallCommand(stateName="s")
+    cmd.ttl.durationMs = 1234
+    data = cmd.SerializeToString()
+    back = sm.StateCallCommand()
+    back.ParseFromString(data)
+    assert back.ttl.durationMs == 1234
+    assert back.HasField("ttl")
+
+
+def test_lazy_attachment_cascades_and_selects_oneof():
+    req = sm.StateRequest()
+    # two levels of unset parents: mutation at the leaf attaches the chain
+    req.statefulProcessorCall.getValueState.stateName = "v"
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.getValueState.stateName == "v"
+
+
+def test_unmutated_default_instance_leaves_parent_unset():
+    r = sm.StateRequest()
+    _ = r.statefulProcessorCall.setHandleState.state  # reads only
+    assert r.SerializeToString() == b""
+    assert not r.HasField("statefulProcessorCall")
+
+
+def test_truncated_fixed_width_unknown_field_raises():
+    if not shim_active():
+        pytest.skip("exercises the shim's decode loop")
+    from google.protobuf.internal import wire
+    from google.protobuf.message import DecodeError
+
+    # unknown field 15 declared fixed64 but only 3 payload bytes present
+    data = wire.encode_tag(15, wire.WT_FIXED64) + b"\x01\x02\x03"
+    m = sm.StateResponse()
+    with pytest.raises(DecodeError):
+        m.ParseFromString(data)
