@@ -376,3 +376,27 @@ def test_range_prefix_stitch_folds(spark):
             earlier = [v for p in by_pid if p < pid for v in by_pid[p]]
             expected = (fold(earlier) if earlier else (0 if agg == "sum" else None))
             assert pre[pid] == expected, (agg, pid)
+
+
+def test_range_prefix_stitch_extra_sum_col(spark):
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), int(rng.integers(1, 100)), int(rng.integers(1, 1000)))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, schema="k long, v long, w long")
+    tagged, prefix = range_prefix_stitch(
+        df, "k", "v", agg="sum", partitions=5, extra_sum_col="w"
+    )
+    pids = {r["k"]: r["__pid"] for r in tagged.collect()}
+    pre = {r["__pid"]: (r["__prefix"], r["__sprefix"]) for r in prefix.collect()}
+    by_pid_v, by_pid_w = {}, {}
+    for k, v, w in rows:
+        by_pid_v.setdefault(pids[k], []).append(v)
+        by_pid_w.setdefault(pids[k], []).append(w)
+    for pid in sorted(by_pid_v):
+        ev = sum(v for p in by_pid_v if p < pid for v in by_pid_v[p])
+        ew = sum(w for p in by_pid_w if p < pid for w in by_pid_w[p])
+        assert pre[pid] == (ev, ew), pid
