@@ -224,6 +224,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_lorenz_octiles",
     "p_submodular_coverage",
     "p_bloom_fpr_audit",
+    "p_dedup_quality_shift",
+    "a_session_gap_sensitivity",
 ]
 
 

@@ -1904,3 +1904,131 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nbits))
         .select("n_members", "n_bits_set", "n_probes", "n_false_positive", "fpp_ppm")
     )
+
+
+# -------------------------------------- dedup survivor quality shift
+
+@register(
+    "p_dedup_quality_shift",
+    """
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars_before,
+       CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN n_chars ELSE 0 END)
+            // nullif(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS mean_chars_after,
+       CAST((1000000::HUGEINT
+             * sum(CASE WHEN s.doc_id IS NOT NULL THEN n_chars ELSE 0 END)
+             * count(*))
+            // nullif(sum(n_chars)
+                      * sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS shift_ppm
+FROM documents d LEFT JOIN surv s ON s.doc_id = d.doc_id
+GROUP BY d.source
+""",
+    tags=("pipeline", "dedup", "audit"),
+    doc="dedup selection-bias audit: per source, mean document length "
+    "before vs after exact dedup (min-id survivor rule) and their ratio "
+    "in exact ppm — duplicates skew short/boilerplate, so a shift_ppm "
+    "far from 1e6 means dedup changed the length distribution, which "
+    "downstream token budgets must account for.  One hash groupBy + one "
+    "broadcast-sized survivor semi overlay; integer means via floor "
+    "division on both engines",
+)
+def q_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    surv = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    j = docs.join(
+        surv.select("doc_id", F.lit(1).alias("is_surv")), "doc_id", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(F.coalesce(F.col("is_surv"), F.lit(0))).cast("long").alias("n_after"),
+        F.expr("CAST(sum(n_chars) div count(1) AS BIGINT)").alias(
+            "mean_chars_before"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN is_surv = 1 THEN n_chars ELSE 0 END)"
+            " div nullif(sum(CASE WHEN is_surv = 1 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("mean_chars_after"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN is_surv = 1 THEN n_chars ELSE 0 END) * count(1))"
+            " div nullif(sum(n_chars)"
+            "     * sum(CASE WHEN is_surv = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        ).alias("shift_ppm"),
+    )
+
+
+# ------------------------------------------ session gap sensitivity
+
+_SESSION_GAPS_MIN = (15, 30, 60)
+
+
+@register(
+    "a_session_gap_sensitivity",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+),
+lagged AS (
+  SELECT user_id, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+  FROM e
+),
+gaps AS (SELECT * FROM (VALUES {', '.join(f'({g})' for g in _SESSION_GAPS_MIN)}) t(gap_min)),
+marks AS (
+  SELECT g.gap_min, l.user_id,
+         CASE WHEN l.pt IS NULL OR l.t - l.pt > g.gap_min * 60000000::BIGINT
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged l, gaps g
+)
+SELECT CAST(gap_min AS BIGINT) AS gap_min,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST((1000000::HUGEINT * sum(new_s)) // count(DISTINCT user_id) AS BIGINT)
+         AS sessions_per_user_ppm
+FROM marks GROUP BY gap_min
+""",
+    tags=("analytics", "behavior"),
+    doc="sessionization gap-parameter sensitivity: session counts under "
+    "15/30/60-minute inactivity thresholds from ONE lag pass (the "
+    "user-keyed window computes each event's gap once; the three "
+    "thresholds are a broadcast cross join over the marks) — how much "
+    "the session metric depends on the arbitrary gap constant.  "
+    "Integer microsecond comparisons, 3 output rows",
+)
+def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    lagged = ev.withColumn("pt", F.lag("t").over(w))
+    gaps = spark.createDataFrame(
+        [(g,) for g in _SESSION_GAPS_MIN], schema="gap_min int"
+    )
+    marks = lagged.crossJoin(F.broadcast(gaps)).select(
+        "gap_min",
+        "user_id",
+        F.when(
+            F.col("pt").isNull()
+            | (F.col("t") - F.col("pt") > F.col("gap_min").cast("long") * 60_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    return marks.groupBy(F.col("gap_min").cast("long").alias("gap_min")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(new_s))"
+            " div count(DISTINCT user_id) AS BIGINT)"
+        ).alias("sessions_per_user_ppm"),
+    )
