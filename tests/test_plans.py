@@ -814,3 +814,16 @@ def test_kcore_driver_and_distributed_paths_agree(spark, sf_dir):
     )
     release_cached()
     assert fast == slow, (fast, slow)
+
+
+def test_hard_negatives_two_phase_topk(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_hard_negatives"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    frags = plan.split("windowspecdefinition(")[1:]
+    # two rank phases: the corpus-scale sort is keyed by (pid, part) so no
+    # task sorts probe x corpus rows; the global phase sees survivors only
+    assert len(frags) == 2, plan
+    assert any("part" in f.split(",")[1] for f in frags), plan
+    for f in frags:
+        assert f.startswith("pid"), f[:120]
