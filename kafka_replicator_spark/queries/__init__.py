@@ -226,6 +226,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_bloom_fpr_audit",
     "p_dedup_quality_shift",
     "a_session_gap_sensitivity",
+    "r_merge_fanin_histogram",
+    "r_segment_size_cv",
 ]
 
 

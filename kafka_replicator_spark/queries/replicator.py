@@ -773,3 +773,115 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_messages",
         F.col("sum_bytes").cast("long").alias("sum_bytes"),
     )
+
+
+# ------------------------------------------------------- merge fan-in model
+
+#: modeled compaction output budget (messages per merged segment)
+MERGE_MAX_MESSAGES = 350
+
+
+@register(
+    "r_merge_fanin_histogram",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        select=f"""
+SELECT fanin, CAST(count(*) AS BIGINT) AS n_merges
+FROM (
+  SELECT topic, partition_id, grp, CAST(count(*) AS BIGINT) AS fanin
+  FROM (
+    SELECT topic, partition_id,
+           coalesce(sum(message_count) OVER (
+             PARTITION BY topic, partition_id
+             ORDER BY start_offset ASC, end_offset DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {MERGE_MAX_MESSAGES} AS grp
+    FROM segments
+  ) GROUP BY topic, partition_id, grp
+) GROUP BY fanin
+""",
+    ),
+    tags=("parity", "window", "aggregation"),
+    doc="M1 merge fan-in model: assign level-0 segments to output merges by "
+    "the running message-count budget (each output holds <= "
+    f"{MERGE_MAX_MESSAGES} input messages, the bounded-output rule of the "
+    "compactor — reference pkg/compaction/compactor.go:165-243 with "
+    "maxOutputMessages) and report the fan-in histogram — how many input "
+    "segments a merged segment consumes, the dial between write "
+    "amplification and listing length.  Prefix sums run per partition "
+    "(keyed window); bounded output rows",
+)
+def q_merge_fanin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir)
+    w = (
+        Window.partitionBy("topic", "partition_id")
+        .orderBy(F.asc("start_offset"), F.desc("end_offset"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer floor division of the running count matches the oracle's
+    # `//` exactly (non-negative operands)
+    grouped = segs.withColumn(
+        "cum_before", F.coalesce(F.sum("message_count").over(w), F.lit(0))
+    ).select(
+        "topic",
+        "partition_id",
+        F.expr(f"cum_before div {MERGE_MAX_MESSAGES}").cast("long").alias("grp"),
+    )
+    fanin = grouped.groupBy("topic", "partition_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("fanin")
+    )
+    return fanin.groupBy("fanin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merges")
+    )
+
+
+# ---------------------------------------------------- segment size spread
+
+@register(
+    "r_segment_size_cv",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        select="""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(min(size_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(size_bytes) AS BIGINT) AS max_bytes,
+       CAST(
+         CAST(floor(sqrt(CAST(count(*) * sum(size_bytes * size_bytes)
+                              - sum(size_bytes) * sum(size_bytes) AS DOUBLE))
+                    * 1000000 / CAST(sum(size_bytes) AS DOUBLE)) AS BIGINT)
+       AS BIGINT) AS cv_ppm
+FROM segments
+GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="A1/A2 rollover uniformity: per-partition coefficient of variation "
+    "of segment sizes in ppm (population sd x n / sum, via the integer "
+    "moment identity n*Σx²-(Σx)² with one sqrt re-quantized through "
+    "floor) — a high CV means the rollover thresholds produce ragged "
+    "segments, the operational dial behind the reference's size/count "
+    "limits (pkg/egress/worker.go:51-56).  One keyed aggregate, "
+    "partition-grain output",
+)
+def q_segment_size_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir)
+    return segs.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.min("size_bytes").cast("long").alias("min_bytes"),
+        F.max("size_bytes").cast("long").alias("max_bytes"),
+        # moments lifted to DECIMAL(38,0): size_bytes² at the 100 MiB
+        # production segment size would overflow an int64 sum (the oracle's
+        # BIGINT sums already widen to HUGEINT)
+        F.expr(
+            "CAST(floor(sqrt(CAST(count(1)"
+            " * sum(CAST(size_bytes AS DECIMAL(38,0)) * size_bytes)"
+            " - sum(CAST(size_bytes AS DECIMAL(38,0)))"
+            "   * sum(CAST(size_bytes AS DECIMAL(38,0))) AS DOUBLE))"
+            " * 1000000 / CAST(sum(size_bytes) AS DOUBLE)) AS BIGINT)"
+        ).alias("cv_ppm"),
+    )
