@@ -228,6 +228,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_session_gap_sensitivity",
     "r_merge_fanin_histogram",
     "r_segment_size_cv",
+    "p_minhash_k_sensitivity",
+    "a_runs_test_daily",
+    "p_silhouette_proxy",
 ]
 
 

@@ -2032,3 +2032,272 @@ def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(DISTINCT user_id) AS BIGINT)"
         ).alias("sessions_per_user_ppm"),
     )
+
+
+# -------------------------------------- MinHash signature-width sensitivity
+
+_MHK_WIDTHS = (8, 16, 32)
+_MHK_THRESHOLD = 0.2
+
+
+def _mhk_sql() -> str:
+    from kafka_replicator_spark.functions.dedup import (
+        jaccard_pairs_sql,
+        minhash_signatures_sql,
+    )
+
+    sig = minhash_signatures_sql(k=max(_MHK_WIDTHS))
+    pairs = jaccard_pairs_sql(threshold=_MHK_THRESHOLD)
+    per_k = []
+    for k in _MHK_WIDTHS:
+        matches = " + ".join(
+            f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
+        )
+        per_k.append(
+            f"""SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs((1000000 * ({matches})) // {k}
+                    - CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)))
+            // count(*) AS BIGINT) AS mean_abs_err_ppm
+FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b"""
+        )
+    union = "\nUNION ALL ".join(per_k)
+    return f"""
+WITH s AS MATERIALIZED ({sig}),
+p AS MATERIALIZED ({pairs})
+SELECT CAST(k AS BIGINT) AS k, n_pairs, mean_abs_err_ppm FROM ({union})
+"""
+
+
+@register(
+    "p_minhash_k_sensitivity",
+    _mhk_sql(),
+    tags=("pipeline", "dedup", "audit"),
+    doc="MinHash signature-width sensitivity: for the exact-Jaccard "
+    "candidate pairs (>= 0.2), the mean absolute estimation error in "
+    "exact ppm at k = 8 / 16 / 32 signature slots — the empirical "
+    "error-vs-cost curve behind choosing the signature width (estimator "
+    "sd ~ sqrt(J(1-J)/k)).  One 32-min signature pass serves all three "
+    "widths (prefixes of the same hash family); integer match counts vs "
+    "the 6-dp exact Jaccard re-quantized to ppm; 3 output rows",
+)
+def q_minhash_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(dd.word_ngrams(docs, n=3))
+    sigs = track_cached(
+        dd.minhash_signatures(docs, k=max(_MHK_WIDTHS), shingles=sh)
+    )
+    pairs = track_cached(
+        dd.jaccard_pairs(docs, threshold=_MHK_THRESHOLD, shingles=sh).withColumn(
+            "exact_ppm",
+            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"),
+        )
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(max(_MHK_WIDTHS))],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(max(_MHK_WIDTHS))],
+    )
+    joined = track_cached(pairs.join(sa, "doc_a").join(sb, "doc_b"))
+    out = None
+    for k in _MHK_WIDTHS:
+        matches = " + ".join(
+            f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(k)
+        )
+        frame = joined.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                f"CAST(sum(abs((1000000 * ({matches})) div {k} - exact_ppm))"
+                " div count(1) AS BIGINT)"
+            ).alias("mean_abs_err_ppm"),
+        )
+        out = frame if out is None else out.unionAll(frame)
+    return out
+
+
+# ------------------------------------------------ runs test on daily revenue
+
+@register(
+    "a_runs_test_daily",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+med AS (SELECT quantile_cont(cents, 0.5) AS m FROM d),
+signs AS (
+  SELECT day, CASE WHEN cents > m THEN 1 ELSE 0 END AS up
+  FROM d, med
+),
+runs AS (
+  SELECT up,
+         CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                   OR lag(up) OVER (ORDER BY day) <> up THEN 1 ELSE 0 END AS brk
+  FROM signs
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(up) AS BIGINT) AS n_above,
+         CAST(count(*) - sum(up) AS BIGINT) AS n_below,
+         CAST(sum(brk) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n AS n_days, n_above, n_below, n_runs,
+       CAST((1000000::HUGEINT * (n + 2 * n_above * n_below)) // n AS BIGINT)
+         AS expected_runs_ppm
+FROM m
+""",
+    tags=("analytics", "stats", "timeseries"),
+    doc="Wald-Wolfowitz runs test input on daily revenue: days classified "
+    "above/at-or-below the exact median (quantile 0.5 — a power-of-two "
+    "fraction, bit-identical interpolation), observed run count vs the "
+    "expected 1 + 2ab/n in exact ppm — too few runs = trending, too many "
+    "= oscillating.  Day-grain lag window (bounded-grain exemption); "
+    "1 output row",
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    d = track_cached(d)
+    med = d.agg(F.expr("percentile(cents, 0.5)").alias("m"))
+    signs = d.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("up")
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull() | (F.lag("up").over(w) != F.col("up")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("up").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_below"),
+        F.sum("brk").cast("long").alias("n_runs"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (count(1) + 2 * sum(up) * (count(1) - sum(up))))"
+            " div count(1) AS BIGINT)"
+        ).alias("expected_runs_ppm"),
+    )
+
+
+# ------------------------------------------- centroid silhouette proxy
+
+@register(
+    "p_silhouette_proxy",
+    f"""
+WITH m AS MATERIALIZED (
+  SELECT vec_id, label, {{MU}} AS em
+  FROM embeddings
+),
+comp AS MATERIALIZED (
+  SELECT vec_id, label, i, em[i] AS q
+  FROM m, unnest(range(1, {_JL_DIM + 1})) t(i)
+),
+cent AS MATERIALIZED (
+  SELECT label AS clabel, i,
+         CAST(floor(sum(q) / count(*) + 0.5) AS BIGINT) AS cq
+  FROM comp GROUP BY label, i
+),
+d2 AS MATERIALIZED (
+  SELECT c.vec_id, c.label, ct.clabel,
+         CAST(sum((c.q - ct.cq) * (c.q - ct.cq)) AS BIGINT) AS d2
+  FROM comp c JOIN cent ct ON ct.i = c.i
+  GROUP BY c.vec_id, c.label, ct.clabel
+),
+per_vec AS (
+  SELECT vec_id, label,
+         CAST(sum(CASE WHEN clabel = label THEN d2 END) AS BIGINT) AS a,
+         CAST(min(CASE WHEN clabel <> label THEN d2 END) AS BIGINT) AS b
+  FROM d2 GROUP BY vec_id, label
+),
+scored AS (
+  SELECT label,
+         CAST((1000000::HUGEINT * (b - a)) // nullif(greatest(a, b), 0) AS BIGINT)
+           AS s_ppm
+  FROM per_vec
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(s_ppm::HUGEINT) // count(*) AS BIGINT) AS mean_s_ppm,
+       CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+FROM scored GROUP BY label
+""".replace("{MU}", micro_units_sql()),
+    tags=("pipeline", "embedding", "audit"),
+    doc="centroid-based silhouette proxy per label block: a = squared L2 "
+    "to the own-label centroid, b = min squared L2 to any other centroid "
+    "(the kmeans integer-micro centroid rounding rule), s = (b-a)/max(a,b) "
+    "in exact ppm — mean cohesion/separation per block plus the count of "
+    "vectors closer to a foreign centroid.  Centroids are label x dim "
+    "rows (broadcast-sized); one comp x centroid join bounded by "
+    "n_vectors x n_labels; never the O(n²) all-pairs true silhouette",
+)
+def q_silhouette_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select("vec_id", "label", micro_units("embedding").alias("em"))
+    comp = m.select(
+        "vec_id", "label", F.posexplode("em").alias("i0", "q")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "q")
+    cent = (
+        comp.groupBy(F.col("label").alias("clabel"), "i")
+        .agg(
+            F.floor(F.sum("q") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    d2 = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.sum(F.when(F.col("clabel") == F.col("label"), F.col("d2")))
+        .cast("long")
+        .alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))
+        .cast("long")
+        .alias("b"),
+    )
+    scored = per_vec.select(
+        "label",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (b - a))"
+            " div nullif(greatest(a, b), 0) AS BIGINT)"
+        ).alias("s_ppm"),
+    )
+    return scored.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr(
+            "CAST(sum(CAST(s_ppm AS DECIMAL(38,0))) div count(1) AS BIGINT)"
+        ).alias("mean_s_ppm"),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_misassigned"),
+    )
