@@ -70,7 +70,8 @@ def range_prefix_stitch(
         else:
             acc += v
         if extra_sum_col is not None:
-            sacc += per_pid[pid]["s"]
+            # an all-NULL partition sums to NULL; contribute 0, like SQL SUM
+            sacc += per_pid[pid]["s"] or 0
     dtype = tagged.schema[value_col].dataType.simpleString()
     schema = f"__pid int, __prefix {dtype}"
     if extra_sum_col is not None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.functions.similarity import micro_units, micro_units_sql
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -84,8 +85,6 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
     )
-    from kafka_replicator_spark.cacheutil import track_cached
-
     d = track_cached(d)  # day-grain frame feeds the max-day bound AND the window scan
     bounds = d.agg(
         F.max("day").alias("dmax"),
@@ -220,8 +219,6 @@ def q_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_c"),
         )
     )
-    from kafka_replicator_spark.cacheutil import track_cached
-
     b = track_cached(b)
     a = b.select(
         F.col("brand").alias("ba"), F.col("qty_c").alias("qa"), F.col("rev_c").alias("ra")
@@ -287,8 +284,6 @@ def q_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("text").contains(" the "), 1).otherwise(0).alias("r2"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("r3"),
     )
-    from kafka_replicator_spark.cacheutil import track_cached
-
     r = track_cached(r)
     pairs = (
         r.select(F.lit("r1r2").alias("pair"), F.col("r1").alias("a"), F.col("r2").alias("b"))
@@ -535,7 +530,6 @@ _KCORE_SMALL_EDGES = 200_000
 def q_kcore_peel(
     spark: SparkSession, sf_dir: str, small_graph_edges: int = _KCORE_SMALL_EDGES
 ) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions import graph, similarity
 
     e = track_cached(
@@ -637,7 +631,6 @@ SELECT doc_id, ql_score FROM scored ORDER BY ql_score DESC, doc_id LIMIT {_QL_TO
     "top-20; the language-modeling sibling of p_bm25_scores",
 )
 def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions.hashing import spread
 
     docs = track_cached(spread(load_table(spark, sf_dir, "documents")))
@@ -1144,8 +1137,6 @@ s{t} AS MATERIALIZED (
     "(metadata-scale, bounded by the candidate list); 5 output rows",
 )
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
-
     emb = load_table(spark, sf_dir, "embeddings")
     m = emb.select(
         "vec_id",
@@ -1355,8 +1346,6 @@ def q_ivf_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    from kafka_replicator_spark.cacheutil import track_cached
-
     assigned = track_cached(
         similarity.ivf_assign(emb).select("vec_id", "centroid_id")
     )
@@ -1545,8 +1534,6 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from kafka_replicator_spark.cacheutil import track_cached
-
     d = track_cached(d)
     mid = d.agg(F.expr("CAST((min(day) + max(day)) div 2 AS BIGINT)").alias("md"))
     dd = d.crossJoin(F.broadcast(mid))
@@ -1747,7 +1734,6 @@ c{t} AS MATERIALIZED (
     "MATERIALIZED CTEs.  <=5 output rows",
 )
 def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions import dedup as dd
 
     sh = track_cached(
@@ -1854,8 +1840,6 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") < 0).alias("member"),
         portable_hash32(F.col("c_custkey").cast("string")).alias("h"),
     )
-    from kafka_replicator_spark.cacheutil import track_cached
-
     keys = track_cached(keys)
     pos_frames = [
         keys.select(
@@ -1957,10 +1941,13 @@ def q_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(CASE WHEN is_surv = 1 THEN 1 ELSE 0 END), 0)"
             " AS BIGINT)"
         ).alias("mean_chars_after"),
+        # denominator lifted to DECIMAL(38,0) too: total-chars x survivors
+        # passes 2^63 at corpus scale (the oracle's BIGINT sums widen to
+        # HUGEINT on their own)
         F.expr(
             "CAST((CAST(1000000 AS DECIMAL(38,0))"
             " * sum(CASE WHEN is_surv = 1 THEN n_chars ELSE 0 END) * count(1))"
-            " div nullif(sum(n_chars)"
+            " div nullif(sum(CAST(n_chars AS DECIMAL(38,0)))"
             "     * sum(CASE WHEN is_surv = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)"
         ).alias("shift_ppm"),
     )
@@ -2081,7 +2068,6 @@ SELECT CAST(k AS BIGINT) AS k, n_pairs, mean_abs_err_ppm FROM ({union})
     "the 6-dp exact Jaccard re-quantized to ppm; 3 output rows",
 )
 def q_minhash_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2174,8 +2160,6 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
     )
-    from kafka_replicator_spark.cacheutil import track_cached
-
     d = track_cached(d)
     med = d.agg(F.expr("percentile(cents, 0.5)").alias("m"))
     signs = d.crossJoin(F.broadcast(med)).select(

@@ -213,3 +213,23 @@ def test_truncated_fixed_width_unknown_field_raises():
     m = sm.StateResponse()
     with pytest.raises(DecodeError):
         m.ParseFromString(data)
+
+
+def test_repeated_reads_return_live_submessage_view():
+    # `t = m.sub; m.sub.x = 1; t.y = 2` keeps BOTH fields — repeated reads
+    # of an unset message field must hand out the same live instance
+    cmd = sm.StateCallCommand(stateName="s")
+    t = cmd.ttl
+    cmd.ttl.durationMs = 5
+    assert t.durationMs == 5  # same instance
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 5
+
+
+def test_explicit_assignment_detaches_stale_default():
+    cmd = sm.StateCallCommand()
+    stale = cmd.ttl  # default instance from a read
+    cmd.ttl = sm.TTLConfig(durationMs=7)  # explicit assignment supersedes
+    stale.durationMs = 99  # stale handle must NOT clobber the real value
+    assert cmd.ttl.durationMs == 7
