@@ -231,6 +231,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_minhash_k_sensitivity",
     "a_runs_test_daily",
     "p_silhouette_proxy",
+    "p_text_embedding_corr",
+    "p_label_source_contingency",
 ]
 
 

@@ -2285,3 +2285,151 @@ def q_silhouette_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_misassigned"),
     )
+
+
+# ----------------------------------- text-embedding cross-modal correlation
+
+@register(
+    "p_text_embedding_corr",
+    f"""
+WITH q AS (
+  SELECT vec_id,
+         list_aggregate(
+           list_transform({{MU}}, v -> v * v), 'sum') AS norm2
+  FROM embeddings
+),
+j AS (
+  SELECT CAST(d.n_chars AS BIGINT) AS x, CAST(q.norm2 AS BIGINT) AS y
+  FROM documents d JOIN q ON q.vec_id = d.doc_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM j
+)
+SELECT n AS n_docs,
+       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) + 0.5)
+            AS BIGINT) AS pearson_ppm
+FROM m
+""".replace("{MU}", micro_units_sql()),
+    tags=("pipeline", "embedding", "audit"),
+    doc="cross-modal sanity correlation: Pearson r between document length "
+    "(n_chars) and embedding L2-norm² over the aligned doc_id = vec_id "
+    "rows, in ppm — embeddings whose norm tracks raw length leak length "
+    "into cosine rankings (the normalize-before-indexing check).  Integer "
+    "moment sums in HUGEINT/DECIMAL(38,0); one sqrt product evaluated in "
+    "identical textual order on both engines then floor-requantized; "
+    "1 output row.  (doc_id/vec_id alignment is a property of the shared "
+    "testdata; production pipelines carry an explicit mapping)",
+)
+def q_text_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.select(
+        "vec_id",
+        F.aggregate(
+            micro_units("embedding"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2"),
+    )
+    j = docs.join(q, docs.doc_id == q.vec_id).select(
+        F.col("n_chars").cast("long").alias("x"), F.col("norm2").alias("y")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(floor(1000000.0"
+            " * CAST(count(1) * sum(CAST(x AS DECIMAL(38,0)) * y)"
+            "        - sum(CAST(x AS DECIMAL(38,0))) * sum(CAST(y AS DECIMAL(38,0)))"
+            "   AS DOUBLE)"
+            " / (sqrt(CAST(count(1) * sum(CAST(x AS DECIMAL(38,0)) * x)"
+            "             - sum(CAST(x AS DECIMAL(38,0))) * sum(CAST(x AS DECIMAL(38,0)))"
+            "        AS DOUBLE))"
+            "    * sqrt(CAST(count(1) * sum(CAST(y AS DECIMAL(38,0)) * y)"
+            "               - sum(CAST(y AS DECIMAL(38,0))) * sum(CAST(y AS DECIMAL(38,0)))"
+            "          AS DOUBLE))) + 0.5) AS BIGINT)"
+        ).alias("pearson_ppm"),
+    )
+
+
+# -------------------------------------- source x label contingency
+
+@register(
+    "p_label_source_contingency",
+    """
+WITH j AS (
+  SELECT d.source, e.label
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+cells AS (
+  SELECT source, CAST(label AS INTEGER) AS label, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY source, label
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j),
+marg AS (
+  SELECT c.source, c.label, c.n,
+         sum(c.n) OVER (PARTITION BY c.source) AS n_src,
+         sum(c.n) OVER (PARTITION BY c.label) AS n_lab
+  FROM cells c
+),
+chi AS (
+  SELECT CAST(sum(
+           ((1000000::HUGEINT * n * n_total) // (n_src * n_lab)
+            - 1000000) * ((1000000::HUGEINT * n * n_total) // (n_src * n_lab)
+            - 1000000) * n_src * n_lab // (1000000::HUGEINT * 1000000 * n_total)
+         ) AS BIGINT) AS chi2_scaled
+  FROM marg, tot
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+       (SELECT n_total FROM tot) AS n_docs,
+       chi2_scaled
+FROM chi
+""",
+    tags=("pipeline", "audit"),
+    doc="source x embedding-label contingency: integer-scaled chi-square "
+    "statistic over the aligned doc/vec rows — a strong association "
+    "means the embedding clusters mirror the source mix (label leakage "
+    "into any label-blocked ANN/dedup).  Each cell's (obs/exp - 1)² "
+    "term is computed on ppm-scaled integers with HUGEINT/DECIMAL "
+    "lifts, summed exactly; marginals via partition-keyed windows over "
+    "the bounded cell grid; 1 output row",
+)
+def q_label_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    j = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "source", F.col("label").cast("int").alias("label")
+    )
+    from pyspark.sql import Window as W
+
+    cells = track_cached(
+        j.groupBy("source", "label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("n_total"))
+    marg = (
+        cells.withColumn("n_src", F.sum("n").over(W.partitionBy("source")))
+        .withColumn("n_lab", F.sum("n").over(W.partitionBy("label")))
+        .crossJoin(F.broadcast(tot))
+    )
+    chi = marg.agg(
+        F.expr(
+            "CAST(sum("
+            " ((CAST(1000000 AS DECIMAL(38,0)) * n * n_total) div (n_src * n_lab)"
+            "  - 1000000)"
+            " * ((CAST(1000000 AS DECIMAL(38,0)) * n * n_total) div (n_src * n_lab)"
+            "  - 1000000) * n_src * n_lab"
+            " div (CAST(1000000 AS DECIMAL(38,0)) * 1000000 * n_total)"
+            ") AS BIGINT)"
+        ).alias("chi2_scaled")
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    return (
+        chi.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(tot))
+        .select("n_cells", F.col("n_total").alias("n_docs"), "chi2_scaled")
+    )
