@@ -1,0 +1,136 @@
+"""Partition activity watchdog — transformWithState processing-time timers.
+
+Reference parity: the ingress worker escalates a partition from *late* to
+*lost* when wall-clock time passes without the missing segment appearing
+(reference pkg/ingress/worker.go:110-154 with the lost_segment_timeout of
+pkg/ingress/config.go:32-40).  The engine's batch-driven restatement lives
+in streaming/ingress_stream.py; THIS operator is the timer-driven form on
+the transformWithState engine: every observed key arms a processing-time
+timer, and if the timer fires before fresh input re-arms it, a WATCHDOG
+row is emitted for the silent key.
+
+Protocol coverage: this is the TIMER slice of the state-server protocol —
+TimerStateCallCommand register/delete/list, the StateResponseWithTimer
+iterator, and the handleExpiredTimer callback path — which the value-state
+event store and the map/list segment registry do not touch.  Together the
+three operators drive every state family of
+``pyspark/sql/streaming/proto/StateMessage_pb2`` end-to-end against the
+JVM (through the vendored protoshim when real protobuf is absent).
+
+Requires Spark ≥ 4.0, the RocksDB state store provider, and
+``google.protobuf`` (the vendored protoshim suffices).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+KEY = ("topic", "partition_id")
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("msg_offset", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("kind", StringType()),  # 'SEEN' | 'WATCHDOG'
+        StructField("n_rows", LongType()),
+        StructField("last_offset", LongType()),
+    ]
+)
+
+_LAST_SCHEMA = StructType([StructField("last_offset", LongType())])
+
+
+def watchdog_stream(events: DataFrame, silence_ms: int = 1) -> DataFrame:
+    """events: streaming DataFrame with INPUT_SCHEMA columns.  Emits a SEEN
+    row per (key, batch) with fresh input, and a WATCHDOG row when a key's
+    silence timer fires with no new input re-arming it.  ``silence_ms`` is
+    the watchdog delay; the default 1 ms makes the next microbatch the
+    firing boundary (an availableNow drain surfaces the alarm on the batch
+    after the key goes quiet)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # availableNow semantics: after the last data batch the engine runs a
+    # final timer-flush batch before terminating, so every key still armed
+    # at drain end emits one final WATCHDOG (this is the tws engine's
+    # WELL-BEHAVED contrast to the classic applyInPandasWithState path,
+    # where a pending ProcessingTimeTimeout keeps an availableNow query
+    # from ever terminating — the quirk event_store.py documents).
+    class _WatchdogProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last", _LAST_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n = 0
+            last = -1
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last = max(last, int(pdf["msg_offset"].max()))
+            if self._last.exists():
+                (prev,) = self._last.get()
+                last = max(last, int(prev))
+            self._last.update((last,))
+            # re-arm: drop any pending watchdog, then arm a fresh one —
+            # fresh input means the key is alive
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + silence_ms
+            )
+            yield pd.DataFrame(
+                [
+                    {
+                        "topic": key[0],
+                        "partition_id": key[1],
+                        "kind": "SEEN",
+                        "n_rows": n,
+                        "last_offset": last,
+                    }
+                ]
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (last,) = self._last.get() if self._last.exists() else (-1,)
+            yield pd.DataFrame(
+                [
+                    {
+                        "topic": key[0],
+                        "partition_id": key[1],
+                        "kind": "WATCHDOG",
+                        "n_rows": 0,
+                        "last_offset": int(last),
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(*KEY).transformWithStateInPandas(
+        statefulProcessor=_WatchdogProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
