@@ -233,6 +233,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_silhouette_proxy",
     "p_text_embedding_corr",
     "p_label_source_contingency",
+    "p_ivf_probe_recall_curve",
+    "a_max_drawdown",
 ]
 
 

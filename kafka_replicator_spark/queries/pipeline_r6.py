@@ -2433,3 +2433,136 @@ def q_label_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("n_cells", F.col("n_total").alias("n_docs"), "chi2_scaled")
     )
+
+
+# --------------------------------------- IVF probe-count recall curve
+
+_IVF_CURVE_PROBES = [0, 1, 2, 3]
+_IVF_CURVE_NPROBES = (1, 2, 4)
+_IVF_CURVE_K = 5
+
+
+def _ivf_recall_curve_sql() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        brute_force_topk_sql,
+        ivf_topk_multiprobe_sql,
+    )
+
+    per_np = []
+    for np_ in _IVF_CURVE_NPROBES:
+        per_np.append(
+            f"""SELECT {np_} AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((1000000 * count(*)) // {len(_IVF_CURVE_PROBES) * _IVF_CURVE_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT probe_id, neighbor_id
+      FROM ({ivf_topk_multiprobe_sql(_IVF_CURVE_PROBES, k=_IVF_CURVE_K, nprobe=np_)}))
+  ivf JOIN bf USING (probe_id, neighbor_id)"""
+        )
+    union = "\nUNION ALL ".join(per_np)
+    return f"""
+WITH bf AS MATERIALIZED (
+  SELECT probe_id, neighbor_id
+  FROM ({brute_force_topk_sql(_IVF_CURVE_PROBES, k=_IVF_CURVE_K)})
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe, n_hits, recall_ppm FROM ({union})
+"""
+
+
+@register(
+    "p_ivf_probe_recall_curve",
+    _ivf_recall_curve_sql(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="IVF recall-vs-nprobe curve: exact recall@5 of the multiprobe "
+    "search against the brute-force baseline at nprobe = 1/2/4 over the "
+    "probe set — the tuning curve that sets the accuracy/cost dial "
+    "(p_ivf_cost_audit gives the cost side).  The intersection join "
+    "compares two <=20-row top-k frames per point; integer hit counts "
+    "in exact ppm; 3 output rows",
+)
+def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    bf = track_cached(
+        similarity.brute_force_topk(emb, _IVF_CURVE_PROBES, k=_IVF_CURVE_K).select(
+            "probe_id", "neighbor_id"
+        )
+    )
+    denom = len(_IVF_CURVE_PROBES) * _IVF_CURVE_K
+    out = None
+    for np_ in _IVF_CURVE_NPROBES:
+        ivf = similarity.ivf_topk_multiprobe(
+            emb, _IVF_CURVE_PROBES, k=_IVF_CURVE_K, nprobe=np_
+        ).select("probe_id", "neighbor_id")
+        frame = ivf.join(bf, ["probe_id", "neighbor_id"]).agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.expr(f"CAST((1000000 * count(1)) div {denom} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        out = frame if out is None else out.unionAll(frame)
+    return out
+
+
+# ------------------------------------------------ maximum drawdown
+
+@register(
+    "a_max_drawdown",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+c AS (
+  SELECT day,
+         sum(cents) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+),
+dd AS (
+  SELECT day, cum,
+         max(cum) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(peak) AS BIGINT) AS final_peak_cents
+FROM dd
+""",
+    tags=("analytics", "timeseries"),
+    doc="maximum drawdown of the cumulative daily revenue path: running "
+    "peak minus current cumulative, maximized — the path statistic "
+    "behind volatility dashboards (a revenue series never draws down; "
+    "the statistic is exercised on deviations when order flow dips).  "
+    "Pure integer cents over day-grain cumulative windows "
+    "(bounded-grain exemption); 1 output row",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select("day", F.sum("cents").over(wc).alias("cum"))
+    withpeak = c.select(
+        "cum",
+        F.max("cum")
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("peak"),
+    )
+    return withpeak.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown_cents"),
+        F.max("peak").cast("long").alias("final_peak_cents"),
+    )
