@@ -1,10 +1,15 @@
-"""Round-6 query registrations: rank statistics (Spearman / Kendall),
-exact binary-weight EWMA, labeling-rule agreement, embedding-norm
-profiles, detector PR curves, aggregate-FILTER SQL surface, k-core
-peeling, query-likelihood retrieval, JL projection distortion, chunking
-budget audits, hard-negative mining, stitch-ranked trimmed means, MMR
-diversified re-ranking, quota sampling, SimHash hamming histograms, IVF
-scan-cost audits, arrival dispersion, and character-class profiles.
+"""Round-6 query registrations: rank statistics (Spearman / Kendall /
+runs test), exact binary-weight EWMA, labeling-rule agreement,
+embedding-norm profiles, detector PR curves, aggregate-FILTER SQL
+surface, k-core peeling, query-likelihood retrieval, JL projection
+distortion, chunking budget audits, hard-negative mining, stitch-ranked
+trimmed means and Lorenz octiles, MMR diversified re-ranking, greedy
+max-coverage selection, quota sampling, SimHash hamming histograms and
+signature-width sensitivity, IVF scan-cost and recall-curve audits,
+arrival dispersion, character-class profiles, bloom FPR replay, dedup
+selection bias, session gap sensitivity, RFM quartile migration,
+centroid silhouette proxies, cross-modal length/label audits, and
+maximum drawdown.
 
 Reference parity: no analog in the reference engine
 (CrowdStrike/kafka-replicator) — these extend the analytics and
