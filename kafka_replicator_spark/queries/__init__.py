@@ -235,6 +235,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_label_source_contingency",
     "p_ivf_probe_recall_curve",
     "a_max_drawdown",
+    "r_x2_metadata_codec",
+    "r_x7_backoff_schedule",
 ]
 
 

@@ -21,6 +21,7 @@ from kafka_replicator_spark.operators.checkpoints import (
     resume_filter,
 )
 from kafka_replicator_spark.operators.compaction import plan_compaction
+from kafka_replicator_spark.functions.hashing import portable_hash60, portable_hash60_sql
 from kafka_replicator_spark.operators.egress import assign_segments_by_count, segment_bounds
 from kafka_replicator_spark.queries import register, with_ctes
 from kafka_replicator_spark.sources.messages import MESSAGES_ORACLE_CTE, events_as_messages
@@ -884,4 +885,190 @@ def q_segment_size_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   * sum(CAST(size_bytes AS DECIMAL(38,0))) AS DOUBLE))"
             " * 1000000 / CAST(sum(size_bytes) AS DOUBLE)) AS BIGINT)"
         ).alias("cv_ppm"),
+    )
+
+
+# --------------------------------------------------- X2 metadata KV codec
+
+#: RFC3339-with-microseconds — the parity grain of the reference's
+#: RFC3339Nano footer stamps (the corpus timestamps are µs; DuckDB's
+#: parquet reader floors nanos to µs anyway, see sources/tables.py).
+_RFC3339_SPARK = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+_RFC3339_DUCK = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+@register(
+    "r_x2_metadata_codec",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        f"""seg AS (
+  SELECT topic, partition_id,
+         min(msg_offset) AS start_offset, max(msg_offset) AS end_offset,
+         max(ts_us) AS close_ts_us
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""enc AS (
+  SELECT topic, partition_id, start_offset, end_offset, close_ts_us,
+         lpad(CAST(start_offset AS VARCHAR), 20, '0') || '-' ||
+         lpad(CAST(end_offset AS VARCHAR), 20, '0') AS offset_key,
+         strftime(make_timestamp(close_ts_us), '{_RFC3339_DUCK}') AS ts_str
+  FROM seg
+)""",
+        select=f"""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN CAST(substr(offset_key, 1, 20) AS BIGINT) = start_offset
+                      AND CAST(substr(offset_key, 22, 20) AS BIGINT) = end_offset
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_offset_ok,
+       CAST(sum(CASE WHEN epoch_us(strptime(ts_str, '{_RFC3339_DUCK}')) = close_ts_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_ok,
+       min(offset_key) AS first_key,
+       max(offset_key) AS last_key
+FROM enc GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "scalar"),
+    doc="X2 metadata KV codec roundtrip: encode each segment's offset "
+    "extent as the zero-padded 20-digit key pair and its close timestamp "
+    "as RFC3339-with-microseconds (the µs parity grain of the reference's "
+    "RFC3339Nano footer stamps — s3_parquet.go:234-316,379-397), parse "
+    "both back, and count exact roundtrips per partition.  min/max of the "
+    "encoded key double as the zero-pad order audit: lexicographic order "
+    "of encoded keys must equal numeric offset order, the property the "
+    "reference's S3 listing relies on (s3_segment_store.go:36-37).  "
+    "Spark date_format/to_timestamp on 'SSSSSS' == DuckDB "
+    "strftime/strptime on '%f' bit-exactly under the UTC session tz",
+)
+def q_metadata_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        msgs.withColumn("segment_seq", F.expr(f"msg_offset div {SEG_MAX_MESSAGES}"))
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("msg_offset").alias("end_offset"),
+            F.max("ts_us").alias("close_ts_us"),
+        )
+    )
+    enc = seg.select(
+        "topic",
+        "partition_id",
+        "start_offset",
+        "end_offset",
+        "close_ts_us",
+        F.concat(
+            F.lpad(F.col("start_offset").cast("string"), 20, "0"),
+            F.lit("-"),
+            F.lpad(F.col("end_offset").cast("string"), 20, "0"),
+        ).alias("offset_key"),
+        F.date_format(
+            F.timestamp_micros(F.col("close_ts_us")), _RFC3339_SPARK
+        ).alias("ts_str"),
+    )
+    ok = F.when(
+        (F.substring("offset_key", 1, 20).cast("long") == F.col("start_offset"))
+        & (F.substring("offset_key", 22, 20).cast("long") == F.col("end_offset")),
+        1,
+    ).otherwise(0)
+    ts_ok = F.when(
+        F.unix_micros(F.to_timestamp(F.col("ts_str"), _RFC3339_SPARK))
+        == F.col("close_ts_us"),
+        1,
+    ).otherwise(0)
+    return enc.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(ok).cast("long").alias("n_offset_ok"),
+        F.sum(ts_ok).cast("long").alias("n_ts_ok"),
+        F.min("offset_key").alias("first_key"),
+        F.max("offset_key").alias("last_key"),
+    )
+
+
+# ------------------------------------------------ X7 exponential backoff
+
+#: retry model constants: base delay doubles per attempt, capped
+_BACKOFF_BASE_MS = 100
+_BACKOFF_CAP_MS = 500
+_BACKOFF_MAX_RETRIES = 4
+
+
+@register(
+    "r_x7_backoff_schedule",
+    with_ctes(
+        MESSAGES_CTE,
+        f"""f AS (
+  SELECT CASE WHEN h % 64 = 0 THEN 4
+              WHEN h % 16 = 0 THEN 3
+              WHEN h % 8 = 0 THEN 2
+              WHEN h % 4 = 0 THEN 1
+              ELSE 0 END AS k
+  FROM (SELECT {portable_hash60_sql("msg_key || ':' || CAST(msg_offset AS VARCHAR)")} AS h
+        FROM messages)
+)""",
+        f"""w AS (
+  SELECT k, least({_BACKOFF_BASE_MS}::BIGINT << attempt, {_BACKOFF_CAP_MS}) AS wait_ms
+  FROM f CROSS JOIN (VALUES (0), (1), (2), (3)) a(attempt)
+  WHERE a.attempt < k
+)""",
+        select="""
+SELECT k AS n_retries,
+       CAST(count(*) // k AS BIGINT) AS n_messages,
+       CAST(sum(wait_ms) AS BIGINT) AS total_backoff_ms,
+       CAST(sum(wait_ms) // (count(*) // k) AS BIGINT) AS per_message_ms
+FROM w GROUP BY k
+""",
+    ),
+    tags=("parity", "scalar"),
+    doc="X7 exponential-backoff schedule model (reference pkg/utils/"
+    "time.go:23-40, pkg/core/retrier.go:56-88): each message draws a "
+    "deterministic simulated retry count k in 0..4 from the portable "
+    "60-bit hash (P(k>=1)=1/4, geometric-ish tail), attempt i waits "
+    f"least(base<<i, cap) ms with base={_BACKOFF_BASE_MS} cap="
+    f"{_BACKOFF_CAP_MS} — the cap bites at attempt 3, exercising the "
+    "clamp.  Pure integer shifts (Spark shiftleft == DuckDB << on "
+    "BIGINT); per-message fan-out is the bounded attempts table (<=4), "
+    "never a per-row loop.  n_messages = count(*)//k is exact because "
+    "every k-retry message contributes exactly k attempt rows.  k=0 "
+    "messages wait nowhere and are (documented) absent from the output",
+)
+def q_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    h = portable_hash60(
+        F.concat(F.col("msg_key"), F.lit(":"), F.col("msg_offset").cast("string"))
+    )
+    k = (
+        F.when(h % 64 == 0, 4)
+        .when(h % 16 == 0, 3)
+        .when(h % 8 == 0, 2)
+        .when(h % 4 == 0, 1)
+        .otherwise(0)
+    )
+    f = msgs.select(k.alias("k"))
+    w = (
+        f.filter(F.col("k") > 0)
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BACKOFF_MAX_RETRIES - 1))
+            ).alias("attempt"),
+        )
+        .filter(F.col("attempt") < F.col("k"))
+        .select(
+            "k",
+            F.expr(
+                f"least(shiftleft(CAST({_BACKOFF_BASE_MS} AS BIGINT), attempt),"
+                f" CAST({_BACKOFF_CAP_MS} AS BIGINT))"
+            ).alias("wait_ms"),
+        )
+    )
+    out = w.groupBy("k").agg(
+        F.expr("count(1) div k").cast("long").alias("n_messages"),
+        F.sum("wait_ms").cast("long").alias("total_backoff_ms"),
+        F.expr("sum(wait_ms) div (count(1) div k)")
+        .cast("long")
+        .alias("per_message_ms"),
+    )
+    return out.select(
+        F.col("k").alias("n_retries"), "n_messages", "total_backoff_ms", "per_message_ms"
     )
