@@ -237,6 +237,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_max_drawdown",
     "r_x2_metadata_codec",
     "r_x7_backoff_schedule",
+    "r_rebalance_rendezvous",
+    "p_simhash_bit_balance",
+    "p_scalar_quant_error",
 ]
 
 

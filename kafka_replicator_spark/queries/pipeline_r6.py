@@ -2571,3 +2571,147 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown_cents"),
         F.max("peak").cast("long").alias("final_peak_cents"),
     )
+
+
+# ------------------------------------------- SimHash bit-balance audit
+
+_SBB_BITS = 32  # functions.dedup.SIMHASH_BITS
+
+
+def _simhash_bit_balance_sql() -> str:
+    from kafka_replicator_spark.functions.dedup import simhash_sql
+
+    ones = ",\n         ".join(
+        f"CAST(sum((simhash >> {b}) & 1) AS BIGINT) AS o{b}"
+        for b in range(_SBB_BITS)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS bit, n, o{b} AS ones FROM agg"
+        for b in range(_SBB_BITS)
+    )
+    return f"""
+WITH sig AS ({simhash_sql()}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {ones}
+  FROM sig
+),
+bits AS (
+  {unpivot}
+)
+SELECT bit, n AS n_docs, ones,
+       CAST((1000000 * abs(2 * ones - n)) // n AS BIGINT) AS dev_ppm
+FROM bits
+"""
+
+
+@register(
+    "p_simhash_bit_balance",
+    _simhash_bit_balance_sql(),
+    tags=("pipeline", "dedup"),
+    doc="per-bit ones-ratio audit of the 32-bit SimHash fingerprints: a "
+    "healthy token hash leaves every fingerprint bit near 50% ones "
+    "across the corpus; a skewed bit weakens the banded near-dup "
+    "recall guarantee (all pairs collide in the degenerate band).  "
+    "dev_ppm = 1e6·|2·ones − n|/n per bit.  The plan is ONE scalar "
+    "aggregate over the signature frame (32 conditional sums, all "
+    "map-side partial) followed by a 32-element literal-array explode "
+    "of the single row — no per-bit fan-out ever touches the corpus; "
+    "32 output rows at any scale",
+)
+def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import dedup as dd
+
+    sig = dd.simhash(load_table(spark, sf_dir, "documents"))
+    aggs = [
+        F.sum(F.expr(f"(shiftright(simhash, {b}) & 1)")).cast("long").alias(f"o{b}")
+        for b in range(_SBB_BITS)
+    ]
+    row = sig.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"), *aggs)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bit"), F.col(f"o{b}").alias("ones")
+            )
+            for b in range(_SBB_BITS)
+        ]
+    )
+    return (
+        row.select("n", F.explode(arr).alias("s"))
+        .select(
+            F.col("s.bit").alias("bit"),
+            F.col("n").alias("n_docs"),
+            F.col("s.ones").alias("ones"),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.expr("(1000000 * abs(2 * ones - n_docs)) div n_docs").cast("long"),
+        )
+    )
+
+
+# --------------------------------------- scalar int8 quantization audit
+
+@register(
+    "p_scalar_quant_error",
+    f"""
+WITH e AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest({micro_units_sql('embedding')}) AS v
+  FROM embeddings
+),
+d AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim),
+je AS (
+  SELECT e.dim, mn, mx,
+         CASE WHEN mx > mn
+              THEN abs(v * 255 - (mn * 255 + (((v - mn) * 255) // (mx - mn))
+                                  * (mx - mn)))
+              ELSE 0 END AS err
+  FROM e JOIN d ON e.dim = d.dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(min(mn) AS BIGINT) AS min_micro,
+       CAST(max(mx) AS BIGINT) AS max_micro,
+       CAST(sum(err) AS BIGINT) AS sum_err_255,
+       CAST(max(err) AS BIGINT) AS max_err_255
+FROM je GROUP BY dim
+""",
+    tags=("pipeline", "embeddings"),
+    doc="int8 scalar-quantization error audit, the affine per-dimension "
+    "baseline next to p_pq_distortion's codebook path: each dimension "
+    "maps its [min, max] micro-unit range onto 256 levels, and the "
+    "reconstruction error is measured EXACTLY in 1/255ths of a "
+    "micro-unit — err = |255·v − (255·mn + q·(mx−mn))| with "
+    "q = ((v−mn)·255) div (mx−mn), pure integer arithmetic both "
+    "engines reproduce bit-for-bit (micro_units rule; v−mn ≥ 0 so "
+    "trunc-div == floor-div).  Plan: posexplode → 64-row per-dim "
+    "min/max agg → BROADCAST join back → per-dim error agg; the error "
+    "sum is lifted to DECIMAL(38,0)/HUGEINT before the fold (at 1e12 "
+    "rows the int64 sum wraps).  Constant dimensions quantize to level "
+    "0 with zero error (guarded on both engines — DuckDB // by zero "
+    "raises)",
+)
+def q_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", micro_units("embedding").alias("em")).select(
+        "vec_id", F.posexplode("em").alias("dim", "v")
+    )
+    dims = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    err = F.expr(
+        "CASE WHEN mx > mn"
+        " THEN abs(v * 255 - (mn * 255 + (((v - mn) * 255) div (mx - mn))"
+        " * (mx - mn)))"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        e.join(F.broadcast(dims), "dim")
+        .select(F.col("dim").cast("long").alias("dim"), "mn", "mx", err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.min("mn").cast("long").alias("min_micro"),
+            F.max("mx").cast("long").alias("max_micro"),
+            F.sum(F.col("err").cast("decimal(38,0)")).cast("long").alias("sum_err_255"),
+            F.max("err").cast("long").alias("max_err_255"),
+        )
+    )

@@ -1072,3 +1072,139 @@ def q_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("k").alias("n_retries"), "n_messages", "total_backoff_ms", "per_message_ms"
     )
+
+
+# ------------------------------------------- rendezvous rebalance model
+
+#: worker-pool sizes for the scale-up movement audit (W → W+1)
+_RB_W = 8
+
+
+def _rendezvous_sql(n_workers: int, m_alias: str) -> str:
+    """CASE chain picking the argmax worker (ties → lowest index, though
+    md5 ties are vanishingly rare) — mirrors the Spark fold exactly."""
+    whens = "\n              ".join(
+        f"WHEN h{w} = {m_alias} THEN {w}" for w in range(n_workers)
+    )
+    return f"CASE {whens} ELSE -1 END"
+
+
+@register(
+    "r_rebalance_rendezvous",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic || '/' || CAST(partition_id AS VARCHAR) || '/' ||
+         CAST(segment_seq AS VARCHAR) AS item_key,
+         CAST(sum(msg_size) AS BIGINT) AS bytes
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        "hashed AS (\n  SELECT bytes,\n         "
+        + ",\n         ".join(
+            portable_hash60_sql("item_key || '#%d'" % w) + f" AS h{w}"
+            for w in range(_RB_W + 1)
+        )
+        + "\n  FROM seg\n)",
+        f"""mx AS (
+  SELECT *,
+         greatest({', '.join(f'h{w}' for w in range(_RB_W))}) AS m8,
+         greatest({', '.join(f'h{w}' for w in range(_RB_W + 1))}) AS m9
+  FROM hashed
+)""",
+        f"""owners AS (
+  SELECT bytes,
+         {_rendezvous_sql(_RB_W, 'm8')} AS owner8,
+         {_rendezvous_sql(_RB_W + 1, 'm9')} AS owner9
+  FROM mx
+)""",
+        """pairs AS (
+  SELECT owner8, owner9, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(bytes) AS BIGINT) AS b
+  FROM owners GROUP BY owner8, owner9
+)""",
+        select=f"""
+SELECT CAST(w AS BIGINT) AS worker,
+       CAST(sum(CASE WHEN owner8 = w THEN n ELSE 0 END) AS BIGINT) AS n_items_w8,
+       CAST(sum(CASE WHEN owner9 = w THEN n ELSE 0 END) AS BIGINT) AS n_items_w9,
+       CAST(sum(CASE WHEN owner9 = w AND owner8 <> owner9 THEN n ELSE 0 END)
+            AS BIGINT) AS moved_in,
+       CAST(sum(CASE WHEN owner9 = w THEN b ELSE 0 END) AS BIGINT) AS bytes_w9
+FROM pairs CROSS JOIN range(0, {_RB_W + 1}) t(w)
+GROUP BY w
+""",
+    ),
+    tags=("parity", "scalar"),
+    doc="Rendezvous (highest-random-weight) segment→worker assignment "
+    "model with a scale-up movement audit.  The reference delegates "
+    "partition ownership to the consumer group's 'roundrobin,range' "
+    "strategy (pkg/kafka/consumer.go:28-56,130) and re-plans work on "
+    "AssignedPartitions/RevokedPartitions events (pkg/egress/"
+    f"controller.go:118-127); this restates the assignment step over "
+    f"compaction work items (segments) with rendezvous hashing — the "
+    f"scale path, because round-robin needs a global rank (a sort) while "
+    f"HRW is a per-item argmax over {_RB_W + 1} portable hashes, "
+    "embarrassingly parallel and minimally-moving (expected moved "
+    f"fraction 1/{_RB_W + 1} when a worker joins).  The plan aggregates "
+    "to the tiny (owner8, owner9) pair grid FIRST, then cross-joins the "
+    f"{_RB_W + 1}-row worker dimension — the fan-out never touches the "
+    "item-scale frame.  Ties break to the lowest worker index on both "
+    "engines (identical CASE order)",
+)
+def q_rebalance_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        msgs.withColumn("segment_seq", F.expr(f"msg_offset div {SEG_MAX_MESSAGES}"))
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.sum("msg_size").cast("long").alias("bytes"))
+        .select(
+            F.concat_ws(
+                "/",
+                "topic",
+                F.col("partition_id").cast("string"),
+                F.col("segment_seq").cast("string"),
+            ).alias("item_key"),
+            "bytes",
+        )
+    )
+    hs = [
+        portable_hash60(F.concat(F.col("item_key"), F.lit(f"#{w}")))
+        for w in range(_RB_W + 1)
+    ]
+
+    def owner(hs_w: list) -> F.Column:
+        m = F.greatest(*hs_w)
+        c = F.when(hs_w[0] == m, 0)
+        for w in range(1, len(hs_w)):
+            c = c.when(hs_w[w] == m, w)
+        return c.otherwise(-1)
+
+    owners = seg.select(
+        "bytes", owner(hs[:_RB_W]).alias("owner8"), owner(hs).alias("owner9")
+    )
+    pairs = owners.groupBy("owner8", "owner9").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bytes").cast("long").alias("b"),
+    )
+    workers = spark.range(_RB_W + 1).select(F.col("id").alias("worker"))
+    grid = pairs.crossJoin(F.broadcast(workers))
+    return grid.groupBy("worker").agg(
+        F.sum(F.when(F.col("owner8") == F.col("worker"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_items_w8"),
+        F.sum(F.when(F.col("owner9") == F.col("worker"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_items_w9"),
+        F.sum(
+            F.when(
+                (F.col("owner9") == F.col("worker"))
+                & (F.col("owner8") != F.col("owner9")),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("moved_in"),
+        F.sum(F.when(F.col("owner9") == F.col("worker"), F.col("b")).otherwise(0))
+        .cast("long")
+        .alias("bytes_w9"),
+    )
