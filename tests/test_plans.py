@@ -827,3 +827,38 @@ def test_hard_negatives_two_phase_topk(spark, sf_dir):
     assert any("part" in f.split(",")[1] for f in frags), plan
     for f in frags:
         assert f.startswith("pid"), f[:120]
+
+
+def test_rebalance_rendezvous_no_rank_no_item_fanout(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["r_rebalance_rendezvous"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # HRW assignment is a per-item argmax — no global rank window ever
+    # (that's the whole advantage over roundrobin at scale), and the
+    # worker-grid fan-out is a broadcast nested-loop over the TINY
+    # (owner8, owner9) aggregate, never over the item-scale frame
+    assert "Window [" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_simhash_bit_balance_single_scalar_agg(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_simhash_bit_balance"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the 32 per-bit sums ride ONE scalar aggregate (map-side partial);
+    # the bit unpivot explodes a literal array on the single result row —
+    # no window, no join, no per-bit pass over the corpus
+    assert "Window [" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_scalar_quant_error_broadcasts_dim_stats(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_scalar_quant_error"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the 64-row per-dim min/max frame broadcasts back onto the exploded
+    # components; the quantization itself is pure column math
+    assert has_broadcast_join(df), plan
+    assert "Window [" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
