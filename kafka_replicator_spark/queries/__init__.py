@@ -240,6 +240,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "r_rebalance_rendezvous",
     "p_simhash_bit_balance",
     "p_scalar_quant_error",
+    "a_laspeyres_price_index",
+    "r_ts_monotonicity",
 ]
 
 

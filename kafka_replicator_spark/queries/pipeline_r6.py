@@ -2715,3 +2715,82 @@ def q_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("err").cast("long").alias("max_err_255"),
         )
     )
+
+
+# ------------------------------------------- Laspeyres price index
+
+@register(
+    "a_laspeyres_price_index",
+    """
+WITH py AS (
+  SELECT l_partkey, year(o_orderdate) AS yr,
+         CAST(sum(l_quantity) AS BIGINT) AS qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey, yr
+),
+base AS (SELECT min(yr) AS y0 FROM py),
+b AS (
+  SELECT l_partkey, qty AS q0, (cents * 1000000) // qty AS up0
+  FROM py, base WHERE yr = y0
+),
+t AS (SELECT l_partkey, yr, (cents * 1000000) // qty AS upt FROM py),
+j AS (SELECT yr, q0, up0, upt FROM t JOIN b USING (l_partkey))
+SELECT CAST(yr AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST((1000000::HUGEINT * sum(CAST(upt AS HUGEINT) * q0))
+            // sum(CAST(up0 AS HUGEINT) * q0) AS BIGINT) AS laspeyres_ppm
+FROM j GROUP BY yr
+""",
+    tags=("analytics", "timeseries"),
+    doc="Laspeyres price index per year against the first year's basket: "
+    "each part's unit price is its yearly cents-per-unit in EXACT "
+    "micro-cents ((cents·1e6) div qty — qty is integral 1..50, the "
+    "decimal→bigint cast is exact), the index weights target-year unit "
+    "prices by BASE-year quantities, and the ratio is exact ppm with "
+    "both fold operands lifted to DECIMAL(38,0)/HUGEINT (unit-price × "
+    "quantity products summed over the part universe pass 2^63 at "
+    "warehouse scale).  The basket is the inner join with the base "
+    "year, so entering/exiting parts never skew the ratio; the "
+    "part-grain join keys on l_partkey (shuffle-colocated, "
+    "AQE-broadcastable when the base-year frame is small); "
+    "year-cardinality output",
+)
+def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    py = track_cached(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "yr")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    base = py.groupBy().agg(F.min("yr").alias("y0"))
+    b = (
+        py.join(F.broadcast(base), py.yr == base.y0)
+        .select(
+            "l_partkey",
+            F.col("qty").alias("q0"),
+            F.expr("(cents * 1000000) div qty").alias("up0"),
+        )
+    )
+    t = py.select(
+        "l_partkey", "yr", F.expr("(cents * 1000000) div qty").alias("upt")
+    )
+    j = t.join(b, "l_partkey")
+    return j.groupBy(F.col("yr").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CAST(upt AS DECIMAL(38,0)) * q0))"
+            " div sum(CAST(up0 AS DECIMAL(38,0)) * q0) AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+    )

@@ -1208,3 +1208,62 @@ def q_rebalance_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bytes_w9"),
     )
+
+
+# -------------------------------------------- timestamp monotonicity
+
+@register(
+    "r_ts_monotonicity",
+    with_ctes(
+        MESSAGES_CTE,
+        """lagged AS (
+  SELECT topic, partition_id, ts_us,
+         lag(ts_us) OVER (PARTITION BY topic, partition_id
+                          ORDER BY msg_offset) AS prev_us
+  FROM messages
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(CASE WHEN prev_us > ts_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_regressions,
+       CAST(coalesce(max(CASE WHEN prev_us > ts_us THEN prev_us - ts_us END), 0)
+            AS BIGINT) AS max_regression_us
+FROM lagged GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "scalar"),
+    doc="per-partition timestamp monotonicity audit: count offset-ordered "
+    "message pairs whose timestamp regresses, and the worst regression in "
+    "µs.  The reference stamps each segment's footer with the extent's "
+    "start/end timestamps (s3_parquet.go:234-316) and the compaction gap "
+    "check assumes offset order is the stream order "
+    "(compactor.go:219-221) — out-of-order producer timestamps are the "
+    "one input that silently corrupts time-based pruning on top of those "
+    "stamps, so the audit quantifies them.  The lag window is keyed by "
+    "(topic, partition), the stream's native delivery grain — the same "
+    "per-partition order every consumer already observes, never a global "
+    "sort",
+)
+def q_ts_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    w = Window.partitionBy("topic", "partition_id").orderBy("msg_offset")
+    lagged = msgs.select(
+        "topic", "partition_id", "ts_us", F.lag("ts_us").over(w).alias("prev_us")
+    )
+    reg = F.when(F.col("prev_us") > F.col("ts_us"), 1).otherwise(0)
+    return lagged.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(reg).cast("long").alias("n_regressions"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("prev_us") > F.col("ts_us"),
+                    F.col("prev_us") - F.col("ts_us"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_regression_us"),
+    )
