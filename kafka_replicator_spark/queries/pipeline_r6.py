@@ -2590,8 +2590,8 @@ def _simhash_bit_balance_sql() -> str:
         for b in range(_SBB_BITS)
     )
     return f"""
-WITH sig AS ({simhash_sql()}),
-agg AS (
+WITH sig AS MATERIALIZED ({simhash_sql()}),
+agg AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS n,
          {ones}
   FROM sig
@@ -2655,7 +2655,7 @@ def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p_scalar_quant_error",
     f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS dim,
          unnest({micro_units_sql('embedding')}) AS v
@@ -2722,7 +2722,7 @@ def q_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_laspeyres_price_index",
     """
-WITH py AS (
+WITH py AS MATERIALIZED (
   SELECT l_partkey, year(o_orderdate) AS yr,
          CAST(sum(l_quantity) AS BIGINT) AS qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

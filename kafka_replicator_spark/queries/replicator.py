@@ -943,7 +943,7 @@ FROM enc GROUP BY topic, partition_id
 def q_metadata_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = events_as_messages(spark, sf_dir)
     seg = (
-        msgs.withColumn("segment_seq", F.expr(f"msg_offset div {SEG_MAX_MESSAGES}"))
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
         .groupBy("topic", "partition_id", "segment_seq")
         .agg(
             F.min("msg_offset").alias("start_offset"),
@@ -1154,7 +1154,7 @@ GROUP BY w
 def q_rebalance_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = events_as_messages(spark, sf_dir)
     seg = (
-        msgs.withColumn("segment_seq", F.expr(f"msg_offset div {SEG_MAX_MESSAGES}"))
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
         .groupBy("topic", "partition_id", "segment_seq")
         .agg(F.sum("msg_size").cast("long").alias("bytes"))
         .select(
