@@ -242,6 +242,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_scalar_quant_error",
     "a_laspeyres_price_index",
     "r_ts_monotonicity",
+    "a_mann_whitney_weekend",
+    "r_key_cardinality_profile",
 ]
 
 

@@ -2794,3 +2794,80 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(CAST(up0 AS DECIMAL(38,0)) * q0) AS BIGINT)"
         ).alias("laspeyres_ppm"),
     )
+
+
+# -------------------------------------------- Mann-Whitney weekend test
+
+@register(
+    "a_mann_whitney_weekend",
+    f"""
+WITH d AS MATERIALIZED (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(max(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1
+                       ELSE 0 END) AS INTEGER) AS weekend,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+r AS (
+  SELECT weekend, row_number() OVER (ORDER BY cents, day) AS rk FROM d
+)
+SELECT CAST(sum(weekend) AS BIGINT) AS n_weekend,
+       CAST(sum(1 - weekend) AS BIGINT) AS n_weekday,
+       CAST(sum(CASE WHEN weekend = 1 THEN rk ELSE 0 END) AS BIGINT)
+         AS rank_sum_weekend,
+       CAST(sum(CASE WHEN weekend = 1 THEN rk ELSE 0 END)
+            - sum(weekend) * (sum(weekend) + 1) // 2 AS BIGINT) AS u_weekend,
+       CAST((1000000 * (sum(CASE WHEN weekend = 1 THEN rk ELSE 0 END)
+                        - sum(weekend) * (sum(weekend) + 1) // 2))
+            // (sum(weekend) * sum(1 - weekend)) AS BIGINT) AS auc_ppm
+FROM r
+""",
+    tags=("analytics", "stats"),
+    doc="Mann-Whitney U rank-sum test of weekend vs weekday daily revenue "
+    "— the nonparametric sibling of a_weekend_effect_ttest (no normality "
+    "assumption), and U/(n1·n2) is EXACTLY the AUC of 'weekend revenue "
+    "beats weekday revenue', reported in exact ppm.  Daily cents are "
+    "integral; the rank is row_number with the deterministic (cents, "
+    "day) tie-break both engines sort identically (the spearman rule).  "
+    "The global rank window runs on the DAY-grain frame (~2.4k rows at "
+    "any scale — the documented bounded-grain exemption); Spark "
+    "dayofweek is 1-based (Sun=1, Sat=7) vs DuckDB 0-based (Sun=0, "
+    "Sat=6)",
+)
+def q_mann_whitney_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}"
+            ).alias("day")
+        )
+        .agg(
+            F.max(
+                F.expr(
+                    "CAST(dayofweek(o_orderdate) IN (1, 7) AS INT)"
+                )
+            ).alias("weekend"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    w = Window.orderBy("cents", "day")
+    r = d.select("weekend", F.row_number().over(w).alias("rk"))
+    return r.groupBy().agg(
+        F.sum("weekend").cast("long").alias("n_weekend"),
+        F.sum(F.expr("1 - weekend")).cast("long").alias("n_weekday"),
+        F.sum(F.expr("CASE WHEN weekend = 1 THEN rk ELSE 0 END"))
+        .cast("long")
+        .alias("rank_sum_weekend"),
+        F.expr(
+            "CAST(sum(CASE WHEN weekend = 1 THEN rk ELSE 0 END)"
+            " - sum(weekend) * (sum(weekend) + 1) div 2 AS BIGINT)"
+        ).alias("u_weekend"),
+        F.expr(
+            "CAST((1000000 * (sum(CASE WHEN weekend = 1 THEN rk ELSE 0 END)"
+            " - sum(weekend) * (sum(weekend) + 1) div 2))"
+            " div (sum(weekend) * sum(1 - weekend)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )

@@ -1267,3 +1267,51 @@ def q_ts_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_regression_us"),
     )
+
+
+# ------------------------------------------- key cardinality profile
+
+@register(
+    "r_key_cardinality_profile",
+    with_ctes(
+        MESSAGES_CTE,
+        """pk AS (
+  SELECT topic, partition_id, msg_key, CAST(count(*) AS BIGINT) AS n_per_key
+  FROM messages GROUP BY topic, partition_id, msg_key
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(sum(n_per_key) AS BIGINT) AS n_msgs,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST((1000000 * count(*)) // sum(n_per_key) AS BIGINT)
+         AS compaction_ratio_ppm,
+       CAST(max(n_per_key) AS BIGINT) AS max_msgs_per_key
+FROM pk GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "scalar"),
+    doc="per-partition key-cardinality profile: distinct keys vs stream "
+    "length, i.e. the EXACT size a log-compacted copy of the partition "
+    "retains (compaction_ratio_ppm = 1e6·keys/msgs) plus the hottest "
+    "key's message count.  This is the planning number behind the "
+    "compacted-topic state scan (S5 — operators/checkpoints.py "
+    "compacted_topic_state; reference checkpoint/consistent stores read "
+    "compacted topics, pkg/stores/checkpoint_store.go:219-237): the "
+    "retained-state volume is the key cardinality, not the stream "
+    "length, and a hot key bounds per-key replay cost.  Two partial-"
+    "aggregable groupBys, key grain then partition grain — both "
+    "map-side combinable, no window, no join",
+)
+def q_key_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    pk = msgs.groupBy("topic", "partition_id", "msg_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_per_key")
+    )
+    return pk.groupBy("topic", "partition_id").agg(
+        F.sum("n_per_key").cast("long").alias("n_msgs"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.expr("CAST((1000000 * count(1)) div sum(n_per_key) AS BIGINT)").alias(
+            "compaction_ratio_ppm"
+        ),
+        F.max("n_per_key").cast("long").alias("max_msgs_per_key"),
+    )
