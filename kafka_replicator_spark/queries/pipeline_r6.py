@@ -8,8 +8,9 @@ max-coverage selection, quota sampling, SimHash hamming histograms and
 signature-width sensitivity, IVF scan-cost and recall-curve audits,
 arrival dispersion, character-class profiles, bloom FPR replay, dedup
 selection bias, session gap sensitivity, RFM quartile migration,
-centroid silhouette proxies, cross-modal length/label audits, and
-maximum drawdown.
+centroid silhouette proxies, cross-modal length/label audits,
+maximum drawdown, SimHash bit-balance, scalar int8 quantization error,
+the Laspeyres price index, and the Mann-Whitney weekend rank-sum test.
 
 Reference parity: no analog in the reference engine
 (CrowdStrike/kafka-replicator) — these extend the analytics and
