@@ -244,6 +244,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "r_ts_monotonicity",
     "a_mann_whitney_weekend",
     "r_key_cardinality_profile",
+    "r_f3_superseded_pop",
+    "r_f5_age_gate",
 ]
 
 

@@ -1315,3 +1315,190 @@ def q_key_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_per_key").cast("long").alias("max_msgs_per_key"),
     )
+
+
+# ------------------------------------------- F3 superseded-segment pop
+
+#: L0 segment_seqs merged into the synthetic L1 segment (small enough
+#: that every scale keeps at least one un-superseded L0 per partition)
+_F3_MERGED_SEQS = 2
+
+
+@register(
+    "r_f3_superseded_pop",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        f"""l1 AS (
+  SELECT topic, partition_id, max(end_offset) + 1 AS compact_floor
+  FROM segments WHERE segment_seq < {_F3_MERGED_SEQS}
+  GROUP BY topic, partition_id
+)""",
+        select="""
+SELECT s.topic, s.partition_id, s.segment_seq, s.start_offset, s.end_offset,
+       l1.compact_floor AS compact_floor,
+       s.end_offset < l1.compact_floor AS superseded
+FROM segments s JOIN l1 USING (topic, partition_id)
+""",
+    ),
+    tags=("parity", "filter"),
+    doc="F3 superseded-segment pop driven through the REAL plan_compaction "
+    "operator (upgrades F3 from pytest-only to oracle-checked): the first "
+    f"{_F3_MERGED_SEQS} L0 segments per partition are merged into a "
+    "synthetic L1 segment, the planner derives the resume floor from the "
+    "level above the band (compactor.go:176-191) and pops in-band "
+    "segments wholly below it (compactor.go:192-203) with "
+    "include_superseded=True — popped rows must still surface so the "
+    "post-merge delete covers them (filtering them out leaks storage).  "
+    "The oracle restates floor+pop relationally; the Spark side returns "
+    "plan_compaction's own output, so the operator's floor join "
+    "(broadcast, metadata-scale) and qualification path are what's "
+    "verified",
+)
+def q_f3_superseded_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    l0 = segment_bounds(
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES), region="local", level=0
+    )
+    l1 = (
+        l0.filter(F.col("segment_seq") < _F3_MERGED_SEQS)
+        .groupBy("topic", "partition_id")
+        .agg(
+            F.min("start_offset").alias("start_offset"),
+            F.max("end_offset").alias("end_offset"),
+            F.sum("message_count").alias("message_count"),
+            F.sum("size_bytes").alias("size_bytes"),
+        )
+        .select(
+            F.lit("local").alias("region"),
+            "topic",
+            "partition_id",
+            F.lit(1).cast("int").alias("level"),
+            F.lit(0).cast("long").alias("segment_seq"),
+            "start_offset",
+            "end_offset",
+            "message_count",
+            "size_bytes",
+        )
+    )
+    listing = l0.unionByName(l1)
+    plan = plan_compaction(
+        listing,
+        min_level=0,
+        max_level=0,
+        min_count=1,
+        max_count=10_000,
+        min_bytes=1,
+        max_bytes=1 << 40,
+        include_superseded=True,
+    )
+    return plan.select(
+        "topic",
+        "partition_id",
+        "segment_seq",
+        "start_offset",
+        "end_offset",
+        "compact_floor",
+        "superseded",
+    )
+
+
+# --------------------------------------------------- F5 age predicate
+
+#: the age gate excludes segments closing within the most recent
+#: 1/_F5_SPAN_DIV of the observed close-timestamp span (a relative
+#: threshold — the corpus time span varies per scale factor, so a fixed
+#: day count would degenerate to all-or-nothing)
+_F5_SPAN_DIV = 3
+
+
+@register(
+    "r_f5_age_gate",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq,
+         max(ts_us) AS close_ts_us,
+         CAST(sum(msg_size) AS BIGINT) AS size_bytes
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""cut AS (
+  SELECT ((max(close_ts_us) // 1000000)
+          - ((max(close_ts_us) - min(close_ts_us)) // 1000000)
+            // {_F5_SPAN_DIV}) * 1000000 AS c
+  FROM seg
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_eligible,
+       CAST(max(segment_seq) AS BIGINT) AS last_eligible_seq,
+       CAST(sum(size_bytes) AS BIGINT) AS eligible_bytes
+FROM seg, cut WHERE close_ts_us <= c
+GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "filter"),
+    doc="F5 age gate driven through the REAL plan_compaction operator "
+    "(upgrades F5 from pytest-only to oracle-checked): each segment's "
+    "modified_ts is its close timestamp, 'now' is pinned to the stream "
+    f"head so cutoff = head − span/{_F5_SPAN_DIV} at whole-second grain "
+    "(a RELATIVE threshold — the corpus spans ~19 days, so a fixed day "
+    "count would be all-or-nothing; exact under the UTC session tz — "
+    "the planner's `modified_ts <= cutoff` literal compare equals the "
+    "oracle's integer-µs compare), "
+    "and only old-enough segments survive into the plan "
+    "(compactor.go age config, pkg/compaction/config.go:29-39).  The "
+    "head timestamp is ONE scalar collect (metadata-scale, the "
+    "documented bounded-collect pattern); everything else is the "
+    "operator's own broadcast-floor/qualification plan",
+)
+def q_f5_age_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timedelta
+
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("msg_offset").alias("end_offset"),
+            F.count(F.lit(1)).alias("message_count"),
+            F.sum("msg_size").cast("long").alias("size_bytes"),
+            F.max("ts_us").alias("close_ts_us"),
+        )
+        .select(
+            F.lit("local").alias("region"),
+            "topic",
+            "partition_id",
+            F.lit(0).cast("int").alias("level"),
+            "segment_seq",
+            "start_offset",
+            "end_offset",
+            "message_count",
+            "size_bytes",
+            "close_ts_us",
+            F.timestamp_micros(F.col("close_ts_us")).alias("modified_ts"),
+        )
+    )
+    head_us, low_us = seg.agg(
+        F.max("close_ts_us"), F.min("close_ts_us")
+    ).head()
+    cutoff_s = head_us // 1_000_000 - ((head_us - low_us) // 1_000_000) // _F5_SPAN_DIV
+    plan = plan_compaction(
+        seg,
+        min_level=0,
+        max_level=0,
+        min_count=1,
+        max_count=10_000,
+        min_bytes=1,
+        max_bytes=1 << 40,
+        min_age=timedelta(hours=1),
+        now=datetime.utcfromtimestamp(cutoff_s + 3600),
+    )
+    return plan.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eligible"),
+        F.max("segment_seq").cast("long").alias("last_eligible_seq"),
+        F.sum("size_bytes").cast("long").alias("eligible_bytes"),
+    )
