@@ -246,6 +246,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "r_key_cardinality_profile",
     "r_f3_superseded_pop",
     "r_f5_age_gate",
+    "r_x4_url_roundtrip",
 ]
 
 

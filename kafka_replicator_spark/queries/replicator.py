@@ -1502,3 +1502,77 @@ def q_f5_age_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("segment_seq").cast("long").alias("last_eligible_seq"),
         F.sum("size_bytes").cast("long").alias("eligible_bytes"),
     )
+
+
+# ----------------------------------------------- X4 URL-decode roundtrip
+
+#: (literal, escape) pairs applied in order — '%' FIRST so every '%' in
+#: the encoded text starts a valid escape sequence
+_X4_ESCAPES = (
+    ("%", "%25"),
+    (" ", "%20"),
+    ('"', "%22"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+    (":", "%3A"),
+)
+
+
+def _x4_encode_sql(expr: str) -> str:
+    for lit, esc in _X4_ESCAPES:
+        lit_sql = lit.replace("'", "''")
+        expr = f"replace({expr}, '{lit_sql}', '{esc}')"
+    return expr
+
+
+@register(
+    "r_x4_url_roundtrip",
+    with_ctes(
+        MESSAGES_CTE,
+        f"""enc AS (
+  SELECT topic, partition_id, payload,
+         {_x4_encode_sql('payload')} AS encoded
+  FROM messages
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(sum(length(encoded) - length(payload)) AS BIGINT)
+         AS escape_overhead_chars
+FROM enc GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "scalar"),
+    doc="X4 URL-decode roundtrip audit (upgrades X4 from pytest-only to "
+    "oracle-checked; reference sqs_segment_event_source.go:334-339 "
+    "percent-decodes S3 object keys): each payload is percent-encoded "
+    "with an identical replace chain on BOTH engines ('%' escaped "
+    "first, so every '%' in the encoded text opens a valid escape), "
+    "then Spark's url_decode must recover the original byte-for-byte.  "
+    "This is a known-answer oracle: DuckDB has no url_decode, so the "
+    "oracle asserts the roundtrip invariant (n_roundtrip_ok = all "
+    "rows) — any url_decode defect (e.g. mishandling %XX case or '+' "
+    "semantics) makes the Spark count fall short and the hash compare "
+    "fail.  Pure per-row column math, one partition-grain aggregate",
+)
+def q_url_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    enc_expr = "payload"
+    for lit, esc in _X4_ESCAPES:
+        lit_sql = lit.replace("'", "''")
+        enc_expr = f"replace({enc_expr}, '{lit_sql}', '{esc}')"
+    enc = msgs.select(
+        "topic",
+        "partition_id",
+        "payload",
+        F.expr(enc_expr).alias("encoded"),
+    )
+    ok = F.when(F.expr("url_decode(encoded)") == F.col("payload"), 1).otherwise(0)
+    return enc.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(ok).cast("long").alias("n_roundtrip_ok"),
+        F.sum(F.expr("length(encoded) - length(payload)"))
+        .cast("long")
+        .alias("escape_overhead_chars"),
+    )
