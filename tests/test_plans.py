@@ -862,3 +862,24 @@ def test_scalar_quant_error_broadcasts_dim_stats(spark, sf_dir):
     assert has_broadcast_join(df), plan
     assert "Window [" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_f3_pop_floor_join_broadcasts(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["r_f3_superseded_pop"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # plan_compaction's resume-floor and qualification joins are
+    # metadata-scale and must broadcast; the pop itself is a filter
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_x4_roundtrip_stays_scalar(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["r_x4_url_roundtrip"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # encode/decode/compare is pure column math inside codegen — one
+    # partition-grain aggregate, no window, no join
+    assert "Window [" not in plan, plan
+    assert "Join" not in plan, plan
+    assert has_wholestage_codegen(df), plan
