@@ -247,6 +247,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "r_f3_superseded_pop",
     "r_f5_age_gate",
     "r_x4_url_roundtrip",
+    "p_ann_ndcg",
+    "p_label_source_mi",
 ]
 
 

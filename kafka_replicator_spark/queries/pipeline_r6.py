@@ -2872,3 +2872,192 @@ def q_mann_whitney_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (sum(weekend) * sum(1 - weekend)) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+# ------------------------------------------------------- ANN NDCG@5
+
+#: discount weights 1e6/log2(rank+1) for ranks 1..5 and their prefix sums
+#: (the ideal DCG for n relevant hits) — PRECOMPUTED EXACT LITERALS so no
+#: runtime log ever runs on either engine
+_NDCG_W = (1000000, 630930, 500000, 430677, 386853)
+_NDCG_IDCG = (1000000, 1630930, 2130930, 2561607, 2948460)
+_NDCG_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _ndcg_sql() -> str:
+    from kafka_replicator_spark.functions import similarity
+
+    w_case = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+    )
+    idcg_case = " ".join(
+        f"WHEN {n + 1} THEN {c}" for n, c in enumerate(_NDCG_IDCG)
+    )
+    return f"""
+WITH ann AS (
+  SELECT probe_id, neighbor_id, rank
+  FROM ({similarity.ann_topk_sql(_NDCG_PROBES, k=5, n_planes=4, dim=64)})
+),
+lbl AS (SELECT vec_id, label FROM embeddings),
+gains AS (
+  SELECT ann.probe_id,
+         CAST(count(*) AS BIGINT) AS n_rel,
+         CAST(sum(CASE ann.rank {w_case} ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM ann
+  JOIN lbl pl ON pl.vec_id = ann.probe_id
+  JOIN lbl nl ON nl.vec_id = ann.neighbor_id
+  WHERE nl.label = pl.label
+  GROUP BY ann.probe_id
+),
+base AS (SELECT DISTINCT probe_id FROM ann)
+SELECT base.probe_id,
+       coalesce(g.n_rel, 0) AS n_rel,
+       coalesce(g.dcg_micro, 0) AS dcg_micro,
+       CASE WHEN g.n_rel IS NULL THEN 0
+            ELSE (1000000 * g.dcg_micro)
+                 // (CASE g.n_rel {idcg_case} ELSE 1 END) END AS ndcg_ppm
+FROM base LEFT JOIN gains g USING (probe_id)
+"""
+
+
+@register(
+    "p_ann_ndcg",
+    _ndcg_sql(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="NDCG@5 of the LSH-bucketed ANN ranking against same-label "
+    "relevance — completes the retrieval-eval family (recall, "
+    "precision, MRR, AUC, ECE already registered): DCG discounts are "
+    "the 1e6/log2(rank+1) weights PRECOMPUTED as exact integer "
+    "literals (no runtime log on either engine), the ideal DCG is the "
+    "prefix sum for the probe's hit count, and ndcg_ppm is an exact "
+    "integer ratio.  Labels ride broadcast joins onto the ≤k-row "
+    "per-probe frame; probe-count output",
+)
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ann_topk(emb, _NDCG_PROBES, k=5, n_planes=4, dim=64)
+    lbl = emb.select("vec_id", "label")
+    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl"))
+    nl = lbl.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
+    )
+    w_case = " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W))
+    idcg_case = " ".join(
+        f"WHEN {n + 1} THEN {c}" for n, c in enumerate(_NDCG_IDCG)
+    )
+    gains = (
+        ann.join(F.broadcast(pl), "probe_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .where(F.col("n_lbl") == F.col("p_lbl"))
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.sum(F.expr(f"CASE rank {w_case} ELSE 0 END"))
+            .cast("long")
+            .alias("dcg_micro"),
+        )
+    )
+    base = ann.select("probe_id").distinct()
+    return base.join(gains, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long").alias("dcg_micro"),
+        F.expr(
+            "CASE WHEN n_rel IS NULL THEN 0"
+            f" ELSE (1000000 * dcg_micro) div (CASE n_rel {idcg_case} ELSE 1 END)"
+            " END"
+        )
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )
+
+
+# ------------------------------------- source x label mutual information
+
+#: per-cell MI term over exact integer counts — the expression TEXT is
+#: shared verbatim by both engines, then quantized to integer nano
+#: BEFORE the fold (the proven ln re-quantization rule)
+_MI_TERM = (
+    "ln((CAST(n AS DOUBLE) * n_total) / (CAST(n_src AS DOUBLE) * n_lab))"
+)
+
+
+@register(
+    "p_label_source_mi",
+    f"""
+WITH j AS (
+  SELECT d.source, e.label
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+cells AS (
+  SELECT source, CAST(label AS INTEGER) AS label, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY source, label
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j),
+marg AS (
+  SELECT c.source, c.label, c.n,
+         sum(c.n) OVER (PARTITION BY c.source) AS n_src,
+         sum(c.n) OVER (PARTITION BY c.label) AS n_lab
+  FROM cells c
+),
+terms AS (
+  SELECT n,
+         CAST(floor({_MI_TERM} * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM marg, tot
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+       (SELECT n_total FROM tot) AS n_docs,
+       CAST(sum(n * t_nano) // (SELECT n_total FROM tot) AS BIGINT) AS mi_nano
+FROM terms
+""",
+    tags=("pipeline", "audit"),
+    doc="mutual information (nats, integer nano-scale) between document "
+    "source and embedding label over the aligned doc_id = vec_id rows — "
+    "the effect-size companion to p_label_source_contingency's "
+    "chi-square (chi2 says 'associated', MI says 'how many bits of "
+    "source leak into the label').  MI sums only observed cells "
+    "(0·ln0 = 0 drops empties), each cell's ln term is computed from "
+    "exact integer counts with the expression text shared verbatim by "
+    "both engines and quantized to integer nano BEFORE the weighted "
+    "fold (the ln re-quantization rule); marginals via partition-keyed "
+    "windows over the bounded cell grid; 1 output row",
+)
+def q_label_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    j = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "source", F.col("label").cast("int").alias("label")
+    )
+    j = track_cached(j)
+    cells = j.groupBy("source", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    marg = cells.select(
+        "n",
+        F.sum("n").over(W.partitionBy("source")).alias("n_src"),
+        F.sum("n").over(W.partitionBy("label")).alias("n_lab"),
+    )
+    tot = j.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_cells = cells.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    terms = marg.join(F.broadcast(tot), how="cross").select(
+        "n",
+        "n_total",
+        F.expr(f"CAST(floor({_MI_TERM} * 1000000000 + 0.5) AS BIGINT)").alias(
+            "t_nano"
+        ),
+    )
+    mi = terms.groupBy().agg(
+        F.expr("CAST(sum(n * t_nano) div any_value(n_total) AS BIGINT)").alias(
+            "mi_nano"
+        ),
+        F.any_value("n_total").alias("n_docs"),
+    )
+    return mi.join(F.broadcast(n_cells), how="cross").select(
+        "n_cells", "n_docs", "mi_nano"
+    )
