@@ -27,6 +27,7 @@ def interval_join(
     right_ts: str = "event_time",
     max_delay: str = "10 minutes",
     watermark_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join rows of ``right`` to rows of ``left`` when they share ``on``
     keys and ``right_ts`` falls in ``(left_ts, left_ts + max_delay]``.
@@ -36,7 +37,21 @@ def interval_join(
     grows forever (the classic unbounded stream-join failure).  At scale
     the state per key is bounded by ``watermark_delay + max_delay`` of
     traffic, independent of stream length.
+
+    ``how="leftOuter"`` additionally emits a null-padded row for each left
+    row that found no partner — but ONLY once the combined watermark
+    passes the end of that row's join window (``left_ts + max_delay``),
+    because until then a partner could still arrive.  Consequence under
+    ``availableNow`` drains: Spark's trailing no-data batch advances the
+    watermark to ``min(max left ts, max right ts) − watermark_delay`` and
+    flushes expired state, so unmatched rows CLOSER than
+    ``watermark_delay + max_delay`` to the stream head keep their state
+    and never emit their null row in that run — they would on the next
+    incremental run.  The batch form of the same plan (the oracle) has no
+    watermark and emits every null row.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark_delay)
@@ -45,4 +60,4 @@ def interval_join(
     cond = (lt < rt) & (rt <= lt + F.expr(f"INTERVAL {max_delay}"))
     for k in on:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    return left.alias("l").join(right.alias("r"), cond, "inner")
+    return left.alias("l").join(right.alias("r"), cond, how)

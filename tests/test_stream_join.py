@@ -87,3 +87,67 @@ def test_interval_join_refuses_nothing_but_carries_watermark(spark, sf_dir, tmp_
     sviews = spark.readStream.schema(views.schema).parquet(vdir)
     out = interval_join(sviews, buys, on=["user_id"])  # stream-batch mix is fine
     assert out.isStreaming
+
+
+def _attributed_outer(views, buys):
+    j = interval_join(
+        views, buys, on=["user_id"], max_delay="60 minutes",
+        watermark_delay="30 minutes", how="leftOuter",
+    )
+    return j.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_time").alias("view_time"),
+        F.col("r.event_time").alias("buy_time"),
+        "view_value",
+        "buy_value",
+    )
+
+
+def test_interval_join_left_outer_stream_watermark_semantics(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: every inner pair must emit; null
+    rows emit exactly for unmatched views whose join window closed before
+    the final watermark (min(max_view, max_buy) - 30min); unmatched views
+    nearer the stream head stay in state and are the ONLY rows missing
+    versus the batch-oracle left outer join."""
+    import datetime
+
+    views, buys = _views_and_purchases(spark, sf_dir)
+    batch_outer = {tuple(r) for r in _attributed_outer(views, buys).collect()}
+    batch_inner = {t for t in batch_outer if t[2] is not None}
+
+    vdir, bdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.write.parquet(vdir)
+    buys.write.parquet(bdir)
+    sviews = spark.readStream.schema(views.schema).parquet(vdir)
+    sbuys = spark.readStream.schema(buys.schema).parquet(bdir)
+    out = _attributed_outer(sviews, sbuys)
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_outer")
+        .option("checkpointLocation", str(tmp_path / "cp_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("ij_outer").collect()}
+
+    # 1. the inner half is exact
+    assert {t for t in got if t[2] is not None} == batch_inner
+    # 2. every emitted null row is genuinely unmatched in the oracle
+    got_nulls = {t for t in got if t[2] is None}
+    batch_nulls = {t for t in batch_outer if t[2] is None}
+    assert got_nulls <= batch_nulls
+    assert got_nulls, "no null row emitted — watermark flush did not run"
+    # 3. the only rows missing vs the oracle are unmatched views whose
+    #    join window had NOT closed under the final watermark
+    max_v = views.agg(F.max("event_time")).collect()[0][0]
+    max_b = buys.agg(F.max("event_time")).collect()[0][0]
+    wm = min(max_v, max_b) - datetime.timedelta(minutes=30)
+    window_close_cut = wm - datetime.timedelta(minutes=60)
+    for t in batch_nulls - got_nulls:
+        assert t[1] >= window_close_cut, (
+            f"null row {t} was due (window closed before watermark) but "
+            "never emitted"
+        )
