@@ -249,6 +249,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "r_x4_url_roundtrip",
     "p_ann_ndcg",
     "p_label_source_mi",
+    "p_label_propagation",
 ]
 
 

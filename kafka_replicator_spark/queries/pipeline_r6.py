@@ -3061,3 +3061,120 @@ def q_label_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mi.join(F.broadcast(n_cells), how="cross").select(
         "n_cells", "n_docs", "mi_nano"
     )
+
+
+# ------------------------------------------------ label propagation
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql() -> str:
+    # every CTE is multiply-referenced — MATERIALIZED per the k-core rule
+    from kafka_replicator_spark.functions import graph, similarity
+
+    edges = graph.undirect_sql(similarity.label_knn_graph_sql())
+    parts = [
+        f"e AS MATERIALIZED ({edges})",
+        "nb AS MATERIALIZED (SELECT u AS node, v AS nb FROM e"
+        " UNION ALL SELECT v, u FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM nb)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT n.node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+  FROM nb n JOIN l{i - 1} l ON l.node = n.nb
+  GROUP BY n.node, l.lbl
+)"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    stats = "\nUNION ALL ".join(
+        f"SELECT {i} AS round,"
+        f" (SELECT count(*) FROM l{i} a JOIN l{i - 1} b USING (node)"
+        f"  WHERE a.lbl <> b.lbl) AS n_changed,"
+        f" (SELECT count(DISTINCT lbl) FROM l{i}) AS n_communities"
+        for i in range(1, _LPA_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(round AS BIGINT) AS round,"
+        " CAST(n_changed AS BIGINT) AS n_changed,"
+        " CAST(n_communities AS BIGINT) AS n_communities"
+        f" FROM ({stats})"
+    )
+
+
+@register(
+    "p_label_propagation",
+    _lpa_sql(),
+    tags=("pipeline", "graph"),
+    doc="synchronous label-propagation community detection (Raghavan et "
+    f"al. 2007), {_LPA_ROUNDS} unrolled rounds on the label-blocked kNN "
+    "graph: every node starts as its own community and adopts its "
+    "neighbors' most frequent label each round with the DETERMINISTIC "
+    "(count DESC, label ASC) tie-break — the async/random variant of "
+    "the paper is not oracle-checkable, the synchronous total-order "
+    "form is.  Per round: one |2E| join + count-grain aggregate + a "
+    "rank window keyed by node (per-key cardinality bounded by the "
+    "node's degree, never a global window); per-round convergence "
+    "counts are eager metadata-scale collects that truncate lineage "
+    "(the k-core rule); distinct from p_dup_clusters' min-label "
+    "connected components — LPA separates dense regions within a "
+    "component; 3 output rows",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import graph, similarity
+
+    e = track_cached(
+        graph.undirect(
+            similarity.label_knn_graph(load_table(spark, sf_dir, "embeddings"))
+        )
+    )
+    nb = track_cached(
+        e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+        )
+    )
+    labels = track_cached(
+        nb.select("node").distinct().select("node", F.col("node").alias("lbl"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    stats = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        cnts = (
+            nb.join(
+                labels.select(
+                    F.col("node").alias("nb"), F.col("lbl").alias("lbl")
+                ),
+                "nb",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        new = track_cached(
+            cnts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        n_changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        n_comm = new.select("lbl").distinct().count()
+        stats.append((i, n_changed, n_comm))
+        labels = new
+    return spark.createDataFrame(
+        stats, schema="round long, n_changed long, n_communities long"
+    )
