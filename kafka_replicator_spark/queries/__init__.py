@@ -250,6 +250,9 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_ann_ndcg",
     "p_label_source_mi",
     "p_label_propagation",
+    "a_cramers_v",
+    "a_priority_mix_drift",
+    "r_o4_subscribe_order",
 ]
 
 

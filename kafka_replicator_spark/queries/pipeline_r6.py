@@ -3178,3 +3178,166 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, schema="round long, n_changed long, n_communities long"
     )
+
+
+# ------------------------------------------------ Cramér's V effect size
+
+#: per-cell chi-square term over exact integer counts — shared verbatim
+#: text; ln-style nano quantization BEFORE the fold.  The OUTER sqrt is
+#: safe unquantized: IEEE 754 requires correctly-rounded sqrt, so both
+#: engines return the identical double (unlike ln/exp).
+_CV_TERM = (
+    "((n - CAST(n_i AS DOUBLE) * n_j / n_total)"
+    " * (n - CAST(n_i AS DOUBLE) * n_j / n_total))"
+    " / (CAST(n_i AS DOUBLE) * n_j / n_total)"
+)
+
+
+@register(
+    "a_cramers_v",
+    f"""
+WITH cells AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY nk, seg
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(count(DISTINCT nk) AS BIGINT) AS r,
+               CAST(count(DISTINCT seg) AS BIGINT) AS c
+        FROM cells),
+marg AS (
+  SELECT cells.n,
+         sum(cells.n) OVER (PARTITION BY nk) AS n_i,
+         sum(cells.n) OVER (PARTITION BY seg) AS n_j
+  FROM cells
+),
+terms AS (
+  SELECT CAST(floor({_CV_TERM} * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM marg, tot
+),
+chi AS (SELECT CAST(sum(t_nano) AS BIGINT) AS chi2_nano FROM terms)
+SELECT tot.n_total AS n_customers, tot.n_cells,
+       chi.chi2_nano,
+       CAST(floor(sqrt((CAST(chi2_nano AS DOUBLE) / 1000000000)
+                       / (n_total * least(r - 1, c - 1))) * 1000000 + 0.5)
+            AS BIGINT) AS cramers_v_ppm
+FROM chi, tot
+""",
+    tags=("analytics", "stats"),
+    doc="Cramér's V effect size of the nation × market-segment "
+    "association over customers — the bounded-[0,1] companion to the "
+    "chi-square statistic (chi2 grows with n, V does not).  Per-cell "
+    "chi-square terms come from exact integer counts through a shared "
+    "verbatim expression and are quantized to integer nano BEFORE the "
+    "fold (the ln rule); the OUTER sqrt stays unquantized because IEEE "
+    "754 sqrt is correctly rounded — bit-identical on both engines, "
+    "unlike ln/exp.  Marginals via partition-keyed windows over the "
+    "bounded 125-cell grid; 1 output row",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    cells = track_cached(
+        cust.groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.groupBy().agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("nk").cast("long").alias("r"),
+        F.countDistinct("seg").cast("long").alias("c"),
+    )
+    marg = cells.select(
+        "n",
+        F.sum("n").over(W.partitionBy("nk")).alias("n_i"),
+        F.sum("n").over(W.partitionBy("seg")).alias("n_j"),
+    )
+    terms = marg.join(F.broadcast(tot), how="cross").select(
+        F.expr(f"CAST(floor({_CV_TERM} * 1000000000 + 0.5) AS BIGINT)").alias(
+            "t_nano"
+        )
+    )
+    chi = terms.groupBy().agg(F.sum("t_nano").cast("long").alias("chi2_nano"))
+    return chi.join(F.broadcast(tot), how="cross").select(
+        F.col("n_total").alias("n_customers"),
+        "n_cells",
+        "chi2_nano",
+        F.expr(
+            "CAST(floor(sqrt((CAST(chi2_nano AS DOUBLE) / 1000000000)"
+            " / (n_total * least(r - 1, c - 1))) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("cramers_v_ppm"),
+    )
+
+
+# -------------------------------------------- order-priority mix drift
+
+@register(
+    "a_priority_mix_drift",
+    """
+WITH y AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS prio,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY yr, prio
+),
+s AS (
+  SELECT yr, prio, CAST((1000000 * n) // sum(n) OVER (PARTITION BY yr)
+                        AS BIGINT) AS share_ppm
+  FROM y
+),
+base AS (SELECT prio, share_ppm AS base_share_ppm FROM s
+         WHERE yr = (SELECT min(yr) FROM s))
+SELECT s.prio AS priority,
+       CAST(any_value(base.base_share_ppm) AS BIGINT) AS base_share_ppm,
+       CAST(min(s.share_ppm) AS BIGINT) AS min_share_ppm,
+       CAST(max(s.share_ppm) AS BIGINT) AS max_share_ppm,
+       CAST(max(abs(s.share_ppm - base.base_share_ppm)) AS BIGINT)
+         AS max_abs_drift_ppm
+FROM s JOIN base ON base.prio = s.prio
+GROUP BY s.prio
+""",
+    tags=("analytics", "drift"),
+    doc="order-priority mix drift: each priority's yearly share of "
+    "orders in exact ppm, with the maximum absolute drift against the "
+    "first year's mix — the categorical-drift monitor on the orders "
+    "fact (the analytics sibling of p_categorical_drift_chi2).  Year "
+    "shares via a partition-keyed window over the bounded year × "
+    "priority grid; priority-cardinality output (5 rows)",
+)
+def q_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    y = track_cached(
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = track_cached(
+        y.select(
+            "yr",
+            "prio",
+            F.expr("CAST((1000000 * n) div sum(n) OVER (PARTITION BY yr) AS BIGINT)")
+            .alias("share_ppm"),
+        )
+    )
+    y0 = s.groupBy().agg(F.min("yr").alias("y0"))
+    base = (
+        s.join(F.broadcast(y0), s.yr == y0.y0)
+        .select("prio", F.col("share_ppm").alias("base_share_ppm"))
+    )
+    return (
+        s.join(F.broadcast(base), "prio")
+        .groupBy(F.col("prio").alias("priority"))
+        .agg(
+            F.any_value("base_share_ppm").cast("long").alias("base_share_ppm"),
+            F.min("share_ppm").cast("long").alias("min_share_ppm"),
+            F.max("share_ppm").cast("long").alias("max_share_ppm"),
+            F.max(F.expr("abs(share_ppm - base_share_ppm)"))
+            .cast("long")
+            .alias("max_abs_drift_ppm"),
+        )
+    )

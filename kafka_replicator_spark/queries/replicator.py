@@ -1576,3 +1576,49 @@ def q_url_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("escape_overhead_chars"),
     )
+
+
+# --------------------------------------------- O4 subscribe order + RR
+
+#: round-robin consumer-group width for the assignment column
+_O4_WORKERS = 2
+
+
+@register(
+    "r_o4_subscribe_order",
+    with_ctes(
+        MESSAGES_CTE,
+        """tp AS (SELECT DISTINCT topic, partition_id FROM messages)""",
+        select=f"""
+SELECT topic, partition_id,
+       CAST(row_number() OVER (ORDER BY topic, partition_id) AS BIGINT)
+         AS subscribe_rank,
+       CAST((row_number() OVER (ORDER BY topic, partition_id) - 1)
+            % {_O4_WORKERS} AS BIGINT) AS worker_rr
+FROM tp
+""",
+    ),
+    tags=("parity", "projection"),
+    doc="O4 deterministic subscribe order + the 'roundrobin' half of the "
+    "reference's partition assignment strategy (pkg/kafka/"
+    "consumer.go:28-29 'roundrobin,range'): the distinct "
+    "(topic, partition) universe sorted lexicographically — the order "
+    "every group member must agree on for the strategy to be "
+    f"consistent — and the rank's round-robin worker over "
+    f"{_O4_WORKERS} consumers.  The global rank window here is "
+    "CORRECT at scale, unlike for segments: the frame is the topic-"
+    "partition CATALOG (thousands of rows at 100 TB, not billions) — "
+    "rendezvous (r_rebalance_rendezvous) remains the per-item scale "
+    "path for work items; catalog-cardinality output",
+)
+def q_subscribe_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    tp = msgs.select("topic", "partition_id").distinct()
+    w = Window.orderBy("topic", "partition_id")
+    rn = F.row_number().over(w)
+    return tp.select(
+        "topic",
+        "partition_id",
+        rn.cast("long").alias("subscribe_rank"),
+        ((rn - 1) % _O4_WORKERS).cast("long").alias("worker_rr"),
+    )
