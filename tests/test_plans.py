@@ -883,3 +883,61 @@ def test_x4_roundtrip_stays_scalar(spark, sf_dir):
     assert "Window [" not in plan, plan
     assert "Join" not in plan, plan
     assert has_wholestage_codegen(df), plan
+
+
+def test_laspeyres_caches_part_year_and_broadcasts_base(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_laspeyres_price_index"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the part-year frame is cached (read 3x: base-year scalar, base
+    # basket, target prices) and the 1-row base-year bound broadcasts
+    assert "InMemoryTableScan" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_ann_ndcg_broadcasts_labels(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["p_ann_ndcg"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_label_propagation_windows_keyed_by_node(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_label_propagation"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the per-round rank window must be keyed by node (per-key size is
+    # the node's degree) — never a global rank over the label frame
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("node"), frag[:120]
+    release_cached()
+
+
+def test_cramers_v_windows_keyed_by_margin(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_cramers_v"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    for frag in frags:
+        assert frag.startswith("nk") or frag.startswith("seg"), frag[:120]
+    release_cached()
+
+
+def test_key_cardinality_two_partial_aggs_no_window(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["r_key_cardinality_profile"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window [" not in plan, plan
+    assert "Join" not in plan, plan
