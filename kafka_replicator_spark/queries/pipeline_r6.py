@@ -2937,7 +2937,12 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ann = similarity.ann_topk(emb, _NDCG_PROBES, k=5, n_planes=4, dim=64)
+    # cached: gains and base self-join the ann frame — without the cache
+    # the LSH bucket join + rank window run twice (the cache-before-
+    # self-join rule)
+    ann = track_cached(
+        similarity.ann_topk(emb, _NDCG_PROBES, k=5, n_planes=4, dim=64)
+    )
     lbl = emb.select("vec_id", "label")
     pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl"))
     nl = lbl.select(

@@ -1335,11 +1335,18 @@ _F3_MERGED_SEQS = 2
   FROM segments WHERE segment_seq < {_F3_MERGED_SEQS}
   GROUP BY topic, partition_id
 )""",
+        """qual AS (
+  SELECT s.topic, s.partition_id
+  FROM segments s JOIN l1 USING (topic, partition_id)
+  WHERE s.end_offset >= l1.compact_floor
+  GROUP BY s.topic, s.partition_id
+)""",
         select="""
 SELECT s.topic, s.partition_id, s.segment_seq, s.start_offset, s.end_offset,
        l1.compact_floor AS compact_floor,
        s.end_offset < l1.compact_floor AS superseded
 FROM segments s JOIN l1 USING (topic, partition_id)
+            JOIN qual USING (topic, partition_id)
 """,
     ),
     tags=("parity", "filter"),
@@ -1351,7 +1358,10 @@ FROM segments s JOIN l1 USING (topic, partition_id)
     "segments wholly below it (compactor.go:192-203) with "
     "include_superseded=True — popped rows must still surface so the "
     "post-merge delete covers them (filtering them out leaks storage).  "
-    "The oracle restates floor+pop relationally; the Spark side returns "
+    "The oracle restates floor+pop relationally INCLUDING the "
+    "qualification (a partition with every segment superseded plans "
+    "nothing, so its superseded rows are dropped too — min_count=1 "
+    "reduces qualification to '>=1 unsuperseded segment'); the Spark side returns "
     "plan_compaction's own output, so the operator's floor join "
     "(broadcast, metadata-scale) and qualification path are what's "
     "verified",
@@ -1455,7 +1465,7 @@ GROUP BY topic, partition_id
     "operator's own broadcast-floor/qualification plan",
 )
 def q_f5_age_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datetime import datetime, timedelta
+    from datetime import datetime, timedelta, timezone
 
     msgs = events_as_messages(spark, sf_dir)
     seg = (
@@ -1495,7 +1505,11 @@ def q_f5_age_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_bytes=1,
         max_bytes=1 << 40,
         min_age=timedelta(hours=1),
-        now=datetime.utcfromtimestamp(cutoff_s + 3600),
+        # tz-AWARE: py4j converts naive datetime literals through
+        # time.mktime in the driver's OS timezone (the session-tz
+        # setting does NOT apply to literal conversion) — aware
+        # datetimes take the calendar.timegm path and stay exact
+        now=datetime.fromtimestamp(cutoff_s + 3600, tz=timezone.utc),
     )
     return plan.groupBy("topic", "partition_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_eligible"),
@@ -1510,6 +1524,10 @@ def q_f5_age_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the encoded text starts a valid escape sequence
 _X4_ESCAPES = (
     ("%", "%25"),
+    ("+", "%2B"),  # url_decode is form-urlencoded: a raw '+' decodes to
+    # space, so it MUST be escaped for the roundtrip invariant to be
+    # corpus-independent (the current corpus has no '+', a future
+    # regeneration might)
     (" ", "%20"),
     ('"', "%22"),
     ("{", "%7B"),
@@ -1558,10 +1576,9 @@ FROM enc GROUP BY topic, partition_id
 )
 def q_url_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = events_as_messages(spark, sf_dir)
-    enc_expr = "payload"
-    for lit, esc in _X4_ESCAPES:
-        lit_sql = lit.replace("'", "''")
-        enc_expr = f"replace({enc_expr}, '{lit_sql}', '{esc}')"
+    # the replace() chain text is engine-portable — ONE builder serves
+    # both sides, so the known-answer symmetry can never diverge
+    enc_expr = _x4_encode_sql("payload")
     enc = msgs.select(
         "topic",
         "partition_id",

@@ -95,15 +95,15 @@ def test_ndcg_bounded_by_one(hits):
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.text(alphabet='0123456789k{}": %', max_size=60))
+@given(st.text(alphabet='0123456789k{}": %+', max_size=60))
 def test_percent_encode_roundtrip(s):
     """r_x4_url_roundtrip's premise: the replace-chain encoding ('%'
-    first) composed with standard percent-decoding is the identity on
-    the corpus charset — checked against urllib's decoder, the same
-    application/x-www-form-urlencoded semantics as Spark's url_decode
-    (no '+' in the encoded text, so unquote == unquote_plus here)."""
+    first, '+' escaped for form-urlencoded semantics) composed with
+    percent-decoding is the identity — checked against urllib's
+    unquote_plus, which mirrors Spark url_decode's '+' → space rule, so
+    an unescaped '+' in the payload would fail this test."""
     enc = s
     for lit, esc in _X4_ESCAPES:
         enc = enc.replace(lit, esc)
     assert "+" not in enc
-    assert urllib.parse.unquote(enc) == s
+    assert urllib.parse.unquote_plus(enc) == s

@@ -907,18 +907,47 @@ def test_ann_ndcg_broadcasts_labels(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_label_propagation_windows_keyed_by_node(spark, sf_dir):
-    from kafka_replicator_spark.cacheutil import release_cached
+def test_label_propagation_round_window_keyed_by_node(spark, sf_dir):
+    # the query's RETURNED frame is the collected per-round stats (an
+    # RDD scan — rounds run eagerly to truncate lineage), so the window
+    # must be pinned on the per-round intermediate: rebuild round 1
+    # exactly as q_label_propagation does and assert its rank window is
+    # keyed by node (per-key size = the node's degree), never global
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions import graph, similarity
+    from kafka_replicator_spark.sources.tables import load_table
 
     spark.catalog.clearCache()
-    release_cached()
-    df = QUERIES["p_label_propagation"].fn(spark, sf_dir)
-    plan = physical_plan(df)
-    # the per-round rank window must be keyed by node (per-key size is
-    # the node's degree) — never a global rank over the label frame
-    for frag in plan.split("windowspecdefinition(")[1:]:
-        assert frag.startswith("node"), frag[:120]
-    release_cached()
+    e = graph.undirect(
+        similarity.label_knn_graph(load_table(spark, sf_dir, "embeddings"))
+    )
+    nb = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    labels = nb.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    cnts = (
+        nb.join(
+            labels.select(F.col("node").alias("nb"), F.col("lbl")), "nb"
+        )
+        .groupBy("node", "lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    new = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "lbl")
+    )
+    plan = physical_plan(new)
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    # every window is keyed: the LPA rank by node, the kNN builder's
+    # per-vector top-k by vec_id — never an unpartitioned window
+    for frag in frags:
+        assert frag.startswith("node") or frag.startswith("vec_id"), frag[:120]
 
 
 def test_cramers_v_windows_keyed_by_margin(spark, sf_dir):
