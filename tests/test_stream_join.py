@@ -151,3 +151,74 @@ def test_interval_join_left_outer_stream_watermark_semantics(spark, sf_dir, tmp_
             f"null row {t} was due (window closed before watermark) but "
             "never emitted"
         )
+
+
+def test_interval_join_state_survives_restart(spark, sf_dir, tmp_path):
+    """T2-style recovery for the stream-stream join: run 1 ingests the
+    older half of both streams and stops; run 2 (same checkpoint)
+    ingests the newer half.  Pairs whose view arrived in run 1 and buy
+    in run 2 can ONLY form if the join state was recovered from the
+    checkpoint — their presence proves state survival; every emitted
+    pair must also exist in the batch oracle (no spurious rows)."""
+    views, buys = _views_and_purchases(spark, sf_dir)
+    batch_inner = {tuple(r) for r in _attributed(views, buys).collect()}
+    assert batch_inner, "fixture has no attributable pairs — vacuous"
+
+    import datetime as _dt
+
+    mid_us = int(
+        views.select(F.unix_micros("event_time").alias("t"))
+        .agg(F.expr("CAST(percentile(t, 0.5) AS BIGINT)"))
+        .collect()[0][0]
+    )
+    mid = _dt.datetime.utcfromtimestamp(mid_us / 1e6)
+    vdir, bdir = str(tmp_path / "v"), str(tmp_path / "b")
+    outdir, cpdir = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_once():
+        sv = spark.readStream.schema(views.schema).parquet(vdir)
+        sb = spark.readStream.schema(buys.schema).parquet(bdir)
+        q = (
+            _attributed(sv, sb)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: the older half of each stream only
+    views.filter(F.unix_micros("event_time") <= mid_us).write.mode(
+        "append"
+    ).parquet(vdir)
+    buys.filter(F.unix_micros("event_time") <= mid_us).write.mode(
+        "append"
+    ).parquet(bdir)
+    run_once()
+    # run 2: the newer half lands, same checkpoint — state must recover
+    views.filter(F.unix_micros("event_time") > mid_us).write.mode(
+        "append"
+    ).parquet(vdir)
+    buys.filter(F.unix_micros("event_time") > mid_us).write.mode(
+        "append"
+    ).parquet(bdir)
+    run_once()
+
+    got = {
+        tuple(r)
+        for r in spark.read.schema(
+            _attributed(views, buys).schema
+        ).parquet(outdir).collect()
+    }
+    # no spurious pairs, ever
+    assert got <= batch_inner, f"spurious rows: {sorted(got - batch_inner)[:3]}"
+    # the restart-proof: at least one pair spans the boundary (view from
+    # run 1, buy from run 2) — impossible without recovered state
+    spanning = {t for t in got if t[1] <= mid < t[2]}
+    batch_spanning = {t for t in batch_inner if t[1] <= mid < t[2]}
+    if batch_spanning:
+        assert spanning, (
+            "no cross-restart pair emitted although the oracle has "
+            f"{len(batch_spanning)} — join state was lost on restart"
+        )
