@@ -63,3 +63,44 @@ def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path):
     assert got.count() == n_distinct, "duplicates crossed the stateful dedup"
     assert got.select(*KEYS).distinct().count() == n_distinct
     m.unpersist()
+
+
+def test_stream_dedup_state_survives_restart(spark, sf_dir, tmp_path):
+    """Restart recovery for the dedup state store: run 1 ingests the
+    originals and stops; run 2 (same checkpoint) ingests exact
+    duplicates of the SAME keys.  If the seen-keys state was recovered,
+    run 2 emits nothing — each key appears exactly once across the two
+    runs' accumulated file-sink output."""
+    m = _msgs(spark, sf_dir).limit(200).cache()
+    n_distinct = m.count()
+
+    indir = str(tmp_path / "in")
+    outdir, cpdir = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(m.schema)
+            .option("recursiveFileLookup", True)
+            .parquet(indir)
+        )
+        q = (
+            watermarked_dedup(stream, KEYS, "event_time")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    m.coalesce(1).write.parquet(indir + "/b0")
+    run_once()
+    m.coalesce(1).write.parquet(indir + "/b1")  # pure duplicates
+    run_once()
+
+    got = spark.read.schema(m.schema).parquet(outdir)
+    assert got.count() == n_distinct, (
+        "duplicates re-emitted after restart — dedup state was lost"
+    )
+    assert got.select(*KEYS).distinct().count() == n_distinct
+    m.unpersist()
