@@ -212,3 +212,51 @@ def test_streaming_histogram_registers_match_batch(spark, messages, tmp_path):
     assert got == exp
     # counters account for every row (clamping loses nothing)
     assert sum(got.values()) == data.count()
+
+
+def test_streaming_hll_registers_survive_restart(spark, messages, tmp_path):
+    """Register continuity across a checkpoint restart: run 1 absorbs
+    the first half of the stream and stops; run 2 (same checkpoint)
+    absorbs the rest.  The final complete-mode table must equal the
+    batch registers over the FULL input — possible only if the
+    register state recovered, since run 2 never re-reads run 1's
+    files."""
+    src = str(tmp_path / "drops_r")
+    cpdir = str(tmp_path / "cp_r")
+    data = messages.select(
+        "topic", "partition_id", "msg_offset", "ts_ns"
+    ).withColumn(
+        "key_s", F.concat_ws(":", "topic", "partition_id", "msg_offset")
+    )
+    batch_regs = windowed_hll_registers(data, F.col("key_s"))
+
+    def run_once(qname):
+        stream = spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long,"
+            " ts_ns long, key_s string"
+        ).parquet(src)
+        q = (
+            windowed_hll_registers(
+                stream, F.col("key_s"), watermark_delay="10 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once("hll_r1")
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once("hll_r2")
+
+    got_regs = spark.sql("SELECT * FROM hll_r2")
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0
