@@ -94,3 +94,71 @@ def test_segment_registry_map_and_list_state(spark, tmp_path):
         (1, 49, 0),
     ]
     assert [r["n_rounds"] for r in p1] == [1, 2]
+
+
+def test_segment_registry_state_survives_restart(spark, tmp_path):
+    """Map/List state RECOVERY on the transformWithState engine: run 1
+    registers p0's first two segments and stops; run 2 (same
+    checkpoint) sees only the new file, so its output can report
+    n_tracked=3 / n_rounds=2 ONLY if the MapState registry and the
+    ListState round log were restored from the checkpoint — the
+    restart half of the state-server protocol proof."""
+    reason = _tws_ready()
+    if reason:
+        pytest.skip(reason)
+
+    from kafka_replicator_spark.streaming.segment_registry import (
+        INPUT_SCHEMA,
+        segment_registry_stream,
+    )
+
+    src = str(tmp_path / "reg_src_r")
+    cpdir = str(tmp_path / "reg_cp_r")
+    outdir = str(tmp_path / "reg_out_r")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run_once():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src)
+        q = (
+            segment_registry_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cpdir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        spark.createDataFrame(
+            [("t", 0, 0, 99), ("t", 0, 1, 199)], schema=INPUT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(
+            [("t", 0, 1, 250), ("t", 0, 2, 299)], schema=INPUT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        rows = sorted(
+            spark.read.parquet(outdir).collect(), key=lambda r: r["n_rounds"]
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    # run 2's row proves the recovered state: 3 tracked segments
+    # (2 restored + 1 new), round log grown to 2, and only segment 2
+    # counted as new this batch
+    assert [
+        (r["n_tracked"], r["max_end_offset"], r["n_new_this_batch"], r["n_rounds"])
+        for r in rows
+    ] == [(2, 199, 2, 1), (3, 299, 1, 2)]
