@@ -110,3 +110,49 @@ def test_event_store_tws_engine_matches_classic(spark, tmp_path):
     assert ("CREATED", 5) in by_seg[0]
     assert by_seg[10][-1] == ("REMOVED", 9)
     assert len(by_seg[0]) == 1
+
+
+def test_event_store_state_survives_restart(spark, tmp_path):
+    """A7 last-writer state RECOVERY: run 1 stores CREATED for both
+    segments and stops; run 2 (same checkpoint) delivers a STALE
+    REMOVED for A and a fresh REMOVED for B.  Rejecting the stale
+    event requires A's stored (event_ts=5) to have been recovered —
+    append-mode restart needs a file sink (the memory sink refuses
+    checkpoint recovery)."""
+    src = str(tmp_path / "events_src_r")
+    outdir = str(tmp_path / "events_out_r")
+    cpdir = str(tmp_path / "events_cp_r")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            streaming_event_store(stream)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cpdir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(*SEG_A, "CREATED", 5), (*SEG_B, "CREATED", 6)], schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(
+        [(*SEG_A, "REMOVED", 3), (*SEG_B, "REMOVED", 9)], schema=EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    rows = spark.read.parquet(outdir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["start_offset"], []).append(
+            (r["event_type"], r["event_ts"])
+        )
+    # A: CREATED emitted in run 1; the stale REMOVED (ts=3 < stored 5)
+    # was rejected in run 2 — no second emission
+    assert sorted(by_seg[SEG_A[4]]) == [("CREATED", 5)]
+    # B: CREATED in run 1, then the fresh REMOVED won in run 2
+    assert sorted(by_seg[SEG_B[4]]) == [("CREATED", 6), ("REMOVED", 9)]
