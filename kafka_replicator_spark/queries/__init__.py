@@ -253,6 +253,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_cramers_v",
     "a_priority_mix_drift",
     "r_o4_subscribe_order",
+    "r_s4_event_parse",
 ]
 
 

@@ -1639,3 +1639,141 @@ def q_subscribe_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn.cast("long").alias("subscribe_rank"),
         ((rn - 1) % _O4_WORKERS).cast("long").alias("worker_rr"),
     )
+
+
+# ----------------------------------------------- S4 notification parse
+
+#: fault-injection modulus for the S4 parse matrix (see r_s4_event_parse)
+_S4_FAULT_MOD = 16
+
+
+@register(
+    "r_s4_event_parse",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq,
+         min(msg_offset) AS start_offset, max(msg_offset) AS end_offset,
+         max(ts_us) AS close_ts_us, CAST(sum(msg_size) AS BIGINT) AS size_bytes
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""h AS (
+  SELECT *, {portable_hash60_sql(
+      "topic || ':' || CAST(partition_id AS VARCHAR)"
+      " || ':' || CAST(segment_seq AS VARCHAR)")} AS hv
+  FROM seg
+)""",
+        select=f"""
+SELECT 'local' AS region, topic, partition_id, CAST(0 AS INTEGER) AS level,
+       start_offset, end_offset,
+       CASE WHEN (hv // {_S4_FAULT_MOD}) % 2 = 0 THEN 'CREATED'
+            ELSE 'REMOVED' END AS event_type,
+       close_ts_us AS ts_us, size_bytes
+FROM h WHERE hv % {_S4_FAULT_MOD} >= 6
+""",
+    ),
+    tags=("parity", "projection"),
+    doc="S4 S3-notification→SegmentEvent parse driven end-to-end against "
+    "a relational oracle: one bucket-notification JSON body per derived "
+    "segment, with the reference's full invalid-record matrix "
+    "(sqs_segment_event_source.go:297-371) injected deterministically "
+    "from the portable hash — poison receive-count (handling loop "
+    ":250-270), unknown eventSource (:308), unknown eventName "
+    "(:315-323), malformed eventTime (:325), non-segment object key "
+    "(:334), and a non-notification s3:TestEvent body.  The REAL "
+    "parse_s3_notification_events (from_json + try_url_decode + path "
+    "codec — S4/X1/X4 composed) must emit EXACTLY the valid subset with "
+    "every field recovered: the object key is percent-encoded "
+    "('e'→'%65') before parsing, so the url-decode path is live on "
+    "every record, and the oracle states the expected survivors "
+    "directly from the same hash arithmetic (known-answer form — the "
+    "oracle never parses JSON).  Any divergence in the filter matrix "
+    "OR the parsed fields breaks the row/hash compare",
+)
+def q_s4_event_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.sources.notifications import (
+        parse_s3_notification_events,
+    )
+
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("msg_offset").alias("end_offset"),
+            F.max("ts_us").alias("close_ts_us"),
+            F.sum("msg_size").cast("long").alias("size_bytes"),
+        )
+    )
+    hv = portable_hash60(
+        F.concat_ws(
+            ":",
+            F.col("topic"),
+            F.col("partition_id").cast("string"),
+            F.col("segment_seq").cast("string"),
+        )
+    )
+    seg = seg.withColumn("hv", hv).withColumn(
+        "b", F.col("hv") % F.lit(_S4_FAULT_MOD)
+    )
+    raw_key = F.concat(
+        F.lit("data/local/"),
+        F.col("topic"),
+        F.lit("/"),
+        F.col("partition_id").cast("string"),
+        F.lit("/0/"),
+        F.lpad(F.col("start_offset").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("end_offset").cast("string"), 20, "0"),
+        F.lit(".parquet"),
+    )
+    key = F.when(F.col("b") == 4, F.lit("garbage/key")).otherwise(raw_key)
+    # percent-encode a letter that appears in every key so try_url_decode
+    # does real work on every record (decode must recover the original)
+    enc_key = F.replace(key, F.lit("e"), F.lit("%65"))
+    src = F.when(F.col("b") == 1, F.lit("aws:sqs")).otherwise(F.lit("aws:s3"))
+    name = (
+        F.when(F.col("b") == 2, F.lit("ObjectAccessed:Get"))
+        .when(
+            F.expr(f"(hv div {_S4_FAULT_MOD}) % 2") == 0,
+            F.lit("ObjectCreated:Put"),
+        )
+        .otherwise(F.lit("ObjectRemoved:Delete"))
+    )
+    tstr = F.when(F.col("b") == 3, F.lit("not-a-time")).otherwise(
+        F.date_format(F.timestamp_micros(F.col("close_ts_us")), _RFC3339_SPARK)
+    )
+    body = F.when(
+        F.col("b") == 5,
+        F.lit('{"Service":"Amazon S3","Event":"s3:TestEvent"}'),
+    ).otherwise(
+        F.format_string(
+            '{"Records":[{"eventSource":"%s","eventName":"%s",'
+            '"eventTime":"%s","s3":{"object":{"key":"%s","size":%d}}}]}',
+            src,
+            name,
+            tstr,
+            enc_key,
+            F.col("size_bytes"),
+        )
+    )
+    rc = F.when(F.col("b") == 0, F.lit(4)).otherwise(
+        (F.lit(1) + F.col("hv") % 3).cast("int")
+    )
+    bodies = seg.select(body.alias("body"), rc.alias("receive_count"))
+    out = parse_s3_notification_events(
+        bodies, receive_count_col="receive_count", max_receives=3
+    )
+    return out.select(
+        "region",
+        "topic",
+        "partition_id",
+        "level",
+        "start_offset",
+        "end_offset",
+        "event_type",
+        F.unix_micros(F.col("event_ts")).alias("ts_us"),
+        "size_bytes",
+    )
