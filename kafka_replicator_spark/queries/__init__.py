@@ -254,13 +254,19 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_priority_mix_drift",
     "r_o4_subscribe_order",
     "r_s4_event_parse",
+    "p_ann_map",
+    "a_bowley_brand_skew",
+    "a_dow_seasonality_strength",
+    "p_uncertainty_sample",
+    "p_best_stump_split",
+    "a_partial_corr_qty_price",
 ]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

@@ -1,0 +1,558 @@
+"""Round-7 query registrations: ANN mean-average-precision, robust
+quartile shape statistics, day-of-week seasonality strength, margin-based
+uncertainty sampling, a Gini decision-stump split search, and partial
+correlation — each with a DuckDB oracle at float_tol=0.
+
+Reference parity: no analog in the reference engine
+(CrowdStrike/kafka-replicator) — these extend the analytics and
+training-data-pipeline families on the shared corpus tables.
+
+Cross-engine determinism notes specific to this module:
+
+* MAP@5 folds precision@r terms as ``(1000000 * hits_le_r) // r`` BEFORE
+  the per-probe sum — integer division in the same order on both engines,
+  so the fold is bit-identical (the proven quantize-before-fold rule).
+* Quartiles come from ``percentile`` / ``quantile_cont`` at power-of-two
+  fractions (bit-exact across engines); the Bowley/QCD ratios multiply
+  the exact dyadic quartiles by 1e6 (still exact in double — cents are
+  ≤ ~1e7, so 1e6·q < 2^53) and floor after one raw IEEE division.
+* The seasonality-strength decomposition never forms a float mean: both
+  sums of squares are scaled to micro-cents² with ``//`` folds, so
+  partial-agg order can't change the statistic.
+* Pearson / partial correlations follow the r_segment_size_cv precedent:
+  exact integer moments in DECIMAL(38,0)/HUGEINT, ONE cast to DOUBLE
+  immediately before the outer sqrt (IEEE sqrt/divide are correctly
+  rounded, so identical inputs give identical outputs), floor to
+  nano/ppm integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------- ANN MAP@5
+
+#: probe set shared with the NDCG/MRR/recall evals (pipeline_r6)
+_MAP_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _map_sql() -> str:
+    from kafka_replicator_spark.functions import similarity
+
+    return f"""
+WITH ann AS (
+  SELECT probe_id, neighbor_id, rank
+  FROM ({similarity.ann_topk_sql(_MAP_PROBES, k=5, n_planes=4, dim=64)})
+),
+lbl AS (SELECT vec_id, label FROM embeddings),
+marked AS (
+  SELECT ann.probe_id, ann.rank,
+         CASE WHEN nl.label = pl.label THEN 1 ELSE 0 END AS rel
+  FROM ann
+  JOIN lbl pl ON pl.vec_id = ann.probe_id
+  JOIN lbl nl ON nl.vec_id = ann.neighbor_id
+),
+hits AS (
+  SELECT probe_id, rank, rel,
+         sum(rel) OVER (PARTITION BY probe_id ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS hits_le_r
+  FROM marked
+),
+ap AS (
+  SELECT probe_id,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         sum(CASE WHEN rel = 1
+                  THEN (1000000 * hits_le_r) // rank ELSE 0 END) AS ap_num
+  FROM hits GROUP BY probe_id
+)
+SELECT probe_id, n_rel,
+       CAST(CASE WHEN n_rel = 0 THEN 0 ELSE ap_num // n_rel END AS BIGINT)
+         AS ap_ppm
+FROM ap
+"""
+
+
+@register(
+    "p_ann_map",
+    _map_sql(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="mean-average-precision@5 of the LSH-bucketed ANN ranking against "
+    "same-label relevance — the last member of the retrieval-eval family "
+    "(recall, precision, MRR, NDCG, AUC, ECE already registered): "
+    "precision@r terms are (1e6·hits≤r)//r integer divisions folded in "
+    "rank order, AP is their sum over relevant ranks divided by the "
+    "probe's hit count — exact integer arithmetic end to end, no float "
+    "fold.  The running-hit window partitions by probe over ≤k rows "
+    "(bounded grain); labels ride broadcast joins; probe-count output",
+)
+def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = track_cached(
+        similarity.ann_topk(emb, _MAP_PROBES, k=5, n_planes=4, dim=64)
+    )
+    lbl = emb.select("vec_id", "label")
+    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl"))
+    nl = lbl.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
+    )
+    marked = (
+        ann.join(F.broadcast(pl), "probe_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .select(
+            "probe_id",
+            "rank",
+            (F.col("n_lbl") == F.col("p_lbl")).cast("int").alias("rel"),
+        )
+    )
+    w = (
+        Window.partitionBy("probe_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = marked.withColumn("hits_le_r", F.sum("rel").over(w))
+    ap = hits.groupBy("probe_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rel = 1 THEN (1000000 * hits_le_r) div rank"
+                " ELSE 0 END"
+            )
+        ).alias("ap_num"),
+    )
+    return ap.select(
+        "probe_id",
+        "n_rel",
+        F.expr("CAST(CASE WHEN n_rel = 0 THEN 0 ELSE ap_num div n_rel END AS BIGINT)")
+        .alias("ap_ppm"),
+    )
+
+
+# ------------------------------------------- Bowley skew / QCD per brand
+
+@register(
+    "a_bowley_brand_skew",
+    """
+WITH c AS (
+  SELECT p.p_brand AS brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+q AS (
+  SELECT brand,
+         CAST(count(*) AS BIGINT) AS n_items,
+         quantile_cont(cents, 0.25) AS q1,
+         quantile_cont(cents, 0.50) AS q2,
+         quantile_cont(cents, 0.75) AS q3
+  FROM c GROUP BY brand
+)
+SELECT brand, n_items,
+       CAST(floor(q1) AS BIGINT) AS q1_floor_cents,
+       CAST(floor(q3) AS BIGINT) AS q3_floor_cents,
+       CAST(CASE WHEN q3 = q1 THEN 0
+                 ELSE floor(1e6 * (q3 + q1 - 2 * q2) / (q3 - q1)) END
+            AS BIGINT) AS bowley_skew_ppm,
+       CAST(floor(1e6 * (q3 - q1) / (q3 + q1)) AS BIGINT) AS qcd_ppm
+FROM q
+""",
+    tags=("analytics", "stats"),
+    doc="Bowley (quartile) skewness and the quartile coefficient of "
+    "dispersion of item price per brand — the robust siblings of the "
+    "moment skew/CV: quartiles of integer cents at power-of-two "
+    "fractions are bit-exact dyadic rationals on both engines "
+    "(Spark percentile == DuckDB quantile_cont), 1e6·q stays exact in "
+    "double (< 2^53), and each ratio is ONE correctly-rounded IEEE "
+    "division then floor.  25-brand output; q3=q1 degenerate bands "
+    "report 0 skew.  q1/q3 floors double as the quartile audit",
+)
+def q_bowley_brand_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    c = li.join(part, "l_partkey")
+    q = c.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.50)").alias("q2"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    return q.select(
+        "brand",
+        "n_items",
+        # explicit floor: DuckDB CAST(DOUBLE AS BIGINT) rounds, Spark truncates
+        F.expr("CAST(floor(q1) AS BIGINT)").alias("q1_floor_cents"),
+        F.expr("CAST(floor(q3) AS BIGINT)").alias("q3_floor_cents"),
+        F.expr(
+            "CAST(CASE WHEN q3 = q1 THEN 0"
+            " ELSE floor(1e6 * (q3 + q1 - 2 * q2) / (q3 - q1)) END AS BIGINT)"
+        ).alias("bowley_skew_ppm"),
+        F.expr("CAST(floor(1e6 * (q3 - q1) / (q3 + q1)) AS BIGINT)").alias(
+            "qcd_ppm"
+        ),
+    )
+
+
+# ----------------------------------------- day-of-week seasonality strength
+
+@register(
+    "a_dow_seasonality_strength",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         dayofweek(o_orderdate) + 1 AS dow,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day, dayofweek(o_orderdate)
+),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(cents) AS BIGINT) AS t_g
+  FROM d GROUP BY dow
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS t,
+         sum(cents::HUGEINT * cents) AS ss
+  FROM d
+),
+parts AS (
+  SELECT (SELECT sum((t_g::HUGEINT * t_g) // n_g) FROM g) AS between_raw,
+         n, t, ss
+  FROM tot
+)
+SELECT n AS n_days,
+       CAST((1000000 * (between_raw - (t::HUGEINT * t) // n))
+            // (ss - (t::HUGEINT * t) // n) AS BIGINT) AS eta2_ppm
+FROM parts
+""",
+    tags=("analytics", "timeseries", "stats"),
+    doc="day-of-week seasonality strength of daily revenue as eta² = "
+    "SSB/SST — the effect-size companion of a_value_by_hour_anova's "
+    "F-statistic: both sums of squares come from integer-cent group "
+    "totals (SSB ~ Σ T_g²//n_g − T²//n, SST ~ Σy² − T²//n) folded in "
+    "DECIMAL(38,0)/HUGEINT — no float mean is ever formed, so "
+    "partial-agg order can't change the statistic; the //-truncation "
+    "error is ≤1 cent² per group against ~1e17-cent² magnitudes, and "
+    "identical on both engines.  Spark dayofweek is 1-based vs DuckDB "
+    "0-based (+1 in the oracle); 1-row output",
+)
+def q_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}"
+            ).alias("day"),
+            F.expr("dayofweek(o_orderdate)").alias("dow"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    d = track_cached(d)  # feeds both the per-dow and the global moment pass
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("t_g"),
+    )
+
+    # exact floor division that STAYS DECIMAL: Spark `div` returns LONG, but
+    # the T²//n quotients here exceed int64 — (a - a % b) / b is exact (the
+    # numerator is exactly divisible, so the decimal divide has no fraction
+    # to round) and matches DuckDB's HUGEINT `//` bit for bit
+    def fdiv(a: str, b: str) -> str:
+        return f"(({a}) - (({a}) % ({b}))) / ({b})"
+
+    tg2 = "CAST(t_g AS DECIMAL(38,0)) * t_g"
+    between = g.agg(F.expr(f"sum({fdiv(tg2, 'n_g')})").alias("between_raw"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+        F.expr("sum(CAST(cents AS DECIMAL(38,0)) * cents)").alias("ss"),
+    )
+    parts = tot.join(F.broadcast(between), how="cross")
+    t2n = fdiv("CAST(t AS DECIMAL(38,0)) * t", "n")
+    return parts.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CAST({fdiv(f'1000000 * (between_raw - {t2n})', f'ss - {t2n}')}"
+            " AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+# ------------------------------------------- margin uncertainty sampling
+
+#: how many least-confident documents the active-learning pass selects
+_UNCERTAIN_K = 100
+
+
+@register(
+    "p_uncertainty_sample",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+weighted AS (
+  SELECT doc_id,
+         ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {1 << 20})
+          % 2001) - 1000 AS w
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS s
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens, s AS score_milli,
+       abs((1000000 * s) // n) AS margin_micro
+FROM per_doc
+ORDER BY abs((1000000 * s) // n), doc_id
+LIMIT {_UNCERTAIN_K}
+""",
+    tags=("pipeline", "sampling", "quality"),
+    doc="margin-based uncertainty sampling — the active-learning "
+    "annotate-next selection over the hashed-BoW classifier scores of "
+    "p_quality_classifier: the per-token mean score in exact integer "
+    "micro-units, |(1e6·s)//n| as the distance from the decision "
+    f"boundary, and the {_UNCERTAIN_K} least-confident docs selected by "
+    "a distributed orderBy().limit() (TakeOrderedAndProject — never a "
+    "global rank window) with the deterministic (margin, doc_id) "
+    "tie-break.  Both engines truncate integer division toward zero, "
+    "so the margins — and the selected set — match exactly",
+)
+def q_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import scoring
+
+    scored = scoring.quality_classifier(load_table(spark, sf_dir, "documents"))
+    margined = scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        F.expr("abs((1000000 * score_milli) div n_tokens)").alias(
+            "margin_micro"
+        ),
+    )
+    return margined.orderBy("margin_micro", "doc_id").limit(_UNCERTAIN_K)
+
+
+# --------------------------------------------- Gini decision-stump split
+
+#: number of equi-width feature buckets (15 candidate thresholds)
+_STUMP_BUCKETS = 16
+
+
+@register(
+    "p_best_stump_split",
+    f"""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+),
+b AS (
+  SELECT ((cents - mn) * {_STUMP_BUCKETS}) // (mx - mn + 1) AS bucket, pos
+  FROM c, (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+),
+hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM b GROUP BY bucket
+),
+pre AS (
+  SELECT bucket,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS n_le,
+         sum(p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS p_le,
+         (SELECT sum(n) FROM hist) AS n_tot,
+         (SELECT sum(p) FROM hist) AS p_tot
+  FROM hist
+),
+splits AS (
+  SELECT bucket AS split_bucket, n_le, p_le,
+         ((2000000 * p_le::HUGEINT * (n_le - p_le)) // n_le
+          + (2000000 * (p_tot - p_le)::HUGEINT
+             * ((n_tot - n_le) - (p_tot - p_le))) // (n_tot - n_le))
+           // n_tot AS gini_ppm
+  FROM pre WHERE n_le < n_tot
+)
+SELECT CAST(split_bucket AS BIGINT) AS split_bucket,
+       CAST(n_le AS BIGINT) AS n_left, CAST(p_le AS BIGINT) AS pos_left,
+       CAST(gini_ppm AS BIGINT) AS gini_ppm
+FROM splits
+ORDER BY gini_ppm, split_bucket LIMIT 1
+""",
+    tags=("pipeline", "stats"),
+    doc="optimal Gini decision stump: the best single price threshold "
+    "separating returned line items (the one-node special case of "
+    "distributed tree building — exactly the histogram-then-split-search "
+    "shape of XGBoost/LightGBM's approximate split finding): "
+    f"{_STUMP_BUCKETS} equi-width integer buckets from the global cents "
+    "extent (broadcast 1-row bounds), prefix sums over the bounded "
+    "histogram, weighted binary Gini 2p(1-p) per candidate split as "
+    "(2e6·p·q)//n HUGEINT folds, argmin via ORDER BY ... LIMIT 1 with "
+    "the (gini, bucket) tie-break.  All integer divisions run in the "
+    "same order on both engines; 1-row output",
+)
+def q_best_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("pos"),
+    )
+    c = track_cached(c)  # feeds the bounds agg AND the bucket histogram
+    bounds = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = c.join(F.broadcast(bounds), how="cross").select(
+        F.expr(
+            f"((cents - mn) * {_STUMP_BUCKETS}) div (mx - mn + 1)"
+        ).alias("bucket"),
+        "pos",
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("n_tot"), F.sum("p").cast("long").alias("p_tot")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded 16-row frame — the documented global-window exemption
+    pre = hist.select(
+        "bucket",
+        F.sum("n").over(w).alias("n_le"),
+        F.sum("p").over(w).alias("p_le"),
+    ).join(F.broadcast(tot), how="cross")
+    splits = pre.where(F.col("n_le") < F.col("n_tot")).select(
+        F.col("bucket").cast("long").alias("split_bucket"),
+        F.col("n_le").cast("long").alias("n_left"),
+        F.col("p_le").cast("long").alias("pos_left"),
+        F.expr(
+            "CAST(((2000000 * CAST(p_le AS DECIMAL(38,0)) * (n_le - p_le)) div n_le"
+            " + (2000000 * CAST(p_tot - p_le AS DECIMAL(38,0))"
+            "    * ((n_tot - n_le) - (p_tot - p_le))) div (n_tot - n_le))"
+            " div n_tot AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+    return splits.orderBy("gini_ppm", "split_bucket").limit(1)
+
+
+# ------------------------------------------------- partial correlation
+
+@register(
+    "a_partial_corr_qty_price",
+    """
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS z
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(z::HUGEINT * z) AS szz,
+         sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * z) AS sxz,
+         sum(y::HUGEINT * z) AS syz
+  FROM v
+),
+r AS (
+  SELECT
+    CAST(floor(1e9 * CAST(n * sxy - sx::HUGEINT * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx::HUGEINT * sx AS DOUBLE)
+                * CAST(n * syy - sy::HUGEINT * sy AS DOUBLE))) AS BIGINT)
+      AS rxy,
+    CAST(floor(1e9 * CAST(n * sxz - sx::HUGEINT * sz AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx::HUGEINT * sx AS DOUBLE)
+                * CAST(n * szz - sz::HUGEINT * sz AS DOUBLE))) AS BIGINT)
+      AS rxz,
+    CAST(floor(1e9 * CAST(n * syz - sy::HUGEINT * sz AS DOUBLE)
+         / sqrt(CAST(n * syy - sy::HUGEINT * sy AS DOUBLE)
+                * CAST(n * szz - sz::HUGEINT * sz AS DOUBLE))) AS BIGINT)
+      AS ryz,
+    n
+  FROM m
+)
+SELECT n AS n_items, rxy AS rxy_nano, rxz AS rxz_nano, ryz AS ryz_nano,
+       CAST(floor(1e6 * CAST(1000000000 * rxy - rxz * ryz AS DOUBLE)
+            / sqrt(CAST((1000000000000000000 - rxz::HUGEINT * rxz)
+                        * (1000000000000000000 - ryz::HUGEINT * ryz)
+                   AS DOUBLE))) AS BIGINT) AS partial_xy_given_z_ppm
+FROM r
+""",
+    tags=("analytics", "stats"),
+    doc="partial correlation of quantity and line price controlling for "
+    "discount, via the three pairwise Pearson r's: every covariance "
+    "moment is an exact DECIMAL(38,0)/HUGEINT integer fold (quantity, "
+    "cents, discount-hundredths), each r is quantized to nano "
+    "(floor after the single sqrt+divide — the r_segment_size_cv "
+    "precedent: DECIMAL→DOUBLE casts and IEEE sqrt/divide are "
+    "correctly rounded, hence bit-identical cross-engine), and the "
+    "partial-r formula (rxy − rxz·ryz)/√((1−rxz²)(1−ryz²)) runs on the "
+    "exact nano integers with one more sqrt+divide+floor.  1-row output",
+)
+def q_partial_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "y"
+        ),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("z"),
+    )
+    lift = "CAST({c} AS DECIMAL(38,0))"
+    m = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.expr(f"sum({lift.format(c='x')} * x)").alias("sxx"),
+        F.expr(f"sum({lift.format(c='y')} * y)").alias("syy"),
+        F.expr(f"sum({lift.format(c='z')} * z)").alias("szz"),
+        F.expr(f"sum({lift.format(c='x')} * y)").alias("sxy"),
+        F.expr(f"sum({lift.format(c='x')} * z)").alias("sxz"),
+        F.expr(f"sum({lift.format(c='y')} * z)").alias("syz"),
+    )
+
+    def r_nano(num_a: str, num_b: str, da: str, db: str) -> str:
+        return (
+            f"CAST(floor(1e9 * CAST(n * s{num_a}{num_b}"
+            f" - CAST(s{num_a} AS DECIMAL(38,0)) * s{num_b} AS DOUBLE)"
+            f" / sqrt(CAST(n * s{da}{da}"
+            f" - CAST(s{da} AS DECIMAL(38,0)) * s{da} AS DOUBLE)"
+            f" * CAST(n * s{db}{db}"
+            f" - CAST(s{db} AS DECIMAL(38,0)) * s{db} AS DOUBLE))) AS BIGINT)"
+        )
+
+    r = m.select(
+        F.expr(r_nano("x", "y", "x", "y")).alias("rxy"),
+        F.expr(r_nano("x", "z", "x", "z")).alias("rxz"),
+        F.expr(r_nano("y", "z", "y", "z")).alias("ryz"),
+        "n",
+    )
+    return r.select(
+        F.col("n").alias("n_items"),
+        F.col("rxy").alias("rxy_nano"),
+        F.col("rxz").alias("rxz_nano"),
+        F.col("ryz").alias("ryz_nano"),
+        F.expr(
+            "CAST(floor(1e6 * CAST(1000000000 * rxy - rxz * ryz AS DOUBLE)"
+            " / sqrt(CAST((1000000000000000000"
+            " - CAST(rxz AS DECIMAL(38,0)) * rxz)"
+            " * (1000000000000000000 - CAST(ryz AS DECIMAL(38,0)) * ryz)"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("partial_xy_given_z_ppm"),
+    )
