@@ -260,6 +260,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_uncertainty_sample",
     "p_best_stump_split",
     "a_partial_corr_qty_price",
+    "r_checkpoint_staleness",
+    "r_write_amplification",
 ]
 
 

@@ -1777,3 +1777,211 @@ def q_s4_event_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("event_ts")).alias("ts_us"),
         "size_bytes",
     )
+
+
+# ------------------------------------------- T8 checkpoint staleness
+
+#: a checkpoint is published every Nth segment close in the staleness model
+_CKPT_EVERY = 5
+
+
+@register(
+    "r_checkpoint_staleness",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq,
+         max(msg_offset) AS end_offset
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        select=f"""
+SELECT topic, partition_id,
+       CAST(max(end_offset) AS BIGINT) AS head_offset,
+       CAST(coalesce(max(CASE WHEN segment_seq % {_CKPT_EVERY} = {_CKPT_EVERY - 1}
+                              THEN end_offset END), -1) AS BIGINT)
+         AS last_ckpt_offset,
+       CAST(max(end_offset)
+            - coalesce(max(CASE WHEN segment_seq % {_CKPT_EVERY} = {_CKPT_EVERY - 1}
+                                THEN end_offset END), -1) AS BIGINT)
+         AS staleness_msgs,
+       CAST(max(segment_seq)
+            - coalesce(max(CASE WHEN segment_seq % {_CKPT_EVERY} = {_CKPT_EVERY - 1}
+                                THEN segment_seq END), -1) AS BIGINT)
+         AS n_uncheckpointed_segments
+FROM seg GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="T8 checkpoint staleness audit: with a checkpoint published every "
+    f"{_CKPT_EVERY}th segment close (the reference checkpoints per "
+    "produce batch — pkg/ingress/worker.go:118-122 — and replays "
+    "everything past the last checkpoint on restart), report per "
+    "partition how far the stream head has run ahead of the last "
+    "checkpoint in messages and in whole segments — EXACTLY the "
+    "recovery replay cost the resume path (r_t9_resume_replay) pays.  "
+    "One groupBy over the segment frame, conditional aggregates only; "
+    "partitions that never reached a checkpoint boundary report the "
+    "full head (-1 sentinel floor)",
+)
+def q_checkpoint_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.max("msg_offset").alias("end_offset"))
+    )
+    is_ckpt = f"segment_seq % {_CKPT_EVERY} = {_CKPT_EVERY - 1}"
+    return seg.groupBy("topic", "partition_id").agg(
+        F.max("end_offset").cast("long").alias("head_offset"),
+        F.expr(
+            f"CAST(coalesce(max(CASE WHEN {is_ckpt} THEN end_offset END), -1)"
+            " AS BIGINT)"
+        ).alias("last_ckpt_offset"),
+        F.expr(
+            "CAST(max(end_offset)"
+            f" - coalesce(max(CASE WHEN {is_ckpt} THEN end_offset END), -1)"
+            " AS BIGINT)"
+        ).alias("staleness_msgs"),
+        F.expr(
+            "CAST(max(segment_seq)"
+            f" - coalesce(max(CASE WHEN {is_ckpt} THEN segment_seq END), -1)"
+            " AS BIGINT)"
+        ).alias("n_uncheckpointed_segments"),
+    )
+
+
+# --------------------------------------- M1 write-amplification model
+
+#: segments per compaction input window in the amplification model
+#: (the reference's MinSegmentCount default — pkg/compaction/config.go:33)
+_WA_FANIN = 10
+
+
+@register(
+    "r_write_amplification",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """l0 AS (
+  SELECT topic, partition_id, segment_seq,
+         CAST(sum(msg_size) AS BIGINT) AS b0
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""l1 AS (
+  SELECT topic, partition_id, segment_seq // {_WA_FANIN} AS g1,
+         CAST(sum(b0) AS BIGINT) AS b1,
+         CAST(count(*) AS BIGINT) AS n_in
+  FROM l0 GROUP BY topic, partition_id, segment_seq // {_WA_FANIN}
+)""",
+        f"""l1f AS (SELECT * FROM l1 WHERE n_in = {_WA_FANIN})""",
+        f"""l2 AS (
+  SELECT topic, partition_id, g1 // {_WA_FANIN} AS g2,
+         CAST(sum(b1) AS BIGINT) AS b2,
+         CAST(count(*) AS BIGINT) AS n_in
+  FROM l1f GROUP BY topic, partition_id, g1 // {_WA_FANIN}
+)""",
+        f"""l2f AS (SELECT * FROM l2 WHERE n_in = {_WA_FANIN})""",
+        """agg AS (
+  SELECT l0.topic, l0.partition_id,
+         CAST(sum(b0) AS BIGINT) AS raw_bytes,
+         coalesce((SELECT CAST(sum(b1) AS BIGINT) FROM l1f
+                   WHERE l1f.topic = l0.topic
+                     AND l1f.partition_id = l0.partition_id), 0) AS l1_bytes,
+         coalesce((SELECT CAST(count(*) AS BIGINT) FROM l1f
+                   WHERE l1f.topic = l0.topic
+                     AND l1f.partition_id = l0.partition_id), 0) AS n_l1_merges,
+         coalesce((SELECT CAST(sum(b2) AS BIGINT) FROM l2f
+                   WHERE l2f.topic = l0.topic
+                     AND l2f.partition_id = l0.partition_id), 0) AS l2_bytes,
+         coalesce((SELECT CAST(count(*) AS BIGINT) FROM l2f
+                   WHERE l2f.topic = l0.topic
+                     AND l2f.partition_id = l0.partition_id), 0) AS n_l2_merges
+  FROM l0 GROUP BY l0.topic, l0.partition_id
+)""",
+        select="""
+SELECT topic, partition_id, raw_bytes, l1_bytes, l2_bytes,
+       n_l1_merges, n_l2_merges,
+       CAST((1000000 * (raw_bytes::HUGEINT + l1_bytes + l2_bytes))
+            // raw_bytes AS BIGINT) AS write_amp_ppm
+FROM agg
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="M1 write-amplification model of the two-level compaction "
+    "geometry: L0 segments merge in windows of "
+    f"{_WA_FANIN} (the reference's MinSegmentCount default — "
+    "pkg/compaction/config.go:33), full L1 outputs merge again in "
+    f"windows of {_WA_FANIN} (A4 level bump — compactor.go), and every "
+    "byte rewritten at each level counts once — write_amp_ppm = "
+    "1e6·(L0+L1+L2 bytes)//L0 bytes, the S3 PUT-volume multiplier a "
+    "capacity plan needs (bounded by 1 + 1/1 + 1/1 ≈ 3e6 ppm here; "
+    "the general geometric bound is levels+1).  Partial tail windows "
+    "(< fan-in inputs) don't merge, exactly like the reference's "
+    "MinSegmentCount gate; HUGEINT/DECIMAL lift on the ppm numerator",
+)
+def q_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    l0 = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.sum("msg_size").cast("long").alias("b0"))
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    l0 = track_cached(l0)  # feeds the raw rollup AND the l1 grouping
+    l1 = l0.groupBy(
+        "topic",
+        "partition_id",
+        (F.col("segment_seq") / _WA_FANIN).cast("long").alias("g1"),
+    ).agg(
+        F.sum("b0").cast("long").alias("b1"),
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+    )
+    l1f = l1.where(F.col("n_in") == _WA_FANIN)
+    l2 = l1f.groupBy(
+        "topic",
+        "partition_id",
+        (F.col("g1") / _WA_FANIN).cast("long").alias("g2"),
+    ).agg(
+        F.sum("b1").cast("long").alias("b2"),
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+    )
+    l2f = l2.where(F.col("n_in") == _WA_FANIN)
+    raw = l0.groupBy("topic", "partition_id").agg(
+        F.sum("b0").cast("long").alias("raw_bytes")
+    )
+    a1 = l1f.groupBy("topic", "partition_id").agg(
+        F.sum("b1").cast("long").alias("l1_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_l1_merges"),
+    )
+    a2 = l2f.groupBy("topic", "partition_id").agg(
+        F.sum("b2").cast("long").alias("l2_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_l2_merges"),
+    )
+    out = (
+        raw.join(a1, ["topic", "partition_id"], "left")
+        .join(a2, ["topic", "partition_id"], "left")
+        .select(
+            "topic",
+            "partition_id",
+            "raw_bytes",
+            F.coalesce("l1_bytes", F.lit(0)).cast("long").alias("l1_bytes"),
+            F.coalesce("l2_bytes", F.lit(0)).cast("long").alias("l2_bytes"),
+            F.coalesce("n_l1_merges", F.lit(0)).cast("long").alias("n_l1_merges"),
+            F.coalesce("n_l2_merges", F.lit(0)).cast("long").alias("n_l2_merges"),
+        )
+    )
+    return out.select(
+        "topic",
+        "partition_id",
+        "raw_bytes",
+        "l1_bytes",
+        "l2_bytes",
+        "n_l1_merges",
+        "n_l2_merges",
+        F.expr(
+            "CAST((1000000 * (CAST(raw_bytes AS DECIMAL(38,0))"
+            " + l1_bytes + l2_bytes)) div raw_bytes AS BIGINT)"
+        ).alias("write_amp_ppm"),
+    )
