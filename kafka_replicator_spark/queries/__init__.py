@@ -262,6 +262,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_partial_corr_qty_price",
     "r_checkpoint_staleness",
     "r_write_amplification",
+    "r_x5_checkpoint_codec",
+    "r_t13_overlap_tolerance",
 ]
 
 

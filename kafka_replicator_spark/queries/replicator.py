@@ -1985,3 +1985,300 @@ def q_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + l1_bytes + l2_bytes)) div raw_bytes AS BIGINT)"
         ).alias("write_amp_ppm"),
     )
+
+
+# ------------------------------------------- X5 protobuf checkpoint codec
+
+#: varint byte-length boundaries: both sides of every 7-bit-group
+#: transition from 1 to 9 encoded bytes, plus the int64 maximum (10-byte
+#: varints need unsigned v >= 2^63, unreachable from non-negative BIGINT)
+_X5_BOUNDARY_OFFSETS = (
+    [0, 1]
+    + [v for k in range(1, 9) for v in ((1 << (7 * k)) - 1, 1 << (7 * k))]
+    + [(1 << 63) - 1]
+)
+
+#: fixed timestamp for the matrix rows (nanos; exercises a 5-byte seconds
+#: varint and a 5-byte nanos varint); row 0 uses ts=0 (empty submessage)
+_X5_TS_NS = 1_700_000_000_123_456_789
+
+
+def _vlen_sql(e: str) -> str:
+    """Varint byte length of the non-negative BIGINT expression ``e``."""
+    cases = " ".join(
+        f"WHEN {e} < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+    )
+    return f"(CASE {cases} ELSE 9 END)"
+
+
+def _x5_oracle() -> str:
+    values = ", ".join(
+        f"({i}, {off})" for i, off in enumerate(_X5_BOUNDARY_OFFSETS)
+    )
+    vlen_p = _vlen_sql("partition_id")
+    vlen_o = _vlen_sql("msg_offset")
+    vlen_s = _vlen_sql("ts_s")
+    vlen_n = _vlen_sql("ts_n")
+    return with_ctes(
+        MESSAGES_CTE,
+        """corp AS (
+  SELECT 'corpus' AS part, 'src' AS region, topic, partition_id,
+         max(msg_offset) AS msg_offset,
+         max_by(ts_us, msg_offset) * 1000 AS ts_ns
+  FROM messages GROUP BY topic, partition_id
+)""",
+        f"""mat AS (
+  SELECT 'matrix' AS part, 'local' AS region, 'matrix' AS topic,
+         CAST(i AS INTEGER) AS partition_id, CAST(off AS BIGINT) AS msg_offset,
+         CAST(CASE WHEN i = 0 THEN 0 ELSE {_X5_TS_NS} END AS BIGINT) AS ts_ns
+  FROM (VALUES {values}) m(i, off)
+)""",
+        """u AS (
+  SELECT *, ts_ns // 1000000000 AS ts_s, ts_ns % 1000000000 AS ts_n
+  FROM (SELECT * FROM corp UNION ALL SELECT * FROM mat)
+)""",
+        select=f"""
+SELECT part, topic, partition_id, msg_offset, ts_ns,
+       CAST(2 + strlen(region) + 2 + strlen(topic)
+            + (CASE WHEN partition_id > 0 THEN 1 + {vlen_p} ELSE 0 END)
+            + (CASE WHEN msg_offset > 0 THEN 1 + {vlen_o} ELSE 0 END)
+            + 2
+            + (CASE WHEN ts_s > 0 THEN 1 + {vlen_s} ELSE 0 END)
+            + (CASE WHEN ts_n > 0 THEN 1 + {vlen_n} ELSE 0 END)
+            AS BIGINT) AS enc_len,
+       CAST(1 AS INTEGER) AS ok
+FROM u
+""",
+    )
+
+
+@register(
+    "r_x5_checkpoint_codec",
+    _x5_oracle(),
+    tags=("parity", "scalar"),
+    doc="X5 protobuf wire codec driven end-to-end against a closed-form "
+    "length oracle (reference pkg/core/messages.proto Checkpoint; "
+    "encode/decode sites checkpoint_store.go:257-273): the REAL "
+    "hand-rolled encoder (core/proto.py encode_checkpoint_udf, an "
+    "Arrow-batched pandas UDF) serializes one checkpoint per corpus "
+    "(topic, partition) — offset = stream head, timestamp = its µs "
+    "event time — plus a 19-row boundary matrix hitting BOTH sides of "
+    "every varint 7-bit-group transition (1..9 bytes), the zero-valued "
+    "field-omission rule (partition 0 / offset 0 / ts 0 in row 0), and "
+    "the always-emitted gogo non-nullable Timestamp submessage.  The "
+    "oracle restates proto3 canonical encoding as arithmetic: 2 + "
+    "strlen per nonempty string (tag + 1-byte length, fields <= 15 and "
+    "strings < 128 bytes here — ASCII corpus, so strlen = byte length), "
+    "1 + varint_len per nonzero scalar, 2 + submessage length for the "
+    "timestamp.  ok additionally asserts the decode roundtrip recovered "
+    "every field bit-exactly, so a drift in EITHER direction of the "
+    "codec breaks the hash compare.  ts rides ts_us*1000 on both sides "
+    "(sub-µs nanos are invisible to DuckDB's parquet reader)",
+)
+def q_x5_checkpoint_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.core import proto
+
+    msgs = events_as_messages(spark, sf_dir)
+    corp = (
+        msgs.groupBy("topic", "partition_id")
+        .agg(
+            F.max("msg_offset").alias("msg_offset"),
+            (F.max_by("ts_us", "msg_offset") * 1000).alias("ts_ns"),
+        )
+        .select(
+            F.lit("corpus").alias("part"),
+            F.lit("src").alias("region"),
+            "topic",
+            "partition_id",
+            "msg_offset",
+            "ts_ns",
+        )
+    )
+    mat = spark.createDataFrame(
+        [
+            ("matrix", "local", "matrix", i, off, 0 if i == 0 else _X5_TS_NS)
+            for i, off in enumerate(_X5_BOUNDARY_OFFSETS)
+        ],
+        "part string, region string, topic string, partition_id int, "
+        "msg_offset long, ts_ns long",
+    )
+    u = corp.unionByName(mat)
+    enc = u.withColumn(
+        "enc",
+        proto.encode_checkpoint_udf(
+            "region", "topic", "partition_id", "msg_offset", "ts_ns"
+        ),
+    ).withColumn("dec", proto.decode_checkpoint_udf("enc"))
+    ok = (
+        (F.col("dec.region") == F.col("region"))
+        & (F.col("dec.topic") == F.col("topic"))
+        & (F.col("dec.partition_id") == F.col("partition_id"))
+        & (F.col("dec.msg_offset") == F.col("msg_offset"))
+        & (F.col("dec.ts_ns") == F.col("ts_ns"))
+    )
+    return enc.select(
+        "part",
+        "topic",
+        "partition_id",
+        "msg_offset",
+        "ts_ns",
+        F.octet_length("enc").cast("long").alias("enc_len"),
+        ok.cast("int").alias("ok"),
+    )
+
+
+# ------------------------------------------ T13 duplicate-event tolerance
+
+#: overlap-injection thresholds: hv % _T13_DUP_MOD == 0 → exact duplicate
+#: emission; hv % _T13_VAR_MOD == 0 → a contained stale variant
+_T13_DUP_MOD = 3
+_T13_VAR_MOD = 5
+_T13_MIN_SPAN = 8
+
+
+@register(
+    "r_t13_overlap_tolerance",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id,
+         min(msg_offset) AS s, max(msg_offset) AS e,
+         CAST(segment_seq AS VARCHAR) AS sq
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""h AS (
+  SELECT *, {portable_hash60_sql(
+      "topic || ':' || CAST(partition_id AS VARCHAR) || ':' || sq")} AS hv
+  FROM seg
+)""",
+        f"""ev AS (
+  SELECT topic, partition_id, s, e FROM h
+  UNION ALL
+  SELECT topic, partition_id, s, e FROM h WHERE hv % {_T13_DUP_MOD} = 0
+  UNION ALL
+  SELECT topic, partition_id,
+         s + (e - s) // 4 AS s, s + (e - s) // 2 AS e
+  FROM h WHERE hv % {_T13_VAR_MOD} = 0 AND e - s >= {_T13_MIN_SPAN}
+)""",
+        "uq AS (SELECT DISTINCT topic, partition_id, s, e FROM ev)",
+        """scan AS (
+  SELECT *, max(e) OVER (PARTITION BY topic, partition_id
+                         ORDER BY s, e DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmax
+  FROM uq
+)""",
+        """evc AS (
+  SELECT topic, partition_id, count(*) AS n_events
+  FROM ev GROUP BY topic, partition_id
+)""",
+        """agg AS (
+  SELECT topic, partition_id,
+         count(*) AS n_unique,
+         CAST(sum(CASE WHEN pmax IS NOT NULL AND e <= pmax
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_absorbed,
+         CAST(sum(CASE WHEN pmax IS NULL THEN e - s + 1
+                       WHEN e > pmax THEN e - greatest(s, pmax + 1) + 1
+                       ELSE 0 END) AS BIGINT) AS covered,
+         max(e) - min(s) + 1 AS expected
+  FROM scan GROUP BY topic, partition_id
+)""",
+        select="""
+SELECT a.topic, a.partition_id, evc.n_events, a.n_unique, a.n_absorbed,
+       a.covered, a.expected,
+       CAST(CASE WHEN a.covered = a.expected THEN 1 ELSE 0 END AS INTEGER)
+         AS ok
+FROM agg a JOIN evc ON evc.topic = a.topic
+                   AND evc.partition_id = a.partition_id
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="T13 duplicate-event tolerance (reference ingress re-delivery "
+    "handling pkg/ingress/worker.go — at-least-once SQS delivery means "
+    "the same segment event arrives more than once, and compaction can "
+    "re-announce a range already covered; mirrored at streaming/"
+    "ingress_stream.py:218): deterministically re-emit every third "
+    "segment event verbatim and inject a CONTAINED stale variant "
+    "([s+span/4, s+span/2]) for every fifth, then prove the tolerance "
+    "pipeline — exact distinct, then a running-max-end absorption scan "
+    "per partition in (start asc, end desc) heap order (O1) — drops "
+    "every duplicate and absorbs every contained range while the "
+    "surviving coverage still equals the dense partition extent "
+    "(covered == max-min+1, the ok flag the oracle asserts per "
+    "partition).  The scan window partitions by (topic, partition) — "
+    "never a global sort — and (s, e) pairs are unique after the "
+    "distinct, so the frame order is deterministic on both engines",
+)
+def q_t13_overlap_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.min("msg_offset").alias("s"), F.max("msg_offset").alias("e"))
+    )
+    hv = portable_hash60(
+        F.concat_ws(
+            ":",
+            F.col("topic"),
+            F.col("partition_id").cast("string"),
+            F.col("segment_seq").cast("string"),
+        )
+    )
+    seg = seg.withColumn("hv", hv)
+    base = seg.select("topic", "partition_id", "s", "e")
+    dup = seg.filter(F.col("hv") % _T13_DUP_MOD == 0).select(
+        "topic", "partition_id", "s", "e"
+    )
+    var = (
+        seg.filter(
+            (F.col("hv") % _T13_VAR_MOD == 0)
+            & (F.col("e") - F.col("s") >= _T13_MIN_SPAN)
+        )
+        .select(
+            "topic",
+            "partition_id",
+            F.expr("s + (e - s) div 4").alias("s"),
+            F.expr("s + (e - s) div 2").alias("e"),
+        )
+    )
+    ev = base.unionByName(dup).unionByName(var)
+    evc = ev.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    uq = ev.distinct()
+    w = (
+        Window.partitionBy("topic", "partition_id")
+        .orderBy(F.col("s").asc(), F.col("e").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scan = uq.withColumn("pmax", F.max("e").over(w))
+    absorbed = F.when(
+        F.col("pmax").isNotNull() & (F.col("e") <= F.col("pmax")), 1
+    ).otherwise(0)
+    contrib = (
+        F.when(F.col("pmax").isNull(), F.col("e") - F.col("s") + 1)
+        .when(
+            F.col("e") > F.col("pmax"),
+            F.col("e")
+            - F.greatest(F.col("s"), F.col("pmax") + 1)
+            + 1,
+        )
+        .otherwise(0)
+    )
+    agg = scan.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(absorbed).cast("long").alias("n_absorbed"),
+        F.sum(contrib).cast("long").alias("covered"),
+        (F.max("e") - F.min("s") + 1).alias("expected"),
+    )
+    return agg.join(evc, ["topic", "partition_id"]).select(
+        "topic",
+        "partition_id",
+        "n_events",
+        "n_unique",
+        "n_absorbed",
+        "covered",
+        "expected",
+        (F.col("covered") == F.col("expected")).cast("int").alias("ok"),
+    )
