@@ -61,7 +61,18 @@ def range_prefix_stitch(
     per_pid = {
         r["__pid"]: r for r in tagged.groupBy("__pid").agg(*aggs).collect()
     }
-    rows, acc, sacc = [], (None if agg == "max" else 0), 0
+
+    # zero of the column's own type: DECIMAL columns reject a Python int 0
+    # at createDataFrame verification
+    def _zero(col: str):
+        if tagged.schema[col].dataType.simpleString().startswith("decimal"):
+            from decimal import Decimal
+
+            return Decimal(0)
+        return 0
+
+    rows, acc = [], (None if agg == "max" else _zero(value_col))
+    sacc = _zero(extra_sum_col) if extra_sum_col is not None else 0
     for pid in sorted(per_pid):
         rows.append((pid, acc, sacc) if extra_sum_col is not None else (pid, acc))
         v = per_pid[pid]["v"]

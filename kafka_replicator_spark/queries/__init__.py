@@ -264,6 +264,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "r_write_amplification",
     "r_x5_checkpoint_codec",
     "r_t13_overlap_tolerance",
+    "a_mode_price_brand",
+    "a_abc_classes",
+    "a_changepoint_sse",
+    "a_top_brand_stability",
 ]
 
 

@@ -556,3 +556,366 @@ def q_partial_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE))) AS BIGINT)"
         ).alias("partial_xy_given_z_ppm"),
     )
+
+
+# ------------------------------------------------ per-brand modal price
+
+@register(
+    "a_mode_price_brand",
+    """
+WITH c AS (
+  SELECT p_brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM part
+),
+cnt AS (
+  SELECT p_brand, cents, CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY p_brand, cents
+),
+mx AS (SELECT p_brand, max(n) AS mxn FROM cnt GROUP BY p_brand)
+SELECT cnt.p_brand,
+       CAST(min(cnt.cents) AS BIGINT) AS mode_cents,
+       CAST(mx.mxn AS BIGINT) AS n_at_mode
+FROM cnt JOIN mx ON cnt.p_brand = mx.p_brand AND cnt.n = mx.mxn
+GROUP BY cnt.p_brand, mx.mxn
+""",
+    tags=("analytics", "stats"),
+    doc="Per-brand modal retail price with the deterministic "
+    "(count DESC, cents ASC) tie-break — the mode aggregate the SQL "
+    "surface otherwise lacks, done as two hash aggregations and a "
+    "broadcast join on the 25-row per-brand maxima instead of any "
+    "window: count per (brand, cents), broadcast the per-brand max "
+    "count back, keep the cheapest tied value.  Exact integer cents "
+    "end to end; brand-count output rows",
+)
+def q_mode_price_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cnt = c.groupBy("p_brand", "cents").agg(F.count(F.lit(1)).alias("n"))
+    mx = (
+        cnt.groupBy("p_brand")
+        .agg(F.max("n").alias("mxn"))
+        .select(F.col("p_brand").alias("mb"), "mxn")
+    )
+    return (
+        cnt.join(
+            F.broadcast(mx),
+            (F.col("p_brand") == F.col("mb")) & (F.col("n") == F.col("mxn")),
+        )
+        .select("p_brand", "cents", "mxn")
+        .groupBy("p_brand", "mxn")
+        .agg(F.min("cents").alias("mode_cents"))
+        .select("p_brand", "mode_cents", F.col("mxn").alias("n_at_mode"))
+    )
+
+
+# --------------------------------------------------- ABC classification
+
+@register(
+    "a_abc_classes",
+    """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT sum(cents::HUGEINT) AS total FROM pv),
+r AS (
+  SELECT cents,
+         sum(cents::HUGEINT) OVER (ORDER BY cents DESC
+                                   ROWS UNBOUNDED PRECEDING) AS cs
+  FROM pv
+),
+cls AS (
+  SELECT CASE WHEN 100 * cs <= 80 * t.total THEN 'A'
+              WHEN 100 * cs <= 95 * t.total THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents
+  FROM r, t
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents::HUGEINT) AS BIGINT) AS class_cents,
+       CAST((1000000::HUGEINT * sum(cents::HUGEINT)) // t.total AS BIGINT)
+         AS share_ppm
+FROM cls, t
+GROUP BY abc_class, t.total
+""",
+    tags=("analytics", "stats"),
+    doc="ABC inventory classification: parts ranked by lifetime revenue, "
+    "class A while the running share is <= 80%, B to 95%, C beyond — the "
+    "80/15/5 capacity-planning cut.  Ordering is by value DESC ONLY (no "
+    "key tie-break) and that is sufficient: within a tie group the "
+    "running sum advances equally per row, so the class-boundary rank — "
+    "and therefore every per-class count and sum — is permutation-"
+    "invariant (the a_trimmed_mean_price rank-range argument).  Spark "
+    "rides the range-partition stitch on -cents (partition-local cumsum "
+    "+ broadcast prefix offsets — no single-partition window); running "
+    "sums are DECIMAL(38,0)/HUGEINT so the 100x share comparisons never "
+    "overflow at scale.  <=3 output rows",
+)
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
+
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+        .select(
+            "cents",
+            (-F.col("cents")).alias("negc"),
+            F.col("cents").cast("decimal(38,0)").alias("centsd"),
+        )
+    )
+    tagged, prefix = range_prefix_stitch(pv, "negc", "centsd", agg="sum")
+    w = Window.partitionBy("__pid").orderBy("negc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = pv.agg(F.sum("centsd").alias("total"))
+    cls = (
+        tagged.withColumn("lcs", F.sum("centsd").over(w))
+        .join(F.broadcast(prefix), "__pid")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cents",
+            F.expr(
+                "CASE WHEN 100 * (coalesce(__prefix, 0) + lcs) <= 80 * total"
+                " THEN 'A'"
+                " WHEN 100 * (coalesce(__prefix, 0) + lcs) <= 95 * total"
+                " THEN 'B' ELSE 'C' END"
+            ).alias("abc_class"),
+            "total",
+        )
+    )
+    return cls.groupBy("abc_class", "total").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").alias(
+            "class_cents"
+        ),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CAST(cents AS DECIMAL(38,0)))) div total AS BIGINT)"
+        ).alias("share_ppm"),
+    ).drop("total")
+
+
+# --------------------------------------- best mean-shift changepoint
+
+@register(
+    "a_changepoint_sse",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y::HUGEINT) AS s FROM d),
+r AS (
+  SELECT day,
+         sum(y::HUGEINT) OVER w AS s1,
+         CAST(count(*) OVER w AS BIGINT) AS n1
+  FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+),
+sc AS (
+  SELECT day, s1, n1, (t.s - s1) AS s2, (t.n - n1) AS n2
+  FROM r, t WHERE n1 < t.n
+),
+q AS (
+  SELECT day, n1, n2, s1 // n1 AS m1, s2 // n2 AS m2,
+         (1000000::HUGEINT * (s1 * s1 * n2 + s2 * s2 * n1)) // (n1 * n2)
+           AS score
+  FROM sc
+)
+SELECT CAST(day AS BIGINT) AS split_day,
+       CAST(n1 AS BIGINT) AS n_days_left, CAST(n2 AS BIGINT) AS n_days_right,
+       CAST(m1 AS BIGINT) AS mean_left_cents,
+       CAST(m2 AS BIGINT) AS mean_right_cents,
+       CAST(m2 - m1 AS BIGINT) AS shift_cents
+FROM q ORDER BY score DESC, day ASC LIMIT 1
+""",
+    tags=("analytics", "stats"),
+    doc="Single best mean-shift changepoint in daily order revenue: the "
+    "split day minimizing two-segment SSE, found by maximizing the "
+    "equivalent S1^2/n1 + S2^2/n2 — evaluated as ONE exact integer per "
+    "candidate, (1e6*(S1^2*n2 + S2^2*n1)) // (n1*n2) in DECIMAL(38,0)/"
+    "HUGEINT (S^2*n*1e6 stays under 38 digits through sf1), so the "
+    "argmax is bit-deterministic on both engines with the (score DESC, "
+    "day ASC) tie-break; complements a_cusum_changepoint, which detects "
+    "drift rather than fitting the split.  Prefix sums ride one "
+    "unpartitioned window over the documented bounded day grain "
+    "(~2400 rows); the argmax is a distributed TakeOrdered, never a "
+    "global rank window.  1 output row",
+)
+def q_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    d = track_cached(d)
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("s"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = d.select(
+        "day",
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("s1"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n1"),
+    )
+    sc = (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("n1") < F.col("n"))
+        .select(
+            "day",
+            "s1",
+            "n1",
+            (F.col("s") - F.col("s1")).alias("s2"),
+            (F.col("n") - F.col("n1")).alias("n2"),
+        )
+    )
+    # score exceeds int64, so Spark `div` (which returns LONG) would wrap —
+    # use the exact stays-DECIMAL floor division (a - a % b) / b, the
+    # a_dow_seasonality_strength precedent; m1/m2 quotients fit LONG
+    num = "(CAST(1000000 AS DECIMAL(38,0)) * (s1 * s1 * n2 + s2 * s2 * n1))"
+    den = "(n1 * n2)"
+    q = sc.select(
+        "day",
+        "n1",
+        "n2",
+        F.expr("s1 div n1").alias("m1"),
+        F.expr("s2 div n2").alias("m2"),
+        F.expr(f"({num} - ({num} % {den})) / {den}").alias("score"),
+    )
+    return (
+        q.orderBy(F.col("score").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("n1").alias("n_days_left"),
+            F.col("n2").alias("n_days_right"),
+            F.col("m1").cast("long").alias("mean_left_cents"),
+            F.col("m2").cast("long").alias("mean_right_cents"),
+            (F.col("m2") - F.col("m1")).cast("long").alias("shift_cents"),
+        )
+    )
+
+
+# -------------------------------------- monthly top-brand stability
+
+_STAB_TOPK = 10
+
+
+@register(
+    "a_top_brand_stability",
+    f"""
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS ym, p_brand,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT ym, p_brand,
+         row_number() OVER (PARTITION BY ym
+                            ORDER BY cents DESC, p_brand) AS r
+  FROM m
+),
+top AS (SELECT ym, p_brand FROM rk WHERE r <= {_STAB_TOPK}),
+sz AS (SELECT ym, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY ym),
+common AS (
+  SELECT a.ym AS ym_from, CAST(count(*) AS BIGINT) AS n_common
+  FROM top a JOIN top b ON b.ym = a.ym + 1 AND b.p_brand = a.p_brand
+  GROUP BY a.ym
+)
+SELECT CAST(a.ym AS BIGINT) AS ym_from, CAST(b.ym AS BIGINT) AS ym_to,
+       COALESCE(c.n_common, 0) AS n_common,
+       CAST((1000000 * COALESCE(c.n_common, 0))
+            // (a.sz + b.sz - COALESCE(c.n_common, 0)) AS BIGINT)
+         AS jaccard_ppm
+FROM sz a
+JOIN sz b ON b.ym = a.ym + 1
+LEFT JOIN common c ON c.ym_from = a.ym
+""",
+    tags=("analytics", "stats"),
+    doc="Month-over-month stability of the top-10 revenue brands: Jaccard "
+    "similarity of consecutive months' top-10 sets in exact ppm — the "
+    "leaderboard-churn readout.  Per-month ranking is a window "
+    "partitioned by month over the bounded 25-brand grain (never a "
+    "global sort) with the deterministic (cents DESC, brand ASC) "
+    "tie-break on exact integer cents; consecutive months pair by "
+    "equi-join on ym+1, and the union size comes from the per-month "
+    "top-set sizes so short months degrade exactly.  ~month-count "
+    "output rows",
+)
+def q_top_brand_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias("ym"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("ym", "p_brand")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    rk = m.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("ym").orderBy(F.col("cents").desc(), F.col("p_brand"))
+        ),
+    )
+    top = track_cached(rk.filter(F.col("r") <= _STAB_TOPK).select("ym", "p_brand"))
+    sz = top.groupBy("ym").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = top.select(F.col("ym").alias("ym_from"), "p_brand")
+    b = top.select((F.col("ym") - 1).alias("ym_from"), F.col("p_brand").alias("pb"))
+    common = (
+        a.join(b, (a["ym_from"] == b["ym_from"]) & (a["p_brand"] == b["pb"]))
+        .groupBy(a["ym_from"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("ym").alias("ym_from"), F.col("sz").alias("sza"))
+    sb = sz.select((F.col("ym") - 1).alias("ym_from"), F.col("sz").alias("szb"))
+    return (
+        sa.join(sb, "ym_from")
+        .join(common, "ym_from", "left")
+        .select(
+            F.col("ym_from").cast("long"),
+            (F.col("ym_from") + 1).cast("long").alias("ym_to"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_common, 0))"
+                " div (sza + szb - coalesce(n_common, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
