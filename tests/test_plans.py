@@ -970,3 +970,84 @@ def test_key_cardinality_two_partial_aggs_no_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window [" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_mode_price_brand_no_window_broadcasts_maxima(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["a_mode_price_brand"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the mode is two hash aggregations + a broadcast join — never a window
+    assert "Window [" not in plan, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_abc_classes_windows_keyed_by_stitch_pid(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_abc_classes"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    # the cumulative-share scan is partition-local on the stitch tag — no
+    # single-partition window over the parts frame
+    for frag in frags:
+        assert frag.startswith("__pid"), frag[:120]
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_changepoint_sse_takeordered_single_bounded_window(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_changepoint_sse"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the argmax is a distributed TakeOrdered; the only windows are the
+    # documented bounded day grain (~2400 rows), ordered by day
+    assert "TakeOrderedAndProject" in plan, plan
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    for frag in frags:
+        assert frag.startswith("day"), frag[:120]
+    release_cached()
+
+
+def test_brand_stability_windows_keyed_by_month(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_top_brand_stability"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    for frag in frags:
+        assert frag.startswith("ym"), frag[:120]
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_t13_overlap_windows_keyed_by_partition(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["r_t13_overlap_tolerance"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    frags = plan.split("windowspecdefinition(")[1:]
+    assert frags, plan
+    # the absorption scan is keyed by (topic, partition) — never global.
+    # (_w0 is the offset-synthesis window of events_as_messages, keyed by
+    # the computed partition hash)
+    for frag in frags:
+        assert frag.startswith(("topic", "_w0")), frag[:120]
+
+
+def test_x5_codec_stays_in_two_exchanges(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["r_x5_checkpoint_codec"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # one shuffle for the per-partition head aggregate; the matrix side is a
+    # literal local frame; the codec UDFs are Arrow-batched evals
+    assert "ArrowEvalPython" in plan, plan
+    assert count_exchanges(df) <= 2, plan
