@@ -268,6 +268,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_abc_classes",
     "a_changepoint_sse",
     "a_top_brand_stability",
+    "p_knn_label_eval",
 ]
 
 

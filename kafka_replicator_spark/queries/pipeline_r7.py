@@ -919,3 +919,81 @@ def q_top_brand_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ----------------------------------------------- kNN label classifier
+
+#: probe set for the kNN eval — wider than the retrieval-eval probes so
+#: the majority vote sees varied neighborhoods
+_KNN_PROBES = list(range(16))
+_KNN_K = 3
+
+
+def _knn_eval_sql() -> str:
+    from kafka_replicator_spark.functions import similarity
+
+    return f"""
+WITH ann AS ({similarity.brute_force_topk_sql(_KNN_PROBES, k=_KNN_K)}),
+votes AS (
+  SELECT ann.probe_id, l.label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM ann JOIN embeddings l ON l.vec_id = ann.neighbor_id
+  GROUP BY ann.probe_id, l.label
+),
+pred AS (
+  SELECT probe_id, label AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY n_votes DESC, label ASC) AS r
+  FROM votes
+)
+SELECT p.probe_id, CAST(t.label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label, p.n_votes,
+       CAST(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END AS INTEGER)
+         AS correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.probe_id
+WHERE p.r = 1
+"""
+
+
+@register(
+    "p_knn_label_eval",
+    _knn_eval_sql(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="kNN majority-vote label classifier over the embedding corpus: "
+    "exact top-3 cosine neighbors per probe (probes broadcast, corpus "
+    "never shuffles — the brute_force_topk kernel), neighbor labels "
+    "voted with the deterministic (count DESC, label ASC) tie-break, "
+    "scored against each probe's own label — the label-consistency eval "
+    "a curation pipeline runs before trusting embedding clusters "
+    "(complements p_ann_label_precision, which scores the ANN index "
+    "rather than the classifier).  The vote argmax window partitions by "
+    "probe over <= k rows; labels ride broadcast joins; probe-count "
+    "output rows",
+)
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.brute_force_topk(emb, _KNN_PROBES, k=_KNN_K)
+    lbl = emb.select("vec_id", "label")
+    nl = lbl.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
+    )
+    votes = (
+        ann.join(F.broadcast(nl), "neighbor_id")
+        .groupBy("probe_id", "n_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_lbl").asc()
+    )
+    pred = votes.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    tl = lbl.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(tl), "probe_id").select(
+        "probe_id",
+        F.col("true_label").cast("long"),
+        F.col("n_lbl").cast("long").alias("pred_label"),
+        "n_votes",
+        (F.col("n_lbl") == F.col("true_label")).cast("int").alias("correct"),
+    )
