@@ -269,6 +269,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_changepoint_sse",
     "a_top_brand_stability",
     "p_knn_label_eval",
+    "r_t6_lost_ranges",
 ]
 
 

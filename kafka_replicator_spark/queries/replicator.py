@@ -2282,3 +2282,107 @@ def q_t13_overlap_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected",
         (F.col("covered") == F.col("expected")).cast("int").alias("ok"),
     )
+
+
+# ----------------------------------------------- T6/T7 lost-range scan
+
+#: lost-injection modulus: segments with hv % _T6_DROP_MOD == 0 vanish
+_T6_DROP_MOD = 4
+
+
+@register(
+    "r_t6_lost_ranges",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq,
+         min(msg_offset) AS s, max(msg_offset) AS e
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""h AS (
+  SELECT *, {portable_hash60_sql(
+      "topic || ':' || CAST(partition_id AS VARCHAR)"
+      " || ':' || CAST(segment_seq AS VARCHAR)")} AS hv
+  FROM seg
+)""",
+        f"""maxs AS (
+  SELECT topic, partition_id, max(e) AS max_surv
+  FROM h WHERE hv % {_T6_DROP_MOD} <> 0
+  GROUP BY topic, partition_id
+)""",
+        f"""dropped AS (
+  SELECT topic, partition_id, segment_seq, s, e,
+         segment_seq - row_number() OVER (PARTITION BY topic, partition_id
+                                          ORDER BY segment_seq) AS isl
+  FROM h WHERE hv % {_T6_DROP_MOD} = 0
+)""",
+        """islands AS (
+  SELECT topic, partition_id, isl,
+         min(s) AS range_start, max(e) AS range_end
+  FROM dropped GROUP BY topic, partition_id, isl
+)""",
+        select="""
+SELECT i.topic, i.partition_id, i.range_start, i.range_end,
+       i.range_end - i.range_start + 1 AS n_missing
+FROM islands i
+JOIN maxs m ON m.topic = i.topic AND m.partition_id = i.partition_id
+WHERE i.range_start < m.max_surv
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="T6/T7 lost-range detection (reference pkg/ingress/worker.go "
+    "offset-continuity check before delivery; mirrored at streaming/"
+    "ingress_stream.py:271-299): deterministically VANISH every "
+    "hv%4==0 segment, then recover the exact missing offset ranges "
+    "from the survivor stream alone — consecutive surviving segment "
+    "extents per partition, a lag scan in start order, internal gaps "
+    "[prev_end+1, start-1] plus the head gap [0, start-1] (offsets "
+    "resume from 0, F1).  The oracle never scans for gaps: it "
+    "CONSTRUCTS the expected ranges from the same drop arithmetic — "
+    "islands of consecutive dropped segment_seqs merged via the "
+    "seq - row_number() trick, clipped to below the last surviving "
+    "offset (a trailing loss is invisible to a gap scan, exactly like "
+    "the reference, which only declares lost ranges below an announced "
+    "segment).  Gap detection runs at SEGMENT grain — the lag window "
+    "rides segment-count rows per partition, never the message stream",
+)
+def q_t6_lost_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.min("msg_offset").alias("s"), F.max("msg_offset").alias("e"))
+    )
+    hv = portable_hash60(
+        F.concat_ws(
+            ":",
+            F.col("topic"),
+            F.col("partition_id").cast("string"),
+            F.col("segment_seq").cast("string"),
+        )
+    )
+    surv = seg.withColumn("hv", hv).filter(F.col("hv") % _T6_DROP_MOD != 0)
+    w = Window.partitionBy("topic", "partition_id").orderBy("s")
+    scan = surv.withColumn("prev_e", F.lag("e").over(w))
+    head = scan.filter(F.col("prev_e").isNull() & (F.col("s") > 0)).select(
+        "topic",
+        "partition_id",
+        F.lit(0).cast("long").alias("range_start"),
+        (F.col("s") - 1).alias("range_end"),
+    )
+    internal = scan.filter(
+        F.col("prev_e").isNotNull() & (F.col("s") - F.col("prev_e") > 1)
+    ).select(
+        "topic",
+        "partition_id",
+        (F.col("prev_e") + 1).alias("range_start"),
+        (F.col("s") - 1).alias("range_end"),
+    )
+    return head.unionByName(internal).select(
+        "topic",
+        "partition_id",
+        "range_start",
+        "range_end",
+        (F.col("range_end") - F.col("range_start") + 1).alias("n_missing"),
+    )
