@@ -391,7 +391,12 @@ def main() -> None:
             def _sf_token(v):
                 if isinstance(v, (int, float)):
                     return f"sf{v:g}"
-                return os.path.basename(os.path.normpath(str(v)))
+                # Numeric-looking strings ("0.1") must normalize like
+                # numbers, not like paths (ADVICE r06).
+                try:
+                    return f"sf{float(v):g}"
+                except (TypeError, ValueError):
+                    return os.path.basename(os.path.normpath(str(v)))
 
             if snap.get("sf") is not None and _sf_token(snap["sf"]) != _sf_token(sf_dir):
                 raise ValueError(f"snapshot sf {snap['sf']!r} != bench dir {sf_dir!r}")

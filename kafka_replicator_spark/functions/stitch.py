@@ -76,10 +76,13 @@ def range_prefix_stitch(
     for pid in sorted(per_pid):
         rows.append((pid, acc, sacc) if extra_sum_col is not None else (pid, acc))
         v = per_pid[pid]["v"]
+        # a range partition whose value_col is all NULL aggregates to NULL —
+        # contribute nothing (max) / zero (sum), like SQL (ADVICE r06)
         if agg == "max":
-            acc = v if acc is None else max(acc, v)
+            if v is not None:
+                acc = v if acc is None else max(acc, v)
         else:
-            acc += v
+            acc += v if v is not None else _zero(value_col)
         if extra_sum_col is not None:
             # an all-NULL partition sums to NULL; contribute 0, like SQL SUM
             sacc += per_pid[pid]["s"] or 0

@@ -36,6 +36,33 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def broadcast_build_columns(df: DataFrame) -> list[list[str]]:
+    """Column-name lists of every BroadcastExchange build side.
+
+    Parses the formatted plan's per-node ``Input [n]: [cols]`` section so a
+    test can assert WHICH frame broadcasts — "a broadcast join exists" pins
+    nothing when the hint could sit on the corpus-scale side (the
+    wrong-side-broadcast defect class: correct at sf0.1, OOM at 100×).
+    Returns one list of bare column names (exprIds stripped) per
+    BroadcastExchange node.
+    """
+    plan = physical_plan(df, mode="formatted")
+    out: list[list[str]] = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\(\d+\) BroadcastExchange", ln):
+            continue
+        for follow in lines[i + 1 : i + 4]:
+            m = re.match(r"Input \[\d+\]: \[(.*)\]", follow.strip())
+            if m:
+                cols = [
+                    re.sub(r"#\d+L?", "", c.strip()) for c in m.group(1).split(",")
+                ]
+                out.append(cols)
+                break
+    return out
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators (excludes broadcast exchanges)."""
     plan = physical_plan(df, mode="simple")

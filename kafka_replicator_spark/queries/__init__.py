@@ -50,16 +50,36 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
-#: Names with a green row in CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 ∪ r05 (static
-#: history of the driver's correctness runs; oracle-less queries count as
-#: green on a clean rows-only row).  The driver verifies only a prefix
-#: (~50) of the registry each round, so ``all_queries`` orders every name
-#: WITHOUT a green row ahead of this set, then the round's new queries,
-#: then this remainder as ballast.  After round 5 (50/50 green, fifth
-#: consecutive) the only names without a row are the round-5 staged tail,
-#: promoted to ``_NEW_THIS_ROUND`` below — 48 names, leaving 2 spare
-#: window slots (the headroom rule: at most 2 new queries may join them).
+#: Names with a green row in CORRECTNESS_r01 ∪ … ∪ r06 (static history of
+#: the driver's correctness runs; oracle-less queries count as green on a
+#: clean rows-only row).  The driver verifies only a prefix (~50) of the
+#: registry each round, so ``all_queries`` orders every name WITHOUT a
+#: green row ahead of this set, then the round's new queries, then this
+#: remainder as ballast.  After round 6 (50/50 green, sixth consecutive;
+#: cumulative 281/348) the names without a row are the round-6 staged
+#: tail — 67 names, of which the FIRST 50 are promoted to
+#: ``_NEW_THIS_ROUND`` below (they fill the window exactly, 0 spare
+#: slots) and the remaining 17 stay in ``_STAGED_NEXT_ROUND`` for the
+#: round-8 window.
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r06 (folded in at the round-7 rotation) ---
+    'p_auc_quality', 'p_ece_calibration', 'p_categorical_drift_chi2',
+    'p_dup_rate_wilson', 'a_shared_sql_lateral', 'a_activity_streaks',
+    'a_theil_sen_trend', 'a_pareto_top_quartile', 'a_event_trigrams',
+    'p_dup_span_extents', 'p_cluster_purity', 'p_textrank_keywords',
+    'p_doremi_weights', 'p_stratified_kfold', 'p_rrf_fusion',
+    'p_pack_efficiency', 'p_truncation_loss', 'p_detector_agreement',
+    'p_cosine_decile_histogram', 'p_pq_distortion', 'a_shared_sql_exists',
+    'a_session_entry_exit', 'a_iqr_outliers', 'p_ivf_balance', 'p_dsir_ess',
+    'p_sorted_neighborhood', 'p_source_token_js', 'a_promo_diff_in_diff',
+    'a_shared_sql_setops', 'p_vocab_coverage', 'p_hash_collision_audit',
+    'a_seasonal_naive_backtest', 'a_churn_hazard', 'p_hill_tail_index',
+    'p_semantic_dedup_sweep', 'a_shared_sql_named_windows',
+    'a_nation_share_drift', 'a_weekend_effect_ttest', 'p_shard_balance',
+    'p_quality_length_bias', 'p_media_dedup', 'a_hhi_concentration',
+    'a_yoy_growth', 'a_basket_size_histogram', 'a_shared_sql_rollup',
+    'p_snm_multipass', 'p_centroid_drift', 'p_lsh_grid_expected_capture',
+    'a_ewma_revenue', 'a_spearman_daily',
     # --- green in CORRECTNESS_r05 (folded in at the round-6 rotation) ---
     'a_benford_totalprice', 'a_autocorr_daily', 'a_cusum_changepoint',
     'a_event_type_lift', 'a_user_lifespan', 'a_stickiness', 'a_anomaly_mad',
@@ -138,71 +158,12 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries added or materially changed THIS round (round 6) — verified
-#: nowhere yet, so they go inside the window right behind any never-green
-#: backlog.  At the round-6 rotation this is exactly the round-5 staged
-#: tail (48 names) — they leave 2 spare window slots, so AT MOST 2 new
-#: round-6 queries may be appended here (the headroom rule); everything
-#: else lands in ``_STAGED_NEXT_ROUND`` behind the window edge.
+#: Queries in THIS round's (round 7) driver window behind any never-green
+#: backlog.  At the round-7 rotation this is exactly the FIRST 50 of the
+#: round-6 staged tail (list order preserved) — they fill the 50-window
+#: EXACTLY, so 0 spare slots: every new round-7 query lands in
+#: ``_STAGED_NEXT_ROUND`` behind the window edge.
 _NEW_THIS_ROUND: list[str] = [
-    "p_auc_quality",
-    "p_ece_calibration",
-    "p_categorical_drift_chi2",
-    "p_dup_rate_wilson",
-    "a_shared_sql_lateral",
-    "a_activity_streaks",
-    "a_theil_sen_trend",
-    "a_pareto_top_quartile",
-    "a_event_trigrams",
-    "p_dup_span_extents",
-    "p_cluster_purity",
-    "p_textrank_keywords",
-    "p_doremi_weights",
-    "p_stratified_kfold",
-    "p_rrf_fusion",
-    "p_pack_efficiency",
-    "p_truncation_loss",
-    "p_detector_agreement",
-    "p_cosine_decile_histogram",
-    "p_pq_distortion",
-    "a_shared_sql_exists",
-    "a_session_entry_exit",
-    "a_iqr_outliers",
-    "p_ivf_balance",
-    "p_dsir_ess",
-    "p_sorted_neighborhood",
-    "p_source_token_js",
-    "a_promo_diff_in_diff",
-    "a_shared_sql_setops",
-    "p_vocab_coverage",
-    "p_hash_collision_audit",
-    "a_seasonal_naive_backtest",
-    "a_churn_hazard",
-    "p_hill_tail_index",
-    "p_semantic_dedup_sweep",
-    "a_shared_sql_named_windows",
-    "a_nation_share_drift",
-    "a_weekend_effect_ttest",
-    "p_shard_balance",
-    "p_quality_length_bias",
-    "p_media_dedup",
-    "a_hhi_concentration",
-    "a_yoy_growth",
-    "a_basket_size_histogram",
-    "a_shared_sql_rollup",
-    "p_snm_multipass",
-    "p_centroid_drift",
-    "p_lsh_grid_expected_capture",
-]
-
-
-#: Queries registered mid-round AFTER the window filled.  Ordered after
-#: ``_NEW_THIS_ROUND``; any overflow past 50 waits for the next rotation.
-#: Empty at the round-6 rotation — new round-6 queries land here (behind
-#: the window edge) unless they take one of the 2 spare window slots.
-_STAGED_NEXT_ROUND: list[str] = [
-    "a_ewma_revenue",
-    "a_spearman_daily",
     "a_kendall_tau_brand",
     "p_rule_matrix",
     "p_embedding_norm_profile",
@@ -253,6 +214,13 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_cramers_v",
     "a_priority_mix_drift",
     "r_o4_subscribe_order",
+]
+
+
+#: Queries registered mid-round AFTER the window filled (plus the round-6
+#: staged tail past the 50-window edge — these 17 are FIRST in line for the
+#: round-8 window; keep list order at the next rotation).
+_STAGED_NEXT_ROUND: list[str] = [
     "r_s4_event_parse",
     "p_ann_map",
     "a_bowley_brand_skew",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
@@ -122,7 +123,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    late.cache()
+    track_cached(late)
     l1, l2 = late.alias("l1"), li.select("l_orderkey", "l_suppkey").alias("l2")
     l3 = late.alias("l3")
     waiting = (
@@ -404,7 +405,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dec("l_extendedprice") * _dec("l_quantity")).alias("val"),
         )
     )
-    scoped.cache()
+    track_cached(scoped)
     per_part = scoped.groupBy("l_partkey").agg(F.sum("val").alias("sum_val"))
     tot = scoped.agg(F.sum("val").alias("total_val"))
     kept = per_part.join(F.broadcast(tot)).filter(
@@ -491,7 +492,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _money(_dec("l_extendedprice") * (1 - _dec("l_discount")), "total_revenue")
     )
-    revenue.cache()
+    track_cached(revenue)
     best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -277,7 +277,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(_docs(spark, sf_dir)).select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    from kafka_replicator_spark.cacheutil import track_cached
+    tok_counts = track_cached(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
     sketch = sketches.cms_sketch(tok_counts, key_col="tok", cnt_col="cnt", w=16)
     # Top-k cut via distributed TakeOrdered, never a single-partition
     # row_number over the vocabulary-scale count frame (the guarded

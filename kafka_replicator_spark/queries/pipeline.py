@@ -397,7 +397,8 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    sig = dedup.minhash_signatures(docs, k=16, n=3).cache()  # joined twice
+    from kafka_replicator_spark.cacheutil import track_cached
+    sig = track_cached(dedup.minhash_signatures(docs, k=16, n=3))  # joined twice
     exact = dedup.jaccard_pairs(docs, n=3, threshold=0.2)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(16)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(16)])

@@ -229,7 +229,9 @@ def q_ann_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = emb.select("vec_id", "label")
     pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label"))
     nl = lbl.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
-    j = ann.join(F.broadcast(pl), "probe_id").join(F.broadcast(nl), "neighbor_id")
+    # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
+    # projections (VERDICT r06 #1).
+    j = F.broadcast(F.broadcast(ann).join(pl, "probe_id")).join(nl, "neighbor_id")
     hit = F.when(F.col("n_label") == F.col("probe_label"), 1).otherwise(0)
     return j.groupBy("probe_id", F.col("probe_label").cast("int").alias("probe_label")).agg(
         F.count(F.lit(1)).alias("n_neighbors"),

@@ -2952,9 +2952,11 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg_case = " ".join(
         f"WHEN {n + 1} THEN {c}" for n, c in enumerate(_NDCG_IDCG)
     )
+    # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
+    # projections (VERDICT r06 #1).
     gains = (
-        ann.join(F.broadcast(pl), "probe_id")
-        .join(F.broadcast(nl), "neighbor_id")
+        F.broadcast(F.broadcast(ann).join(pl, "probe_id"))
+        .join(nl, "neighbor_id")
         .where(F.col("n_lbl") == F.col("p_lbl"))
         .groupBy("probe_id")
         .agg(

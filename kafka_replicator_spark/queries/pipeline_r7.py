@@ -104,9 +104,11 @@ def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = lbl.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
     )
+    # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
+    # projections (VERDICT r06 #1).
     marked = (
-        ann.join(F.broadcast(pl), "probe_id")
-        .join(F.broadcast(nl), "neighbor_id")
+        F.broadcast(F.broadcast(ann).join(pl, "probe_id"))
+        .join(nl, "neighbor_id")
         .select(
             "probe_id",
             "rank",
@@ -978,8 +980,10 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = lbl.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
     )
+    # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
+    # projection (VERDICT r06 #1).
     votes = (
-        ann.join(F.broadcast(nl), "neighbor_id")
+        F.broadcast(ann).join(nl, "neighbor_id")
         .groupBy("probe_id", "n_lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
     )
@@ -990,7 +994,7 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl = lbl.select(
         F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
     )
-    return pred.join(F.broadcast(tl), "probe_id").select(
+    return F.broadcast(pred).join(tl, "probe_id").select(
         "probe_id",
         F.col("true_label").cast("long"),
         F.col("n_lbl").cast("long").alias("pred_label"),

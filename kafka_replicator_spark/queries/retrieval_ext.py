@@ -386,9 +386,13 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = lbl.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
     )
+    # Broadcast the probe-grain frame (≤ probes×k rows) — NEVER the label
+    # projections, which are one row per corpus vector and blow past the
+    # broadcast limit at scale (VERDICT r06 #1).
+    hits = F.broadcast(ann).join(pl, "probe_id")
     firsts = (
-        ann.join(F.broadcast(pl), "probe_id")
-        .join(F.broadcast(nl), "neighbor_id")
+        F.broadcast(hits)
+        .join(nl, "neighbor_id")
         .where(F.col("n_lbl") == F.col("p_lbl"))
         .groupBy("probe_id")
         .agg(F.min("rank").cast("long").alias("first_hit_rank"))

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kafka_replicator_spark.operators.checkpoints import resume_filter
 from kafka_replicator_spark.plans.explain import (
+    broadcast_build_columns,
     count_exchanges,
     has_broadcast_join,
     has_wholestage_codegen,
@@ -905,6 +906,39 @@ def test_ann_ndcg_broadcasts_labels(spark, sf_dir):
     plan = physical_plan(df)
     assert has_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
+    # The build side must be the PROBE-GRAIN frame (≤ probes×k rows) — never
+    # the corpus-scale label projection (one row per vector; 10-20 GB past
+    # the broadcast limit at 100×).  The old pin only asserted "a broadcast
+    # join exists", which passed either way (VERDICT r06 #1).
+    _assert_no_corpus_label_broadcast(df)
+
+
+# A bare corpus label projection broadcasts exactly TWO columns: one vector
+# id + one of these.  The legitimate probe-grain broadcasts either carry no
+# label at all (the similarity kernels' probe-vector frames) or carry the
+# label AFTER it was joined onto the ≤probes×k ann frame, so at least one
+# more ann column (probe_id+neighbor_id / rank / n_votes) rides along even
+# under column pruning.
+_LABELISH = {"label", "p_lbl", "n_lbl", "probe_label", "n_label", "true_label"}
+
+
+def _assert_no_corpus_label_broadcast(df):
+    builds = broadcast_build_columns(df)
+    assert builds, physical_plan(df)
+    for cols in builds:
+        assert not (len(cols) <= 2 and set(cols) & _LABELISH), (
+            f"corpus-side label broadcast: {cols}"
+        )
+
+
+@pytest.mark.parametrize(
+    "qname", ["p_ann_mrr", "p_ann_label_precision", "p_ann_map", "p_knn_label_eval"]
+)
+def test_ann_eval_broadcast_side_is_probe_grain(spark, sf_dir, qname):
+    # Same wrong-side-broadcast pin for the rest of the ANN-eval family.
+    spark.catalog.clearCache()
+    df = QUERIES[qname].fn(spark, sf_dir)
+    _assert_no_corpus_label_broadcast(df)
 
 
 def test_label_propagation_round_window_keyed_by_node(spark, sf_dir):

@@ -233,3 +233,59 @@ def test_explicit_assignment_detaches_stale_default():
     cmd.ttl = sm.TTLConfig(durationMs=7)  # explicit assignment supersedes
     stale.durationMs = 99  # stale handle must NOT clobber the real value
     assert cmd.ttl.durationMs == 7
+
+
+def test_copyfrom_empty_source_attaches_and_selects_oneof():
+    # CopyFrom is a MUTATING method: even with an EMPTY source it must
+    # attach a lazily-read submessage — mark presence on the parent and
+    # select the oneof arm — exactly like real protobuf (ADVICE r06)
+    vsc = sm.ValueStateCall(stateName="s")
+    vsc.get.CopyFrom(sm.Get())
+    assert vsc.HasField("get")
+    assert vsc.SerializeToString() == bytes.fromhex("0a01731a00")
+    req = sm.StateRequest()
+    req.statefulProcessorCall.CopyFrom(sm.StatefulProcessorCall())
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+
+
+def test_setinparent_marks_presence():
+    cmd = sm.StateCallCommand()
+    cmd.ttl.SetInParent()
+    assert cmd.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl")
+
+
+def test_copyfrom_nonempty_source_replaces_state():
+    a = sm.TTLConfig(durationMs=5)
+    b = sm.TTLConfig(durationMs=9)
+    a.CopyFrom(b)
+    assert a.durationMs == 9
+    a.CopyFrom(a)  # self-copy is a no-op, not a clear
+    assert a.durationMs == 9
+
+
+def test_mergefrom_attaches_lazy_chain():
+    cmd = sm.StateCallCommand()
+    cmd.ttl.MergeFrom(sm.TTLConfig(durationMs=3))
+    assert cmd.HasField("ttl")
+    assert cmd.ttl.durationMs == 3
+
+
+def test_duplicate_singular_message_occurrences_merge():
+    # spec: a parser must MERGE duplicate occurrences of a singular
+    # embedded-message field (recursive merge), never wholesale-replace
+    m1 = sm.StateCallCommand(stateName="a", ttl=sm.TTLConfig(durationMs=7))
+    m2 = sm.StateCallCommand(mapStateValueSchema="v")
+    data = m1.SerializeToString() + m2.SerializeToString()
+    # wrap each as a duplicate occurrence of the same singular field
+    outer1 = sm.StatefulProcessorCall(getValueState=m1).SerializeToString()
+    outer2 = sm.StatefulProcessorCall(getValueState=m2).SerializeToString()
+    back = sm.StatefulProcessorCall()
+    back.ParseFromString(outer1 + outer2)
+    got = back.getValueState
+    assert got.stateName == "a"  # kept from the first occurrence
+    assert got.mapStateValueSchema == "v"  # merged in from the second
+    assert got.ttl.durationMs == 7
+    del data
