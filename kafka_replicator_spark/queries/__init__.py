@@ -222,6 +222,22 @@ _NEW_THIS_ROUND: list[str] = [
 #: round-8 window; keep list order at the next rotation).
 _STAGED_NEXT_ROUND: list[str] = [
     "r_s4_event_parse",
+    "r_t5_first_delay",
+    "a_mann_kendall_daily",
+    "a_gini_brand_revenue",
+    "a_pacf_lag2_daily",
+    "a_dema_revenue",
+    "a_odds_ratio_weekend",
+    "a_peak_open_orders",
+    "p_jm_smoothing",
+    "p_borda_fusion",
+    "p_winnowing_density",
+    "p_lsh_pair_transitivity",
+    "p_rare_token_share",
+    "r_t14_cron_grid",
+    "p_pq_recall_at_k",
+    "p_pca_residual_var",
+    "p_chars_per_token",
     "p_ann_map",
     "a_bowley_brand_skew",
     "a_dow_seasonality_strength",
@@ -244,7 +260,7 @@ _STAGED_NEXT_ROUND: list[str] = [
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

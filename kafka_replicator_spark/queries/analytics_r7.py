@@ -1,0 +1,549 @@
+"""Round-7 analytics additions: trend/inequality/association statistics in
+exact integer arithmetic, each paired with its DuckDB oracle.
+
+Shared determinism rules (CLAUDE.md): money folds in DECIMAL(18,2) →
+round(2) → integer cents; cross-row moments lifted to DECIMAL(38,0) /
+HUGEINT; ratios emitted as ppm/nano integer floor-divisions; the ONLY raw
+float ops are single correctly-rounded IEEE sqrt/divide chains (the
+a_cramers_v / a_partial_corr precedent).  Day-grain windows are
+calendar-bounded (documented exemption for unpartitioned windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+#: trailing window for the double-EWMA (weights (t-i+1)*2^(i-1) must stay
+#: well inside the DECIMAL(38,0)/HUGEINT lift at every scale factor)
+_DEMA_DAYS = 25
+
+
+# ------------------------------------------------- Mann-Kendall trend test
+
+@register(
+    "a_mann_kendall_daily",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN d2.cents > d1.cents THEN 1
+                       WHEN d2.cents < d1.cents THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM d d1 JOIN d d2 ON d2.day > d1.day
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+t AS (
+  SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY cents
+        HAVING count(*) > 1)
+)
+SELECT n_days, s_stat,
+       n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
+       CAST((2000000::HUGEINT * s_stat)
+            // nullif(n_days::HUGEINT * (n_days - 1), 0) AS BIGINT) AS tau_a_ppm
+FROM s, n, t
+""",
+    tags=("analytics", "stats", "timeseries"),
+    doc="Mann-Kendall trend test on daily revenue: S = Σ_{i<j} sign(c_j - "
+    "c_i) over the calendar-bounded day grain (~2.4k days → ~3M pairs, a "
+    "broadcast nested-loop over the tiny day frame), tie-adjusted variance "
+    "numerator var18 = n(n-1)(2n+5) - Σ t(t-1)(2t+5) kept as an exact "
+    "integer (the /18 and sqrt for the z-score are the caller's), and "
+    "Kendall-style tau_a = 2S/(n(n-1)) in exact ppm (truncating integer "
+    "division agrees cross-engine for negative values — verified "
+    "non-trap).  Complements a_theil_sen_trend (slope) with direction "
+    "significance.  1-row output",
+)
+def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    d = track_cached(d)  # tiny day frame feeds three scans (pairs ×2, ties)
+    d1 = d.select(F.col("day").alias("day1"), F.col("cents").alias("c1"))
+    d2 = d.select(F.col("day").alias("day2"), F.col("cents").alias("c2"))
+    s = (
+        F.broadcast(d1)
+        .join(d2, F.col("day2") > F.col("day1"))
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long"), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    return (
+        s.join(F.broadcast(n))
+        .join(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            F.expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term").alias(
+                "var18"
+            ),
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * s_stat)"
+                " div nullif(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1), 0)"
+                " AS BIGINT)"
+            ).alias("tau_a_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------ exact brand Gini
+
+@register(
+    "a_gini_brand_revenue",
+    """
+WITH b AS (
+  SELECT p_brand AS brand,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) * 100
+              AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, brand) AS rk FROM b
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         sum(rk::HUGEINT * cents) AS src
+  FROM r
+)
+SELECT n_brands, total_cents,
+       CAST((2000000::HUGEINT * src - 1000000::HUGEINT * (n_brands + 1) * total_cents)
+            // nullif(n_brands::HUGEINT * total_cents, 0) AS BIGINT) AS gini_ppm
+FROM m
+""",
+    tags=("analytics", "stats"),
+    doc="exact Gini coefficient of discounted revenue across part brands "
+    "via the rank formula G = 2Σ r·x / (nΣx) - (n+1)/n in ppm: revenue "
+    "folded in DECIMAL(18,2) → round(2) → cents, ranks over the 25-brand "
+    "catalog (bounded-grain window, (cents, brand) tie-break), moments in "
+    "HUGEINT/DECIMAL(38,0).  The lineitem⋈part join carries NO broadcast "
+    "hint — part is a mid-size dimension, AQE picks the side (the "
+    "wrong-side-broadcast lesson).  Complements a_lorenz_octiles (curve) "
+    "with the scalar index.  1-row output",
+)
+def q_gini_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+        ).alias("val"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    b = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("brand")
+        .agg(F.expr("CAST(round(sum(val), 2) * 100 AS BIGINT)").alias("cents"))
+    )
+    r = b.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc(), F.col("brand").asc()))
+        .alias("rk"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr("sum(CAST(rk AS DECIMAL(38,0)) * cents)").alias("src"),
+    ).select(
+        "n_brands",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * src"
+            " - CAST(1000000 AS DECIMAL(38,0)) * (n_brands + 1) * total_cents)"
+            " div nullif(CAST(n_brands AS DECIMAL(38,0)) * total_cents, 0)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ------------------------------------ lag-2 partial autocorrelation (PACF)
+
+@register(
+    "a_pacf_lag2_daily",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+p1 AS (
+  SELECT a.cents AS x, b.cents AS y FROM d a JOIN d b ON b.day = a.day + 1
+),
+p2 AS (
+  SELECT a.cents AS x, b.cents AS y FROM d a JOIN d b ON b.day = a.day + 2
+),
+r1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1,
+         CAST(floor(1e9 * CAST(count(*)::HUGEINT * sum(x::HUGEINT * y)
+                               - sum(x)::HUGEINT * sum(y) AS DOUBLE)
+              / sqrt(CAST(count(*)::HUGEINT * sum(x::HUGEINT * x)
+                          - sum(x)::HUGEINT * sum(x) AS DOUBLE)
+                     * CAST(count(*)::HUGEINT * sum(y::HUGEINT * y)
+                            - sum(y)::HUGEINT * sum(y) AS DOUBLE))) AS BIGINT)
+           AS r1_nano
+  FROM p1
+),
+r2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n2,
+         CAST(floor(1e9 * CAST(count(*)::HUGEINT * sum(x::HUGEINT * y)
+                               - sum(x)::HUGEINT * sum(y) AS DOUBLE)
+              / sqrt(CAST(count(*)::HUGEINT * sum(x::HUGEINT * x)
+                          - sum(x)::HUGEINT * sum(x) AS DOUBLE)
+                     * CAST(count(*)::HUGEINT * sum(y::HUGEINT * y)
+                            - sum(y)::HUGEINT * sum(y) AS DOUBLE))) AS BIGINT)
+           AS r2_nano
+  FROM p2
+)
+SELECT n1 AS n_lag1_pairs, n2 AS n_lag2_pairs, r1_nano, r2_nano,
+       CAST((1000000::HUGEINT * (r2_nano * 1000000000::HUGEINT
+                                 - r1_nano::HUGEINT * r1_nano))
+            // nullif(1000000000000000000::HUGEINT
+                      - r1_nano::HUGEINT * r1_nano, 0) AS BIGINT)
+         AS pacf2_ppm
+FROM r1, r2
+""",
+    tags=("analytics", "stats", "timeseries"),
+    doc="lag-2 partial autocorrelation of daily revenue via the "
+    "Durbin-Levinson closed form φ22 = (r2 - r1²)/(1 - r1²): lag pairs "
+    "come from day+1 / day+2 equi-joins on the tiny day frame (gap-safe — "
+    "missing days simply contribute no pair), each Pearson r is one "
+    "HUGEINT moment fold + one correctly-rounded sqrt/divide quantized to "
+    "nano (a_partial_corr precedent), and the φ22 composition runs on the "
+    "exact nano integers with a pure integer floor-division.  1-row output",
+)
+def q_pacf_lag2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    d = track_cached(d)
+
+    def lag_pairs(k: int) -> DataFrame:
+        a = d.select(F.col("day").alias("da"), F.col("cents").alias("x"))
+        b = d.select(F.col("day").alias("db"), F.col("cents").alias("y"))
+        return F.broadcast(a).join(b, F.col("db") == F.col("da") + k)
+
+    r_expr = (
+        "CAST(floor(1e9 * CAST(CAST(count(*) AS DECIMAL(38,0))"
+        " * sum(CAST(x AS DECIMAL(38,0)) * y)"
+        " - CAST(sum(x) AS DECIMAL(38,0)) * sum(y) AS DOUBLE)"
+        " / sqrt(CAST(CAST(count(*) AS DECIMAL(38,0))"
+        " * sum(CAST(x AS DECIMAL(38,0)) * x)"
+        " - CAST(sum(x) AS DECIMAL(38,0)) * sum(x) AS DOUBLE)"
+        " * CAST(CAST(count(*) AS DECIMAL(38,0))"
+        " * sum(CAST(y AS DECIMAL(38,0)) * y)"
+        " - CAST(sum(y) AS DECIMAL(38,0)) * sum(y) AS DOUBLE))) AS BIGINT)"
+    )
+    r1 = lag_pairs(1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lag1_pairs"),
+        F.expr(r_expr).alias("r1_nano"),
+    )
+    r2 = lag_pairs(2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lag2_pairs"),
+        F.expr(r_expr).alias("r2_nano"),
+    )
+    return r1.join(F.broadcast(r2)).select(
+        "n_lag1_pairs",
+        "n_lag2_pairs",
+        "r1_nano",
+        "r2_nano",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (r2_nano * CAST(1000000000 AS DECIMAL(38,0))"
+            "    - CAST(r1_nano AS DECIMAL(38,0)) * r1_nano))"
+            " div nullif(CAST(1000000000000000000 AS DECIMAL(38,0))"
+            " - CAST(r1_nano AS DECIMAL(38,0)) * r1_nano, 0) AS BIGINT)"
+        ).alias("pacf2_ppm"),
+    )
+
+
+# ------------------------------------------- exact double EWMA (alpha=1/2)
+
+@register(
+    "a_dema_revenue",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+recent AS (
+  SELECT * FROM d WHERE day > (SELECT max(day) FROM d) - {_DEMA_DAYS}
+),
+idx AS (
+  SELECT cents, row_number() OVER (ORDER BY day) - 1 AS i,
+         (SELECT count(*) FROM recent) - 1 AS t
+  FROM recent
+),
+m AS (
+  SELECT CAST(max(t) + 1 AS BIGINT) AS n_days, CAST(max(t) AS INTEGER) AS t,
+         sum(cents::HUGEINT * CASE WHEN i = 0 THEN t + 2
+             ELSE (t - i + 1) * (1::BIGINT << CAST(i - 1 AS INTEGER)) END) AS q
+  FROM idx
+)
+SELECT n_days,
+       CAST((1000000::HUGEINT * q) // (1::HUGEINT << (t + 1)) AS BIGINT)
+         AS dema_ucents
+FROM m
+""",
+    tags=("analytics", "timeseries"),
+    doc="double-smoothed EWMA (EWMA of the EWMA, alpha = 1/2) of daily "
+    f"revenue over the trailing {_DEMA_DAYS} present days, EXACT: with "
+    "power-of-two decay the coupled recursion s_t=(v_t+s_(t-1))/2, "
+    "d_t=(s_t+d_(t-1))/2 collapses to the closed form d_t = "
+    "[(t+2)·v_0 + Σ_(i=1..t) (t-i+1)·2^(i-1)·v_i] / 2^(t+1) — one "
+    "integer-weighted fold in HUGEINT/DECIMAL(38,0) and one power-of-two "
+    "floor-division, no float decay to drift (a_ewma_revenue's recipe "
+    "extended one smoothing level; verified algebraically for t=1,2).  "
+    "Day index is presence-ordered (row_number over the ≤25-row window — "
+    "bounded grain).  Output in exact micro-cents; 1 row",
+)
+def q_dema_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    d = track_cached(d)
+    bounds = d.agg(F.max("day").alias("dmax"))
+    recent = d.join(F.broadcast(bounds), F.col("day") > F.col("dmax") - _DEMA_DAYS)
+    idx = recent.select(
+        "cents",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+    )
+    n = idx.agg((F.count(F.lit(1)) - 1).cast("int").alias("t"))
+    m = idx.join(F.broadcast(n)).agg(
+        (F.max("t") + 1).cast("long").alias("n_days"),
+        F.max("t").cast("int").alias("tt"),
+        F.expr(
+            "sum(CAST(cents AS DECIMAL(38,0)) * CASE WHEN i = 0 THEN t + 2"
+            " ELSE (t - i + 1) * shiftleft(CAST(1 AS BIGINT), i - 1) END)"
+        ).alias("q"),
+    )
+    return m.select(
+        "n_days",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * q)"
+            " div CAST(shiftleft(CAST(1 AS BIGINT), tt + 1) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("dema_ucents"),
+    )
+
+
+# ---------------------------------------------- weekend×returns odds ratio
+
+@register(
+    "a_odds_ratio_weekend",
+    """
+WITH c AS (
+  SELECT CAST(sum(CASE WHEN (dayofweek(l_shipdate) + 1) IN (1, 7)
+                        AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN (dayofweek(l_shipdate) + 1) IN (1, 7)
+                        AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN (dayofweek(l_shipdate) + 1) NOT IN (1, 7)
+                        AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN (dayofweek(l_shipdate) + 1) NOT IN (1, 7)
+                        AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem
+)
+SELECT a, b, c, d,
+       CAST((1000000::HUGEINT * a * d) // nullif(b::HUGEINT * c, 0) AS BIGINT)
+         AS odds_ratio_ppm
+FROM c
+""",
+    tags=("analytics", "stats"),
+    doc="odds ratio of the 2×2 weekend-shipment × returned contingency in "
+    "exact ppm: one scan, four conditional counts, OR = ad/bc as a "
+    "HUGEINT/DECIMAL(38,0) integer floor-division (counts are large at "
+    "every SF so no Haldane correction; nullif guards the degenerate "
+    "cell).  DuckDB dayofweek is 0-based vs Spark's 1-based — the oracle "
+    "adds 1 (the documented cross-engine gotcha).  Effect-size companion "
+    "to a_weekend_effect_ttest / a_cramers_v.  1-row output",
+)
+def q_odds_ratio_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("dayofweek(l_shipdate) IN (1, 7)").alias("wknd"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    c = li.agg(
+        F.sum(F.when(F.col("wknd") & F.col("ret"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("wknd") & ~F.col("ret"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("wknd") & F.col("ret"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("wknd") & ~F.col("ret"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * a * d)"
+            " div nullif(CAST(b AS DECIMAL(38,0)) * c, 0) AS BIGINT)"
+        ).alias("odds_ratio_ppm"),
+    )
+
+
+# ---------------------------------------- peak concurrent open orders
+
+@register(
+    "a_peak_open_orders",
+    f"""
+WITH spans AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) // {_DAY_US} AS d0,
+         max(epoch_us(l.l_shipdate) // {_DAY_US}) AS d1,
+         n.n_name AS nation
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY o.o_orderkey, o.o_orderdate, n.n_name
+),
+deltas AS (
+  SELECT nation, d0 AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT nation, d1 + 1 AS day, -1 AS delta FROM spans
+),
+daily AS (
+  SELECT nation, day, CAST(sum(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY nation, day
+),
+rs AS (
+  SELECT nation, day,
+         sum(net) OVER (PARTITION BY nation ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS conc
+  FROM daily
+),
+peaks AS (SELECT nation, max(conc) AS peak FROM rs GROUP BY nation)
+SELECT rs.nation, CAST(peaks.peak AS BIGINT) AS peak_open,
+       CAST(min(rs.day) AS BIGINT) AS first_peak_day
+FROM rs JOIN peaks ON rs.nation = peaks.nation AND rs.conc = peaks.peak
+GROUP BY rs.nation, peaks.peak
+""",
+    tags=("analytics", "intervals"),
+    doc="peak number of concurrently open orders per nation (open = "
+    "order date .. last line receipt, day grain): the classic sweep-line "
+    "— +1/-1 delta events, per-nation running sum over the "
+    "calendar-bounded day grain (partitioned window, ~2.5k rows/nation), "
+    "then first day attaining the per-nation max (join-with-peak, "
+    "deterministic — DuckDB max_by rejects struct keys).  The "
+    "orders⋈lineitem⋈customer joins are key-grain shuffles with a "
+    "broadcast nation dim — the plan a 100TB TPC-H run wants.  "
+    "Interval-analytics companion to a_interval_merge (union) adding "
+    "max-overlap.  25-row output",
+)
+def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+            "d0"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_DAY_US}").alias(
+            "rd"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "d0", "o_custkey")
+        .agg(F.max("rd").alias("d1"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("nation", "d0", "d1")
+    )
+    deltas = spans.select(
+        "nation", F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select("nation", (F.col("d1") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("nation", "day").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rs = track_cached(daily.select("nation", "day", F.sum("net").over(w).alias("conc")))
+    peaks = rs.groupBy("nation").agg(F.max("conc").alias("peak")).select(
+        F.col("nation").alias("p_nation"), "peak"
+    )
+    return (
+        rs.join(
+            F.broadcast(peaks),
+            (F.col("nation") == F.col("p_nation")) & (F.col("conc") == F.col("peak")),
+        )
+        .groupBy("nation", "peak")
+        .agg(F.min("day").cast("long").alias("first_peak_day"))
+        .select(
+            "nation", F.col("peak").cast("long").alias("peak_open"), "first_peak_day"
+        )
+    )

@@ -589,9 +589,10 @@ _QL_TERMS = ("spark", "hash", "merge", "window")
 _QL_TOP = 20
 
 
-@register(
-    "p_query_likelihood",
-    f"""
+#: Dirichlet QL oracle SQL, shared with p_borda_fusion's fused oracle
+#: (defined right above its register call; the f-string needs the _QL_*
+#: constants already bound)
+_QL_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
@@ -626,7 +627,12 @@ scored AS (
   FROM terms GROUP BY doc_id
 )
 SELECT doc_id, ql_score FROM scored ORDER BY ql_score DESC, doc_id LIMIT {_QL_TOP}
-""",
+"""
+
+
+@register(
+    "p_query_likelihood",
+    _QL_SQL,
     tags=("pipeline", "retrieval"),
     doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty, "
     "mu=2000) over the BM25 demo query terms: candidates are docs with "

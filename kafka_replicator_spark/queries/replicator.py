@@ -1518,6 +1518,216 @@ def q_f5_age_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- T5 first-segment delay
+
+#: span-relative T5 knobs: the gate evaluates at now = lo + span/2 with
+#: delay = span/8 (the corpus spans ~19 days, so fixed wall-clock knobs
+#: like the reference's 30 min default would be all-or-nothing here)
+_T5_NOW_DIV = 2
+_T5_DELAY_DIV = 8
+
+
+@register(
+    "r_t5_first_delay",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq,
+         min(msg_offset) AS start_offset, max(ts_us) AS close_ts_us
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        "b AS (SELECT min(close_ts_us) AS lo, max(close_ts_us) AS hi FROM seg)",
+        """heads AS (
+  SELECT topic, partition_id,
+         min(start_offset) AS head_start_offset,
+         CAST(min_by(segment_seq, start_offset) AS BIGINT) AS head_seq,
+         min_by(close_ts_us, start_offset) AS head_close_ts_us
+  FROM seg GROUP BY topic, partition_id
+)""",
+        select=f"""
+SELECT topic, partition_id, head_seq, head_start_offset, head_close_ts_us,
+       head_close_ts_us + (hi - lo) // {_T5_DELAY_DIV} AS release_at_us,
+       CAST(CASE WHEN lo + (hi - lo) // {_T5_NOW_DIV}
+                      >= head_close_ts_us + (hi - lo) // {_T5_DELAY_DIV}
+                 THEN 1 ELSE 0 END AS INT) AS released,
+       GREATEST(CAST(0 AS BIGINT),
+                head_close_ts_us + (hi - lo) // {_T5_DELAY_DIV}
+                - (lo + (hi - lo) // {_T5_NOW_DIV})) AS wait_us
+FROM heads, b
+""",
+    ),
+    tags=("parity", "streaming-policy"),
+    doc="T5 FirstSegmentDelay gate restated relationally (upgrades T5 from "
+    "pytest-only to oracle-checked): per partition the O1 heap-HEAD segment "
+    "(min start_offset — segments are disjoint so the asc-start/desc-end "
+    "heap order degenerates to min) is held until now >= head_ts + delay "
+    "(reference pkg/ingress/worker.go:98-108 getFirst, config.go:32-40 "
+    "FirstSegmentDelay=30m default; wall-clock engine analog "
+    "streaming/ingress_stream.py first_seen_ts gate, t-tested).  'now' and "
+    f"the delay are span-relative (lo + span/{_T5_NOW_DIV}, "
+    f"span/{_T5_DELAY_DIV}) so the gate discriminates at every scale "
+    "factor; release_at/wait are exact integer-µs arithmetic on both "
+    "engines.  The span bounds are ONE 2-scalar collect (metadata-scale, "
+    "the documented bounded-collect pattern).",
+)
+def q_t5_first_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("ts_us").alias("close_ts_us"),
+        )
+    )
+    lo, hi = seg.agg(F.min("close_ts_us"), F.max("close_ts_us")).head()
+    span = hi - lo
+    delay_us = span // _T5_DELAY_DIV
+    now_us = lo + span // _T5_NOW_DIV
+    heads = seg.groupBy("topic", "partition_id").agg(
+        F.min("start_offset").alias("head_start_offset"),
+        F.min_by("segment_seq", "start_offset").cast("long").alias("head_seq"),
+        F.min_by("close_ts_us", "start_offset").alias("head_close_ts_us"),
+    )
+    release_at = F.col("head_close_ts_us") + F.lit(delay_us)
+    return heads.select(
+        "topic",
+        "partition_id",
+        "head_seq",
+        "head_start_offset",
+        "head_close_ts_us",
+        release_at.alias("release_at_us"),
+        (F.lit(now_us) >= release_at).cast("int").alias("released"),
+        F.greatest(F.lit(0).cast("long"), release_at - F.lit(now_us)).alias(
+            "wait_us"
+        ),
+    )
+
+
+# ---------------------------------------------------- T14 cron schedule
+
+#: fixed UTC evaluation window for the cron grid: 2026-02-26 00:00 →
+#: +10 days (spans the Feb→Mar month rollover so dom/month edges and the
+#: missing Feb 29 of a non-leap year are exercised), in epoch minutes
+_CRON_GRID_START_MIN = 29_534_400
+_CRON_GRID_MINUTES = 14_400
+
+#: literal spec catalog (6-field robfig/cron syntax, seconds pinned to 0
+#: so every fire lands on the minute grid): step, fixed daily, dom-only,
+#: dow-only, the dom-OR-dow quirk, and comma/dom-edge lists
+_CRON_SPECS = (
+    ("daily_0330", "0 30 3 * * *"),
+    ("dom_edges", "0 0 6 27,29,31 2,3 *"),
+    ("monday_8", "0 0 8 * * 1"),
+    ("noon_first", "0 0 12 1 * *"),
+    ("or_quirk", "0 5 0 1 * 1"),
+    ("quarter_hourly", "0 */15 * * * *"),
+)
+
+
+def _cron_clause(expr: str) -> str:
+    """SQL match predicate over (mi, hh, dm, mo, dw) columns for one cron
+    spec, with the field sets expanded by the REAL CronSchedule.parse —
+    the parity query drives the operator's own parser, the grid only
+    restates its matching rule relationally."""
+    from kafka_replicator_spark.operators.controller import CronSchedule
+
+    cs = CronSchedule.parse(expr)
+
+    def inlist(col: str, vals) -> str:
+        return f"{col} IN ({','.join(str(v) for v in sorted(vals))})"
+
+    parts = [inlist("mi", cs.minutes), inlist("hh", cs.hours), inlist("mo", cs.months)]
+    if cs.dom_star and cs.dow_star:
+        day = "TRUE"
+    elif cs.dom_star:
+        day = inlist("dw", cs.dows)
+    elif cs.dow_star:
+        day = inlist("dm", cs.doms)
+    else:  # both restricted: cron's OR quirk
+        day = f"({inlist('dm', cs.doms)} OR {inlist('dw', cs.dows)})"
+    parts.append(day)
+    return " AND ".join(parts)
+
+
+def _cron_grid_oracle() -> str:
+    per_spec = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS spec, CAST(count(*) AS BIGINT) AS n_fires,"
+        f" CAST(min(m) AS BIGINT) AS first_fire_min,"
+        f" CAST(max(m) AS BIGINT) AS last_fire_min"
+        f" FROM fields WHERE {_cron_clause(expr)}"
+        for name, expr in _CRON_SPECS
+    )
+    return f"""
+WITH grid AS (
+  SELECT unnest(range({_CRON_GRID_START_MIN},
+                      {_CRON_GRID_START_MIN + _CRON_GRID_MINUTES})) AS m
+),
+fields AS (
+  SELECT m,
+         minute(make_timestamp(m * 60000000)) AS mi,
+         hour(make_timestamp(m * 60000000)) AS hh,
+         day(make_timestamp(m * 60000000)) AS dm,
+         month(make_timestamp(m * 60000000)) AS mo,
+         dayofweek(make_timestamp(m * 60000000)) AS dw
+  FROM grid
+)
+SELECT * FROM ({per_spec}) ORDER BY spec
+"""
+
+
+@register(
+    "r_t14_cron_grid",
+    _cron_grid_oracle(),
+    tags=("parity", "scheduling"),
+    doc="T14 cron schedule restated relationally (upgrades T14 from "
+    "pytest-only to oracle-checked): each spec's field sets are expanded "
+    "by the REAL CronSchedule.parse (operators/controller.py — "
+    "robfig/cron numeric core, reference pkg/compaction/config.go:140-150 "
+    "controller.go:99-239), then matched against a 10-day UTC minute grid "
+    "spanning the Feb→Mar 2026 rollover, including the dom-OR-dow quirk "
+    "and a missing-Feb-29 edge.  Both engines evaluate the IDENTICAL "
+    "generated predicate text; calendar fields come from each engine's "
+    "timestamp functions under UTC (DuckDB dayofweek is 0-based = cron "
+    "dow; Spark's is 1-based, shifted by 1).  "
+    "tests/test_controller.py cross-checks the grid against "
+    "CronSchedule.next_fire iteration, tying the walk-based scheduler to "
+    "the relational form.  6-row output",
+)
+def q_t14_cron_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(
+        _CRON_GRID_START_MIN, _CRON_GRID_START_MIN + _CRON_GRID_MINUTES
+    ).select(F.col("id").alias("m"))
+    ts = F.timestamp_micros(F.col("m") * 60_000_000)
+    fields = grid.select(
+        "m",
+        F.minute(ts).alias("mi"),
+        F.hour(ts).alias("hh"),
+        F.dayofmonth(ts).alias("dm"),
+        F.month(ts).alias("mo"),
+        (F.dayofweek(ts) - 1).alias("dw"),
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    fields = track_cached(fields)  # 14.4k rows feed one filter per spec
+    per_spec = None
+    for name, expr in _CRON_SPECS:
+        one = (
+            fields.filter(F.expr(_cron_clause(expr)))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_fires"),
+                F.min("m").cast("long").alias("first_fire_min"),
+                F.max("m").cast("long").alias("last_fire_min"),
+            )
+            .select(
+                F.lit(name).alias("spec"), "n_fires", "first_fire_min", "last_fire_min"
+            )
+        )
+        per_spec = one if per_spec is None else per_spec.unionAll(one)
+    return per_spec.orderBy("spec")
+
+
 # ----------------------------------------------- X4 URL-decode roundtrip
 
 #: (literal, escape) pairs applied in order — '%' FIRST so every '%' in

@@ -96,8 +96,14 @@ def streaming_event_store(
       API; requires the RocksDB state store provider,
       ``spark.sql.streaming.stateStore.providerClass`` =
       ``...state.RocksDBStateStoreProvider``).  ``retention_ms`` becomes a
-      native value-state TTL — storage-level eviction, no timer batches, so
-      the availableNow quirk is gone.
+      native value-state TTL — storage-level eviction, no timer callbacks.
+      CAUTION: TTL forces ProcessingTime timeMode, and under availableNow
+      the engine then keeps scheduling EMPTY microbatches forever after
+      draining the input (measured: batch 500+ within minutes) — the input
+      batches COMMIT, but ``awaitTermination`` never returns.  Callers
+      must poll the sink for the expected output and ``stop()`` the query
+      (registered TIMERS are different: those flush in one final batch and
+      the query terminates).
     * ``"auto"`` — ``tws`` when the API exists AND the session already runs
       the RocksDB provider; ``classic`` otherwise.
     """

