@@ -78,6 +78,12 @@ HEADLINE = [
     "p_submodular_coverage",
     "p_mmr_diversify",
     "p_kcore_peel",
+    # round-7 additions: streaming-policy parity, interval sweep-line,
+    # LM smoothing triad completion, candidate-graph audit
+    "r_t5_first_delay",
+    "a_peak_open_orders",
+    "p_jm_smoothing",
+    "p_lsh_pair_transitivity",
 ]
 
 
