@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.functions import dedup
 from kafka_replicator_spark.functions.hashing import spread
-from kafka_replicator_spark.queries import register, with_ctes
+from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
 #: Jelinek-Mercer smoothing: λ = 1/2 (power-of-two so the mixed probability

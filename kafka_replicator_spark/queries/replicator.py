@@ -1572,8 +1572,10 @@ FROM heads, b
     "the documented bounded-collect pattern).",
 )
 def q_t5_first_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
     msgs = events_as_messages(spark, sf_dir)
-    seg = (
+    seg = track_cached(  # feeds the bounds collect AND the heads plan
         assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
         .groupBy("topic", "partition_id", "segment_seq")
         .agg(

@@ -159,6 +159,6 @@ def test_cron_grid_matches_next_fire_walk():
             t = cs.next_fire(t)
             if t >= end:
                 break
-            assert t.second == 0 and t.tzinfo is None or True
+            assert t.second == 0  # seconds pinned to 0 keep fires on the grid
             fires.append(int(t.replace(tzinfo=timezone.utc).timestamp()) // 60)
         assert fires == grid_matches(expr), name

@@ -54,9 +54,11 @@ def test_event_store_state_across_batches(spark, tmp_path):
 
 def test_event_store_tws_engine_matches_classic(spark, tmp_path):
     """transformWithStateInPandas path (engine='tws', RocksDB provider):
-    identical change-stream semantics across microbatches, and retention_ms
-    composes with availableNow (native value-state TTL, no timer batches —
-    the quirk the classic path documents away)."""
+    identical change-stream semantics across microbatches.  retention_ms
+    (native value-state TTL) forces ProcessingTime timeMode, and under
+    availableNow the query then NEVER self-terminates (empty batches loop
+    after the drain) — the test polls the memory sink for the expected
+    rows and stops explicitly."""
     import pytest
     from pyspark.sql import GroupedData
 
@@ -235,10 +237,16 @@ def test_event_store_tws_ttl_expiry_survives_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
+        # Wait for TWO new commits, not one: stop() usually lands with a
+        # PENDING empty batch (offsets written, commit missing), and the
+        # restart replays that empty batch FIRST — its commit would satisfy
+        # a `> before` check before the input file ever ran.  Whichever
+        # order (replayed-empty then input, or input then trailing empty),
+        # by before+2 the input batch has committed.
         deadline = time.time() + 180
-        while time.time() < deadline and n_commits() <= before:
+        while time.time() < deadline and n_commits() < before + 2:
             time.sleep(1)
-        assert n_commits() > before, "input batch never committed"
+        assert n_commits() >= before + 2, "input batch never committed"
         q.stop()
 
     def scenario(tag, ttl_ms, sleep_s):
