@@ -238,6 +238,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_pq_recall_at_k",
     "p_pca_residual_var",
     "p_chars_per_token",
+    "a_kruskal_wallis_dow",
+    "a_winsorized_mean_price",
+    "p_kmeans_elbow",
+    "p_dedup_token_savings",
     "p_ann_map",
     "a_bowley_brand_skew",
     "a_dow_seasonality_strength",

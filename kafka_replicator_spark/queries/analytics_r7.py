@@ -547,3 +547,158 @@ def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation", F.col("peak").cast("long").alias("peak_open"), "first_peak_day"
         )
     )
+
+
+# ------------------------------------------ Kruskal-Wallis across weekdays
+
+@register(
+    "a_kruskal_wallis_dow",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+r AS (
+  SELECT day % 7 AS dow, row_number() OVER (ORDER BY cents, day) AS rk FROM d
+),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_j, CAST(sum(rk) AS BIGINT) AS r_j
+  FROM r GROUP BY dow
+),
+m AS (
+  SELECT CAST(sum(n_j) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         sum((1000000::HUGEINT * r_j * r_j) // n_j) AS s_micro
+  FROM g
+)
+SELECT n AS n_days, n_groups,
+       CAST((12::HUGEINT * s_micro) // (n::HUGEINT * (n + 1))
+            - 3000000::HUGEINT * (n + 1) AS BIGINT) AS h_ppm
+FROM m
+""",
+    tags=("analytics", "stats"),
+    doc="Kruskal-Wallis H across day-of-week groups of daily revenue, in "
+    "exact ppm: ranks are deterministic row_number over (cents, day) "
+    "(ties broken by day — the corpus has distinct daily cents, so this "
+    "equals the average-rank form), each group's R²/n term is an exact "
+    "integer floor-division to micro BEFORE the cross-group fold (the "
+    "quantize-before-fold rule — 7 doubles would sum in engine order), "
+    "then H = 12·ΣR²/n / (N(N+1)) − 3(N+1) as pure HUGEINT/DECIMAL(38,0) "
+    "arithmetic.  The k-group extension of a_mann_whitney_weekend; the "
+    "dow grain comes from epoch-day mod 7 so both engines share it "
+    "without calendar functions.  1-row output",
+)
+def q_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(v) * 100 AS BIGINT)").alias("cents"))
+    )
+    r = d.select(
+        (F.col("day") % 7).alias("dow"),
+        F.row_number().over(Window.orderBy("cents", "day")).alias("rk"),
+    )
+    g = r.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("rk").cast("long").alias("r_j"),
+    )
+    m = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.expr(
+            "sum((CAST(1000000 AS DECIMAL(38,0)) * r_j * r_j) div n_j)"
+        ).alias("s_micro"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        "n_groups",
+        F.expr(
+            "CAST((CAST(12 AS DECIMAL(38,0)) * s_micro)"
+            " div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
+            " - CAST(3000000 AS DECIMAL(38,0)) * (n + 1) AS BIGINT)"
+        ).alias("h_ppm"),
+    )
+
+
+# ------------------------------------------------ winsorized mean price
+
+@register(
+    "a_winsorized_mean_price",
+    """
+WITH v AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+q AS (
+  SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+  FROM v
+),
+w AS (
+  SELECT CASE WHEN cents < q1 THEN q1
+              WHEN cents > q3 THEN q3
+              ELSE CAST(cents AS DOUBLE) END AS wv
+  FROM v, q
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(wv * 4) AS HUGEINT) AS s4
+  FROM w
+)
+SELECT n AS n_orders,
+       (SELECT CAST(q1 * 4 AS BIGINT) FROM q) AS q1_qcents,
+       (SELECT CAST(q3 * 4 AS BIGINT) FROM q) AS q3_qcents,
+       CAST((1000000::HUGEINT * s4) // (4 * n) AS BIGINT)
+         AS winsorized_mean_ucents
+FROM m
+""",
+    tags=("analytics", "stats"),
+    doc="90-degree robust-mean companion to a_trimmed_mean_price: winsorize "
+    "order totals at the quartiles (clamp, don't drop), exact: quartiles "
+    "at power-of-two fractions are bit-identical cross-engine (the "
+    "documented percentile/quantile_cont equivalence) and interpolate to "
+    "quarter-cents, so every clamped value ×4 is an exact integer — the "
+    "sum folds without float rounding (quarter-integers are exact "
+    "binary), and the mean is one integer floor-division to micro-cents.  "
+    "1-row output",
+)
+def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    v = track_cached(v)  # feeds the quartile scan AND the clamp scan
+    q = v.agg(
+        F.expr("percentile(cents, 0.25D)").alias("q1"),
+        F.expr("percentile(cents, 0.75D)").alias("q3"),
+    )
+    w = v.join(F.broadcast(q)).select(
+        F.expr(
+            "CASE WHEN cents < q1 THEN q1"
+            " WHEN cents > q3 THEN q3"
+            " ELSE CAST(cents AS DOUBLE) END"
+        ).alias("wv"),
+        "q1",
+        "q3",
+    )
+    m = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(wv * 4) AS DECIMAL(38,0))").alias("s4"),
+        F.expr("CAST(max(q1) * 4 AS BIGINT)").alias("q1_qcents"),
+        F.expr("CAST(max(q3) * 4 AS BIGINT)").alias("q3_qcents"),
+    )
+    return m.select(
+        F.col("n").alias("n_orders"),
+        "q1_qcents",
+        "q3_qcents",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s4) div (4 * n) AS BIGINT)"
+        ).alias("winsorized_mean_ucents"),
+    )

@@ -560,3 +560,144 @@ def q_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * chars) div tokens AS BIGINT)"
         ).alias("chars_per_token_ppm"),
     ).orderBy("source")
+
+
+# --------------------------------------------------- k-means elbow curve
+
+#: cluster counts for the elbow curve (seeds = the first k vector ids)
+_ELBOW_KS = (2, 4, 8)
+
+
+def _elbow_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import _quantized_sql_cte
+
+    dist = (
+        "CAST(list_aggregate(list_transform(range(1, len(qe) + 1),"
+        " i -> (qe[i] - se[i]) * (qe[i] - se[i])), 'sum') AS BIGINT)"
+    )
+    per_k = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(md) AS BIGINT) AS inertia
+FROM (
+  SELECT q.vec_id, min({dist}) AS md
+  FROM q JOIN (SELECT vec_id AS sid, qe AS se FROM q WHERE vec_id < {k}) seeds
+  ON TRUE
+  GROUP BY q.vec_id
+)"""
+        for k in _ELBOW_KS
+    )
+    return f"WITH {_quantized_sql_cte()}\nSELECT * FROM ({per_k}) ORDER BY k"
+
+
+@register(
+    "p_kmeans_elbow",
+    _elbow_oracle(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="k-means elbow curve: total inertia (Σ min squared L2 to the seed "
+    "set) at k = 2/4/8 over the int8-quantized corpus — the cluster-count "
+    "dial beside p_silhouette_proxy (cohesion) and p_centroid_drift "
+    "(stability).  Seeds are the first k vector ids (deterministic, "
+    "scale-independent) COLLECTED to the driver as literal arrays "
+    "(metadata-scale, ≤8 × 64 ints) so per-vector distances are pure "
+    "map-side integer folds — least() over k literal expressions, one "
+    "global agg per k, NO per-vector shuffle (the plan a 10⁹-vector "
+    "corpus needs).  Exact BIGINT arithmetic end to end.  3-row output",
+)
+def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = track_cached(
+        similarity.quantize_embeddings(emb).select("vec_id", "qe")
+    )
+    max_k = max(_ELBOW_KS)
+    seeds = {
+        r["vec_id"]: list(r["qe"])
+        for r in q.filter(F.col("vec_id") < max_k).collect()
+    }
+
+    def dist_to(seed_vals: list) -> F.Column:
+        lit_arr = F.array(*[F.lit(int(x)) for x in seed_vals])
+        return F.aggregate(
+            F.zip_with(F.col("qe"), lit_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    out = None
+    for k in _ELBOW_KS:
+        md = F.least(*[dist_to(seeds[s]) for s in sorted(seeds) if s < k])
+        frame = q.select(md.alias("md")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("md").cast("long").alias("inertia"),
+        ).select(F.lit(k).cast("long").alias("k"), "n_vecs", "inertia")
+        out = frame if out is None else out.unionAll(frame)
+    return out.orderBy("k")
+
+
+# ---------------------------------------------- dedup token savings
+
+@register(
+    "p_dedup_token_savings",
+    """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+keep AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
+m AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.toks) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN d.doc_id = keep.keeper THEN 0 ELSE d.toks END)
+              AS BIGINT) AS saved_tokens
+  FROM d JOIN keep ON d.h = keep.h
+  GROUP BY d.source
+)
+SELECT source, n_docs, total_tokens, saved_tokens,
+       CAST((1000000::HUGEINT * saved_tokens) // total_tokens AS BIGINT)
+         AS saved_ppm
+FROM m ORDER BY source
+""",
+    tags=("pipeline", "dedup", "audit"),
+    doc="token savings of exact dedup per source: tokens on non-keeper "
+    "copies (keeper = min doc_id per md5 text group) over total tokens, "
+    "in exact ppm — the headline 'compute saved' number a curation run "
+    "reports (p_dedup_rate_by_source counts documents; this weighs them "
+    "by length, which is what the training budget actually pays).  One "
+    "hash groupBy for keepers + one source-grain fold; the md5 group key "
+    "is the same portable hash the exact-dedup operator uses",
+)
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    d = track_cached(d)
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    m = (
+        d.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), 0).otherwise(F.col("toks"))
+            )
+            .cast("long")
+            .alias("saved_tokens"),
+        )
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "saved_tokens",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * saved_tokens)"
+            " div total_tokens AS BIGINT)"
+        ).alias("saved_ppm"),
+    ).orderBy("source")
