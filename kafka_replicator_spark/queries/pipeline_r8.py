@@ -576,7 +576,7 @@ def _elbow_oracle() -> str:
         " i -> (qe[i] - se[i]) * (qe[i] - se[i])), 'sum') AS BIGINT)"
     )
     per_k = "\nUNION ALL\n".join(
-        f"""SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+        f"""SELECT CAST({k} AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(md) AS BIGINT) AS inertia
 FROM (
   SELECT q.vec_id, min({dist}) AS md
@@ -626,7 +626,10 @@ def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = None
     for k in _ELBOW_KS:
-        md = F.least(*[dist_to(seeds[s]) for s in sorted(seeds) if s < k])
+        exprs = [dist_to(seeds[s]) for s in sorted(seeds) if s < k]
+        # F.least requires >= 2 columns; guard the single-seed degenerate
+        # case (k=1, or a future corpus with non-0-based vec_ids)
+        md = exprs[0] if len(exprs) == 1 else F.least(*exprs)
         frame = q.select(md.alias("md")).agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
             F.sum("md").cast("long").alias("inertia"),
