@@ -1085,3 +1085,98 @@ def test_x5_codec_stays_in_two_exchanges(spark, sf_dir):
     # literal local frame; the codec UDFs are Arrow-batched evals
     assert "ArrowEvalPython" in plan, plan
     assert count_exchanges(df) <= 2, plan
+
+
+# ---------------------------------------------- round-7 staged batch pins
+
+
+def test_kmeans_elbow_stays_map_side(spark, sf_dir):
+    # seeds are literal arrays: per-vector distances must be pure map-side
+    # folds — no join against a seed frame, no per-vector window
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_kmeans_elbow"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window [" not in plan, plan
+    release_cached()
+
+
+def test_peak_open_orders_window_is_nation_partitioned(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_peak_open_orders"].fn(spark, sf_dir)
+    plan = physical_plan(df, mode="simple")
+    # the running concurrency sum must be keyed by nation, never global
+    assert "windowspecdefinition(nation" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_cached()
+
+
+def test_mann_kendall_day_pairs_broadcast(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["a_mann_kendall_daily"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the non-equi day1<day2 pair join must build on the broadcast tiny day
+    # frame — a CartesianProduct here would be quadratic in partitions
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    release_cached()
+
+
+def test_cron_grid_filters_without_joins(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["r_t14_cron_grid"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # per-spec match = a filter over the cached field grid; the specs are
+    # literal predicates, never a join against a spec table
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    release_cached()
+
+
+def test_lsh_transitivity_no_cartesian(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_lsh_pair_transitivity"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # triangles via ordered equi-joins on the sparse candidate set only
+    assert "CartesianProduct" not in plan, plan
+    release_cached()
+
+
+def test_jm_smoothing_topk_is_take_ordered(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_jm_smoothing"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # distributed top-k — never a single-partition global rank window
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window [" not in plan, plan
+    release_cached()
+
+
+def test_t5_first_delay_heads_need_no_window(spark, sf_dir):
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["r_t5_first_delay"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # heap-head per partition = min_by aggregation, not a rank window
+    assert "Window [" not in plan, plan
+    release_cached()
