@@ -242,6 +242,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "a_winsorized_mean_price",
     "p_kmeans_elbow",
     "p_dedup_token_savings",
+    "p_lsh_bucket_entropy",
+    "p_shingle_reuse",
+    "p_df_histogram",
+    "a_brand_basket_lift",
     "p_ann_map",
     "a_bowley_brand_skew",
     "a_dow_seasonality_strength",

@@ -702,3 +702,81 @@ def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * s4) div (4 * n) AS BIGINT)"
         ).alias("winsorized_mean_ucents"),
     )
+
+
+# ------------------------------------------------ brand basket lift
+
+#: pairs reported (the brand-pair universe is ≤ 25·24/2 = 300)
+_BASKET_TOP = 15
+
+
+@register(
+    "a_brand_basket_lift",
+    f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+cb AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT brand_a, brand_b, c_ab,
+       CAST((1000000::HUGEINT * c_ab * n_orders)
+            // (ca.c::HUGEINT * cb2.c) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN cb ca ON ca.brand = pairs.brand_a
+JOIN cb cb2 ON cb2.brand = pairs.brand_b
+CROSS JOIN n
+ORDER BY lift_ppm DESC, brand_a, brand_b LIMIT {_BASKET_TOP}
+""",
+    tags=("analytics", "association"),
+    doc="market-basket lift between part brands co-purchased in one order: "
+    "lift = P(a,b) / (P(a)P(b)) = N·c_ab / (c_a·c_b) in exact ppm over "
+    "the distinct (order, brand) incidence — the token-PMI recipe "
+    "(p_cooccur_pmi) moved to the retail grain.  The pair self-join is "
+    "keyed by order (bounded by brands-per-order², ≤25² per order, never "
+    "all-pairs over orders); the pair universe is ≤300 rows so the "
+    "final ranking is a TakeOrdered over a catalog-bounded frame.  "
+    f"{_BASKET_TOP}-row output",
+)
+def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    ob = track_cached(
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), "brand")
+        .distinct()
+    )
+    n_orders = ob.select("o").distinct().count()
+    cb = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = ob.select(F.col("o").alias("oa"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("o").alias("ob_"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("oa") == F.col("ob_")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ca = cb.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb2 = cb.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb2), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * {n_orders})"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(_BASKET_TOP)
+    )

@@ -704,3 +704,166 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div total_tokens AS BIGINT)"
         ).alias("saved_ppm"),
     ).orderBy("source")
+
+
+# ------------------------------------------- LSH bucket balance entropy
+
+def _bucket_entropy_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import lsh_buckets_sql
+
+    return f"""
+WITH b AS ({lsh_buckets_sql(n_planes=8, dim=64)}),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS n_buckets FROM c),
+s AS (
+  SELECT CAST(sum(n * CAST(floor(ln(n) * 1000000000 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS s_nano
+  FROM c
+)
+SELECT n_buckets, n_vecs,
+       CAST(floor(ln(n_vecs) * 1000000000 + 0.5) AS BIGINT)
+         - CAST(s_nano // n_vecs AS BIGINT) AS entropy_nano,
+       CAST(floor(ln(n_buckets) * 1000000000 + 0.5) AS BIGINT) AS max_entropy_nano
+FROM t, s
+"""
+
+
+@register(
+    "p_lsh_bucket_entropy",
+    _bucket_entropy_oracle(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="Shannon entropy of the sign-LSH bucket occupancy in exact "
+    "nano-nats: H = ln(N) - Σ c·ln(c) / N with every ln re-quantized to "
+    "nano BEFORE any cross-row fold (the exp/ln rule; the fold itself is "
+    "a pure integer weighted sum).  Low entropy = skewed buckets = the "
+    "ann_topk candidate lists degenerate — the balance gauge beside "
+    "p_hash_balance_audit (which checks the HASH, not the learned-ish "
+    "hyperplane buckets).  1-row output; reuses the factored "
+    "lsh_buckets(_sql) kernel",
+)
+def q_lsh_bucket_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    b = similarity.lsh_buckets(
+        load_table(spark, sf_dir, "embeddings"), n_planes=8, dim=64
+    )
+    c = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = track_cached(c)  # ≤256 rows feed the totals AND the entropy fold
+    t = c.agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    s = c.agg(
+        F.expr(
+            "CAST(sum(n * CAST(floor(ln(n) * 1000000000 + 0.5) AS BIGINT))"
+            " AS DECIMAL(38,0))"
+        ).alias("s_nano")
+    )
+    return t.join(F.broadcast(s)).select(
+        "n_buckets",
+        "n_vecs",
+        F.expr(
+            "CAST(floor(ln(n_vecs) * 1000000000 + 0.5) AS BIGINT)"
+            " - CAST(s_nano div n_vecs AS BIGINT)"
+        ).alias("entropy_nano"),
+        F.expr("CAST(floor(ln(n_buckets) * 1000000000 + 0.5) AS BIGINT)").alias(
+            "max_entropy_nano"
+        ),
+    )
+
+
+# ---------------------------------------------- shingle reuse rate
+
+@register(
+    "p_shingle_reuse",
+    f"""
+WITH sh AS ({dedup.word_ngrams_sql(3)}),
+df AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM sh GROUP BY h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_shingles,
+       CAST((1000000::HUGEINT * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS shared_ppm,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM df
+""",
+    tags=("pipeline", "dedup", "audit"),
+    doc="cross-document shingle reuse: share of distinct 3-gram shingles "
+    "appearing in ≥2 documents, in exact ppm — the raw signal MinHash/LSH "
+    "exploit (near-zero reuse means the banding can't find anything; the "
+    "corpus-level prior under p_jaccard_decile_histogram's pairwise "
+    "view).  One groupBy over the factored word_ngrams(_sql) shingle "
+    "frame.  1-row output",
+)
+def q_shingle_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_ngrams(docs, n=3)
+    df = sh.groupBy("h").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_shingles"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END))"
+            " div count(1) AS BIGINT)"
+        ).alias("shared_ppm"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+
+
+# ------------------------------------- document-frequency histogram
+
+#: log2 bucket edges as literal CASE thresholds (identical text on both
+#: engines — float log2 at exact powers of two is not trusted cross-engine)
+_DF_BUCKETS = 21
+
+
+def _df_bucket_case() -> str:
+    whens = " ".join(
+        f"WHEN df >= {1 << b} THEN {b}" for b in range(_DF_BUCKETS - 1, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "p_df_histogram",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+)
+SELECT CAST({_df_bucket_case()} AS INTEGER) AS log2_df_bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS total_postings
+FROM df GROUP BY 1 ORDER BY 1
+""",
+    tags=("pipeline", "textstats"),
+    doc="vocabulary document-frequency histogram in log2 buckets: how many "
+    "terms live at each df scale and the posting mass they carry — the "
+    "inverted-index sizing profile beside p_vocab_coverage (cumulative "
+    "token view).  Buckets come from a literal CASE threshold ladder "
+    "shared verbatim by both engines (float log2 at exact powers of two "
+    "is not trusted cross-engine).  ≤21-row output",
+)
+def q_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    return (
+        df.select(F.expr(f"CAST({_df_bucket_case()} AS INT)").alias("log2_df_bucket"), "df")
+        .groupBy("log2_df_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+        )
+        .orderBy("log2_df_bucket")
+    )
