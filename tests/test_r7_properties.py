@@ -212,11 +212,11 @@ def test_borda_points_bounds_and_overlap(r1, r2):
         pts[doc] = pts.get(doc, 0) + (k + 1 - rank)
     for rank, doc in enumerate(r2, start=1):
         pts[doc] = pts.get(doc, 0) + (k + 1 - rank)
-    # a doc in both systems scores at most 2k and more than either alone
+    # a doc in both systems scores exactly the sum of its two rank awards
     both = set(r1) & set(r2)
     for d in both:
         assert pts[d] <= 2 * k
-        assert pts[d] > k + 1 - (r1.index(d) + 1) or len(r1) == 1
+        assert pts[d] == (k + 1 - (r1.index(d) + 1)) + (k + 1 - (r2.index(d) + 1))
     # total points conserved: Σ over docs == Σ of the two rank series
     assert sum(pts.values()) == sum(
         k + 1 - r for r in range(1, len(r1) + 1)

@@ -90,13 +90,13 @@ def test_watchdog_timer_survives_restart(spark, tmp_path):
     """TIMER state across a kill-and-restart — completes the restart matrix
     over all four tws state families (Value/Map/List landed in round 6).
 
-    Run 1 feeds key A with silence_ms=5000: the drain-end timer-flush batch
+    Run 1 feeds key A with silence_ms=30s (wide margin so a contended
+    machine cannot expire it between arming and the drain-end flush): the drain-end timer-flush batch
     sees an UNEXPIRED timer, so no WATCHDOG fires and the armed timer (plus
     A's last-offset ValueState) persists into the checkpoint.  After
     sleeping past expiry, run 2 feeds ONLY key B — a WATCHDOG row for A,
     carrying A's run-1 last_offset, can come only from the RECOVERED timer
     firing against the RECOVERED value state."""
-    import os
     import time
 
     reason = _tws_ready()
@@ -122,19 +122,13 @@ def test_watchdog_timer_survives_restart(spark, tmp_path):
     outdir = str(tmp_path / "wdr_out")
     cpdir = str(tmp_path / "wdr_cp")
 
-    def n_commits():
-        d = os.path.join(cpdir, "commits")
-        if not os.path.isdir(d):
-            return 0
-        return len([f for f in os.listdir(d) if f.isdigit()])
-
     def run_once(want):
         """Drain until the sink holds ``want`` rows (or the query
         terminates on its own), then stop — defensive against a pending
         unexpired timer blocking availableNow termination."""
         stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src)
         q = (
-            watchdog_stream(stream, silence_ms=5000)
+            watchdog_stream(stream, silence_ms=30_000)
             .writeStream.format("parquet")
             .option("path", outdir)
             .option("checkpointLocation", cpdir)
@@ -167,7 +161,7 @@ def test_watchdog_timer_survives_restart(spark, tmp_path):
         # the 5 s timer was NOT expired at drain end: no WATCHDOG in run 1
         assert rows1 == {("SEEN", 0, 9)}, rows1
 
-        time.sleep(6)  # run past A's armed fire time
+        time.sleep(31)  # run past A's armed fire time
 
         spark.createDataFrame(
             [("t", 1, 3)], schema=INPUT_SCHEMA
