@@ -246,6 +246,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_shingle_reuse",
     "p_df_histogram",
     "a_brand_basket_lift",
+    "r_partition_volume_profile",
     "p_ann_map",
     "a_bowley_brand_skew",
     "a_dow_seasonality_strength",

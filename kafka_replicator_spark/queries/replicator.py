@@ -2598,3 +2598,67 @@ def q_t6_lost_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "range_end",
         (F.col("range_end") - F.col("range_start") + 1).alias("n_missing"),
     )
+
+
+# ------------------------------------------- partition volume profile
+
+@register(
+    "r_partition_volume_profile",
+    with_ctes(
+        MESSAGES_CTE,
+        """p AS (
+  SELECT topic, partition_id,
+         CAST(count(*) AS BIGINT) AS n_msgs,
+         CAST(sum(msg_size) AS BIGINT) AS n_bytes
+  FROM messages GROUP BY topic, partition_id
+)""",
+        "t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS total_bytes, "
+        "CAST(max(n_bytes) AS BIGINT) AS max_bytes, "
+        "CAST(min(n_bytes) AS BIGINT) AS min_bytes FROM p)",
+        select="""
+SELECT topic, partition_id, n_msgs, n_bytes,
+       CAST((1000000::HUGEINT * n_bytes) // total_bytes AS BIGINT)
+         AS byte_share_ppm,
+       CAST((1000000::HUGEINT * max_bytes) // min_bytes AS BIGINT)
+         AS imbalance_ppm
+FROM p, t
+""",
+    ),
+    tags=("parity", "profiling"),
+    doc="per-partition load profile of the message stream: message count, "
+    "byte volume, byte share in exact ppm, and the global max/min byte "
+    "imbalance ratio — the operational skew gauge behind the rendezvous "
+    "rebalancing and segment-rollover sizing decisions "
+    "(r_rebalance_rendezvous assigns the work; this measures how uneven "
+    "it is; reference worker scaling pkg/ingress/controller.go).  One "
+    "partition-catalog-grain aggregation + a broadcast 1-row bound; "
+    "partition-count rows",
+)
+def q_partition_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    p = msgs.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum("msg_size").cast("long").alias("n_bytes"),
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    p = track_cached(p)  # catalog-grain frame feeds the bounds AND the rows
+    t = p.agg(
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+        F.min("n_bytes").cast("long").alias("min_bytes"),
+    )
+    return p.join(F.broadcast(t)).select(
+        "topic",
+        "partition_id",
+        "n_msgs",
+        "n_bytes",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_bytes)"
+            " div total_bytes AS BIGINT)"
+        ).alias("byte_share_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * max_bytes)"
+            " div min_bytes AS BIGINT)"
+        ).alias("imbalance_ppm"),
+    )
