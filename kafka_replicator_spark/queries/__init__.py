@@ -247,6 +247,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_df_histogram",
     "a_brand_basket_lift",
     "r_partition_volume_profile",
+    "r_segment_cadence",
+    "p_source_vocab_jaccard",
+    "a_repeat_revenue_share",
+    "a_value_cv_by_priority",
     "p_ann_map",
     "a_bowley_brand_skew",
     "a_dow_seasonality_strength",

@@ -780,3 +780,134 @@ def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
         .limit(_BASKET_TOP)
     )
+
+
+# ---------------------------------------- new vs repeat revenue share
+
+@register(
+    "a_repeat_revenue_share",
+    """
+WITH f AS (
+  SELECT o_custkey, min(epoch_us(o_orderdate)) AS first_us FROM orders
+  GROUP BY o_custkey
+),
+o AS (
+  SELECT year(o_orderdate) AS yr,
+         CASE WHEN epoch_us(o_orderdate) = f.first_us THEN 0 ELSE 1 END
+           AS is_repeat,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders JOIN f ON orders.o_custkey = f.o_custkey
+)
+SELECT CAST(yr AS INTEGER) AS yr,
+       CAST(sum(CASE WHEN is_repeat = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(sum(CASE WHEN is_repeat = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS repeat_cents,
+       CAST((1000000::HUGEINT
+             * sum(CASE WHEN is_repeat = 1 THEN cents ELSE 0 END))
+            // sum(cents) AS BIGINT) AS repeat_share_ppm
+FROM o GROUP BY yr ORDER BY yr
+""",
+    tags=("analytics", "behavior"),
+    doc="new-customer vs repeat revenue per order year in exact "
+    "cents/ppm: an order is 'new' iff its date equals the customer's "
+    "first order date (same-day ties all count as new — deterministic on "
+    "both engines without an order-key argmin).  The revenue-weighted "
+    "complement of a_repeat_purchase (event counts) and "
+    "a_growth_accounting (user counts); one customer-grain min + one "
+    "year fold.  7-row output",
+)
+def q_repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("od_us"),
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    o = track_cached(o)  # feeds the first-order min AND the year fold
+    f = o.groupBy("o_custkey").agg(F.min("od_us").alias("first_us"))
+    j = o.join(f, "o_custkey").select(
+        "yr",
+        F.when(F.col("od_us") == F.col("first_us"), 0).otherwise(1).alias(
+            "is_repeat"
+        ),
+        "cents",
+    )
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.sum(F.when(F.col("is_repeat") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("new_cents"),
+            F.sum(F.when(F.col("is_repeat") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("repeat_cents"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * sum(CASE WHEN is_repeat = 1 THEN cents ELSE 0 END))"
+                " div sum(cents) AS BIGINT)"
+            ).alias("repeat_share_ppm"),
+        )
+        .select(F.col("yr").cast("int"), "new_cents", "repeat_cents", "repeat_share_ppm")
+        .orderBy("yr")
+    )
+
+
+# ------------------------------------- value dispersion by priority
+
+@register(
+    "a_value_cv_by_priority",
+    """
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         sum(cents::HUGEINT * cents) AS q
+  FROM v GROUP BY priority
+)
+SELECT priority, n,
+       CAST((1000000::HUGEINT * s) // n AS BIGINT) AS mean_ucents,
+       CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE)
+                                 * CAST(n * q - s::HUGEINT * s AS DOUBLE)
+                                 / (n - 1)) / s) AS BIGINT) AS cv_ppm
+FROM m ORDER BY priority
+""",
+    tags=("analytics", "stats"),
+    doc="coefficient of variation of order value per priority class in "
+    "ppm: exact HUGEINT/DECIMAL(38,0) moment folds, then ONE "
+    "correctly-rounded sqrt/divide chain per group floored to ppm (the "
+    "r_segment_size_cv recipe on the order-value grain — identical "
+    "expression order on both engines, so the doubles are bit-identical); "
+    "the dispersion companion to a_q4_priority_lateness and "
+    "a_priority_mix_drift.  5-row output",
+)
+def q_value_cv_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    m = v.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.expr("sum(CAST(cents AS DECIMAL(38,0)) * cents)").alias("q"),
+    )
+    return m.select(
+        "priority",
+        "n",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s) div n AS BIGINT)"
+        ).alias("mean_ucents"),
+        F.expr(
+            "CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE)"
+            " * CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+            " / (n - 1)) / s) AS BIGINT)"
+        ).alias("cv_ppm"),
+    ).orderBy("priority")

@@ -867,3 +867,74 @@ def q_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_df_bucket")
     )
+
+
+# --------------------------------------- cross-source vocabulary overlap
+
+_VOCAB_JACCARD_TOP = 10
+
+
+@register(
+    "p_source_vocab_jaccard",
+    f"""
+WITH ts AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ts GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
+  FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, c AS n_shared,
+       CAST((1000000::HUGEINT * c) // (sa.n + sb.n - c) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sz sa ON sa.source = inter.src_a
+JOIN sz sb ON sb.source = inter.src_b
+ORDER BY jaccard_ppm DESC, src_a, src_b LIMIT {_VOCAB_JACCARD_TOP}
+""",
+    tags=("pipeline", "textstats", "dedup"),
+    doc="vocabulary (type-level) Jaccard between source pairs, top-10 most "
+    "similar: the corpus-mixing diversity gauge beside "
+    "p_cross_source_overlap (document-level shingle overlap) and "
+    "p_source_token_js (occurrence-distribution divergence).  The pair "
+    "join is keyed by TOKEN (bounded by sources-per-token² ≤ 400 per "
+    "token — never a source×source×vocab blowup); the pair universe is "
+    "≤190 rows so the final ranking is a TakeOrdered over a "
+    "catalog-bounded frame.  Exact ppm",
+)
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = track_cached(
+        spread(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sz = ts.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ts.select(F.col("source").alias("src_a"), "tok")
+    b = ts.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_shared)"
+                " div (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
+        .limit(_VOCAB_JACCARD_TOP)
+    )

@@ -2662,3 +2662,62 @@ def q_partition_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div min_bytes AS BIGINT)"
         ).alias("imbalance_ppm"),
     )
+
+
+# ------------------------------------------- segment production cadence
+
+@register(
+    "r_segment_cadence",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq, max(ts_us) AS close_ts_us
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        """gaps AS (
+  SELECT topic, partition_id,
+         close_ts_us - lag(close_ts_us) OVER (
+           PARTITION BY topic, partition_id ORDER BY segment_seq) AS gap_us
+  FROM seg
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(quantile_cont(gap_us, 0.5) * 2 AS BIGINT) AS median_gap_x2_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "profiling"),
+    doc="segment production cadence per partition: inter-close gaps "
+    "between consecutive segments (lag over segment_seq — a "
+    "metadata-scale window keyed by partition), median doubled to an "
+    "exact integer (0.5 is a power-of-two fraction: "
+    "percentile == quantile_cont bit-exactly, interpolating to halves) "
+    "and max.  The rollover-rate gauge the FirstSegmentDelay and "
+    "late-segment timeouts are tuned against (reference "
+    "pkg/ingress/config.go:32-40 defaults assume a ~30-min cadence).  "
+    "Partition-count rows",
+)
+def q_segment_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.max("ts_us").alias("close_ts_us"))
+    )
+    w = Window.partitionBy("topic", "partition_id").orderBy("segment_seq")
+    gaps = seg.select(
+        "topic",
+        "partition_id",
+        (F.col("close_ts_us") - F.lag("close_ts_us").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("topic", "partition_id").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.expr("CAST(percentile(gap_us, 0.5D) * 2 AS BIGINT)").alias(
+            "median_gap_x2_us"
+        ),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
