@@ -875,7 +875,7 @@ SELECT priority, n,
        CAST((1000000::HUGEINT * s) // n AS BIGINT) AS mean_ucents,
        CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE)
                                  * CAST(n * q - s::HUGEINT * s AS DOUBLE)
-                                 / (n - 1)) / s) AS BIGINT) AS cv_ppm
+                                 / nullif(n - 1, 0)) / s) AS BIGINT) AS cv_ppm
 FROM m ORDER BY priority
 """,
     tags=("analytics", "stats"),
@@ -908,6 +908,6 @@ def q_value_cv_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE)"
             " * CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
-            " / (n - 1)) / s) AS BIGINT)"
+            " / nullif(n - 1, 0)) / s) AS BIGINT)"
         ).alias("cv_ppm"),
     ).orderBy("priority")
