@@ -251,6 +251,10 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_source_vocab_jaccard",
     "a_repeat_revenue_share",
     "a_value_cv_by_priority",
+    "r_path_sort_equivalence",
+    "p_retrieval_rank_agreement",
+    "p_ann_tier_agreement",
+    "a_month_end_effect",
     "p_ann_map",
     "a_bowley_brand_skew",
     "a_dow_seasonality_strength",

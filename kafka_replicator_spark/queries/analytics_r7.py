@@ -911,3 +911,73 @@ def q_value_cv_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nullif(n - 1, 0)) / s) AS BIGINT)"
         ).alias("cv_ppm"),
     ).orderBy("priority")
+
+
+# ------------------------------------------------- month-end effect
+
+@register(
+    "a_month_end_effect",
+    """
+WITH o AS (
+  SELECT day(o_orderdate) AS dom,
+         day(last_day(o_orderdate)) AS dim,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN dom > dim - 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_last3,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(CASE WHEN dom > dim - 3 THEN cents ELSE 0 END) AS BIGINT)
+           AS last3_cents,
+         CAST(sum(3000000 // dim) AS BIGINT) AS exp_micro
+  FROM o
+)
+SELECT n_orders,
+       CAST((1000000::HUGEINT * n_last3) // n_orders AS BIGINT)
+         AS last3_order_ppm,
+       CAST((1000000::HUGEINT * last3_cents) // total_cents AS BIGINT)
+         AS last3_revenue_ppm,
+       CAST(exp_micro // n_orders AS BIGINT) AS expected_ppm
+FROM m
+""",
+    tags=("analytics", "timeseries"),
+    doc="month-end loading effect: share of orders and of revenue landing "
+    "in the last 3 days of their month vs the uniform expectation "
+    "(per-order 3/days-in-month floored to micro BEFORE the mean — the "
+    "quantize-before-fold rule), all exact ppm.  Spark day/last_day == "
+    "DuckDB day/last_day under the UTC session tz.  The "
+    "calendar-boundary companion to a_dow_seasonality_strength "
+    "(weekday) and a_time_seasonality (hour).  1-row output",
+)
+def q_month_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofmonth(F.last_day("o_orderdate")).alias("dim"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    m = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("dom") > F.col("dim") - 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_last3"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("dom") > F.col("dim") - 3, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("last3_cents"),
+        F.sum(F.expr("3000000 div dim")).cast("long").alias("exp_micro"),
+    )
+    return m.select(
+        "n_orders",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_last3) div n_orders AS BIGINT)"
+        ).alias("last3_order_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * last3_cents)"
+            " div total_cents AS BIGINT)"
+        ).alias("last3_revenue_ppm"),
+        F.expr("CAST(exp_micro div n_orders AS BIGINT)").alias("expected_ppm"),
+    )

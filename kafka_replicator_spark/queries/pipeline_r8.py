@@ -938,3 +938,169 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
         .limit(_VOCAB_JACCARD_TOP)
     )
+
+
+# ----------------------------------- retrieval ranking agreement (tau-a)
+
+def _rank_agreement_oracle() -> str:
+    from kafka_replicator_spark.queries.pipeline_r6 import _QL_SQL
+    from kafka_replicator_spark.queries.retrieval_ext import _BM25_SQL
+
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+ql AS ({_QL_SQL}),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1 FROM bm
+),
+qlr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ql_score DESC, doc_id) AS r2 FROM ql
+),
+shared AS (SELECT bmr.doc_id, r1, r2 FROM bmr JOIN qlr USING (doc_id)),
+pairs AS (
+  SELECT CAST(sum(CASE WHEN (a.r1 < b.r1) = (a.r2 < b.r2) THEN 1 ELSE 0 END)
+              AS BIGINT) AS concordant,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM shared a JOIN shared b ON a.doc_id < b.doc_id
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM shared)
+SELECT n_shared, n_pairs, concordant,
+       CAST((1000000::HUGEINT * (2 * concordant - n_pairs))
+            // nullif(n_pairs, 0) AS BIGINT) AS tau_a_ppm
+FROM pairs, n
+"""
+
+
+@register(
+    "p_retrieval_rank_agreement",
+    _rank_agreement_oracle(),
+    tags=("pipeline", "retrieval", "audit"),
+    doc="Kendall tau-a between the BM25 and Dirichlet-QL rankings over "
+    "their shared top-20 docs, in exact ppm: concordant-pair counting on "
+    "a ≤20-row frame (≤190 pairs — all arithmetic integer; ranks have no "
+    "ties by construction, row_number is the tie-break).  The agreement "
+    "gauge that says whether fusing the two systems (p_rrf_fusion, "
+    "p_borda_fusion) can add information — tau near 1 means they rank "
+    "identically and fusion is a no-op.  1-row output; composes the "
+    "factored _BM25_SQL/_QL_SQL",
+)
+def q_retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.pipeline_r6 import q_query_likelihood
+    from kafka_replicator_spark.queries.retrieval_ext import q_bm25_scores
+
+    bm = q_bm25_scores(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r1"),
+    )
+    ql = q_query_likelihood(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ql_score"), F.asc("doc_id")))
+        .alias("r2"),
+    )
+    shared = track_cached(bm.join(ql, "doc_id"))
+    a = shared.select(
+        F.col("doc_id").alias("da"), F.col("r1").alias("a1"), F.col("r2").alias("a2")
+    )
+    b = shared.select(
+        F.col("doc_id").alias("db"), F.col("r1").alias("b1"), F.col("r2").alias("b2")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(
+                (F.col("a1") < F.col("b1")) == (F.col("a2") < F.col("b2")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n = shared.agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    return pairs.join(F.broadcast(n)).select(
+        "n_shared",
+        "n_pairs",
+        "concordant",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2 * concordant - n_pairs))"
+            " div nullif(n_pairs, 0) AS BIGINT)"
+        ).alias("tau_a_ppm"),
+    )
+
+
+# ---------------------------------------------- ANN tier agreement
+
+_TIER_PROBES = [0, 1, 2, 3]
+_TIER_K = 5
+
+
+def _tier_agreement_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        ann_topk_sql,
+        ivf_topk_multiprobe_sql,
+        pq_topk_sql,
+    )
+
+    denom = len(_TIER_PROBES) * _TIER_K
+    return f"""
+WITH lsh AS ({ann_topk_sql(_TIER_PROBES, k=_TIER_K, n_planes=4, dim=64)}),
+ivf AS ({ivf_topk_multiprobe_sql(_TIER_PROBES, k=_TIER_K, nprobe=2)}),
+pq AS ({pq_topk_sql(_TIER_PROBES, k=_TIER_K)}),
+pairs AS (
+  SELECT 'lsh~ivf' AS tier_pair, CAST(count(*) AS BIGINT) AS n_hits
+  FROM lsh JOIN ivf USING (probe_id, neighbor_id)
+  UNION ALL
+  SELECT 'lsh~pq', CAST(count(*) AS BIGINT)
+  FROM lsh JOIN pq USING (probe_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivf~pq', CAST(count(*) AS BIGINT)
+  FROM ivf JOIN pq USING (probe_id, neighbor_id)
+)
+SELECT tier_pair, n_hits,
+       CAST((1000000::HUGEINT * n_hits) // {denom} AS BIGINT) AS overlap_ppm
+FROM pairs ORDER BY tier_pair
+"""
+
+
+@register(
+    "p_ann_tier_agreement",
+    _tier_agreement_oracle(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="pairwise top-5 overlap between the three approximate ANN tiers "
+    "(sign-LSH bucket search, IVF multiprobe, PQ-ADC) over the shared "
+    "probe set, in exact ppm — cross-tier agreement WITHOUT the exact "
+    "baseline (each tier's recall vs brute force exists separately; "
+    "disagreement here localizes which tier diverges).  Three "
+    "intersection joins of ≤20-row top-k frames.  3-row output; "
+    "composes the factored ann_topk/ivf_topk_multiprobe/pq_topk kernels "
+    "and their SQL builders",
+)
+def q_ann_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    lsh = similarity.ann_topk(emb, _TIER_PROBES, k=_TIER_K, n_planes=4, dim=64).select(
+        "probe_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk_multiprobe(emb, _TIER_PROBES, k=_TIER_K, nprobe=2).select(
+        "probe_id", "neighbor_id"
+    )
+    pq = similarity.pq_topk(emb, _TIER_PROBES, k=_TIER_K).select(
+        "probe_id", "neighbor_id"
+    )
+    denom = len(_TIER_PROBES) * _TIER_K
+    out = None
+    for name, x, y in (("ivf~pq", ivf, pq), ("lsh~ivf", lsh, ivf), ("lsh~pq", lsh, pq)):
+        frame = (
+            x.join(y, ["probe_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(name).alias("tier_pair"),
+                "n_hits",
+                F.expr(f"CAST((1000000 * n_hits) div {denom} AS BIGINT)").alias(
+                    "overlap_ppm"
+                ),
+            )
+        )
+        out = frame if out is None else out.unionAll(frame)
+    return out.orderBy("tier_pair")

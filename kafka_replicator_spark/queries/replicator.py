@@ -2721,3 +2721,90 @@ def q_segment_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+# ------------------------------------ X1 zero-pad ordering equivalence
+
+@register(
+    "r_path_sort_equivalence",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id,
+         min(msg_offset) AS start_offset, max(msg_offset) AS end_offset
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        """named AS (
+  SELECT topic, partition_id, start_offset,
+         lpad(CAST(start_offset AS VARCHAR), 20, '0') || '-'
+           || lpad(CAST(end_offset AS VARCHAR), 20, '0') AS fname
+  FROM seg
+)""",
+        """ranked AS (
+  SELECT topic, partition_id,
+         row_number() OVER (PARTITION BY topic, partition_id
+                            ORDER BY fname) AS r_lex,
+         row_number() OVER (PARTITION BY topic, partition_id
+                            ORDER BY start_offset) AS r_num,
+         fname
+  FROM named
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN r_lex <> r_num THEN 1 ELSE 0 END) AS BIGINT)
+         AS rank_mismatches,
+       min(fname) AS first_fname,
+       max(fname) AS last_fname
+FROM ranked GROUP BY topic, partition_id
+""",
+    ),
+    tags=("parity", "codec"),
+    doc="X1 zero-pad ordering equivalence: the REASON segment filenames "
+    "are %020d-%020d is that an S3 LIST (lexicographic) must return "
+    "segments in offset order — this audit ranks the real segment "
+    "catalog's filenames lexicographically vs numerically per partition "
+    "and asserts ZERO mismatches, plus the boundary filenames (reference "
+    "pkg/stores/s3_segment_store.go listing order; core/codec.py:91 "
+    "format).  Spark derives fname through the same lpad arithmetic the "
+    "codec's format_string produces (tests/test_codec* pin the two forms "
+    "byte-equal); metadata-grain windows keyed by partition.  "
+    "Partition-count rows",
+)
+def q_path_sort_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    seg = (
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("msg_offset").alias("end_offset"),
+        )
+    )
+    named = seg.select(
+        "topic",
+        "partition_id",
+        "start_offset",
+        F.concat(
+            F.lpad(F.col("start_offset").cast("string"), 20, "0"),
+            F.lit("-"),
+            F.lpad(F.col("end_offset").cast("string"), 20, "0"),
+        ).alias("fname"),
+    )
+    wp = Window.partitionBy("topic", "partition_id")
+    ranked = named.select(
+        "topic",
+        "partition_id",
+        F.row_number().over(wp.orderBy("fname")).alias("r_lex"),
+        F.row_number().over(wp.orderBy("start_offset")).alias("r_num"),
+        "fname",
+    )
+    return ranked.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("r_lex") != F.col("r_num"), 1).otherwise(0))
+        .cast("long")
+        .alias("rank_mismatches"),
+        F.min("fname").alias("first_fname"),
+        F.max("fname").alias("last_fname"),
+    )

@@ -82,3 +82,37 @@ def test_column_codec_agrees_with_python_codec(spark):
             r["region"], r["topic"], r["partition_id"], r["level"],
             r["start_offset"], r["end_offset"],
         ) == seg_tuple
+
+
+def test_lpad_filename_equals_codec_format(spark):
+    """r_path_sort_equivalence derives segment filenames via lpad — pin
+    that form byte-equal to the codec's %020d format_string output."""
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.core.codec import segment_path_col
+
+    df = spark.createDataFrame(
+        [(0, 99), (100, 10**18), (9 * 10**18, 9 * 10**18 + 5)],
+        schema="start_offset long, end_offset long",
+    ).select(
+        F.element_at(
+            F.split(
+                segment_path_col(
+                    "/d",
+                    region=F.lit("r"),
+                    topic=F.lit("t"),
+                    partition_id=F.lit(0),
+                    level=F.lit(0),
+                ),
+                "/",
+            ),
+            -1,
+        ).alias("codec_name"),
+        F.concat(
+            F.lpad(F.col("start_offset").cast("string"), 20, "0"),
+            F.lit("-"),
+            F.lpad(F.col("end_offset").cast("string"), 20, "0"),
+        ).alias("lpad_name"),
+    )
+    for r in df.collect():
+        assert r["codec_name"].split(".")[0] == r["lpad_name"], r
