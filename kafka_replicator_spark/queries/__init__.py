@@ -50,18 +50,36 @@ def with_ctes(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + select
 
 
-#: Names with a green row in CORRECTNESS_r01 ∪ … ∪ r06 (static history of
+#: Names with a green row in CORRECTNESS_r01 ∪ … ∪ r07 (static history of
 #: the driver's correctness runs; oracle-less queries count as green on a
 #: clean rows-only row).  The driver verifies only a prefix (~50) of the
 #: registry each round, so ``all_queries`` orders every name WITHOUT a
 #: green row ahead of this set, then the round's new queries, then this
-#: remainder as ballast.  After round 6 (50/50 green, sixth consecutive;
-#: cumulative 281/348) the names without a row are the round-6 staged
-#: tail — 67 names, of which the FIRST 50 are promoted to
-#: ``_NEW_THIS_ROUND`` below (they fill the window exactly, 0 spare
-#: slots) and the remaining 17 stay in ``_STAGED_NEXT_ROUND`` for the
-#: round-8 window.
+#: remainder as ballast.  After round 7 (50/50 green, seventh consecutive;
+#: cumulative 331/381) the names without a row are exactly the 50
+#: ``_STAGED_NEXT_ROUND`` names, all promoted to ``_NEW_THIS_ROUND``
+#: below — they fill the round-8 window EXACTLY, 0 spare slots; every
+#: new round-8 query lands in ``_STAGED_NEXT_ROUND`` for round 9.
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r07 (folded in at the round-8 rotation) ---
+    'a_kendall_tau_brand', 'p_rule_matrix', 'p_embedding_norm_profile',
+    'p_pr_curve', 'a_shared_sql_filter_clause', 'p_kcore_peel',
+    'p_query_likelihood', 'p_jl_distortion', 'p_chunk_overlap_audit',
+    'p_hard_negatives', 'a_trimmed_mean_price', 'p_mmr_diversify',
+    'p_quota_sample', 'p_hamming_histogram', 'p_ivf_cost_audit',
+    'a_event_dispersion', 'p_char_class_profile', 'a_rfm_migration',
+    'a_lorenz_octiles', 'p_submodular_coverage', 'p_bloom_fpr_audit',
+    'p_dedup_quality_shift', 'a_session_gap_sensitivity',
+    'r_merge_fanin_histogram', 'r_segment_size_cv', 'p_minhash_k_sensitivity',
+    'a_runs_test_daily', 'p_silhouette_proxy', 'p_text_embedding_corr',
+    'p_label_source_contingency', 'p_ivf_probe_recall_curve',
+    'a_max_drawdown', 'r_x2_metadata_codec', 'r_x7_backoff_schedule',
+    'r_rebalance_rendezvous', 'p_simhash_bit_balance', 'p_scalar_quant_error',
+    'a_laspeyres_price_index', 'r_ts_monotonicity', 'a_mann_whitney_weekend',
+    'r_key_cardinality_profile', 'r_f3_superseded_pop', 'r_f5_age_gate',
+    'r_x4_url_roundtrip', 'p_ann_ndcg', 'p_label_source_mi',
+    'p_label_propagation', 'a_cramers_v', 'a_priority_mix_drift',
+    'r_o4_subscribe_order',
     # --- green in CORRECTNESS_r06 (folded in at the round-7 rotation) ---
     'p_auc_quality', 'p_ece_calibration', 'p_categorical_drift_chi2',
     'p_dup_rate_wilson', 'a_shared_sql_lateral', 'a_activity_streaks',
@@ -158,69 +176,12 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries in THIS round's (round 7) driver window behind any never-green
-#: backlog.  At the round-7 rotation this is exactly the FIRST 50 of the
-#: round-6 staged tail (list order preserved) — they fill the 50-window
-#: EXACTLY, so 0 spare slots: every new round-7 query lands in
-#: ``_STAGED_NEXT_ROUND`` behind the window edge.
+#: Queries in THIS round's (round 8) driver window behind any never-green
+#: backlog.  At the round-8 rotation this is ALL 50 formerly-staged names
+#: (list order preserved) — they fill the 50-window EXACTLY, so 0 spare
+#: slots: every new round-8 query lands in ``_STAGED_NEXT_ROUND`` behind
+#: the window edge for round 9.
 _NEW_THIS_ROUND: list[str] = [
-    "a_kendall_tau_brand",
-    "p_rule_matrix",
-    "p_embedding_norm_profile",
-    "p_pr_curve",
-    "a_shared_sql_filter_clause",
-    "p_kcore_peel",
-    "p_query_likelihood",
-    "p_jl_distortion",
-    "p_chunk_overlap_audit",
-    "p_hard_negatives",
-    "a_trimmed_mean_price",
-    "p_mmr_diversify",
-    "p_quota_sample",
-    "p_hamming_histogram",
-    "p_ivf_cost_audit",
-    "a_event_dispersion",
-    "p_char_class_profile",
-    "a_rfm_migration",
-    "a_lorenz_octiles",
-    "p_submodular_coverage",
-    "p_bloom_fpr_audit",
-    "p_dedup_quality_shift",
-    "a_session_gap_sensitivity",
-    "r_merge_fanin_histogram",
-    "r_segment_size_cv",
-    "p_minhash_k_sensitivity",
-    "a_runs_test_daily",
-    "p_silhouette_proxy",
-    "p_text_embedding_corr",
-    "p_label_source_contingency",
-    "p_ivf_probe_recall_curve",
-    "a_max_drawdown",
-    "r_x2_metadata_codec",
-    "r_x7_backoff_schedule",
-    "r_rebalance_rendezvous",
-    "p_simhash_bit_balance",
-    "p_scalar_quant_error",
-    "a_laspeyres_price_index",
-    "r_ts_monotonicity",
-    "a_mann_whitney_weekend",
-    "r_key_cardinality_profile",
-    "r_f3_superseded_pop",
-    "r_f5_age_gate",
-    "r_x4_url_roundtrip",
-    "p_ann_ndcg",
-    "p_label_source_mi",
-    "p_label_propagation",
-    "a_cramers_v",
-    "a_priority_mix_drift",
-    "r_o4_subscribe_order",
-]
-
-
-#: Queries registered mid-round AFTER the window filled (plus the round-6
-#: staged tail past the 50-window edge — these 17 are FIRST in line for the
-#: round-8 window; keep list order at the next rotation).
-_STAGED_NEXT_ROUND: list[str] = [
     "r_s4_event_parse",
     "r_t5_first_delay",
     "a_mann_kendall_daily",
@@ -272,6 +233,12 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_knn_label_eval",
     "r_t6_lost_ranges",
 ]
+
+
+#: Queries registered mid-round AFTER the window filled (round-8 additions
+#: — FIRST in line for the round-9 window; keep list order at the next
+#: rotation).
+_STAGED_NEXT_ROUND: list[str] = []
 
 
 def all_queries() -> dict[str, Query]:

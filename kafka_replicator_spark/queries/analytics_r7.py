@@ -216,10 +216,10 @@ r1 AS (
   SELECT CAST(count(*) AS BIGINT) AS n1,
          CAST(floor(1e9 * CAST(count(*)::HUGEINT * sum(x::HUGEINT * y)
                                - sum(x)::HUGEINT * sum(y) AS DOUBLE)
-              / sqrt(CAST(count(*)::HUGEINT * sum(x::HUGEINT * x)
+              / nullif(sqrt(CAST(count(*)::HUGEINT * sum(x::HUGEINT * x)
                           - sum(x)::HUGEINT * sum(x) AS DOUBLE)
                      * CAST(count(*)::HUGEINT * sum(y::HUGEINT * y)
-                            - sum(y)::HUGEINT * sum(y) AS DOUBLE))) AS BIGINT)
+                            - sum(y)::HUGEINT * sum(y) AS DOUBLE)), 0)) AS BIGINT)
            AS r1_nano
   FROM p1
 ),
@@ -227,10 +227,10 @@ r2 AS (
   SELECT CAST(count(*) AS BIGINT) AS n2,
          CAST(floor(1e9 * CAST(count(*)::HUGEINT * sum(x::HUGEINT * y)
                                - sum(x)::HUGEINT * sum(y) AS DOUBLE)
-              / sqrt(CAST(count(*)::HUGEINT * sum(x::HUGEINT * x)
+              / nullif(sqrt(CAST(count(*)::HUGEINT * sum(x::HUGEINT * x)
                           - sum(x)::HUGEINT * sum(x) AS DOUBLE)
                      * CAST(count(*)::HUGEINT * sum(y::HUGEINT * y)
-                            - sum(y)::HUGEINT * sum(y) AS DOUBLE))) AS BIGINT)
+                            - sum(y)::HUGEINT * sum(y) AS DOUBLE)), 0)) AS BIGINT)
            AS r2_nano
   FROM p2
 )
@@ -274,12 +274,12 @@ def q_pacf_lag2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(1e9 * CAST(CAST(count(*) AS DECIMAL(38,0))"
         " * sum(CAST(x AS DECIMAL(38,0)) * y)"
         " - CAST(sum(x) AS DECIMAL(38,0)) * sum(y) AS DOUBLE)"
-        " / sqrt(CAST(CAST(count(*) AS DECIMAL(38,0))"
+        " / nullif(sqrt(CAST(CAST(count(*) AS DECIMAL(38,0))"
         " * sum(CAST(x AS DECIMAL(38,0)) * x)"
         " - CAST(sum(x) AS DECIMAL(38,0)) * sum(x) AS DOUBLE)"
         " * CAST(CAST(count(*) AS DECIMAL(38,0))"
         " * sum(CAST(y AS DECIMAL(38,0)) * y)"
-        " - CAST(sum(y) AS DECIMAL(38,0)) * sum(y) AS DOUBLE))) AS BIGINT)"
+        " - CAST(sum(y) AS DECIMAL(38,0)) * sum(y) AS DOUBLE)), 0)) AS BIGINT)"
     )
     r1 = lag_pairs(1).agg(
         F.count(F.lit(1)).cast("long").alias("n_lag1_pairs"),
@@ -875,7 +875,7 @@ SELECT priority, n,
        CAST((1000000::HUGEINT * s) // n AS BIGINT) AS mean_ucents,
        CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE)
                                  * CAST(n * q - s::HUGEINT * s AS DOUBLE)
-                                 / nullif(n - 1, 0)) / s) AS BIGINT) AS cv_ppm
+                                 / nullif(n - 1, 0)) / nullif(s, 0)) AS BIGINT) AS cv_ppm
 FROM m ORDER BY priority
 """,
     tags=("analytics", "stats"),
@@ -908,7 +908,7 @@ def q_value_cv_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE)"
             " * CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
-            " / nullif(n - 1, 0)) / s) AS BIGINT)"
+            " / nullif(n - 1, 0)) / nullif(s, 0)) AS BIGINT)"
         ).alias("cv_ppm"),
     ).orderBy("priority")
 

@@ -231,7 +231,7 @@ def q_ann_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = lbl.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
     # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
     # projections (VERDICT r06 #1).
-    j = F.broadcast(F.broadcast(ann).join(pl, "probe_id")).join(nl, "neighbor_id")
+    j = F.broadcast(ann.join(pl, "probe_id")).join(nl, "neighbor_id")
     hit = F.when(F.col("n_label") == F.col("probe_label"), 1).otherwise(0)
     return j.groupBy("probe_id", F.col("probe_label").cast("int").alias("probe_label")).agg(
         F.count(F.lit(1)).alias("n_neighbors"),

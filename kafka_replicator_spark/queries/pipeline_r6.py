@@ -2961,7 +2961,7 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
     # projections (VERDICT r06 #1).
     gains = (
-        F.broadcast(F.broadcast(ann).join(pl, "probe_id"))
+        F.broadcast(ann.join(pl, "probe_id"))
         .join(nl, "neighbor_id")
         .where(F.col("n_lbl") == F.col("p_lbl"))
         .groupBy("probe_id")

@@ -107,7 +107,7 @@ def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
     # projections (VERDICT r06 #1).
     marked = (
-        F.broadcast(F.broadcast(ann).join(pl, "probe_id"))
+        F.broadcast(ann.join(pl, "probe_id"))
         .join(nl, "neighbor_id")
         .select(
             "probe_id",

@@ -627,6 +627,9 @@ def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for k in _ELBOW_KS:
         exprs = [dist_to(seeds[s]) for s in sorted(seeds) if s < k]
+        # vec_ids are assumed 0-based; a corpus where none fall below k
+        # would silently yield no seeds — fail loudly instead
+        assert exprs, f"no seed vec_ids < {k} (non-0-based vec_id corpus?)"
         # F.least requires >= 2 columns; guard the single-seed degenerate
         # case (k=1, or a future corpus with non-0-based vec_ids)
         md = exprs[0] if len(exprs) == 1 else F.least(*exprs)

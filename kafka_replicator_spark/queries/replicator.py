@@ -2619,7 +2619,7 @@ def q_t6_lost_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT topic, partition_id, n_msgs, n_bytes,
        CAST((1000000::HUGEINT * n_bytes) // total_bytes AS BIGINT)
          AS byte_share_ppm,
-       CAST((1000000::HUGEINT * max_bytes) // min_bytes AS BIGINT)
+       CAST((1000000::HUGEINT * max_bytes) // nullif(min_bytes, 0) AS BIGINT)
          AS imbalance_ppm
 FROM p, t
 """,
@@ -2659,7 +2659,7 @@ def q_partition_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("byte_share_ppm"),
         F.expr(
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * max_bytes)"
-            " div min_bytes AS BIGINT)"
+            " div nullif(min_bytes, 0) AS BIGINT)"
         ).alias("imbalance_ppm"),
     )
 

@@ -28,6 +28,44 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_streams():
+    """Fail the offending test if it leaves a streaming query running.
+
+    The round-6 tws-TTL engine trap (ttlDurationMs + availableNow never
+    terminating) leaked a live query into the rest of the suite and taxed
+    every later test for a full round before being caught.  This guard
+    makes the NEXT such trap fail the test that caused it instead:
+    after each test in a module that touches streaming, any still-active
+    query is stopped and the test is failed by name.
+    """
+    yield
+    # Only inspect when a session already exists — never create one here
+    # (that would slow down pure-Python tests for nothing).
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        return
+    if spark is None:
+        return
+    leaked = list(spark.streams.active)
+    if leaked:
+        names = [q.name or q.id for q in leaked]
+        for q in leaked:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        pytest.fail(
+            f"test leaked {len(leaked)} active streaming quer"
+            f"{'y' if len(leaked) == 1 else 'ies'}: {names} — "
+            "stop() every query (poll the sink, never rely on "
+            "awaitTermination under availableNow+TTL)"
+        )
+
+
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR

@@ -158,7 +158,7 @@ def test_watchdog_timer_survives_restart(spark, tmp_path):
             (r["kind"], r["partition_id"], r["last_offset"])
             for r in spark.read.parquet(outdir).collect()
         }
-        # the 5 s timer was NOT expired at drain end: no WATCHDOG in run 1
+        # the 30 s timer was NOT expired at drain end: no WATCHDOG in run 1
         assert rows1 == {("SEEN", 0, 9)}, rows1
 
         time.sleep(31)  # run past A's armed fire time
