@@ -143,12 +143,15 @@ def gopher_quality(
     )
 
 
-def gopher_quality_sql() -> str:
+def gopher_quality_sql(rel: str = "documents") -> str:
+    """``rel`` may be any relation expression (table name or parenthesized
+    subquery) exposing (doc_id, text) — the composed-pipeline oracles feed
+    the dedup-survivor chain through here."""
     r = QUALITY_RULES
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
 WITH t AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM {rel}
 ), m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS word_count,

@@ -90,9 +90,11 @@ def pack_sequences(docs: DataFrame, budget: int = DEFAULT_PACK_BUDGET) -> DataFr
     )
 
 
-def pack_sequences_sql(budget: int = DEFAULT_PACK_BUDGET) -> str:
+def pack_sequences_sql(budget: int = DEFAULT_PACK_BUDGET, rel: str = "documents") -> str:
     """Recursive-CTE oracle: walk the same close-before-exceed recurrence
-    over the per-source running token sum."""
+    over the per-source running token sum.  ``rel`` may be a parenthesized
+    subquery (DuckDB allows nested WITH inside it) — used by the composed
+    end-to-end pipeline oracles."""
     return f"""
 WITH RECURSIVE ranked AS (
   SELECT doc_id, source,
@@ -100,7 +102,7 @@ WITH RECURSIVE ranked AS (
          CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rn,
          CAST(sum(len(string_split(text, ' ')))
               OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS csum
-  FROM documents
+  FROM {rel}
 ),
 walk(source, start_rn, base, pack_id) AS (
   SELECT source, 1, CAST(0 AS BIGINT), 0 FROM (SELECT DISTINCT source FROM ranked)
@@ -255,7 +257,7 @@ def corpus_mix(docs: DataFrame, budget_tokens: int = DEFAULT_MIX_BUDGET) -> Data
     )
 
 
-def corpus_mix_sql(budget_tokens: int = DEFAULT_MIX_BUDGET) -> str:
+def corpus_mix_sql(budget_tokens: int = DEFAULT_MIX_BUDGET, rel: str = "documents") -> str:
     from kafka_replicator_spark.functions.hashing import portable_hash60_sql
 
     prio = portable_hash60_sql("CAST(doc_id AS VARCHAR)")
@@ -264,10 +266,10 @@ WITH toks AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          {prio} AS prio
-  FROM documents
+  FROM {rel}
 ), src_w AS (
   SELECT source, 1 + CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 3 AS w
-  FROM (SELECT DISTINCT source FROM documents)
+  FROM (SELECT DISTINCT source FROM {rel})
 ), budgets AS (
   SELECT source, CAST(floor({budget_tokens} * w / (SELECT CAST(sum(w) AS DOUBLE) FROM src_w)) AS BIGINT) AS src_budget
   FROM src_w

@@ -238,13 +238,17 @@ _NEW_THIS_ROUND: list[str] = [
 #: Queries registered mid-round AFTER the window filled (round-8 additions
 #: — FIRST in line for the round-9 window; keep list order at the next
 #: rotation).
-_STAGED_NEXT_ROUND: list[str] = []
+_STAGED_NEXT_ROUND: list[str] = [
+    "p_e2e_curation_funnel",
+    "p_e2e_pack_manifest",
+    "p_e2e_mix_dedup_interaction",
+]
 
 
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

@@ -1,0 +1,281 @@
+"""End-to-end pipeline compositions (round-8 staged, round-9 window).
+
+VERDICT r07 #5: the registry covers every stage in isolation; these queries
+oracle-check the *chains* — dedup → quality gate → token-budget mix →
+sequence packing as single plans, where selection interactions live (the
+mix's per-source budgets derive from the post-filter source weights, the
+pack boundaries from the post-filter doc ranks — none of which any
+single-stage query exercises).
+
+Every stage reuses the exact operator the single-stage query registered
+(functions/dedup, functions/curation.gopher_quality,
+functions/packing.corpus_mix / pack_sequences), and every oracle reuses the
+same SQL builders via their ``rel=`` parameter — the chain is composed, not
+restated, on BOTH engines.
+
+Reference parity: the reference engine (CrowdStrike/kafka-replicator) has
+no analytics layer; this is the beyond-parity LLM-pipeline surface
+(SURVEY.md §2 "pipeline extensions").
+
+Scale notes (100 TB):
+  * the funnel is three source-grain aggregations over one shared cached
+    survivor frame — each is a map-side-combined groupBy on ~5 keys;
+  * the dedup stage is ONE shuffle on md5(text) (window row_number, same
+    plan as p_curate_batch);
+  * corpus_mix / pack_sequences keep their registered scale shapes (per
+    source window + broadcast budgets / metadata-only pandas boundary walk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.functions.curation import gopher_quality, gopher_quality_sql
+from kafka_replicator_spark.functions.packing import (
+    DEFAULT_MIX_BUDGET,
+    corpus_mix,
+    corpus_mix_sql,
+    pack_sequences,
+    pack_sequences_sql,
+)
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+#: pack budget for the composed chain — small enough that sf0.001 still
+#: yields multi-pack sources, matching the registered p_pack_sequences
+DEFAULT_PACK_BUDGET = 256
+
+#: the dedup→quality survivor chain as a reusable relation expression;
+#: parenthesized so it can stand wherever a table name can (gopher/mix/pack
+#: builders all take it via rel=)
+_SURVIVORS_REL = """(
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
+    FROM documents
+  ) WHERE _rn = 1
+)"""
+
+_QUAL_DOCS_REL = f"""(
+  SELECT s.doc_id, s.source, s.text
+  FROM {_SURVIVORS_REL} s
+  JOIN ({gopher_quality_sql(rel=_SURVIVORS_REL)}) q USING (doc_id)
+  WHERE q.passes = 1
+)"""
+
+
+def _qual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark chain: exact-dedup survivors → Gopher quality gate.
+
+    One shuffle on md5(text) for the dedup window; the quality gate is pure
+    per-row column expressions fused into the same stage.  The survivor
+    frame is cached — the funnel aggregates it at three stages.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    survivors = track_cached(survivors)
+    qual = gopher_quality(survivors, keep=("source", "text")).filter(F.col("passes") == 1)
+    return survivors, qual
+
+
+@register(
+    "p_e2e_curation_funnel",
+    f"""
+WITH survivors AS (SELECT * FROM {_SURVIVORS_REL}),
+quality AS (
+  SELECT q.doc_id, q.word_count
+  FROM ({gopher_quality_sql(rel='survivors')}) q WHERE q.passes = 1
+),
+qual_docs AS (
+  SELECT s.doc_id, s.source, s.text FROM survivors s JOIN quality USING (doc_id)
+),
+mix AS ({corpus_mix_sql(rel='qual_docs')}),
+raw_agg AS (
+  SELECT source, count(*) AS n_raw,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_raw
+  FROM documents GROUP BY source
+),
+dedup_agg AS (
+  SELECT source, count(*) AS n_dedup,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_dedup
+  FROM survivors GROUP BY source
+),
+qual_agg AS (
+  SELECT s.source, count(*) AS n_quality,
+         CAST(sum(q.word_count) AS BIGINT) AS tok_quality
+  FROM survivors s JOIN quality q USING (doc_id) GROUP BY s.source
+),
+sel_agg AS (
+  SELECT source, count(*) AS n_selected,
+         CAST(sum(n_tokens) AS BIGINT) AS tok_selected
+  FROM mix GROUP BY source
+)
+SELECT r.source, r.n_raw, r.tok_raw,
+       coalesce(d.n_dedup, 0) AS n_dedup,
+       coalesce(d.tok_dedup, 0) AS tok_dedup,
+       coalesce(q.n_quality, 0) AS n_quality,
+       coalesce(q.tok_quality, 0) AS tok_quality,
+       coalesce(m.n_selected, 0) AS n_selected,
+       coalesce(m.tok_selected, 0) AS tok_selected
+FROM raw_agg r
+LEFT JOIN dedup_agg d USING (source)
+LEFT JOIN qual_agg q USING (source)
+LEFT JOIN sel_agg m USING (source)
+ORDER BY r.source
+""",
+    tags=("pipeline", "compose"),
+    doc="end-to-end curation funnel: exact dedup → Gopher quality gate → "
+    "token-budget corpus mix, with per-source survivor/token counts at "
+    "every stage — the selection-interaction audit (the mix budgets derive "
+    "from POST-filter source weights)",
+)
+def q_e2e_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    zero = F.lit(0).cast("long")
+    survivors, qual = _qual_docs(spark, sf_dir)
+    raw_agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"), F.sum(tok).alias("tok_raw")
+    )
+    dedup_agg = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup"), F.sum(tok).alias("tok_dedup")
+    )
+    qual_agg = qual.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quality"),
+        F.sum("word_count").alias("tok_quality"),
+    )
+    mix = corpus_mix(qual.select("doc_id", "source", "text"))
+    sel_agg = mix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tokens").cast("long").alias("tok_selected"),
+    )
+    return (
+        raw_agg.join(dedup_agg, "source", "left")
+        .join(qual_agg, "source", "left")
+        .join(sel_agg, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "tok_raw",
+            F.coalesce("n_dedup", zero).alias("n_dedup"),
+            F.coalesce("tok_dedup", zero).alias("tok_dedup"),
+            F.coalesce("n_quality", zero).alias("n_quality"),
+            F.coalesce("tok_quality", zero).alias("tok_quality"),
+            F.coalesce("n_selected", zero).alias("n_selected"),
+            F.coalesce("tok_selected", zero).alias("tok_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "p_e2e_pack_manifest",
+    f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST(sum(CASE WHEN n_tokens > {DEFAULT_PACK_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS oversize_docs,
+       CAST((CAST(sum(n_tokens) AS BIGINT) * 1000000)
+            // (count(DISTINCT pack_id) * {DEFAULT_PACK_BUDGET}) AS BIGINT)
+           AS fill_ppm
+FROM ({pack_sequences_sql(DEFAULT_PACK_BUDGET, rel=_QUAL_DOCS_REL)})
+GROUP BY source
+ORDER BY source
+""",
+    tags=("pipeline", "compose"),
+    doc="end-to-end pack manifest: the dedup→quality survivor chain packed "
+    "into fixed token budgets (functions/packing.pack_sequences), audited "
+    "per source — pack counts, token totals, oversize docs, exact fill ppm; "
+    "pack boundaries land on POST-filter doc ranks, which no single-stage "
+    "query exercises",
+)
+def q_e2e_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, qual = _qual_docs(spark, sf_dir)
+    pack = pack_sequences(qual.select("doc_id", "source", "text"), budget=DEFAULT_PACK_BUDGET)
+    return (
+        pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("pack_tokens").alias("max_pack_tokens"),
+            F.sum((F.col("n_tokens") > DEFAULT_PACK_BUDGET).cast("long")).alias(
+                "oversize_docs"
+            ),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(f"(total_tokens * 1000000) div (n_packs * {DEFAULT_PACK_BUDGET})"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "p_e2e_mix_dedup_interaction",
+    f"""
+WITH mix_raw AS ({corpus_mix_sql(rel='documents')}),
+qual_docs AS (SELECT * FROM {_QUAL_DOCS_REL}),
+mix_curated AS ({corpus_mix_sql(rel='qual_docs')})
+SELECT coalesce(r.source, c.source) AS source,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_raw_mix,
+       CAST(coalesce(r.tok, 0) AS BIGINT) AS tok_raw_mix,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_curated_mix,
+       CAST(coalesce(c.tok, 0) AS BIGINT) AS tok_curated_mix,
+       CAST(coalesce(b.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT source, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
+      FROM mix_raw GROUP BY source) r
+FULL JOIN (SELECT source, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
+           FROM mix_curated GROUP BY source) c ON r.source = c.source
+LEFT JOIN (SELECT a.source, count(*) AS n_common
+           FROM mix_raw a JOIN mix_curated b2
+             ON a.source = b2.source AND a.doc_id = b2.doc_id
+           GROUP BY a.source) b ON coalesce(r.source, c.source) = b.source
+ORDER BY source
+""",
+    tags=("pipeline", "compose"),
+    doc="selection-bias audit of the composed chain: the SAME corpus-mix "
+    "recipe over the raw corpus vs over the dedup→quality survivors — "
+    "per-source pick deltas and the overlap of chosen doc_ids (how much "
+    "the upstream filters reshape the final mix)",
+)
+def q_e2e_mix_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    _, qual = _qual_docs(spark, sf_dir)
+    mix_raw = track_cached(corpus_mix(docs))
+    mix_cur = track_cached(corpus_mix(qual.select("doc_id", "source", "text")))
+    zero = F.lit(0).cast("long")
+    r = mix_raw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw_mix"),
+        F.sum("n_tokens").cast("long").alias("tok_raw_mix"),
+    )
+    c = mix_cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_curated_mix"),
+        F.sum("n_tokens").cast("long").alias("tok_curated_mix"),
+    )
+    common = (
+        mix_raw.select("source", "doc_id")
+        .join(mix_cur.select("source", "doc_id"), ["source", "doc_id"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        r.join(c, "source", "full")
+        .join(common, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_raw_mix", zero).alias("n_raw_mix"),
+            F.coalesce("tok_raw_mix", zero).alias("tok_raw_mix"),
+            F.coalesce("n_curated_mix", zero).alias("n_curated_mix"),
+            F.coalesce("tok_curated_mix", zero).alias("tok_curated_mix"),
+            F.coalesce("n_common", zero).alias("n_common"),
+        )
+        .orderBy("source")
+    )
