@@ -874,22 +874,12 @@ FROM codes GROUP BY s
 
 # ------------------------------------------------------ semantic dedup
 
-def semantic_dedup(
-    embeddings: DataFrame, tau: float = 0.92, centroid_stride: int = 250
-) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
-    the corpus coarsely (``ivf_assign`` — deterministic centroids), then
-    inside each cluster drop any vector whose cosine to a *lower-id*
-    cluster-mate reaches ``tau``; the lowest id of each near-duplicate
-    group survives.
-
-    Scale: the all-pairs comparison is confined to single clusters — the
-    O(N²) term becomes Σ|cluster|², the same bound the paper exploits; the
-    cluster assignment itself is one broadcast map pass.  Cosines are
+def _semantic_scan(assigned: DataFrame, tau: float) -> DataFrame:
+    """Shared SemDeDup near-dup scan over an assignment frame
+    (vec_id, e, centroid_id): inside each cluster drop any vector whose
+    cosine to a *lower-id* cluster-mate reaches ``tau``.  Cosines are
     rounded to 6 dp before the threshold compare so both engines make the
-    same keep/drop call at the boundary.
-    """
-    assigned = track_cached(ivf_assign(embeddings, centroid_stride))
+    same keep/drop call at the boundary."""
     a = assigned.select("centroid_id", F.col("vec_id").alias("a_id"), F.col("e").alias("ae"))
     b = assigned.select("centroid_id", F.col("vec_id").alias("b_id"), F.col("e").alias("be"))
     near = (
@@ -912,6 +902,27 @@ def semantic_dedup(
             (F.col("n_near").isNull()).cast("int").alias("kept"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, tau: float = 0.92, centroid_stride: int = 250
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus coarsely (``ivf_assign`` — deterministic centroids), then
+    inside each cluster drop any vector whose cosine to a *lower-id*
+    cluster-mate reaches ``tau``; the lowest id of each near-duplicate
+    group survives.
+
+    Scale: the all-pairs comparison is confined to single clusters — the
+    O(N²) term becomes Σ|cluster|², the same bound the paper exploits.
+    MEASURED CAVEAT (tools/scale_bench.py, round 8): the flat ``ivf_assign``
+    scores every vector against ALL centroids, and the stride rule grows
+    the centroid count with the corpus, so the *assignment* is the N²/stride
+    term — 16.1x wall-time at 30x corpus.  :func:`semantic_dedup_2level`
+    is the measured scale path (same scan, hierarchical assignment).
+    """
+    assigned = track_cached(ivf_assign(embeddings, centroid_stride))
+    return _semantic_scan(assigned, tau)
 
 
 def semantic_dedup_sql(tau: float = 0.92, centroid_stride: int = 250) -> str:
@@ -937,6 +948,134 @@ near AS (
   WHERE round(list_dot_product(a.e, b.e)
               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
         >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id,
+       CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       CAST(coalesce(n.n_near, 0) AS INTEGER) AS n_near,
+       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
+"""
+
+
+def ivf_assign_2level(
+    embeddings: DataFrame, centroid_stride: int = 250, coarse_factor: int = 16
+) -> DataFrame:
+    """Two-level IVF assignment — the measured scale fix for the flat
+    ``ivf_assign`` (whose every-vector-vs-every-centroid scoring is the
+    N²/stride term tools/scale_bench.py exposed at 30x corpus).
+
+    The fine centroids (every ``centroid_stride``-th id) are themselves
+    coarse-quantized over a ``coarse_factor``-times sparser centroid set;
+    a vector then scores ONLY the fine centroids of its nearest coarse
+    cell.  Cost: N·(C/G) + C·(C/G) + N·G vs the flat N·C — at C ∝ N this
+    turns quadratic into ~N·√N when G ~ √C.  Both argmax levels break ties
+    by ascending centroid id, so the DuckDB oracle replays the assignment
+    exactly; cell-boundary vectors may land in a different cell than the
+    flat assignment — the standard IVF approximation, here made
+    deterministic.
+
+    Assignment argmaxes are map-side partial aggregations
+    (max of struct(cos, -id)), not windows — no N-row shuffle per level
+    beyond the final vec_id joins.
+    """
+    emb = track_cached(
+        _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    )
+    fine = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("fid"), F.col("e").alias("fe")
+    )
+    coarse = emb.filter(
+        F.col("vec_id") % (centroid_stride * coarse_factor) == 0
+    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+
+    def _argmax(scored: DataFrame, id_col: str, cos: Column, cand: str, out: str) -> DataFrame:
+        best = scored.groupBy(id_col).agg(
+            F.max(F.struct(cos.alias("c"), (-F.col(cand)).alias("ni"))).alias("b")
+        )
+        return best.select(id_col, (-F.col("b.ni")).alias(out))
+
+    f2c = _argmax(
+        fine.join(F.broadcast(coarse)),
+        "fid",
+        cosine_col(F.col("fe"), F.col("ce")),
+        "cid",
+        "coarse_id",
+    )
+    v2c = _argmax(
+        emb.join(F.broadcast(coarse)),
+        "vec_id",
+        cosine_col(F.col("e"), F.col("ce")),
+        "cid",
+        "coarse_id",
+    )
+    cell_fine = f2c.join(fine, "fid")
+    cands = emb.join(v2c, "vec_id").join(F.broadcast(cell_fine), "coarse_id")
+    final = _argmax(
+        cands, "vec_id", cosine_col(F.col("e"), F.col("fe")), "fid", "centroid_id"
+    )
+    return emb.join(final, "vec_id").select("vec_id", "e", "centroid_id")
+
+
+def semantic_dedup_2level(
+    embeddings: DataFrame,
+    tau: float = 0.92,
+    centroid_stride: int = 250,
+    coarse_factor: int = 16,
+) -> DataFrame:
+    """SemDeDup over the two-level IVF assignment — identical near-dup scan
+    (``_semantic_scan``), hierarchical assignment: the corpus-size-robust
+    variant of :func:`semantic_dedup` (see the measured caveat there)."""
+    assigned = track_cached(
+        ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
+    )
+    return _semantic_scan(assigned, tau)
+
+
+def semantic_dedup_2level_sql(
+    tau: float = 0.92, centroid_stride: int = 250, coarse_factor: int = 16
+) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+fine AS (SELECT vec_id AS fid, e AS fe FROM emb WHERE vec_id % {centroid_stride} = 0),
+coarse AS (SELECT vec_id AS cid, e AS ce
+           FROM emb WHERE vec_id % {centroid_stride * coarse_factor} = 0),
+f2c AS (
+  SELECT fid, cid AS coarse_id FROM (
+    SELECT fine.fid, coarse.cid,
+           row_number() OVER (PARTITION BY fine.fid
+             ORDER BY {cos.format(a='fe', b='ce')} DESC, cid ASC) AS rn
+    FROM fine, coarse
+  ) WHERE rn = 1
+),
+v2c AS (
+  SELECT vec_id, cid AS coarse_id FROM (
+    SELECT emb.vec_id, coarse.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY {cos.format(a='e', b='ce')} DESC, cid ASC) AS rn
+    FROM emb, coarse
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, e, fid AS centroid_id FROM (
+    SELECT emb.vec_id, emb.e, f.fid,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY {cos.format(a='e', b='fe')} DESC, f.fid ASC) AS rn
+    FROM emb
+    JOIN v2c USING (vec_id)
+    JOIN f2c USING (coarse_id)
+    JOIN fine f USING (fid)
+  ) WHERE rn = 1
+),
+near AS (
+  SELECT b.vec_id AS b_id, count(*) AS n_near
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {tau}
   GROUP BY b.vec_id
 )
 SELECT s.vec_id,

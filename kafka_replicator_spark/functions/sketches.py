@@ -443,3 +443,83 @@ SELECT quantile_pct, n AS n_rows,
        CASE WHEN quantile_pct = 50 THEN exact.exact_p50 END AS exact_value
 FROM picked CROSS JOIN exact
 """
+
+
+# ------------------------------------------------------------- bloom filter
+
+#: default geometry — m=2048 bits, k=4 hashes: <0.2% FPR at ~150 keys,
+#: ~2.4% at 1000 keys (n/m = 0.5); the streaming register table stores set
+#: bits sparse, so state is bounded at m rows per group regardless of keys
+BLOOM_M = 2048
+BLOOM_K = 4
+
+
+def bloom_bit_positions(key, m: int = BLOOM_M, k: int = BLOOM_K):
+    """``array<long>`` of the k bit positions a key sets/probes — the ONE
+    definition shared by the register builder and the membership replay
+    (and mirrored in SQL by the p_bloom_fpr_audit oracle's hash ladder:
+    (a·h32 + b) mod P32 mod m over hash_family_params).
+    """
+    h = portable_hash32(key)
+    return F.array(
+        *[(hash_family_col(h, a, b) % F.lit(m)) for a, b in hash_family_params(k)]
+    )
+
+
+def bloom_registers(
+    df: DataFrame, key, group_cols: list[str], m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Counting-bloom register table: one row per (group, bit position) any
+    key hashes to, with the number of key-hash incidences on that bit.
+    Counters are exact int64 sums — associative and order-free — so two
+    register tables (or streaming microbatch increments) merge by
+    elementwise addition, and plain membership is ``n_hits > 0``.
+
+    Scale: one explode (k rows per key) + one (group, p) groupBy with
+    map-side combine; output ≤ m rows per group however many keys stream
+    through.
+    """
+    pos = F.explode(bloom_bit_positions(key, m, k)).alias("p")
+    return (
+        df.select(*group_cols, pos)
+        .groupBy(*group_cols, "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def bloom_membership_from_registers(
+    regs: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    probe_col: str = "probe",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Replay membership against a register table: a probe is
+    ``maybe_present`` iff ALL k of its bit positions are set in its group's
+    registers — the bloom guarantee (no false negatives; false positives at
+    the geometry's FPR).
+
+    ``probes`` carries ``group_cols`` + ``probe_col`` (string key).  The
+    join is on (group, p) against a ≤ m-row-per-group register table — at
+    scale the register side is broadcast-able per group.
+    """
+    pos = probes.select(
+        *group_cols,
+        probe_col,
+        F.explode(bloom_bit_positions(F.col(probe_col), m, k)).alias("p"),
+    )
+    hits = (
+        pos.join(regs.select(*group_cols, "p"), [*group_cols, "p"], "left_semi")
+        .groupBy(*group_cols, probe_col)
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    return (
+        probes.select(*group_cols, probe_col)
+        .join(hits, [*group_cols, probe_col], "left")
+        .select(
+            *group_cols,
+            probe_col,
+            (F.coalesce(F.col("n_set"), F.lit(0)) == k).alias("maybe_present"),
+        )
+    )

@@ -242,6 +242,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_e2e_curation_funnel",
     "p_e2e_pack_manifest",
     "p_e2e_mix_dedup_interaction",
+    "p_semantic_dedup_2level",
 ]
 
 

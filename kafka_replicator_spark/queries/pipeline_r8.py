@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.functions import dedup
+from kafka_replicator_spark.functions.similarity import semantic_dedup_2level_sql
 from kafka_replicator_spark.functions.hashing import spread
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -1107,3 +1108,19 @@ def q_ann_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = frame if out is None else out.unionAll(frame)
     return out.orderBy("tier_pair")
+
+
+@register(
+    "p_semantic_dedup_2level",
+    semantic_dedup_2level_sql(),
+    tags=("pipeline", "dedup"),
+    doc="SemDeDup over a two-level IVF assignment (coarse cell -> fine "
+    "centroid, deterministic tie-breaks at both levels) — the measured "
+    "scale fix for the flat assignment's N^2/stride centroid scoring "
+    "(tools/scale_bench.py found 16x wall at 30x corpus; the hierarchical "
+    "assignment restores ~N^1.5)",
+)
+def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    return similarity.semantic_dedup_2level(load_table(spark, sf_dir, "embeddings"))

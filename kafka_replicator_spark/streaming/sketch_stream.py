@@ -198,3 +198,46 @@ def windowed_histogram_registers(
         .agg(F.count(F.lit(1)).cast("long").alias("counter"))
         .select(F.col("win.start").alias("window_start"), "bucket", "counter")
     )
+
+
+def windowed_bloom_registers(
+    df: DataFrame,
+    key,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts_ns",
+    m: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-(event-time window, bit position) counting-bloom register stream —
+    the set-membership analog of :func:`windowed_hll_registers`.
+
+    Counters are exact int64 sums — associative and order-free — so the
+    windowed aggregation is replay-safe under the state store and register
+    tables merge by elementwise addition; plain membership reads bits as
+    ``n_hits > 0``.  State per window is bounded at m rows however many keys
+    stream through; the membership/FPR readout
+    (functions/sketches.bloom_membership_from_registers) runs as a batch
+    query over the sink — the same register-table/readout split as the
+    HLL/OPH/CMS families.
+    """
+    from kafka_replicator_spark.functions.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bit_positions,
+    )
+
+    m = BLOOM_M if m is None else m
+    k = BLOOM_K if k is None else k
+    with_ts = df.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark_delay)
+    pos = F.explode(bloom_bit_positions(key, m, k)).alias("p")
+    return (
+        with_ts.select(F.window("event_time", window_duration).alias("win"), pos)
+        .groupBy("win", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(F.col("win.start").alias("window_start"), "p", "n_hits")
+    )

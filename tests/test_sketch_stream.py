@@ -260,3 +260,120 @@ def test_streaming_hll_registers_survive_restart(spark, messages, tmp_path):
     got_regs = spark.sql("SELECT * FROM hll_r2")
     assert got_regs.exceptAll(batch_regs).count() == 0
     assert batch_regs.exceptAll(got_regs).count() == 0
+
+
+def test_streaming_bloom_registers_match_batch(spark, messages, tmp_path):
+    """Streamed counting-bloom register table == batch table over the same
+    complete input; the membership readout over the streamed registers has
+    NO false negatives and an FPR inside the geometry's envelope."""
+    from kafka_replicator_spark.functions.sketches import (
+        BLOOM_M,
+        bloom_membership_from_registers,
+        bloom_registers,
+    )
+    from kafka_replicator_spark.streaming.sketch_stream import (
+        windowed_bloom_registers,
+    )
+
+    src = str(tmp_path / "bloom_drops")
+    data = messages.select("topic", "partition_id", "msg_offset", "ts_ns").withColumn(
+        "key_s", F.concat_ws(":", "topic", "partition_id", "msg_offset")
+    )
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+
+    batch_regs = windowed_bloom_registers(data, F.col("key_s"))
+
+    stream = (
+        spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long, ts_ns long, key_s string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_bloom_registers(stream, F.col("key_s"), watermark_delay="10 seconds")
+        .writeStream.format("memory")
+        .queryName("bloom_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_regs = spark.sql("SELECT * FROM bloom_regs")
+
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0
+
+    # state is bounded at m set-bit rows per window
+    per = got_regs.groupBy("window_start").count().agg(F.max("count")).first()[0]
+    assert per <= BLOOM_M
+
+    # counters account for every (key, hash) incidence
+    from kafka_replicator_spark.functions.sketches import BLOOM_K
+
+    assert got_regs.agg(F.sum("n_hits")).first()[0] == data.count() * BLOOM_K
+
+    # membership replay per window: every streamed key must be
+    # maybe_present (no false negatives); synthetic absent keys stay
+    # mostly absent (the 2048/4 geometry at ~120 keys → FPR ≈ 0.2%)
+    wins = data.select(
+        F.window(
+            F.timestamp_micros(F.expr("ts_ns div 1000")), "1 hour"
+        ).start.alias("window_start"),
+        F.col("key_s").alias("probe"),
+    ).distinct()
+    absent = wins.select("window_start").distinct().crossJoin(
+        spark.range(200).select(F.concat(F.lit("absent:"), "id").alias("probe"))
+    )
+    regs = got_regs.select("window_start", "p")
+    members = bloom_membership_from_registers(regs, wins, ["window_start"])
+    assert members.filter(~F.col("maybe_present")).count() == 0
+    fp = bloom_membership_from_registers(regs, absent, ["window_start"])
+    n_abs = fp.count()
+    n_fp = fp.filter(F.col("maybe_present")).count()
+    assert n_abs > 0 and n_fp / n_abs < 0.05
+
+
+def test_streaming_bloom_registers_survive_restart(spark, messages, tmp_path):
+    """Register continuity across a checkpoint restart (the HLL restart
+    recipe): run 2 never re-reads run 1's files, so equality with the
+    full-input batch table proves the (window, p) counter state
+    recovered."""
+    from kafka_replicator_spark.streaming.sketch_stream import (
+        windowed_bloom_registers,
+    )
+
+    src = str(tmp_path / "bloom_drops_r")
+    cpdir = str(tmp_path / "bloom_cp_r")
+    data = messages.select("topic", "partition_id", "msg_offset", "ts_ns").withColumn(
+        "key_s", F.concat_ws(":", "topic", "partition_id", "msg_offset")
+    )
+    batch_regs = windowed_bloom_registers(data, F.col("key_s"))
+
+    def run_once(qname):
+        stream = spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long,"
+            " ts_ns long, key_s string"
+        ).parquet(src)
+        q = (
+            windowed_bloom_registers(
+                stream, F.col("key_s"), watermark_delay="10 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    run_once("bloom_r1")
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+    run_once("bloom_r2")
+
+    got_regs = spark.sql("SELECT * FROM bloom_r2")
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0

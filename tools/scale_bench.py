@@ -1,0 +1,191 @@
+"""Measured scale evidence: time the scale-critical kernels at 1x vs Nx.
+
+VERDICT r07 #2: the 100x-scale story rested on plan shapes and pins alone —
+this harness converts it to measurement.  It generates a deterministic
+Nx corpus (default 10x sf0.1) whose *structure* mirrors the driver testdata:
+
+- documents: variant 0 is the unmodified sf0.1 table; variants 1..N-1 salt
+  every whitespace token with a per-variant suffix, so shingles NEVER match
+  across variants and the intra-variant duplicate structure is an exact
+  replica of the base corpus.  Candidate-pair and dup-cluster counts
+  therefore scale exactly Nx — the clean linear yardstick.  (Naive row
+  duplication would instead make every row a near-dup of its clones and
+  grow pair counts quadratically in N — measuring the wrong thing.)
+- embeddings: variant 0 unchanged; variants 1..N-1 apply a seeded dimension
+  permutation + sign flip — an orthogonal transform, so each variant's
+  internal geometry (norms, pairwise cosines, cluster structure) is
+  EXACTLY the base corpus's, while cross-variant similarities randomize.
+  SemDeDup's per-cluster work thus replicates Nx.
+- the message stream (segment_lifecycle) is generated, so Nx is just
+  n_msgs * N.
+
+Timing protocol matches bench.py: best-of-2 per kernel per scale, tracked
+caches released between runs.  Output: one JSON line per kernel with
+t_1x, t_Nx, ratio, and the row counts at both scales (so sublinear ratios
+are visibly fixed-overhead amortization, not work skipped).
+
+Usage:
+    python tools/scale_bench.py [--mult 10] [--base /root/testdata/sf0.1]
+                                [--out /tmp/krs_scale] [--msgs 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+KERNELS = [
+    "p_minhash_signatures",
+    "p_lsh_candidate_pairs",
+    "p_minhash_containment",
+    "p_dup_clusters",
+    "p_semantic_dedup",
+    "p_semantic_dedup_2level",
+]
+
+#: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
+#: v * 10M so variants never collide and ids stay positive BIGINTs.
+_ID_STRIDE = 10_000_000
+
+
+def generate_corpus(base_dir: str, out_dir: str, mult: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(base_dir, "documents.parquet")).to_pandas()
+    frames = [docs]
+    for v in range(1, mult):
+        var = docs.copy()
+        salt = f"q{v}"
+        var["text"] = [
+            " ".join(tok + salt for tok in t.split()) for t in docs["text"]
+        ]
+        var["doc_id"] = docs["doc_id"] + v * _ID_STRIDE
+        var["n_chars"] = var["text"].str.len().astype("int64")
+        frames.append(var)
+    import pandas as pd
+
+    big_docs = pd.concat(frames, ignore_index=True)
+    # multiple row groups → multiple input splits (the single-row-group
+    # testdata trap from CLAUDE.md does not belong in a scale measurement)
+    pq.write_table(
+        pa.Table.from_pandas(big_docs, preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=max(1000, len(big_docs) // 32),
+    )
+
+    emb = pq.read_table(os.path.join(base_dir, "embeddings.parquet")).to_pandas()
+    mat = np.asarray([np.asarray(e, dtype=np.float32) for e in emb["embedding"]])
+    dim = mat.shape[1]
+    eframes = [emb]
+    for v in range(1, mult):
+        rng = np.random.RandomState(1000 + v)
+        perm = rng.permutation(dim)
+        signs = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+        var_mat = mat[:, perm] * signs
+        var = emb.copy()
+        var["vec_id"] = emb["vec_id"] + v * _ID_STRIDE
+        var["embedding"] = list(var_mat)
+        eframes.append(var)
+    big_emb = pd.concat(eframes, ignore_index=True)
+    big_emb["embedding"] = [np.asarray(e, dtype=np.float32) for e in big_emb["embedding"]]
+    pq.write_table(
+        pa.Table.from_pandas(big_emb, preserve_index=False),
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=max(500, len(big_emb) // 32),
+    )
+
+    # the remaining tables are only needed so load_table resolves — link them
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base_dir, f"{t}.parquet"), dst)
+
+
+def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    best, n = None, 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        release_cached()
+        spark.catalog.clearCache()
+    return best, n
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/krs_scale")
+    ap.add_argument("--msgs", type=int, default=2_000_000)
+    ap.add_argument("--skip-lifecycle", action="store_true")
+    ap.add_argument("--kernels", default="", help="comma-separated subset of KERNELS")
+    args = ap.parse_args()
+
+    big_dir = os.path.join(args.out, f"x{args.mult}")
+    if not os.path.exists(os.path.join(big_dir, "embeddings.parquet")):
+        print(f"# generating {args.mult}x corpus at {big_dir}", file=sys.stderr)
+        generate_corpus(args.base, big_dir, args.mult)
+
+    from kafka_replicator_spark.session import get_spark
+    from kafka_replicator_spark.queries import all_queries
+
+    spark = get_spark(app_name="krs_scale_bench")
+    registry = all_queries()
+    spark.read.parquet(os.path.join(args.base, "region.parquet")).count()
+
+    kernels = [k for k in args.kernels.split(",") if k] or KERNELS
+    results: dict[str, dict] = {}
+    for name in kernels:
+        fn = registry[name].fn
+        t1, n1 = _time_query(spark, fn, args.base)
+        tN, nN = _time_query(spark, fn, big_dir)
+        results[name] = {
+            "t_1x": round(t1, 3),
+            f"t_{args.mult}x": round(tN, 3),
+            "ratio": round(tN / t1, 2),
+            "rows_1x": n1,
+            f"rows_{args.mult}x": nN,
+        }
+        print(f"# {name}: {t1:.2f}s -> {tN:.2f}s  ratio {tN / t1:.2f} "
+              f"(rows {n1} -> {nN})", file=sys.stderr)
+
+    if not args.skip_lifecycle:
+        from bench import segment_lifecycle_bench
+
+        t1, n1 = segment_lifecycle_bench(spark, n_msgs=args.msgs)
+        tN, nN = segment_lifecycle_bench(spark, n_msgs=args.msgs * args.mult)
+        results["segment_lifecycle"] = {
+            "t_1x": round(t1, 3),
+            f"t_{args.mult}x": round(tN, 3),
+            "ratio": round(tN / t1, 2),
+            "rows_1x": n1,
+            f"rows_{args.mult}x": nN,
+            "msgs_per_sec_1x": int(n1 / t1),
+            f"msgs_per_sec_{args.mult}x": int(nN / tN),
+        }
+        print(f"# segment_lifecycle: {t1:.2f}s -> {tN:.2f}s  ratio "
+              f"{tN / t1:.2f} ({int(n1 / t1)} -> {int(nN / tN)} msg/s)",
+              file=sys.stderr)
+
+    print(json.dumps({"mult": args.mult, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
