@@ -84,6 +84,9 @@ HEADLINE = [
     "a_peak_open_orders",
     "p_jm_smoothing",
     "p_lsh_pair_transitivity",
+    # round-8 additions: composed curation chain, scale-fixed SemDeDup
+    "p_e2e_curation_funnel",
+    "p_semantic_dedup_2level",
 ]
 
 

@@ -504,6 +504,10 @@ def bloom_membership_from_registers(
     join is on (group, p) against a ≤ m-row-per-group register table — at
     scale the register side is broadcast-able per group.
     """
+    if "n_hits" in regs.columns:
+        # counting-bloom contract: a merged table may carry decremented
+        # (deleted) positions — a bit is set only while n_hits > 0
+        regs = regs.filter(F.col("n_hits") > 0)
     pos = probes.select(
         *group_cols,
         probe_col,

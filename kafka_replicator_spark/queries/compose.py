@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.functions.curation import gopher_quality, gopher_quality_sql
 from kafka_replicator_spark.functions.packing import (
-    DEFAULT_MIX_BUDGET,
+    DEFAULT_PACK_BUDGET,
     corpus_mix,
     corpus_mix_sql,
     pack_sequences,
@@ -43,29 +43,26 @@ from kafka_replicator_spark.functions.packing import (
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
 
-#: pack budget for the composed chain — small enough that sf0.001 still
-#: yields multi-pack sources, matching the registered p_pack_sequences
-DEFAULT_PACK_BUDGET = 256
+#: exact-dedup survivor selection (min-id per content hash) — the chain head
+_SURVIVORS_SQL = """SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
+    FROM documents
+  ) WHERE _rn = 1"""
 
 #: the dedup→quality survivor chain as a reusable relation expression;
 #: parenthesized so it can stand wherever a table name can (gopher/mix/pack
-#: builders all take it via rel=)
-_SURVIVORS_REL = """(
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
-    FROM documents
-  ) WHERE _rn = 1
-)"""
-
+#: builders all take it via rel=).  survivors is AS MATERIALIZED — DuckDB
+#: inlines multiply-referenced CTEs exponentially without it (CLAUDE.md)
 _QUAL_DOCS_REL = f"""(
+  WITH survivors AS MATERIALIZED ({_SURVIVORS_SQL})
   SELECT s.doc_id, s.source, s.text
-  FROM {_SURVIVORS_REL} s
-  JOIN ({gopher_quality_sql(rel=_SURVIVORS_REL)}) q USING (doc_id)
+  FROM survivors s
+  JOIN ({gopher_quality_sql(rel='survivors')}) q USING (doc_id)
   WHERE q.passes = 1
 )"""
 
 
-def _qual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qual_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared Spark chain: exact-dedup survivors → Gopher quality gate.
 
     One shuffle on md5(text) for the dedup window; the quality gate is pure
@@ -85,12 +82,12 @@ def _qual_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p_e2e_curation_funnel",
     f"""
-WITH survivors AS (SELECT * FROM {_SURVIVORS_REL}),
-quality AS (
+WITH survivors AS MATERIALIZED ({_SURVIVORS_SQL}),
+quality AS MATERIALIZED (
   SELECT q.doc_id, q.word_count
   FROM ({gopher_quality_sql(rel='survivors')}) q WHERE q.passes = 1
 ),
-qual_docs AS (
+qual_docs AS MATERIALIZED (
   SELECT s.doc_id, s.source, s.text FROM survivors s JOIN quality USING (doc_id)
 ),
 mix AS ({corpus_mix_sql(rel='qual_docs')}),
@@ -221,9 +218,9 @@ def q_e2e_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p_e2e_mix_dedup_interaction",
     f"""
-WITH mix_raw AS ({corpus_mix_sql(rel='documents')}),
-qual_docs AS (SELECT * FROM {_QUAL_DOCS_REL}),
-mix_curated AS ({corpus_mix_sql(rel='qual_docs')})
+WITH mix_raw AS MATERIALIZED ({corpus_mix_sql(rel='documents')}),
+qual_docs AS MATERIALIZED (SELECT * FROM {_QUAL_DOCS_REL}),
+mix_curated AS MATERIALIZED ({corpus_mix_sql(rel='qual_docs')})
 SELECT coalesce(r.source, c.source) AS source,
        CAST(coalesce(r.n, 0) AS BIGINT) AS n_raw_mix,
        CAST(coalesce(r.tok, 0) AS BIGINT) AS tok_raw_mix,

@@ -1180,3 +1180,20 @@ def test_t5_first_delay_heads_need_no_window(spark, sf_dir):
     # heap-head per partition = min_by aggregation, not a rank window
     assert "Window [" not in plan, plan
     release_cached()
+
+
+def test_semantic_dedup_2level_assignment_has_no_window(spark, sf_dir):
+    """The two-level assignment's argmaxes are map-side partial aggregations
+    (max of struct(cos, -id)) — the flat ivf_assign's per-vec_id row_number
+    Window (a full shuffle of the N x C scored frame) must be absent; all
+    centroid scoring joins broadcast the (bounded) centroid side."""
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    release_cached()
+    df = QUERIES["p_semantic_dedup_2level"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window [" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    release_cached()

@@ -283,6 +283,20 @@ def test_streaming_bloom_registers_match_batch(spark, messages, tmp_path):
     data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
 
     batch_regs = windowed_bloom_registers(data, F.col("key_s"))
+    # the batch register builder over the same window grouping must agree —
+    # windowed_bloom_registers IS bloom_registers keyed by the window start
+    builder_regs = bloom_registers(
+        data.withColumn(
+            "window_start",
+            F.window(
+                F.timestamp_micros(F.expr("ts_ns div 1000")), "1 hour"
+            ).start,
+        ),
+        F.col("key_s"),
+        ["window_start"],
+    )
+    assert builder_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(builder_regs).count() == 0
 
     stream = (
         spark.readStream.schema(

@@ -38,7 +38,8 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, ".")
+# repo root (for package + bench.py imports), independent of the cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KERNELS = [
     "p_minhash_signatures",
@@ -59,6 +60,7 @@ def generate_corpus(base_dir: str, out_dir: str, mult: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    base_dir = os.path.abspath(base_dir)  # symlink targets must not be cwd-relative
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(os.path.join(base_dir, "documents.parquet")).to_pandas()
@@ -66,8 +68,11 @@ def generate_corpus(base_dir: str, out_dir: str, mult: int) -> None:
     for v in range(1, mult):
         var = docs.copy()
         salt = f"q{v}"
+        # split on the single-space separator the pipeline tokenizes on —
+        # str.split() would collapse whitespace runs and break the
+        # exact-structural-replica premise
         var["text"] = [
-            " ".join(tok + salt for tok in t.split()) for t in docs["text"]
+            " ".join(tok + salt for tok in t.split(" ")) for t in docs["text"]
         ]
         var["doc_id"] = docs["doc_id"] + v * _ID_STRIDE
         var["n_chars"] = var["text"].str.len().astype("int64")
