@@ -243,6 +243,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_e2e_pack_manifest",
     "p_e2e_mix_dedup_interaction",
     "p_semantic_dedup_2level",
+    "p_e2e_split_leakage",
 ]
 
 

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.functions.curation import gopher_quality, gopher_quality_sql
+from kafka_replicator_spark.functions.dedup import lsh_candidate_pairs_sql
+from kafka_replicator_spark.functions.hashing import portable_hash60_sql
 from kafka_replicator_spark.functions.packing import (
     DEFAULT_PACK_BUDGET,
     corpus_mix,
@@ -276,3 +278,104 @@ def q_e2e_mix_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: the p_dataset_split hash rule, per-document (that query registers only
+#: the (source, split) aggregate — the leakage audit needs the assignment)
+_SPLIT_H = portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "p_e2e_split_leakage",
+    f"""
+WITH pairs AS MATERIALIZED (
+  {lsh_candidate_pairs_sql(k=16, n=3, bands=4)}
+),
+splits AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN ({_SPLIT_H} % 100) < 98 THEN 'train'
+              WHEN ({_SPLIT_H} % 100) < 99 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+surv AS MATERIALIZED (SELECT doc_id FROM ({_SURVIVORS_SQL})),
+labeled AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN splits sa ON p.doc_a = sa.doc_id
+  JOIN splits sb ON p.doc_b = sb.doc_id
+)
+SELECT scope, n_pairs, n_cross_split, n_train_eval FROM (
+  SELECT 'raw' AS scope,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_split,
+         CAST(sum(CASE WHEN (split_a = 'train') <> (split_b = 'train')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train_eval
+  FROM labeled
+  UNION ALL
+  SELECT 'deduped',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN (split_a = 'train') <> (split_b = 'train')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM labeled
+  WHERE doc_a IN (SELECT doc_id FROM surv)
+    AND doc_b IN (SELECT doc_id FROM surv)
+) ORDER BY scope
+""",
+    tags=("pipeline", "compose"),
+    doc="composed contamination audit: LSH near-dup candidate pairs labeled "
+    "with the deterministic train/val/test assignment (p_dataset_split's "
+    "hash rule), counted raw vs after the exact-dedup chain — measures how "
+    "much cross-split leakage the dedup stage actually removes (exact-dup "
+    "pairs share every band, so surviving cross-split candidates are the "
+    "near-dup leakage the split cannot see)",
+)
+def q_e2e_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import dedup as _dedup
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pairs = track_cached(_dedup.lsh_candidate_pairs(docs, k=16, n=3, bands=4))
+    bucket = portable_hash60(
+        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
+    ) % 100
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    labeled = track_cached(
+        pairs.join(
+            splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        ).join(
+            splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+    )
+
+    def _counts(frame: DataFrame, scope: str) -> DataFrame:
+        cross = (F.col("split_a") != F.col("split_b")).cast("long")
+        te = ((F.col("split_a") == "train") != (F.col("split_b") == "train")).cast("long")
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(cross).alias("n_cross_split"),
+            F.sum(te).alias("n_train_eval"),
+        ).select(
+            F.lit(scope).alias("scope"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_cross_split", F.lit(0)).cast("long").alias("n_cross_split"),
+            F.coalesce("n_train_eval", F.lit(0)).cast("long").alias("n_train_eval"),
+        )
+
+    deduped = labeled.join(
+        surv.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    ).join(surv.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    return _counts(labeled, "raw").unionAll(_counts(deduped, "deduped")).orderBy("scope")

@@ -71,11 +71,14 @@ def watchdog_stream(events: DataFrame, silence_ms: int = 1) -> DataFrame:
     )
 
     # availableNow semantics: after the last data batch the engine runs a
-    # final timer-flush batch before terminating, so every key still armed
-    # at drain end emits one final WATCHDOG (this is the tws engine's
-    # WELL-BEHAVED contrast to the classic applyInPandasWithState path,
-    # where a pending ProcessingTimeTimeout keeps an availableNow query
-    # from ever terminating — the quirk event_store.py documents).
+    # timer-flush batch, so every key still armed at drain end emits one
+    # final WATCHDOG — but the query then loops EMPTY microbatches forever
+    # instead of terminating (measured batch 80+ in 3 minutes; explicit
+    # deleteTimer in the expiry handler does not help — the timer is
+    # already auto-removed).  Same engine trap as value-state TTL +
+    # availableNow (event_store.py) and the classic engine's pending
+    # ProcessingTimeTimeout: callers of ANY tws ProcessingTime drain must
+    # poll the sink and stop() the query explicitly.
     class _WatchdogProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle

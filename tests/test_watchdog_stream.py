@@ -7,6 +7,8 @@ callback — the last protocol family the other tws operators don't touch.
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 
@@ -63,7 +65,23 @@ def test_watchdog_fires_for_silent_partition(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow + tws ProcessingTime NEVER terminates once a timer
+        # has been registered — after the input batches and the timer-flush
+        # batch it loops empty microbatches forever (measured batch 80+ in
+        # 3 minutes; same engine trap as the value-state TTL case, and the
+        # r06 'timers self-terminate' observation does not hold).  Poll the
+        # sink for the full expected row set, then stop explicitly.
+        deadline = time.time() + 180
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM watchdog_out").collect()
+            if len(rows) >= 5 or not q.isActive:
+                break
+            time.sleep(1)
+        if q.isActive:
+            q.stop()
+        else:
+            q.awaitTermination(10)
         rows = spark.sql("SELECT * FROM watchdog_out").collect()
     finally:
         if prev is None:
@@ -78,11 +96,11 @@ def test_watchdog_fires_for_silent_partition(spark, tmp_path):
     assert (0, 2, 7) in seen and (1, 1, 3) in seen and (0, 1, 9) in seen
     # the silent partition's watchdog fired carrying its last-known offset
     assert (1, 3) in alarms, rows
-    # availableNow runs a final timer-flush batch before terminating (the
-    # tws contrast to the classic engine, which HANGS on a pending
-    # ProcessingTimeTimeout under availableNow — see event_store.py), so
-    # p0's re-armed timer also fires at drain end — with its POST-batch-2
-    # state (last_offset 9), proving re-arm ordered before the flush
+    # availableNow runs a final timer-flush batch after the data batches
+    # (though the query never self-terminates — see the poll-stop above),
+    # so p0's re-armed timer also fires at drain end — with its
+    # POST-batch-2 state (last_offset 9), proving re-arm ordered before
+    # the flush
     assert (0, 9) in alarms, rows
 
 
