@@ -101,9 +101,10 @@ def streaming_event_store(
       the engine then keeps scheduling EMPTY microbatches forever after
       draining the input (measured: batch 500+ within minutes) — the input
       batches COMMIT, but ``awaitTermination`` never returns.  Callers
-      must poll the sink for the expected output and ``stop()`` the query
-      (registered TIMERS are different: those flush in one final batch and
-      the query terminates).
+      must poll the sink for the expected output and ``stop()`` the query.
+      Registered TIMERS hit the same trap (measured round 8): the drain
+      runs one timer-flush batch, then loops empty microbatches forever —
+      poll-and-stop applies to EVERY tws ProcessingTime drain.
     * ``"auto"`` — ``tws`` when the API exists AND the session already runs
       the RocksDB provider; ``classic`` otherwise.
     """
