@@ -308,17 +308,18 @@ labeled AS MATERIALIZED (
 SELECT scope, n_pairs, n_cross_split, n_train_eval FROM (
   SELECT 'raw' AS scope,
          CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_cross_split,
-         CAST(sum(CASE WHEN (split_a = 'train') <> (split_b = 'train')
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train_eval
+         CAST(coalesce(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cross_split,
+         CAST(coalesce(sum(CASE WHEN (split_a = 'train') <> (split_b = 'train')
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_train_eval
   FROM labeled
   UNION ALL
   SELECT 'deduped',
          CAST(count(*) AS BIGINT),
-         CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(sum(CASE WHEN (split_a = 'train') <> (split_b = 'train')
-                       THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0)
+              AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN (split_a = 'train') <> (split_b = 'train')
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM labeled
   WHERE doc_a IN (SELECT doc_id FROM surv)
     AND doc_b IN (SELECT doc_id FROM surv)
@@ -346,7 +347,9 @@ def q_e2e_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    surv = (
+    # cached: the deduped branch semi-joins this frame on BOTH pair ends —
+    # uncached, the md5 window (a full documents shuffle) would run twice
+    surv = track_cached(
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id")

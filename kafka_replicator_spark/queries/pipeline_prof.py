@@ -227,7 +227,12 @@ def q_ann_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     ann = similarity.ann_topk(emb, _PRECISION_PROBES, k=5, n_planes=4, dim=64)
     lbl = emb.select("vec_id", "label")
-    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label"))
+    # explicit probe bound: the projection is ≤ |probes| rows by
+    # construction, not by relying on constraint propagation across the
+    # ann join — safe to broadcast at any corpus size
+    pl = lbl.filter(F.col("vec_id").isin(_PRECISION_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label")
+    )
     nl = lbl.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
     # Probe-grain broadcast (≤ probes×k rows), never the corpus-scale label
     # projections (VERDICT r06 #1).

@@ -100,7 +100,10 @@ def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ann_topk(emb, _MAP_PROBES, k=5, n_planes=4, dim=64)
     )
     lbl = emb.select("vec_id", "label")
-    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl"))
+    # explicit probe bound (≤ |probes| rows by construction)
+    pl = lbl.filter(F.col("vec_id").isin(_MAP_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl")
+    )
     nl = lbl.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
     )

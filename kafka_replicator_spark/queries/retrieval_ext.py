@@ -382,7 +382,10 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ann = similarity.ann_topk(emb, _RECALL_PROBES, k=5, n_planes=4, dim=64)
     lbl = emb.select("vec_id", "label")
-    pl = lbl.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl"))
+    # explicit probe bound (≤ |probes| rows by construction)
+    pl = lbl.filter(F.col("vec_id").isin(_RECALL_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("p_lbl")
+    )
     nl = lbl.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_lbl")
     )

@@ -923,6 +923,10 @@ def test_ann_ndcg_broadcasts_labels(spark, sf_dir):
 # keyed by a CORPUS id (vec_id / neighbor_id / doc_id): one row per vector,
 # 10-20 GB past the broadcast limit at 100x.
 _LABELISH = {"label", "p_lbl", "n_lbl", "probe_label", "n_label", "true_label"}
+#: the exemption is backed by construction, not just naming: every ANN-eval
+#: site bounds its probe-label projection with an explicit
+#: .filter(vec_id.isin(PROBES)) before the rename, so a probe_id-named
+#: build is ≤ |probes| rows regardless of constraint propagation
 _PROBE_GRAIN_IDS = {"probe_id"}
 
 
