@@ -244,6 +244,8 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_e2e_mix_dedup_interaction",
     "p_semantic_dedup_2level",
     "p_e2e_split_leakage",
+    "a_mix_budget_sensitivity",
+    "p_bloom_register_table",
 ]
 
 

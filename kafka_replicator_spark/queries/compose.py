@@ -382,3 +382,92 @@ def q_e2e_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
     ).join(surv.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
     return _counts(labeled, "raw").unionAll(_counts(deduped, "deduped")).orderBy("scope")
+
+
+#: budgets for the mix sensitivity sweep — powers-of-two multiples of the
+#: registered p_corpus_mix default so each point is directly comparable
+_MIX_BUDGETS = (10_000, 20_000, 40_000)
+
+
+@register(
+    "a_mix_budget_sensitivity",
+    f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {portable_hash60_sql("CAST(doc_id AS VARCHAR)")} AS prio
+  FROM documents
+), src_w AS (
+  SELECT source, 1 + CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 3 AS w
+  FROM (SELECT DISTINCT source FROM documents)
+), ranked AS MATERIALIZED (
+  SELECT t.*, s.w,
+         (SELECT CAST(sum(w) AS DOUBLE) FROM src_w) AS w_total,
+         CAST(sum(n_tokens) OVER (PARTITION BY t.source ORDER BY prio, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM toks t JOIN src_w s USING (source)
+), budgets AS (SELECT CAST(unnest([{", ".join(str(b) for b in _MIX_BUDGETS)}]) AS BIGINT) AS budget)
+SELECT b.budget, r.source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(r.n_tokens) AS BIGINT) AS tok_selected
+FROM ranked r CROSS JOIN budgets b
+WHERE r.cum_tokens - r.n_tokens < floor(b.budget * r.w / r.w_total)
+GROUP BY b.budget, r.source
+ORDER BY b.budget, r.source
+""",
+    tags=("pipeline", "compose", "sampling"),
+    doc="corpus-mix budget sensitivity: the SAME hash-priority ranking pass "
+    "evaluated at 3 token budgets (the session-gap-sensitivity sweep "
+    "pattern) — per-(budget, source) pick and token counts show how the "
+    "mix recipe's selection scales with the budget knob; one window pass, "
+    "3 literal thresholds",
+)
+def q_mix_budget_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+    from kafka_replicator_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("prio"),
+    )
+    src_w = (
+        toks.select("source")
+        .distinct()
+        .withColumn(
+            "w",
+            (F.lit(1) + F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 3).cast(
+                "long"
+            ),
+        )
+    )
+    total_w = src_w.agg(F.sum("w").cast("double").alias("w_total"))
+    cum = Window.partitionBy("source").orderBy("prio", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = track_cached(
+        toks.join(F.broadcast(src_w), "source")
+        .join(F.broadcast(total_w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(cum))
+    )
+    budgets = spark.range(len(_MIX_BUDGETS)).select(
+        F.element_at(
+            F.array(*[F.lit(b).cast("long") for b in _MIX_BUDGETS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("budget")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budgets))
+        .filter(
+            F.col("cum_tokens") - F.col("n_tokens")
+            < F.floor(F.col("budget") * F.col("w") / F.col("w_total"))
+        )
+        .groupBy("budget", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("tok_selected"),
+        )
+        .orderBy("budget", "source")
+    )

@@ -1124,3 +1124,51 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions import similarity
 
     return similarity.semantic_dedup_2level(load_table(spark, sf_dir, "embeddings"))
+
+
+def _bloom_register_oracle() -> str:
+    from kafka_replicator_spark.functions.hashing import (
+        hash_family_params,
+        hash_family_sql,
+        portable_hash32_sql,
+    )
+    from kafka_replicator_spark.functions.sketches import BLOOM_K, BLOOM_M
+
+    h = portable_hash32_sql("CAST(c_custkey AS VARCHAR)")
+    ladders = " UNION ALL ".join(
+        f"SELECT ({hash_family_sql('h', a, b)}) % {BLOOM_M} AS p FROM keys"
+        for a, b in hash_family_params(BLOOM_K)
+    )
+    return f"""
+WITH keys AS (SELECT {h} AS h FROM customer),
+pos AS ({ladders}),
+regs AS (SELECT p, CAST(count(*) AS BIGINT) AS n_hits FROM pos GROUP BY p)
+SELECT CAST(count(*) AS BIGINT) AS n_set_bits,
+       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       CAST(max(n_hits) AS BIGINT) AS max_hits
+FROM regs
+"""
+
+
+@register(
+    "p_bloom_register_table",
+    _bloom_register_oracle(),
+    tags=("pipeline", "sketch"),
+    doc="counting-bloom register table (functions/sketches.bloom_registers, "
+    "m=2048 k=4) built over the customer keys, audited as set-bit count / "
+    "total hash incidences / hottest bit — the batch twin of the streaming "
+    "windowed_bloom_registers and the same hash ladder p_bloom_fpr_audit "
+    "replays relationally",
+)
+def q_bloom_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.sketches import bloom_registers
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    regs = bloom_registers(cust.withColumn("g", F.lit(1)), F.col("k"), ["g"])
+    return regs.agg(
+        F.count(F.lit(1)).alias("n_set_bits"),
+        F.sum("n_hits").alias("sum_hits"),
+        F.max("n_hits").alias("max_hits"),
+    )

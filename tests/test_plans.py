@@ -1207,3 +1207,27 @@ def test_semantic_dedup_2level_assignment_has_no_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     release_cached()
+
+
+def test_composed_chains_have_no_cartesian(spark, sf_dir):
+    """The composed end-to-end chains must not smuggle in a cartesian:
+    every stage join is keyed (doc_id / source / band_key), and the pack
+    manifest's only pandas stage is the single metadata boundary walk."""
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    for qname in (
+        "p_e2e_curation_funnel",
+        "p_e2e_pack_manifest",
+        "p_e2e_mix_dedup_interaction",
+        "p_e2e_split_leakage",
+    ):
+        spark.catalog.clearCache()
+        release_cached()
+        df = QUERIES[qname].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (qname, plan)
+        if qname == "p_e2e_pack_manifest":
+            # simple mode prints each node once (formatted lists it twice)
+            simple = physical_plan(df, mode="simple")
+            assert simple.count("FlatMapGroupsInPandas") == 1, simple
+    release_cached()
