@@ -60,3 +60,26 @@ def test_dedup_quality_order_invariance(spark, sf_dir):
 
     a, b = dedup_first(), quality_first()
     assert a == b and len(a) > 0
+
+
+def test_mix_budget_sweep_is_monotone(spark, sf_dir):
+    """A larger token budget can only ADD picks: for every source, both
+    n_selected and tok_selected must be non-decreasing in the budget —
+    the hash-priority ranking is budget-independent, so the selected set
+    at budget b is a prefix of the set at b' > b (the reproducible-mix
+    guarantee the corpus_mix docstring promises)."""
+    from kafka_replicator_spark.queries import all_queries
+
+    rows = (
+        all_queries()["a_mix_budget_sensitivity"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["budget"])):
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for source, seq in by_source.items():
+        for a, b in zip(seq, seq[1:]):
+            assert a["n_selected"] <= b["n_selected"], (source, a, b)
+            assert a["tok_selected"] <= b["tok_selected"], (source, a, b)
