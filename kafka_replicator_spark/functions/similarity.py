@@ -227,6 +227,13 @@ def ivf_assign(embeddings: DataFrame, centroid_stride: int = 250) -> DataFrame:
     stand-in with the same plan shape — swap in trained centroids without
     touching the query).  Assignment = argmax cosine over the broadcast
     centroid set; one map pass over the corpus, no shuffle.
+
+    MEASURED CAVEAT (tools/scale_bench.py, round 8): the stride rule grows
+    the centroid count WITH the corpus, so this flat
+    every-vector-vs-every-centroid scoring is N²/stride — 173x wall at
+    100x corpus in the SemDeDup harness.  Fine below ~10^5 vectors per
+    executor; past that, use :func:`ivf_assign_2level` (hierarchical
+    assignment, 22.8x at 100x) or a fixed trained centroid count.
     """
     emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     cents = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
