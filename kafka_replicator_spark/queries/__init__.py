@@ -246,6 +246,7 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_e2e_split_leakage",
     "a_mix_budget_sensitivity",
     "p_bloom_register_table",
+    "r_compaction_past_checkpoint",
 ]
 
 

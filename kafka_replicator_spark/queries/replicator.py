@@ -2808,3 +2808,78 @@ def q_path_sort_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fname").alias("first_fname"),
         F.max("fname").alias("last_fname"),
     )
+
+
+@register(
+    "r_compaction_past_checkpoint",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        """qual AS (
+  SELECT topic, partition_id FROM segments
+  GROUP BY topic, partition_id HAVING count(*) >= 2
+)""",
+        select=f"""
+SELECT s.topic, s.partition_id,
+       CAST(count(*) AS BIGINT) AS n_planned,
+       CAST(sum(s.size_bytes) AS BIGINT) AS bytes_planned,
+       CAST(sum(CASE WHEN cp.cp_offset IS NOT NULL
+                      AND s.end_offset <= cp.cp_offset THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delivered,
+       CAST(sum(CASE WHEN cp.cp_offset IS NOT NULL
+                      AND s.end_offset <= cp.cp_offset THEN s.size_bytes
+                     ELSE 0 END) AS BIGINT) AS bytes_delivered,
+       CAST((1000000 * CAST(sum(CASE WHEN cp.cp_offset IS NOT NULL
+                                      AND s.end_offset <= cp.cp_offset
+                                     THEN s.size_bytes ELSE 0 END) AS HUGEINT))
+            // CAST(sum(s.size_bytes) AS HUGEINT) AS BIGINT) AS waste_ppm
+FROM segments s
+JOIN qual USING (topic, partition_id)
+LEFT JOIN {CHECKPOINTS_VALUES}
+  ON s.topic = cp.topic AND s.partition_id = cp.partition_id
+GROUP BY s.topic, s.partition_id
+ORDER BY s.topic, s.partition_id
+""",
+    ),
+    tags=("parity", "compose"),
+    doc="checkpoint x compaction interaction audit, composing the REAL "
+    "plan_compaction (F3/F4 qualification path, uncapped take) with the "
+    "F2 checkpoint positions: of the bytes a compaction plan would "
+    "rewrite, how many are already fully delivered (end_offset <= the "
+    "partition's checkpoint)?  The reference compacts regardless of "
+    "consumer progress (compactor.go), so delivered-but-planned bytes "
+    "are pure rewrite cost with no replay benefit — waste_ppm is the "
+    "ops dial for checkpoint-aware compaction scheduling.  Metadata "
+    "grain throughout (listing rows, broadcast checkpoint join)",
+)
+def q_compaction_past_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _segments(spark, sf_dir)
+    plan = plan_compaction(
+        segs, min_level=0, max_level=0, min_count=2,
+        max_count=1_000_000, min_bytes=1, max_bytes=1 << 60,
+    )
+    cps = spark.createDataFrame(
+        [("events", 0, 100), ("events", 1, 50)],
+        schema="topic string, partition_id int, cp_offset long",
+    )
+    j = plan.join(F.broadcast(cps), ["topic", "partition_id"], "left")
+    delivered = F.col("cp_offset").isNotNull() & (
+        F.col("end_offset") <= F.col("cp_offset")
+    )
+    return (
+        j.groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_planned"),
+            F.sum("size_bytes").cast("long").alias("bytes_planned"),
+            F.sum(delivered.cast("long")).alias("n_delivered"),
+            F.sum(F.when(delivered, F.col("size_bytes")).otherwise(0))
+            .cast("long")
+            .alias("bytes_delivered"),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr("(1000000 * bytes_delivered) div bytes_planned"),
+        )
+        .orderBy("topic", "partition_id")
+    )
