@@ -122,7 +122,15 @@ def q_checkpoint_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- T9 / F1+J2
 
-CHECKPOINTS_VALUES = "(VALUES ('events', 0, 100), ('events', 1, 50)) cp(topic, partition_id, cp_offset)"
+#: the ONE checkpoint fixture both engines must see byte-identically —
+#: every query-side createDataFrame derives from this tuple so an edit
+#: here cannot desync the oracle's VALUES list from the Spark literals
+CP_ROWS = (("events", 0, 100), ("events", 1, 50))
+CHECKPOINTS_VALUES = (
+    "(VALUES "
+    + ", ".join(f"('{t}', {p}, {o})" for t, p, o in CP_ROWS)
+    + ") cp(topic, partition_id, cp_offset)"
+)
 
 
 @register(
@@ -145,7 +153,7 @@ GROUP BY m.partition_id""",
 def q_resume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = events_as_messages(spark, sf_dir)
     cps = spark.createDataFrame(
-        [("src", "events", 0, 100, 0), ("src", "events", 1, 50, 0)],
+        [("src", t, p, o, 0) for t, p, o in CP_ROWS],
         schema="region string, topic string, partition_id int, msg_offset long, ts_ns long",
     )
     return (
@@ -181,7 +189,7 @@ WHERE cp.cp_offset IS NULL OR s.end_offset > cp.cp_offset""",
 def q_prune_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = _segments(spark, sf_dir)
     cps = spark.createDataFrame(
-        [("src", "events", 0, 100, 0), ("src", "events", 1, 50, 0)],
+        [("src", t, p, o, 0) for t, p, o in CP_ROWS],
         schema="region string, topic string, partition_id int, msg_offset long, ts_ns long",
     )
     return prune_processed_segments(segs, cps).select(
@@ -2860,7 +2868,7 @@ def q_compaction_past_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_count=1_000_000, min_bytes=1, max_bytes=1 << 60,
     )
     cps = spark.createDataFrame(
-        [("events", 0, 100), ("events", 1, 50)],
+        list(CP_ROWS),
         schema="topic string, partition_id int, cp_offset long",
     )
     j = plan.join(F.broadcast(cps), ["topic", "partition_id"], "left")
@@ -2878,8 +2886,13 @@ def q_compaction_past_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bytes_delivered"),
         )
         .withColumn(
+            # DECIMAL(38,0) lift: LONG would overflow past ~9 TB delivered;
+            # Spark DECIMAL div == DuckDB HUGEINT // exactly (CLAUDE.md)
             "waste_ppm",
-            F.expr("(1000000 * bytes_delivered) div bytes_planned"),
+            F.expr(
+                "CAST((CAST(bytes_delivered AS DECIMAL(38,0)) * 1000000)"
+                " div bytes_planned AS BIGINT)"
+            ),
         )
         .orderBy("topic", "partition_id")
     )
