@@ -55,12 +55,30 @@ def with_ctes(*ctes: str, select: str) -> str:
 #: clean rows-only row).  The driver verifies only a prefix (~50) of the
 #: registry each round, so ``all_queries`` orders every name WITHOUT a
 #: green row ahead of this set, then the round's new queries, then this
-#: remainder as ballast.  After round 7 (50/50 green, seventh consecutive;
-#: cumulative 331/381) the names without a row are exactly the 50
+#: remainder as ballast.  After round 8 (50/50 green, eighth consecutive;
+#: cumulative 381/389) the names without a row are exactly the 8
 #: ``_STAGED_NEXT_ROUND`` names, all promoted to ``_NEW_THIS_ROUND``
-#: below — they fill the round-8 window EXACTLY, 0 spare slots; every
-#: new round-8 query lands in ``_STAGED_NEXT_ROUND`` for round 9.
+#: below — 42 spare window slots, so round-9 additions go straight into
+#: the window until it fills.
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r08 (folded in at the round-9 rotation) ---
+    'r_s4_event_parse', 'r_t5_first_delay', 'a_mann_kendall_daily',
+    'a_gini_brand_revenue', 'a_pacf_lag2_daily', 'a_dema_revenue',
+    'a_odds_ratio_weekend', 'a_peak_open_orders', 'p_jm_smoothing',
+    'p_borda_fusion', 'p_winnowing_density', 'p_lsh_pair_transitivity',
+    'p_rare_token_share', 'r_t14_cron_grid', 'p_pq_recall_at_k',
+    'p_pca_residual_var', 'p_chars_per_token', 'a_kruskal_wallis_dow',
+    'a_winsorized_mean_price', 'p_kmeans_elbow', 'p_dedup_token_savings',
+    'p_lsh_bucket_entropy', 'p_shingle_reuse', 'p_df_histogram',
+    'a_brand_basket_lift', 'r_partition_volume_profile', 'r_segment_cadence',
+    'p_source_vocab_jaccard', 'a_repeat_revenue_share', 'a_value_cv_by_priority',
+    'r_path_sort_equivalence', 'p_retrieval_rank_agreement',
+    'p_ann_tier_agreement', 'a_month_end_effect', 'p_ann_map',
+    'a_bowley_brand_skew', 'a_dow_seasonality_strength', 'p_uncertainty_sample',
+    'p_best_stump_split', 'a_partial_corr_qty_price', 'r_checkpoint_staleness',
+    'r_write_amplification', 'r_x5_checkpoint_codec', 'r_t13_overlap_tolerance',
+    'a_mode_price_brand', 'a_abc_classes', 'a_changepoint_sse',
+    'a_top_brand_stability', 'p_knn_label_eval', 'r_t6_lost_ranges',
     # --- green in CORRECTNESS_r07 (folded in at the round-8 rotation) ---
     'a_kendall_tau_brand', 'p_rule_matrix', 'p_embedding_norm_profile',
     'p_pr_curve', 'a_shared_sql_filter_clause', 'p_kcore_peel',
@@ -176,69 +194,12 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries in THIS round's (round 8) driver window behind any never-green
-#: backlog.  At the round-8 rotation this is ALL 50 formerly-staged names
-#: (list order preserved) — they fill the 50-window EXACTLY, so 0 spare
-#: slots: every new round-8 query lands in ``_STAGED_NEXT_ROUND`` behind
-#: the window edge for round 9.
+#: Queries in THIS round's (round 9) driver window behind any never-green
+#: backlog.  At the round-9 rotation this is the 8 formerly-staged round-8
+#: names (list order preserved) — 42 spare window slots remain, so round-9
+#: additions are appended HERE until the window fills (50 names), then
+#: overflow into ``_STAGED_NEXT_ROUND``.
 _NEW_THIS_ROUND: list[str] = [
-    "r_s4_event_parse",
-    "r_t5_first_delay",
-    "a_mann_kendall_daily",
-    "a_gini_brand_revenue",
-    "a_pacf_lag2_daily",
-    "a_dema_revenue",
-    "a_odds_ratio_weekend",
-    "a_peak_open_orders",
-    "p_jm_smoothing",
-    "p_borda_fusion",
-    "p_winnowing_density",
-    "p_lsh_pair_transitivity",
-    "p_rare_token_share",
-    "r_t14_cron_grid",
-    "p_pq_recall_at_k",
-    "p_pca_residual_var",
-    "p_chars_per_token",
-    "a_kruskal_wallis_dow",
-    "a_winsorized_mean_price",
-    "p_kmeans_elbow",
-    "p_dedup_token_savings",
-    "p_lsh_bucket_entropy",
-    "p_shingle_reuse",
-    "p_df_histogram",
-    "a_brand_basket_lift",
-    "r_partition_volume_profile",
-    "r_segment_cadence",
-    "p_source_vocab_jaccard",
-    "a_repeat_revenue_share",
-    "a_value_cv_by_priority",
-    "r_path_sort_equivalence",
-    "p_retrieval_rank_agreement",
-    "p_ann_tier_agreement",
-    "a_month_end_effect",
-    "p_ann_map",
-    "a_bowley_brand_skew",
-    "a_dow_seasonality_strength",
-    "p_uncertainty_sample",
-    "p_best_stump_split",
-    "a_partial_corr_qty_price",
-    "r_checkpoint_staleness",
-    "r_write_amplification",
-    "r_x5_checkpoint_codec",
-    "r_t13_overlap_tolerance",
-    "a_mode_price_brand",
-    "a_abc_classes",
-    "a_changepoint_sse",
-    "a_top_brand_stability",
-    "p_knn_label_eval",
-    "r_t6_lost_ranges",
-]
-
-
-#: Queries registered mid-round AFTER the window filled (round-8 additions
-#: — FIRST in line for the round-9 window; keep list order at the next
-#: rotation).
-_STAGED_NEXT_ROUND: list[str] = [
     "p_e2e_curation_funnel",
     "p_e2e_pack_manifest",
     "p_e2e_mix_dedup_interaction",
@@ -248,6 +209,12 @@ _STAGED_NEXT_ROUND: list[str] = [
     "p_bloom_register_table",
     "r_compaction_past_checkpoint",
 ]
+
+
+#: Queries registered mid-round AFTER the window filled (round-9 additions
+#: past the 50-name window edge — FIRST in line for the round-10 window;
+#: keep list order at the next rotation).
+_STAGED_NEXT_ROUND: list[str] = []
 
 
 def all_queries() -> dict[str, Query]:
