@@ -30,10 +30,16 @@ def pack_sequences(docs: DataFrame, budget: int = DEFAULT_PACK_BUDGET) -> DataFr
     of its own.  Returns one row per document with its pack assignment and
     the pack's fill statistics.
 
-    Scale: one shuffle on ``source`` for the per-group rank; the greedy
-    walk runs on (rank, n_tokens) metadata only; pack-start arrays are
-    broadcast back.  Pack ids are dense per source and deterministic.
+    Scale: the per-source rank comes from the grouped range-prefix stitch
+    (functions/stitch.grouped_rank_cumsum) — range partition on (source,
+    doc_id), partition-local row_number, broadcast per-(partition, source)
+    offsets — never a per-source global window (a whole-source single-task
+    sort at corpus scale).  The greedy walk runs on (rank, n_tokens)
+    metadata only (~16 B/doc); pack-start arrays are broadcast back.  Pack
+    ids are dense per source and deterministic.
     """
+    from kafka_replicator_spark.functions.stitch import grouped_rank_cumsum
+
     if budget <= 0:
         raise ValueError(f"pack budget must be positive, got {budget}")
     toks = docs.select(
@@ -41,8 +47,9 @@ def pack_sequences(docs: DataFrame, budget: int = DEFAULT_PACK_BUDGET) -> DataFr
         "source",
         F.size(tokens_col()).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    ranked = toks.withColumn("rn", F.row_number().over(w))
+    ranked = grouped_rank_cumsum(toks, "source", ["doc_id"]).withColumn(
+        "rn", F.col("__grank").cast("int")
+    ).drop("__grank")
 
     def boundaries(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
@@ -213,10 +220,18 @@ def corpus_mix(docs: DataFrame, budget_tokens: int = DEFAULT_MIX_BUDGET) -> Data
     sample reproducible in DuckDB and stable under re-runs/backfills:
     adding documents never reorders the already-chosen prefix priorities.
 
-    Scale: one shuffle on ``source`` for the per-source ranking window; the
+    Scale: pick_rank and cum_tokens come from the grouped range-prefix
+    stitch (functions/stitch.grouped_rank_cumsum) — range partition on
+    (source, prio, doc_id), partition-local rank/cumsum windows keyed by
+    (partition, source), broadcast exclusive per-source offsets — never a
+    ``Window.partitionBy(source)`` over the document grain (source
+    cardinality is O(10-100), so a per-source window is a multi-TB
+    single-task sort at 100 TB).  Integer counts/sums make the stitched
+    output bit-identical to the global window it replaces.  The
     weight/budget dimension is a per-source aggregate joined back broadcast.
     """
     from kafka_replicator_spark.functions.hashing import portable_hash60
+    from kafka_replicator_spark.functions.stitch import grouped_rank_cumsum
 
     toks = docs.select(
         "doc_id",
@@ -236,14 +251,11 @@ def corpus_mix(docs: DataFrame, budget_tokens: int = DEFAULT_MIX_BUDGET) -> Data
         "source",
         F.floor(F.lit(budget_tokens) * F.col("w") / F.col("w_total")).alias("src_budget"),
     )
-    w = Window.partitionBy("source").orderBy("prio", "doc_id")
-    cum = Window.partitionBy("source").orderBy("prio", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     ranked = (
-        toks.join(F.broadcast(budgets), "source")
-        .withColumn("pick_rank", F.row_number().over(w))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(cum))
+        grouped_rank_cumsum(toks, "source", ["prio", "doc_id"], sum_col="n_tokens")
+        .join(F.broadcast(budgets), "source")
+        .withColumnRenamed("__grank", "pick_rank")
+        .withColumnRenamed("__gcumsum", "cum_tokens")
     )
     return (
         ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("src_budget"))

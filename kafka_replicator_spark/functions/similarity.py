@@ -966,7 +966,10 @@ FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
 
 
 def ivf_assign_2level(
-    embeddings: DataFrame, centroid_stride: int = 250, coarse_factor: int = 16
+    embeddings: DataFrame,
+    centroid_stride: int = 250,
+    coarse_factor: int | None = 16,
+    broadcast_fine_limit: int = 500_000,
 ) -> DataFrame:
     """Two-level IVF assignment — the measured scale fix for the flat
     ``ivf_assign`` (whose every-vector-vs-every-centroid scoring is the
@@ -976,15 +979,33 @@ def ivf_assign_2level(
     coarse-quantized over a ``coarse_factor``-times sparser centroid set;
     a vector then scores ONLY the fine centroids of its nearest coarse
     cell.  Cost: N·(C/G) + C·(C/G) + N·G vs the flat N·C — at C ∝ N this
-    turns quadratic into ~N·√N when G ~ √C.  Both argmax levels break ties
-    by ascending centroid id, so the DuckDB oracle replays the assignment
-    exactly; cell-boundary vectors may land in a different cell than the
-    flat assignment — the standard IVF approximation, here made
-    deterministic.
+    turns quadratic into ~N·√N when G ~ √C.  With ``coarse_factor=None``
+    G auto-scales as floor(sqrt(C)+0.5) from a one-job count of the fine
+    set (VERDICT r08 #4: a FIXED G leaves per-cell fine scans growing as
+    C/G, superlinear again past 30x; √C holds N^1.5 at any corpus size;
+    floor(x+0.5) rather than round() — IEEE sqrt is correctly rounded on
+    both engines and an exact .5 would need sqrt(C)=k+0.5, impossible for
+    integer C — so the DuckDB oracle derives the identical G).  Both
+    argmax levels break ties by ascending centroid id, so the oracle
+    replays the assignment exactly; cell-boundary vectors may land in a
+    different cell than the flat assignment — the standard IVF
+    approximation, here made deterministic.
 
     Assignment argmaxes are map-side partial aggregations
     (max of struct(cos, -id)), not windows — no N-row shuffle per level
-    beyond the final vec_id joins.
+    beyond the final vec_id joins.  The per-cell fine table broadcasts
+    only while the fine set is small (``broadcast_fine_limit`` rows, ~600 B
+    each at 64 dims); past that it falls back to a shuffle join on
+    coarse_id — a broadcast that grows with C ∝ N is itself a scale
+    ceiling.
+
+    Completeness contract (ADVICE r08): the final assignment inner-joins
+    through the vector's coarse cell, so a vector whose coarse cell has
+    zero fine members is DROPPED from the output — possible only when two
+    coarse centroids are exactly parallel and FP asymmetry splits the two
+    argmax levels (never observed on real data; the flat ``ivf_assign``
+    covers every vec_id).  The SQL oracle mirrors the drop, so parity
+    holds; callers needing total coverage should use the flat assignment.
     """
     emb = track_cached(
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
@@ -992,6 +1013,13 @@ def ivf_assign_2level(
     fine = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
         F.col("vec_id").alias("fid"), F.col("e").alias("fe")
     )
+    # one cheap count job over the cached frame: sizes both the auto coarse
+    # factor and the broadcast-vs-shuffle decision for the per-cell table
+    n_fine = fine.count()
+    if coarse_factor is None:
+        import math
+
+        coarse_factor = max(1, int(math.floor(math.sqrt(n_fine) + 0.5)))
     coarse = emb.filter(
         F.col("vec_id") % (centroid_stride * coarse_factor) == 0
     ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
@@ -1017,7 +1045,8 @@ def ivf_assign_2level(
         "coarse_id",
     )
     cell_fine = f2c.join(fine, "fid")
-    cands = emb.join(v2c, "vec_id").join(F.broadcast(cell_fine), "coarse_id")
+    cell_side = F.broadcast(cell_fine) if n_fine <= broadcast_fine_limit else cell_fine
+    cands = emb.join(v2c, "vec_id").join(cell_side, "coarse_id")
     final = _argmax(
         cands, "vec_id", cosine_col(F.col("e"), F.col("fe")), "fid", "centroid_id"
     )
@@ -1028,11 +1057,12 @@ def semantic_dedup_2level(
     embeddings: DataFrame,
     tau: float = 0.92,
     centroid_stride: int = 250,
-    coarse_factor: int = 16,
+    coarse_factor: int | None = 16,
 ) -> DataFrame:
     """SemDeDup over the two-level IVF assignment — identical near-dup scan
     (``_semantic_scan``), hierarchical assignment: the corpus-size-robust
-    variant of :func:`semantic_dedup` (see the measured caveat there)."""
+    variant of :func:`semantic_dedup` (see the measured caveat there).
+    ``coarse_factor=None`` auto-scales G ∝ √C (VERDICT r08 #4)."""
     assigned = track_cached(
         ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
     )
@@ -1040,17 +1070,28 @@ def semantic_dedup_2level(
 
 
 def semantic_dedup_2level_sql(
-    tau: float = 0.92, centroid_stride: int = 250, coarse_factor: int = 16
+    tau: float = 0.92, centroid_stride: int = 250, coarse_factor: int | None = 16
 ) -> str:
+    """``coarse_factor=None`` derives G in SQL exactly as the Spark side
+    does: greatest(1, floor(sqrt(C)+0.5)) over the fine-centroid count —
+    IEEE sqrt is correctly rounded on both engines and an exact half is
+    impossible for integer C, so the two derivations agree bit-for-bit."""
     cos = (
         "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})))"
     )
+    if coarse_factor is None:
+        coarse_mod = (
+            f"({centroid_stride} * (SELECT greatest(1, "
+            f"CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM fine))"
+        )
+    else:
+        coarse_mod = str(centroid_stride * coarse_factor)
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 fine AS (SELECT vec_id AS fid, e AS fe FROM emb WHERE vec_id % {centroid_stride} = 0),
 coarse AS (SELECT vec_id AS cid, e AS ce
-           FROM emb WHERE vec_id % {centroid_stride * coarse_factor} = 0),
+           FROM emb WHERE vec_id % {coarse_mod} = 0),
 f2c AS (
   SELECT fid, cid AS coarse_id FROM (
     SELECT fine.fid, coarse.cid,

@@ -18,7 +18,9 @@ cacheutil.release_cached() after their output action.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.cacheutil import track_cached
@@ -93,3 +95,82 @@ def range_prefix_stitch(
         schema += f", __sprefix {sdtype}"
     prefix = tagged.sparkSession.createDataFrame(rows, schema=schema)
     return tagged, prefix
+
+
+def grouped_rank_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    sum_col: str | None = None,
+    partitions: int = 16,
+) -> DataFrame:
+    """Exact per-group ``row_number`` (``__grank``, 1-based, ordered by
+    ``order_cols``) and, with ``sum_col`` set, the inclusive per-group
+    running sum (``__gcumsum``) — WITHOUT ``Window.partitionBy(group_col)``.
+
+    A per-group global window serializes each group onto one task; when the
+    group is a corpus source (O(10-100) values over the whole corpus) each
+    window partition is a multi-TB single-task sort at scale.  This variant
+    applies the range-prefix-stitch recipe at group grain instead: range
+    partition on (group, *order) so each group occupies a contiguous run of
+    bounded partitions, compute per-(partition, group) counts/sums (metadata
+    scale: ≤ partitions + groups rows), accumulate exclusive prefixes per
+    group on the driver in partition order, and add them to partition-LOCAL
+    windows keyed by (__pid, group) — every window partition is at most one
+    range partition's slice of one group, never a whole group.
+
+    Counts and integer sums are exact, so the output is bit-identical to
+    the per-group global window it replaces (the oracle parity pins it).
+    Reference anchor: the engine's bounded prefix-sum take
+    (pkg/compaction/compactor.go:205-242) applied at corpus scale — the
+    reference never lets one worker sort another partition's data.
+
+    The returned frame rides the stitch cache invariant: the tagged frame
+    is cached before the per-partition aggregates are collected (the final
+    plan must see the SAME range placement); release via
+    cacheutil.release_cached() after the output action.
+    """
+    tagged = track_cached(
+        df.repartitionByRange(partitions, group_col, *order_cols)
+        .sortWithinPartitions(group_col, *order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("s"))
+    per_pid_group = tagged.groupBy("__pid", group_col).agg(*aggs).collect()
+
+    def _zero(col: str):
+        if tagged.schema[col].dataType.simpleString().startswith("decimal"):
+            from decimal import Decimal
+
+            return Decimal(0)
+        return 0
+
+    by_group: dict = defaultdict(list)
+    for r in per_pid_group:
+        by_group[r[group_col]].append(r)
+    rows = []
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r["__pid"])
+        racc = 0
+        sacc = _zero(sum_col) if sum_col is not None else 0
+        for r in rs:
+            rows.append((r["__pid"], g, racc, sacc) if sum_col is not None else (r["__pid"], g, racc))
+            racc += r["c"]
+            if sum_col is not None:
+                # an all-NULL slice sums to NULL; contribute 0, like SQL SUM
+                sacc += r["s"] if r["s"] is not None else _zero(sum_col)
+    gtype = tagged.schema[group_col].dataType.simpleString()
+    schema = f"__pid int, {group_col} {gtype}, __rprefix bigint"
+    if sum_col is not None:
+        schema += f", __sprefix {tagged.schema[sum_col].dataType.simpleString()}"
+    prefix = tagged.sparkSession.createDataFrame(rows, schema=schema)
+    w = Window.partitionBy("__pid", group_col).orderBy(*order_cols)
+    out = tagged.join(F.broadcast(prefix), ["__pid", group_col]).withColumn(
+        "__grank", (F.row_number().over(w) + F.col("__rprefix")).cast("long")
+    )
+    if sum_col is not None:
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn("__gcumsum", F.sum(sum_col).over(cum) + F.col("__sprefix"))
+    return out.drop("__pid", "__rprefix", "__sprefix")

@@ -63,6 +63,56 @@ def broadcast_build_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def window_partition_specs(df: DataFrame) -> list[list[str]]:
+    """Partition-column name lists of every window spec in the plan.
+
+    Parses each ``windowspecdefinition(...)`` occurrence: top-level
+    comma-split arguments up to the first one carrying an ordering
+    direction (``ASC``/``DESC``) are the partition columns (exprIds
+    stripped).  Lets a test pin WHAT a window partitions by — e.g. reject
+    ``partitionBy(source)`` over the document grain (a whole-source
+    single-task sort at 100 TB) while allowing the bounded
+    ``partitionBy(__pid, source)`` stitch windows and per-pack stats.
+    """
+    plan = physical_plan(df, mode="formatted")
+    out: list[list[str]] = []
+    key = "windowspecdefinition("
+    i = 0
+    while True:
+        start = plan.find(key, i)
+        if start < 0:
+            break
+        j = start + len(key)
+        depth = 1
+        args: list[str] = []
+        cur = ""
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append(cur)
+                cur = ""
+            else:
+                cur += ch
+            j += 1
+        if cur.strip():
+            args.append(cur)
+        parts: list[str] = []
+        for a in args:
+            a = a.strip()
+            if re.search(r"\b(ASC|DESC)\b", a) or a.startswith("specifiedwindowframe"):
+                break
+            parts.append(re.sub(r"#\d+L?", "", a))
+        out.append(parts)
+        i = j + 1
+    return out
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators (excludes broadcast exchanges)."""
     plan = physical_plan(df, mode="simple")

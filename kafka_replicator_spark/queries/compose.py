@@ -181,7 +181,7 @@ SELECT source,
        CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
        CAST(sum(CASE WHEN n_tokens > {DEFAULT_PACK_BUDGET} THEN 1 ELSE 0 END)
             AS BIGINT) AS oversize_docs,
-       CAST((CAST(sum(n_tokens) AS BIGINT) * 1000000)
+       CAST((CAST(sum(n_tokens) AS HUGEINT) * 1000000)
             // (count(DISTINCT pack_id) * {DEFAULT_PACK_BUDGET}) AS BIGINT)
            AS fill_ppm
 FROM ({pack_sequences_sql(DEFAULT_PACK_BUDGET, rel=_QUAL_DOCS_REL)})
@@ -210,8 +210,13 @@ def q_e2e_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # ppm-numerator rule: lift to DECIMAL(38,0)/HUGEINT before the
+            # ×1e6 — a raw BIGINT product overflows past ~9.2e12 total tokens
             "fill_ppm",
-            F.expr(f"(total_tokens * 1000000) div (n_packs * {DEFAULT_PACK_BUDGET})"),
+            F.expr(
+                f"CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000)"
+                f" div (n_packs * {DEFAULT_PACK_BUDGET}) AS BIGINT)"
+            ),
         )
         .orderBy("source")
     )
@@ -424,6 +429,7 @@ ORDER BY b.budget, r.source
 )
 def q_mix_budget_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions.hashing import portable_hash60
+    from kafka_replicator_spark.functions.stitch import grouped_rank_cumsum
     from kafka_replicator_spark.functions.text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -444,13 +450,14 @@ def q_mix_budget_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total_w = src_w.agg(F.sum("w").cast("double").alias("w_total"))
-    cum = Window.partitionBy("source").orderBy("prio", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = track_cached(
-        toks.join(F.broadcast(src_w), "source")
+    # grouped stitch (never Window.partitionBy(source) over the doc grain);
+    # the stitch caches its tagged frame, so no outer track_cached needed
+    ranked = (
+        grouped_rank_cumsum(toks, "source", ["prio", "doc_id"], sum_col="n_tokens")
+        .withColumnRenamed("__gcumsum", "cum_tokens")
+        .drop("__grank")
+        .join(F.broadcast(src_w), "source")
         .join(F.broadcast(total_w))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(cum))
     )
     budgets = spark.range(len(_MIX_BUDGETS)).select(
         F.element_at(

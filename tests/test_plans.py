@@ -4,6 +4,8 @@ These are the properties that keep the engine viable at 100 TB — a
 regression here is a performance bug even if results stay correct.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -933,11 +935,24 @@ _PROBE_GRAIN_IDS = {"probe_id"}
 def _assert_no_corpus_label_broadcast(df):
     builds = broadcast_build_columns(df)
     assert builds, physical_plan(df)
+    exempted = False
     for cols in builds:
         if set(cols) & _PROBE_GRAIN_IDS:
-            continue  # probe-grain build side — bounded by the probe list
+            exempted = True  # probe-grain build side — bounded by the probe list
+            continue
         assert not (len(cols) <= 2 and set(cols) & _LABELISH), (
             f"corpus-side label broadcast: {cols}"
+        )
+    if exempted:
+        # the exemption must not rest on the NAME alone (ADVICE r08): the
+        # plan itself has to carry the bounding membership filter — every
+        # ANN-eval site filters .isin(probes) on the id column before the
+        # probe_id rename, which Spark renders as `<id>#N IN (...)` or
+        # `<id>#N INSET ...` in a Filter/Scan node
+        plan = physical_plan(df)
+        assert re.search(r"\w*id#\d+L? (IN \(|INSET )", plan), (
+            "probe_id-named build exempted but no IN/INSET membership "
+            "filter found in the plan:\n" + plan
         )
 
 
@@ -1231,3 +1246,31 @@ def test_composed_chains_have_no_cartesian(spark, sf_dir):
             simple = physical_plan(df, mode="simple")
             assert simple.count("FlatMapGroupsInPandas") == 1, simple
     release_cached()
+
+
+def test_mix_pack_no_per_source_window(spark, sf_dir):
+    """VERDICT r08 #1: corpus_mix / pack_sequences / the mix-budget sweep
+    and the e2e chains that compose them must never rank or prefix-sum
+    inside ``Window.partitionBy(source)`` over the document grain — source
+    cardinality is O(10-100), so each such window partition is a whole
+    source serialized onto one task (a multi-TB single-task sort at
+    100 TB).  The grouped range-prefix stitch replaces it; any window spec
+    partitioning on source must also carry __pid (a bounded single
+    range-partition slice) or a finer key (pack_id)."""
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.plans.explain import window_partition_specs
+
+    for qname in (
+        "p_corpus_mix",
+        "p_pack_sequences",
+        "a_mix_budget_sensitivity",
+        "p_e2e_curation_funnel",
+        "p_e2e_pack_manifest",
+        "p_e2e_mix_dedup_interaction",
+    ):
+        spark.catalog.clearCache()
+        release_cached()
+        df = QUERIES[qname].fn(spark, sf_dir)
+        specs = window_partition_specs(df)
+        assert ["source"] not in specs, (qname, specs)
+        release_cached()

@@ -34,7 +34,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -48,6 +47,14 @@ KERNELS = [
     "p_dup_clusters",
     "p_semantic_dedup",
     "p_semantic_dedup_2level",
+    # round 9: auto-scaled coarse factor (G ∝ √C) — VERDICT r08 #4
+    "p_semantic_dedup_auto",
+    # round 9: the mix/pack family, newly on the grouped range-prefix
+    # stitch (no per-source global windows) — VERDICT r08 #1/#2.  Source
+    # names are unchanged across variants, so each source grows exactly Nx
+    # — precisely the per-group scale the stitch must absorb.
+    "p_corpus_mix",
+    "p_e2e_pack_manifest",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
