@@ -108,6 +108,7 @@ def windowed_cms_registers(
     watermark_delay: str = "30 minutes",
     ts_col: str = "ts_ns",
     w: int | None = None,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Per-(event-time window, depth-row, bucket) count-min counter stream —
     the frequency/heavy-hitter analog of :func:`windowed_hll_registers`.
@@ -119,6 +120,13 @@ def windowed_cms_registers(
     stream through; the heavy-hitter/point-estimate readout
     (functions/sketches.cms_estimate) runs as a batch query over the sink
     with the identical arithmetic the batch/oracle path uses.
+
+    ``event_time_col`` names an EXISTING timestamp column to window on,
+    skipping both the ``ts_col`` conversion and the ``withWatermark`` call
+    — required when this aggregation sits downstream of another stateful
+    operator in one query (multi-stateful queries forbid redefining the
+    watermark, and recreating the column would drop the upstream watermark
+    tag; the caller's earlier ``withWatermark`` governs emission).
     """
     from kafka_replicator_spark.functions.hashing import (
         hash_family_col,
@@ -127,11 +135,17 @@ def windowed_cms_registers(
     from kafka_replicator_spark.functions.sketches import _CMS_PARAMS, CMS_W
 
     w = CMS_W if w is None else w
-    with_ts = df.withColumn(
-        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-    )
-    if with_ts.isStreaming:
-        with_ts = with_ts.withWatermark("event_time", watermark_delay)
+    if event_time_col is not None:
+        with_ts = (
+            df if event_time_col == "event_time"
+            else df.withColumnRenamed(event_time_col, "event_time")
+        )
+    else:
+        with_ts = df.withColumn(
+            "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+        if with_ts.isStreaming:
+            with_ts = with_ts.withWatermark("event_time", watermark_delay)
     h32 = portable_hash32(key)
     rows = F.explode(
         F.array(
