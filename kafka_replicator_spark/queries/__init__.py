@@ -210,6 +210,13 @@ _NEW_THIS_ROUND: list[str] = [
     "r_compaction_past_checkpoint",
     # --- round-9 additions (window has spare slots until 50) ---
     "p_semantic_dedup_auto",
+    "r_hourly_volume",
+    "r_compaction_convergence",
+    "p_e2e_mix_pack",
+    "p_e2e_heldout_perplexity",
+    "p_minhash_mergeability",
+    "p_band_agreement_histogram",
+    "p_hamming_jaccard_corr",
 ]
 
 

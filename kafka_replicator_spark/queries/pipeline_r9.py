@@ -13,6 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.functions.hashing import portable_hash60, portable_hash60_sql
+from kafka_replicator_spark.functions.packing import (
+    DEFAULT_PACK_BUDGET,
+    corpus_mix,
+    corpus_mix_sql,
+    pack_sequences,
+    pack_sequences_sql,
+)
 from kafka_replicator_spark.functions.similarity import semantic_dedup_2level_sql
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -33,4 +41,460 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return similarity.semantic_dedup_2level(
         load_table(spark, sf_dir, "embeddings"), coarse_factor=None
+    )
+
+
+# --------------------------------------------------- mix -> pack composition
+
+#: the mix survivors as a relation for the pack oracle — nested WITH inside
+#: a FROM-subquery is fine in DuckDB (CLAUDE.md r08 note)
+_MIX_SURVIVORS_REL = (
+    "(SELECT d.doc_id, d.source, d.text FROM documents d "
+    f"WHERE d.doc_id IN (SELECT doc_id FROM ({corpus_mix_sql(rel='documents')})))"
+)
+
+
+@register(
+    "p_e2e_mix_pack",
+    f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST((CAST(sum(n_tokens) AS HUGEINT) * 1000000)
+            // (count(DISTINCT pack_id) * {DEFAULT_PACK_BUDGET}) AS BIGINT)
+           AS fill_ppm
+FROM ({pack_sequences_sql(DEFAULT_PACK_BUDGET, rel=_MIX_SURVIVORS_REL)})
+GROUP BY source
+ORDER BY source
+""",
+    tags=("pipeline", "compose"),
+    doc="the two round-9 stitched operators chained end to end: the "
+    "token-budget corpus mix selects the training subset, sequence packing "
+    "bins the SURVIVORS — pack boundaries land on post-selection doc ranks, "
+    "which neither single-stage query exercises; per-source manifest with "
+    "the DECIMAL-lifted fill ppm.  Both stages ride the grouped "
+    "range-prefix stitch (no per-source global windows)",
+)
+def q_e2e_mix_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mix = corpus_mix(docs)
+    surv = docs.join(mix.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "source", "text"
+    )
+    pack = pack_sequences(surv, budget=DEFAULT_PACK_BUDGET)
+    return (
+        pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("pack_tokens").alias("max_pack_tokens"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(
+                f"CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000)"
+                f" div (n_packs * {DEFAULT_PACK_BUDGET}) AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- split -> held-out LM perplexity
+
+_HOP_TRAIN_PCT = 98
+_HOP_VAL_PCT = 1
+
+
+@register(
+    "p_e2e_heldout_perplexity",
+    f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN ({portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT} THEN 'train'
+              WHEN ({portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT + _HOP_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS tk
+  FROM documents
+), bg AS (
+  SELECT split, w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT split, tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT split, tk, unnest(range(1, len(tk))) AS i
+              FROM assigned WHERE len(tk) >= 2))
+  GROUP BY split, w1, w2
+), tr_bg AS (
+  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12 FROM bg WHERE split = 'train'
+  GROUP BY w1, w2
+), tr_w1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tr_bg GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(tk) AS tok FROM assigned WHERE split = 'train')
+), ev AS (
+  SELECT b.split, b.c AS n_occ,
+         coalesce(t.c12, 0) AS c12, coalesce(u.c1, 0) AS c1
+  FROM bg b LEFT JOIN tr_bg t USING (w1, w2) LEFT JOIN tr_w1 u USING (w1)
+  WHERE b.split <> 'train'
+), q AS (
+  SELECT split, n_occ, c12,
+         CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE)
+                        / (c1 + (SELECT v FROM vocab))) * 1000000000 + 0.5)
+              AS BIGINT) AS nll_nano
+  FROM ev
+)
+SELECT split,
+       CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN c12 = 0 THEN n_occ ELSE 0 END) AS BIGINT) AS oov_bigrams,
+       CAST(CAST(sum(nll_nano::HUGEINT * n_occ) AS HUGEINT)
+            // sum(n_occ) AS BIGINT) AS avg_nll_nano
+FROM q GROUP BY split ORDER BY split
+""",
+    tags=("pipeline", "compose", "quality"),
+    doc="held-out LM evaluation end to end: the deterministic 98/1/1 hash "
+    "split (p_dataset_split's rule) trains an add-one-smoothed bigram LM "
+    "on 'train' and scores 'val'/'test' bigrams — the data-quality loop "
+    "every corpus release runs (does the new mix improve held-out "
+    "surprise?).  Per distinct eval bigram the nll is ln of one exact "
+    "integer ratio quantized to nano-nats BEFORE the occurrence-weighted "
+    "fold (the JM-smoothing rule); OOV = eval bigrams unseen in train.  "
+    "Bigram-keyed joins only; no windows",
+)
+def q_e2e_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(
+        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < _HOP_TRAIN_PCT, "train")
+        .when(bucket < _HOP_TRAIN_PCT + _HOP_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    toks = F.col("tk")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    assigned = docs.select(
+        split.alias("split"), F.split(F.col("text"), " ").alias("tk")
+    )
+    bg = (
+        assigned.select("split", F.explode(grams).alias("g"))
+        .groupBy("split", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    bg = track_cached(bg)  # feeds train counts AND the eval side
+    tr_bg = (
+        bg.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c12"))
+    )
+    tr_w1 = tr_bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        assigned.filter(F.col("split") == "train")
+        .select(F.explode("tk").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    ev = (
+        bg.filter(F.col("split") != "train")
+        .join(tr_bg, ["w1", "w2"], "left")
+        .join(tr_w1, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "split",
+            F.col("c").alias("n_occ"),
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            "v",
+        )
+    )
+    q = ev.withColumn(
+        "nll_nano",
+        F.floor(
+            -F.log((F.col("c12") + F.lit(1)).cast("double") / (F.col("c1") + F.col("v")))
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        q.groupBy("split")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12") == 0, F.col("n_occ")).otherwise(0))
+            .cast("long")
+            .alias("oov_bigrams"),
+            F.expr(
+                "CAST(sum(CAST(nll_nano AS DECIMAL(38,0)) * n_occ)"
+                " div sum(n_occ) AS BIGINT)"
+            ).alias("avg_nll_nano"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------- minhash mergeability
+
+_MM_K = 16
+
+
+def _mergeability_oracle() -> str:
+    from kafka_replicator_spark.functions.dedup import word_ngrams_sql
+    from kafka_replicator_spark.functions.hashing import hash_family_params, hash_family_sql
+
+    params = hash_family_params(_MM_K)
+    mins = ", ".join(
+        f"min({hash_family_sql('h', a, b)}) AS sig_{i}" for i, (a, b) in enumerate(params)
+    )
+    merge_mins = ", ".join(f"min(sig_{i}) AS sig_{i}" for i in range(_MM_K))
+    diff = " OR ".join(f"m.sig_{i} <> f.sig_{i}" for i in range(_MM_K))
+    return f"""
+WITH sh AS MATERIALIZED ({word_ngrams_sql(3)}),
+hs AS (SELECT doc_id, h % 2 AS p, {mins} FROM sh GROUP BY doc_id, h % 2),
+merged AS (SELECT doc_id, {merge_mins} FROM hs GROUP BY doc_id),
+fullsig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+cmp AS (
+  SELECT f.doc_id, CASE WHEN {diff} THEN 1 ELSE 0 END AS mismatch
+  FROM fullsig f JOIN merged m USING (doc_id)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(mismatch) AS BIGINT) AS n_mismatched
+FROM cmp JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "p_minhash_mergeability",
+    _mergeability_oracle(),
+    tags=("pipeline", "dedup", "audit"),
+    doc="incremental-ingest contract of the MinHash signatures: a document "
+    "whose shingles arrive in two batches (split here by shingle-hash "
+    "parity) must merge its per-batch signatures (elementwise min) into "
+    "EXACTLY the full-corpus signature — the property that lets a 100 TB "
+    "pipeline maintain signatures incrementally (p_incremental_dedup's "
+    "premise) instead of re-shingling the corpus per delivery.  "
+    "n_mismatched must be 0 per source; a nonzero is a hash-family or "
+    "merge-plumbing regression.  Two grouped passes over one cached "
+    "shingle frame, doc-keyed joins only",
+)
+def q_minhash_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.dedup import minhash_signatures, word_ngrams
+    from kafka_replicator_spark.functions.hashing import hash_family_col, hash_family_params
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(word_ngrams(docs, n=3))
+    params = hash_family_params(_MM_K)
+    half_aggs = [
+        F.min(hash_family_col(F.col("h"), a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    hs = sh.withColumn("p", F.expr("h % 2")).groupBy("doc_id", "p").agg(*half_aggs)
+    merged = hs.groupBy("doc_id").agg(
+        *[F.min(f"sig_{i}").alias(f"m_{i}") for i in range(_MM_K)]
+    )
+    full = minhash_signatures(docs, k=_MM_K, n=3, shingles=sh)
+    joined = full.join(merged, "doc_id")
+    mismatch = reduce(
+        lambda x, y: x | y,
+        [F.col(f"m_{i}") != F.col(f"sig_{i}") for i in range(_MM_K)],
+    )
+    cmp = joined.select("doc_id", F.when(mismatch, 1).otherwise(0).alias("mismatch"))
+    return (
+        cmp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("mismatch").cast("long").alias("n_mismatched"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------- band-agreement histogram
+
+_BA_K, _BA_BANDS = 16, 4
+
+
+def _band_agreement_oracle() -> str:
+    from kafka_replicator_spark.functions.dedup import minhash_signatures_sql
+
+    rows = _BA_K // _BA_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || ':' || ".join(f"sig_{b * rows + j}" for j in range(rows))
+        + " AS band_key FROM sig"
+        for b in range(_BA_BANDS)
+    )
+    return f"""
+WITH sig AS MATERIALIZED ({minhash_signatures_sql(_BA_K, 3)}),
+banded AS MATERIALIZED ({band_selects}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_agree
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT n_agree AS n_agree_bands,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY n_agree ORDER BY n_agree_bands
+"""
+
+
+@register(
+    "p_band_agreement_histogram",
+    _band_agreement_oracle(),
+    tags=("pipeline", "dedup", "audit"),
+    doc="distribution of agreeing-band counts over the LSH candidate pairs: "
+    "1 agreeing band is the capture threshold, 4/4 agreement means the "
+    "full signatures collide (near-certain duplicates) — the histogram "
+    "separates borderline candidates from hard dups BEFORE any exact "
+    "verification pass, sizing the verify stage's workload.  Same "
+    "banded equi-join as p_lsh_candidate_pairs (never all-pairs) plus "
+    "one pair-grain count; bounded output (≤ bands rows)",
+)
+def q_band_agreement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.dedup import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = track_cached(minhash_bands(docs, k=_BA_K, n=3, bands=_BA_BANDS))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_agree"))
+    )
+    return (
+        pairs.groupBy(F.col("n_agree").alias("n_agree_bands"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("n_agree_bands")
+    )
+
+
+# ------------------------------------- simhash-vs-jaccard correlation
+
+def _hamming_jaccard_oracle() -> str:
+    from kafka_replicator_spark.functions.dedup import (
+        lsh_candidate_pairs_sql,
+        simhash_sql,
+        word_ngrams_sql,
+    )
+
+    return f"""
+WITH pairs AS MATERIALIZED ({lsh_candidate_pairs_sql()}),
+sh AS MATERIALIZED ({word_ngrams_sql(3)}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_int
+  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+               JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+fp AS MATERIALIZED ({simhash_sql()}),
+xy AS (
+  SELECT (1000000 * coalesce(i.n_int, 0))
+           // (sa.n_sh + sb.n_sh - coalesce(i.n_int, 0)) AS x,
+         bit_count(xor(fa.simhash, fb.simhash)) AS y
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  JOIN fp fa ON fa.doc_id = p.doc_a
+  JOIN fp fb ON fb.doc_id = p.doc_b
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x::HUGEINT) AS HUGEINT) AS sx,
+         CAST(sum(y::HUGEINT) AS HUGEINT) AS sy,
+         CAST(sum(x::HUGEINT * y) AS HUGEINT) AS sxy,
+         CAST(sum(x::HUGEINT * x) AS HUGEINT) AS sxx,
+         CAST(sum(y::HUGEINT * y) AS HUGEINT) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor((n * sxy - sx * sy)::DOUBLE
+                  / nullif(sqrt((n * sxx - sx * sx)::DOUBLE)
+                           * sqrt((n * syy - sy * sy)::DOUBLE), 0.0)
+                  * 1000000000 + 0.5) AS BIGINT) AS r_nano
+FROM m
+"""
+
+
+@register(
+    "p_hamming_jaccard_corr",
+    _hamming_jaccard_oracle(),
+    tags=("pipeline", "dedup", "audit"),
+    doc="Pearson correlation (nano-quantized) between the two cheap "
+    "near-dup signals over the LSH candidate pairs: exact shingle Jaccard "
+    "(integer ppm) vs 32-bit SimHash Hamming distance — strongly negative "
+    "r validates SimHash as the cheaper screen; a weak r on a corpus "
+    "slice says the token-frequency fingerprint is missing what the "
+    "shingle sets see.  Candidate pairs only (never all-pairs); moments "
+    "are HUGEINT/DECIMAL-exact, the single final r computed in double "
+    "from exact integers on a 1-row frame (the partial-corr recipe)",
+)
+def q_hamming_jaccard_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        simhash,
+        word_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cached(word_ngrams(docs, n=3))
+    pairs = track_cached(lsh_candidate_pairs(docs, shingles=sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_int"))
+    )
+    fp = track_cached(simhash(docs))
+    xy = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .join(fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa")), "doc_a")
+        .join(fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb")), "doc_b")
+        .select(
+            F.expr("(1000000 * coalesce(n_int, 0)) div (na + nb - coalesce(n_int, 0))").alias("x"),
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long").alias("y"),
+        )
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0D)"
+            " * 1000000000 + 0.5) AS BIGINT)"
+        ).alias("r_nano"),
     )

@@ -2896,3 +2896,137 @@ def q_compaction_past_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "partition_id")
     )
+
+
+# ------------------------------------------- hourly volume profile
+
+@register(
+    "r_hourly_volume",
+    with_ctes(
+        MESSAGES_CTE,
+        select="""
+SELECT topic, partition_id,
+       ts_us // 3600000000 AS hour_idx,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(msg_size) AS BIGINT) AS n_bytes,
+       CAST(count(DISTINCT msg_key) AS BIGINT) AS n_keys
+FROM messages
+GROUP BY topic, partition_id, hour_idx
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="per-(partition, event-hour) message/byte/key volume — the time "
+    "axis of r_partition_volume_profile (§2.11 rate meters, "
+    "pkg/ingress/metrics.go): the capacity dashboard reads rates per "
+    "clock bucket, not lifetime totals, and the distinct-key column is "
+    "the per-hour compacted-state growth rate.  One partial-aggregable "
+    "groupBy at (partition, hour) grain, integer hour bucketing on the "
+    "canonical ts_us (Spark div == DuckDB // on BIGINT), no window",
+)
+def q_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    return msgs.groupBy(
+        "topic",
+        "partition_id",
+        F.expr("ts_us div 3600000000").alias("hour_idx"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum("msg_size").cast("long").alias("n_bytes"),
+        F.countDistinct("msg_key").cast("long").alias("n_keys"),
+    )
+
+
+# ------------------------------------------- iterated compaction convergence
+
+#: fan-in per compaction round — 2 keeps at least one full window per
+#: partition even at sf0.001 (2-3 L0 segments per partition there)
+_CC_FANIN = 2
+_CC_ROUNDS = 3
+
+
+@register(
+    "r_compaction_convergence",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        f"""windows AS (
+  SELECT topic, partition_id, segment_seq // {_CC_FANIN} AS g,
+         CAST(count(*) AS BIGINT) AS n_merged,
+         min(start_offset) AS lo_offset,
+         max(end_offset) AS hi_offset,
+         CAST(sum(message_count) AS BIGINT) AS n_msgs
+  FROM segments
+  WHERE segment_seq // {_CC_FANIN} < {_CC_ROUNDS}
+  GROUP BY topic, partition_id, segment_seq // {_CC_FANIN}
+  HAVING count(*) = {_CC_FANIN}
+)""",
+        select="""
+SELECT CAST(g + 1 AS INTEGER) AS round, topic, partition_id,
+       n_merged, lo_offset, hi_offset, n_msgs
+FROM windows
+ORDER BY round, topic, partition_id
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="the controller's plan->merge->relist loop driven through the REAL "
+    f"plan_compaction for {_CC_ROUNDS} rounds at fan-in {_CC_FANIN}: each "
+    "round plans the first full window of L0 segments per partition "
+    "(O1 heap order + A8 bounded take with min_count = max_count = "
+    f"{_CC_FANIN}), the planned inputs leave the listing, and the merged "
+    "L1 output joins it (so the F3 floor derivation sees the growing "
+    "higher level each round — compactor.go:176-242 iterated, the steady "
+    "state the reference reaches via its cron loop).  The oracle restates "
+    "the fixed point relationally: round k merges exactly the k-th "
+    "fan-in window of segment_seqs, partial tail windows never qualify.  "
+    "Everything is metadata-grain; per-round caching truncates lineage "
+    "exactly like the graph queries' unrolled rounds",
+)
+def q_compaction_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    cur = track_cached(_segments(spark, sf_dir))
+    outs: DataFrame | None = None
+    for rnd in range(1, _CC_ROUNDS + 1):
+        plan = track_cached(
+            plan_compaction(
+                cur,
+                min_level=0,
+                max_level=0,
+                min_count=_CC_FANIN,
+                max_count=_CC_FANIN,
+                min_bytes=1,
+                max_bytes=1 << 40,
+            )
+        )
+        agg = plan.groupBy("topic", "partition_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.min("start_offset").alias("lo_offset"),
+            F.max("end_offset").alias("hi_offset"),
+            F.sum("message_count").cast("long").alias("n_msgs"),
+        ).select(F.lit(rnd).cast("int").alias("round"), "*")
+        outs = agg if outs is None else outs.unionByName(agg)
+        merged = plan.groupBy("topic", "partition_id").agg(
+            F.min("start_offset").alias("start_offset"),
+            F.max("end_offset").alias("end_offset"),
+            F.sum("message_count").cast("long").alias("message_count"),
+            F.sum("size_bytes").cast("long").alias("size_bytes"),
+        ).select(
+            F.lit("local").alias("region"),
+            "topic",
+            "partition_id",
+            F.lit(1).cast("int").alias("level"),
+            F.lit(rnd - 1).cast("long").alias("segment_seq"),
+            "start_offset",
+            "end_offset",
+            "message_count",
+            "size_bytes",
+        )
+        cur = track_cached(
+            cur.join(
+                plan.select("topic", "partition_id", "level", "segment_seq"),
+                ["topic", "partition_id", "level", "segment_seq"],
+                "left_anti",
+            ).unionByName(merged)
+        )
+    return outs.orderBy("round", "topic", "partition_id")
