@@ -94,6 +94,48 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def dot_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k neighbors by RAW dot product (no normalization) — the
+    norm-sensitive ranking MIPS systems serve; :func:`brute_force_topk` is
+    the cosine twin.  Same plan shape: probes broadcast, corpus never
+    shuffles, ties broken by neighbor id."""
+    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_col(F.col("pe"), F.col("e")).alias("dp"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("dp", 6).alias("dot"))
+    )
+
+
+def dot_topk_sql(probe_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT probe_id, vec_id AS neighbor_id, list_dot_product(pe, e) AS dp
+  FROM emb, probes WHERE vec_id <> probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, dp,
+         row_number() OVER (PARTITION BY probe_id ORDER BY dp DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(dp, 6) AS dot
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------------------------- sign-LSH
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:

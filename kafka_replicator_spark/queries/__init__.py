@@ -217,6 +217,14 @@ _NEW_THIS_ROUND: list[str] = [
     "p_minhash_mergeability",
     "p_band_agreement_histogram",
     "p_hamming_jaccard_corr",
+    "p_cosine_dot_agreement",
+    "p_bfs_reachability",
+    "a_theil_index_brand",
+    "a_jarque_bera_price",
+    "a_price_elasticity_brand",
+    "a_cohen_kappa_priority",
+    "a_interarrival_cv_segment",
+    "a_backlog_age_quartiles",
 ]
 
 
@@ -229,7 +237,7 @@ _STAGED_NEXT_ROUND: list[str] = []
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose, pipeline_r9  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose, pipeline_r9, analytics_r9  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

@@ -498,3 +498,149 @@ def q_hamming_jaccard_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000000 + 0.5) AS BIGINT)"
         ).alias("r_nano"),
     )
+
+
+# ------------------------------------------- cosine-vs-dot rank agreement
+
+_CDA_PROBES = list(range(8))
+_CDA_K = 5
+
+
+def _cosine_dot_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        brute_force_topk_sql,
+        dot_topk_sql,
+    )
+
+    return f"""
+WITH ctop AS MATERIALIZED ({brute_force_topk_sql(_CDA_PROBES, _CDA_K)}),
+dtop AS MATERIALIZED ({dot_topk_sql(_CDA_PROBES, _CDA_K)}),
+probes AS (SELECT DISTINCT probe_id FROM ctop),
+hits AS (
+  SELECT c.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM ctop c JOIN dtop d
+    ON c.probe_id = d.probe_id AND c.neighbor_id = d.neighbor_id
+  GROUP BY c.probe_id
+)
+SELECT p.probe_id,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       CAST((1000000 * coalesce(h.n_overlap, 0)) // {_CDA_K} AS BIGINT)
+         AS overlap_ppm
+FROM probes p LEFT JOIN hits h USING (probe_id)
+ORDER BY p.probe_id
+"""
+
+
+@register(
+    "p_cosine_dot_agreement",
+    _cosine_dot_oracle(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="per-probe top-5 overlap between cosine ranking and raw "
+    "dot-product (MIPS) ranking — the norm-effect audit: where the two "
+    "disagree, vector norms (not directions) decide retrieval, so cosine "
+    "vs dot is a REAL modeling choice on that slice, not a convention.  "
+    "Composes the brute-force kernel and its new norm-sensitive twin "
+    "(similarity.dot_topk); two ≤40-row top-k frames, one intersection "
+    "join, left join keeps zero-overlap probes",
+)
+def q_cosine_dot_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions import similarity
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    ctop = similarity.brute_force_topk(emb, _CDA_PROBES, k=_CDA_K).select(
+        "probe_id", "neighbor_id"
+    )
+    dtop = similarity.dot_topk(emb, _CDA_PROBES, k=_CDA_K).select(
+        "probe_id", "neighbor_id"
+    )
+    probes = ctop.select("probe_id").distinct()
+    hits = ctop.join(dtop, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return (
+        probes.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                f"CAST((1000000 * coalesce(n_overlap, 0)) div {_CDA_K} AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+# ------------------------------------------------------- BFS reachability
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import label_knn_graph_sql
+
+    ctes = [
+        f"g AS MATERIALIZED ({label_knn_graph_sql()})",
+        "e AS MATERIALIZED (SELECT vec_id AS u, neighbor_id AS v FROM g"
+        " UNION SELECT neighbor_id, vec_id FROM g)",
+        "r0 AS (SELECT CAST(0 AS BIGINT) AS node)",
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"r{r} AS MATERIALIZED (SELECT node FROM r{r-1}"
+            f" UNION SELECT e.v FROM e JOIN r{r-1} p ON e.u = p.node)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM r{r}) AS n_reached,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM r{r})"
+        f" - (SELECT CAST(count(*) AS BIGINT) FROM r{r-1}) AS n_new"
+        for r in range(1, _BFS_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS INTEGER) AS round, n_reached, n_new"
+        + f" FROM ({rows}) ORDER BY round"
+    )
+
+
+@register(
+    "p_bfs_reachability",
+    _bfs_oracle(),
+    tags=("pipeline", "graph"),
+    doc="breadth-first reach counts from vector 0 over the undirected "
+    "label-blocked kNN graph, 3 unrolled rounds — the ball-growth profile "
+    "that says how fast near-duplicate influence propagates (a small "
+    "graph diameter means one bad seed document contaminates its whole "
+    "block in a few hops).  Each round is one join + distinct with an "
+    "eager count truncating lineage (the LPA/k-core recipe); the oracle "
+    "unrolls the same rounds as MATERIALIZED CTEs",
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = similarity.label_knn_graph(emb)
+    e = track_cached(
+        g.select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
+        .unionByName(
+            g.select(F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v"))
+        )
+        .distinct()
+    )
+    spark_sess = emb.sparkSession
+    reached = track_cached(spark_sess.createDataFrame([(0,)], "node bigint"))
+    prev_n = 1
+    rows = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        reached = track_cached(
+            reached.unionByName(
+                e.join(reached, e.u == reached.node).select(F.col("v").alias("node"))
+            ).distinct()
+        )
+        n = reached.count()  # eager: truncates lineage per round
+        rows.append((r, n, n - prev_n))
+        prev_n = n
+    return spark_sess.createDataFrame(rows, "round int, n_reached bigint, n_new bigint")
