@@ -225,6 +225,10 @@ _NEW_THIS_ROUND: list[str] = [
     "a_cohen_kappa_priority",
     "a_interarrival_cv_segment",
     "a_backlog_age_quartiles",
+    "p_split_token_js",
+    "p_split_label_chi2",
+    "p_pack_attention_audit",
+    "p_quality_gate_kappa",
 ]
 
 

@@ -644,3 +644,336 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((r, n, n - prev_n))
         prev_n = n
     return spark_sess.createDataFrame(rows, "round int, n_reached bigint, n_new bigint")
+
+
+# ------------------------------------------- split token-distribution JS
+
+_SJS_BUCKETS = 1024
+
+
+def _split_js_oracle() -> str:
+    from kafka_replicator_spark.functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("tok")
+    split_case = (
+        f"CASE WHEN ({portable_hash60_sql(chr(39) + 'split|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 100) < {_HOP_TRAIN_PCT} THEN 'train'"
+        f" WHEN ({portable_hash60_sql(chr(39) + 'split|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 100) < {_HOP_TRAIN_PCT + _HOP_VAL_PCT} THEN 'val'"
+        " ELSE 'test' END"
+    )
+    js_term = "(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END + q * ln(q / m))"
+    return f"""
+WITH toks AS (
+  SELECT split, ({h} % {_SJS_BUCKETS}) AS b
+  FROM (SELECT {split_case} AS split, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+sb AS (SELECT split, b, CAST(count(*) AS BIGINT) AS csb FROM toks GROUP BY split, b),
+cb AS (SELECT b, CAST(sum(csb) AS BIGINT) AS cb FROM sb GROUP BY b),
+ns AS (SELECT split, CAST(sum(csb) AS BIGINT) AS n_s FROM sb GROUP BY split),
+tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM cb),
+grid AS (
+  SELECT ns.split, cb.b, ns.n_s, cb.cb, coalesce(sb.csb, 0) AS csb
+  FROM ns CROSS JOIN cb
+  LEFT JOIN sb ON sb.split = ns.split AND sb.b = cb.b
+),
+terms AS (
+  SELECT split, n_s,
+         CAST(floor({js_term} * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM (
+    SELECT split, n_s,
+           CAST(csb AS DOUBLE) / n_s AS p,
+           CAST(cb AS DOUBLE) / n AS q,
+           (CAST(csb AS DOUBLE) / n_s + CAST(cb AS DOUBLE) / n) / 2 AS m
+    FROM grid CROSS JOIN tot
+  )
+)
+SELECT split, any_value(n_s) AS n_tokens,
+       CAST(greatest(sum(t_nano), 0) // 2000 AS BIGINT) AS js_micro
+FROM terms GROUP BY split ORDER BY split
+"""
+
+
+@register(
+    "p_split_token_js",
+    _split_js_oracle(),
+    tags=("pipeline", "compose", "drift", "audit"),
+    doc="Jensen-Shannon divergence of each SPLIT's hashed-unigram "
+    "distribution from the corpus mixture (the p_source_token_js recipe "
+    "composed over the deterministic 98/1/1 hash split): the "
+    "representativeness audit of held-out evaluation — a val/test split "
+    "distributionally far from train invalidates the held-out perplexity "
+    "readout (p_e2e_heldout_perplexity's premise).  Per-bucket KL terms "
+    "nano-quantized before the fold; grid = 3 splits x 1024 buckets",
+)
+def q_split_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.hashing import portable_hash32, spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(
+        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < _HOP_TRAIN_PCT, "train")
+        .when(bucket < _HOP_TRAIN_PCT + _HOP_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    toks = (
+        spread(docs.select(split.alias("split"), "text"))
+        .select("split", F.explode(F.split("text", " ")).alias("tok"))
+        .select("split", (portable_hash32("tok") % _SJS_BUCKETS).alias("b"))
+    )
+    sb = track_cached(
+        toks.groupBy("split", "b").agg(F.count(F.lit(1)).alias("csb"))
+    )
+    cb = sb.groupBy("b").agg(F.sum("csb").alias("cb"))
+    ns = sb.groupBy("split").agg(F.sum("csb").alias("n_s"))
+    tot = cb.agg(F.sum("cb").alias("n"))
+    grid = (
+        ns.join(F.broadcast(cb))
+        .join(sb, ["split", "b"], "left")
+        .select("split", "b", "n_s", "cb", F.coalesce("csb", F.lit(0)).alias("csb"))
+    )
+    pqm = grid.join(F.broadcast(tot)).select(
+        "split",
+        "n_s",
+        (F.col("csb").cast("double") / F.col("n_s")).alias("p"),
+        (F.col("cb").cast("double") / F.col("n")).alias("q"),
+        (
+            (F.col("csb").cast("double") / F.col("n_s") + F.col("cb").cast("double") / F.col("n"))
+            / 2
+        ).alias("m"),
+    )
+    js_term = "(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END + q * ln(q / m))"
+    terms = pqm.select(
+        "split",
+        "n_s",
+        F.expr(f"CAST(floor({js_term} * 1000000000 + 0.5) AS BIGINT)").alias("t_nano"),
+    )
+    return (
+        terms.groupBy("split")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.expr("CAST(greatest(sum(t_nano), 0) div 2000 AS BIGINT)").alias(
+                "js_micro"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+# ------------------------------------------- split label stratification
+
+@register(
+    "p_split_label_chi2",
+    f"""
+WITH assigned AS (
+  SELECT CASE WHEN ({portable_hash60_sql("'split|' || CAST(vec_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT} THEN 'train'
+              WHEN ({portable_hash60_sql("'split|' || CAST(vec_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT + _HOP_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(label AS INTEGER) AS label
+  FROM embeddings
+),
+obs AS (SELECT split, label, CAST(count(*) AS BIGINT) AS o
+        FROM assigned GROUP BY split, label),
+rs AS (SELECT split, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY split),
+cs AS (SELECT label, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY label),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+grid AS (
+  SELECT rs.split, cs.label, rs.r, cs.c, coalesce(obs.o, 0) AS o
+  FROM rs CROSS JOIN cs
+  LEFT JOIN obs ON obs.split = rs.split AND obs.label = cs.label
+),
+terms AS (
+  SELECT split,
+         CAST(floor((o::DOUBLE - (r::HUGEINT * c)::DOUBLE / n)
+                    * (o::DOUBLE - (r::HUGEINT * c)::DOUBLE / n)
+                    / ((r::HUGEINT * c)::DOUBLE / n)
+                    * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM grid CROSS JOIN tot
+)
+SELECT split, CAST(sum(t_nano) AS BIGINT) AS chi2_nano
+FROM terms GROUP BY split ORDER BY split
+""",
+    tags=("pipeline", "compose", "audit"),
+    doc="chi-squared stratification audit of the deterministic hash split "
+    "against the embedding labels: per-(split, label) observed counts vs "
+    "the independence expectation r*c/n — a large per-split chi2 says the "
+    "hash split is NOT label-stratified and per-class eval metrics will "
+    "be noisy.  Per-cell terms are doubles over exact integers quantized "
+    "to nano before the fold (the categorical-drift recipe at split "
+    "grain); grid = 3 splits x ~8 labels",
+)
+def q_split_label_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = portable_hash60(
+        F.concat_ws("|", F.lit("split"), F.col("vec_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < _HOP_TRAIN_PCT, "train")
+        .when(bucket < _HOP_TRAIN_PCT + _HOP_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = emb.select(split.alias("split"), F.col("label").cast("int").alias("label"))
+    obs = assigned.groupBy("split", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    obs = track_cached(obs)
+    rs = obs.groupBy("split").agg(F.sum("o").cast("long").alias("r"))
+    cs = obs.groupBy("label").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rs.join(F.broadcast(cs))
+        .join(obs, ["split", "label"], "left")
+        .select("split", "label", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+        .join(F.broadcast(tot))
+    )
+    terms = grid.select(
+        "split",
+        F.expr(
+            "CAST(floor((CAST(o AS DOUBLE) - CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / n)"
+            " * (CAST(o AS DOUBLE) - CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / n)"
+            " / (CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / n)"
+            " * 1000000000 + 0.5) AS BIGINT)"
+        ).alias("t_nano"),
+    )
+    return (
+        terms.groupBy("split")
+        .agg(F.sum("t_nano").cast("long").alias("chi2_nano"))
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------- pack attention-waste audit
+
+@register(
+    "p_pack_attention_audit",
+    f"""
+WITH packed AS ({pack_sequences_sql(DEFAULT_PACK_BUDGET)}),
+per_pack AS (
+  SELECT source, pack_id,
+         any_value(pack_tokens) AS pt,
+         CAST(sum(n_tokens::HUGEINT * n_tokens) AS HUGEINT) AS self_sq
+  FROM packed GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pt::HUGEINT * pt) AS BIGINT) AS total_sq,
+       CAST(sum(pt::HUGEINT * pt - self_sq) AS BIGINT) AS cross_sq,
+       CAST((1000000 * sum(pt::HUGEINT * pt - self_sq))
+            // sum(pt::HUGEINT * pt) AS BIGINT) AS cross_ppm
+FROM per_pack GROUP BY source ORDER BY source
+""",
+    tags=("pipeline", "audit"),
+    doc="cross-document attention share per source under naive (unmasked) "
+    "causal attention over the packed sequences: a pack of docs sized "
+    "n_1..n_k spends Σn_i² of its (Σn_i)² attention pairs within "
+    "documents — the rest is cross-document leakage unless the trainer "
+    "masks pack boundaries; cross_ppm is the exact integer fraction, the "
+    "number that decides whether boundary masking is worth the kernel "
+    "complexity.  Pure integer arithmetic over the pack manifest",
+)
+def q_pack_attention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pack = pack_sequences(docs, budget=DEFAULT_PACK_BUDGET)
+    per_pack = pack.groupBy("source", "pack_id").agg(
+        F.first("pack_tokens").alias("pt"),
+        F.expr("sum(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)").alias("self_sq"),
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.expr("CAST(sum(CAST(pt AS DECIMAL(38,0)) * pt) AS BIGINT)").alias(
+                "total_sq"
+            ),
+            F.expr(
+                "CAST(sum(CAST(pt AS DECIMAL(38,0)) * pt - self_sq) AS BIGINT)"
+            ).alias("cross_sq"),
+            F.expr(
+                "CAST((1000000 * sum(CAST(pt AS DECIMAL(38,0)) * pt - self_sq))"
+                " div sum(CAST(pt AS DECIMAL(38,0)) * pt) AS BIGINT)"
+            ).alias("cross_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- quality-gate agreement kappa
+
+def _gate_kappa_oracle() -> str:
+    from kafka_replicator_spark.functions.curation import gopher_quality_sql
+    from kafka_replicator_spark.functions.scoring import quality_classifier_sql
+
+    return f"""
+WITH g AS ({gopher_quality_sql()}),
+c AS ({quality_classifier_sql()}),
+cls AS (
+  SELECT g.passes AS a_flag, c.keep AS b_flag
+  FROM g JOIN c USING (doc_id)
+),
+ct AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN a_flag = 1 AND b_flag = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+         CAST(sum(CASE WHEN a_flag = 1 AND b_flag = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+         CAST(sum(CASE WHEN a_flag = 0 AND b_flag = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+         CAST(sum(CASE WHEN a_flag = 0 AND b_flag = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS d
+  FROM cls
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(a AS BIGINT) AS both_keep,
+       CAST(d AS BIGINT) AS both_drop,
+       CAST((1000000 * (n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))))
+            // nullif(n * n - ((a + b) * (a + c) + (c + d) * (b + d)), 0)
+            AS BIGINT) AS kappa_ppm
+FROM ct
+"""
+
+
+@register(
+    "p_quality_gate_kappa",
+    _gate_kappa_oracle(),
+    tags=("pipeline", "quality", "audit"),
+    doc="Cohen's kappa between the two quality gates the curation surface "
+    "ships — the Gopher heuristic rules and the hashed-BoW classifier: "
+    "chance-corrected agreement says whether the classifier adds signal "
+    "beyond the heuristics (kappa near 1 means it can replace them; near "
+    "0 means they disagree and the funnel order matters).  Same cleared "
+    "integer-ratio kappa as a_cohen_kappa_priority; one doc-keyed join "
+    "of the two per-doc gate frames",
+)
+def q_quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.curation import gopher_quality
+    from kafka_replicator_spark.functions.scoring import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality(docs).select("doc_id", F.col("passes").alias("a_flag"))
+    c = quality_classifier(docs).select("doc_id", F.col("keep").alias("b_flag"))
+    cls = g.join(c, "doc_id")
+    ct = cls.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.when((F.col("a_flag") == 1) & (F.col("b_flag") == 1), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(F.when((F.col("a_flag") == 1) & (F.col("b_flag") == 0), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("b"),
+        F.sum(F.when((F.col("a_flag") == 0) & (F.col("b_flag") == 1), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c"),
+        F.sum(F.when((F.col("a_flag") == 0) & (F.col("b_flag") == 0), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    return ct.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("a").cast("long").alias("both_keep"),
+        F.col("d").cast("long").alias("both_drop"),
+        F.expr(
+            "CAST((1000000 * (n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))))"
+            " div nullif(n * n - ((a + b) * (a + c) + (c + d) * (b + d)),"
+            " CAST(0 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
