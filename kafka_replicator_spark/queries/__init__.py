@@ -229,6 +229,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_split_label_chi2",
     "p_pack_attention_audit",
     "p_quality_gate_kappa",
+    "a_markov_entropy_rate",
+    "p_pii_by_source",
+    "p_intrinsic_dim_2nn",
 ]
 
 

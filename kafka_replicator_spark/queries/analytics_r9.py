@@ -459,3 +459,89 @@ def q_backlog_age_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ------------------------------------------- Markov chain entropy rate
+
+@register(
+    "a_markov_entropy_rate",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+), seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_type
+  FROM e
+), tr AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_ij
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, CAST(sum(n_ij) AS BIGINT) AS n_from FROM tr GROUP BY prev_type
+), grand AS (
+  SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM tr
+), terms AS (
+  SELECT CAST(floor(CAST(tr.n_ij AS DOUBLE) / grand.n
+                    * ln(CAST(tr.n_ij AS DOUBLE) / tot.n_from)
+                    * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM tr JOIN tot USING (prev_type) CROSS JOIN grand
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tot) AS n_states,
+       (SELECT n FROM grand) AS n_transitions,
+       CAST(-sum(t_nano) AS BIGINT) AS entropy_rate_nano
+FROM terms
+""",
+    tags=("analytics", "events", "stats"),
+    doc="entropy rate of the first-order event-type Markov chain (nats, "
+    "nano-quantized): H = -Σ_ij (n_ij/N)·ln(n_ij/n_i·) over the observed "
+    "transition counts — how predictable the NEXT event is given the "
+    "current one; the sequencing companion to a_markov_transitions and "
+    "p_cond_entropy.  Per-cell terms are doubles over exact integer "
+    "ratios quantized BEFORE the fold; the lag window is keyed by user "
+    "(bounded partitions), the cell grid is |event_types|² rows",
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    tr = track_cached(tr)  # feeds totals, the grand sum, and the terms
+    tot = tr.groupBy("prev_type").agg(F.sum("n_ij").cast("long").alias("n_from"))
+    grand = tr.agg(
+        F.sum("n_ij").cast("long").alias("n"),
+        F.countDistinct("prev_type").cast("long").alias("n_states"),
+    )
+    terms = (
+        tr.join(F.broadcast(tot), "prev_type")
+        .join(F.broadcast(grand))
+        .select(
+            "n_states",
+            "n",
+            F.expr(
+                "CAST(floor(CAST(n_ij AS DOUBLE) / n"
+                " * ln(CAST(n_ij AS DOUBLE) / n_from)"
+                " * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("t_nano"),
+        )
+    )
+    return terms.groupBy("n_states", "n").agg(
+        (-F.sum("t_nano")).cast("long").alias("entropy_rate_nano")
+    ).select(
+        F.col("n_states"),
+        F.col("n").alias("n_transitions"),
+        "entropy_rate_nano",
+    )

@@ -977,3 +977,124 @@ def q_quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# ------------------------------------------------------- PII by source
+
+def _pii_by_source_oracle() -> str:
+    from kafka_replicator_spark.functions.curation import pii_scrub_sql
+
+    return f"""
+WITH p AS ({pii_scrub_sql()})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(p.n_phones) AS BIGINT) AS n_phones,
+       CAST(sum(p.n_ips) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN p.n_emails + p.n_phones + p.n_ips > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+FROM p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "p_pii_by_source",
+    _pii_by_source_oracle(),
+    tags=("pipeline", "quality", "audit"),
+    doc="PII incidence profile per source over the scrubber's detection "
+    "counts (emails / phone fragments / IPv4) — the compliance readout "
+    "that decides which sources need the redaction pass on the critical "
+    "path vs a spot-check; composes functions/curation.pii_scrub with one "
+    "source-grain aggregation",
+)
+def q_pii_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions.curation import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = pii_scrub(docs)
+    return (
+        p.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("n_emails"),
+            F.sum("n_phones").cast("long").alias("n_phones"),
+            F.sum("n_ips").cast("long").alias("n_ips"),
+            F.sum(
+                F.when(
+                    F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_with_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- two-NN intrinsic dimension
+
+def _intrinsic_dim_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import label_knn_graph_sql
+
+    return f"""
+WITH g AS MATERIALIZED ({label_knn_graph_sql()}),
+nn AS (
+  SELECT vec_id,
+         max(CASE WHEN nn_rank = 1 THEN d2 END) AS d1sq,
+         max(CASE WHEN nn_rank = 2 THEN d2 END) AS d2sq
+  FROM g WHERE nn_rank <= 2 GROUP BY vec_id
+),
+mu AS (
+  SELECT CAST(floor(ln(CAST(d2sq AS DOUBLE) / d1sq) * 1000000000 + 0.5)
+              AS BIGINT) AS ln_nano
+  FROM nn WHERE d1sq > 0 AND d2sq IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_used,
+       CAST((CAST(2000 * count(*) AS HUGEINT) * 1000000000)
+            // nullif(sum(ln_nano), 0) AS BIGINT) AS dim_milli
+FROM mu
+"""
+    # 2·n/Σ ln(d2²/d1²) == n/Σ ln(d2/d1) — the squared-distance form needs
+    # no sqrt, so the per-row ln argument stays an exact integer ratio
+
+
+@register(
+    "p_intrinsic_dim_2nn",
+    _intrinsic_dim_oracle(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="two-NN intrinsic-dimension estimate (Facco et al.) of the "
+    "embedding corpus: d = n / Σ ln(r2/r1) over each vector's two nearest "
+    "same-label neighbors — computed on SQUARED integer micro-distances "
+    "(2n/Σ ln(d2²/d1²), no sqrt, the ln argument an exact integer ratio "
+    "quantized to nano before the fold).  Duplicate vectors (d1=0) are "
+    "excluded, as the estimator requires.  A much lower d than the "
+    "ambient 64 says the embeddings sit on a thin manifold and aggressive "
+    "PQ/truncation is safe; composes the kNN-graph kernel",
+)
+def q_intrinsic_dim_2nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = similarity.label_knn_graph(emb)
+    nn = (
+        g.filter(F.col("nn_rank") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("nn_rank") == 1, F.col("d2"))).alias("d1sq"),
+            F.max(F.when(F.col("nn_rank") == 2, F.col("d2"))).alias("d2sq"),
+        )
+    )
+    mu = nn.filter((F.col("d1sq") > 0) & F.col("d2sq").isNotNull()).select(
+        F.expr(
+            "CAST(floor(ln(CAST(d2sq AS DOUBLE) / d1sq) * 1000000000 + 0.5) AS BIGINT)"
+        ).alias("ln_nano")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.expr(
+            "CAST((CAST(2000 * count(1) AS DECIMAL(38,0)) * 1000000000)"
+            " div nullif(sum(ln_nano), 0) AS BIGINT)"
+        ).alias("dim_milli"),
+    )
