@@ -137,7 +137,9 @@ def grouped_rank_cumsum(
     )
     aggs = [F.count(F.lit(1)).alias("c")]
     if sum_col is not None:
-        aggs.append(F.sum(sum_col).alias("s"))
+        # the non-null count rides along so the stitched running sum can
+        # reproduce SQL window-SUM's NULL-until-first-value semantics
+        aggs.extend([F.sum(sum_col).alias("s"), F.count(F.col(sum_col)).alias("nn")])
     per_pid_group = tagged.groupBy("__pid", group_col).agg(*aggs).collect()
 
     def _zero(col: str):
@@ -155,16 +157,23 @@ def grouped_rank_cumsum(
         rs.sort(key=lambda r: r["__pid"])
         racc = 0
         sacc = _zero(sum_col) if sum_col is not None else 0
+        nnacc = 0
         for r in rs:
-            rows.append((r["__pid"], g, racc, sacc) if sum_col is not None else (r["__pid"], g, racc))
+            rows.append(
+                (r["__pid"], g, racc, sacc, nnacc)
+                if sum_col is not None
+                else (r["__pid"], g, racc)
+            )
             racc += r["c"]
             if sum_col is not None:
                 # an all-NULL slice sums to NULL; contribute 0, like SQL SUM
                 sacc += r["s"] if r["s"] is not None else _zero(sum_col)
+                nnacc += r["nn"]
     gtype = tagged.schema[group_col].dataType.simpleString()
     schema = f"__pid int, {group_col} {gtype}, __rprefix bigint"
     if sum_col is not None:
         schema += f", __sprefix {tagged.schema[sum_col].dataType.simpleString()}"
+        schema += ", __nnprefix bigint"
     prefix = tagged.sparkSession.createDataFrame(rows, schema=schema)
     w = Window.partitionBy("__pid", group_col).orderBy(*order_cols)
     out = tagged.join(F.broadcast(prefix), ["__pid", group_col]).withColumn(
@@ -172,5 +181,13 @@ def grouped_rank_cumsum(
     )
     if sum_col is not None:
         cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = out.withColumn("__gcumsum", F.sum(sum_col).over(cum) + F.col("__sprefix"))
-    return out.drop("__pid", "__rprefix", "__sprefix")
+        stype = tagged.schema[sum_col].dataType.simpleString()
+        local_sum = F.sum(sum_col).over(cum)
+        local_nn = F.count(F.col(sum_col)).over(cum)
+        out = out.withColumn(
+            "__gcumsum",
+            F.when(local_nn + F.col("__nnprefix") == 0, F.lit(None).cast(stype)).otherwise(
+                F.coalesce(local_sum, F.lit(0).cast(stype)) + F.col("__sprefix")
+            ),
+        )
+    return out.drop("__pid", "__rprefix", "__sprefix", "__nnprefix")

@@ -51,14 +51,22 @@ def test_pack_budget_validated(spark):
         pack_sequences(df, budget=0)
 
 
-def test_pack_plan_one_data_shuffle(spark, sf_dir):
-    """Rank shuffle on source is the only data-scale exchange; boundary
-    arrays come back as a broadcast, never a second shuffle of the docs."""
+def test_pack_plan_no_per_source_window(spark, sf_dir):
+    """Round 9 replaced the per-source rank window (a whole-source
+    single-task sort at corpus scale) with the grouped range-prefix
+    stitch: the plan gains bounded exchanges (range partition + the
+    (__pid, source)-keyed local window + the boundary walk's source
+    shuffle of ~16 B/row metadata + per-pack stats), but NO window may
+    partition on [source] alone over the document grain, and the
+    boundary arrays still come back broadcast."""
+    from kafka_replicator_spark.plans.explain import window_partition_specs
     from kafka_replicator_spark.sources.tables import load_table
 
     df = pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
     assert has_broadcast_join(df)
-    assert count_exchanges(df) <= 2
+    specs = window_partition_specs(df)
+    assert specs and ["source"] not in specs, specs
+    assert count_exchanges(df) <= 8
 
 
 def test_tfidf_rare_term_outranks_common(spark):
