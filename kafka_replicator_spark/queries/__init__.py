@@ -232,6 +232,8 @@ _NEW_THIS_ROUND: list[str] = [
     "a_markov_entropy_rate",
     "p_pii_by_source",
     "p_intrinsic_dim_2nn",
+    "r_tombstone_rate",
+    "a_tenure_survival",
 ]
 
 

@@ -545,3 +545,64 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_transitions"),
         "entropy_rate_nano",
     )
+
+
+# --------------------------------------------- customer tenure survival
+
+_TENURE_THRESHOLDS = (0, 30, 60, 90, 180, 365, 730)
+
+
+@register(
+    "a_tenure_survival",
+    f"""
+WITH tenure AS (
+  SELECT CAST(max(epoch_us(o_orderdate) // 86400000000)
+              - min(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS t
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM tenure),
+thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _TENURE_THRESHOLDS)}]) AS BIGINT) AS thr)
+SELECT thr.thr AS tenure_gt_days,
+       (SELECT n_cust FROM n) AS n_customers,
+       CAST(sum(CASE WHEN tenure.t > thr.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       CAST((1000000 * sum(CASE WHEN tenure.t > thr.thr THEN 1 ELSE 0 END))
+            // (SELECT n_cust FROM n) AS BIGINT) AS surv_ppm
+FROM thr CROSS JOIN tenure
+GROUP BY thr.thr
+ORDER BY tenure_gt_days
+""",
+    tags=("analytics", "stats"),
+    doc="empirical customer-tenure survival curve (first-to-last order "
+    "span) evaluated at a literal day-threshold grid — the "
+    "retention/churn planning curve, all-integer (no censoring in this "
+    "corpus, so Kaplan-Meier reduces to the exact empirical survivor "
+    "share in ppm).  One customer-grain aggregation + a broadcast "
+    "7-row threshold frame; bounded output, no window",
+)
+def q_tenure_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    tenure = o.groupBy("o_custkey").agg(
+        (F.max(day) - F.min(day)).cast("long").alias("t")
+    )
+    n = tenure.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    spark_sess = o.sparkSession
+    thr = spark_sess.createDataFrame(
+        [(t,) for t in _TENURE_THRESHOLDS], "thr bigint"
+    )
+    return (
+        tenure.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(F.sum(F.when(F.col("t") > F.col("thr"), 1).otherwise(0)).cast("long").alias("n_surviving"))
+        .join(F.broadcast(n))
+        .select(
+            F.col("thr").alias("tenure_gt_days"),
+            "n_customers",
+            "n_surviving",
+            F.expr("CAST((1000000 * n_surviving) div n_customers AS BIGINT)").alias(
+                "surv_ppm"
+            ),
+        )
+        .orderBy("tenure_gt_days")
+    )

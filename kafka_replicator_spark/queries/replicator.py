@@ -3030,3 +3030,72 @@ def q_compaction_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).unionByName(merged)
         )
     return outs.orderBy("round", "topic", "partition_id")
+
+
+# ------------------------------------------- tombstone / deletion profile
+
+@register(
+    "r_tombstone_rate",
+    with_ctes(
+        MESSAGES_CTE,
+        """lastk AS (
+  SELECT topic, partition_id, msg_key,
+         max_by(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, event_id)
+           AS last_is_tomb
+  FROM messages GROUP BY topic, partition_id, msg_key
+)""",
+        """vol AS (
+  SELECT topic, partition_id,
+         CAST(count(*) AS BIGINT) AS n_msgs,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tombstones
+  FROM messages GROUP BY topic, partition_id
+)""",
+        select="""
+SELECT v.topic, v.partition_id, v.n_msgs, v.n_tombstones,
+       CAST((1000000 * v.n_tombstones) // v.n_msgs AS BIGINT) AS tombstone_ppm,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(l.last_is_tomb) AS BIGINT) AS n_keys_deleted
+FROM vol v JOIN lastk l USING (topic, partition_id)
+GROUP BY v.topic, v.partition_id, v.n_msgs, v.n_tombstones
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="F8 tombstone profile per partition: tombstone share of the stream "
+    "plus the keys whose LAST event is a tombstone — exactly the keys a "
+    "log-compacted retention pass DELETES from the state store "
+    "(checkpoint_store.go:187-190 skips them on replay), so "
+    "n_keys - n_keys_deleted is the live compacted-state size, refining "
+    "r_key_cardinality_profile.  Last-writer flag via max_by on the "
+    "unique event id (scalar-key max_by agrees across engines); two "
+    "partial-aggregable groupBys, no window",
+)
+def q_tombstone_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    is_tomb = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    lastk = msgs.groupBy("topic", "partition_id", "msg_key").agg(
+        F.max_by(is_tomb, F.col("event_id")).alias("last_is_tomb")
+    )
+    vol = msgs.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(is_tomb).cast("long").alias("n_tombstones"),
+    )
+    return (
+        vol.join(lastk, ["topic", "partition_id"])
+        .groupBy("topic", "partition_id", "n_msgs", "n_tombstones")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("last_is_tomb").cast("long").alias("n_keys_deleted"),
+        )
+        .select(
+            "topic",
+            "partition_id",
+            "n_msgs",
+            "n_tombstones",
+            F.expr("CAST((1000000 * n_tombstones) div n_msgs AS BIGINT)").alias(
+                "tombstone_ppm"
+            ),
+            "n_keys",
+            "n_keys_deleted",
+        )
+    )
