@@ -234,6 +234,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_intrinsic_dim_2nn",
     "r_tombstone_rate",
     "a_tenure_survival",
+    "r_volume_trend_ols",
+    "a_shared_sql_values",
 ]
 
 

@@ -606,3 +606,48 @@ def q_tenure_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tenure_gt_days")
     )
+
+
+# ------------------------------------------------ shared-text VALUES tiers
+
+#: literal identical text on both engines (the a_shared_sql_* contract):
+#: an inline VALUES tier table classifies per-nation revenue — the
+#: "reference data as SQL literals" surface, no physical dimension table
+SHARED_SQL_VALUES = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT t.tier,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(r.cents) AS BIGINT) AS tier_cents
+FROM rev r
+JOIN (VALUES ('t1_under_10m', 0, 1000000000),
+             ('t2_under_100m', 1000000000, 10000000000),
+             ('t3_under_1b', 10000000000, 100000000000),
+             ('t4_under_10b', 100000000000, 1000000000000),
+             ('t5_rest', 1000000000000, 1000000000000000)) AS t(tier, lo, hi)
+  ON r.cents >= CAST(t.lo AS BIGINT) AND r.cents < CAST(t.hi AS BIGINT)
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
+
+@register(
+    "a_shared_sql_values",
+    SHARED_SQL_VALUES,
+    tags=("analytics", "sql"),
+    doc="SQL front door: inline VALUES table (revenue tier thresholds) "
+    "joined against per-nation revenue through the same-text contract — "
+    "the literal reference-data pattern (tier tables, config ladders) "
+    "with no physical dimension table; the exact oracle SQL text runs "
+    "through spark.sql over registered views",
+)
+def q_shared_sql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.analytics_sql_ext import _run_shared_sql
+
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_VALUES)

@@ -3099,3 +3099,89 @@ def q_tombstone_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys_deleted",
         )
     )
+
+
+# ------------------------------------------------ storage volume forecast
+
+@register(
+    "r_volume_trend_ols",
+    with_ctes(
+        MESSAGES_CTE,
+        """daily0 AS (
+  SELECT ts_us // 86400000000 AS day, CAST(sum(msg_size) AS BIGINT) AS yb
+  FROM messages GROUP BY ts_us // 86400000000
+)""",
+        "mn AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM daily0)",
+        "daily AS (SELECT day - mn.d0 AS x, yb FROM daily0, mn)",
+        """m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sd,
+         CAST(sum(yb) AS BIGINT) AS sy,
+         CAST(sum(x * yb) AS BIGINT) AS sdy,
+         CAST(sum(x * x) AS BIGINT) AS sdd,
+         CAST(sum(CAST(yb AS HUGEINT) * yb) AS DOUBLE) AS syy
+  FROM daily
+)""",
+        select="""
+SELECT n AS n_days,
+       round((n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))
+             / nullif(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd, 0), 6)
+         AS slope_bytes_per_day,
+       round((CAST(sy AS DOUBLE) - (n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))
+              / nullif(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd, 0) * sd) / n, 6)
+         AS intercept_bytes,
+       round((n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))
+             * (n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))
+             / nullif((n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                      * (n * syy - CAST(sy AS DOUBLE) * sy), 0), 6)
+         AS r_squared
+FROM m
+""",
+    ),
+    tags=("parity", "timeseries"),
+    doc="OLS trend of daily ingested bytes — the storage/capacity forecast "
+    "number behind S3 lifecycle planning (slope x retention window = the "
+    "growth a bucket budget must absorb): the a_revenue_trend_ols recipe "
+    "on the message stream (day index shifted to zero, byte sums held in "
+    "BIGINT so every moment product is exact, one fixed double expression "
+    "over the 1-row moment frame).  Day-grain collapse before any moment "
+    "math",
+)
+def q_volume_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = events_as_messages(spark, sf_dir)
+    daily0 = track_cached(
+        msgs.groupBy(F.expr("ts_us div 86400000000").alias("day")).agg(
+            F.sum("msg_size").cast("long").alias("yb")
+        )
+    )
+    mn = daily0.agg(F.min("day").alias("d0"))
+    daily = daily0.join(F.broadcast(mn)).select(
+        (F.col("day") - F.col("d0")).alias("x"), "yb"
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sd"),
+        F.sum("yb").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yb")).cast("long").alias("sdy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sdd"),
+        F.expr("CAST(sum(CAST(yb AS DECIMAL(38,0)) * yb) AS DOUBLE)").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "round((n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))"
+            " / nullif(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd, 0), 6)"
+        ).alias("slope_bytes_per_day"),
+        F.expr(
+            "round((CAST(sy AS DOUBLE) - (n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))"
+            " / nullif(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd, 0) * sd) / n, 6)"
+        ).alias("intercept_bytes"),
+        F.expr(
+            "round((n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))"
+            " * (n * CAST(sdy AS DOUBLE) - sd * CAST(sy AS DOUBLE))"
+            " / nullif((n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)"
+            " * (n * syy - CAST(sy AS DOUBLE) * sy), 0), 6)"
+        ).alias("r_squared"),
+    )
