@@ -236,6 +236,8 @@ _NEW_THIS_ROUND: list[str] = [
     "a_tenure_survival",
     "r_volume_trend_ols",
     "a_shared_sql_values",
+    "r_key_zipf_slope",
+    "p_hnsw_level_model",
 ]
 
 

@@ -1098,3 +1098,69 @@ def q_intrinsic_dim_2nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(ln_nano), 0) AS BIGINT)"
         ).alias("dim_milli"),
     )
+
+
+# ------------------------------------------------ HNSW level-assignment model
+
+_HNSW_BITS = 20
+
+
+def _hnsw_level_case(k_expr: str) -> str:
+    """Integer CASE ladder for level = floor(-log2((k+1)/2^bits)) — literal
+    power-of-two thresholds, identical text on both engines (float log2 at
+    exact powers of two is NOT trusted cross-engine; the p_df_histogram
+    lesson)."""
+    whens = [
+        f"WHEN {k_expr} + 1 > {1 << (_HNSW_BITS - 1 - lvl)} THEN {lvl}"
+        for lvl in range(_HNSW_BITS)
+    ]
+    return "CASE " + " ".join(whens) + f" ELSE {_HNSW_BITS} END"
+
+
+def _hnsw_oracle() -> str:
+    h = portable_hash60_sql("CAST(vec_id AS VARCHAR)")
+    lvl = _hnsw_level_case(f"(({h}) % {1 << _HNSW_BITS})")
+    return f"""
+WITH lv AS (SELECT {lvl} AS level FROM embeddings),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM lv)
+SELECT CAST(level AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((SELECT n_vec FROM n) // (CAST(2 AS BIGINT) << level) AS BIGINT)
+         AS expected_n
+FROM lv GROUP BY level ORDER BY level
+"""
+
+
+@register(
+    "p_hnsw_level_model",
+    _hnsw_oracle(),
+    tags=("pipeline", "similarity"),
+    doc="HNSW layer-assignment model: level = floor(-log2(u)) with u drawn "
+    "deterministically from the portable vector-id hash (mL = 1/ln2, the "
+    "paper's default) — under the integer construction P(level >= L) is "
+    "EXACTLY 2^-L, so the observed histogram against expected_n = "
+    "n/2^(L+1) validates both the hash uniformity and the layer budget an "
+    "HNSW build would allocate (upper-layer node counts ARE the index's "
+    "memory plan).  Map-only CASE ladder with literal power-of-two "
+    "thresholds; one bounded groupBy",
+)
+def q_hnsw_level_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = portable_hash60(F.col("vec_id").cast("string")) % (1 << _HNSW_BITS)
+    # ladder applied over a named column so the CASE text is identical to
+    # the oracle's (one generator builds both)
+    lv = emb.select(k.alias("k")).select(F.expr(_hnsw_level_case("k")).alias("level"))
+    n = lv.agg(F.count(F.lit(1)).cast("long").alias("n_vec"))
+    return (
+        lv.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .join(F.broadcast(n))
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_vectors",
+            F.expr("CAST(n_vec div (CAST(2 AS BIGINT) << level) AS BIGINT)").alias(
+                "expected_n"
+            ),
+        )
+        .orderBy("level")
+    )

@@ -3185,3 +3185,78 @@ def q_volume_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (n * syy - CAST(sy AS DOUBLE) * sy), 0), 6)"
         ).alias("r_squared"),
     )
+
+
+# --------------------------------------------------- key-frequency Zipf fit
+
+_KEY_ZIPF_TOPK = 100
+
+
+@register(
+    "r_key_zipf_slope",
+    with_ctes(
+        MESSAGES_CTE,
+        """kc AS (
+  SELECT msg_key, count(*) AS freq FROM messages GROUP BY msg_key
+)""",
+        f"""top AS (
+  SELECT msg_key, freq, row_number() OVER (ORDER BY freq DESC, msg_key ASC) AS rank
+  FROM (SELECT msg_key, freq FROM kc ORDER BY freq DESC, msg_key ASC LIMIT {_KEY_ZIPF_TOPK})
+)""",
+        """terms AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM top
+)""",
+        """m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM terms
+)""",
+        select="""
+SELECT CAST(n AS BIGINT) AS n_keys,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS zipf_intercept
+FROM m
+""",
+    ),
+    tags=("parity", "stats"),
+    doc="Zipf fit of message-KEY frequencies (ln freq on ln rank over the "
+    "top-100 keys, the textprof.zipf_slope recipe on the stream): the "
+    "one-number hot-key model behind partition skew — a slope near 0 is "
+    "uniform traffic, steep slopes say a few keys dominate and the "
+    "rendezvous rebalancer (T12 audit) / salting paths matter.  "
+    "Distributed TakeOrdered for the top-k; only 100 rows see a window; "
+    "per-term regression moments rounded to 9 dp and folded as DECIMAL",
+)
+def q_key_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    kc = msgs.groupBy("msg_key").agg(F.count(F.lit(1)).alias("freq"))
+    top = kc.orderBy(F.desc("freq"), F.asc("msg_key")).limit(_KEY_ZIPF_TOPK)
+    w = Window.orderBy(F.desc("freq"), F.asc("msg_key"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(18,9)").alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
