@@ -238,6 +238,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_shared_sql_values",
     "r_key_zipf_slope",
     "p_hnsw_level_model",
+    "p_e2e_chunk_dedup",
 ]
 
 

@@ -1164,3 +1164,64 @@ def q_hnsw_level_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# --------------------------------------------- chunk-level dedup interaction
+
+def _chunk_dedup_oracle() -> str:
+    from kafka_replicator_spark.functions.text import chunk_documents_sql
+
+    return f"""
+WITH chunks AS MATERIALIZED (
+  SELECT doc_id, md5(chunk_text) AS ch FROM ({chunk_documents_sql()})
+),
+freq AS (SELECT ch, CAST(count(*) AS BIGINT) AS n FROM chunks GROUP BY ch)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT c.ch) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST((1000000 * sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS dup_chunk_ppm
+FROM chunks c JOIN freq f USING (ch)
+JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "p_e2e_chunk_dedup",
+    _chunk_dedup_oracle(),
+    tags=("pipeline", "compose", "dedup"),
+    doc="chunk-grain duplication audit: the overlapping training-window "
+    "chunker (functions/text.chunk_documents) composed with exact hash "
+    "dedup — document-level dedup misses boilerplate that repeats at "
+    "WINDOW grain across distinct documents, and dup_chunk_ppm per source "
+    "is exactly the redundancy a chunk-trained model re-sees.  One "
+    "chunk-hash groupBy + a frequency join back; no windows, no pairs",
+)
+def q_e2e_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = track_cached(
+        chunk_documents(docs).select("doc_id", F.md5("chunk_text").alias("ch"))
+    )
+    freq = chunks.groupBy("ch").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        chunks.join(freq, "ch")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("ch").cast("long").alias("n_distinct_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_dup_chunks"
+            ),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN n > 1 THEN 1 ELSE 0 END))"
+                " div count(1) AS BIGINT)"
+            ).alias("dup_chunk_ppm"),
+        )
+        .orderBy("source")
+    )
