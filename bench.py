@@ -302,15 +302,31 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
 
-    # the previous round's per-line times steer the contention retry below;
-    # loaded up front (reused for the comparable-ratio section at the end)
+    # the previous round's snapshot: per-line times steer the contention
+    # retry below, and the same loaded dict feeds the comparable-ratio
+    # section at the end (ONE load).  The retry thresholds are only
+    # meaningful like-for-like, so they apply the same sf guard as the
+    # ratio (a sf0.01 quick pass must neither retry everything nor never).
+    def _sf_token(v):
+        if isinstance(v, (int, float)):
+            return f"sf{v:g}"
+        # Numeric-looking strings ("0.1") must normalize like numbers,
+        # not like paths (ADVICE r06).
+        try:
+            return f"sf{float(v):g}"
+        except (TypeError, ValueError):
+            return os.path.basename(os.path.normpath(str(v)))
+
+    snap: dict = {}
     prev_times: dict[str, float] = {}
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_prev.json")
     if os.path.exists(prev_path):
         try:
-            prev_times = json.load(open(prev_path)).get("queries", {})
+            snap = json.load(open(prev_path))
+            if snap.get("sf") is None or _sf_token(snap["sf"]) == _sf_token(sf_dir):
+                prev_times = snap.get("queries", {})
         except Exception:
-            prev_times = {}
+            snap = {}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -407,29 +423,13 @@ def main() -> None:
     # the recorded BENCH artifact): sum the SAME query set on both sides so
     # the ratio is meaningful even as the headline list grows.  Skew and
     # latelost lines are excluded, same policy as the headline total.
+    # only compare like-for-like scale factors: the snapshot is the
+    # per-round sf0.1 artifact; a quick sf0.01 pass must not emit a bogus
+    # cross-scale ratio.  _sf_token (above) normalizes both sides to the
+    # 'sfN' basename token.
     comparable = {}
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_prev.json")
-    if os.path.exists(prev_path):
+    if snap:
         try:
-            snap = json.load(open(prev_path))
-
-            # only compare like-for-like scale factors: the snapshot is the
-            # per-round sf0.1 artifact; a quick sf0.01 pass must not emit a
-            # bogus cross-scale ratio.  Normalize BOTH sides to the 'sfN'
-            # basename token — the snapshot may carry any of the forms the
-            # artifacts use ('sf0.1', a full '/root/testdata/sf0.1' path, or
-            # the bare number 0.1 from a BENCH artifact's outer field), so a
-            # verbatim refresh from the artifact must not trip the guard.
-            def _sf_token(v):
-                if isinstance(v, (int, float)):
-                    return f"sf{v:g}"
-                # Numeric-looking strings ("0.1") must normalize like
-                # numbers, not like paths (ADVICE r06).
-                try:
-                    return f"sf{float(v):g}"
-                except (TypeError, ValueError):
-                    return os.path.basename(os.path.normpath(str(v)))
-
             if snap.get("sf") is not None and _sf_token(snap["sf"]) != _sf_token(sf_dir):
                 raise ValueError(f"snapshot sf {snap['sf']!r} != bench dir {sf_dir!r}")
             common = [

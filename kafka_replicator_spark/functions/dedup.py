@@ -566,16 +566,27 @@ def lsh_candidate_pairs(
     )
 
 
-def lsh_candidate_pairs_sql(k: int = 16, n: int = 3, bands: int = 4) -> str:
+def minhash_bands_cte_sql(k: int = 16, bands: int = 4, sig_rel: str = "sig") -> str:
+    """The banded (doc_id, band, band_key) SELECT over a signature relation
+    — THE one generator of the band-key text (delimiter, casts, band
+    layout), shared by the candidate-pair oracle and every banding audit
+    so they can never measure a different banding than minhash_bands."""
     rows = k // bands
     selects = []
     for bidx in range(bands):
-        key = " || ':' || ".join(f"CAST(sig_{bidx * rows + j} AS VARCHAR)" for j in range(rows))
-        selects.append(f"SELECT doc_id, {bidx} AS band, {key} AS band_key FROM sig")
-    banded = " UNION ALL ".join(selects)
+        key = " || ':' || ".join(
+            f"CAST(sig_{bidx * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        selects.append(
+            f"SELECT doc_id, {bidx} AS band, {key} AS band_key FROM {sig_rel}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def lsh_candidate_pairs_sql(k: int = 16, n: int = 3, bands: int = 4) -> str:
     return f"""
 WITH sig AS ({minhash_signatures_sql(k, n)}),
-banded AS ({banded})
+banded AS ({minhash_bands_cte_sql(k, bands)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id

@@ -401,6 +401,36 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def split_assign_col(id_col: str = "doc_id", train_pct: int = 98, val_pct: int = 1):
+    """THE deterministic train/val/test assignment rule (98/1/1 default):
+    a pure function of the row identity via the portable hash, so every
+    engine, rerun, and incremental batch lands each id in the same split.
+    One generator for every consumer (dataset_split, the held-out LM eval,
+    the split drift/stratification audits) — the rule must never fork."""
+    from kafka_replicator_spark.functions.hashing import portable_hash60
+
+    bucket = portable_hash60(
+        F.concat_ws("|", F.lit("split"), F.col(id_col).cast("string"))
+    ) % 100
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def split_assign_sql(id_expr: str = "doc_id", train_pct: int = 98, val_pct: int = 1) -> str:
+    """DuckDB mirror of :func:`split_assign_col` (a CASE expression)."""
+    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql(f"'split|' || CAST({id_expr} AS VARCHAR)")
+    return (
+        f"CASE WHEN ({h} % 100) < {train_pct} THEN 'train' "
+        f"WHEN ({h} % 100) < {train_pct + val_pct} THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
 def dataset_split(
     docs: DataFrame, train_pct: int = 98, val_pct: int = 1
 ) -> DataFrame:
@@ -412,20 +442,10 @@ def dataset_split(
 
     Map-only assignment + one (source, split) aggregation.
     """
-    from kafka_replicator_spark.functions.hashing import portable_hash60
-
-    bucket = portable_hash60(
-        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
-    ) % 100
-    split = (
-        F.when(bucket < train_pct, "train")
-        .when(bucket < train_pct + val_pct, "val")
-        .otherwise("test")
-    )
     return (
         docs.select(
             "source",
-            split.alias("split"),
+            split_assign_col("doc_id", train_pct, val_pct).alias("split"),
             F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
         )
         .groupBy("source", "split")
@@ -437,15 +457,10 @@ def dataset_split(
 
 
 def dataset_split_sql(train_pct: int = 98, val_pct: int = 1) -> str:
-    from kafka_replicator_spark.functions.hashing import portable_hash60_sql
-
-    h = portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH assigned AS (
   SELECT source,
-         CASE WHEN ({h} % 100) < {train_pct} THEN 'train'
-              WHEN ({h} % 100) < {train_pct + val_pct} THEN 'val'
-              ELSE 'test' END AS split,
+         {split_assign_sql("doc_id", train_pct, val_pct)} AS split,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
   FROM documents
 )

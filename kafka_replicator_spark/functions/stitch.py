@@ -31,7 +31,7 @@ def range_prefix_stitch(
     order_col: str,
     value_col: str,
     agg: str = "max",
-    partitions: int = 16,
+    partitions: int | None = None,
     extra_sum_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(tagged, prefix)``:
@@ -51,6 +51,10 @@ def range_prefix_stitch(
     """
     if agg not in ("max", "sum"):
         raise ValueError(f"agg must be max|sum, got {agg!r}")
+    # default to the session's shuffle width — a fixed literal caps
+    # parallelism at scale; the stitched output is partition-count-invariant
+    if partitions is None:
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     tagged = track_cached(
         df.repartitionByRange(partitions, order_col)
         .sortWithinPartitions(order_col)
@@ -102,7 +106,7 @@ def grouped_rank_cumsum(
     group_col: str,
     order_cols: list[str],
     sum_col: str | None = None,
-    partitions: int = 16,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact per-group ``row_number`` (``__grank``, 1-based, ordered by
     ``order_cols``) and, with ``sum_col`` set, the inclusive per-group
@@ -129,7 +133,15 @@ def grouped_rank_cumsum(
     is cached before the per-partition aggregates are collected (the final
     plan must see the SAME range placement); release via
     cacheutil.release_cached() after the output action.
+
+    ``partitions`` defaults to the session's ``spark.sql.shuffle.partitions``
+    — a fixed literal would cap parallelism (corpus/16 rows through one
+    sort task is itself the single-task bottleneck this helper exists to
+    remove); the output is partition-count-invariant (exact integer
+    counts/sums), so a cluster tunes this freely.
     """
+    if partitions is None:
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     tagged = track_cached(
         df.repartitionByRange(partitions, group_col, *order_cols)
         .sortWithinPartitions(group_col, *order_cols)
@@ -143,10 +155,16 @@ def grouped_rank_cumsum(
     per_pid_group = tagged.groupBy("__pid", group_col).agg(*aggs).collect()
 
     def _zero(col: str):
-        if tagged.schema[col].dataType.simpleString().startswith("decimal"):
+        # zero of the column's own Python type — createDataFrame verifies
+        # row values against the declared schema (a Python int 0 is rejected
+        # for DECIMAL and DOUBLE columns alike)
+        t = tagged.schema[col].dataType.simpleString()
+        if t.startswith("decimal"):
             from decimal import Decimal
 
             return Decimal(0)
+        if t in ("double", "float"):
+            return 0.0
         return 0
 
     by_group: dict = defaultdict(list)

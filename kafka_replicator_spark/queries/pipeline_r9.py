@@ -20,6 +20,8 @@ from kafka_replicator_spark.functions.packing import (
     corpus_mix_sql,
     pack_sequences,
     pack_sequences_sql,
+    split_assign_col,
+    split_assign_sql,
 )
 from kafka_replicator_spark.functions.similarity import semantic_dedup_2level_sql
 from kafka_replicator_spark.queries import register
@@ -105,18 +107,12 @@ def q_e2e_mix_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- split -> held-out LM perplexity
 
-_HOP_TRAIN_PCT = 98
-_HOP_VAL_PCT = 1
-
-
 @register(
     "p_e2e_heldout_perplexity",
     f"""
 WITH assigned AS (
   SELECT doc_id, text,
-         CASE WHEN ({portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT} THEN 'train'
-              WHEN ({portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT + _HOP_VAL_PCT} THEN 'val'
-              ELSE 'test' END AS split,
+         {split_assign_sql("doc_id")} AS split,
          string_split(text, ' ') AS tk
   FROM documents
 ), bg AS (
@@ -164,14 +160,7 @@ FROM q GROUP BY split ORDER BY split
 )
 def q_e2e_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = portable_hash60(
-        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
-    ) % 100
-    split = (
-        F.when(bucket < _HOP_TRAIN_PCT, "train")
-        .when(bucket < _HOP_TRAIN_PCT + _HOP_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = split_assign_col("doc_id")
     toks = F.col("tk")
     grams = F.when(
         F.size(toks) >= 2,
@@ -330,18 +319,14 @@ _BA_K, _BA_BANDS = 16, 4
 
 
 def _band_agreement_oracle() -> str:
-    from kafka_replicator_spark.functions.dedup import minhash_signatures_sql
-
-    rows = _BA_K // _BA_BANDS
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, ".format(b=b)
-        + " || ':' || ".join(f"sig_{b * rows + j}" for j in range(rows))
-        + " AS band_key FROM sig"
-        for b in range(_BA_BANDS)
+    from kafka_replicator_spark.functions.dedup import (
+        minhash_bands_cte_sql,
+        minhash_signatures_sql,
     )
+
     return f"""
 WITH sig AS MATERIALIZED ({minhash_signatures_sql(_BA_K, 3)}),
-banded AS MATERIALIZED ({band_selects}),
+banded AS MATERIALIZED ({minhash_bands_cte_sql(_BA_K, _BA_BANDS)}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_agree
   FROM banded a JOIN banded b
@@ -655,16 +640,11 @@ def _split_js_oracle() -> str:
     from kafka_replicator_spark.functions.hashing import portable_hash32_sql
 
     h = portable_hash32_sql("tok")
-    split_case = (
-        f"CASE WHEN ({portable_hash60_sql(chr(39) + 'split|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 100) < {_HOP_TRAIN_PCT} THEN 'train'"
-        f" WHEN ({portable_hash60_sql(chr(39) + 'split|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 100) < {_HOP_TRAIN_PCT + _HOP_VAL_PCT} THEN 'val'"
-        " ELSE 'test' END"
-    )
     js_term = "(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END + q * ln(q / m))"
     return f"""
 WITH toks AS (
   SELECT split, ({h} % {_SJS_BUCKETS}) AS b
-  FROM (SELECT {split_case} AS split, unnest(string_split(text, ' ')) AS tok
+  FROM (SELECT {split_assign_sql("doc_id")} AS split, unnest(string_split(text, ' ')) AS tok
         FROM documents)
 ),
 sb AS (SELECT split, b, CAST(count(*) AS BIGINT) AS csb FROM toks GROUP BY split, b),
@@ -710,16 +690,8 @@ def q_split_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions.hashing import portable_hash32, spread
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = portable_hash60(
-        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
-    ) % 100
-    split = (
-        F.when(bucket < _HOP_TRAIN_PCT, "train")
-        .when(bucket < _HOP_TRAIN_PCT + _HOP_VAL_PCT, "val")
-        .otherwise("test")
-    )
     toks = (
-        spread(docs.select(split.alias("split"), "text"))
+        spread(docs.select(split_assign_col("doc_id").alias("split"), "text"))
         .select("split", F.explode(F.split("text", " ")).alias("tok"))
         .select("split", (portable_hash32("tok") % _SJS_BUCKETS).alias("b"))
     )
@@ -768,9 +740,7 @@ def q_split_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_split_label_chi2",
     f"""
 WITH assigned AS (
-  SELECT CASE WHEN ({portable_hash60_sql("'split|' || CAST(vec_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT} THEN 'train'
-              WHEN ({portable_hash60_sql("'split|' || CAST(vec_id AS VARCHAR)")} % 100) < {_HOP_TRAIN_PCT + _HOP_VAL_PCT} THEN 'val'
-              ELSE 'test' END AS split,
+  SELECT {split_assign_sql("vec_id")} AS split,
          CAST(label AS INTEGER) AS label
   FROM embeddings
 ),
@@ -806,15 +776,10 @@ FROM terms GROUP BY split ORDER BY split
 )
 def q_split_label_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = portable_hash60(
-        F.concat_ws("|", F.lit("split"), F.col("vec_id").cast("string"))
-    ) % 100
-    split = (
-        F.when(bucket < _HOP_TRAIN_PCT, "train")
-        .when(bucket < _HOP_TRAIN_PCT + _HOP_VAL_PCT, "val")
-        .otherwise("test")
+    assigned = emb.select(
+        split_assign_col("vec_id").alias("split"),
+        F.col("label").cast("int").alias("label"),
     )
-    assigned = emb.select(split.alias("split"), F.col("label").cast("int").alias("label"))
     obs = assigned.groupBy("split", "label").agg(
         F.count(F.lit(1)).cast("long").alias("o")
     )

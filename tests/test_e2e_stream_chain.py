@@ -130,7 +130,7 @@ def test_e2e_curation_chain_survives_restart(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "availableNow drain did not terminate"
         if q.lastProgress:
             progresses.append(q.lastProgress)
 
@@ -154,6 +154,7 @@ def test_e2e_curation_chain_survives_restart(spark, sf_dir, tmp_path):
 
     # bounded state: the dedup store holds at most one row per distinct
     # content hash, the agg store at most D-rows x W-buckets per window
+    assert progresses, "no streaming progress reported by either run"
     n_distinct = timed.select(F.md5("text")).distinct().count() + 1
     ops = {o["operatorName"]: o for o in progresses[-1]["stateOperators"]}
     assert ops, "no stateOperators reported"
