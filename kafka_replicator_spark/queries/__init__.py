@@ -239,6 +239,8 @@ _NEW_THIS_ROUND: list[str] = [
     "r_key_zipf_slope",
     "p_hnsw_level_model",
     "p_e2e_chunk_dedup",
+    "r_checkpoint_interval_sweep",
+    "a_discount_by_qty",
 ]
 
 

@@ -651,3 +651,55 @@ def q_shared_sql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.queries.analytics_sql_ext import _run_shared_sql
 
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_VALUES)
+
+
+# -------------------------------------------- discount policy by quantity
+
+@register(
+    "a_discount_by_qty",
+    """
+WITH b AS (
+  SELECT CASE WHEN l_quantity <= 10 THEN '01-10'
+              WHEN l_quantity <= 20 THEN '11-20'
+              WHEN l_quantity <= 30 THEN '21-30'
+              WHEN l_quantity <= 40 THEN '31-40'
+              ELSE '41-50' END AS qty_band,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_pct
+  FROM lineitem
+)
+SELECT qty_band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST((1000000::HUGEINT * sum(disc_pct)) // count(*) AS BIGINT)
+         AS mean_disc_micro_pct
+FROM b GROUP BY qty_band ORDER BY qty_band
+""",
+    tags=("analytics", "aggregation"),
+    doc="mean discount per quantity band in exact micro-percent — the "
+    "volume-discount policy audit (does bigger basket actually mean "
+    "deeper discount?): discounts pass through DECIMAL(18,2)x100 exact "
+    "integer percent, the per-band mean is one integer division.  "
+    "Literal CASE bands, one map-side-combinable groupBy",
+)
+def q_discount_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") <= 10, "01-10")
+        .when(F.col("l_quantity") <= 20, "11-20")
+        .when(F.col("l_quantity") <= 30, "21-30")
+        .when(F.col("l_quantity") <= 40, "31-40")
+        .otherwise("41-50")
+        .alias("qty_band"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "disc_pct"
+        ),
+    )
+    return (
+        b.groupBy("qty_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(disc_pct))"
+                " div count(1) AS BIGINT)"
+            ).alias("mean_disc_micro_pct"),
+        )
+        .orderBy("qty_band")
+    )

@@ -3260,3 +3260,83 @@ def q_key_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
     )
+
+
+# ------------------------------------- checkpoint-interval cost tradeoff
+
+#: checkpoint-every-K intervals evaluated from one segment pass
+_CKPT_SWEEP = (2, 5, 10)
+
+
+def _ckpt_sweep_select() -> str:
+    arms = []
+    for k in _CKPT_SWEEP:
+        arms.append(f"""
+SELECT {k} AS ckpt_every, topic, partition_id,
+       CAST(max(end_offset)
+            - coalesce(max(CASE WHEN segment_seq % {k} = {k - 1}
+                                THEN end_offset END), -1) AS BIGINT)
+         AS replay_msgs,
+       CAST(count(CASE WHEN segment_seq % {k} = {k - 1} THEN 1 END) AS BIGINT)
+         AS n_checkpoints
+FROM seg GROUP BY topic, partition_id""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+SELECT ckpt_every,
+       CAST(sum(replay_msgs) AS BIGINT) AS total_replay_msgs,
+       CAST(max(replay_msgs) AS BIGINT) AS worst_partition_replay,
+       CAST(sum(n_checkpoints) AS BIGINT) AS total_checkpoints
+FROM ({u}) GROUP BY ckpt_every ORDER BY ckpt_every
+"""
+
+
+@register(
+    "r_checkpoint_interval_sweep",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """seg AS (
+  SELECT topic, partition_id, segment_seq, max(msg_offset) AS end_offset
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        select=_ckpt_sweep_select(),
+    ),
+    tags=("parity", "aggregation"),
+    doc="T8 checkpoint-interval tradeoff: the r_checkpoint_staleness replay "
+    f"cost evaluated at checkpoint-every-{_CKPT_SWEEP} segment intervals "
+    "from ONE segment pass (the session-gap-sensitivity sweep pattern) — "
+    "total and worst-partition recovery replay vs checkpoint write count, "
+    "the two sides of the interval knob the reference fixes per produce "
+    "batch (pkg/ingress/worker.go:118-122).  Conditional aggregates per "
+    "literal arm over the same metadata frame; no window, no join",
+)
+def q_checkpoint_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = events_as_messages(spark, sf_dir)
+    seg = track_cached(
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.max("msg_offset").alias("end_offset"))
+    )
+    out = None
+    for k in _CKPT_SWEEP:
+        arm = seg.groupBy("topic", "partition_id").agg(
+            F.expr(
+                f"CAST(max(end_offset) - coalesce(max(CASE WHEN segment_seq % {k} = {k - 1}"
+                " THEN end_offset END), -1) AS BIGINT)"
+            ).alias("replay_msgs"),
+            F.expr(
+                f"CAST(count(CASE WHEN segment_seq % {k} = {k - 1} THEN 1 END) AS BIGINT)"
+            ).alias("n_checkpoints"),
+        ).select(F.lit(k).alias("ckpt_every"), "replay_msgs", "n_checkpoints")
+        out = arm if out is None else out.unionAll(arm)
+    return (
+        out.groupBy("ckpt_every")
+        .agg(
+            F.sum("replay_msgs").cast("long").alias("total_replay_msgs"),
+            F.max("replay_msgs").cast("long").alias("worst_partition_replay"),
+            F.sum("n_checkpoints").cast("long").alias("total_checkpoints"),
+        )
+        .orderBy("ckpt_every")
+    )
