@@ -584,9 +584,12 @@ def minhash_bands_cte_sql(k: int = 16, bands: int = 4, sig_rel: str = "sig") -> 
 
 
 def lsh_candidate_pairs_sql(k: int = 16, n: int = 3, bands: int = 4) -> str:
+    # MATERIALIZED: sig is read once per band SELECT and banded twice by the
+    # self-join — DuckDB inlines multiply-referenced CTEs exponentially
+    # without it (the r06 rule)
     return f"""
-WITH sig AS ({minhash_signatures_sql(k, n)}),
-banded AS ({minhash_bands_cte_sql(k, bands)})
+WITH sig AS MATERIALIZED ({minhash_signatures_sql(k, n)}),
+banded AS MATERIALIZED ({minhash_bands_cte_sql(k, bands)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
@@ -1132,15 +1135,16 @@ def incremental_dedup(
 
 
 def _bands_sql(k: int, n: int, bands: int, where: str) -> str:
-    rows = k // bands
     sig_sql = minhash_signatures_sql(k, n).replace(
         "FROM documents", f"FROM documents WHERE {where}"
     )
-    selects = []
-    for bidx in range(bands):
-        key = " || ':' || ".join(f"CAST(sig_{bidx * rows + j} AS VARCHAR)" for j in range(rows))
-        selects.append(f"SELECT doc_id, {bidx} AS band, {key} AS band_key FROM s")
-    return f"WITH s AS ({sig_sql}) " + " UNION ALL ".join(selects)
+    # band-key text comes from THE one generator (minhash_bands_cte_sql) —
+    # a fork here would let incremental dedup measure a different banding;
+    # MATERIALIZED: the signature CTE is read once per band SELECT
+    return (
+        f"WITH s AS MATERIALIZED ({sig_sql}) "
+        + minhash_bands_cte_sql(k, bands, sig_rel="s")
+    )
 
 
 def incremental_dedup_sql(

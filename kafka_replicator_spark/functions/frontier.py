@@ -31,7 +31,7 @@ def skyline_2d(
     df: DataFrame,
     min_col: str,
     max_col: str,
-    partitions: int = 16,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` on the Pareto frontier: minimal ``min_col``, maximal
     ``max_col`` (any orderable numeric types).  Exact under duplicates
@@ -63,7 +63,7 @@ def skyline_2d(
 
 
 def weighted_median(
-    df: DataFrame, value_col: str, weight_col: str, partitions: int = 16
+    df: DataFrame, value_col: str, weight_col: str, partitions: int | None = None
 ) -> DataFrame:
     """Exact lower weighted median: the smallest value ``v`` whose running
     weight (ordered by value) reaches half the total — the robust center

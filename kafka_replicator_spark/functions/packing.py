@@ -472,7 +472,7 @@ FROM assigned GROUP BY source, split
 
 
 def shard_plan(
-    docs: DataFrame, shard_tokens: int = 2000, partitions: int = 16
+    docs: DataFrame, shard_tokens: int = 2000, partitions: int | None = None
 ) -> DataFrame:
     """Token-budget shard planner: lay documents out in doc-id order and
     cut output shards every ``shard_tokens`` tokens — the plan a training-

@@ -68,13 +68,16 @@ def range_prefix_stitch(
         r["__pid"]: r for r in tagged.groupBy("__pid").agg(*aggs).collect()
     }
 
-    # zero of the column's own type: DECIMAL columns reject a Python int 0
-    # at createDataFrame verification
+    # zero of the column's own Python type: DECIMAL and DOUBLE columns both
+    # reject a Python int 0 at createDataFrame verification
     def _zero(col: str):
-        if tagged.schema[col].dataType.simpleString().startswith("decimal"):
+        t = tagged.schema[col].dataType.simpleString()
+        if t.startswith("decimal"):
             from decimal import Decimal
 
             return Decimal(0)
+        if t in ("double", "float"):
+            return 0.0
         return 0
 
     rows, acc = [], (None if agg == "max" else _zero(value_col))
@@ -142,6 +145,18 @@ def grouped_rank_cumsum(
     """
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if sum_col is not None and df.schema[sum_col].dataType.simpleString() in (
+        "double",
+        "float",
+    ):
+        # float accumulation order varies with the partition count, which
+        # would break BOTH the bit-identical-to-global-window contract and
+        # the partition-count invariance — fail fast, don't drift silently
+        raise ValueError(
+            f"sum_col {sum_col!r} is floating-point; grouped_rank_cumsum "
+            "guarantees exact partition-invariant sums for integer/DECIMAL "
+            "columns only (quantize the measure first)"
+        )
     tagged = track_cached(
         df.repartitionByRange(partitions, group_col, *order_cols)
         .sortWithinPartitions(group_col, *order_cols)
@@ -155,16 +170,12 @@ def grouped_rank_cumsum(
     per_pid_group = tagged.groupBy("__pid", group_col).agg(*aggs).collect()
 
     def _zero(col: str):
-        # zero of the column's own Python type — createDataFrame verifies
-        # row values against the declared schema (a Python int 0 is rejected
-        # for DECIMAL and DOUBLE columns alike)
-        t = tagged.schema[col].dataType.simpleString()
-        if t.startswith("decimal"):
+        # zero of the column's own Python type (float sum_cols are rejected
+        # above, so only DECIMAL needs special handling here)
+        if tagged.schema[col].dataType.simpleString().startswith("decimal"):
             from decimal import Decimal
 
             return Decimal(0)
-        if t in ("double", "float"):
-            return 0.0
         return 0
 
     by_group: dict = defaultdict(list)

@@ -41,6 +41,8 @@ from kafka_replicator_spark.functions.packing import (
     corpus_mix_sql,
     pack_sequences,
     pack_sequences_sql,
+    split_assign_col,
+    split_assign_sql,
 )
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -285,11 +287,6 @@ def q_e2e_mix_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the p_dataset_split hash rule, per-document (that query registers only
-#: the (source, split) aggregate — the leakage audit needs the assignment)
-_SPLIT_H = portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")
-
-
 @register(
     "p_e2e_split_leakage",
     f"""
@@ -297,10 +294,7 @@ WITH pairs AS MATERIALIZED (
   {lsh_candidate_pairs_sql(k=16, n=3, bands=4)}
 ),
 splits AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN ({_SPLIT_H} % 100) < 98 THEN 'train'
-              WHEN ({_SPLIT_H} % 100) < 99 THEN 'val'
-              ELSE 'test' END AS split
+  SELECT doc_id, {split_assign_sql("doc_id")} AS split
   FROM documents
 ),
 surv AS MATERIALIZED (SELECT doc_id FROM ({_SURVIVORS_SQL})),
@@ -340,17 +334,10 @@ SELECT scope, n_pairs, n_cross_split, n_train_eval FROM (
 )
 def q_e2e_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions import dedup as _dedup
-    from kafka_replicator_spark.functions.hashing import portable_hash60
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     pairs = track_cached(_dedup.lsh_candidate_pairs(docs, k=16, n=3, bands=4))
-    bucket = portable_hash60(
-        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
-    ) % 100
-    splits = docs.select(
-        "doc_id",
-        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
-    )
+    splits = docs.select("doc_id", split_assign_col("doc_id").alias("split"))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # cached: the deduped branch semi-joins this frame on BOTH pair ends —
     # uncached, the md5 window (a full documents shuffle) would run twice

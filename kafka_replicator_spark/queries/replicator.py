@@ -3272,7 +3272,7 @@ def _ckpt_sweep_select() -> str:
     arms = []
     for k in _CKPT_SWEEP:
         arms.append(f"""
-SELECT {k} AS ckpt_every, topic, partition_id,
+SELECT CAST({k} AS BIGINT) AS ckpt_every, topic, partition_id,
        CAST(max(end_offset)
             - coalesce(max(CASE WHEN segment_seq % {k} = {k - 1}
                                 THEN end_offset END), -1) AS BIGINT)
@@ -3329,7 +3329,13 @@ def q_checkpoint_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(count(CASE WHEN segment_seq % {k} = {k - 1} THEN 1 END) AS BIGINT)"
             ).alias("n_checkpoints"),
-        ).select(F.lit(k).alias("ckpt_every"), "replay_msgs", "n_checkpoints")
+        ).select(
+            # BIGINT on both sides — bare int literals type int32 in per-k
+            # UNION oracles (CLAUDE.md r07 cross-engine note)
+            F.lit(k).cast("long").alias("ckpt_every"),
+            "replay_msgs",
+            "n_checkpoints",
+        )
         out = arm if out is None else out.unionAll(arm)
     return (
         out.groupBy("ckpt_every")

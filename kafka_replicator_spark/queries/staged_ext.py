@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_replicator_spark.functions import dedup, sampling, sketches
+from kafka_replicator_spark.functions import dedup, packing, sampling, sketches
 from kafka_replicator_spark.functions.hashing import portable_hash60, portable_hash60_sql
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -24,11 +24,7 @@ _COV_N = 8
     f"""
 WITH grams AS ({dedup.word_ngrams_sql(n=_COV_N)}),
 assigned AS (
-  SELECT h,
-         CASE WHEN ({portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100) < 98
-              THEN 'train'
-              WHEN ({portable_hash60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100) < 99
-              THEN 'val' ELSE 'test' END AS split
+  SELECT h, {packing.split_assign_sql("doc_id")} AS split
   FROM grams
 ),
 test_h AS (SELECT DISTINCT h FROM assigned WHERE split = 'test'),
@@ -55,16 +51,10 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     grams = dedup.word_ngrams(docs, n=_COV_N)
-    bucket = portable_hash60(
-        F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))
-    ) % 100
     # the 8-gram explode feeds both split branches — cache it, or the
     # dominant cost of the query runs once per derived frame
     assigned = track_cached(
-        grams.select(
-            "h",
-            F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
-        )
+        grams.select("h", packing.split_assign_col("doc_id").alias("split"))
     )
     # test_h feeds the semi join AND the totals branch
     test_h = track_cached(

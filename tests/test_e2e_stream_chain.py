@@ -130,7 +130,10 @@ def test_e2e_curation_chain_survives_restart(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(240), "availableNow drain did not terminate"
+        finished = q.awaitTermination(240)
+        if not finished:
+            q.stop()  # stop BEFORE asserting, or the leak fixture double-fails
+        assert finished, "availableNow drain did not terminate"
         if q.lastProgress:
             progresses.append(q.lastProgress)
 
