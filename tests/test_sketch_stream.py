@@ -391,3 +391,45 @@ def test_streaming_bloom_registers_survive_restart(spark, messages, tmp_path):
     got_regs = spark.sql("SELECT * FROM bloom_r2")
     assert got_regs.exceptAll(batch_regs).count() == 0
     assert batch_regs.exceptAll(got_regs).count() == 0
+
+
+def test_streaming_oph_registers_survive_restart(spark, messages, tmp_path):
+    """Register continuity across a checkpoint restart for the OPH family
+    (HLL and counting-bloom already have this; min is idempotent and
+    order-free like max, so the recovered state must reproduce the batch
+    registers over the FULL input even though run 2 never re-reads run 1's
+    files)."""
+    from kafka_replicator_spark.streaming.sketch_stream import windowed_oph_registers
+
+    src = str(tmp_path / "oph_r")
+    cpdir = str(tmp_path / "cp_oph_r")
+    data = messages.select("topic", "partition_id", "msg_offset", "ts_ns").withColumn(
+        "key_s", F.concat_ws(":", "topic", "msg_offset")
+    )
+    batch_regs = windowed_oph_registers(data, F.col("key_s"), "partition_id")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(
+            "topic string, partition_id int, msg_offset long, ts_ns long, key_s string"
+        ).parquet(src)
+        q = (
+            windowed_oph_registers(
+                stream, F.col("key_s"), "partition_id", watermark_delay="10 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
+    run_once("oph_r1")
+    data.filter(F.col("msg_offset") >= 120).coalesce(1).write.mode("append").parquet(src)
+    run_once("oph_r2")
+
+    got_regs = spark.sql("SELECT * FROM oph_r2")
+    assert got_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(got_regs).count() == 0
