@@ -55,6 +55,23 @@ def range_prefix_stitch(
     # parallelism at scale; the stitched output is partition-count-invariant
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def _is_float(col: str) -> bool:
+        return df.schema[col].dataType.simpleString() in ("double", "float")
+
+    # float SUMS change with the partition count (accumulation order) —
+    # the invariance contract only holds for integer/DECIMAL folds; max is
+    # order-free, so float value columns stay allowed for agg="max"
+    if agg == "sum" and _is_float(value_col):
+        raise ValueError(
+            f"value_col {value_col!r} is floating-point; agg='sum' requires "
+            "an integer/DECIMAL column (quantize the measure first)"
+        )
+    if extra_sum_col is not None and _is_float(extra_sum_col):
+        raise ValueError(
+            f"extra_sum_col {extra_sum_col!r} is floating-point; running "
+            "sums require an integer/DECIMAL column (quantize first)"
+        )
     tagged = track_cached(
         df.repartitionByRange(partitions, order_col)
         .sortWithinPartitions(order_col)
@@ -68,16 +85,14 @@ def range_prefix_stitch(
         r["__pid"]: r for r in tagged.groupBy("__pid").agg(*aggs).collect()
     }
 
-    # zero of the column's own Python type: DECIMAL and DOUBLE columns both
-    # reject a Python int 0 at createDataFrame verification
+    # zero of the column's own Python type (float SUMS are rejected above;
+    # float value columns only reach here under agg="max", whose
+    # accumulator starts as None)
     def _zero(col: str):
-        t = tagged.schema[col].dataType.simpleString()
-        if t.startswith("decimal"):
+        if tagged.schema[col].dataType.simpleString().startswith("decimal"):
             from decimal import Decimal
 
             return Decimal(0)
-        if t in ("double", "float"):
-            return 0.0
         return 0
 
     rows, acc = [], (None if agg == "max" else _zero(value_col))

@@ -93,3 +93,24 @@ def test_window_partition_specs_parses_mixed_plans(spark):
     specs = window_partition_specs(out)
     assert ["g"] in specs
     assert ["g", "o"] in specs
+
+
+def test_stitch_rejects_float_sums(spark):
+    """Float accumulation order varies with the partition count — both
+    stitch helpers must fail fast rather than drift silently (agg='max'
+    on floats stays allowed: max is order-free)."""
+    from kafka_replicator_spark.functions.stitch import range_prefix_stitch
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5)], "grp string, o int, v double"
+    )
+    with pytest.raises(ValueError, match="floating-point"):
+        grouped_rank_cumsum(df, "grp", ["o"], sum_col="v", partitions=2)
+    with pytest.raises(ValueError, match="floating-point"):
+        range_prefix_stitch(df, "o", "v", agg="sum", partitions=2)
+    with pytest.raises(ValueError, match="floating-point"):
+        range_prefix_stitch(df, "o", "o", agg="sum", extra_sum_col="v", partitions=2)
+    # max over floats is order-free — allowed
+    tagged, prefix = range_prefix_stitch(df, "o", "v", agg="max", partitions=2)
+    assert prefix.count() >= 1
+    release_cached()

@@ -423,7 +423,10 @@ def test_streaming_oph_registers_survive_restart(spark, messages, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:
+            q.stop()  # stop BEFORE asserting so the leak fixture stays quiet
+        assert finished, f"{qname}: availableNow drain did not terminate"
 
     data.filter(F.col("msg_offset") < 120).coalesce(1).write.mode("append").parquet(src)
     run_once("oph_r1")
