@@ -55,12 +55,28 @@ def with_ctes(*ctes: str, select: str) -> str:
 #: clean rows-only row).  The driver verifies only a prefix (~50) of the
 #: registry each round, so ``all_queries`` orders every name WITHOUT a
 #: green row ahead of this set, then the round's new queries, then this
-#: remainder as ballast.  After round 8 (50/50 green, eighth consecutive;
-#: cumulative 381/389) the names without a row are exactly the 8
-#: ``_STAGED_NEXT_ROUND`` names, all promoted to ``_NEW_THIS_ROUND``
-#: below — 42 spare window slots, so round-9 additions go straight into
-#: the window until it fills.
+#: remainder as ballast.  After round 9 (50/50 green, ninth consecutive)
+#: every registered name has a green driver row — cumulative 421/421 — so
+#: the round-10 window is entirely spare; round-10 additions go straight
+#: into ``_NEW_THIS_ROUND`` until it fills (50 names).
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r09 (folded in at the round-10 rotation) ---
+    'p_e2e_curation_funnel', 'p_e2e_pack_manifest',
+    'p_e2e_mix_dedup_interaction', 'p_semantic_dedup_2level',
+    'p_e2e_split_leakage', 'a_mix_budget_sensitivity',
+    'p_bloom_register_table', 'r_compaction_past_checkpoint',
+    'p_semantic_dedup_auto', 'r_hourly_volume', 'r_compaction_convergence',
+    'p_e2e_mix_pack', 'p_e2e_heldout_perplexity', 'p_minhash_mergeability',
+    'p_band_agreement_histogram', 'p_hamming_jaccard_corr',
+    'p_cosine_dot_agreement', 'p_bfs_reachability', 'a_theil_index_brand',
+    'a_jarque_bera_price', 'a_price_elasticity_brand',
+    'a_cohen_kappa_priority', 'a_interarrival_cv_segment',
+    'a_backlog_age_quartiles', 'p_split_token_js', 'p_split_label_chi2',
+    'p_pack_attention_audit', 'p_quality_gate_kappa',
+    'a_markov_entropy_rate', 'p_pii_by_source', 'p_intrinsic_dim_2nn',
+    'r_tombstone_rate', 'a_tenure_survival', 'r_volume_trend_ols',
+    'a_shared_sql_values', 'r_key_zipf_slope', 'p_hnsw_level_model',
+    'p_e2e_chunk_dedup', 'r_checkpoint_interval_sweep', 'a_discount_by_qty',
     # --- green in CORRECTNESS_r08 (folded in at the round-9 rotation) ---
     'r_s4_event_parse', 'r_t5_first_delay', 'a_mann_kendall_daily',
     'a_gini_brand_revenue', 'a_pacf_lag2_daily', 'a_dema_revenue',
@@ -194,54 +210,13 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries in THIS round's (round 9) driver window behind any never-green
-#: backlog.  At the round-9 rotation this is the 8 formerly-staged round-8
-#: names (list order preserved) — 42 spare window slots remain, so round-9
-#: additions are appended HERE until the window fills (50 names), then
-#: overflow into ``_STAGED_NEXT_ROUND``.
-_NEW_THIS_ROUND: list[str] = [
-    "p_e2e_curation_funnel",
-    "p_e2e_pack_manifest",
-    "p_e2e_mix_dedup_interaction",
-    "p_semantic_dedup_2level",
-    "p_e2e_split_leakage",
-    "a_mix_budget_sensitivity",
-    "p_bloom_register_table",
-    "r_compaction_past_checkpoint",
-    # --- round-9 additions (window has spare slots until 50) ---
-    "p_semantic_dedup_auto",
-    "r_hourly_volume",
-    "r_compaction_convergence",
-    "p_e2e_mix_pack",
-    "p_e2e_heldout_perplexity",
-    "p_minhash_mergeability",
-    "p_band_agreement_histogram",
-    "p_hamming_jaccard_corr",
-    "p_cosine_dot_agreement",
-    "p_bfs_reachability",
-    "a_theil_index_brand",
-    "a_jarque_bera_price",
-    "a_price_elasticity_brand",
-    "a_cohen_kappa_priority",
-    "a_interarrival_cv_segment",
-    "a_backlog_age_quartiles",
-    "p_split_token_js",
-    "p_split_label_chi2",
-    "p_pack_attention_audit",
-    "p_quality_gate_kappa",
-    "a_markov_entropy_rate",
-    "p_pii_by_source",
-    "p_intrinsic_dim_2nn",
-    "r_tombstone_rate",
-    "a_tenure_survival",
-    "r_volume_trend_ols",
-    "a_shared_sql_values",
-    "r_key_zipf_slope",
-    "p_hnsw_level_model",
-    "p_e2e_chunk_dedup",
-    "r_checkpoint_interval_sweep",
-    "a_discount_by_qty",
-]
+#: Queries in THIS round's (round 10) driver window behind any never-green
+#: backlog.  CORRECTNESS_r09 was 50/50 green, so the round-9 window's 40
+#: names folded into ``_EVER_GREEN`` (cumulative 421/421 driver-verified)
+#: and the round-10 window is ENTIRELY spare — round-10 additions go
+#: straight HERE until the window fills (50 names), then overflow into
+#: ``_STAGED_NEXT_ROUND``.
+_NEW_THIS_ROUND: list[str] = []
 
 
 #: Queries registered mid-round AFTER the window filled (round-9 additions
