@@ -195,6 +195,18 @@ def grouped_rank_cumsum(
 
     by_group: dict = defaultdict(list)
     for r in per_pid_group:
+        if r[group_col] is None:
+            # the prefix join on [__pid, group_col] is null-UNSAFE — NULL
+            # group rows would silently vanish from the output, while the
+            # Window.partitionBy(group) this helper is bit-identical to
+            # keeps them as their own partition.  Fail fast (mirroring the
+            # float-sum guard) rather than drop rows; detection rides the
+            # metadata collect, so this costs no extra job (ADVICE r09).
+            raise ValueError(
+                f"group_col {group_col!r} contains NULL values; "
+                "grouped_rank_cumsum's prefix join is null-unsafe and would "
+                "drop those rows — filter or sentinel-map NULL groups first"
+            )
         by_group[r[group_col]].append(r)
     rows = []
     for g, rs in by_group.items():

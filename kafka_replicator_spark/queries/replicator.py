@@ -3216,10 +3216,10 @@ _KEY_ZIPF_TOPK = 100
         select="""
 SELECT CAST(n AS BIGINT) AS n_keys,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
          AS zipf_slope,
        round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS zipf_intercept
 FROM m
 """,
@@ -3254,7 +3254,9 @@ def q_key_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # degenerate top-k (<2 distinct x) → zero denominator; Spark and DuckDB
+    # disagree on double /0 (NULL vs inf/NaN) — house nullif guard both sides
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return m.select(
         F.col("n").cast("long").alias("n_keys"),
         F.round(slope, 6).alias("zipf_slope"),

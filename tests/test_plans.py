@@ -946,13 +946,15 @@ def _assert_no_corpus_label_broadcast(df):
     if exempted:
         # the exemption must not rest on the NAME alone (ADVICE r08): the
         # plan itself has to carry the bounding membership filter — every
-        # ANN-eval site filters .isin(probes) on the id column before the
-        # probe_id rename, which Spark renders as `<id>#N IN (...)` or
-        # `<id>#N INSET ...` in a Filter/Scan node
+        # ANN-eval site filters .isin(probes) on vec_id (the probe's
+        # pre-rename id) before the probe_id rename, which Spark renders as
+        # `vec_id#N IN (...)` or `vec_id#N INSET ...` in a Filter/Scan node.
+        # Anchored to that exact column (ADVICE r09): a membership filter on
+        # some OTHER id (e.g. centroid_id) must not satisfy the pin.
         plan = physical_plan(df)
-        assert re.search(r"\w*id#\d+L? (IN \(|INSET )", plan), (
-            "probe_id-named build exempted but no IN/INSET membership "
-            "filter found in the plan:\n" + plan
+        assert re.search(r"\bvec_id#\d+L? (IN \(|INSET )", plan), (
+            "probe_id-named build exempted but no vec_id IN/INSET "
+            "membership filter found in the plan:\n" + plan
         )
 
 

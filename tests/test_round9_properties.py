@@ -114,3 +114,22 @@ def test_stitch_rejects_float_sums(spark):
     tagged, prefix = range_prefix_stitch(df, "o", "v", agg="max", partitions=2)
     assert prefix.count() >= 1
     release_cached()
+
+def test_stitch_rejects_null_group_keys(spark):
+    """The prefix join on [__pid, group_col] is null-UNSAFE — NULL-group
+    rows would silently vanish (2/4 rows survived before the guard) while
+    Window.partitionBy(group) keeps them as a partition.  The helper must
+    fail fast instead of dropping rows (ADVICE r09)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), (None, 2, 20), ("a", 3, 30), (None, 4, 40)],
+        "grp string, o int, v long",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_rank_cumsum(df, "grp", ["o"], sum_col="v", partitions=2)
+    release_cached()
+    # non-null groups keep working unchanged
+    ok = grouped_rank_cumsum(
+        df.filter(F.col("grp").isNotNull()), "grp", ["o"], sum_col="v", partitions=2
+    )
+    assert ok.count() == 2
+    release_cached()
