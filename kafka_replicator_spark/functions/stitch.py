@@ -125,6 +125,7 @@ def grouped_rank_cumsum(
     order_cols: list[str],
     sum_col: str | None = None,
     partitions: int | None = None,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """Exact per-group ``row_number`` (``__grank``, 1-based, ordered by
     ``order_cols``) and, with ``sum_col`` set, the inclusive per-group
@@ -246,4 +247,11 @@ def grouped_rank_cumsum(
                 F.coalesce(local_sum, F.lit(0).cast(stype)) + F.col("__sprefix")
             ),
         )
-    return out.drop("__pid", "__rprefix", "__sprefix", "__nnprefix")
+    drop = ["__rprefix", "__sprefix", "__nnprefix"]
+    if not keep_pid:
+        # ``keep_pid=True`` retains the stitch's range-partition id for
+        # callers that shard further sequential work per (__pid, group)
+        # slice (the pack boundary walk) — the cached tagged frame pins the
+        # placement, so __pid is stable across the caller's later passes
+        drop.append("__pid")
+    return out.drop(*drop)

@@ -139,6 +139,65 @@ def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     return best, n
 
 
+def pack_boundary_bench(spark, n_rows: int, legacy: bool = False) -> tuple[float, int]:
+    """Time the greedy pack boundary walk on n_rows docs in ONE source —
+    the exact shape VERDICT r09 #2 flagged (a whole source's metadata in
+    one pandas group).  ``legacy=True`` times the pre-r10 single-group
+    walk for contrast; default times the sharded (source, __pid) walk
+    (functions/packing.pack_assign).  Token counts are a deterministic
+    function of the row id (1..120, budget 256 → ~4 docs/pack)."""
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.functions.packing import pack_assign
+
+    toks = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src0").alias("source"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000003)) % 120 + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        if legacy:
+            n = _legacy_pack_assign(toks, 256).count()
+        else:
+            n = pack_assign(toks, 256).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        release_cached()
+        spark.catalog.clearCache()
+    return best, n
+
+
+def _legacy_pack_assign(toks, budget: int):
+    """The pre-r10 boundary walk — one whole source per pandas group —
+    kept here ONLY as the scale-comparison baseline."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def boundaries(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        csum = np.cumsum(pdf["n_tokens"].to_numpy(dtype=np.int64))
+        n = len(pdf)
+        pack = np.empty(n, dtype=np.int64)
+        start, base, pid = 0, 0, 0
+        while start < n:
+            e = int(np.searchsorted(csum, base + budget, side="right")) - 1
+            e = max(e, start)
+            pack[start : e + 1] = pid
+            base = int(csum[e])
+            start, pid = e + 1, pid + 1
+        return pdf.assign(pack_id=pack.astype(np.int32))
+
+    return toks.groupBy("source").applyInPandas(
+        boundaries, schema="doc_id long, source string, n_tokens long, pack_id int"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -147,6 +206,14 @@ def main() -> int:
     ap.add_argument("--msgs", type=int, default=2_000_000)
     ap.add_argument("--skip-lifecycle", action="store_true")
     ap.add_argument("--kernels", default="", help="comma-separated subset of KERNELS")
+    ap.add_argument(
+        "--pack-rows",
+        type=int,
+        default=0,
+        help="also time the single-source pack boundary walk at pack-rows/10 "
+        "vs pack-rows docs in ONE source, sharded vs the legacy whole-source "
+        "group (VERDICT r09 #1 curve)",
+    )
     args = ap.parse_args()
 
     big_dir = os.path.join(args.out, f"x{args.mult}")
@@ -194,6 +261,23 @@ def main() -> int:
         print(f"# segment_lifecycle: {t1:.2f}s -> {tN:.2f}s  ratio "
               f"{tN / t1:.2f} ({int(n1 / t1)} -> {int(nN / tN)} msg/s)",
               file=sys.stderr)
+
+    if args.pack_rows:
+        lo = max(args.pack_rows // 10, 1)
+        entry: dict = {}
+        for label, legacy in (("sharded", False), ("whole_source", True)):
+            t1, _ = pack_boundary_bench(spark, lo, legacy=legacy)
+            tN, nN = pack_boundary_bench(spark, args.pack_rows, legacy=legacy)
+            entry[f"t_{label}_1x"] = round(t1, 3)
+            entry[f"t_{label}_10x"] = round(tN, 3)
+            entry[f"ratio_{label}"] = round(tN / t1, 2)
+            print(
+                f"# pack_boundary[{label}] single-source: {lo} rows {t1:.2f}s"
+                f" -> {args.pack_rows} rows {tN:.2f}s  ratio {tN / t1:.2f}",
+                file=sys.stderr,
+            )
+        entry["rows_1x"], entry["rows_10x"] = lo, args.pack_rows
+        results["pack_boundary_single_source"] = entry
 
     print(json.dumps({"mult": args.mult, "results": results}))
     return 0
