@@ -83,3 +83,33 @@ def test_mix_budget_sweep_is_monotone(spark, sf_dir):
         for a, b in zip(seq, seq[1:]):
             assert a["n_selected"] <= b["n_selected"], (source, a, b)
             assert a["tok_selected"] <= b["tok_selected"], (source, a, b)
+
+
+def test_ivf_2level_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """VERDICT r09 #3: the per-cell fine table broadcasts only under
+    ``broadcast_fine_limit``; past it the join falls back to a shuffle on
+    coarse_id (a broadcast growing with C ∝ N is itself a scale ceiling).
+    The fallback had never executed anywhere — force it with limit=0 and
+    assert (a) bit-identical assignments to the broadcast path and (b) no
+    BroadcastExchange whose build side carries the fine-embedding column."""
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.functions.similarity import ivf_assign_2level
+    from kafka_replicator_spark.plans.explain import broadcast_build_columns
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bcast = (
+        ivf_assign_2level(emb, coarse_factor=4)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    release_cached()
+    shuffled_df = ivf_assign_2level(emb, coarse_factor=4, broadcast_fine_limit=0)
+    # (b) the fine table (fe rides along) must not build a broadcast side;
+    # the coarse-centroid broadcasts (ce) are legitimate and stay
+    for cols in broadcast_build_columns(shuffled_df):
+        assert not any(c.startswith("fe") for c in cols), cols
+    shuffled = shuffled_df.toPandas().sort_values("vec_id").reset_index(drop=True)
+    release_cached()
+    assert bcast.equals(shuffled)
