@@ -89,6 +89,8 @@ HEADLINE = [
     "p_semantic_dedup_2level",
     # round-9 additions: sqrt-scaled coarse factor (the 100x winner)
     "p_semantic_dedup_auto",
+    # round-10 additions: exact substring-level dedup (Lee et al. cut)
+    "p_substring_dedup",
 ]
 
 

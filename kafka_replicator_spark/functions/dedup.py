@@ -157,14 +157,13 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {thre
 """
 
 
-def dup_span_extents(docs: DataFrame, w: int = 8) -> DataFrame:
-    """Merged duplicated-window extents per document — the cut list a
-    substring cutter executes (Lee et al. 2022 ExactSubstr, window-hash
-    flavour; the extent-merging tier above :func:`dup_spans`): corpus-wide
-    repeated ``w``-token windows collapse into maximal overlapping runs
-    via the islands idiom (break when the next window starts past the
-    previous one's end), yielding span count, covered tokens, and longest
-    run per affected document.
+def _dup_window_spans(docs: DataFrame, w: int) -> DataFrame:
+    """Maximal corpus-wide repeated-window extents per doc: ``(doc_id, s,
+    e)`` in 1-based token positions — the shared core of
+    :func:`dup_span_extents` (the audit) and :func:`substring_cut` (the
+    cutter).  Repeated ``w``-token windows collapse into maximal
+    overlapping runs via the islands idiom (break when the next window
+    starts past the previous one's end); extents are disjoint per doc.
 
     Scale: the only corpus-wide stage is the window-hash occurrence count
     (keyed by the hash itself); the lag/cumsum windows partition by doc.
@@ -204,15 +203,125 @@ def dup_span_extents(docs: DataFrame, w: int = 8) -> DataFrame:
         "i",
         F.sum("brk").over(byi.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
     )
-    spans = islands.groupBy("doc_id", "island").agg(
+    return islands.groupBy("doc_id", "island").agg(
         F.min("i").cast("long").alias("s"),
         (F.max("i") + w - 1).cast("long").alias("e"),
-    )
+    ).select("doc_id", "s", "e")
+
+
+def dup_span_extents(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Merged duplicated-window extents per document — the cut list a
+    substring cutter executes (Lee et al. 2022 ExactSubstr, window-hash
+    flavour; the extent-merging tier above :func:`dup_spans`), yielding
+    span count, covered tokens, and longest run per affected document.
+    Span computation shared with :func:`substring_cut` via
+    :func:`_dup_window_spans`.
+    """
+    spans = _dup_window_spans(docs, w)
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
         F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
     )
+
+
+def substring_cut(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Exact substring-level dedup, the CUT half of Lee et al. 2022
+    ExactSubstr (VERDICT r09 #5): remove every token covered by a
+    corpus-wide repeated ``w``-token window (all occurrences cut, the
+    paper's rule) and return one row per document with the cleaned text
+    and exact accounting — ``(doc_id, source, n_tokens, cut_tokens,
+    kept_tokens, clean_text)``.  Docs without repeated windows pass
+    through unchanged; a fully-covered doc yields ``clean_text = ''``.
+
+    Scale: extents per doc are few and disjoint (merged islands), so the
+    cut is a broadcast-free doc-grain join + one JVM-side higher-order
+    filter over the token array — no explode at the position grain, no
+    all-pairs anywhere (plan-pinned).
+    """
+    spans = _dup_window_spans(docs, w)
+    exts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__exts")
+    )
+    toks = F.split(F.col("text"), " ")
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct((i + 1).cast("long").alias("p"), t.alias("t"))),
+        lambda x: ~F.exists(
+            F.coalesce(F.col("__exts"), empty),
+            lambda ext: (x["p"] >= ext["s"]) & (x["p"] <= ext["e"]),
+        ),
+    )
+    return (
+        docs.join(exts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("__kept")).cast("long").alias("cut_tokens"),
+            F.size("__kept").cast("long").alias("kept_tokens"),
+            F.array_join(F.transform("__kept", lambda x: x["t"]), " ").alias("clean_text"),
+        )
+    )
+
+
+def substring_cut_sql(w: int = 8, rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`substring_cut` over ``rel``.  The cleaned
+    text rebuilds as ``string_agg(tok, ' ' ORDER BY i)`` over uncovered
+    positions; extents are disjoint per doc, so the coverage test is a
+    null-producing LEFT JOIN, never a fan-out."""
+    return f"""
+WITH src AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM {rel}),
+win AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{w - 1}], ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i FROM src)
+),
+occ AS (SELECT doc_id, i, count(*) OVER (PARTITION BY wh) AS n_occ FROM win),
+dup AS (SELECT doc_id, i FROM occ WHERE n_occ > 1),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {w - 1} OR lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM flagged
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, CAST(min(i) AS BIGINT) AS s,
+         CAST(max(i) + {w} - 1 AS BIGINT) AS e
+  FROM islands GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok FROM src
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM pos p LEFT JOIN spans sp
+    ON sp.doc_id = p.doc_id AND p.i BETWEEN sp.s AND sp.e
+  WHERE sp.s IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT src.doc_id, src.source,
+       CAST(len(src.t) AS BIGINT) AS n_tokens,
+       CAST(len(src.t) - coalesce(r.kept_tokens, 0) AS BIGINT) AS cut_tokens,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(r.clean_text, '') AS clean_text
+FROM src LEFT JOIN rebuilt r ON src.doc_id = r.doc_id
+"""
 
 
 def dup_span_extents_sql(w: int = 8) -> str:

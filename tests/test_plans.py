@@ -1276,3 +1276,24 @@ def test_mix_pack_no_per_source_window(spark, sf_dir):
         specs = window_partition_specs(df)
         assert ["source"] not in specs, (qname, specs)
         release_cached()
+
+
+def test_substring_dedup_no_all_pairs(spark, sf_dir):
+    """VERDICT r09 #5 pin: the substring cutter's only corpus-wide stage is
+    the window-hash occurrence count (keyed by the hash itself); the cut is
+    a doc-grain join + JVM-side array filter — no CartesianProduct, no
+    doc×doc join, every window keyed by doc_id or the hash."""
+    from kafka_replicator_spark.cacheutil import release_cached
+
+    spark.catalog.clearCache()
+    for qname in ("p_substring_dedup", "p_e2e_substring_pack"):
+        df = QUERIES[qname].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, qname
+        for frag in plan.split("Window [")[1:]:
+            spec = frag.split("\n", 1)[0][:300]
+            assert ("doc_id" in spec) or ("wh" in spec) or ("__pid" in spec), (
+                qname,
+                spec,
+            )
+        release_cached()
