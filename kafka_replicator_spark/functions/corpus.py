@@ -293,6 +293,127 @@ LIMIT {k}
 """
 
 
+def bpe_fertility(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Per-source tokenizer fertility under the round-1 BPE merge table
+    (VERDICT r09 #7): apply the :func:`bpe_merges` top-``k`` character
+    pairs to every word — single round, all pairs at once, greedy
+    left-to-right non-overlapping — and report subword tokens per word
+    and per char in exact ppm.
+
+    Greedy non-overlap has a closed form: within a maximal RUN of L
+    consecutive mergeable positions, the left-to-right scan merges
+    ceil(L/2) = (L+1) div 2 pairs (merge, skip, merge, …), so the
+    sequential walk reduces to the islands idiom on the position grain —
+    no per-word recursion on either engine.  A word's subword count is
+    length(word) − merges(word), starting from single-char tokens.
+
+    Scale: merge counting runs over the DISTINCT vocabulary (the Zipf win
+    bpe_merges already uses); the merge table broadcasts (k rows); the
+    occurrence-grain join back is (source, word)-count grain, never the
+    token stream; windows partition by word (positions-per-word grain).
+    """
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    merges = bpe_merges(docs, k).select("pair")
+    wc = track_cached(
+        spread(docs.select("source", F.explode(tokens_col()).alias("w")))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = wc.select("w").distinct().filter(F.length("w") >= 2)
+    pos = vocab.select(
+        "w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(i.alias("i"), F.col("w").substr(i, F.lit(2)).alias("pair")),
+            )
+        ).alias("x"),
+    ).select("w", F.col("x.i").alias("i"), F.col("x.pair").alias("pair"))
+    member = pos.join(F.broadcast(merges), "pair").select("w", "i")
+    byw = Window.partitionBy("w").orderBy("i")
+    flagged = member.select(
+        "w",
+        "i",
+        F.when(
+            F.lag("i").over(byw).isNull() | (F.col("i") - F.lag("i").over(byw) > 1), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = flagged.select(
+        "w",
+        F.sum("brk").over(byw.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    runs = isl.groupBy("w", "island").agg(F.count(F.lit(1)).alias("L"))
+    wmerges = runs.groupBy("w").agg(F.sum(F.expr("(L + 1) div 2")).alias("m"))
+    wtok = wc.join(wmerges, "w", "left").select(
+        "source",
+        "c",
+        F.length("w").cast("long").alias("wlen"),
+        (F.length("w") - F.coalesce("m", F.lit(0))).cast("long").alias("bt"),
+    )
+    return (
+        wtok.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("wlen")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("bt")).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            # ppm-numerator rule: DECIMAL lift before the ×1e6
+            F.expr(
+                "CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000) div n_words AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000) div n_chars AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+    )
+
+
+def bpe_fertility_sql(k: int = 20) -> str:
+    return f"""
+WITH merges AS MATERIALIZED (SELECT pair FROM ({bpe_merges_sql(k)})),
+wstream AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT source, w, count(*) AS c FROM wstream GROUP BY source, w),
+vocab AS (SELECT DISTINCT w FROM wc WHERE length(w) >= 2),
+pos AS (
+  SELECT w, i, substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM vocab)
+),
+member AS (SELECT p.w, p.i FROM pos p JOIN merges USING (pair)),
+flagged AS (
+  SELECT w, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY w ORDER BY i) > 1
+                   OR lag(i) OVER (PARTITION BY w ORDER BY i) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM member
+),
+isl AS (SELECT w, sum(brk) OVER (PARTITION BY w ORDER BY i) AS island FROM flagged),
+runs AS (SELECT w, island, count(*) AS L FROM isl GROUP BY w, island),
+wmerges AS (SELECT w, CAST(sum((L + 1) // 2) AS BIGINT) AS m FROM runs GROUP BY w),
+wtok AS (
+  SELECT wc.source, wc.c, CAST(length(wc.w) AS BIGINT) AS wlen,
+         CAST(length(wc.w) - coalesce(wm.m, 0) AS BIGINT) AS bt
+  FROM wc LEFT JOIN wmerges wm ON wc.w = wm.w
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * wlen) AS BIGINT) AS n_chars,
+       CAST(sum(c * bt) AS BIGINT) AS n_bpe_tokens,
+       CAST((CAST(sum(c * bt) AS HUGEINT) * 1000000) // sum(c) AS BIGINT)
+           AS fertility_ppm,
+       CAST((CAST(sum(c * bt) AS HUGEINT) * 1000000) // sum(c * wlen) AS BIGINT)
+           AS compression_ppm
+FROM wtok GROUP BY source
+"""
+
+
 # ------------------------------------------------------------ PMI pairs
 
 

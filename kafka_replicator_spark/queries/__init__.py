@@ -219,6 +219,9 @@ _EVER_GREEN = frozenset({
 _NEW_THIS_ROUND: list[str] = [
     "p_substring_dedup",
     "p_e2e_substring_pack",
+    "p_bpe_fertility",
+    "p_quality_calibration_drift",
+    "r_read_amplification",
 ]
 
 

@@ -2207,6 +2207,139 @@ def q_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: L2 segment capacity in messages: two full fan-in levels over the
+#: SEG_MAX_MESSAGES rollover — the densest packing the geometry can reach
+_RA_L2_CAP = _WA_FANIN * _WA_FANIN * SEG_MAX_MESSAGES
+
+
+@register(
+    "r_read_amplification",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """l0 AS (
+  SELECT topic, partition_id, segment_seq FROM tagged
+  GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""l1 AS (
+  SELECT topic, partition_id, segment_seq // {_WA_FANIN} AS g1,
+         CAST(count(*) AS BIGINT) AS n_in
+  FROM l0 GROUP BY topic, partition_id, segment_seq // {_WA_FANIN}
+)""",
+        f"""l1f AS (SELECT * FROM l1 WHERE n_in = {_WA_FANIN})""",
+        f"""l2 AS (
+  SELECT topic, partition_id, g1 // {_WA_FANIN} AS g2,
+         CAST(count(*) AS BIGINT) AS n_in
+  FROM l1f GROUP BY topic, partition_id, g1 // {_WA_FANIN}
+)""",
+        f"""l2f AS (SELECT * FROM l2 WHERE n_in = {_WA_FANIN})""",
+        """c0 AS (SELECT topic, partition_id, CAST(count(*) AS BIGINT) AS n_l0
+      FROM l0 GROUP BY topic, partition_id)""",
+        """c1 AS (SELECT topic, partition_id, CAST(count(*) AS BIGINT) AS n_l1f
+      FROM l1f GROUP BY topic, partition_id)""",
+        """c2 AS (SELECT topic, partition_id, CAST(count(*) AS BIGINT) AS n_l2f
+      FROM l2f GROUP BY topic, partition_id)""",
+        """nm AS (SELECT topic, partition_id, CAST(count(*) AS BIGINT) AS n_msgs
+      FROM tagged GROUP BY topic, partition_id)""",
+        f"""live AS (
+  SELECT c0.topic, c0.partition_id, nm.n_msgs,
+         c0.n_l0 - {_WA_FANIN} * coalesce(c1.n_l1f, 0) AS live_l0,
+         coalesce(c1.n_l1f, 0) - {_WA_FANIN} * coalesce(c2.n_l2f, 0) AS live_l1,
+         coalesce(c2.n_l2f, 0) AS live_l2
+  FROM c0
+  JOIN nm ON nm.topic = c0.topic AND nm.partition_id = c0.partition_id
+  LEFT JOIN c1 ON c1.topic = c0.topic AND c1.partition_id = c0.partition_id
+  LEFT JOIN c2 ON c2.topic = c0.topic AND c2.partition_id = c0.partition_id
+)""",
+        select=f"""
+SELECT topic, partition_id, n_msgs,
+       CAST(live_l0 AS BIGINT) AS live_l0,
+       CAST(live_l1 AS BIGINT) AS live_l1,
+       CAST(live_l2 AS BIGINT) AS live_l2,
+       CAST(live_l0 + live_l1 + live_l2 AS BIGINT) AS files_per_scan,
+       CAST((n_msgs + {_RA_L2_CAP} - 1) // {_RA_L2_CAP} AS BIGINT) AS ideal_segments,
+       CAST((CAST(live_l0 + live_l1 + live_l2 AS HUGEINT) * 1000000)
+            // ((n_msgs + {_RA_L2_CAP} - 1) // {_RA_L2_CAP}) AS BIGINT)
+           AS read_amp_ppm
+FROM live
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="read-amplification twin of r_write_amplification (VERDICT r09 "
+    "#7): for the same two-level fan-in geometry, a full-partition replay "
+    "opens every LIVE segment — L0 leftovers in partial merge windows, L1 "
+    "outputs not yet consumed by a full L2 window, and L2 outputs (full "
+    f"windows consume exactly {_WA_FANIN} inputs, so live counts fall out "
+    "of the merge counts alone) — versus the ideal layout packed at L2 "
+    f"capacity ({_RA_L2_CAP} msgs/segment): read_amp_ppm = 1e6·files // "
+    "ideal, the S3 GET-count multiplier of the compaction schedule; "
+    "HUGEINT/DECIMAL lift on the ppm numerator",
+)
+def q_read_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    l0 = track_cached(
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seg_msgs"))
+    )  # feeds the l0 count, the l1 grouping AND the per-partition msg count
+    l1 = l0.groupBy(
+        "topic",
+        "partition_id",
+        (F.col("segment_seq") / _WA_FANIN).cast("long").alias("g1"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    l1f = l1.where(F.col("n_in") == _WA_FANIN)
+    l2 = l1f.groupBy(
+        "topic",
+        "partition_id",
+        (F.col("g1") / _WA_FANIN).cast("long").alias("g2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    l2f = l2.where(F.col("n_in") == _WA_FANIN)
+    c0 = l0.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l0"),
+        F.sum("n_seg_msgs").cast("long").alias("n_msgs"),
+    )
+    c1 = l1f.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l1f")
+    )
+    c2 = l2f.groupBy("topic", "partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l2f")
+    )
+    live = (
+        c0.join(c1, ["topic", "partition_id"], "left")
+        .join(c2, ["topic", "partition_id"], "left")
+        .select(
+            "topic",
+            "partition_id",
+            "n_msgs",
+            (F.col("n_l0") - _WA_FANIN * F.coalesce("n_l1f", F.lit(0)))
+            .cast("long")
+            .alias("live_l0"),
+            (F.coalesce("n_l1f", F.lit(0)) - _WA_FANIN * F.coalesce("n_l2f", F.lit(0)))
+            .cast("long")
+            .alias("live_l1"),
+            F.coalesce("n_l2f", F.lit(0)).cast("long").alias("live_l2"),
+        )
+    )
+    return live.select(
+        "topic",
+        "partition_id",
+        "n_msgs",
+        "live_l0",
+        "live_l1",
+        "live_l2",
+        (F.col("live_l0") + F.col("live_l1") + F.col("live_l2"))
+        .cast("long")
+        .alias("files_per_scan"),
+        F.expr(f"(n_msgs + {_RA_L2_CAP} - 1) div {_RA_L2_CAP}").alias("ideal_segments"),
+        F.expr(
+            f"CAST((CAST(live_l0 + live_l1 + live_l2 AS DECIMAL(38,0)) * 1000000)"
+            f" div ((n_msgs + {_RA_L2_CAP} - 1) div {_RA_L2_CAP}) AS BIGINT)"
+        ).alias("read_amp_ppm"),
+    )
+
+
 # ------------------------------------------- X5 protobuf checkpoint codec
 
 #: varint byte-length boundaries: both sides of every 7-bit-group
