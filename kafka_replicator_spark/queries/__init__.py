@@ -222,6 +222,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_bpe_fertility",
     "p_quality_calibration_drift",
     "r_read_amplification",
+    "r_retention_deletion_plan",
+    "r_sqs_redrive_model",
 ]
 
 

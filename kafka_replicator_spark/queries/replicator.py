@@ -3481,3 +3481,257 @@ def q_checkpoint_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ckpt_every")
     )
+
+
+# --------------------------------------- log retention deletion plan
+
+#: age cutoff numerator/denominator: segments whose newest message is older
+#: than lo + span/4 are age-expired (span-relative per the corpus rule —
+#: the events span only ~19 days, so fixed day counts would be degenerate)
+_RETENTION_AGE_NUM, _RETENTION_AGE_DEN = 1, 4
+
+
+def _retention_select() -> str:
+    return f"""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(del_size) AS BIGINT) AS n_deleted_size,
+       CAST(sum(del_age) AS BIGINT) AS n_deleted_age,
+       CAST(sum(greatest(del_size, del_age)) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN greatest(del_size, del_age) = 1
+                     THEN size_bytes ELSE 0 END) AS BIGINT) AS bytes_deleted,
+       CAST(sum(CASE WHEN greatest(del_size, del_age) = 0
+                     THEN size_bytes ELSE 0 END) AS BIGINT) AS bytes_retained
+FROM flagged GROUP BY topic, partition_id ORDER BY topic, partition_id
+"""
+
+
+@register(
+    "r_retention_deletion_plan",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """segts AS (
+  SELECT topic, partition_id, segment_seq,
+         CAST(sum(msg_size) AS BIGINT) AS size_bytes,
+         max(ts_us) AS end_ts_us
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        "ext AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM messages)",
+        """tot AS (
+  SELECT topic, partition_id, CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         max(segment_seq) AS last_seq
+  FROM segts GROUP BY topic, partition_id
+)""",
+        f"""flagged AS (
+  SELECT s.topic, s.partition_id, s.segment_seq, s.size_bytes,
+         CASE WHEN s.segment_seq < t.last_seq
+                   AND CAST(sum(s.size_bytes) OVER (
+                         PARTITION BY s.topic, s.partition_id
+                         ORDER BY s.segment_seq
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       <= t.total_bytes - t.total_bytes // 2
+              THEN 1 ELSE 0 END AS del_size,
+         CASE WHEN s.segment_seq < t.last_seq
+                   AND s.end_ts_us < (SELECT lo + ((hi - lo) * {_RETENTION_AGE_NUM})
+                                                 // {_RETENTION_AGE_DEN} FROM ext)
+              THEN 1 ELSE 0 END AS del_age
+  FROM segts s JOIN tot t USING (topic, partition_id)
+)""",
+        select=_retention_select(),
+    ),
+    tags=("parity", "retention"),
+    doc="log-retention deletion plan — the Kafka retention.bytes /"
+    " retention.ms rule applied to the segment catalog: per partition,"
+    " delete oldest segments while the cumulative size from the oldest"
+    " fits inside total - retention_bytes (retention_bytes = half the"
+    " partition's bytes, size-relative so every sf exercises both"
+    " branches), plus the span-relative age gate (lo + span/4, the F5"
+    " age-predicate family — reference pkg/compaction/compactor.go"
+    " plan_compaction age gate); the ACTIVE (newest) segment is never"
+    " deleted, exactly as Kafka's log manager skips the active segment."
+    " Bounded window: the cumsum partitions by (topic, partition) on"
+    " segment metadata, never message rows",
+)
+def q_retention_deletion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = events_as_messages(spark, sf_dir)
+    segts = track_cached(
+        assign_segments_by_count(msgs, SEG_MAX_MESSAGES)
+        .groupBy("topic", "partition_id", "segment_seq")
+        .agg(
+            F.sum("msg_size").cast("long").alias("size_bytes"),
+            F.max("ts_us").alias("end_ts_us"),
+        )
+    )
+    ext = msgs.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    tot = segts.groupBy("topic", "partition_id").agg(
+        F.sum("size_bytes").cast("long").alias("total_bytes"),
+        F.max("segment_seq").alias("last_seq"),
+    )
+    w = (
+        Window.partitionBy("topic", "partition_id")
+        .orderBy("segment_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        segts.join(tot, ["topic", "partition_id"])
+        .crossJoin(F.broadcast(ext))
+        .withColumn("cum_oldest", F.sum("size_bytes").over(w).cast("long"))
+        .select(
+            "topic",
+            "partition_id",
+            "size_bytes",
+            F.expr(
+                "CASE WHEN segment_seq < last_seq"
+                " AND cum_oldest <= total_bytes - total_bytes div 2"
+                " THEN 1 ELSE 0 END"
+            ).alias("del_size"),
+            F.expr(
+                "CASE WHEN segment_seq < last_seq"
+                f" AND end_ts_us < lo + ((hi - lo) * {_RETENTION_AGE_NUM})"
+                f" div {_RETENTION_AGE_DEN}"
+                " THEN 1 ELSE 0 END"
+            ).alias("del_age"),
+        )
+    )
+    return (
+        flagged.groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("del_size").cast("long").alias("n_deleted_size"),
+            F.sum("del_age").cast("long").alias("n_deleted_age"),
+            F.sum(F.greatest("del_size", "del_age")).cast("long").alias("n_deleted"),
+            F.sum(
+                F.when(F.greatest("del_size", "del_age") == 1, F.col("size_bytes")).otherwise(0)
+            )
+            .cast("long")
+            .alias("bytes_deleted"),
+            F.sum(
+                F.when(F.greatest("del_size", "del_age") == 0, F.col("size_bytes")).otherwise(0)
+            )
+            .cast("long")
+            .alias("bytes_retained"),
+        )
+        .orderBy("topic", "partition_id")
+    )
+
+
+# ----------------------------------------- SQS redrive / DLQ model
+
+#: redrive policy literals: maxReceiveCount and the capped exponential
+#: redelivery schedule (base chosen so the cap BITES inside the model —
+#: both branches of min(base<<i, cap) are exercised)
+_REDRIVE_MAX_RECEIVE = 3
+_REDRIVE_BASE_MS, _REDRIVE_CAP_MS = 200, 300
+
+
+def _redrive_delay_terms() -> list[int]:
+    """Redelivery delays generated by the REAL core.retry.backoff_ms —
+    the cron-grid trick: the Python schedule emits literals both engines
+    fold identically, so the model can never drift from X7's code."""
+    from kafka_replicator_spark.core.retry import backoff_ms
+
+    return [
+        backoff_ms(i, base_ms=_REDRIVE_BASE_MS, cap_ms=_REDRIVE_CAP_MS)
+        for i in range(_REDRIVE_MAX_RECEIVE - 1)
+    ]
+
+
+def _redrive_delay_sql(receives: str) -> str:
+    """Sum of per-redelivery delays for a message received ``receives``
+    times: delay i applies between receive i and i+1."""
+    terms = [
+        f"CASE WHEN {receives} >= {i + 2} THEN {d} ELSE 0 END"
+        for i, d in enumerate(_redrive_delay_terms())
+    ]
+    return " + ".join(terms)
+
+
+def _redrive_select() -> str:
+    mr = _REDRIVE_MAX_RECEIVE
+    return f"""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_messages,
+       CAST(sum(CASE WHEN n_failures < {mr} THEN 1 ELSE 0 END) AS BIGINT) AS n_delivered,
+       CAST(sum(CASE WHEN n_failures >= {mr} THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+       CAST(sum(least(n_failures + 1, {mr})) AS BIGINT) AS total_receives,
+       CAST((CAST(sum(least(n_failures + 1, {mr})) AS HUGEINT) * 1000000)
+            // count(*) - 1000000 AS BIGINT) AS redelivery_ppm,
+       CAST(sum(delay_ms) AS BIGINT) AS total_delay_ms,
+       CAST(max(delay_ms) AS BIGINT) AS max_delay_ms
+FROM model GROUP BY topic, partition_id ORDER BY topic, partition_id
+"""
+
+
+@register(
+    "r_sqs_redrive_model",
+    with_ctes(
+        MESSAGES_CTE,
+        f"""hashed AS (
+  SELECT topic, partition_id,
+         {portable_hash60_sql("msg_key || '@' || CAST(msg_offset AS VARCHAR)")} % 10 AS fate
+  FROM messages
+)""",
+        f"""model AS (
+  SELECT topic, partition_id,
+         CASE WHEN fate = 0 THEN {_REDRIVE_MAX_RECEIVE} WHEN fate = 1 THEN 1 ELSE 0 END AS n_failures,
+         {_redrive_delay_sql(f"least(CASE WHEN fate = 0 THEN {_REDRIVE_MAX_RECEIVE} WHEN fate = 1 THEN 1 ELSE 0 END + 1, {_REDRIVE_MAX_RECEIVE})")} AS delay_ms
+  FROM hashed
+)""",
+        select=_redrive_select(),
+    ),
+    tags=("parity", "retry"),
+    doc="SQS redrive/DLQ model (reference sqs_segment_event_source.go:"
+    "215-270 — receive, process, delete-on-success, redeliver after"
+    " visibility timeout, dead-letter past maxReceiveCount): message fate"
+    " keyed on the portable hash (10% poison -> DLQ after"
+    f" maxReceiveCount={_REDRIVE_MAX_RECEIVE}, 10% single transient"
+    " failure), redelivery delays generated by the REAL"
+    " core.retry.backoff_ms schedule (X7, utils/time.go:23-40) embedded"
+    " as literals on BOTH engines — base/cap chosen so the cap branch is"
+    " exercised; per-partition delivered/DLQ counts, exact redelivery"
+    " overhead ppm (HUGEINT/DECIMAL-lifted), and total/max added latency."
+    " One map pass + one bounded groupBy — no joins, no windows",
+)
+def q_sqs_redrive_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mr = _REDRIVE_MAX_RECEIVE
+    msgs = events_as_messages(spark, sf_dir)
+    fate = msgs.select(
+        "topic",
+        "partition_id",
+        (
+            portable_hash60(
+                F.concat(F.col("msg_key"), F.lit("@"), F.col("msg_offset").cast("string"))
+            )
+            % 10
+        ).alias("fate"),
+    )
+    fail_expr = f"CASE WHEN fate = 0 THEN {mr} WHEN fate = 1 THEN 1 ELSE 0 END"
+    model = fate.select(
+        "topic",
+        "partition_id",
+        F.expr(fail_expr).alias("n_failures"),
+        F.expr(_redrive_delay_sql(f"least({fail_expr} + 1, {mr})")).alias("delay_ms"),
+    )
+    return (
+        model.groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_messages"),
+            F.sum(F.when(F.col("n_failures") < mr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_delivered"),
+            F.sum(F.when(F.col("n_failures") >= mr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dlq"),
+            F.sum(F.least(F.col("n_failures") + 1, F.lit(mr))).cast("long").alias("total_receives"),
+            F.expr(
+                "CAST((CAST(sum(least(n_failures + 1, %d)) AS DECIMAL(38,0)) * 1000000)"
+                " div count(*) - 1000000 AS BIGINT)" % mr
+            ).alias("redelivery_ppm"),
+            F.sum("delay_ms").cast("long").alias("total_delay_ms"),
+            F.max("delay_ms").cast("long").alias("max_delay_ms"),
+        )
+        .orderBy("topic", "partition_id")
+    )
