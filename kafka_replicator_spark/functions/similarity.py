@@ -662,10 +662,10 @@ def quantized_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 5) -> D
     )
 
 
-def _quantized_sql_cte() -> str:
-    return """
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-scaled AS (
+#: the scaled/q CTE pair WITHOUT the leading emb CTE — for oracles that
+#: already define emb (e.g. via ivf_assign_sql_ctes) and must not repeat
+#: the CTE name; single-sourced so the quantization rule text cannot fork
+_QUANT_SCALED_Q = """scaled AS (
   SELECT vec_id, e,
          nullif(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 0.0) AS s
   FROM emb
@@ -676,6 +676,12 @@ q AS (
          round(coalesce(s, 0.0), 6) AS scale
   FROM scaled
 )"""
+
+
+def _quantized_sql_cte() -> str:
+    return f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_QUANT_SCALED_Q}"""
 
 
 def quantized_topk_sql(probe_ids: list[int], k: int = 5) -> str:
@@ -814,15 +820,16 @@ _PQ_DIST_SQL = (
 )
 
 
-def pq_topk_sql(
-    probe_ids: list[int], k: int = 5, m: int = 8, dim: int = 64, code_stride: int = 250
-) -> str:
-    ids = ", ".join(str(i) for i in probe_ids)
+def pq_codes_cte_sql(m: int = 8, dim: int = 64, code_stride: int = 250) -> str:
+    """The subs/code_entries/codes CTE block (emitted inside an open WITH
+    that already defines ``q``) — THE one generator of the PQ code
+    assignment text, shared by pq_topk_sql, pq_distortion_sql and the
+    IVF+PQ rerank oracle so the assignment rule can never silently diverge
+    between oracles.  ``codes`` carries BOTH code_id and cdist; consumers
+    project what they need."""
     d_sub = dim // m
     dist = _PQ_DIST_SQL
-    return f"""
-WITH {_quantized_sql_cte()},
-subs AS (
+    return f"""subs AS (
   SELECT vec_id, s, qe[s * {d_sub} + 1 : s * {d_sub} + {d_sub}] AS sub
   FROM q, (SELECT unnest(range(0, {m})) AS s)
 ),
@@ -830,15 +837,26 @@ code_entries AS (
   SELECT vec_id AS code_id, s, sub AS csub FROM subs WHERE vec_id % {code_stride} = 0
 ),
 codes AS (
-  SELECT vec_id, s, code_id FROM (
+  SELECT vec_id, s, code_id, cdist FROM (
     SELECT subs.vec_id, subs.s, code_entries.code_id,
+           {dist.format(a='sub', b='csub')} AS cdist,
            row_number() OVER (
              PARTITION BY subs.vec_id, subs.s
              ORDER BY {dist.format(a='sub', b='csub')} ASC, code_id ASC
            ) AS rn
     FROM subs JOIN code_entries USING (s)
   ) WHERE rn = 1
-),
+)"""
+
+
+def pq_topk_sql(
+    probe_ids: list[int], k: int = 5, m: int = 8, dim: int = 64, code_stride: int = 250
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    dist = _PQ_DIST_SQL
+    return f"""
+WITH {_quantized_sql_cte()},
+{pq_codes_cte_sql(m, dim, code_stride)},
 probe_subs AS (
   SELECT vec_id AS probe_id, s, sub AS psub FROM subs WHERE vec_id IN ({ids})
 ),
@@ -892,32 +910,160 @@ def pq_distortion(
 
 
 def pq_distortion_sql(m: int = 8, dim: int = 64, code_stride: int = 250) -> str:
-    d_sub = dim // m
-    dist = _PQ_DIST_SQL
     return f"""
 WITH {_quantized_sql_cte()},
-subs AS (
-  SELECT vec_id, s, qe[s * {d_sub} + 1 : s * {d_sub} + {d_sub}] AS sub
-  FROM q, (SELECT unnest(range(0, {m})) AS s)
-),
-code_entries AS (
-  SELECT vec_id AS code_id, s, sub AS csub FROM subs WHERE vec_id % {code_stride} = 0
-),
-codes AS (
-  SELECT vec_id, s, cdist FROM (
-    SELECT subs.vec_id, subs.s,
-           {dist.format(a='sub', b='csub')} AS cdist,
-           row_number() OVER (
-             PARTITION BY subs.vec_id, subs.s
-             ORDER BY {dist.format(a='sub', b='csub')} ASC, code_id ASC
-           ) AS rn
-    FROM subs JOIN code_entries USING (s)
-  ) WHERE rn = 1
-)
+{pq_codes_cte_sql(m, dim, code_stride)}
 SELECT s, CAST(count(*) AS BIGINT) AS n_vectors,
        CAST((1000 * sum(cdist)) // count(*) AS BIGINT) AS mean_err_milli,
        CAST(max(cdist) AS BIGINT) AS max_err
 FROM codes GROUP BY s
+"""
+
+
+# ------------------------------------------------- IVF + PQ with rerank
+
+def ivf_pq_rerank(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    dim: int = 64,
+    centroid_stride: int = 250,
+    code_stride: int = 250,
+) -> DataFrame:
+    """The composed FAISS-style IVFPQ + refine architecture (Jégou et al.
+    2011 §V; the standard billion-scale ANN deployment): IVF coarse cell
+    restriction (nprobe=1) → PQ asymmetric-distance scan of the cell →
+    exact rerank of the top-``shortlist`` on the int8-quantized vectors.
+
+    Every stage is engine-exact: cell assignment is ivf_assign's
+    deterministic argmax; ADC distances are BIGINT sums of per-subspace
+    integer L2 (pq_code_assign); the refine step re-scores only the
+    shortlist with full exact integer L2.  Scale shape: the corpus never
+    shuffles — codebooks, probe subvectors and probe cells broadcast; the
+    only aggregations are per-(probe, candidate) partial-distance sums
+    within one coarse cell, and the rerank join touches ``shortlist``
+    rows per probe.
+
+    Reference context: the reference engine has no ANN surface — this is
+    part of the training-data-pipeline extension (SURVEY.md §6).
+    """
+    assigned = track_cached(ivf_assign(embeddings, centroid_stride))
+    probes_cell = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), "centroid_id"
+    )
+    cands = (
+        assigned.join(F.broadcast(probes_cell), ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    subs = pq_subvectors(embeddings, m=m, dim=dim)
+    code_entries = subs.filter(F.col("vec_id") % code_stride == 0).select(
+        F.col("vec_id").alias("code_id"), "s", F.col("sub").alias("csub")
+    )
+    codes = pq_code_assign(subs, code_entries).select("vec_id", "s", "code_id")
+    probe_subs = subs.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), "s", F.col("sub").alias("psub")
+    )
+    partials = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(probe_subs), ["probe_id", "s"])
+        .join(F.broadcast(code_entries), ["s", "code_id"])
+        .select("probe_id", "vec_id", _l2_int_arrays(F.col("psub"), F.col("csub")).alias("pd"))
+    )
+    adc = partials.groupBy("probe_id", "vec_id").agg(F.sum("pd").alias("adc_dist"))
+    w_short = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    q = quantize_embeddings(embeddings).select("vec_id", "qe")
+    probe_q = q.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
+    )
+    rr = (
+        short.join(q, "vec_id")
+        .join(F.broadcast(probe_q), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2_dist"),
+        )
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("l2_dist").cast("long").alias("l2_dist"),
+        )
+    )
+
+
+def ivf_pq_rerank_sql(
+    probe_ids: list[int],
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    dim: int = 64,
+    centroid_stride: int = 250,
+    code_stride: int = 250,
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    dist = _PQ_DIST_SQL
+    return f"""
+{ivf_assign_sql_ctes(centroid_stride)},
+{_QUANT_SCALED_Q},
+{pq_codes_cte_sql(m, dim, code_stride)},
+probes_cell AS (
+  SELECT vec_id AS probe_id, centroid_id FROM assigned WHERE vec_id IN ({ids})
+),
+cands AS (
+  SELECT probe_id, a.vec_id FROM assigned a JOIN probes_cell USING (centroid_id)
+  WHERE a.vec_id <> probe_id
+),
+probe_subs AS (
+  SELECT vec_id AS probe_id, s, sub AS psub FROM subs WHERE vec_id IN ({ids})
+),
+partials AS (
+  SELECT c.probe_id, c.vec_id, {dist.format(a='psub', b='csub')} AS pd
+  FROM cands c
+  JOIN codes co ON co.vec_id = c.vec_id
+  JOIN probe_subs ps ON ps.probe_id = c.probe_id AND ps.s = co.s
+  JOIN code_entries ce ON ce.s = co.s AND ce.code_id = co.code_id
+),
+adc AS (
+  SELECT probe_id, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+  FROM partials GROUP BY probe_id, vec_id
+),
+short AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY adc_dist ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {shortlist}
+),
+probe_q AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
+rr AS (
+  SELECT s.probe_id, s.vec_id AS neighbor_id, {dist.format(a='pqe', b='qe')} AS l2_dist
+  FROM short s
+  JOIN q ON q.vec_id = s.vec_id
+  JOIN probe_q pq ON pq.probe_id = s.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, l2_dist,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, l2_dist
+FROM ranked WHERE rank <= {k}
 """
 
 

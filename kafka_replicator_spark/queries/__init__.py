@@ -224,6 +224,7 @@ _NEW_THIS_ROUND: list[str] = [
     "r_read_amplification",
     "r_retention_deletion_plan",
     "r_sqs_redrive_model",
+    "p_ivf_pq_rerank",
 ]
 
 

@@ -232,3 +232,27 @@ def q_quality_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ------------------------------------------------- IVF + PQ with rerank
+
+from kafka_replicator_spark.functions import similarity as _sim  # noqa: E402
+
+_RERANK_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+@register(
+    "p_ivf_pq_rerank",
+    _sim.ivf_pq_rerank_sql(_RERANK_PROBES, k=5, shortlist=20),
+    tags=("pipeline", "similarity"),
+    doc="composed FAISS-style IVFPQ+refine ANN (Jegou et al. 2011 SV): IVF "
+    "coarse-cell restriction -> PQ asymmetric-distance scan of the cell -> "
+    "exact int8 rerank of the top-20 shortlist; every stage engine-exact "
+    "(deterministic cell argmax, BIGINT ADC sums, exact integer L2 "
+    "refine); the corpus never shuffles — codebooks/probe subvectors/"
+    "probe cells broadcast (functions/similarity.ivf_pq_rerank)",
+)
+def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ivf_pq_rerank(
+        load_table(spark, sf_dir, "embeddings"), _RERANK_PROBES, k=5, shortlist=20
+    )
