@@ -225,6 +225,9 @@ _NEW_THIS_ROUND: list[str] = [
     "r_retention_deletion_plan",
     "r_sqs_redrive_model",
     "p_ivf_pq_rerank",
+    "p_dup_pair_bleu",
+    "p_degree_assortativity",
+    "p_anisotropy_profile",
 ]
 
 

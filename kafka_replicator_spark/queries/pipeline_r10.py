@@ -256,3 +256,311 @@ def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_pq_rerank(
         load_table(spark, sf_dir, "embeddings"), _RERANK_PROBES, k=5, shortlist=20
     )
+
+
+# ------------------------------------------- BLEU-grain dup-pair verification
+
+from kafka_replicator_spark.functions.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    lsh_candidate_pairs_sql,
+)
+from kafka_replicator_spark.functions.hashing import spread  # noqa: E402
+
+#: LSH banding parameters shared with p_lsh_candidate_pairs
+_BLEU_K, _BLEU_N, _BLEU_BANDS = 16, 3, 4
+
+_PAIRS_CTE = f"""pairs AS MATERIALIZED ({lsh_candidate_pairs_sql(_BLEU_K, _BLEU_N, _BLEU_BANDS)}),
+pair_docs AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+)"""
+
+
+@register(
+    "p_dup_pair_bleu",
+    f"""
+WITH {_PAIRS_CTE},
+tc AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM pair_docs))
+  GROUP BY doc_id, tok
+),
+bc AS MATERIALIZED (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM pair_docs)))
+  ) GROUP BY doc_id, bg
+),
+lens AS MATERIALIZED (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM pair_docs)
+),
+ov1 AS (
+  SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS o1
+  FROM pairs p JOIN tc a ON a.doc_id = p.doc_a
+               JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+  GROUP BY p.doc_a, p.doc_b
+),
+ov2 AS (
+  SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS o2
+  FROM pairs p JOIN bc a ON a.doc_id = p.doc_a
+               JOIN bc b ON b.doc_id = p.doc_b AND b.bg = a.bg
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b, la.n AS len_a, lb.n AS len_b,
+       CAST(coalesce(o1, 0) * 1000000 // la.n AS BIGINT) AS p1_ppm,
+       CAST(coalesce(o2, 0) * 1000000 // nullif(la.n - 1, 0) AS BIGINT) AS p2_ppm
+FROM pairs p
+JOIN lens la ON la.doc_id = p.doc_a
+JOIN lens lb ON lb.doc_id = p.doc_b
+LEFT JOIN ov1 ON ov1.doc_a = p.doc_a AND ov1.doc_b = p.doc_b
+LEFT JOIN ov2 ON ov2.doc_a = p.doc_a AND ov2.doc_b = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="BLEU-grain verification of LSH candidate pairs: modified unigram "
+    "and bigram precision (Papineni et al. 2002 clipped-count form, the "
+    "lower doc_id as candidate) in exact ppm — token/bigram MULTISET "
+    "clipped overlaps, the near-dup verifier that catches shared-vocab "
+    "false positives the set-grain Jaccard verifier cannot (a doc reusing "
+    "one word 50 times scores high set-Jaccard but low clipped p1); "
+    "exp/brevity-penalty deliberately omitted to stay in exact integers. "
+    "Count frames are semi-join-bounded to docs appearing in pairs",
+)
+def q_dup_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = track_cached(
+        lsh_candidate_pairs(docs, k=_BLEU_K, n=_BLEU_N, bands=_BLEU_BANDS)
+    )
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    bounded = track_cached(
+        spread(docs).join(pair_docs, "doc_id").select("doc_id", "text")
+    )
+    toks = bounded.select("doc_id", F.split("text", " ").alias("__toks"))
+    tc = (
+        toks.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grams = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__toks")) - 1),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, 2), " "),
+        ),
+    ).otherwise(F.array())
+    bc = (
+        toks.select("doc_id", F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lens = bounded.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    ov1 = (
+        pairs.join(tc.select(F.col("doc_id").alias("doc_a"), "tok", F.col("c").alias("ca")), "doc_a")
+        .join(
+            tc.select(F.col("doc_id").alias("doc_b"), "tok", F.col("c").alias("cb")),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("o1"))
+    )
+    ov2 = (
+        pairs.join(bc.select(F.col("doc_id").alias("doc_a"), "bg", F.col("c").alias("ca")), "doc_a")
+        .join(
+            bc.select(F.col("doc_id").alias("doc_b"), "bg", F.col("c").alias("cb")),
+            ["doc_b", "bg"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("o2"))
+    )
+    return (
+        pairs.join(lens.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("len_a")), "doc_a")
+        .join(lens.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("len_b")), "doc_b")
+        .join(ov1, ["doc_a", "doc_b"], "left")
+        .join(ov2, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "len_a",
+            "len_b",
+            F.expr("CAST(coalesce(o1, 0) * 1000000 div len_a AS BIGINT)").alias("p1_ppm"),
+            F.expr(
+                "CAST(coalesce(o2, 0) * 1000000 div nullif(len_a - 1, 0) AS BIGINT)"
+            ).alias("p2_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------- degree assortativity
+
+
+@register(
+    "p_degree_assortativity",
+    f"""
+WITH {_PAIRS_CTE},
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(ds.d AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(ds.d AS HUGEINT) * dd.d) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(ds.d AS HUGEINT) * ds.d) AS HUGEINT) AS sxx
+  FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+)
+SELECT n AS n_directed_edges,
+       CAST(((n * sxy - sx * sx) * 1000000)
+            // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS assortativity_ppm
+FROM mom
+""",
+    tags=("pipeline", "graph"),
+    doc="degree assortativity of the LSH candidate-pair graph (Newman 2002 "
+    "r): Pearson correlation of endpoint degrees over the DIRECTED edge "
+    "list — by undirected symmetry sum(x)=sum(y) and sum(xx)=sum(yy), so "
+    "r collapses to one exact integer ratio (HUGEINT/DECIMAL moments, "
+    "house nullif guard for the regular-graph zero denominator); "
+    "disassortative r < 0 means dup hubs attach to leaves — template "
+    "boilerplate radiating near-dups — while r > 0 means dense dup "
+    "cliques.  One degree aggregation + two bounded joins; no windows",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = track_cached(
+        lsh_candidate_pairs(docs, k=_BLEU_K, n=_BLEU_N, bands=_BLEU_BANDS)
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    joined = edges.join(
+        deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src"
+    ).join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+    mom = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ds").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ds").cast("decimal(38,0)") * F.col("dd")).alias("sxy"),
+        F.sum(F.col("ds").cast("decimal(38,0)") * F.col("ds")).alias("sxx"),
+    )
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            "CAST(((n * sxy - sx * sx) * 1000000)"
+            " div nullif(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )
+
+
+# ------------------------------------------------- embedding anisotropy
+
+from kafka_replicator_spark.functions.similarity import (  # noqa: E402
+    micro_units,
+    micro_units_sql,
+)
+
+_ANISO_DIM = 64
+
+
+@register(
+    "p_anisotropy_profile",
+    f"""
+WITH me AS MATERIALIZED (
+  SELECT vec_id, {micro_units_sql('embedding')} AS me FROM embeddings
+),
+dims AS (
+  SELECT i, CAST(sum(me[i]) // count(*) AS BIGINT) AS mu
+  FROM me, (SELECT unnest(range(1, {_ANISO_DIM + 1})) AS i)
+  GROUP BY i
+),
+mean_v AS (SELECT list(mu ORDER BY i) AS mv FROM dims),
+scored AS (
+  SELECT vec_id,
+         CAST(floor(
+           CAST(CAST(list_dot_product(me::DOUBLE[], mv::DOUBLE[]) AS BIGINT) AS DOUBLE)
+           / nullif(sqrt(CAST(CAST(list_dot_product(me::DOUBLE[], me::DOUBLE[]) AS BIGINT) AS DOUBLE))
+                    * sqrt(CAST(CAST(list_dot_product(mv::DOUBLE[], mv::DOUBLE[]) AS BIGINT) AS DOUBLE)), 0.0)
+           * 1e6 + 0.5) AS BIGINT) AS cmicro
+  FROM me, mean_v
+)
+SELECT CAST(least((cmicro + 1000000) // 200000, 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(cmicro) // count(*) AS BIGINT) AS mean_cos_micro
+FROM scored WHERE cmicro IS NOT NULL
+GROUP BY decile ORDER BY decile
+""",
+    tags=("pipeline", "embeddings"),
+    doc="embedding anisotropy profile (Ethayarajh 2019: contextual "
+    "embeddings occupy a narrow cone): cosine of every vector to the "
+    "corpus MEAN vector, bucketed into [-1,1] deciles — mean vector in "
+    "exact integer micro-units (per-dim sum // n over "
+    "similarity.micro_units), dots are exact BIGINTs < 2^53, and the "
+    "only float ops are one divide and two correctly-rounded IEEE sqrts "
+    "before the floor(x*1e6+0.5) quantization, so both engines bucket "
+    "identically; a mass of vectors at high cos-to-mean says the space "
+    "is anisotropic and raw-cosine ANN thresholds are miscalibrated",
+)
+def q_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    me = emb.select("vec_id", micro_units("embedding").alias("me"))
+    dims = (
+        me.select(F.posexplode("me").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mu"))
+    )
+    mean_v = dims.agg(
+        F.expr("transform(array_sort(collect_list(struct(i0, mu))), x -> x.mu)").alias("mv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = me.crossJoin(F.broadcast(mean_v)).select(
+        "vec_id",
+        F.floor(
+            dot(F.col("me"), F.col("mv")).cast("double")
+            / F.nullif(
+                F.sqrt(dot(F.col("me"), F.col("me")).cast("double"))
+                * F.sqrt(dot(F.col("mv"), F.col("mv")).cast("double")),
+                F.lit(0.0),
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cmicro"),
+    )
+    return (
+        scored.filter(F.col("cmicro").isNotNull())
+        .select(
+            F.expr("CAST(least((cmicro + 1000000) div 200000, 9) AS BIGINT)").alias("decile"),
+            "cmicro",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(cmicro) div count(1) AS BIGINT)").alias("mean_cos_micro"),
+        )
+        .orderBy("decile")
+    )
