@@ -228,6 +228,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_dup_pair_bleu",
     "p_degree_assortativity",
     "p_anisotropy_profile",
+    "p_split_centroid_shift",
+    "r_e2e_latency_budget",
 ]
 
 

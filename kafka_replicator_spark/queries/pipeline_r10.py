@@ -564,3 +564,72 @@ def q_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------- split embedding-centroid drift
+
+
+@register(
+    "p_split_centroid_shift",
+    f"""
+WITH me AS MATERIALIZED (
+  SELECT vec_id, {split_assign_sql('vec_id')} AS split,
+         {micro_units_sql('embedding')} AS me
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT split, i, CAST(sum(me[i]) // count(*) AS BIGINT) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM me, (SELECT unnest(range(1, {_ANISO_DIM + 1})) AS i)
+  GROUP BY split, i
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(min(a.n) AS BIGINT) AS n_a, CAST(min(b.n) AS BIGINT) AS n_b,
+       CAST(sum((a.mu - b.mu) * (a.mu - b.mu)) AS BIGINT) AS dist_sq_micro2
+FROM cent a JOIN cent b ON a.i = b.i AND a.split < b.split
+GROUP BY a.split, b.split
+ORDER BY split_a, split_b
+""",
+    tags=("pipeline", "embeddings", "drift"),
+    doc="embedding-grain drift across the house train/val/test split "
+    "(the geometry twin of p_split_token_js): per-split centroid in exact "
+    "integer micro-units (per-dim sum // n over similarity.micro_units, "
+    "split by packing.split_assign_col on vec_id — the doc_id = vec_id "
+    "alignment the cross-modal audits document), pairwise squared L2 "
+    "between centroids as an exact BIGINT — a val/test centroid far from "
+    "train's says the eval split sees a different embedding distribution "
+    "than training.  Centroid frames are (3 x 64) metadata; the corpus "
+    "is touched by ONE explode + aggregation",
+)
+def q_split_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    me = emb.select(
+        split_assign_col("vec_id").alias("split"), micro_units("embedding").alias("me")
+    )
+    cent = (
+        me.select("split", F.posexplode("me").alias("i", "v"))
+        .groupBy("split", "i")
+        .agg(
+            F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mu"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    a = cent.select(
+        F.col("split").alias("split_a"), "i", F.col("mu").alias("mu_a"), F.col("n").alias("na")
+    )
+    b = cent.select(
+        F.col("split").alias("split_b"), "i", F.col("mu").alias("mu_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, ["i"])
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.sum((F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b")))
+            .cast("long")
+            .alias("dist_sq_micro2"),
+        )
+        .orderBy("split_a", "split_b")
+    )

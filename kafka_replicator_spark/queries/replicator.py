@@ -3735,3 +3735,103 @@ def q_sqs_redrive_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "partition_id")
     )
+
+
+# ------------------------------------------- end-to-end latency budget
+
+#: checkpoint-every-K segments for the latency model (the middle arm of
+#: r_checkpoint_interval_sweep's 2/5/10 ladder)
+_LATENCY_CKPT_EVERY = 5
+
+
+@register(
+    "r_e2e_latency_budget",
+    with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        """segc AS (
+  SELECT topic, partition_id, segment_seq, max(ts_us) AS close_ts
+  FROM tagged GROUP BY topic, partition_id, segment_seq
+)""",
+        f"""segck AS (
+  SELECT topic, partition_id, segment_seq, close_ts,
+         min(CASE WHEN segment_seq % {_LATENCY_CKPT_EVERY} = {_LATENCY_CKPT_EVERY - 1}
+                  THEN close_ts END) OVER (
+           PARTITION BY topic, partition_id ORDER BY segment_seq DESC
+           ROWS UNBOUNDED PRECEDING) AS ckpt_ts
+  FROM segc
+)""",
+        """waits AS (
+  SELECT t.topic, t.partition_id,
+         s.close_ts - t.ts_us AS seg_wait,
+         s.ckpt_ts - t.ts_us AS ckpt_wait
+  FROM tagged t JOIN segck s USING (topic, partition_id, segment_seq)
+)""",
+        select="""
+SELECT topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(count(CASE WHEN ckpt_wait IS NULL THEN 1 END) AS BIGINT) AS n_unckpt,
+       CAST(quantile_cont(seg_wait, 0.25) * 4 AS BIGINT) AS seg_wait_p25_x4,
+       CAST(quantile_cont(seg_wait, 0.50) * 4 AS BIGINT) AS seg_wait_p50_x4,
+       CAST(quantile_cont(seg_wait, 0.75) * 4 AS BIGINT) AS seg_wait_p75_x4,
+       CAST(quantile_cont(ckpt_wait, 0.50) FILTER (WHERE ckpt_wait IS NOT NULL) * 4
+            AS BIGINT) AS ckpt_wait_p50_x4,
+       CAST(max(seg_wait) AS BIGINT) AS seg_wait_max,
+       CAST(max(ckpt_wait) AS BIGINT) AS ckpt_wait_max
+FROM waits GROUP BY topic, partition_id ORDER BY topic, partition_id
+""",
+    ),
+    tags=("parity", "latency"),
+    doc="end-to-end replication latency budget — T1 rollover x T8 "
+    "checkpointing composed into the per-message delay decomposition the "
+    "ops dashboard actually needs: seg_wait = segment close_ts - message "
+    "ts (time buffered before the segment ships), ckpt_wait = the NEXT "
+    "checkpoint boundary's close_ts - message ts (time until the message "
+    "is durably resumable; NULL past the last checkpointed segment = "
+    "replay-exposed tail, counted as n_unckpt).  Quartiles at power-of-"
+    "two fractions x4 are exact integers (Spark percentile == DuckDB "
+    "quantile_cont at 0.25/0.5/0.75 on BIGINT — the r07 rule); the "
+    "running-min window runs on SEGMENT METADATA, never message rows "
+    "(reference: segment close pkg/egress/worker.go:174-180, checkpoint "
+    "publish pkg/ingress/worker.go:118-122)",
+)
+def q_e2e_latency_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _LATENCY_CKPT_EVERY
+    msgs = assign_segments_by_count(events_as_messages(spark, sf_dir), SEG_MAX_MESSAGES)
+    segc = msgs.groupBy("topic", "partition_id", "segment_seq").agg(
+        F.max("ts_us").alias("close_ts")
+    )
+    w = (
+        Window.partitionBy("topic", "partition_id")
+        .orderBy(F.desc("segment_seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segck = segc.withColumn(
+        "ckpt_ts",
+        F.min(
+            F.when(F.col("segment_seq") % k == k - 1, F.col("close_ts"))
+        ).over(w),
+    )
+    waits = msgs.join(segck, ["topic", "partition_id", "segment_seq"]).select(
+        "topic",
+        "partition_id",
+        (F.col("close_ts") - F.col("ts_us")).alias("seg_wait"),
+        (F.col("ckpt_ts") - F.col("ts_us")).alias("ckpt_wait"),
+    )
+    return (
+        waits.groupBy("topic", "partition_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_msgs"),
+            F.count(F.when(F.col("ckpt_wait").isNull(), 1)).cast("long").alias("n_unckpt"),
+            F.expr("CAST(percentile(seg_wait, 0.25) * 4 AS BIGINT)").alias("seg_wait_p25_x4"),
+            F.expr("CAST(percentile(seg_wait, 0.50) * 4 AS BIGINT)").alias("seg_wait_p50_x4"),
+            F.expr("CAST(percentile(seg_wait, 0.75) * 4 AS BIGINT)").alias("seg_wait_p75_x4"),
+            F.expr(
+                "CAST(percentile(ckpt_wait, 0.50)"
+                " FILTER (WHERE ckpt_wait IS NOT NULL) * 4 AS BIGINT)"
+            ).alias("ckpt_wait_p50_x4"),
+            F.max("seg_wait").cast("long").alias("seg_wait_max"),
+            F.max("ckpt_wait").cast("long").alias("ckpt_wait_max"),
+        )
+        .orderBy("topic", "partition_id")
+    )
