@@ -91,6 +91,7 @@ HEADLINE = [
     "p_semantic_dedup_auto",
     # round-10 additions: exact substring-level dedup (Lee et al. cut)
     "p_substring_dedup",
+    "p_ivf_pq_rerank",
 ]
 
 

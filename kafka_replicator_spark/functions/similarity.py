@@ -931,25 +931,34 @@ def ivf_pq_rerank(
     dim: int = 64,
     centroid_stride: int = 250,
     code_stride: int = 250,
+    two_level: bool = True,
+    coarse_factor: int | None = None,
 ) -> DataFrame:
     """The composed FAISS-style IVFPQ + refine architecture (Jégou et al.
     2011 §V; the standard billion-scale ANN deployment): IVF coarse cell
     restriction (nprobe=1) → PQ asymmetric-distance scan of the cell →
     exact rerank of the top-``shortlist`` on the int8-quantized vectors.
 
-    Every stage is engine-exact: cell assignment is ivf_assign's
-    deterministic argmax; ADC distances are BIGINT sums of per-subspace
-    integer L2 (pq_code_assign); the refine step re-scores only the
-    shortlist with full exact integer L2.  Scale shape: the corpus never
-    shuffles — codebooks, probe subvectors and probe cells broadcast; the
-    only aggregations are per-(probe, candidate) partial-distance sums
-    within one coarse cell, and the rerank join touches ``shortlist``
-    rows per probe.
+    Every stage is engine-exact: cell assignment is the deterministic
+    argmax of :func:`ivf_assign_2level` (default: auto-G — the measured
+    N^1.5 scale path; ``two_level=False`` drops to the flat
+    :func:`ivf_assign`, whose N²/stride cost the scale bench exposed);
+    ADC distances are BIGINT sums of per-subspace integer L2
+    (pq_code_assign); the refine step re-scores only the shortlist with
+    full exact integer L2.  Scale shape: the corpus never shuffles —
+    codebooks, probe subvectors and probe cells broadcast; the only
+    aggregations are per-(probe, candidate) partial-distance sums within
+    one coarse cell, and the rerank join touches ``shortlist`` rows per
+    probe.
 
     Reference context: the reference engine has no ANN surface — this is
     part of the training-data-pipeline extension (SURVEY.md §6).
     """
-    assigned = track_cached(ivf_assign(embeddings, centroid_stride))
+    assigned = track_cached(
+        ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
+        if two_level
+        else ivf_assign(embeddings, centroid_stride)
+    )
     probes_cell = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), "centroid_id"
     )
@@ -1013,11 +1022,18 @@ def ivf_pq_rerank_sql(
     dim: int = 64,
     centroid_stride: int = 250,
     code_stride: int = 250,
+    two_level: bool = True,
+    coarse_factor: int | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in probe_ids)
     dist = _PQ_DIST_SQL
+    assign_ctes = (
+        ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)
+        if two_level
+        else ivf_assign_sql_ctes(centroid_stride)
+    )
     return f"""
-{ivf_assign_sql_ctes(centroid_stride)},
+{assign_ctes},
 {_QUANT_SCALED_Q},
 {pq_codes_cte_sql(m, dim, code_stride)},
 probes_cell AS (
@@ -1266,17 +1282,26 @@ def semantic_dedup_2level(
     return _semantic_scan(assigned, tau)
 
 
-def semantic_dedup_2level_sql(
-    tau: float = 0.92, centroid_stride: int = 250, coarse_factor: int | None = 16
+#: the float-cosine SQL template every 2-level oracle composes
+_LIST_COS_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def ivf_assign_2level_sql_ctes(
+    centroid_stride: int = 250, coarse_factor: int | None = 16
 ) -> str:
-    """``coarse_factor=None`` derives G in SQL exactly as the Spark side
-    does: greatest(1, floor(sqrt(C)+0.5)) over the fine-centroid count —
-    IEEE sqrt is correctly rounded on both engines and an exact half is
-    impossible for integer C, so the two derivations agree bit-for-bit."""
-    cos = (
-        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-        " * sqrt(list_dot_product({b}, {b})))"
-    )
+    """The emb/fine/coarse/f2c/v2c/assigned CTE block mirroring
+    :func:`ivf_assign_2level` — THE one generator of the two-level
+    assignment text, shared by semantic_dedup_2level_sql (and the auto-G
+    variant) and the IVFPQ rerank oracle so the assignment rule can never
+    silently diverge between oracles.  ``coarse_factor=None`` derives G in
+    SQL exactly as the Spark side does: greatest(1, floor(sqrt(C)+0.5))
+    over the fine-centroid count — IEEE sqrt is correctly rounded on both
+    engines and an exact half is impossible for integer C, so the two
+    derivations agree bit-for-bit."""
+    cos = _LIST_COS_SQL
     if coarse_factor is None:
         coarse_mod = (
             f"({centroid_stride} * (SELECT greatest(1, "
@@ -1284,8 +1309,7 @@ def semantic_dedup_2level_sql(
         )
     else:
         coarse_mod = str(centroid_stride * coarse_factor)
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 fine AS (SELECT vec_id AS fid, e AS fe FROM emb WHERE vec_id % {centroid_stride} = 0),
 coarse AS (SELECT vec_id AS cid, e AS ce
            FROM emb WHERE vec_id % {coarse_mod} = 0),
@@ -1315,7 +1339,17 @@ assigned AS (
     JOIN f2c USING (coarse_id)
     JOIN fine f USING (fid)
   ) WHERE rn = 1
-),
+)"""
+
+
+def semantic_dedup_2level_sql(
+    tau: float = 0.92, centroid_stride: int = 250, coarse_factor: int | None = 16
+) -> str:
+    """See :func:`ivf_assign_2level_sql_ctes` for the shared assignment
+    block and the auto-G (``coarse_factor=None``) derivation."""
+    cos = _LIST_COS_SQL
+    return f"""
+{ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)},
 near AS (
   SELECT b.vec_id AS b_id, count(*) AS n_near
   FROM assigned a JOIN assigned b

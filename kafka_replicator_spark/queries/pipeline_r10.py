@@ -245,11 +245,13 @@ _RERANK_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
     "p_ivf_pq_rerank",
     _sim.ivf_pq_rerank_sql(_RERANK_PROBES, k=5, shortlist=20),
     tags=("pipeline", "similarity"),
-    doc="composed FAISS-style IVFPQ+refine ANN (Jegou et al. 2011 SV): IVF "
-    "coarse-cell restriction -> PQ asymmetric-distance scan of the cell -> "
-    "exact int8 rerank of the top-20 shortlist; every stage engine-exact "
-    "(deterministic cell argmax, BIGINT ADC sums, exact integer L2 "
-    "refine); the corpus never shuffles — codebooks/probe subvectors/"
+    doc="composed FAISS-style IVFPQ+refine ANN (Jegou et al. 2011 SV): "
+    "2-level auto-G IVF cell restriction (the measured N^1.5 assignment "
+    "path — ivf_assign_2level with G = floor(sqrt(C)+0.5), derived "
+    "identically in the SQL oracle) -> PQ asymmetric-distance scan of the "
+    "cell -> exact int8 rerank of the top-20 shortlist; every stage "
+    "engine-exact (deterministic argmaxes, BIGINT ADC sums, exact integer "
+    "L2 refine); the corpus never shuffles — codebooks/probe subvectors/"
     "probe cells broadcast (functions/similarity.ivf_pq_rerank)",
 )
 def q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
