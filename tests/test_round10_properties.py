@@ -1,0 +1,59 @@
+"""Round-10 feature properties that need a Spark session — cross-variant
+equivalences and plan shapes the oracle gate cannot express."""
+
+
+def test_ivf_pq_rerank_two_level_degenerates_to_flat(spark, sf_dir):
+    """With coarse_factor=1 the 2-level assignment IS the flat one
+    (test_2level_assignment_degenerates_to_flat), so the whole IVFPQ +
+    refine chain must reproduce the flat-assignment variant bit-for-bit —
+    shortlists, rerank distances, ranks and all.  Pins that the two_level
+    default cannot silently change which candidates the PQ scan sees
+    beyond the documented cell-boundary approximation."""
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.functions.similarity import ivf_pq_rerank
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3]
+    flat = (
+        ivf_pq_rerank(emb, probes, k=5, shortlist=10, two_level=False)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    release_cached()
+    two = (
+        ivf_pq_rerank(emb, probes, k=5, shortlist=10, two_level=True, coarse_factor=1)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    release_cached()
+    assert len(flat) > 0
+    assert flat.equals(two)
+
+
+def test_ivf_pq_rerank_plan_shape(spark, sf_dir):
+    """The IVFPQ chain must never degenerate to an all-pairs scan: no
+    CartesianProduct / BroadcastNestedLoopJoin over the corpus (the
+    assignment argmaxes are map-side aggregations; the deliberate
+    broadcast-cross of the tiny coarse-centroid set inside
+    ivf_assign_2level is bounded metadata, and every other broadcast build
+    is probe-grain or codebook-grain), and every window partitions on a
+    high-cardinality key (probe_id, or vec_id for the per-vector code
+    argmin) — never an empty/global or low-cardinality partition spec."""
+    from kafka_replicator_spark.functions.similarity import ivf_pq_rerank
+    from kafka_replicator_spark.plans.explain import (
+        physical_plan,
+        window_partition_specs,
+    )
+    from kafka_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivf_pq_rerank(emb, [0, 1, 2, 3], k=5, shortlist=10)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = window_partition_specs(df)
+    for spec in specs:
+        assert spec, "global window in the IVFPQ plan"
+        assert any("probe_id" in c or "vec_id" in c for c in spec), spec
