@@ -271,13 +271,14 @@ def substring_cut(docs: DataFrame, w: int = 8) -> DataFrame:
     )
 
 
-def substring_cut_sql(w: int = 8, rel: str = "documents") -> str:
-    """DuckDB mirror of :func:`substring_cut` over ``rel``.  The cleaned
-    text rebuilds as ``string_agg(tok, ' ' ORDER BY i)`` over uncovered
-    positions; extents are disjoint per doc, so the coverage test is a
-    null-producing LEFT JOIN, never a fan-out."""
-    return f"""
-WITH src AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM {rel}),
+def dup_spans_ctes_sql(w: int = 8, rel: str = "documents") -> str:
+    """The src/win/occ/dup/flagged/islands/spans CTE block (emitted inside
+    an open WITH) mirroring :func:`_dup_window_spans` — THE one generator
+    of the repeated-window span text, shared by substring_cut_sql and the
+    span position audits so the span rule can never silently diverge
+    between oracles.  ``spans`` yields one merged extent per (doc_id,
+    island): [s, e] in 1-based token positions."""
+    return f"""src AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM {rel}),
 win AS (
   SELECT doc_id, i, md5(array_to_string(t[i:i+{w - 1}], ' ')) AS wh
   FROM (SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i FROM src)
@@ -300,7 +301,16 @@ spans AS MATERIALIZED (
   SELECT doc_id, CAST(min(i) AS BIGINT) AS s,
          CAST(max(i) + {w} - 1 AS BIGINT) AS e
   FROM islands GROUP BY doc_id, island
-),
+)"""
+
+
+def substring_cut_sql(w: int = 8, rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`substring_cut` over ``rel``.  The cleaned
+    text rebuilds as ``string_agg(tok, ' ' ORDER BY i)`` over uncovered
+    positions; extents are disjoint per doc, so the coverage test is a
+    null-producing LEFT JOIN, never a fan-out."""
+    return f"""
+WITH {dup_spans_ctes_sql(w, rel)},
 pos AS (
   SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok FROM src
 ),

@@ -1,0 +1,91 @@
+"""Round-10 analytics queries (TPC-H grain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.queries import register
+from kafka_replicator_spark.sources.tables import load_table
+
+
+# --------------------------------------------- Pettitt change-point test
+
+
+@register(
+    "a_pettitt_changepoint",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+ranked AS (
+  SELECT d, cents,
+         CAST(rank() OVER (ORDER BY cents ASC) AS BIGINT) AS ra,
+         CAST(rank() OVER (ORDER BY cents DESC) AS BIGINT) AS rd,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+  FROM daily
+),
+u AS (
+  SELECT t, d, n,
+         sum(ra + (n + 1 - rd)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+           - t * (n + 1) AS ut
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(t AS BIGINT) AS t_star,
+       CAST(d AS VARCHAR) AS cp_date,
+       CAST(abs(ut) AS BIGINT) AS k_stat
+FROM (
+  SELECT *, row_number() OVER (ORDER BY abs(ut) DESC, t ASC) AS rn
+  FROM u WHERE t < n
+) WHERE rn = 1
+""",
+    tags=("analytics", "stats"),
+    doc="Pettitt change-point test on daily order revenue (the rank-based "
+    "nonparametric sibling of a_cusum_changepoint / a_changepoint_sse — "
+    "robust to the heavy-tailed order values both mean-based tests "
+    "square): U_t = sum_{i<=t} double-average-rank_i - t(n+1), where the "
+    "double rank 2r_i = rank_asc + (n+1 - rank_desc) keeps tied days in "
+    "exact integers; K = max|U_t| over t < n (U_n = 0 identically) with "
+    "the earliest-t tie-break.  All windows run on the bounded day grain; "
+    "cents from DECIMAL(18,2)*100 are exact integers so ranks can never "
+    "drift cross-engine",
+)
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w_all = Window.partitionBy()
+    ranked = daily.select(
+        "d",
+        F.rank().over(w_all.orderBy(F.asc("cents"))).cast("long").alias("ra"),
+        F.rank().over(w_all.orderBy(F.desc("cents"))).cast("long").alias("rd"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.row_number().over(w_all.orderBy("d")).cast("long").alias("t"),
+    )
+    run = w_all.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = ranked.select(
+        "t",
+        "d",
+        "n",
+        (
+            F.sum(F.col("ra") + (F.col("n") + 1 - F.col("rd"))).over(run)
+            - F.col("t") * (F.col("n") + 1)
+        ).alias("ut"),
+    )
+    w_pick = w_all.orderBy(F.desc(F.abs(F.col("ut"))), F.asc("t"))
+    return (
+        u.filter(F.col("t") < F.col("n"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("t").alias("t_star"),
+            F.col("d").cast("string").alias("cp_date"),
+            F.abs(F.col("ut")).cast("long").alias("k_stat"),
+        )
+    )

@@ -635,3 +635,58 @@ def q_split_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ------------------------------------------- repeated-span position profile
+
+from kafka_replicator_spark.functions.dedup import (  # noqa: E402
+    _dup_window_spans,
+    dup_spans_ctes_sql,
+)
+
+
+@register(
+    "p_substring_position_profile",
+    f"""
+WITH {dup_spans_ctes_sql(_SUBSTR_W)},
+lens AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n FROM src),
+sp AS (
+  SELECT l.source,
+         least(((sp.s + sp.e) // 2 - 1) * 10 // l.n, 9) AS decile,
+         sp.e - sp.s + 1 AS span_tokens
+  FROM spans sp JOIN lens l USING (doc_id)
+)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS span_tokens
+FROM sp GROUP BY source, decile ORDER BY source, decile
+""",
+    tags=("pipeline", "dedup"),
+    doc="positional profile of the ExactSubstr cut list: each merged "
+    "repeated-span extent bucketed by its midpoint's relative position "
+    "decile within the document, per source — pure integer arithmetic "
+    "((s+e) div 2, *10 div n_tokens).  Head-heavy mass means template "
+    "boilerplate (headers/navigation) drives the cut; tail-heavy means "
+    "signatures/footers — which end of the document the cutter should "
+    "trust is a real curation decision.  Span text single-sourced with "
+    "substring_cut via dedup.dup_spans_ctes_sql / _dup_window_spans",
+)
+def q_substring_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _dup_window_spans(docs, _SUBSTR_W)
+    lens = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    sp = spans.join(lens, "doc_id").select(
+        "source",
+        F.expr("CAST(least(((s + e) div 2 - 1) * 10 div n, 9) AS BIGINT)").alias("decile"),
+        (F.col("e") - F.col("s") + 1).alias("span_tokens"),
+    )
+    return (
+        sp.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("span_tokens"),
+        )
+        .orderBy("source", "decile")
+    )

@@ -55,6 +55,11 @@ KERNELS = [
     # — precisely the per-group scale the stitch must absorb.
     "p_corpus_mix",
     "p_e2e_pack_manifest",
+    # round 10: exact substring-level dedup (salted variants never
+    # cross-match, so repeated-span structure scales exactly Nx) and the
+    # IVFPQ+refine chain on the 2-level auto-G assignment
+    "p_substring_dedup",
+    "p_ivf_pq_rerank",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
