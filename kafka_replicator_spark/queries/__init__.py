@@ -232,6 +232,8 @@ _NEW_THIS_ROUND: list[str] = [
     "r_e2e_latency_budget",
     "p_substring_position_profile",
     "a_pettitt_changepoint",
+    "a_shared_sql_unpivot",
+    "p_reweight_agreement",
 ]
 
 

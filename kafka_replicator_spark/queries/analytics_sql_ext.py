@@ -1039,3 +1039,34 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 )
 def q_shared_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_ROLLUP)
+
+
+# ------------------------------------------------- shared-SQL UNPIVOT
+
+SHARED_SQL_UNPIVOT = """
+SELECT yr, quarter, n_orders
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CASE WHEN quarter(o_orderdate) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN quarter(o_orderdate) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2,
+         CAST(sum(CASE WHEN quarter(o_orderdate) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3,
+         CAST(sum(CASE WHEN quarter(o_orderdate) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS q4
+  FROM orders GROUP BY year(o_orderdate)
+) UNPIVOT (n_orders FOR quarter IN (q1, q2, q3, q4))
+ORDER BY yr, quarter
+"""
+
+
+@register(
+    "a_shared_sql_unpivot",
+    SHARED_SQL_UNPIVOT,
+    tags=("analytics", "sql", "unpivot"),
+    doc="SQL front door: UNPIVOT as literal same-text SQL (verified: Spark "
+    "4 and DuckDB 1.0 parse the identical UNPIVOT (v FOR k IN (...)) "
+    "clause with the same label strings) — wide quarterly order counts "
+    "melted back to long form; the relational melt every BI export path "
+    "needs, completing the reshape front-door set next to "
+    "a_pivot_event_counts (conditional-aggregate pivot)",
+)
+def q_shared_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_UNPIVOT)

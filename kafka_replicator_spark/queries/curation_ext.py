@@ -154,9 +154,9 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- DoReMi domain weights
 
-@register(
-    "p_doremi_weights",
-    f"""
+#: the DoReMi oracle text, module-level so composing audits (the
+#: DSIR-vs-DoReMi rank-agreement query) reuse the IDENTICAL weight rule
+DOREMI_WEIGHTS_SQL = f"""
 WITH blp AS ({scoring.bigram_logprob_sql()}),
 per_doc AS (
   SELECT d.source, CAST(round(-b.avg_logprob, 6) AS DECIMAL(20,6)) AS nll
@@ -177,7 +177,12 @@ tot AS (SELECT CAST(sum(ex_micro) AS BIGINT) AS t FROM excess)
 SELECT source, n_docs, mean_nll,
        CAST((1000000 * ex_micro) // nullif(t, 0) AS BIGINT) AS weight_ppm
 FROM excess CROSS JOIN tot
-""",
+"""
+
+
+@register(
+    "p_doremi_weights",
+    DOREMI_WEIGHTS_SQL,
     tags=("pipeline", "mixing"),
     doc="DoReMi-style loss-driven domain reweighting (Xie et al. 2023 "
     "shape): per-source excess bigram-LM NLL over the easiest source, "

@@ -9,7 +9,7 @@ counts, which no single-stage query exercises.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_replicator_spark.functions.dedup import substring_cut, substring_cut_sql
@@ -689,4 +689,106 @@ def q_substring_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_tokens").cast("long").alias("span_tokens"),
         )
         .orderBy("source", "decile")
+    )
+
+
+# --------------------------------------- DSIR vs DoReMi rank agreement
+
+from kafka_replicator_spark.functions.corpus import (  # noqa: E402
+    dsir_weights,
+    dsir_weights_sql,
+)
+
+
+def _reweight_agreement_sql() -> str:
+    from kafka_replicator_spark.queries.curation_ext import DOREMI_WEIGHTS_SQL
+
+    return f"""
+WITH dsir AS ({dsir_weights_sql()}),
+dsrc AS (
+  SELECT d.source,
+         CAST(sum(CAST(floor(exp(w.dsir_logweight) * 1000000 + 0.5) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_wm
+  FROM dsir w JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+dore AS ({DOREMI_WEIGHTS_SQL}),
+ra AS (SELECT source, row_number() OVER (ORDER BY mean_wm DESC, source ASC) AS r1 FROM dsrc),
+rb AS (SELECT source, row_number() OVER (ORDER BY weight_ppm DESC, source ASC) AS r2 FROM dore),
+j AS (SELECT a.source, r1, r2 FROM ra a JOIN rb b ON a.source = b.source),
+pairs AS (
+  SELECT CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) < 0 THEN 1 ELSE 0 END AS disc
+  FROM j x JOIN j y ON x.source < y.source
+)
+SELECT CAST((SELECT count(*) FROM j) AS BIGINT) AS n_sources,
+       CAST(sum(conc) AS BIGINT) AS n_concordant,
+       CAST(sum(disc) AS BIGINT) AS n_discordant,
+       CAST((sum(conc) - sum(disc)) * 1000000 // nullif(count(*), 0) AS BIGINT) AS tau_a_ppm
+FROM pairs
+"""
+
+
+@register(
+    "p_reweight_agreement",
+    _reweight_agreement_sql(),
+    tags=("pipeline", "mixing", "eval"),
+    doc="do the two domain-reweighting schemes agree? Kendall tau-a (exact "
+    "ppm, tie-free ranks via the source tie-break) between per-source "
+    "DSIR importance (mean exp-logweight quantized to micro — the "
+    "p_dsir_ess rule — then sum // n) and DoReMi loss-driven weight_ppm "
+    "(DOREMI_WEIGHTS_SQL, single-sourced from curation_ext).  tau near "
+    "+1e6: target-likeness and LM difficulty rank sources the same way, "
+    "so either scheme picks the same mixture; tau near -1e6 means the "
+    "easy-domain and target-like-domain orderings INVERT and the mixture "
+    "choice actually matters.  All joins/windows on the bounded source "
+    "grain",
+)
+def q_reweight_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.curation_ext import q_doremi_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsrc = (
+        dsir_weights(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            F.expr("CAST(floor(exp(dsir_logweight) * 1000000 + 0.5) AS BIGINT)").alias("wm"),
+        )
+        .groupBy("source")
+        .agg(F.expr("CAST(sum(wm) div count(1) AS BIGINT)").alias("mean_wm"))
+    )
+    dore = q_doremi_weights(spark, sf_dir).select("source", "weight_ppm")
+    w_all = Window.partitionBy()
+    ra = dsrc.select(
+        "source",
+        F.row_number()
+        .over(w_all.orderBy(F.desc("mean_wm"), F.asc("source")))
+        .alias("r1"),
+    )
+    rb = dore.select(
+        "source",
+        F.row_number()
+        .over(w_all.orderBy(F.desc("weight_ppm"), F.asc("source")))
+        .alias("r2"),
+    )
+    j = ra.join(rb, "source")
+    x = j.select(F.col("source").alias("sa"), F.col("r1").alias("x1"), F.col("r2").alias("x2"))
+    y = j.select(F.col("source").alias("sb"), F.col("r1").alias("y1"), F.col("r2").alias("y2"))
+    pairs = x.join(y, F.col("sa") < F.col("sb")).select(
+        F.when((F.col("x1") - F.col("y1")) * (F.col("x2") - F.col("y2")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("x1") - F.col("y1")) * (F.col("x2") - F.col("y2")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+    )
+    n_sources = j.count()
+    return pairs.agg(
+        F.lit(n_sources).cast("long").alias("n_sources"),
+        F.sum("conc").cast("long").alias("n_concordant"),
+        F.sum("disc").cast("long").alias("n_discordant"),
+        F.expr(
+            "CAST((sum(conc) - sum(disc)) * 1000000 div nullif(count(1), 0) AS BIGINT)"
+        ).alias("tau_a_ppm"),
     )
