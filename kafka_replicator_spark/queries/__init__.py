@@ -234,6 +234,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_pettitt_changepoint",
     "a_shared_sql_unpivot",
     "p_reweight_agreement",
+    "p_dup_detector_matrix",
 ]
 
 

@@ -792,3 +792,95 @@ def q_reweight_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(conc) - sum(disc)) * 1000000 div nullif(count(1), 0) AS BIGINT)"
         ).alias("tau_a_ppm"),
     )
+
+
+# --------------------------------------------- doc-grain detector matrix
+
+from kafka_replicator_spark.functions.dedup import (  # noqa: E402
+    simhash_near_pairs,
+    simhash_near_pairs_sql,
+)
+
+
+@register(
+    "p_dup_detector_matrix",
+    f"""
+WITH {_PAIRS_CTE},
+{dup_spans_ctes_sql(_SUBSTR_W)},
+sim AS MATERIALIZED ({simhash_near_pairs_sql()}),
+exd AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS c FROM documents
+  ) WHERE c > 1
+),
+spd AS (SELECT DISTINCT doc_id FROM spans),
+simd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM sim UNION ALL SELECT doc_b FROM sim)
+),
+flags AS (
+  SELECT CAST(e.doc_id IS NOT NULL AS BIGINT) AS f_exact,
+         CAST(s.doc_id IS NOT NULL AS BIGINT) AS f_substr,
+         CAST(l.doc_id IS NOT NULL AS BIGINT) AS f_lsh,
+         CAST(m.doc_id IS NOT NULL AS BIGINT) AS f_simhash
+  FROM documents d
+  LEFT JOIN exd e ON e.doc_id = d.doc_id
+  LEFT JOIN spd s ON s.doc_id = d.doc_id
+  LEFT JOIN pair_docs l ON l.doc_id = d.doc_id
+  LEFT JOIN simd m ON m.doc_id = d.doc_id
+)
+SELECT f_exact, f_substr, f_lsh, f_simhash, CAST(count(*) AS BIGINT) AS n_docs
+FROM flags GROUP BY f_exact, f_substr, f_lsh, f_simhash
+ORDER BY f_exact, f_substr, f_lsh, f_simhash
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="doc-grain agreement matrix across all four dup-detector tiers — "
+    "exact hash, ExactSubstr repeated-span (the round-10 cutter, span "
+    "text single-sourced via dup_spans_ctes_sql), MinHash-LSH candidate, "
+    "SimHash hamming candidate — as a 2^4 contingency over the corpus: "
+    "every exact dup should carry spans (a hash dup repeats ALL its "
+    "windows), so a (1,0,*,*) cell > 0 localizes a detector bug; the "
+    "(0,1,0,0) cell is the cutter's unique contribution — partial "
+    "boilerplate no doc-level detector sees.  Pair frames stay blocked "
+    "(never all-pairs); the flag build is four doc-grain left joins",
+)
+def q_dup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    exd = (
+        docs.withColumn("c", F.count(F.lit(1)).over(W.partitionBy(F.md5("text"))))
+        .filter(F.col("c") > 1)
+        .select("doc_id")
+    )
+    spd = _dup_window_spans(docs, _SUBSTR_W).select("doc_id").distinct()
+    pairs = lsh_candidate_pairs(docs, k=_BLEU_K, n=_BLEU_N, bands=_BLEU_BANDS)
+    lshd = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sim = simhash_near_pairs(docs)
+    simd = (
+        sim.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(sim.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(exd.withColumn("f_exact", F.lit(1)), "doc_id", "left")
+        .join(spd.withColumn("f_substr", F.lit(1)), "doc_id", "left")
+        .join(lshd.withColumn("f_lsh", F.lit(1)), "doc_id", "left")
+        .join(simd.withColumn("f_simhash", F.lit(1)), "doc_id", "left")
+        .select(
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("f_exact", "f_substr", "f_lsh", "f_simhash")
+            ]
+        )
+    )
+    return (
+        flags.groupBy("f_exact", "f_substr", "f_lsh", "f_simhash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("f_exact", "f_substr", "f_lsh", "f_simhash")
+    )
