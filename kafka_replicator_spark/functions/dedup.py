@@ -83,8 +83,10 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     )
 
 
-def word_ngrams_sql(n: int = 3) -> str:
-    """DuckDB mirror of :func:`word_ngrams` (1-based list indexing)."""
+def word_ngrams_sql(n: int = 3, rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`word_ngrams` (1-based list indexing) over
+    ``rel`` — parameterized so composed oracles (the dedup cascade) can
+    shingle an intermediate CTE instead of the raw table."""
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     return f"""
 SELECT DISTINCT doc_id, shingle, {portable_hash32_sql('shingle')} AS h
@@ -92,7 +94,7 @@ FROM (
   SELECT doc_id, {gram} AS shingle
   FROM (
     SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {rel})
   )
 )
 """
@@ -630,12 +632,12 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures_sql(k: int = 16, n: int = 3) -> str:
+def minhash_signatures_sql(k: int = 16, n: int = 3, rel: str = "documents") -> str:
     cols = ", ".join(
         f"min({hash_family_sql('h', a, b)}) AS sig_{i}"
         for i, (a, b) in enumerate(hash_family_params(k))
     )
-    return f"WITH sh AS ({word_ngrams_sql(n)}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+    return f"WITH sh AS ({word_ngrams_sql(n, rel)}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
 def minhash_bands(
@@ -702,12 +704,14 @@ def minhash_bands_cte_sql(k: int = 16, bands: int = 4, sig_rel: str = "sig") -> 
     return " UNION ALL ".join(selects)
 
 
-def lsh_candidate_pairs_sql(k: int = 16, n: int = 3, bands: int = 4) -> str:
+def lsh_candidate_pairs_sql(
+    k: int = 16, n: int = 3, bands: int = 4, rel: str = "documents"
+) -> str:
     # MATERIALIZED: sig is read once per band SELECT and banded twice by the
     # self-join — DuckDB inlines multiply-referenced CTEs exponentially
     # without it (the r06 rule)
     return f"""
-WITH sig AS MATERIALIZED ({minhash_signatures_sql(k, n)}),
+WITH sig AS MATERIALIZED ({minhash_signatures_sql(k, n, rel)}),
 banded AS MATERIALIZED ({minhash_bands_cte_sql(k, bands)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key

@@ -235,6 +235,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_shared_sql_unpivot",
     "p_reweight_agreement",
     "p_dup_detector_matrix",
+    "p_e2e_dedup_cascade",
 ]
 
 

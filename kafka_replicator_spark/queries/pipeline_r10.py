@@ -884,3 +884,110 @@ def q_dup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("f_exact", "f_substr", "f_lsh", "f_simhash")
     )
+
+
+# --------------------------------------------- e2e dedup cascade funnel
+
+
+@register(
+    "p_e2e_dedup_cascade",
+    f"""
+WITH surv AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+t1 AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.text FROM documents d JOIN surv USING (doc_id)
+),
+cut AS MATERIALIZED ({substring_cut_sql(_SUBSTR_W, rel='t1')}),
+clean AS MATERIALIZED (SELECT doc_id, source, clean_text AS text FROM cut),
+pairs AS MATERIALIZED ({lsh_candidate_pairs_sql(_BLEU_K, _BLEU_N, _BLEU_BANDS, rel='clean')}),
+removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+fin AS (
+  SELECT c.doc_id, c.source, cut.kept_tokens
+  FROM clean c JOIN cut USING (doc_id)
+  LEFT JOIN removed r ON r.doc_id = c.doc_id
+  WHERE r.doc_id IS NULL
+),
+raw AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_raw
+  FROM documents GROUP BY source
+),
+s1 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(cut_tokens) AS BIGINT) AS cut_tokens
+  FROM cut GROUP BY source
+),
+s2 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+         CAST(sum(kept_tokens) AS BIGINT) AS tok_final
+  FROM fin GROUP BY source
+)
+SELECT raw.source, n_raw, tok_raw, n_exact, cut_tokens,
+       coalesce(n_final, 0) AS n_final, coalesce(tok_final, 0) AS tok_final
+FROM raw JOIN s1 USING (source) LEFT JOIN s2 USING (source)
+ORDER BY raw.source
+""",
+    tags=("pipeline", "compose", "dedup"),
+    doc="the three-tier dedup cascade as ONE end-to-end funnel — exact "
+    "hash survivors (min-id) -> ExactSubstr cut of the survivors "
+    "(substring_cut_sql rel-composed over the survivor CTE) -> MinHash-"
+    "LSH near-dup removal over the CLEANED text (the shingle builders "
+    "are rel-parameterized so the oracle shingles the cut output, not "
+    "the raw table; higher doc_id of each candidate pair removed) — "
+    "per-source doc/token accounting at every stage.  Running LSH after "
+    "the cut matters: cutting shared boilerplate can UN-pair docs whose "
+    "similarity was all template, which no single-stage query observes",
+)
+def q_e2e_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        docs.withColumn(
+            "rn", F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    cut = track_cached(substring_cut(surv, w=_SUBSTR_W))
+    clean = cut.select("doc_id", "source", F.col("clean_text").alias("text"))
+    pairs = lsh_candidate_pairs(clean, k=_BLEU_K, n=_BLEU_N, bands=_BLEU_BANDS)
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    fin = (
+        clean.join(cut.select("doc_id", "kept_tokens"), "doc_id")
+        .join(removed, "doc_id", "left_anti")
+        .select("doc_id", "source", "kept_tokens")
+    )
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tok_raw"),
+    )
+    s1 = cut.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("cut_tokens").cast("long").alias("cut_tokens"),
+    )
+    s2 = fin.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("kept_tokens").cast("long").alias("tok_final"),
+    )
+    return (
+        raw.join(s1, "source")
+        .join(s2, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "tok_raw",
+            "n_exact",
+            "cut_tokens",
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+            F.coalesce("tok_final", F.lit(0)).cast("long").alias("tok_final"),
+        )
+        .orderBy("source")
+    )
