@@ -622,3 +622,131 @@ SELECT d.doc_id,
                  ELSE 1000000 END AS BIGINT) AS novelty_ppm
 FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+
+def bpe_merge_curve(docs: DataFrame, ks: tuple[int, ...] = (5, 10, 20)) -> DataFrame:
+    """Merge-budget sensitivity of round-1 BPE compression: corpus-level
+    subword counts under the top-5/10/20 merge tables, all arms from ONE
+    shared (word, position, rank) frame — the literal-ladder sweep pattern
+    (r_checkpoint_interval_sweep).  The merge table is rank-prefix-closed
+    (bpe_merges ranks count desc, pair asc), so arm k just filters
+    rank <= k; each arm re-runs the greedy-run islands closure because
+    WHICH positions are mergeable changes with the table.
+
+    Diminishing compression_ppm deltas across arms say where the
+    vocabulary budget stops paying — the data-side answer to "how many
+    merges do we need".  Same closed form as :func:`bpe_fertility`
+    (ceil(run/2) merges per island); windows partition by word.
+    """
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    merges = bpe_merges(docs, max(ks)).select("rank", "pair")
+    wc = track_cached(
+        spread(docs.select(F.explode(tokens_col()).alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = wc.select("w").distinct().filter(F.length("w") >= 2)
+    pos = vocab.select(
+        "w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(i.alias("i"), F.col("w").substr(i, F.lit(2)).alias("pair")),
+            )
+        ).alias("x"),
+    ).select("w", F.col("x.i").alias("i"), F.col("x.pair").alias("pair"))
+    member_all = track_cached(pos.join(F.broadcast(merges), "pair").select("w", "i", "rank"))
+    totals = wc.agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+    )
+    byw = Window.partitionBy("w").orderBy("i")
+    out = None
+    for k in sorted(ks):
+        member = member_all.filter(F.col("rank") <= k).select("w", "i")
+        flagged = member.select(
+            "w",
+            "i",
+            F.when(
+                F.lag("i").over(byw).isNull() | (F.col("i") - F.lag("i").over(byw) > 1), 1
+            )
+            .otherwise(0)
+            .alias("brk"),
+        )
+        isl = flagged.select(
+            "w",
+            F.sum("brk").over(byw.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+        )
+        runs = isl.groupBy("w", "island").agg(F.count(F.lit(1)).alias("L"))
+        wmerges = runs.groupBy("w").agg(F.sum(F.expr("(L + 1) div 2")).alias("m"))
+        arm = (
+            wc.join(wmerges, "w", "left")
+            .agg(
+                F.sum(
+                    F.col("c") * (F.length("w") - F.coalesce("m", F.lit(0)))
+                )
+                .cast("long")
+                .alias("n_bpe_tokens")
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(k).cast("long").alias("merge_budget"),
+                "n_words",
+                "n_chars",
+                "n_bpe_tokens",
+                F.expr(
+                    "CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)"
+                    " div n_chars AS BIGINT)"
+                ).alias("compression_ppm"),
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("merge_budget")
+
+
+def bpe_merge_curve_sql(ks: tuple[int, ...] = (5, 10, 20)) -> str:
+    arms = []
+    for k in sorted(ks):
+        arms.append(f"""
+SELECT CAST({k} AS BIGINT) AS merge_budget, n_words, n_chars,
+       (SELECT CAST(sum(wc.c * (length(wc.w) - coalesce(m.m, 0))) AS BIGINT)
+        FROM wc LEFT JOIN (
+          SELECT w, CAST(sum((L + 1) // 2) AS BIGINT) AS m FROM (
+            SELECT w, island, count(*) AS L FROM (
+              SELECT w, i, sum(brk) OVER (PARTITION BY w ORDER BY i) AS island
+              FROM (
+                SELECT w, i,
+                       CASE WHEN i - lag(i) OVER (PARTITION BY w ORDER BY i) > 1
+                                 OR lag(i) OVER (PARTITION BY w ORDER BY i) IS NULL
+                            THEN 1 ELSE 0 END AS brk
+                FROM member_all WHERE rank <= {k}
+              )
+            ) GROUP BY w, island
+          ) GROUP BY w
+        ) m ON m.w = wc.w) AS n_bpe_tokens
+FROM totals""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+WITH merges AS MATERIALIZED (SELECT rank, pair FROM ({bpe_merges_sql(max(ks))})),
+wstream AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS MATERIALIZED (SELECT w, count(*) AS c FROM wstream GROUP BY w),
+vocab AS (SELECT DISTINCT w FROM wc WHERE length(w) >= 2),
+pos AS (
+  SELECT w, i, substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM vocab)
+),
+member_all AS MATERIALIZED (
+  SELECT p.w, p.i, m.rank FROM pos p JOIN merges m USING (pair)
+),
+totals AS MATERIALIZED (
+  SELECT CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * length(w)) AS BIGINT) AS n_chars
+  FROM wc
+)
+SELECT merge_budget, n_words, n_chars, n_bpe_tokens,
+       CAST((CAST(n_bpe_tokens AS HUGEINT) * 1000000) // n_chars AS BIGINT)
+         AS compression_ppm
+FROM ({u})
+ORDER BY merge_budget
+"""

@@ -236,6 +236,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_reweight_agreement",
     "p_dup_detector_matrix",
     "p_e2e_dedup_cascade",
+    "p_bpe_merge_curve",
 ]
 
 

@@ -991,3 +991,22 @@ def q_e2e_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- BPE merge-budget curve
+
+
+@register(
+    "p_bpe_merge_curve",
+    _corpus.bpe_merge_curve_sql(),
+    tags=("pipeline", "tokenizer"),
+    doc="merge-budget sensitivity of round-1 BPE compression: corpus "
+    "subword counts under the top-5/10/20 merge tables, every arm from "
+    "ONE shared (word, position, rank) frame (the literal-ladder sweep "
+    "pattern; the merge ranking is prefix-closed so arm k filters "
+    "rank <= k) — diminishing compression_ppm deltas locate where the "
+    "vocabulary budget stops paying (functions/corpus.bpe_merge_curve; "
+    "greedy-run closed form shared with bpe_fertility)",
+)
+def q_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus.bpe_merge_curve(load_table(spark, sf_dir, "documents"))
