@@ -237,6 +237,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_dup_detector_matrix",
     "p_e2e_dedup_cascade",
     "p_bpe_merge_curve",
+    "p_knn_hubness",
+    "p_substring_quality_shift",
 ]
 
 

@@ -1010,3 +1010,124 @@ def q_e2e_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.bpe_merge_curve(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------ kNN hubness profile
+
+from kafka_replicator_spark.functions.similarity import (  # noqa: E402
+    label_knn_graph,
+    label_knn_graph_sql,
+)
+
+_HUB_K = 3
+
+
+@register(
+    "p_knn_hubness",
+    f"""
+WITH g AS MATERIALIZED ({label_knn_graph_sql(k=_HUB_K)}),
+ind AS (
+  SELECT e.vec_id,
+         CAST(coalesce(d.c, 0) AS BIGINT) AS in_deg
+  FROM embeddings e LEFT JOIN (
+    SELECT neighbor_id, count(*) AS c FROM g GROUP BY neighbor_id
+  ) d ON d.neighbor_id = e.vec_id
+)
+SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs
+FROM ind GROUP BY in_deg ORDER BY in_deg
+""",
+    tags=("pipeline", "embeddings", "graph"),
+    doc="hubness profile of the directed label-blocked kNN graph "
+    f"(Radovanovic et al. 2010: k-occurrence skew): how often each vector "
+    f"appears in OTHERS' top-{_HUB_K} lists — the in-degree distribution, "
+    "with antihubs (in_deg 0, vectors nothing points at) surfaced by the "
+    "left join against the full corpus.  A heavy right tail means hub "
+    "vectors dominate retrieval results and kNN-graph diversity filters "
+    "will over-select them; the undirected p_degree_histogram cannot see "
+    "this (undirecting erases k-occurrence).  One bounded-block join + "
+    "two aggregations",
+)
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = label_knn_graph(emb, k=_HUB_K)
+    ind = (
+        emb.select("vec_id")
+        .join(
+            g.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("c")),
+            F.col("vec_id") == F.col("neighbor_id"),
+            "left",
+        )
+        .select(F.coalesce("c", F.lit(0)).cast("long").alias("in_deg"))
+    )
+    return (
+        ind.groupBy("in_deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("in_deg")
+    )
+
+
+# --------------------------------------------- substring-cut quality shift
+
+from kafka_replicator_spark.functions.curation import (  # noqa: E402
+    gopher_quality,
+    gopher_quality_sql,
+)
+
+
+@register(
+    "p_substring_quality_shift",
+    f"""
+WITH cut AS MATERIALIZED ({substring_cut_sql(_SUBSTR_W)}),
+clean AS MATERIALIZED (SELECT doc_id, source, clean_text AS text FROM cut),
+graw AS ({gopher_quality_sql()}),
+gcut AS ({gopher_quality_sql(rel='clean')})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r.passes) AS BIGINT) AS n_pass_raw,
+       CAST(sum(c.passes) AS BIGINT) AS n_pass_cut,
+       CAST(sum(CASE WHEN r.passes = 1 AND c.passes = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_flips,
+       CAST(sum(CASE WHEN r.passes = 0 AND c.passes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_flips
+FROM documents d
+JOIN graw r ON r.doc_id = d.doc_id
+JOIN gcut c ON c.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+    tags=("pipeline", "compose", "quality"),
+    doc="does the ExactSubstr cut change what the Gopher gate accepts? "
+    "pass rates per source on the RAW text vs the CUT text (gopher "
+    "builders rel-composed over the cut CTE), with both flip directions "
+    "counted: fail-flips are docs the cut gutted below the word-count or "
+    "stopword floor (over-aggressive cutting destroys good docs); "
+    "pass-flips are docs whose repetition flag CLEARED because the cut "
+    "removed exactly the repeated span the gate was rejecting — the "
+    "curation-order interaction p_e2e_curation_funnel cannot see because "
+    "it gates before any cut",
+)
+def q_substring_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    cut = track_cached(substring_cut(docs, w=_SUBSTR_W))
+    clean = cut.select("doc_id", "source", F.col("clean_text").alias("text"))
+    graw = gopher_quality(docs).select("doc_id", F.col("passes").alias("p_raw"))
+    gcut = gopher_quality(clean).select("doc_id", F.col("passes").alias("p_cut"))
+    return (
+        docs.select("doc_id", "source")
+        .join(graw, "doc_id")
+        .join(gcut, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("p_raw").cast("long").alias("n_pass_raw"),
+            F.sum("p_cut").cast("long").alias("n_pass_cut"),
+            F.sum(F.when((F.col("p_raw") == 1) & (F.col("p_cut") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_fail_flips"),
+            F.sum(F.when((F.col("p_raw") == 0) & (F.col("p_cut") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass_flips"),
+        )
+        .orderBy("source")
+    )
