@@ -239,6 +239,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_bpe_merge_curve",
     "p_knn_hubness",
     "p_substring_quality_shift",
+    "p_source_separability",
 ]
 
 

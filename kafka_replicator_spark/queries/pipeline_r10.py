@@ -1131,3 +1131,125 @@ def q_substring_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- source Fisher separability
+
+
+@register(
+    "p_source_separability",
+    f"""
+WITH me AS MATERIALIZED (
+  SELECT e.vec_id, d.source, {micro_units_sql('e.embedding')} AS me
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+stats AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(list_dot_product(me::DOUBLE[], me::DOUBLE[]) AS BIGINT))
+              AS HUGEINT) AS q
+  FROM me GROUP BY source
+),
+dims AS MATERIALIZED (
+  SELECT source, i, CAST(sum(me[i]) AS HUGEINT) AS s
+  FROM me, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY source, i
+),
+sw AS (
+  SELECT st.source, st.n, CAST(st.n * st.q - sum(d.s * d.s) AS HUGEINT) AS w
+  FROM stats st JOIN dims d USING (source)
+  GROUP BY st.source, st.n, st.q
+),
+num AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         sum((sb.n * a.s - sa.n * b.s) * (sb.n * a.s - sa.n * b.s)) AS nm
+  FROM dims a
+  JOIN dims b ON a.i = b.i AND a.source < b.source
+  JOIN stats sa ON sa.source = a.source
+  JOIN stats sb ON sb.source = b.source
+  GROUP BY a.source, b.source
+)
+SELECT n.source_a, n.source_b,
+       CAST(wa.n AS BIGINT) AS n_a, CAST(wb.n AS BIGINT) AS n_b,
+       CAST((n.nm * 1000000) // nullif(wb.n * wb.n * wa.w + wa.n * wa.n * wb.w, 0)
+            AS BIGINT) AS fisher_ppm
+FROM num n
+JOIN sw wa ON wa.source = n.source_a
+JOIN sw wb ON wb.source = n.source_b
+ORDER BY n.source_a, n.source_b
+""",
+    tags=("pipeline", "embeddings", "eval"),
+    doc="Fisher separability between source pairs in embedding space: "
+    "J = |mu_a - mu_b|^2 / (var_a + var_b), cleared of every division — "
+    "numerator |n_b*S_a - n_a*S_b|^2, denominator n_b^2*SW_a + n_a^2*SW_b "
+    "with the scatter in its n-cleared form SW = n*sum|v|^2 - |sum v|^2 — "
+    "so the whole statistic is ONE exact integer ratio over micro-unit "
+    "sums (HUGEINT/DECIMAL folds; magnitudes stay under 1e33 at tested "
+    "scales).  High J: sources occupy separable embedding regions, so "
+    "source is a usable coarse quantizer / mixture covariate; J near 0: "
+    "embedding space ignores provenance.  All joins on the bounded "
+    "(source, dim) grain after ONE corpus aggregation; uses the "
+    "doc_id = vec_id testdata alignment the cross-modal audits document",
+)
+def q_source_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    me = emb.join(docs, "vec_id").select(
+        "vec_id", "source", micro_units("embedding").alias("me")
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    me = track_cached(me)
+    stats = me.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dot(F.col("me"), F.col("me"))).cast("decimal(38,0)").alias("q"),
+    )
+    dims = (
+        me.select("source", F.posexplode("me").alias("i", "v"))
+        .groupBy("source", "i")
+        .agg(F.sum("v").cast("decimal(38,0)").alias("s"))
+    )
+    sw = (
+        stats.join(dims, "source")
+        .groupBy("source", "n", "q")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+        .select("source", "n", F.expr("CAST(n * q - ss AS DECIMAL(38,0))").alias("w"))
+    )
+    a = dims.select(F.col("source").alias("source_a"), "i", F.col("s").alias("sa"))
+    b = dims.select(F.col("source").alias("source_b"), "i", F.col("s").alias("sb"))
+    na = stats.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = stats.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    num = (
+        a.join(b, ["i"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                (F.col("n_b") * F.col("sa") - F.col("n_a") * F.col("sb"))
+                * (F.col("n_b") * F.col("sa") - F.col("n_a") * F.col("sb"))
+            ).alias("nm")
+        )
+    )
+    return (
+        num.join(sw.select(F.col("source").alias("source_a"), F.col("w").alias("wa")), "source_a")
+        .join(sw.select(F.col("source").alias("source_b"), F.col("w").alias("wb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST((nm * 1000000) div nullif(n_b * n_b * wa + n_a * n_a * wb, 0)"
+                " AS BIGINT)"
+            ).alias("fisher_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
