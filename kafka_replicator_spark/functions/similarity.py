@@ -43,6 +43,18 @@ def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_int_col(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two integer-array columns (micro-unit /
+    int8-quantized vectors) — the integer sibling of :func:`dot_col`.
+    Every query folding an integer dot MUST use this (anisotropy,
+    separability, quantized top-k) so the fold can never silently fork."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
@@ -648,11 +660,7 @@ def quantized_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 5) -> D
     scored = pairs.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.aggregate(
-            F.zip_with("pq", "qe", lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("qdot"),
+        dot_int_col(F.col("pq"), F.col("qe")).alias("qdot"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
     return (

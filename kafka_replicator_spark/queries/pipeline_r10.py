@@ -533,11 +533,8 @@ def q_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_v = dims.agg(
         F.expr("transform(array_sort(collect_list(struct(i0, mu))), x -> x.mu)").alias("mv")
     )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    from kafka_replicator_spark.functions.similarity import dot_int_col as dot
+
     scored = me.crossJoin(F.broadcast(mean_v)).select(
         "vec_id",
         F.floor(
@@ -608,7 +605,12 @@ def q_split_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     me = emb.select(
         split_assign_col("vec_id").alias("split"), micro_units("embedding").alias("me")
     )
-    cent = (
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    # cent feeds the a x b self-join — cache the 3x64-row frame or the
+    # corpus-wide explode+aggregation runs twice (the SQL side MATERIALIZEs
+    # it for the same reason)
+    cent = track_cached(
         me.select("split", F.posexplode("me").alias("i", "v"))
         .groupBy("split", "i")
         .agg(
@@ -704,18 +706,18 @@ def _reweight_agreement_sql() -> str:
     from kafka_replicator_spark.queries.curation_ext import DOREMI_WEIGHTS_SQL
 
     return f"""
-WITH dsir AS ({dsir_weights_sql()}),
-dsrc AS (
+WITH dsir AS MATERIALIZED ({dsir_weights_sql()}),
+dsrc AS MATERIALIZED (
   SELECT d.source,
          CAST(sum(CAST(floor(exp(w.dsir_logweight) * 1000000 + 0.5) AS BIGINT))
               // count(*) AS BIGINT) AS mean_wm
   FROM dsir w JOIN documents d USING (doc_id)
   GROUP BY d.source
 ),
-dore AS ({DOREMI_WEIGHTS_SQL}),
+dore AS MATERIALIZED ({DOREMI_WEIGHTS_SQL}),
 ra AS (SELECT source, row_number() OVER (ORDER BY mean_wm DESC, source ASC) AS r1 FROM dsrc),
 rb AS (SELECT source, row_number() OVER (ORDER BY weight_ppm DESC, source ASC) AS r2 FROM dore),
-j AS (SELECT a.source, r1, r2 FROM ra a JOIN rb b ON a.source = b.source),
+j AS MATERIALIZED (SELECT a.source, r1, r2 FROM ra a JOIN rb b ON a.source = b.source),
 pairs AS (
   SELECT CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) > 0 THEN 1 ELSE 0 END AS conc,
          CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) < 0 THEN 1 ELSE 0 END AS disc
@@ -772,7 +774,13 @@ def q_reweight_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_all.orderBy(F.desc("weight_ppm"), F.asc("source")))
         .alias("r2"),
     )
-    j = ra.join(rb, "source")
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    # j feeds a self-join AND the n_sources aggregate — cache it (house
+    # rule), and take the count as a lazily-joined one-row frame rather
+    # than an eager driver action inside the query builder
+    j = track_cached(ra.join(rb, "source"))
+    nsrc = j.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
     x = j.select(F.col("source").alias("sa"), F.col("r1").alias("x1"), F.col("r2").alias("x2"))
     y = j.select(F.col("source").alias("sb"), F.col("r1").alias("y1"), F.col("r2").alias("y2"))
     pairs = x.join(y, F.col("sa") < F.col("sb")).select(
@@ -783,14 +791,16 @@ def q_reweight_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("disc"),
     )
-    n_sources = j.count()
-    return pairs.agg(
-        F.lit(n_sources).cast("long").alias("n_sources"),
-        F.sum("conc").cast("long").alias("n_concordant"),
-        F.sum("disc").cast("long").alias("n_discordant"),
-        F.expr(
-            "CAST((sum(conc) - sum(disc)) * 1000000 div nullif(count(1), 0) AS BIGINT)"
-        ).alias("tau_a_ppm"),
+    return (
+        pairs.agg(
+            F.sum("conc").cast("long").alias("n_concordant"),
+            F.sum("disc").cast("long").alias("n_discordant"),
+            F.expr(
+                "CAST((sum(conc) - sum(disc)) * 1000000 div nullif(count(1), 0) AS BIGINT)"
+            ).alias("tau_a_ppm"),
+        )
+        .crossJoin(F.broadcast(nsrc))
+        .select("n_sources", "n_concordant", "n_discordant", "tau_a_ppm")
     )
 
 
@@ -838,8 +848,9 @@ ORDER BY f_exact, f_substr, f_lsh, f_simhash
     "exact hash, ExactSubstr repeated-span (the round-10 cutter, span "
     "text single-sourced via dup_spans_ctes_sql), MinHash-LSH candidate, "
     "SimHash hamming candidate — as a 2^4 contingency over the corpus: "
-    "every exact dup should carry spans (a hash dup repeats ALL its "
-    "windows), so a (1,0,*,*) cell > 0 localizes a detector bug; the "
+    "every exact dup of length >= w carries spans (a hash dup repeats "
+    "ALL its windows; docs shorter than the 8-token window legitimately "
+    "sit at (1,0,*,*)), so that cell is dominated by SHORT exact dups; the "
     "(0,1,0,0) cell is the cutter's unique contribution — partial "
     "boilerplate no doc-level detector sees.  Pair frames stay blocked "
     "(never all-pairs); the flag build is four doc-grain left joins",
@@ -853,14 +864,20 @@ def q_dup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 1)
         .select("doc_id")
     )
+    from kafka_replicator_spark.cacheutil import track_cached
+
     spd = _dup_window_spans(docs, _SUBSTR_W).select("doc_id").distinct()
-    pairs = lsh_candidate_pairs(docs, k=_BLEU_K, n=_BLEU_N, bands=_BLEU_BANDS)
+    # both pair frames feed a union of their two endpoint projections —
+    # cache them or the band self-join / hamming verification runs twice
+    pairs = track_cached(
+        lsh_candidate_pairs(docs, k=_BLEU_K, n=_BLEU_N, bands=_BLEU_BANDS)
+    )
     lshd = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sim = simhash_near_pairs(docs)
+    sim = track_cached(simhash_near_pairs(docs))
     simd = (
         sim.select(F.col("doc_a").alias("doc_id"))
         .unionAll(sim.select(F.col("doc_b").alias("doc_id")))
@@ -927,9 +944,10 @@ s2 AS (
          CAST(sum(kept_tokens) AS BIGINT) AS tok_final
   FROM fin GROUP BY source
 )
-SELECT raw.source, n_raw, tok_raw, n_exact, cut_tokens,
+SELECT raw.source, n_raw, tok_raw,
+       coalesce(n_exact, 0) AS n_exact, coalesce(cut_tokens, 0) AS cut_tokens,
        coalesce(n_final, 0) AS n_final, coalesce(tok_final, 0) AS tok_final
-FROM raw JOIN s1 USING (source) LEFT JOIN s2 USING (source)
+FROM raw LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
 ORDER BY raw.source
 """,
     tags=("pipeline", "compose", "dedup"),
@@ -978,14 +996,17 @@ def q_e2e_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_tokens").cast("long").alias("tok_final"),
     )
     return (
-        raw.join(s1, "source")
+        # LEFT joins at BOTH stages: a source whose every doc loses exact
+        # dedup to a lower doc_id in another source has no s1 row — the
+        # most-deduplicated source is exactly the one the funnel must show
+        raw.join(s1, "source", "left")
         .join(s2, "source", "left")
         .select(
             "source",
             "n_raw",
             "tok_raw",
-            "n_exact",
-            "cut_tokens",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("cut_tokens", F.lit(0)).cast("long").alias("cut_tokens"),
             F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
             F.coalesce("tok_final", F.lit(0)).cast("long").alias("tok_final"),
         )
@@ -1195,11 +1216,8 @@ def q_source_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
     )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    from kafka_replicator_spark.functions.similarity import dot_int_col as dot
+
     me = emb.join(docs, "vec_id").select(
         "vec_id", "source", micro_units("embedding").alias("me")
     )

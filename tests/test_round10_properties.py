@@ -44,15 +44,38 @@ def test_ivf_pq_rerank_plan_shape(spark, sf_dir):
     argmin) — never an empty/global or low-cardinality partition spec."""
     from kafka_replicator_spark.functions.similarity import ivf_pq_rerank
     from kafka_replicator_spark.plans.explain import (
+        broadcast_build_columns,
         physical_plan,
         window_partition_specs,
     )
     from kafka_replicator_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    df = ivf_pq_rerank(emb, [0, 1, 2, 3], k=5, shortlist=10)
-    plan = physical_plan(df)
+    # disable auto-broadcast while building the plan: at test scale
+    # Catalyst happily broadcasts the whole (tiny) corpus, which is
+    # exactly the estimate-driven choice that cannot survive 100 TB —
+    # the pin checks the EXPLICIT broadcast structure the code declares
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ivf_pq_rerank(emb, [0, 1, 2, 3], k=5, shortlist=10)
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin appears legitimately (the deliberate
+    # broadcast-cross of the tiny coarse-centroid set inside
+    # ivf_assign_2level), so instead of banning BNLJ pin the BUILD sides:
+    # no broadcast build may carry a corpus-grain array column (the raw
+    # embedding e, the quantized qe, a raw subvector sub, or micro-unit
+    # me) — the codebook (csub), fine-cell (fe), coarse (ce) and
+    # probe-grain (psub, pqe) arrays are the bounded frames allowed to
+    # broadcast.  This is what catches an all-pairs degeneration: a
+    # corpus-side build would drag one of the banned columns in.
+    banned = {"e", "qe", "sub", "me"}
+    for cols in broadcast_build_columns(df):
+        bases = {c.split("#")[0].strip() for c in cols}
+        assert not (bases & banned), cols
     specs = window_partition_specs(df)
     for spec in specs:
         assert spec, "global window in the IVFPQ plan"
