@@ -240,6 +240,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_knn_hubness",
     "p_substring_quality_shift",
     "p_source_separability",
+    "p_conformal_quality_bound",
 ]
 
 

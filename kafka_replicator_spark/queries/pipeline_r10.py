@@ -1271,3 +1271,102 @@ def q_source_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------- split-conformal coverage
+
+#: miscoverage target alpha = 1/10 — integer arithmetic only
+_CONF_ALPHA_DEN = 10
+
+
+@register(
+    "p_conformal_quality_bound",
+    f"""
+WITH qc AS ({quality_classifier_sql()}),
+scored AS MATERIALIZED (
+  SELECT d.doc_id, {split_assign_sql('d.doc_id')} AS split,
+         (500 * q.score_milli + 500000 * q.n_tokens) // q.n_tokens AS p_ppm,
+         CAST(d.lang = 'en' AS BIGINT) AS y
+  FROM qc q JOIN documents d USING (doc_id)
+),
+cal AS MATERIALIZED (
+  SELECT doc_id, p_ppm FROM scored WHERE split = 'val' AND y = 1
+),
+ncal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         CAST(greatest(1, (count(*) + 1) // {_CONF_ALPHA_DEN}) AS BIGINT) AS k
+  FROM cal
+),
+qth AS (
+  SELECT n_cal, k, p_ppm AS q_ppm FROM (
+    SELECT p_ppm, row_number() OVER (ORDER BY p_ppm ASC, doc_id ASC) AS rn FROM cal
+  ), ncal WHERE rn = k
+)
+SELECT n_cal, k, q_ppm,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.p_ppm >= q_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST((sum(CASE WHEN t.p_ppm >= q_ppm THEN 1 ELSE 0 END) * 1000000)
+            // nullif(count(*), 0) AS BIGINT) AS coverage_ppm
+FROM (SELECT p_ppm FROM scored WHERE split = 'test' AND y = 1) t, qth
+GROUP BY n_cal, k, q_ppm
+""",
+    tags=("pipeline", "eval", "stats"),
+    doc="split-conformal lower bound on the quality classifier's score for "
+    "in-class (en) docs: the k-th smallest calibration score with "
+    f"k = max(1, floor((n_cal+1)/{_CONF_ALPHA_DEN})) over the VAL split "
+    "guarantees P(p >= q) >= 1 - alpha on exchangeable data (Vovk et al. "
+    "split-conformal, rank form — the whole procedure is order "
+    "statistics, so it is EXACT integer arithmetic end-to-end, no "
+    "distributional assumption), and the TEST split's measured coverage "
+    "ppm should sit near 900000; a big gap says the split is not "
+    "exchangeable — the same signal p_quality_calibration_drift reads, "
+    "through a finite-sample-valid lens.  Rank window runs on the "
+    "1%-of-corpus calibration grain",
+)
+def q_conformal_quality_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    qc = quality_classifier(docs)
+    scored = track_cached(
+        qc.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id",
+            split_assign_col("doc_id").alias("split"),
+            F.expr("(500 * score_milli + 500000 * n_tokens) div n_tokens").alias("p_ppm"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+    )
+    cal = scored.filter((F.col("split") == "val") & (F.col("y") == 1)).select(
+        "doc_id", "p_ppm"
+    )
+    ncal = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.expr(
+            f"CAST(greatest(1, (count(1) + 1) div {_CONF_ALPHA_DEN}) AS BIGINT)"
+        ).alias("k"),
+    )
+    qth = (
+        cal.withColumn(
+            "rn", F.row_number().over(W.partitionBy().orderBy(F.asc("p_ppm"), F.asc("doc_id")))
+        )
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("rn") == F.col("k"))
+        .select("n_cal", "k", F.col("p_ppm").alias("q_ppm"))
+    )
+    tst = scored.filter((F.col("split") == "test") & (F.col("y") == 1)).select("p_ppm")
+    return (
+        tst.crossJoin(F.broadcast(qth))
+        .groupBy("n_cal", "k", "q_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("p_ppm") >= F.col("q_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.expr(
+                "CAST((sum(CASE WHEN p_ppm >= q_ppm THEN 1 ELSE 0 END) * 1000000)"
+                " div nullif(count(1), 0) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
