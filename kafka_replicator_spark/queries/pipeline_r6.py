@@ -1170,11 +1170,9 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "qv"))), lambda s: s["qv"]
         ).alias("qem")
     )
-    rel_expr = F.aggregate(
-        F.zip_with("qem", "em", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    from kafka_replicator_spark.functions.similarity import dot_int_col
+
+    rel_expr = dot_int_col(F.col("qem"), F.col("em"))
     scored = m.crossJoin(F.broadcast(qvec)).select(
         "vec_id", "em", rel_expr.alias("rel")
     )
@@ -1183,11 +1181,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cand.select(F.col("vec_id").alias("va"), F.col("em").alias("ea"))
     b = cand.select(F.col("vec_id").alias("vb"), F.col("em").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = dot_int_col(F.col("ea"), F.col("eb"))
     dots = track_cached(
         a.join(b, F.col("va") != F.col("vb")).select("va", "vb", dot.alias("dot"))
     )

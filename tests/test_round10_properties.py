@@ -72,7 +72,12 @@ def test_ivf_pq_rerank_plan_shape(spark, sf_dir):
     # probe-grain (psub, pqe) arrays are the bounded frames allowed to
     # broadcast.  This is what catches an all-pairs degeneration: a
     # corpus-side build would drag one of the banned columns in.
-    banned = {"e", "qe", "sub", "me"}
+    # vec_id is in the ban list because EVERY corpus-grain frame in this
+    # chain carries it (codes/cands/adc/short keep vec_id; the legitimate
+    # broadcasts all rename it away: probe_id, code_id, fid, cid) — this
+    # catches a corpus-side build even after column pruning drops the
+    # array columns
+    banned = {"e", "qe", "sub", "me", "vec_id"}
     for cols in broadcast_build_columns(df):
         bases = {c.split("#")[0].strip() for c in cols}
         assert not (bases & banned), cols
@@ -121,14 +126,43 @@ def test_redrive_model_invariants(spark, sf_dir):
 
 
 def test_latency_budget_quartile_order(spark, sf_dir):
-    """seg-wait quartiles are ordered and non-negative; the checkpoint
-    wait dominates the segment wait (a message is resumable only at or
-    after its segment closes)."""
+    """seg-wait quartiles are ordered and non-negative, and n_unckpt is
+    verified against an INDEPENDENT recomputation: exactly the messages in
+    segments strictly after the last checkpointed segment (seq % 5 == 4)
+    of their partition are replay-exposed.  (No 'ckpt dominates seg'
+    assertion: with non-monotone event times a later checkpoint segment
+    can close EARLIER than this message's own segment — the condition
+    r_ts_monotonicity audits — so dominance is not a theorem.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_replicator_spark.operators.egress import assign_segments_by_count
     from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.queries.replicator import (
+        _LATENCY_CKPT_EVERY,
+        SEG_MAX_MESSAGES,
+    )
+    from kafka_replicator_spark.sources.messages import events_as_messages
 
     rows = all_queries()["r_e2e_latency_budget"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r["seg_wait_p25_x4"] <= r["seg_wait_p50_x4"] <= r["seg_wait_p75_x4"]
         assert r["seg_wait_p75_x4"] <= r["seg_wait_max"] * 4
-        assert r["ckpt_wait_max"] is None or r["ckpt_wait_max"] >= r["seg_wait_max"] or r["n_unckpt"] > 0
+
+    k = _LATENCY_CKPT_EVERY
+    msgs = assign_segments_by_count(
+        events_as_messages(spark, sf_dir), SEG_MAX_MESSAGES
+    )
+    last_ck = msgs.filter(F.col("segment_seq") % k == k - 1).groupBy(
+        "topic", "partition_id"
+    ).agg(F.max("segment_seq").alias("lck"))
+    expected = {
+        (e["topic"], e["partition_id"]): e["n"]
+        for e in msgs.join(last_ck, ["topic", "partition_id"], "left")
+        .filter(F.col("lck").isNull() | (F.col("segment_seq") > F.col("lck")))
+        .groupBy("topic", "partition_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_unckpt"] == expected.get((r["topic"], r["partition_id"]), 0), r
