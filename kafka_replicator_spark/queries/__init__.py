@@ -241,6 +241,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_substring_quality_shift",
     "p_source_separability",
     "p_conformal_quality_bound",
+    "p_cut_idempotence",
+    "p_quality_threshold_sweep",
+    "a_littles_law_identity",
 ]
 
 

@@ -89,3 +89,101 @@ def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ut")).cast("long").alias("k_stat"),
         )
     )
+
+
+# --------------------------------------------- Little's-law identity
+
+
+@register(
+    "a_littles_law_identity",
+    """
+WITH iv AS MATERIALIZED (
+  SELECT o.o_orderkey, o.o_orderdate AS od, max(l.l_shipdate) AS cd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+dur AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(datediff('day', od, cd) + 1) AS BIGINT) AS order_days
+  FROM iv
+),
+ev AS (
+  SELECT od AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT cd + INTERVAL 1 DAY, -1 FROM iv
+),
+daily AS (
+  SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM ev GROUP BY d
+),
+run AS (
+  SELECT d,
+         CAST(sum(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS backlog,
+         datediff('day', d,
+                  lead(d) OVER (ORDER BY d)) AS gap_days
+  FROM daily
+),
+sweep AS (
+  SELECT CAST(sum(backlog * gap_days) AS BIGINT) AS order_days
+  FROM run WHERE gap_days IS NOT NULL
+)
+SELECT dur.n_orders, dur.order_days AS order_days_direct,
+       sweep.order_days AS order_days_sweep,
+       CAST((dur.order_days * 1000000) // sweep.order_days AS BIGINT)
+         AS identity_ppm
+FROM dur, sweep
+""",
+    tags=("analytics", "stats", "audit"),
+    doc="Little's-law integral identity as a cross-check: total order-open "
+    "days computed TWO independent ways — directly (sum over orders of "
+    "receipt - orderdate + 1) and by the sweep-line (the +1/-1 event "
+    "walk a_peak_open_orders uses, each backlog level weighted by the "
+    "gap to the next event day, so days BETWEEN event dates are counted "
+    "at their constant level) — must agree exactly: identity_ppm is "
+    "pinned at 1000000.  A mismatch localizes an interval-handling bug "
+    "(off-by-one on closes, gap weighting, date arithmetic) on either "
+    "engine; windows run on the bounded day grain",
+)
+def q_littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("cd"))
+        .select(F.col("o_orderdate").alias("od"), "cd")
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    iv = track_cached(iv)
+    dur = iv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.datediff("cd", "od") + 1).cast("long").alias("order_days_direct"),
+    )
+    ev = iv.select(F.col("od").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("cd", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("d").agg(F.sum("delta").cast("long").alias("delta"))
+    w = Window.partitionBy().orderBy("d")
+    run = daily.select(
+        "d",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("backlog"),
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("gap_days"),
+    )
+    sweep = run.filter(F.col("gap_days").isNotNull()).agg(
+        F.sum(F.col("backlog") * F.col("gap_days")).cast("long").alias("order_days_sweep")
+    )
+    return (
+        dur.crossJoin(sweep)
+        .select(
+            "n_orders",
+            "order_days_direct",
+            "order_days_sweep",
+            F.expr(
+                "CAST((order_days_direct * 1000000) div order_days_sweep AS BIGINT)"
+            ).alias("identity_ppm"),
+        )
+    )

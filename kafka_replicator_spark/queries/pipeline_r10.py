@@ -1370,3 +1370,120 @@ def q_conformal_quality_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# --------------------------------------------- cut idempotence audit
+
+#: ENGINE NOTE: DuckDB rejects a MATERIALIZED CTE name that repeats along
+#: an ANCESTOR chain ("Duplicate alias") though sibling nested scopes and
+#: plain nested duplicates are fine — so the two cut stages must be
+#: SIBLING CTEs in one top-level WITH, never one nested inside the other.
+
+
+@register(
+    "p_cut_idempotence",
+    f"""
+WITH c1 AS MATERIALIZED (
+  SELECT doc_id, source, clean_text AS text FROM ({substring_cut_sql(_SUBSTR_W)})
+),
+cut2 AS (SELECT * FROM ({substring_cut_sql(_SUBSTR_W, rel='c1')}))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cut_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recut,
+       CAST(sum(cut_tokens) AS BIGINT) AS second_cut_tokens,
+       CAST((sum(CASE WHEN cut_tokens = 0 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS idempotent_ppm
+FROM cut2 GROUP BY source ORDER BY source
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="is the ExactSubstr cut a fixed point? apply substring_cut to its "
+    "OWN output (rel-composed) and count documents that lose MORE tokens "
+    "on the second pass — cutting a span can join the text on either "
+    "side into a NEW repeated window, so windowed ExactSubstr is not "
+    "idempotent in general (the Lee et al. implementation iterates to "
+    "convergence); idempotent_ppm near 1e6 says one pass suffices on "
+    "this corpus, a low value says a production pipeline needs the "
+    "iterate-to-fixpoint loop.  An honest operator-contract audit the "
+    "single-pass queries cannot see",
+)
+def q_cut_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut1 = track_cached(substring_cut(docs, w=_SUBSTR_W))
+    clean = cut1.select("doc_id", "source", F.col("clean_text").alias("text"))
+    cut2 = substring_cut(clean, w=_SUBSTR_W)
+    return (
+        cut2.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("cut_tokens") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_recut"),
+            F.sum("cut_tokens").cast("long").alias("second_cut_tokens"),
+            F.expr(
+                "CAST((sum(CASE WHEN cut_tokens = 0 THEN 1 ELSE 0 END) * 1000000)"
+                " div count(1) AS BIGINT)"
+            ).alias("idempotent_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------- quality threshold sweep
+
+_GATE_THRESHOLDS = (250, 500, 750)
+
+
+def _gate_sweep_select() -> str:
+    arms = []
+    for t in _GATE_THRESHOLDS:
+        arms.append(f"""
+SELECT CAST({t} AS BIGINT) AS threshold_milli,
+       CAST(sum(CASE WHEN score_milli >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST((sum(CASE WHEN score_milli >= {t} THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS pass_ppm,
+       CAST(coalesce(sum(CASE WHEN score_milli >= {t} THEN n_tokens END), 0) AS BIGINT)
+         AS pass_tokens
+FROM qc""")
+    return " UNION ALL ".join(arms) + "\nORDER BY threshold_milli"
+
+
+@register(
+    "p_quality_threshold_sweep",
+    f"""
+WITH qc AS MATERIALIZED ({quality_classifier_sql()})
+{_gate_sweep_select()}
+""",
+    tags=("pipeline", "quality", "eval"),
+    doc="gate-tuning curve for the quality classifier: pass count / rate "
+    f"ppm / surviving token mass at score thresholds {_GATE_THRESHOLDS} "
+    "milli, every arm a conditional aggregate over ONE classifier pass "
+    "(the literal-ladder sweep pattern) — how much corpus each candidate "
+    "gate setting keeps is the first question any curation run asks; "
+    "pairs with p_quality_calibration_drift (is the score calibrated) "
+    "and p_dedup_token_savings (what dedup already removed)",
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    qc = track_cached(quality_classifier(load_table(spark, sf_dir, "documents")))
+    out = None
+    for t in _GATE_THRESHOLDS:
+        arm = qc.agg(
+            F.lit(t).cast("long").alias("threshold_milli"),
+            F.sum(F.when(F.col("score_milli") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.expr(
+                f"CAST((sum(CASE WHEN score_milli >= {t} THEN 1 ELSE 0 END) * 1000000)"
+                " div count(1) AS BIGINT)"
+            ).alias("pass_ppm"),
+            F.coalesce(
+                F.sum(F.when(F.col("score_milli") >= t, F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("pass_tokens"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("threshold_milli")
