@@ -244,6 +244,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_cut_idempotence",
     "p_quality_threshold_sweep",
     "a_littles_law_identity",
+    "r_redrive_policy_sweep",
+    "p_pack_budget_sweep",
+    "p_knn_reciprocity",
 ]
 
 

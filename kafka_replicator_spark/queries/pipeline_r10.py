@@ -1487,3 +1487,106 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("threshold_milli")
+
+
+# --------------------------------------------- pack budget sweep
+
+_PACK_BUDGETS = (128, 256, 512)
+
+
+def _pack_sweep_sql() -> str:
+    arms = []
+    for b in _PACK_BUDGETS:
+        arms.append(f"""
+SELECT CAST({b} AS BIGINT) AS budget,
+       CAST(count(DISTINCT pack_id || '|' || source) AS BIGINT) AS n_packs,
+       CAST(sum(CASE WHEN n_tokens > {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       CAST((CAST(sum(n_tokens) AS HUGEINT) * 1000000)
+            // (count(DISTINCT pack_id || '|' || source) * {b}) AS BIGINT) AS fill_ppm
+FROM (SELECT * FROM ({pack_sequences_sql(b)}))""")
+    return " UNION ALL ".join(arms) + "\nORDER BY budget"
+
+
+@register(
+    "p_pack_budget_sweep",
+    _pack_sweep_sql(),
+    tags=("pipeline", "packing", "eval"),
+    doc="sequence-budget tuning sweep: the sharded pack walk at budgets "
+    f"{_PACK_BUDGETS} — pack counts, oversize singletons (docs longer "
+    "than the whole budget get a pack of their own), and exact fill ppm "
+    "per arm (pack_id is per-source, so pack counting keys pack_id x "
+    "source).  Longer budgets waste less tail (fill rises) but oversize "
+    "fragmentation falls — the context-length knob every training run "
+    "tunes; the mix twin is a_mix_budget_sensitivity.  Each arm is one "
+    "full close-before-exceed walk; arms are sibling CTE scopes (the "
+    "DuckDB MATERIALIZED ancestor-chain alias rule)",
+)
+def q_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for b in _PACK_BUDGETS:
+        pk = pack_sequences(docs, budget=b)
+        arm = pk.agg(
+            F.lit(b).cast("long").alias("budget"),
+            F.countDistinct(F.concat_ws("|", F.col("pack_id").cast("string"), "source"))
+            .cast("long")
+            .alias("n_packs"),
+            F.sum(F.when(F.col("n_tokens") > b, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversize"),
+            F.expr(
+                f"CAST((CAST(sum(n_tokens) AS DECIMAL(38,0)) * 1000000)"
+                f" div (count(DISTINCT concat_ws('|', CAST(pack_id AS STRING), source))"
+                f" * {b}) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("budget")
+
+
+# --------------------------------------------- kNN reciprocity
+
+
+@register(
+    "p_knn_reciprocity",
+    f"""
+WITH g AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM ({label_knn_graph_sql(k=_HUB_K)})
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal,
+       CAST((sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // nullif(count(*), 0) AS BIGINT) AS reciprocity_ppm
+FROM g LEFT JOIN g r
+  ON r.vec_id = g.neighbor_id AND r.neighbor_id = g.vec_id
+""",
+    tags=("pipeline", "embeddings", "graph"),
+    doc="mutual-nearest-neighbor rate of the directed label-blocked kNN "
+    f"graph: the share of top-{_HUB_K} edges whose reverse edge also "
+    "exists — the reciprocity filter ANN rerankers use (a reciprocated "
+    "edge is far likelier to be a true near neighbor than a one-way "
+    "edge into a hub); low reciprocity together with a heavy "
+    "p_knn_hubness tail is the classic symptom of hub-dominated "
+    "retrieval.  Self-join on the bounded k-per-vector edge list, never "
+    "the corpus",
+)
+def q_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = track_cached(label_knn_graph(emb, k=_HUB_K).select("vec_id", "neighbor_id"))
+    r = g.select(F.col("vec_id").alias("rv"), F.col("neighbor_id").alias("rn"))
+    j = g.join(
+        r, (F.col("rv") == F.col("neighbor_id")) & (F.col("rn") == F.col("vec_id")), "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("rv").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocal"),
+        F.expr(
+            "CAST((sum(CASE WHEN rv IS NOT NULL THEN 1 ELSE 0 END) * 1000000)"
+            " div nullif(count(1), 0) AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+    )

@@ -3835,3 +3835,105 @@ def q_e2e_latency_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "partition_id")
     )
+
+
+# ------------------------------------------- redrive policy sweep
+
+#: maxReceiveCount arms of the redrive policy sweep
+_REDRIVE_SWEEP_MRS = (2, 3, 5)
+
+#: deterministic failure counts by hash fate (decile of the portable
+#: hash): 10% poison (never succeeds), 10% one transient failure, 10% two,
+#: 10% four — chosen so the DLQ rate strictly improves along the MR ladder
+_REDRIVE_FATE_SQL = (
+    "CASE fate WHEN 0 THEN 1000000 WHEN 1 THEN 1 WHEN 2 THEN 2"
+    " WHEN 3 THEN 4 ELSE 0 END"
+)
+
+
+def _redrive_sweep_terms(mr: int) -> list[int]:
+    from kafka_replicator_spark.core.retry import backoff_ms
+
+    return [
+        backoff_ms(i, base_ms=_REDRIVE_BASE_MS, cap_ms=_REDRIVE_CAP_MS)
+        for i in range(mr - 1)
+    ]
+
+
+def _redrive_sweep_select() -> str:
+    arms = []
+    for mr in _REDRIVE_SWEEP_MRS:
+        recv = f"least({_REDRIVE_FATE_SQL} + 1, {mr})"
+        delay = " + ".join(
+            f"CASE WHEN {recv} >= {i + 2} THEN {d} ELSE 0 END"
+            for i, d in enumerate(_redrive_sweep_terms(mr))
+        )
+        arms.append(f"""
+SELECT CAST({mr} AS BIGINT) AS max_receive,
+       CAST(sum(CASE WHEN {_REDRIVE_FATE_SQL} >= {mr} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dlq,
+       CAST((sum(CASE WHEN {_REDRIVE_FATE_SQL} >= {mr} THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS dlq_ppm,
+       CAST(sum({recv}) AS BIGINT) AS total_receives,
+       CAST(sum({delay}) AS BIGINT) AS total_delay_ms
+FROM hashed""")
+    return " UNION ALL ".join(arms) + "\nORDER BY max_receive"
+
+
+@register(
+    "r_redrive_policy_sweep",
+    with_ctes(
+        MESSAGES_CTE,
+        f"""hashed AS (
+  SELECT {portable_hash60_sql("msg_key || '@' || CAST(msg_offset AS VARCHAR)")} % 10 AS fate
+  FROM messages
+)""",
+        select=_redrive_sweep_select(),
+    ),
+    tags=("parity", "retry"),
+    doc="redrive-policy tuning sweep — r_sqs_redrive_model's DLQ/latency "
+    f"tradeoff evaluated at maxReceiveCount={_REDRIVE_SWEEP_MRS} from ONE "
+    "hash-fate pass (the literal-ladder sweep pattern): a deeper retry "
+    "budget converts recoverable failures (1/2/4 transient attempts by "
+    "fate decile) from dead letters into delivered messages at the cost "
+    "of added redelivery delay — the dlq_ppm column strictly improves "
+    "down the ladder while total_delay_ms grows; the per-arm delay terms "
+    "come from the REAL core.retry.backoff_ms schedule (X7).  Reference: "
+    "sqs_segment_event_source.go:215-270 redrive semantics",
+)
+def q_redrive_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = events_as_messages(spark, sf_dir)
+    hashed = track_cached(
+        msgs.select(
+            (
+                portable_hash60(
+                    F.concat(F.col("msg_key"), F.lit("@"), F.col("msg_offset").cast("string"))
+                )
+                % 10
+            ).alias("fate")
+        )
+    )
+    out = None
+    for mr in _REDRIVE_SWEEP_MRS:
+        recv = f"least({_REDRIVE_FATE_SQL} + 1, {mr})"
+        delay = " + ".join(
+            f"CASE WHEN {recv} >= {i + 2} THEN {d} ELSE 0 END"
+            for i, d in enumerate(_redrive_sweep_terms(mr))
+        )
+        arm = hashed.agg(
+            F.lit(mr).cast("long").alias("max_receive"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {_REDRIVE_FATE_SQL} >= {mr} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_dlq"),
+            F.expr(
+                f"CAST((sum(CASE WHEN {_REDRIVE_FATE_SQL} >= {mr} THEN 1 ELSE 0 END)"
+                " * 1000000) div count(1) AS BIGINT)"
+            ).alias("dlq_ppm"),
+            F.expr(f"CAST(sum({recv}) AS BIGINT)").alias("total_receives"),
+            F.expr(f"CAST(sum({delay}) AS BIGINT)").alias("total_delay_ms"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("max_receive")
