@@ -247,6 +247,8 @@ _NEW_THIS_ROUND: list[str] = [
     "r_redrive_policy_sweep",
     "p_pack_budget_sweep",
     "p_knn_reciprocity",
+    "r_x3_variant_parse",
+    "p_posting_gap_profile",
 ]
 
 

@@ -1590,3 +1590,76 @@ def q_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(count(1), 0) AS BIGINT)"
         ).alias("reciprocity_ppm"),
     )
+
+
+# --------------------------------------------- posting-gap compression model
+
+#: log2 gap-bucket thresholds (powers of two, literal ladder — float log2
+#: at exact powers of two is NOT trusted cross-engine, the r07 df_histogram
+#: rule)
+_GAP_BUCKETS = (1, 2, 4, 8, 16, 64, 256, 1024)
+
+
+def _gap_bucket_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} <= {t} THEN {t}" for t in _GAP_BUCKETS
+    )
+    return f"CASE {arms} ELSE {4 * _GAP_BUCKETS[-1]} END"
+
+
+@register(
+    "p_posting_gap_profile",
+    f"""
+WITH post AS MATERIALIZED (
+  SELECT DISTINCT tok, doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+gaps AS (
+  SELECT tok,
+         doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id) AS gap
+  FROM post
+),
+g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL)
+SELECT CAST({_gap_bucket_case('gap')} AS BIGINT) AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS gap_sum
+FROM g GROUP BY gap_bucket ORDER BY gap_bucket
+""",
+    tags=("pipeline", "retrieval", "index"),
+    doc="posting-list delta-gap profile of the full inverted index (the "
+    "delta-encoding cost model every IR index lives on): doc_id gaps "
+    "between consecutive postings per term, bucketed by a literal "
+    f"power-of-two ladder {_GAP_BUCKETS} (never runtime log2 — the "
+    "df_histogram rule) — mass in small buckets means dense, highly "
+    "compressible postings (frequent terms), the long-gap tail prices "
+    "the rare-term index overhead.  One distinct-postings pass + a "
+    "window partitioned by TERM (high-cardinality, parallel) — the "
+    "complement of p_df_histogram (df counts) and p_inverted_index "
+    "(capped postings sample)",
+)
+def q_posting_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    gaps = post.select(
+        (F.col("doc_id") - F.lag("doc_id").over(W.partitionBy("tok").orderBy("doc_id"))).alias(
+            "gap"
+        )
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.select(
+            F.expr(f"CAST({_gap_bucket_case('gap')} AS BIGINT)").alias("gap_bucket"),
+            "gap",
+        )
+        .groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("gap_sum"),
+        )
+        .orderBy("gap_bucket")
+    )

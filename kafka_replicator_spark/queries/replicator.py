@@ -3937,3 +3937,55 @@ def q_redrive_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("max_receive")
+
+
+# ------------------------------------------- X3 via the VARIANT type
+
+
+@register(
+    "r_x3_variant_parse",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS n_missing_null
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("parity", "scalar", "variant"),
+    doc="X3 JSON parse through Spark 4's VARIANT type (parse_json -> "
+    "variant_get typed paths + try_variant_get on an absent path "
+    "returning NULL for every row) — pins the binary-variant "
+    "encode/decode path against the string-JSON oracle, so a variant "
+    "shredding regression diverges from plain get_json_object "
+    "(r_x3_json_extract, the string-path sibling).  Reference X3: "
+    "pkg/stores/sqs_segment_event_source.go:297-371",
+)
+def q_x3_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.absent', 'bigint')").alias("m"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            # try_variant_get on a missing path is NULL for EVERY row —
+            # count them to pin the miss semantics, not just the hits
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_null"),
+        )
+        .orderBy("event_type")
+    )
