@@ -249,6 +249,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_knn_reciprocity",
     "r_x3_variant_parse",
     "p_posting_gap_profile",
+    "p_rbo_retrieval",
+    "a_page_trend_dow",
 ]
 
 

@@ -187,3 +187,90 @@ def q_littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("identity_ppm"),
         )
     )
+
+
+# --------------------------------------------- Page trend test (dow)
+
+
+@register(
+    "a_page_trend_dow",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         datediff('day', DATE '1970-01-01', o_orderdate) AS ed,
+         CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+tagged AS (
+  SELECT ed // 7 AS block, dayofweek(d) AS j, cents FROM daily
+),
+complete AS (
+  SELECT block FROM tagged GROUP BY block
+  HAVING count(*) = 7 AND count(DISTINCT j) = 7
+),
+ranked AS (
+  SELECT t.block, t.j,
+         CAST(rank() OVER (PARTITION BY t.block ORDER BY t.cents ASC) AS BIGINT)
+           + (8 - CAST(rank() OVER (PARTITION BY t.block ORDER BY t.cents DESC) AS BIGINT))
+           AS dr
+  FROM tagged t JOIN complete USING (block)
+),
+rj AS (
+  SELECT j, CAST(sum(dr) AS BIGINT) AS drj,
+         CAST(count(*) AS BIGINT) AS b
+  FROM ranked GROUP BY j
+)
+SELECT CAST(min(b) AS BIGINT) AS n_blocks,
+       CAST(sum((j + 1) * drj) AS BIGINT) AS l_x2,
+       CAST(min(b) * 7 * 64 AS BIGINT) AS e_l_x2,
+       CAST(sum((j + 1) * drj) - min(b) * 7 * 64 AS BIGINT) AS l_excess_x2
+FROM rj
+""",
+    tags=("analytics", "stats"),
+    doc="Page's trend test for ordered alternatives across the week "
+    "(Page 1963; the monotone-ordering sibling of a_kruskal_wallis_dow, "
+    "which only detects ANY difference): within each COMPLETE 7-day "
+    "block (epoch-day // 7; blocks missing a day drop out) daily revenue "
+    "is rank-scored with the exact double-rank 2r = rank_asc + (8 - "
+    "rank_desc) so ties stay integer, L = sum_j (j+1) * R_j folds "
+    "doubled, and the null expectation E[2L] = b * k(k+1)^2 / 2 = 448b/2 "
+    "per block set; l_excess_x2 > 0 means revenue trends UP across the "
+    "dow positions.  dow is DuckDB dayofweek == Spark dayofweek - 1 (the "
+    "r04 note); all windows on the bounded 7-row block grain",
+)
+def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    tagged = daily.select(
+        F.expr("datediff(d, DATE '1970-01-01') div 7").alias("block"),
+        (F.dayofweek("d") - 1).alias("j"),
+        "cents",
+    )
+    complete = (
+        tagged.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("c"), F.countDistinct("j").alias("dj"))
+        .filter((F.col("c") == 7) & (F.col("dj") == 7))
+        .select("block")
+    )
+    wb = Window.partitionBy("block")
+    ranked = tagged.join(complete, "block").select(
+        "block",
+        "j",
+        (
+            F.rank().over(wb.orderBy(F.asc("cents"))).cast("long")
+            + (8 - F.rank().over(wb.orderBy(F.desc("cents"))).cast("long"))
+        ).alias("dr"),
+    )
+    rj = ranked.groupBy("j").agg(
+        F.sum("dr").cast("long").alias("drj"), F.count(F.lit(1)).cast("long").alias("b")
+    )
+    return rj.agg(
+        F.min("b").cast("long").alias("n_blocks"),
+        F.sum((F.col("j") + 1) * F.col("drj")).cast("long").alias("l_x2"),
+        (F.min("b") * 7 * 64).cast("long").alias("e_l_x2"),
+        (F.sum((F.col("j") + 1) * F.col("drj")) - F.min("b") * 7 * 64)
+        .cast("long")
+        .alias("l_excess_x2"),
+    )

@@ -1663,3 +1663,100 @@ def q_posting_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_bucket")
     )
+
+
+# --------------------------------------------- rank-biased overlap (RBO)
+
+_RBO_DEPTH = 20
+
+
+def _rbo_oracle() -> str:
+    from kafka_replicator_spark.queries.pipeline_r6 import _QL_SQL
+    from kafka_replicator_spark.queries.retrieval_ext import _BM25_SQL
+
+    top = 1 << _RBO_DEPTH
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+ql AS ({_QL_SQL}),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1 FROM bm),
+qlr AS (SELECT doc_id, row_number() OVER (ORDER BY ql_score DESC, doc_id) AS r2 FROM ql),
+ranks AS (
+  SELECT coalesce(bmr.doc_id, qlr.doc_id) AS doc_id,
+         coalesce(r1, 999) AS r1, coalesce(r2, 999) AS r2
+  FROM bmr FULL JOIN qlr ON bmr.doc_id = qlr.doc_id
+),
+ov AS (
+  SELECT d.d, CAST(count(CASE WHEN r1 <= d.d AND r2 <= d.d THEN 1 END) AS BIGINT) AS o
+  FROM ranks, (SELECT unnest(range(1, {_RBO_DEPTH + 1})) AS d) d
+  GROUP BY d.d
+),
+terms AS (
+  SELECT d, (o * 1000000) // d AS a_ppm FROM ov
+)
+SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+       CAST(sum(CASE WHEN d = {_RBO_DEPTH} THEN (o * 1000000) // d END) AS BIGINT)
+         AS overlap_at_depth_ppm,
+       CAST((SELECT sum((1::HUGEINT << ({_RBO_DEPTH} - d)) * a_ppm) FROM terms)
+            // {top - 1} AS BIGINT) AS rbo_ppm
+FROM ov
+""".replace("1::HUGEINT <<", "CAST(1 AS HUGEINT) <<")
+
+
+@register(
+    "p_rbo_retrieval",
+    _rbo_oracle(),
+    tags=("pipeline", "retrieval", "eval"),
+    doc="rank-biased overlap (Webber et al. 2010) between the BM25 and "
+    "Dirichlet-QL rankings with persistence p = 1/2 — the top-weighted "
+    "agreement measure tau-a cannot express (tau weighs all pairs "
+    "equally; RBO discounts depth geometrically).  p = 1/2 makes every "
+    "weight a dyadic rational, so the whole statistic is exact integers: "
+    "per-depth agreement A_d quantized to ppm BEFORE the fold (the house "
+    "re-quantization rule), then sum(2^(D-d) * A_d) // (2^D - 1).  "
+    "Missing ranks coalesce to 999 (> depth, never in a prefix); the "
+    "depth grid is a 20-row range cross joined against the <=40-row rank "
+    "union",
+)
+def q_rbo_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.queries.pipeline_r6 import q_query_likelihood
+    from kafka_replicator_spark.queries.retrieval_ext import q_bm25_scores
+
+    d_max = _RBO_DEPTH
+    bm = q_bm25_scores(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("r1"),
+    )
+    ql = q_query_likelihood(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("ql_score"), F.asc("doc_id"))).alias("r2"),
+    )
+    ranks = track_cached(
+        bm.join(ql, "doc_id", "full").select(
+            F.coalesce("r1", F.lit(999)).alias("r1"),
+            F.coalesce("r2", F.lit(999)).alias("r2"),
+        )
+    )
+    grid = ranks.crossJoin(
+        F.broadcast(
+            ranks.sparkSession.range(1, d_max + 1).select(F.col("id").cast("int").alias("d"))
+        )
+    )
+    ov = grid.groupBy("d").agg(
+        F.count(F.when((F.col("r1") <= F.col("d")) & (F.col("r2") <= F.col("d")), 1))
+        .cast("long")
+        .alias("o")
+    )
+    terms = ov.select(
+        "d",
+        F.expr("(o * 1000000) div d").alias("a_ppm"),
+        F.expr(f"CASE WHEN d = {d_max} THEN (o * 1000000) div d END").alias("last_a"),
+    )
+    return terms.agg(
+        F.lit(d_max).cast("long").alias("depth"),
+        F.max("last_a").cast("long").alias("overlap_at_depth_ppm"),
+        F.expr(
+            f"CAST(sum(shiftleft(CAST(1 AS BIGINT), {d_max} - d)"
+            f" * CAST(a_ppm AS DECIMAL(38,0))) div {(1 << d_max) - 1} AS BIGINT)"
+        ).alias("rbo_ppm"),
+    )
