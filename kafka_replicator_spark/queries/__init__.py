@@ -251,6 +251,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_posting_gap_profile",
     "p_rbo_retrieval",
     "a_page_trend_dow",
+    "p_ivfpq_recall",
+    "p_dedup_centroid_shift",
 ]
 
 

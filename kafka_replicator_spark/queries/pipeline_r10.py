@@ -1760,3 +1760,174 @@ def q_rbo_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * CAST(a_ppm AS DECIMAL(38,0))) div {(1 << d_max) - 1} AS BIGINT)"
         ).alias("rbo_ppm"),
     )
+
+
+# --------------------------------------------- IVFPQ recall vs exact int8 L2
+
+
+def _ivfpq_recall_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        _PQ_DIST_SQL,
+        _quantized_sql_cte,
+        ivf_pq_rerank_sql,
+    )
+
+    ids = ", ".join(str(i) for i in _RERANK_PROBES)
+    dist = _PQ_DIST_SQL
+    denom = len(_RERANK_PROBES) * 5
+    return f"""
+WITH approx AS MATERIALIZED (
+  SELECT probe_id, neighbor_id FROM ({ivf_pq_rerank_sql(_RERANK_PROBES, k=5, shortlist=20)})
+),
+exact AS MATERIALIZED (
+  WITH {_quantized_sql_cte()},
+  probes AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
+  scored AS (
+    SELECT probe_id, q.vec_id AS neighbor_id,
+           {dist.format(a='pqe', b='qe')} AS l2
+    FROM q, probes WHERE q.vec_id <> probe_id
+  )
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY l2 ASC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hits,
+       CAST({denom} AS BIGINT) AS n_expected,
+       CAST((count(*) * 1000000) // {denom} AS BIGINT) AS recall_ppm
+FROM approx JOIN exact USING (probe_id, neighbor_id)
+"""
+
+
+@register(
+    "p_ivfpq_recall",
+    _ivfpq_recall_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="recall@5 of the IVFPQ+refine chain against the EXACT int8 "
+    "brute-force L2 ground truth over the same quantized vectors — "
+    "completes the per-tier recall matrix (p_ann_recall: sign-LSH, "
+    "p_pq_recall_at_k: flat PQ, p_ivf_probe_recall_curve: IVF nprobe) "
+    "for the composed tier; losses decompose into cell misses (the "
+    "nprobe=1 restriction) and shortlist misses (ADC ranking error the "
+    "refine cannot recover).  Ground truth is a probe-bounded broadcast "
+    "scan, never all-pairs",
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        _l2_int_arrays,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = _sim.ivf_pq_rerank(emb, _RERANK_PROBES, k=5, shortlist=20).select(
+        "probe_id", "neighbor_id"
+    )
+    q = quantize_embeddings(emb).select("vec_id", "qe")
+    probes = q.filter(F.col("vec_id").isin(_RERANK_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
+    )
+    scored = (
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    denom = len(_RERANK_PROBES) * 5
+    return approx.join(exact, ["probe_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.lit(denom).cast("long").alias("n_expected"),
+        F.expr(f"CAST((count(1) * 1000000) div {denom} AS BIGINT)").alias("recall_ppm"),
+    )
+
+
+# --------------------------------------------- dedup centroid shift
+
+
+@register(
+    "p_dedup_centroid_shift",
+    f"""
+WITH me AS MATERIALIZED (
+  SELECT e.vec_id, {micro_units_sql('e.embedding')} AS me, d.text
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+surv AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (PARTITION BY md5(text) ORDER BY vec_id) AS rn
+    FROM me
+  ) WHERE rn = 1
+),
+call AS (
+  SELECT i, CAST(sum(me[i]) // count(*) AS BIGINT) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM me, (SELECT unnest(range(1, {_ANISO_DIM + 1})) AS i)
+  GROUP BY i
+),
+csur AS (
+  SELECT i, CAST(sum(me[i]) // count(*) AS BIGINT) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM me JOIN surv USING (vec_id), (SELECT unnest(range(1, {_ANISO_DIM + 1})) AS i)
+  GROUP BY i
+)
+SELECT CAST(min(a.n) AS BIGINT) AS n_all,
+       CAST(min(s.n) AS BIGINT) AS n_survivors,
+       CAST(sum((a.mu - s.mu) * (a.mu - s.mu)) AS BIGINT) AS shift_sq_micro2
+FROM call a JOIN csur s USING (i)
+""",
+    tags=("pipeline", "dedup", "embeddings"),
+    doc="does exact dedup MOVE the corpus in embedding space? squared L2 "
+    "between the full-corpus centroid and the exact-dedup-survivor "
+    "centroid, both in exact integer micro-units (the split-centroid-"
+    "shift recipe applied to a selection instead of a split) — the "
+    "geometric twin of p_dedup_quality_shift: duplicated content is not "
+    "uniformly distributed, so removing it shifts the mean vector and "
+    "with it every downstream centroid/threshold calibrated on the raw "
+    "corpus; uses the doc_id = vec_id alignment.  Two bounded "
+    "aggregations over ONE cached corpus frame",
+)
+def q_dedup_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text"
+    )
+    me = track_cached(
+        emb.join(docs, "vec_id").select("vec_id", micro_units("embedding").alias("me"), "text")
+    )
+    surv = (
+        me.withColumn("rn", F.row_number().over(W.partitionBy(F.md5("text")).orderBy("vec_id")))
+        .filter(F.col("rn") == 1)
+        .select("vec_id")
+    )
+    dims = me.select("vec_id", F.posexplode("me").alias("i", "v"))
+    call = dims.groupBy("i").agg(
+        F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mu_a"),
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+    )
+    csur = (
+        dims.join(surv, "vec_id")
+        .groupBy("i")
+        .agg(
+            F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mu_s"),
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+        )
+    )
+    return call.join(csur, "i").agg(
+        F.min("n_a").cast("long").alias("n_all"),
+        F.min("n_s").cast("long").alias("n_survivors"),
+        F.sum((F.col("mu_a") - F.col("mu_s")) * (F.col("mu_a") - F.col("mu_s")))
+        .cast("long")
+        .alias("shift_sq_micro2"),
+    )
