@@ -962,6 +962,47 @@ def ivf_pq_rerank(
     Reference context: the reference engine has no ANN surface — this is
     part of the training-data-pipeline extension (SURVEY.md §6).
     """
+    rr = ivf_pq_scored(
+        embeddings,
+        probe_ids,
+        shortlist=shortlist,
+        m=m,
+        dim=dim,
+        centroid_stride=centroid_stride,
+        code_stride=code_stride,
+        two_level=two_level,
+        coarse_factor=coarse_factor,
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("l2_dist").cast("long").alias("l2_dist"),
+        )
+    )
+
+
+def ivf_pq_scored(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    shortlist: int = 20,
+    m: int = 8,
+    dim: int = 64,
+    centroid_stride: int = 250,
+    code_stride: int = 250,
+    two_level: bool = True,
+    coarse_factor: int | None = None,
+) -> DataFrame:
+    """The IVFPQ candidate frame the rerank and its tuning curves share:
+    per (probe_id, neighbor_id) the ADC shortlist rank (``adc_rank`` <=
+    ``shortlist``) and the exact int8 L2 (``l2_dist``) — THE one
+    implementation of the cell-restrict -> ADC-scan -> exact-rescore
+    chain, so the top-k query and the shortlist-sensitivity curve can
+    never fork (see :func:`ivf_pq_rerank` for the architecture notes)."""
     assigned = track_cached(
         ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
         if two_level
@@ -992,32 +1033,22 @@ def ivf_pq_rerank(
     adc = partials.groupBy("probe_id", "vec_id").agg(F.sum("pd").alias("adc_dist"))
     w_short = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     short = (
-        adc.withColumn("rn", F.row_number().over(w_short))
-        .filter(F.col("rn") <= shortlist)
-        .select("probe_id", "vec_id")
+        adc.withColumn("adc_rank", F.row_number().over(w_short))
+        .filter(F.col("adc_rank") <= shortlist)
+        .select("probe_id", "vec_id", "adc_rank")
     )
     q = quantize_embeddings(embeddings).select("vec_id", "qe")
     probe_q = q.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
     )
-    rr = (
+    return (
         short.join(q, "vec_id")
         .join(F.broadcast(probe_q), "probe_id")
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_rank").cast("int").alias("adc_rank"),
             _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2_dist"),
-        )
-    )
-    w_rank = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
-    return (
-        rr.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.col("l2_dist").cast("long").alias("l2_dist"),
         )
     )
 
@@ -1033,6 +1064,33 @@ def ivf_pq_rerank_sql(
     two_level: bool = True,
     coarse_factor: int | None = None,
 ) -> str:
+    return f"""
+{ivf_pq_scored_sql_ctes(probe_ids, shortlist, m, dim, centroid_stride, code_stride, two_level, coarse_factor)},
+ranked AS (
+  SELECT probe_id, neighbor_id, l2_dist,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM rr
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, l2_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_pq_scored_sql_ctes(
+    probe_ids: list[int],
+    shortlist: int = 20,
+    m: int = 8,
+    dim: int = 64,
+    centroid_stride: int = 250,
+    code_stride: int = 250,
+    two_level: bool = True,
+    coarse_factor: int | None = None,
+) -> str:
+    """The full IVFPQ candidate CTE chain (open WITH, ending in ``rr`` =
+    (probe_id, neighbor_id, adc_rn, l2_dist)) mirroring
+    :func:`ivf_pq_scored` — THE one generator of the oracle text, shared
+    by the rerank oracle and the shortlist-sensitivity curve."""
     ids = ", ".join(str(i) for i in probe_ids)
     dist = _PQ_DIST_SQL
     assign_ctes = (
@@ -1040,8 +1098,7 @@ def ivf_pq_rerank_sql(
         if two_level
         else ivf_assign_sql_ctes(centroid_stride)
     )
-    return f"""
-{assign_ctes},
+    return f"""{assign_ctes},
 {_QUANT_SCALED_Q},
 {pq_codes_cte_sql(m, dim, code_stride)},
 probes_cell AS (
@@ -1066,29 +1123,21 @@ adc AS (
   FROM partials GROUP BY probe_id, vec_id
 ),
 short AS (
-  SELECT probe_id, vec_id FROM (
+  SELECT probe_id, vec_id, adc_rn FROM (
     SELECT probe_id, vec_id,
            row_number() OVER (
-             PARTITION BY probe_id ORDER BY adc_dist ASC, vec_id ASC) AS rn
+             PARTITION BY probe_id ORDER BY adc_dist ASC, vec_id ASC) AS adc_rn
     FROM adc
-  ) WHERE rn <= {shortlist}
+  ) WHERE adc_rn <= {shortlist}
 ),
 probe_q AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
 rr AS (
-  SELECT s.probe_id, s.vec_id AS neighbor_id, {dist.format(a='pqe', b='qe')} AS l2_dist
+  SELECT s.probe_id, s.vec_id AS neighbor_id, s.adc_rn,
+         {dist.format(a='pqe', b='qe')} AS l2_dist
   FROM short s
   JOIN q ON q.vec_id = s.vec_id
   JOIN probe_q pq ON pq.probe_id = s.probe_id
-),
-ranked AS (
-  SELECT probe_id, neighbor_id, l2_dist,
-         row_number() OVER (
-           PARTITION BY probe_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
-  FROM rr
-)
-SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, l2_dist
-FROM ranked WHERE rank <= {k}
-"""
+)"""
 
 
 # ------------------------------------------------------ semantic dedup

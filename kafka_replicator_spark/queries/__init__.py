@@ -253,6 +253,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_page_trend_dow",
     "p_ivfpq_recall",
     "p_dedup_centroid_shift",
+    "p_ivfpq_shortlist_curve",
 ]
 
 

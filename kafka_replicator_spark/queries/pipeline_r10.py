@@ -1931,3 +1931,112 @@ def q_dedup_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shift_sq_micro2"),
     )
+
+
+# --------------------------------------------- IVFPQ shortlist curve
+
+_SHORTLIST_ARMS = (5, 10, 20)
+
+
+def _ivfpq_shortlist_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        _PQ_DIST_SQL,
+        ivf_pq_scored_sql_ctes,
+    )
+
+    ids = ", ".join(str(i) for i in _RERANK_PROBES)
+    dist = _PQ_DIST_SQL
+    denom = len(_RERANK_PROBES) * 5
+    arms = []
+    for s in _SHORTLIST_ARMS:
+        arms.append(f"""
+SELECT CAST({s} AS BIGINT) AS shortlist,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((count(*) * 1000000) // {denom} AS BIGINT) AS recall_ppm
+FROM (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+    FROM rr WHERE adc_rn <= {s}
+  ) WHERE rn <= 5
+) a JOIN exact USING (probe_id, neighbor_id)""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+{ivf_pq_scored_sql_ctes(_RERANK_PROBES, shortlist=max(_SHORTLIST_ARMS))},
+scored_exact AS (
+  SELECT probe_id, q.vec_id AS neighbor_id,
+         {dist.format(a='pqe', b='qe')} AS l2
+  FROM q, probe_q WHERE q.vec_id <> probe_id
+),
+exact AS MATERIALIZED (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY l2 ASC, neighbor_id ASC) AS rn
+    FROM scored_exact
+  ) WHERE rn <= 5
+)
+SELECT * FROM ({u}) ORDER BY shortlist
+"""
+
+
+@register(
+    "p_ivfpq_shortlist_curve",
+    _ivfpq_shortlist_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="shortlist-size sensitivity of the IVFPQ refine step: recall@5 vs "
+    f"exact int8 L2 at shortlist {_SHORTLIST_ARMS}, every arm carved out "
+    "of ONE scored candidate frame (similarity.ivf_pq_scored — the ADC "
+    "prefix property makes arm s just a filter adc_rank <= s, so the "
+    "sweep costs one chain, not three; single-sourced with the rerank "
+    "via ivf_pq_scored_sql_ctes).  Where the curve flattens is the "
+    "shortlist the deployment should pay for; recall@5 at shortlist 5 "
+    "isolates pure-ADC ranking quality (no refine headroom at all)",
+)
+def q_ivfpq_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        _l2_int_arrays,
+        ivf_pq_scored,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = track_cached(
+        ivf_pq_scored(emb, _RERANK_PROBES, shortlist=max(_SHORTLIST_ARMS))
+    )
+    q = quantize_embeddings(emb).select("vec_id", "qe")
+    probes = q.filter(F.col("vec_id").isin(_RERANK_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
+    )
+    w_ex = W.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    exact = track_cached(
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2"),
+        )
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    denom = len(_RERANK_PROBES) * 5
+    w_arm = W.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    out = None
+    for s in _SHORTLIST_ARMS:
+        approx = (
+            scored.filter(F.col("adc_rank") <= s)
+            .withColumn("rn", F.row_number().over(w_arm))
+            .filter(F.col("rn") <= 5)
+            .select("probe_id", "neighbor_id")
+        )
+        arm = approx.join(exact, ["probe_id", "neighbor_id"]).agg(
+            F.lit(s).cast("long").alias("shortlist"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.expr(f"CAST((count(1) * 1000000) div {denom} AS BIGINT)").alias("recall_ppm"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("shortlist")
