@@ -254,6 +254,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_ivfpq_recall",
     "p_dedup_centroid_shift",
     "p_ivfpq_shortlist_curve",
+    "a_shared_sql_group_by_all",
+    "p_ivfpq_label_filtered",
 ]
 
 

@@ -1070,3 +1070,31 @@ ORDER BY yr, quarter
 )
 def q_shared_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_UNPIVOT)
+
+
+# ------------------------------------------------- shared-SQL GROUP BY ALL
+
+SHARED_SQL_GROUP_BY_ALL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "a_shared_sql_group_by_all",
+    SHARED_SQL_GROUP_BY_ALL,
+    tags=("analytics", "sql", "grouping"),
+    doc="SQL front door: GROUP BY ALL as literal same-text SQL (verified: "
+    "Spark >= 3.4 and DuckDB both infer the grouping set from the "
+    "non-aggregate select items) — the modern analyst shorthand that "
+    "eliminates the classic select/group-by drift bug; completes the "
+    "grouping front-door set next to rollup/cube/grouping-sets",
+)
+def q_shared_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_GROUP_BY_ALL)

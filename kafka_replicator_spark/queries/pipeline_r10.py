@@ -2040,3 +2040,77 @@ def q_ivfpq_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("shortlist")
+
+
+# --------------------------------------------- label-filtered IVFPQ
+
+
+def _ivfpq_filtered_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import ivf_pq_scored_sql_ctes
+
+    ids = ", ".join(str(i) for i in _RERANK_PROBES)
+    return f"""
+{ivf_pq_scored_sql_ctes(_RERANK_PROBES, shortlist=20)},
+lab AS (SELECT vec_id, label FROM embeddings),
+plab AS (SELECT vec_id AS probe_id, label AS plabel FROM embeddings WHERE vec_id IN ({ids})),
+filt AS (
+  SELECT rr.probe_id, rr.neighbor_id, rr.l2_dist
+  FROM rr
+  JOIN lab ON lab.vec_id = rr.neighbor_id
+  JOIN plab ON plab.probe_id = rr.probe_id
+  WHERE lab.label = plab.plabel
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, l2_dist,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM filt
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, l2_dist
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "p_ivfpq_label_filtered",
+    _ivfpq_filtered_oracle(),
+    tags=("pipeline", "similarity"),
+    doc="label-FILTERED IVFPQ search (the filtered-vector-search problem: "
+    "'nearest neighbors WHERE label = X'): post-filtering over the "
+    "shared scored-candidate chain (similarity.ivf_pq_scored) — the "
+    "shortlist is built label-blind, then restricted to the probe's own "
+    "label before the final rank, which is exactly why production "
+    "post-filtering needs a LARGER shortlist (a selective filter can "
+    "empty it — visible here as probes returning < 3 rows); the "
+    "pre-filtering alternative is label_knn_graph's label-blocked join. "
+    "Label lookups are probe-grain/bounded joins on the <=20-row "
+    "shortlist",
+)
+def q_ivfpq_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kafka_replicator_spark.functions.similarity import ivf_pq_scored
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = ivf_pq_scored(emb, _RERANK_PROBES, shortlist=20)
+    lab = emb.select("vec_id", "label")
+    plab = emb.filter(F.col("vec_id").isin(_RERANK_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+    )
+    filt = (
+        scored.join(lab, scored.neighbor_id == lab.vec_id)
+        .join(F.broadcast(plab), "probe_id")
+        .filter(F.col("label") == F.col("plabel"))
+        .select("probe_id", "neighbor_id", "l2_dist")
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        filt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("l2_dist").cast("long").alias("l2_dist"),
+        )
+    )
