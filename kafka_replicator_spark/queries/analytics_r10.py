@@ -222,8 +222,8 @@ rj AS (
 )
 SELECT CAST(min(b) AS BIGINT) AS n_blocks,
        CAST(sum((j + 1) * drj) AS BIGINT) AS l_x2,
-       CAST(min(b) * 7 * 64 AS BIGINT) AS e_l_x2,
-       CAST(sum((j + 1) * drj) - min(b) * 7 * 64 AS BIGINT) AS l_excess_x2
+       CAST(min(b) * 7 * 32 AS BIGINT) AS e_l_x2,
+       CAST(sum((j + 1) * drj) - min(b) * 7 * 32 AS BIGINT) AS l_excess_x2
 FROM rj
 """,
     tags=("analytics", "stats"),
@@ -233,9 +233,9 @@ FROM rj
     "block (epoch-day // 7; blocks missing a day drop out) daily revenue "
     "is rank-scored with the exact double-rank 2r = rank_asc + (8 - "
     "rank_desc) so ties stay integer, L = sum_j (j+1) * R_j folds "
-    "doubled, and the null expectation E[2L] = b * k(k+1)^2 / 2 = 448b/2 "
-    "per block set; l_excess_x2 > 0 means revenue trends UP across the "
-    "dow positions.  dow is DuckDB dayofweek == Spark dayofweek - 1 (the "
+    "doubled (drj = 2*R_j), and the null expectation E[2L] = "
+    "2 * b*k(k+1)^2/4 = 224b for k=7 (min(b)*7*32); l_excess_x2 > 0 "
+    "means revenue trends UP across the dow positions.  dow is DuckDB dayofweek == Spark dayofweek - 1 (the "
     "r04 note); all windows on the bounded 7-row block grain",
 )
 def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,8 +269,8 @@ def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rj.agg(
         F.min("b").cast("long").alias("n_blocks"),
         F.sum((F.col("j") + 1) * F.col("drj")).cast("long").alias("l_x2"),
-        (F.min("b") * 7 * 64).cast("long").alias("e_l_x2"),
-        (F.sum((F.col("j") + 1) * F.col("drj")) - F.min("b") * 7 * 64)
+        (F.min("b") * 7 * 32).cast("long").alias("e_l_x2"),
+        (F.sum((F.col("j") + 1) * F.col("drj")) - F.min("b") * 7 * 32)
         .cast("long")
         .alias("l_excess_x2"),
     )

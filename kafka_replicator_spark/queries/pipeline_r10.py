@@ -1432,7 +1432,7 @@ def q_cut_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- quality threshold sweep
 
-_GATE_THRESHOLDS = (250, 500, 750)
+_GATE_THRESHOLDS = (-250, 0, 250)
 
 
 def _gate_sweep_select() -> str:
@@ -1440,10 +1440,10 @@ def _gate_sweep_select() -> str:
     for t in _GATE_THRESHOLDS:
         arms.append(f"""
 SELECT CAST({t} AS BIGINT) AS threshold_milli,
-       CAST(sum(CASE WHEN score_milli >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       CAST((sum(CASE WHEN score_milli >= {t} THEN 1 ELSE 0 END) * 1000000)
+       CAST(sum(CASE WHEN score_milli > n_tokens * {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST((sum(CASE WHEN score_milli > n_tokens * {t} THEN 1 ELSE 0 END) * 1000000)
             // count(*) AS BIGINT) AS pass_ppm,
-       CAST(coalesce(sum(CASE WHEN score_milli >= {t} THEN n_tokens END), 0) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN score_milli > n_tokens * {t} THEN n_tokens END), 0) AS BIGINT)
          AS pass_tokens
 FROM qc""")
     return " UNION ALL ".join(arms) + "\nORDER BY threshold_milli"
@@ -1457,8 +1457,11 @@ WITH qc AS MATERIALIZED ({quality_classifier_sql()})
 """,
     tags=("pipeline", "quality", "eval"),
     doc="gate-tuning curve for the quality classifier: pass count / rate "
-    f"ppm / surviving token mass at score thresholds {_GATE_THRESHOLDS} "
-    "milli, every arm a conditional aggregate over ONE classifier pass "
+    f"ppm / surviving token mass at MEAN-score thresholds {_GATE_THRESHOLDS} "
+    "milli — the arms apply the classifier's REAL gate comparator "
+    "(score_milli > n_tokens * threshold_milli, scoring.quality_classifier) "
+    "straddling its default 0, every arm a conditional aggregate over ONE "
+    "classifier pass "
     "(the literal-ladder sweep pattern) — how much corpus each candidate "
     "gate setting keeps is the first question any curation run asks; "
     "pairs with p_quality_calibration_drift (is the score calibrated) "
@@ -1472,15 +1475,16 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _GATE_THRESHOLDS:
         arm = qc.agg(
             F.lit(t).cast("long").alias("threshold_milli"),
-            F.sum(F.when(F.col("score_milli") >= t, 1).otherwise(0))
+            F.sum(F.when(F.col("score_milli") > F.col("n_tokens") * t, 1).otherwise(0))
             .cast("long")
             .alias("n_pass"),
             F.expr(
-                f"CAST((sum(CASE WHEN score_milli >= {t} THEN 1 ELSE 0 END) * 1000000)"
+                f"CAST((sum(CASE WHEN score_milli > n_tokens * {t} THEN 1 ELSE 0 END) * 1000000)"
                 " div count(1) AS BIGINT)"
             ).alias("pass_ppm"),
             F.coalesce(
-                F.sum(F.when(F.col("score_milli") >= t, F.col("n_tokens"))), F.lit(0)
+                F.sum(F.when(F.col("score_milli") > F.col("n_tokens") * t, F.col("n_tokens"))),
+                F.lit(0),
             )
             .cast("long")
             .alias("pass_tokens"),
@@ -1685,7 +1689,7 @@ ranks AS (
          coalesce(r1, 999) AS r1, coalesce(r2, 999) AS r2
   FROM bmr FULL JOIN qlr ON bmr.doc_id = qlr.doc_id
 ),
-ov AS (
+ov AS MATERIALIZED (
   SELECT d.d, CAST(count(CASE WHEN r1 <= d.d AND r2 <= d.d THEN 1 END) AS BIGINT) AS o
   FROM ranks, (SELECT unnest(range(1, {_RBO_DEPTH + 1})) AS d) d
   GROUP BY d.d
@@ -1944,7 +1948,6 @@ def _ivfpq_shortlist_oracle() -> str:
         ivf_pq_scored_sql_ctes,
     )
 
-    ids = ", ".join(str(i) for i in _RERANK_PROBES)
     dist = _PQ_DIST_SQL
     denom = len(_RERANK_PROBES) * 5
     arms = []
@@ -1958,12 +1961,13 @@ FROM (
     SELECT probe_id, neighbor_id,
            row_number() OVER (
              PARTITION BY probe_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
-    FROM rr WHERE adc_rn <= {s}
+    FROM rr_m WHERE adc_rn <= {s}
   ) WHERE rn <= 5
 ) a JOIN exact USING (probe_id, neighbor_id)""")
     u = " UNION ALL ".join(arms)
     return f"""
 {ivf_pq_scored_sql_ctes(_RERANK_PROBES, shortlist=max(_SHORTLIST_ARMS))},
+rr_m AS MATERIALIZED (SELECT * FROM rr),
 scored_exact AS (
   SELECT probe_id, q.vec_id AS neighbor_id,
          {dist.format(a='pqe', b='qe')} AS l2

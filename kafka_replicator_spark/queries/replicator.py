@@ -3884,7 +3884,7 @@ FROM hashed""")
     "r_redrive_policy_sweep",
     with_ctes(
         MESSAGES_CTE,
-        f"""hashed AS (
+        f"""hashed AS MATERIALIZED (
   SELECT {portable_hash60_sql("msg_key || '@' || CAST(msg_offset AS VARCHAR)")} % 10 AS fate
   FROM messages
 )""",

@@ -53,7 +53,11 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # stop a timed-out drain BEFORE asserting — else the leak fixture
+    # double-fails and masks the timeout (CLAUDE.md round-9 rule)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise AssertionError("availableNow drain did not finish in 120s")
     got = {tuple(r) for r in spark.table("ss_enrich").collect()}
     assert got == expected
 
@@ -78,6 +82,8 @@ def test_stream_static_join_needs_no_watermark(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise AssertionError("availableNow drain did not finish in 120s")
     n_stream = spark.table("ss_append").count()
     assert n_stream == msgs.count()  # inner join loses nothing: dim covers all partitions
