@@ -256,6 +256,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_ivfpq_shortlist_curve",
     "a_shared_sql_group_by_all",
     "p_ivfpq_label_filtered",
+    "a_shared_sql_lateral_alias",
 ]
 
 

@@ -17,7 +17,7 @@ from kafka_replicator_spark.sources.tables import load_table
     """
 WITH daily AS (
   SELECT o_orderdate AS d,
-         CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY o_orderdate
 ),
 ranked AS (
@@ -57,7 +57,7 @@ FROM (
 def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum((F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("cents")
     )
     w_all = Window.partitionBy()
     ranked = daily.select(
@@ -198,7 +198,7 @@ def q_littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT o_orderdate AS d,
          datediff('day', DATE '1970-01-01', o_orderdate) AS ed,
-         CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY o_orderdate
 ),
 tagged AS (
@@ -241,7 +241,7 @@ FROM rj
 def q_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum((F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).cast("long").alias("cents")
     )
     tagged = daily.select(
         F.expr("datediff(d, DATE '1970-01-01') div 7").alias("block"),

@@ -1098,3 +1098,34 @@ ORDER BY o_orderstatus, o_orderpriority
 )
 def q_shared_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_GROUP_BY_ALL)
+
+
+# ------------------------------------------- shared-SQL lateral aliases
+
+SHARED_SQL_LATERAL_ALIAS = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(floor(revenue_cents / n_orders) AS BIGINT) AS avg_cents,
+       CAST(floor(avg_cents / 100) AS BIGINT) AS avg_dollars
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "a_shared_sql_lateral_alias",
+    SHARED_SQL_LATERAL_ALIAS,
+    tags=("analytics", "sql", "lateral"),
+    doc="SQL front door: LATERAL COLUMN ALIASES as literal same-text SQL "
+    "(verified: Spark >= 3.4 and DuckDB both resolve an alias defined "
+    "earlier in the SAME select list, chained two deep here: "
+    "revenue_cents -> avg_cents -> avg_dollars) — kills the classic "
+    "copy-the-whole-expression duplication in report queries; division "
+    "goes through floor(a / b) because BOTH engines double-divide "
+    "integers (identical IEEE result -> identical floor), while a bare "
+    "CAST of the double rounds on DuckDB and was off by one",
+)
+def q_shared_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_LATERAL_ALIAS)
