@@ -257,6 +257,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_shared_sql_group_by_all",
     "p_ivfpq_label_filtered",
     "a_shared_sql_lateral_alias",
+    "p_substring_convergence",
 ]
 
 

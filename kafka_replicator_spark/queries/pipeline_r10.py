@@ -2118,3 +2118,54 @@ def q_ivfpq_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l2_dist").cast("long").alias("l2_dist"),
         )
     )
+
+
+# --------------------------------------------- substring cut convergence
+
+
+@register(
+    "p_substring_convergence",
+    f"""
+WITH k1 AS MATERIALIZED (SELECT * FROM ({substring_cut_sql(_SUBSTR_W)})),
+c1 AS MATERIALIZED (SELECT doc_id, source, clean_text AS text FROM k1),
+k2 AS MATERIALIZED (SELECT * FROM ({substring_cut_sql(_SUBSTR_W, rel='c1')})),
+c2 AS MATERIALIZED (SELECT doc_id, source, clean_text AS text FROM k2),
+k3 AS MATERIALIZED (SELECT * FROM ({substring_cut_sql(_SUBSTR_W, rel='c2')}))
+SELECT CAST(1 AS BIGINT) AS round, CAST(sum(CASE WHEN cut_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
+       CAST(sum(cut_tokens) AS BIGINT) AS cut_tokens FROM k1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(sum(CASE WHEN cut_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(cut_tokens) AS BIGINT) FROM k2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(sum(CASE WHEN cut_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(cut_tokens) AS BIGINT) FROM k3
+ORDER BY round
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="fixed-point convergence of the windowed ExactSubstr cut: three "
+    "unrolled rounds of cut-the-previous-output (the Lee et al. "
+    "implementation iterates to convergence; p_cut_idempotence showed "
+    "ONE round leaves residue — this query shows the DECAY RATE, the "
+    "number that decides how many passes a production pipeline budgets); "
+    "rounds are SIBLING CTE scopes in one top-level WITH per the DuckDB "
+    "MATERIALIZED ancestor-chain alias rule.  Each round is one full "
+    "cut chain; cut_tokens should fall steeply round over round",
+)
+def q_substring_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    cur = docs.select("doc_id", "source", "text")
+    for rnd in (1, 2, 3):
+        cut = track_cached(substring_cut(cur, w=_SUBSTR_W))
+        arm = cut.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.sum(F.when(F.col("cut_tokens") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_cut"),
+            F.sum("cut_tokens").cast("long").alias("cut_tokens"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+        cur = cut.select("doc_id", "source", F.col("clean_text").alias("text"))
+    return out.orderBy("round")
