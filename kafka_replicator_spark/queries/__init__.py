@@ -258,6 +258,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_ivfpq_label_filtered",
     "a_shared_sql_lateral_alias",
     "p_substring_convergence",
+    "p_split_zipf_drift",
 ]
 
 

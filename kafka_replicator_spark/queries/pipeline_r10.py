@@ -2169,3 +2169,106 @@ def q_substring_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = arm if out is None else out.unionAll(arm)
         cur = cut.select("doc_id", "source", F.col("clean_text").alias("text"))
     return out.orderBy("round")
+
+
+# --------------------------------------------- per-split Zipf drift
+
+_ZIPF_SPLITS = ("test", "train", "val")
+_ZIPF_SPLIT_K = 50
+
+
+def _split_zipf_oracle() -> str:
+    arms = []
+    for s in _ZIPF_SPLITS:
+        arms.append(f"""
+SELECT '{s}' AS split, tok, freq,
+       row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+FROM (SELECT tok, freq FROM vocab WHERE split = '{s}'
+      ORDER BY freq DESC, tok ASC LIMIT {_ZIPF_SPLIT_K})""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT {split_assign_sql('doc_id')} AS split, tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY split, tok
+),
+top AS ({u}),
+terms AS (
+  SELECT split,
+         CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM top
+),
+m AS (
+  SELECT split, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM terms GROUP BY split
+)
+SELECT split, CAST(n AS BIGINT) AS n_terms,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+           AS zipf_slope
+FROM m ORDER BY split
+"""
+
+
+@register(
+    "p_split_zipf_drift",
+    _split_zipf_oracle(),
+    tags=("pipeline", "drift"),
+    doc="Zipf-slope drift across the house train/val/test split — the "
+    "frequency-STRUCTURE axis of the split-representativeness family "
+    "(token JS measures which words, label chi2 measures classes, "
+    "centroid shift measures geometry; this measures how head-heavy "
+    f"each split's distribution is): per-split top-{_ZIPF_SPLIT_K} OLS "
+    "of ln freq on ln rank, one arm per literal split so each top-k cut "
+    "is a distributed TakeOrdered (never a vocab-scale window — the r05 "
+    "rule), ln re-quantized to 9 dp DECIMAL before the moment fold, "
+    "house nullif guard on the degenerate denominator.  A val slope far "
+    "from train's says the 1% split over-sampled boilerplate",
+)
+def q_split_zipf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = track_cached(
+        spread(docs)
+        .select(split_assign_col("doc_id").alias("split"), F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("split", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    tops = None
+    for s in _ZIPF_SPLITS:
+        arm = (
+            vocab.filter(F.col("split") == s)
+            .orderBy(F.desc("freq"), F.asc("tok"))
+            .limit(_ZIPF_SPLIT_K)
+            .withColumn(
+                "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("tok")))
+            )
+        )
+        tops = arm if tops is None else tops.unionAll(arm)
+    terms = tops.select(
+        "split",
+        F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(18,9)").alias("y"),
+    )
+    m = terms.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return m.select(
+        "split",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+    ).orderBy("split")
