@@ -259,6 +259,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_shared_sql_lateral_alias",
     "p_substring_convergence",
     "p_split_zipf_drift",
+    "p_split_oov_rate",
 ]
 
 

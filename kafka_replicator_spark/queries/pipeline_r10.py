@@ -2272,3 +2272,64 @@ def q_split_zipf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope, 6).alias("zipf_slope"),
     ).orderBy("split")
+
+
+# --------------------------------------------- per-split OOV rate
+
+
+@register(
+    "p_split_oov_rate",
+    f"""
+WITH toks AS MATERIALIZED (
+  SELECT {split_assign_sql('doc_id')} AS split, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+train_vocab AS MATERIALIZED (
+  SELECT DISTINCT tok FROM toks WHERE split = 'train'
+),
+ev AS (
+  SELECT t.split, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN train_vocab v ON v.tok = t.tok
+  WHERE t.split <> 'train'
+  GROUP BY t.split
+)
+SELECT split, n_tokens, n_oov,
+       CAST((n_oov * 1000000) // nullif(n_tokens, 0) AS BIGINT) AS oov_ppm
+FROM ev ORDER BY split
+""",
+    tags=("pipeline", "drift", "eval"),
+    doc="out-of-vocabulary rate of the val/test splits against the TRAIN "
+    "split's vocabulary — the held-out coverage gauge p_oov_rate (corpus "
+    "x fixed stopword vocab) cannot see: every val/test token unseen in "
+    "train maps to <unk> at training time, so a high oov_ppm here "
+    "predicts inflated held-out perplexity (p_e2e_heldout_perplexity's "
+    "OOV column measures the same boundary at bigram grain).  One token "
+    "pass + a train-vocab anti-membership left join keyed on the token",
+)
+def q_split_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = track_cached(
+        spread(docs).select(
+            split_assign_col("doc_id").alias("split"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+    )
+    train_vocab = toks.filter(F.col("split") == "train").select("tok").distinct()
+    ev = (
+        toks.filter(F.col("split") != "train")
+        .join(train_vocab.withColumn("__in", F.lit(1)), "tok", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+    )
+    return ev.select(
+        "split",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST((n_oov * 1000000) div nullif(n_tokens, 0) AS BIGINT)").alias("oov_ppm"),
+    ).orderBy("split")
