@@ -260,6 +260,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_substring_convergence",
     "p_split_zipf_drift",
     "p_split_oov_rate",
+    "p_source_token_entropy",
 ]
 
 

@@ -2333,3 +2333,66 @@ def q_split_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.expr("CAST((n_oov * 1000000) div nullif(n_tokens, 0) AS BIGINT)").alias("oov_ppm"),
     ).orderBy("split")
+
+
+# --------------------------------------------- per-source token entropy
+
+
+@register(
+    "p_source_token_entropy",
+    """
+WITH tc AS MATERIALIZED (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+per_source AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000 + 0.5)
+                           AS HUGEINT)) AS HUGEINT) AS slc
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000000 + 0.5) AS HUGEINT)
+            - slc // n_tokens AS BIGINT) AS entropy_nano_nats
+FROM per_source ORDER BY source
+""",
+    tags=("pipeline", "quality"),
+    doc="per-source unigram Shannon entropy in exact integer nano-nats — "
+    "H = ln(T) - sum(c * ln(c)) / T with every ln re-quantized via "
+    "floor(x*1e9 + 0.5) BEFORE the cross-row fold (the r09 ln rule) and "
+    "the fold lifted to HUGEINT/DECIMAL; the source-grain diversity "
+    "profile next to p_doc_entropy (doc grain) and p_source_lang_entropy "
+    "(language grain): a low-entropy source is template-heavy and is "
+    "exactly where the substring cutter and the repetition gate earn "
+    "their keep.  One distinct-type aggregation, no windows",
+)
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        spread(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_source = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * 1e9 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("slc"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000000 + 0.5)"
+            " AS DECIMAL(38,0)) - slc div n_tokens AS BIGINT)"
+        ).alias("entropy_nano_nats"),
+    ).orderBy("source")
