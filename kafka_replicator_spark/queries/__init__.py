@@ -55,11 +55,30 @@ def with_ctes(*ctes: str, select: str) -> str:
 #: clean rows-only row).  The driver verifies only a prefix (~50) of the
 #: registry each round, so ``all_queries`` orders every name WITHOUT a
 #: green row ahead of this set, then the round's new queries, then this
-#: remainder as ballast.  After round 9 (50/50 green, ninth consecutive)
-#: every registered name has a green driver row — cumulative 421/421 — so
-#: the round-10 window is entirely spare; round-10 additions go straight
+#: remainder as ballast.  After round 10 (50/50 green, tenth consecutive)
+#: every registered name has a green driver row — cumulative 465/465 — so
+#: the round-11 window is entirely spare; round-11 additions go straight
 #: into ``_NEW_THIS_ROUND`` until it fills (50 names).
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r10 (folded in at the round-11 rotation) ---
+    'p_substring_dedup', 'p_e2e_substring_pack', 'p_bpe_fertility',
+    'p_quality_calibration_drift', 'r_read_amplification',
+    'r_retention_deletion_plan', 'r_sqs_redrive_model', 'p_ivf_pq_rerank',
+    'p_dup_pair_bleu', 'p_degree_assortativity', 'p_anisotropy_profile',
+    'p_split_centroid_shift', 'r_e2e_latency_budget',
+    'p_substring_position_profile', 'a_pettitt_changepoint',
+    'a_shared_sql_unpivot', 'p_reweight_agreement', 'p_dup_detector_matrix',
+    'p_e2e_dedup_cascade', 'p_bpe_merge_curve', 'p_knn_hubness',
+    'p_substring_quality_shift', 'p_source_separability',
+    'p_conformal_quality_bound', 'p_cut_idempotence',
+    'p_quality_threshold_sweep', 'a_littles_law_identity',
+    'r_redrive_policy_sweep', 'p_pack_budget_sweep', 'p_knn_reciprocity',
+    'r_x3_variant_parse', 'p_posting_gap_profile', 'p_rbo_retrieval',
+    'a_page_trend_dow', 'p_ivfpq_recall', 'p_dedup_centroid_shift',
+    'p_ivfpq_shortlist_curve', 'a_shared_sql_group_by_all',
+    'p_ivfpq_label_filtered', 'a_shared_sql_lateral_alias',
+    'p_substring_convergence', 'p_split_zipf_drift', 'p_split_oov_rate',
+    'p_source_token_entropy',
     # --- green in CORRECTNESS_r09 (folded in at the round-10 rotation) ---
     'p_e2e_curation_funnel', 'p_e2e_pack_manifest',
     'p_e2e_mix_dedup_interaction', 'p_semantic_dedup_2level',
@@ -210,63 +229,18 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries in THIS round's (round 10) driver window behind any never-green
-#: backlog.  CORRECTNESS_r09 was 50/50 green, so the round-9 window's 40
-#: names folded into ``_EVER_GREEN`` (cumulative 421/421 driver-verified)
-#: and the round-10 window is ENTIRELY spare — round-10 additions go
+#: Queries in THIS round's (round 11) driver window behind any never-green
+#: backlog.  CORRECTNESS_r10 was 50/50 green, so the round-10 window's 44
+#: names folded into ``_EVER_GREEN`` (cumulative 465/465 driver-verified)
+#: and the round-11 window is ENTIRELY spare — round-11 additions go
 #: straight HERE until the window fills (50 names), then overflow into
 #: ``_STAGED_NEXT_ROUND``.
-_NEW_THIS_ROUND: list[str] = [
-    "p_substring_dedup",
-    "p_e2e_substring_pack",
-    "p_bpe_fertility",
-    "p_quality_calibration_drift",
-    "r_read_amplification",
-    "r_retention_deletion_plan",
-    "r_sqs_redrive_model",
-    "p_ivf_pq_rerank",
-    "p_dup_pair_bleu",
-    "p_degree_assortativity",
-    "p_anisotropy_profile",
-    "p_split_centroid_shift",
-    "r_e2e_latency_budget",
-    "p_substring_position_profile",
-    "a_pettitt_changepoint",
-    "a_shared_sql_unpivot",
-    "p_reweight_agreement",
-    "p_dup_detector_matrix",
-    "p_e2e_dedup_cascade",
-    "p_bpe_merge_curve",
-    "p_knn_hubness",
-    "p_substring_quality_shift",
-    "p_source_separability",
-    "p_conformal_quality_bound",
-    "p_cut_idempotence",
-    "p_quality_threshold_sweep",
-    "a_littles_law_identity",
-    "r_redrive_policy_sweep",
-    "p_pack_budget_sweep",
-    "p_knn_reciprocity",
-    "r_x3_variant_parse",
-    "p_posting_gap_profile",
-    "p_rbo_retrieval",
-    "a_page_trend_dow",
-    "p_ivfpq_recall",
-    "p_dedup_centroid_shift",
-    "p_ivfpq_shortlist_curve",
-    "a_shared_sql_group_by_all",
-    "p_ivfpq_label_filtered",
-    "a_shared_sql_lateral_alias",
-    "p_substring_convergence",
-    "p_split_zipf_drift",
-    "p_split_oov_rate",
-    "p_source_token_entropy",
-]
+_NEW_THIS_ROUND: list[str] = []
 
 
-#: Queries registered mid-round AFTER the window filled (round-9 additions
-#: past the 50-name window edge — FIRST in line for the round-10 window;
-#: keep list order at the next rotation).
+#: Queries registered mid-round AFTER the window filled (none pending —
+#: round-10 closed with 6 spare window slots; keep list order at the next
+#: rotation).
 _STAGED_NEXT_ROUND: list[str] = []
 
 

@@ -129,7 +129,7 @@ sweep AS (
 )
 SELECT dur.n_orders, dur.order_days AS order_days_direct,
        sweep.order_days AS order_days_sweep,
-       CAST((dur.order_days * 1000000) // sweep.order_days AS BIGINT)
+       CAST((dur.order_days * 1000000) // nullif(sweep.order_days, 0) AS BIGINT)
          AS identity_ppm
 FROM dur, sweep
 """,
@@ -183,7 +183,8 @@ def q_littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_days_direct",
             "order_days_sweep",
             F.expr(
-                "CAST((order_days_direct * 1000000) div order_days_sweep AS BIGINT)"
+                "CAST((order_days_direct * 1000000)"
+                " div nullif(order_days_sweep, 0) AS BIGINT)"
             ).alias("identity_ppm"),
         )
     )

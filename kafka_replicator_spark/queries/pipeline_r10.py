@@ -1224,9 +1224,12 @@ def q_source_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
 
     me = track_cached(me)
+    # Lift BEFORE the fold: per-vector dots are ~6.4e13 (64 dims x 1e12
+    # micro^2), so a LONG sum overflows near ~1.4e5 vectors per source —
+    # accumulate in DECIMAL(38,0) to match the oracle's HUGEINT sum.
     stats = me.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(dot(F.col("me"), F.col("me"))).cast("decimal(38,0)").alias("q"),
+        F.sum(dot(F.col("me"), F.col("me")).cast("decimal(38,0)")).alias("q"),
     )
     dims = (
         me.select("source", F.posexplode("me").alias("i", "v"))
@@ -1601,14 +1604,14 @@ def q_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: log2 gap-bucket thresholds (powers of two, literal ladder — float log2
 #: at exact powers of two is NOT trusted cross-engine, the r07 df_histogram
 #: rule)
-_GAP_BUCKETS = (1, 2, 4, 8, 16, 64, 256, 1024)
+_GAP_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
 
 def _gap_bucket_case(col: str) -> str:
     arms = " ".join(
         f"WHEN {col} <= {t} THEN {t}" for t in _GAP_BUCKETS
     )
-    return f"CASE {arms} ELSE {4 * _GAP_BUCKETS[-1]} END"
+    return f"CASE {arms} ELSE {2 * _GAP_BUCKETS[-1]} END"
 
 
 @register(
