@@ -522,6 +522,57 @@ FROM s{iters}
     )
 
 
+def ivf_assign_trained(
+    embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Assign every vector to its nearest TRAINED k-means centroid — the
+    fixed-K coarse quantizer that makes IVF assignment LINEAR in the corpus
+    (N·K with K a constant), vs the stride rule whose centroid count grows
+    with the corpus (``vec_id % stride`` ⇒ C = N/stride, so even the
+    two-level assignment is N·√C = N^1.5 — the one superlinear curve
+    VERDICT r10 flagged).  This is FAISS IVF's actual design: nlist is
+    fixed at deployment, training cost is iters·N·K, assignment is one
+    broadcast of the k×dim model + a map-side argmin per vector.
+
+    Determinism matches :func:`kmeans_train` / :func:`ivf_topk_trained`
+    exactly: squared-L2 decomposed as e·e − 2·e·c + c·c with each dot an
+    in-order sequential fold, centroid components exact integer micro-units
+    divided once to DOUBLE, ties to the smaller cluster id.  The argmin is
+    a map-side ``min(struct(dist, cluster))`` partial aggregation — no
+    N·K-row shuffle; the SQL oracle's row_number window replays it exactly
+    (same ordering key).
+
+    Returns (vec_id, e, centroid_id) — the same frame shape as
+    :func:`ivf_assign` / :func:`ivf_assign_2level`, so the IVFPQ chain and
+    the SemDeDup scan compose unchanged.
+    """
+    model = kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim)
+    cents = model.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_micro"))),
+            lambda s: s["centroid_micro"] / F.lit(1e6),
+        ).alias("cd")
+    )
+    emb = track_cached(
+        _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster",
+        (
+            dot_col(F.col("e"), F.col("e"))
+            - 2 * dot_col(F.col("e"), F.col("cd"))
+            + dot_col(F.col("cd"), F.col("cd"))
+        ).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("dist").alias("d"), F.col("cluster").alias("c"))).alias("b")
+    )
+    return emb.join(
+        best.select("vec_id", F.col("b.c").alias("centroid_id")), "vec_id"
+    ).select("vec_id", "e", "centroid_id")
+
+
 def ivf_topk_trained(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -530,39 +581,18 @@ def ivf_topk_trained(
     iters: int = 2,
 ) -> DataFrame:
     """IVF search over TRAINED centroids: assign every vector to its
-    nearest k-means centroid (squared-L2, same decomposed fold as the
-    trainer), then rank candidates only within the probe's cell — the
-    end-to-end trained flavor of ``ivf_topk``.  Model and corpus stay
-    DataFrames throughout; the k×dim model broadcasts."""
-    model = kmeans_train(embeddings, k=n_clusters, iters=iters)
-    cents = model.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid_micro"))),
-            lambda s: s["centroid_micro"] / F.lit(1e6),
-        ).alias("cd")
-    )
-    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
-    scored = emb.join(F.broadcast(cents)).select(
-        "vec_id",
-        "e",
-        "cluster",
-        (
-            dot_col(F.col("e"), F.col("e"))
-            - 2 * dot_col(F.col("e"), F.col("cd"))
-            + dot_col(F.col("cd"), F.col("cd"))
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cluster")
-        .cache()  # probes + candidates
-    )
+    nearest k-means centroid (:func:`ivf_assign_trained` — squared-L2,
+    same decomposed fold as the trainer), then rank candidates only within
+    the probe's cell — the end-to-end trained flavor of ``ivf_topk``.
+    Model and corpus stay DataFrames throughout; the k×dim model
+    broadcasts."""
+    assigned = ivf_assign_trained(
+        embeddings, n_clusters=n_clusters, iters=iters
+    ).cache()  # probes + candidates
     probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "cluster"
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id"
     )
-    cands = assigned.join(F.broadcast(probes), ["cluster"]).filter(
+    cands = assigned.join(F.broadcast(probes), ["centroid_id"]).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     ranked = cands.select(
@@ -578,14 +608,20 @@ def ivf_topk_trained(
     )
 
 
-def ivf_topk_trained_sql(
-    probe_ids: list[int], k: int = 5, n_clusters: int = 8, iters: int = 2, dim: int = 64
+def ivf_assign_trained_sql_ctes(
+    n_clusters: int = 8, iters: int = 2, dim: int = 64
 ) -> str:
-    ids = ", ".join(str(i) for i in probe_ids)
+    """Open WITH block ending in ``assigned`` = (vec_id, e, centroid_id):
+    the trained fixed-K coarse assignment mirroring
+    :func:`ivf_assign_trained` — kmeans_train_sql's unrolled iterations,
+    the model list, and the per-vector argmin (row_number window replaying
+    the Spark side's map-side ``min(struct(dist, cluster))`` — identical
+    ordering key, identical tie-break).  THE one generator of the trained
+    assignment text, shared by ivf_topk_trained_sql and the trained IVFPQ
+    oracle so the rule can never silently diverge."""
     km = kmeans_train_sql(k=n_clusters, iters=iters, dim=dim)
     body = km.partition("WITH ")[2].rpartition("\nSELECT cluster, dim,")[0]
-    return f"""
-WITH {body},
+    return f"""WITH {body},
 model AS (
   SELECT cluster,
          list(CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
@@ -593,7 +629,7 @@ model AS (
   FROM s{iters} GROUP BY cluster
 ),
 assigned AS (
-  SELECT vec_id, e, cluster FROM (
+  SELECT vec_id, e, cluster AS centroid_id FROM (
     SELECT emb.vec_id, emb.e, m.cluster,
            row_number() OVER (
              PARTITION BY emb.vec_id
@@ -603,13 +639,21 @@ assigned AS (
            ) AS rn
     FROM emb, model m
   ) WHERE rn = 1
-),
-probes AS (SELECT vec_id AS probe_id, e AS pe, cluster FROM assigned WHERE vec_id IN ({ids})),
+)"""
+
+
+def ivf_topk_trained_sql(
+    probe_ids: list[int], k: int = 5, n_clusters: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+{ivf_assign_trained_sql_ctes(n_clusters, iters, dim)},
+probes AS (SELECT vec_id AS probe_id, e AS pe, centroid_id FROM assigned WHERE vec_id IN ({ids})),
 scored AS (
   SELECT probe_id, c.vec_id AS neighbor_id,
          list_dot_product(pe, e)
            / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))) AS cos
-  FROM assigned c JOIN probes USING (cluster) WHERE c.vec_id <> probe_id
+  FROM assigned c JOIN probes USING (centroid_id) WHERE c.vec_id <> probe_id
 ),
 ranked AS (
   SELECT probe_id, neighbor_id, cos,
@@ -828,21 +872,30 @@ _PQ_DIST_SQL = (
 )
 
 
-def pq_codes_cte_sql(m: int = 8, dim: int = 64, code_stride: int = 250) -> str:
+def pq_codes_cte_sql(
+    m: int = 8, dim: int = 64, code_stride: int = 250, code_limit: int | None = None
+) -> str:
     """The subs/code_entries/codes CTE block (emitted inside an open WITH
     that already defines ``q``) — THE one generator of the PQ code
     assignment text, shared by pq_topk_sql, pq_distortion_sql and the
     IVF+PQ rerank oracle so the assignment rule can never silently diverge
     between oracles.  ``codes`` carries BOTH code_id and cdist; consumers
-    project what they need."""
+    project what they need.  ``code_limit`` caps the codebook at the first
+    ``code_limit`` stride points (vec_id < stride·limit) — a FIXED-size
+    codebook (FAISS PQ's fixed-256 analog) so the corpus-side code
+    assignment stays N·m·limit instead of N·m·(N/stride); default ``None``
+    keeps the historical unbounded-stride text byte-identical."""
     d_sub = dim // m
     dist = _PQ_DIST_SQL
+    cap = (
+        f" AND vec_id < {code_stride * code_limit}" if code_limit is not None else ""
+    )
     return f"""subs AS (
   SELECT vec_id, s, qe[s * {d_sub} + 1 : s * {d_sub} + {d_sub}] AS sub
   FROM q, (SELECT unnest(range(0, {m})) AS s)
 ),
 code_entries AS (
-  SELECT vec_id AS code_id, s, sub AS csub FROM subs WHERE vec_id % {code_stride} = 0
+  SELECT vec_id AS code_id, s, sub AS csub FROM subs WHERE vec_id % {code_stride} = 0{cap}
 ),
 codes AS (
   SELECT vec_id, s, code_id, cdist FROM (
@@ -941,6 +994,10 @@ def ivf_pq_rerank(
     code_stride: int = 250,
     two_level: bool = True,
     coarse_factor: int | None = None,
+    coarse_codebook: str = "stride",
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    code_limit: int | None = None,
 ) -> DataFrame:
     """The composed FAISS-style IVFPQ + refine architecture (Jégou et al.
     2011 §V; the standard billion-scale ANN deployment): IVF coarse cell
@@ -959,6 +1016,13 @@ def ivf_pq_rerank(
     one coarse cell, and the rerank join touches ``shortlist`` rows per
     probe.
 
+    ``coarse_codebook="trained"`` swaps the stride-derived cells for the
+    fixed-K trained codebook (:func:`ivf_assign_trained`) and, with
+    ``code_limit``, a fixed-size PQ codebook — the LINEAR assignment path
+    (VERDICT r10 #1: the stride rule's centroid count grows with the
+    corpus, making even the auto-G assignment N^1.5; a fixed K makes it
+    N·K).  The stride rule stays the default for the existing oracles.
+
     Reference context: the reference engine has no ANN surface — this is
     part of the training-data-pipeline extension (SURVEY.md §6).
     """
@@ -972,6 +1036,10 @@ def ivf_pq_rerank(
         code_stride=code_stride,
         two_level=two_level,
         coarse_factor=coarse_factor,
+        coarse_codebook=coarse_codebook,
+        n_clusters=n_clusters,
+        train_iters=train_iters,
+        code_limit=code_limit,
     )
     w_rank = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return (
@@ -996,18 +1064,31 @@ def ivf_pq_scored(
     code_stride: int = 250,
     two_level: bool = True,
     coarse_factor: int | None = None,
+    coarse_codebook: str = "stride",
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    code_limit: int | None = None,
 ) -> DataFrame:
     """The IVFPQ candidate frame the rerank and its tuning curves share:
     per (probe_id, neighbor_id) the ADC shortlist rank (``adc_rank`` <=
     ``shortlist``) and the exact int8 L2 (``l2_dist``) — THE one
     implementation of the cell-restrict -> ADC-scan -> exact-rescore
     chain, so the top-k query and the shortlist-sensitivity curve can
-    never fork (see :func:`ivf_pq_rerank` for the architecture notes)."""
-    assigned = track_cached(
-        ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
-        if two_level
-        else ivf_assign(embeddings, centroid_stride)
-    )
+    never fork (see :func:`ivf_pq_rerank` for the architecture notes,
+    incl. the ``coarse_codebook="trained"`` / ``code_limit`` linear
+    assignment path)."""
+    if coarse_codebook == "trained":
+        assigned = track_cached(
+            ivf_assign_trained(
+                embeddings, n_clusters=n_clusters, iters=train_iters, dim=dim
+            )
+        )
+    else:
+        assigned = track_cached(
+            ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
+            if two_level
+            else ivf_assign(embeddings, centroid_stride)
+        )
     probes_cell = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), "centroid_id"
     )
@@ -1017,7 +1098,10 @@ def ivf_pq_scored(
         .select("probe_id", "vec_id")
     )
     subs = pq_subvectors(embeddings, m=m, dim=dim)
-    code_entries = subs.filter(F.col("vec_id") % code_stride == 0).select(
+    code_filter = F.col("vec_id") % code_stride == 0
+    if code_limit is not None:
+        code_filter = code_filter & (F.col("vec_id") < code_stride * code_limit)
+    code_entries = subs.filter(code_filter).select(
         F.col("vec_id").alias("code_id"), "s", F.col("sub").alias("csub")
     )
     codes = pq_code_assign(subs, code_entries).select("vec_id", "s", "code_id")
@@ -1063,9 +1147,13 @@ def ivf_pq_rerank_sql(
     code_stride: int = 250,
     two_level: bool = True,
     coarse_factor: int | None = None,
+    coarse_codebook: str = "stride",
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    code_limit: int | None = None,
 ) -> str:
     return f"""
-{ivf_pq_scored_sql_ctes(probe_ids, shortlist, m, dim, centroid_stride, code_stride, two_level, coarse_factor)},
+{ivf_pq_scored_sql_ctes(probe_ids, shortlist, m, dim, centroid_stride, code_stride, two_level, coarse_factor, coarse_codebook, n_clusters, train_iters, code_limit)},
 ranked AS (
   SELECT probe_id, neighbor_id, l2_dist,
          row_number() OVER (
@@ -1086,21 +1174,29 @@ def ivf_pq_scored_sql_ctes(
     code_stride: int = 250,
     two_level: bool = True,
     coarse_factor: int | None = None,
+    coarse_codebook: str = "stride",
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    code_limit: int | None = None,
 ) -> str:
     """The full IVFPQ candidate CTE chain (open WITH, ending in ``rr`` =
     (probe_id, neighbor_id, adc_rn, l2_dist)) mirroring
     :func:`ivf_pq_scored` — THE one generator of the oracle text, shared
-    by the rerank oracle and the shortlist-sensitivity curve."""
+    by the rerank oracle and the shortlist-sensitivity curve.
+    ``coarse_codebook="trained"`` composes the trained fixed-K assignment
+    block (:func:`ivf_assign_trained_sql_ctes`) instead of the stride
+    rule's."""
     ids = ", ".join(str(i) for i in probe_ids)
     dist = _PQ_DIST_SQL
-    assign_ctes = (
-        ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)
-        if two_level
-        else ivf_assign_sql_ctes(centroid_stride)
-    )
+    if coarse_codebook == "trained":
+        assign_ctes = ivf_assign_trained_sql_ctes(n_clusters, train_iters, dim)
+    elif two_level:
+        assign_ctes = ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)
+    else:
+        assign_ctes = ivf_assign_sql_ctes(centroid_stride)
     return f"""{assign_ctes},
 {_QUANT_SCALED_Q},
-{pq_codes_cte_sql(m, dim, code_stride)},
+{pq_codes_cte_sql(m, dim, code_stride, code_limit)},
 probes_cell AS (
   SELECT vec_id AS probe_id, centroid_id FROM assigned WHERE vec_id IN ({ids})
 ),

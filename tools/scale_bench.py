@@ -60,6 +60,9 @@ KERNELS = [
     # IVFPQ+refine chain on the 2-level auto-G assignment
     "p_substring_dedup",
     "p_ivf_pq_rerank",
+    # round 11: trained fixed-K coarse codebook (VERDICT r10 #1) — the
+    # linear N·K assignment vs the stride rule's N^1.5
+    "p_ivf_pq_rerank_trained",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
