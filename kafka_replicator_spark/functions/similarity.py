@@ -1068,6 +1068,7 @@ def ivf_pq_scored(
     n_clusters: int = 16,
     train_iters: int = 2,
     code_limit: int | None = None,
+    prefilter_label: bool = False,
 ) -> DataFrame:
     """The IVFPQ candidate frame the rerank and its tuning curves share:
     per (probe_id, neighbor_id) the ADC shortlist rank (``adc_rank`` <=
@@ -1076,7 +1077,15 @@ def ivf_pq_scored(
     chain, so the top-k query and the shortlist-sensitivity curve can
     never fork (see :func:`ivf_pq_rerank` for the architecture notes,
     incl. the ``coarse_codebook="trained"`` / ``code_limit`` linear
-    assignment path)."""
+    assignment path).
+
+    ``prefilter_label=True`` is the filter-AWARE search mode (VERDICT r10
+    #4): candidates are restricted to the probe's own ``label`` BEFORE
+    the ADC ranking, so the shortlist is spent entirely on qualifying
+    rows — a selective filter can no longer empty it, the failure mode
+    p_ivfpq_label_filtered documents for naive post-filtering.  The
+    label lookup is a corpus-map join plus a broadcast of the bounded
+    probe-label frame."""
     if coarse_codebook == "trained":
         assigned = track_cached(
             ivf_assign_trained(
@@ -1097,6 +1106,17 @@ def ivf_pq_scored(
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
     )
+    if prefilter_label:
+        lab = embeddings.select("vec_id", "label")
+        plab = lab.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+        )
+        cands = (
+            cands.join(lab, "vec_id")
+            .join(F.broadcast(plab), "probe_id")
+            .filter(F.col("label") == F.col("plabel"))
+            .select("probe_id", "vec_id")
+        )
     subs = pq_subvectors(embeddings, m=m, dim=dim)
     code_filter = F.col("vec_id") % code_stride == 0
     if code_limit is not None:
@@ -1178,6 +1198,7 @@ def ivf_pq_scored_sql_ctes(
     n_clusters: int = 16,
     train_iters: int = 2,
     code_limit: int | None = None,
+    prefilter_label: bool = False,
 ) -> str:
     """The full IVFPQ candidate CTE chain (open WITH, ending in ``rr`` =
     (probe_id, neighbor_id, adc_rn, l2_dist)) mirroring
@@ -1185,7 +1206,8 @@ def ivf_pq_scored_sql_ctes(
     by the rerank oracle and the shortlist-sensitivity curve.
     ``coarse_codebook="trained"`` composes the trained fixed-K assignment
     block (:func:`ivf_assign_trained_sql_ctes`) instead of the stride
-    rule's."""
+    rule's; ``prefilter_label=True`` restricts candidates to the probe's
+    own label BEFORE the ADC ranking (the filter-aware search mode)."""
     ids = ", ".join(str(i) for i in probe_ids)
     dist = _PQ_DIST_SQL
     if coarse_codebook == "trained":
@@ -1194,16 +1216,33 @@ def ivf_pq_scored_sql_ctes(
         assign_ctes = ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)
     else:
         assign_ctes = ivf_assign_sql_ctes(centroid_stride)
+    if prefilter_label:
+        cands_ctes = f"""cands0 AS (
+  SELECT probe_id, a.vec_id FROM assigned a JOIN probes_cell USING (centroid_id)
+  WHERE a.vec_id <> probe_id
+),
+plab_pre AS (
+  SELECT vec_id AS probe_id, label AS plabel FROM embeddings WHERE vec_id IN ({ids})
+),
+cands AS (
+  SELECT c.probe_id, c.vec_id
+  FROM cands0 c
+  JOIN embeddings l ON l.vec_id = c.vec_id
+  JOIN plab_pre p ON p.probe_id = c.probe_id
+  WHERE l.label = p.plabel
+),"""
+    else:
+        cands_ctes = """cands AS (
+  SELECT probe_id, a.vec_id FROM assigned a JOIN probes_cell USING (centroid_id)
+  WHERE a.vec_id <> probe_id
+),"""
     return f"""{assign_ctes},
 {_QUANT_SCALED_Q},
 {pq_codes_cte_sql(m, dim, code_stride, code_limit)},
 probes_cell AS (
   SELECT vec_id AS probe_id, centroid_id FROM assigned WHERE vec_id IN ({ids})
 ),
-cands AS (
-  SELECT probe_id, a.vec_id FROM assigned a JOIN probes_cell USING (centroid_id)
-  WHERE a.vec_id <> probe_id
-),
+{cands_ctes}
 probe_subs AS (
   SELECT vec_id AS probe_id, s, sub AS psub FROM subs WHERE vec_id IN ({ids})
 ),

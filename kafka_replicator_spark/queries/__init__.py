@@ -239,6 +239,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_ivf_pq_rerank_trained",
     "p_substring_fixpoint",
     "p_e2e_fixpoint_cascade",
+    "p_ivfpq_filter_aware",
 ]
 
 

@@ -111,6 +111,256 @@ def q_substring_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ filter-aware ANN search
+
+_FA_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+_FA_K = 3
+_FA_SHORT = 20
+#: the big shared shortlist the naive/oversample arms carve from — wide
+#: enough that the selectivity-derived oversample factor never clips at
+#: tested label balance (~10 uniform labels -> factor 10-13, eff <= 260)
+_FA_BIG = 320
+
+
+def _fa_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        _PQ_DIST_SQL,
+        _quantized_sql_cte,
+        ivf_pq_scored_sql_ctes,
+    )
+
+    ids = ", ".join(str(i) for i in _FA_PROBES)
+    dist = _PQ_DIST_SQL
+    rank = (
+        "row_number() OVER (PARTITION BY probe_id"
+        " ORDER BY l2_dist ASC, neighbor_id ASC)"
+    )
+    return f"""
+WITH lab AS (SELECT vec_id, label FROM embeddings),
+plab AS MATERIALIZED (
+  SELECT vec_id AS probe_id, label AS plabel FROM embeddings WHERE vec_id IN ({ids})
+),
+selc AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings GROUP BY label
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+big AS MATERIALIZED (
+  {ivf_pq_scored_sql_ctes(_FA_PROBES, shortlist=_FA_BIG)}
+  SELECT probe_id, neighbor_id, adc_rn, l2_dist FROM rr
+),
+pre AS MATERIALIZED (
+  {ivf_pq_scored_sql_ctes(_FA_PROBES, shortlist=_FA_SHORT, prefilter_label=True)}
+  SELECT probe_id, neighbor_id, l2_dist FROM rr
+),
+mtch AS MATERIALIZED (
+  SELECT b.probe_id, b.neighbor_id, b.adc_rn, b.l2_dist
+  FROM big b JOIN lab l ON l.vec_id = b.neighbor_id
+  JOIN plab p ON p.probe_id = b.probe_id
+  WHERE l.label = p.plabel
+),
+naive AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id, {rank} AS rn
+    FROM mtch WHERE adc_rn <= {_FA_SHORT}
+  ) WHERE rn <= {_FA_K}
+),
+fct AS (
+  SELECT probe_id,
+         least({_FA_SHORT} * ((tot.n + selc.n_label - 1) // selc.n_label),
+               {_FA_BIG}) AS eff
+  FROM plab JOIN selc ON selc.label = plab.plabel, tot
+),
+over_arm AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT m.probe_id, m.neighbor_id, {rank} AS rn
+    FROM mtch m JOIN fct USING (probe_id) WHERE m.adc_rn <= fct.eff
+  ) WHERE rn <= {_FA_K}
+),
+pre_arm AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id, {rank} AS rn FROM pre
+  ) WHERE rn <= {_FA_K}
+),
+exact AS MATERIALIZED (
+  WITH {_quantized_sql_cte()},
+  pq AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
+  sc AS (
+    SELECT p.probe_id, q.vec_id AS neighbor_id,
+           {dist.format(a='pqe', b='qe')} AS l2_dist
+    FROM q
+    JOIN lab l ON l.vec_id = q.vec_id
+    JOIN pq p ON q.vec_id <> p.probe_id
+    JOIN plab pl ON pl.probe_id = p.probe_id
+    WHERE l.label = pl.plabel
+  )
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id, {rank} AS rn FROM sc
+  ) WHERE rn <= {_FA_K}
+),
+per_arm AS (
+  SELECT 'naive' AS arm, n.probe_id, n.neighbor_id,
+         CASE WHEN e.probe_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM naive n LEFT JOIN exact e
+    ON e.probe_id = n.probe_id AND e.neighbor_id = n.neighbor_id
+  UNION ALL
+  SELECT 'oversample', o.probe_id, o.neighbor_id,
+         CASE WHEN e.probe_id IS NULL THEN 0 ELSE 1 END
+  FROM over_arm o LEFT JOIN exact e
+    ON e.probe_id = o.probe_id AND e.neighbor_id = o.neighbor_id
+  UNION ALL
+  SELECT 'prefilter', p.probe_id, p.neighbor_id,
+         CASE WHEN e.probe_id IS NULL THEN 0 ELSE 1 END
+  FROM pre_arm p LEFT JOIN exact e
+    ON e.probe_id = p.probe_id AND e.neighbor_id = p.neighbor_id
+),
+aggd AS (
+  SELECT arm, probe_id, CAST(count(*) AS BIGINT) AS n_results,
+         CAST(sum(hit) AS BIGINT) AS n_hits
+  FROM per_arm GROUP BY arm, probe_id
+),
+grid AS (
+  SELECT probe_id, arm
+  FROM plab, (VALUES ('naive'), ('oversample'), ('prefilter')) AS a(arm)
+)
+SELECT g.probe_id, g.arm,
+       CAST(coalesce(x.n_results, 0) AS BIGINT) AS n_results,
+       CAST(coalesce(x.n_hits, 0) * 1000000 // {_FA_K} AS BIGINT) AS recall_ppm
+FROM grid g LEFT JOIN aggd x ON x.probe_id = g.probe_id AND x.arm = g.arm
+ORDER BY g.probe_id, g.arm
+"""
+
+
+@register(
+    "p_ivfpq_filter_aware",
+    _fa_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="filter-AWARE vector search closing the loop p_ivfpq_label_filtered "
+    "opened (VERDICT r10 #4): three arms per probe on the 'nearest "
+    "neighbors WHERE label = probe's label' task — naive post-filter "
+    f"(label-blind {_FA_SHORT}-shortlist, filtered after; a ~10%-selective "
+    "filter leaves ~2 qualifying rows, so k=3 starves), selectivity-"
+    "OVERSAMPLED post-filter (shortlist x ceil(N/n_label), the factor from "
+    "ONE metadata agg over the label histogram), and PREFILTER (candidates "
+    "restricted to the probe's label BEFORE the ADC ranking — "
+    "similarity.ivf_pq_scored(prefilter_label=True) — so the shortlist is "
+    "spent entirely on qualifying rows).  Each arm's n_results and "
+    "recall@3 vs the exact same-label int8-L2 ground truth, in ppm — the "
+    "recall-vs-oversample tradeoff, recorded; naive/oversample arms are "
+    "carved from ONE shared 320-deep scored frame",
+)
+def q_ivfpq_filter_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        _l2_int_arrays,
+        ivf_pq_scored,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    plab = track_cached(
+        lab.filter(F.col("vec_id").isin(_FA_PROBES)).select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+        )
+    )
+    selc = lab.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_label"))
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    big = ivf_pq_scored(emb, _FA_PROBES, shortlist=_FA_BIG)
+    mtch = track_cached(
+        big.join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(plab), "probe_id")
+        .filter(F.col("label") == F.col("plabel"))
+        .select("probe_id", "neighbor_id", "adc_rank", "l2_dist")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    naive = (
+        mtch.filter(F.col("adc_rank") <= _FA_SHORT)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FA_K)
+        .select("probe_id", "neighbor_id")
+    )
+    fct = (
+        plab.join(F.broadcast(selc), plab.plabel == selc.label)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "probe_id",
+            F.least(
+                F.lit(_FA_SHORT)
+                * F.expr("(n + n_label - 1) div n_label"),
+                F.lit(_FA_BIG).cast("long"),
+            ).alias("eff"),
+        )
+    )
+    over_arm = (
+        mtch.join(F.broadcast(fct), "probe_id")
+        .filter(F.col("adc_rank") <= F.col("eff"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FA_K)
+        .select("probe_id", "neighbor_id")
+    )
+    pre_arm = (
+        ivf_pq_scored(emb, _FA_PROBES, shortlist=_FA_SHORT, prefilter_label=True)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FA_K)
+        .select("probe_id", "neighbor_id")
+    )
+    q = quantize_embeddings(emb).select("vec_id", "qe")
+    pq = q.filter(F.col("vec_id").isin(_FA_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
+    )
+    exact = track_cached(
+        q.join(lab, "vec_id")
+        .join(F.broadcast(pq), F.col("vec_id") != F.col("probe_id"))
+        .join(F.broadcast(plab).withColumnRenamed("probe_id", "__pp"),
+              F.col("__pp") == F.col("probe_id"))
+        .filter(F.col("label") == F.col("plabel"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2_dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FA_K)
+        .select("probe_id", "neighbor_id")
+    )
+
+    def _agg(arm_df: DataFrame, name: str) -> DataFrame:
+        hit = exact.withColumn("__hit", F.lit(1))
+        return (
+            arm_df.join(hit, ["probe_id", "neighbor_id"], "left")
+            .groupBy("probe_id")
+            .agg(
+                F.lit(name).alias("arm"),
+                F.count(F.lit(1)).cast("long").alias("n_results"),
+                F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            )
+        )
+
+    aggd = (
+        _agg(naive, "naive")
+        .unionAll(_agg(over_arm, "oversample"))
+        .unionAll(_agg(pre_arm, "prefilter"))
+    )
+    grid = plab.select(
+        "probe_id",
+        F.explode(
+            F.array(F.lit("naive"), F.lit("oversample"), F.lit("prefilter"))
+        ).alias("arm"),
+    )
+    return (
+        grid.join(aggd, ["probe_id", "arm"], "left")
+        .select(
+            "probe_id",
+            "arm",
+            F.coalesce("n_results", F.lit(0)).cast("long").alias("n_results"),
+            F.expr(
+                f"CAST(coalesce(n_hits, 0) * 1000000 div {_FA_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("probe_id", "arm")
+    )
+
+
 # --------------------------------- e2e cascade over the FIXPOINT cut
 
 #: LSH banding parameters shared with p_e2e_dedup_cascade

@@ -77,6 +77,30 @@ def test_ivf_pq_rerank_trained_plan_shape(spark, sf_dir):
             assert any("probe_id" in c or "vec_id" in c for c in spec), spec
 
 
+def test_filter_aware_beats_naive_postfilter(spark, sf_dir):
+    """The closing of p_ivfpq_label_filtered's documented failure mode
+    (VERDICT r10 #4): on the same ~10%-selective label filter the naive
+    post-filter STARVES (at least one probe returns < k results) while
+    the prefilter arm returns exactly k for EVERY probe, and the
+    oversample/prefilter arms' recall is >= naive's per probe (they rank
+    over supersets of naive's qualifying candidates)."""
+    from kafka_replicator_spark.cacheutil import release_cached
+    from kafka_replicator_spark.queries import all_queries
+    from kafka_replicator_spark.queries.pipeline_r11 import _FA_K
+
+    rows = all_queries()["p_ivfpq_filter_aware"].fn(spark, sf_dir).collect()
+    release_cached()
+    by_arm = {}
+    for r in rows:
+        by_arm.setdefault(r["arm"], {})[r["probe_id"]] = r
+    naive, over, pre = by_arm["naive"], by_arm["oversample"], by_arm["prefilter"]
+    assert any(r["n_results"] < _FA_K for r in naive.values())
+    assert all(r["n_results"] == _FA_K for r in pre.values())
+    for pid, n in naive.items():
+        assert over[pid]["recall_ppm"] >= n["recall_ppm"], pid
+        assert pre[pid]["n_results"] >= n["n_results"], pid
+
+
 def test_ivf_pq_rerank_trained_matches_oracle_rowcount(spark, sf_dir):
     """k results per probe whenever the probe's cell holds >= k
     non-probe members — with K=8 over the test corpora every cell does."""
