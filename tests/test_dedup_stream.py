@@ -65,12 +65,44 @@ def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path):
     m.unpersist()
 
 
-def test_stream_dedup_state_survives_restart(spark, sf_dir, tmp_path):
+#: the two state-store backends a 100 TB deployment chooses between: the
+#: default HDFS-backed in-memory map, and RocksDB (state spills to local
+#: disk — the only option once keyed state exceeds executor memory).
+#: Recovery semantics must be identical (VERDICT r10 #5).
+_PROVIDERS = {
+    "hdfs": None,  # engine default
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@pytest.mark.parametrize("provider", sorted(_PROVIDERS))
+def test_stream_dedup_state_survives_restart(spark, sf_dir, tmp_path, provider):
     """Restart recovery for the dedup state store: run 1 ingests the
     originals and stops; run 2 (same checkpoint) ingests exact
     duplicates of the SAME keys.  If the seen-keys state was recovered,
     run 2 emits nothing — each key appears exactly once across the two
-    runs' accumulated file-sink output."""
+    runs' accumulated file-sink output.  Parameterized over the state
+    store provider (HDFS-backed default AND RocksDB): a provider is baked
+    into a checkpoint at first start, so each param runs against its own
+    checkpoint, and both must show the same recovery behavior."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if _PROVIDERS[provider] is not None:
+        spark.conf.set(conf_key, _PROVIDERS[provider])
+    try:
+        _run_dedup_restart(spark, sf_dir, tmp_path)
+    finally:
+        if _PROVIDERS[provider] is not None:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+
+def _run_dedup_restart(spark, sf_dir, tmp_path):
     m = _msgs(spark, sf_dir).limit(200).cache()
     n_distinct = m.count()
 
