@@ -750,3 +750,201 @@ SELECT merge_budget, n_words, n_chars, n_bpe_tokens,
 FROM ({u})
 ORDER BY merge_budget
 """
+
+
+def bpe_roundtrip(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Tokenizer round-trip fidelity under the round-1 BPE merge table
+    (VERDICT r10 #6): EXPLICITLY segment every vocabulary word with the
+    top-``k`` merges (greedy left-to-right non-overlap = merge at the
+    odd-ranked positions of each mergeable-position island), decode by
+    concatenating the subword pieces in order, and verify decode == word.
+
+    BPE is lossless by construction — identity_types_ppm /
+    identity_occ_ppm are PINNED at 1000000, the a_littles_law_identity
+    pattern: two independent computations (the explicit segmentation here
+    vs the word itself) whose agreement localizes segmentation bugs
+    (overlapping merges, island off-by-ones, substr boundary errors) on
+    either engine.  The explicit per-word subword count is also emitted
+    beside :func:`bpe_fertility`'s closed form (len(w) − Σ ceil(L/2)) —
+    subwords_explicit == subwords_closed_form ties the closed form to a
+    real segmentation, not just to itself.
+
+    Scale: everything runs over the DISTINCT vocabulary (the Zipf win);
+    the merge table broadcasts (k rows); windows partition by word.
+    """
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    merges = bpe_merges(docs, k).select("pair")
+    wc = track_cached(
+        spread(docs.select(F.explode(tokens_col()).alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab2 = wc.select("w").filter(F.length("w") >= 2)
+    pos = vocab2.select(
+        "w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    i.alias("i"), F.col("w").substr(i, F.lit(2)).alias("pair")
+                ),
+            )
+        ).alias("x"),
+    ).select("w", F.col("x.i").alias("i"), F.col("x.pair").alias("pair"))
+    member = pos.join(F.broadcast(merges), "pair").select("w", "i")
+    byw = Window.partitionBy("w").orderBy("i")
+    isl = track_cached(
+        member.select(
+            "w",
+            "i",
+            F.when(
+                F.lag("i").over(byw).isNull()
+                | (F.col("i") - F.lag("i").over(byw) > 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("brk"),
+        ).select(
+            "w",
+            "i",
+            F.sum("brk")
+            .over(byw.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+    )  # feeds the explicit merge starts AND the closed form
+    byisl = Window.partitionBy("w", "island").orderBy("i")
+    mstart = track_cached(
+        isl.withColumn("rn", F.row_number().over(byisl))
+        .filter(F.col("rn") % 2 == 1)
+        .select("w", "i")
+    )  # feeds the pair pieces AND the covered-char set
+    cov = mstart.select(
+        "w", F.explode(F.array(F.col("i"), F.col("i") + 1)).alias("cpos")
+    )
+    chars = wc.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("cpos")
+    )
+    seg = (
+        chars.join(cov, ["w", "cpos"], "left_anti")
+        .select("w", F.col("cpos").alias("start"), F.lit(1).alias("slen"))
+        .unionAll(mstart.select("w", F.col("i").alias("start"), F.lit(2).alias("slen")))
+        .select("w", "start", F.expr("substr(w, start, slen)").alias("piece"))
+    )
+    dec = seg.groupBy("w").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("start", "piece"))),
+                lambda s: s["piece"],
+            ),
+            "",
+        ).alias("back"),
+        F.count(F.lit(1)).cast("long").alias("n_sub"),
+    )
+    cf = (
+        isl.groupBy("w", "island")
+        .agg(F.count(F.lit(1)).alias("L"))
+        .groupBy("w")
+        .agg(F.sum(F.expr("(L + 1) div 2")).alias("m"))
+    )
+    per_w = (
+        wc.join(dec, "w")
+        .join(cf, "w", "left")
+        .select(
+            "w",
+            "c",
+            "back",
+            "n_sub",
+            (F.length("w") - F.coalesce("m", F.lit(0))).cast("long").alias("n_sub_cf"),
+        )
+    )
+    return per_w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.expr(
+            "CAST(sum(CASE WHEN back = w THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("identity_types_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN back = w THEN CAST(c AS DECIMAL(38,0))"
+            " ELSE 0 END) * 1000000 div sum(c) AS BIGINT)"
+        ).alias("identity_occ_ppm"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("n_sub"))
+        .cast("long")
+        .alias("subwords_explicit"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("n_sub_cf"))
+        .cast("long")
+        .alias("subwords_closed_form"),
+    )
+
+
+def bpe_roundtrip_sql(k: int = 20) -> str:
+    return f"""
+WITH merges AS MATERIALIZED (SELECT pair FROM ({bpe_merges_sql(k)})),
+wc AS MATERIALIZED (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+pos AS (
+  SELECT w, i, substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i
+        FROM (SELECT w FROM wc WHERE length(w) >= 2))
+),
+member AS (SELECT w, i FROM pos JOIN merges USING (pair)),
+isl AS MATERIALIZED (
+  SELECT w, i, sum(brk) OVER (PARTITION BY w ORDER BY i) AS island
+  FROM (
+    SELECT w, i,
+           CASE WHEN i - lag(i) OVER (PARTITION BY w ORDER BY i) > 1
+                     OR lag(i) OVER (PARTITION BY w ORDER BY i) IS NULL
+                THEN 1 ELSE 0 END AS brk
+    FROM member
+  )
+),
+mstart AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i,
+           row_number() OVER (PARTITION BY w, island ORDER BY i) AS rn
+    FROM isl
+  ) WHERE rn % 2 = 1
+),
+cov AS (
+  SELECT w, i + d AS cpos FROM mstart, (SELECT unnest([0, 1]) AS d)
+),
+chars AS (
+  SELECT w, unnest(range(1, length(w) + 1)) AS cpos FROM wc
+),
+seg AS (
+  SELECT ch.w, ch.cpos AS start, 1 AS slen
+  FROM chars ch LEFT JOIN cov ON cov.w = ch.w AND cov.cpos = ch.cpos
+  WHERE cov.w IS NULL
+  UNION ALL
+  SELECT w, i AS start, 2 AS slen FROM mstart
+),
+dec AS (
+  SELECT w, string_agg(substr(w, start, slen), '' ORDER BY start) AS back,
+         CAST(count(*) AS BIGINT) AS n_sub
+  FROM seg GROUP BY w
+),
+cf AS (
+  SELECT w, CAST(sum((L + 1) // 2) AS BIGINT) AS m
+  FROM (SELECT w, island, count(*) AS L FROM isl GROUP BY w, island)
+  GROUP BY w
+),
+per_w AS (
+  SELECT wc.w, wc.c, dec.back, dec.n_sub,
+         CAST(length(wc.w) - coalesce(cf.m, 0) AS BIGINT) AS n_sub_cf
+  FROM wc JOIN dec ON dec.w = wc.w LEFT JOIN cf ON cf.w = wc.w
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(sum(CASE WHEN back = w THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS identity_types_ppm,
+       CAST(sum(CASE WHEN back = w THEN CAST(c AS HUGEINT) ELSE 0 END)
+            * 1000000 // sum(c) AS BIGINT) AS identity_occ_ppm,
+       CAST(sum(CAST(c AS HUGEINT) * n_sub) AS BIGINT) AS subwords_explicit,
+       CAST(sum(CAST(c AS HUGEINT) * n_sub_cf) AS BIGINT)
+         AS subwords_closed_form
+FROM per_w
+"""

@@ -240,6 +240,9 @@ _NEW_THIS_ROUND: list[str] = [
     "p_substring_fixpoint",
     "p_e2e_fixpoint_cascade",
     "p_ivfpq_filter_aware",
+    "r_amplification_pareto",
+    "p_stitch_width_invariance",
+    "p_bpe_roundtrip",
 ]
 
 

@@ -361,6 +361,110 @@ def q_ivfpq_filter_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- BPE round-trip fidelity
+
+from kafka_replicator_spark.functions import corpus as _corpus  # noqa: E402
+
+
+@register(
+    "p_bpe_roundtrip",
+    _corpus.bpe_roundtrip_sql(k=20),
+    tags=("pipeline", "tokenizer", "audit"),
+    doc="tokenizer round-trip fidelity under the round-1 BPE merge table "
+    "(VERDICT r10 #6): every vocabulary word is EXPLICITLY segmented by "
+    "the top-20 merges (greedy left-to-right non-overlap = the odd "
+    "positions of each mergeable-position island), decoded by in-order "
+    "concatenation, and checked decode == word — identity_types_ppm and "
+    "identity_occ_ppm are pinned at 1000000 (the littles-law identity "
+    "pattern: a mismatch localizes a segmentation bug on either engine); "
+    "subwords_explicit vs subwords_closed_form ties bpe_fertility's "
+    "ceil(L/2) closed form to a real segmentation "
+    "(functions/corpus.bpe_roundtrip)",
+)
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus.bpe_roundtrip(load_table(spark, sf_dir, "documents"), k=20)
+
+
+# --------------------------------- shuffle-width invariance audit
+
+_WIDTH_ARMS = (8, 32)
+
+
+@register(
+    "p_stitch_width_invariance",
+    f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS MATERIALIZED (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS grank,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS gcum
+  FROM toks
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(grank AS HUGEINT) * n_tokens) AS BIGINT)
+           AS rank_dot_tokens,
+         CAST(sum(CAST(gcum AS HUGEINT)) AS BIGINT) AS cumsum_total,
+         CAST(max(gcum) AS BIGINT) AS source_tokens
+  FROM r GROUP BY source
+)
+SELECT CAST(w.width AS BIGINT) AS width, a.source, a.n_docs,
+       a.rank_dot_tokens, a.cumsum_total, a.source_tokens
+FROM agg a, (VALUES {", ".join(f"({w})" for w in _WIDTH_ARMS)}) AS w(width)
+ORDER BY a.source, width
+""",
+    tags=("pipeline", "audit", "plans"),
+    doc="shuffle-width invariance of the grouped range-prefix stitch "
+    "(VERDICT r10 #6 — the float-sum fail-fast's POSITIVE twin): the "
+    "per-source rank/running-sum fingerprint (rank-dot-tokens, total "
+    f"cumsum, source totals) computed at {_WIDTH_ARMS[0]} AND "
+    f"{_WIDTH_ARMS[1]} range partitions must be identical — the oracle "
+    "emits the width-independent plain-window truth once per width "
+    "literal, so EITHER arm diverging (a partition-boundary bug in the "
+    "stitch, or a non-associative fold sneaking in) fails the hash "
+    "compare.  Integer sums are partition-count invariant by "
+    "associativity; that is exactly what stitch.grouped_rank_cumsum's "
+    "float fail-fast protects (functions/stitch.py)",
+)
+def q_stitch_width_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.stitch import grouped_rank_cumsum
+    from kafka_replicator_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = track_cached(
+        docs.select(
+            "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+        )
+    )
+    out = None
+    for wdt in _WIDTH_ARMS:
+        r = grouped_rank_cumsum(
+            toks, "source", ["doc_id"], sum_col="n_tokens", partitions=wdt
+        )
+        arm = r.groupBy("source").agg(
+            F.lit(wdt).cast("long").alias("width"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__grank").cast("decimal(38,0)") * F.col("n_tokens"))
+            .cast("long")
+            .alias("rank_dot_tokens"),
+            F.sum(F.col("__gcumsum").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("cumsum_total"),
+            F.max("__gcumsum").cast("long").alias("source_tokens"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.select(
+        "width", "source", "n_docs", "rank_dot_tokens", "cumsum_total",
+        "source_tokens",
+    ).orderBy("source", "width")
+
+
 # --------------------------------- e2e cascade over the FIXPOINT cut
 
 #: LSH banding parameters shared with p_e2e_dedup_cascade

@@ -3989,3 +3989,172 @@ def q_x3_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------- M1 amplification Pareto sweep (r11)
+
+#: MaxSegmentSize (in messages) ladder for the compaction-geometry sweep —
+#: brackets the SEG_MAX_MESSAGES=100 default from both sides
+_AP_SEG_LADDER = (50, 100, 200, 400)
+
+
+def _ap_arm_sql(sm: int) -> list[str]:
+    """The per-arm CTE chain for one MaxSegmentSize value: L0 rollup at
+    ``sm`` msgs/segment, two fan-in-{_WA_FANIN} merge levels, and the arm's
+    corpus totals (write bytes per level, live-file counts, ideal layout)."""
+    cap = _WA_FANIN * _WA_FANIN * sm
+    f = _WA_FANIN
+    return [
+        f"""l0_{sm} AS (
+  SELECT topic, partition_id, msg_offset // {sm} AS seq,
+         CAST(sum(msg_size) AS BIGINT) AS b0, CAST(count(*) AS BIGINT) AS nmsg
+  FROM messages GROUP BY topic, partition_id, msg_offset // {sm}
+)""",
+        f"""l1f_{sm} AS (
+  SELECT * FROM (
+    SELECT topic, partition_id, seq // {f} AS g1,
+           CAST(sum(b0) AS BIGINT) AS b1, CAST(count(*) AS BIGINT) AS n_in
+    FROM l0_{sm} GROUP BY topic, partition_id, seq // {f}
+  ) WHERE n_in = {f}
+)""",
+        f"""l2f_{sm} AS (
+  SELECT * FROM (
+    SELECT topic, partition_id, g1 // {f} AS g2,
+           CAST(sum(b1) AS BIGINT) AS b2, CAST(count(*) AS BIGINT) AS n_in
+    FROM l1f_{sm} GROUP BY topic, partition_id, g1 // {f}
+  ) WHERE n_in = {f}
+)""",
+        f"""arm_{sm} AS (
+  SELECT CAST({sm} AS BIGINT) AS seg_max, t.n_l0, t.raw_bytes,
+         m1.l1_bytes, m1.n_l1f, m2.l2_bytes, m2.n_l2f, i.ideal
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_l0,
+               CAST(sum(b0) AS BIGINT) AS raw_bytes FROM l0_{sm}) t,
+       (SELECT CAST(coalesce(sum(b1), 0) AS BIGINT) AS l1_bytes,
+               CAST(count(*) AS BIGINT) AS n_l1f FROM l1f_{sm}) m1,
+       (SELECT CAST(coalesce(sum(b2), 0) AS BIGINT) AS l2_bytes,
+               CAST(count(*) AS BIGINT) AS n_l2f FROM l2f_{sm}) m2,
+       (SELECT CAST(sum((nmsgs + {cap} - 1) // {cap}) AS BIGINT) AS ideal
+        FROM (SELECT topic, partition_id, sum(nmsg) AS nmsgs
+              FROM l0_{sm} GROUP BY topic, partition_id)) i
+)""",
+    ]
+
+
+def _ap_oracle() -> str:
+    ctes = [MESSAGES_CTE]
+    for sm in _AP_SEG_LADDER:
+        ctes.extend(_ap_arm_sql(sm))
+    arms = " UNION ALL ".join(f"SELECT * FROM arm_{sm}" for sm in _AP_SEG_LADDER)
+    f = _WA_FANIN
+    return with_ctes(
+        *ctes,
+        f"""arms AS ({arms})""",
+        select=f"""
+SELECT seg_max, n_l0,
+       CAST((1000000 * (raw_bytes::HUGEINT + l1_bytes + l2_bytes))
+            // raw_bytes AS BIGINT) AS write_amp_ppm,
+       CAST(n_l0 - {f - 1} * n_l1f - {f - 1} * n_l2f AS BIGINT) AS files_per_scan,
+       CAST((CAST(n_l0 - {f - 1} * n_l1f - {f - 1} * n_l2f AS HUGEINT) * 1000000)
+            // ideal AS BIGINT) AS read_amp_ppm
+FROM arms ORDER BY seg_max
+""",
+    )
+
+
+@register(
+    "r_amplification_pareto",
+    _ap_oracle(),
+    tags=("parity", "aggregation", "sweep"),
+    doc="the MaxSegmentSize Pareto frontier of the two-level compaction "
+    "geometry (VERDICT r10 #6: compose r_read_amplification + "
+    f"r_write_amplification into one knob sweep): for each arm of the "
+    f"literal ladder {_AP_SEG_LADDER} (msgs/segment; the reference's "
+    "MaxSegmentSize knob — pkg/compaction/config.go), write_amp_ppm = "
+    "1e6*(L0+L1+L2 rewritten bytes)//L0 bytes and read_amp_ppm = "
+    "1e6*live files//ideal-packed layout.  Small segments maximize merge "
+    "opportunities (write amp up, read amp down); large segments the "
+    "reverse — the frontier a capacity plan picks from.  Arms derive "
+    "segment_seq = msg_offset // seg_max directly (no shared window "
+    "needed); per-arm totals are scalar aggregates; HUGEINT/DECIMAL "
+    "lifts on both ppm numerators",
+)
+def q_amplification_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = track_cached(
+        events_as_messages(spark, sf_dir).select(
+            "topic", "partition_id", "msg_offset", "msg_size"
+        )
+    )
+    f = _WA_FANIN
+    out = None
+    for sm in _AP_SEG_LADDER:
+        cap = f * f * sm
+        l0 = track_cached(
+            msgs.groupBy(
+                "topic", "partition_id", F.expr(f"msg_offset div {sm}").alias("seq")
+            ).agg(
+                F.sum("msg_size").cast("long").alias("b0"),
+                F.count(F.lit(1)).cast("long").alias("nmsg"),
+            )
+        )
+        l1f = (
+            l0.groupBy("topic", "partition_id", F.expr(f"seq div {f}").alias("g1"))
+            .agg(
+                F.sum("b0").cast("long").alias("b1"),
+                F.count(F.lit(1)).cast("long").alias("n_in"),
+            )
+            .where(F.col("n_in") == f)
+        )
+        l1f = track_cached(l1f)  # feeds the l2 grouping AND its own totals
+        l2f = (
+            l1f.groupBy("topic", "partition_id", F.expr(f"g1 div {f}").alias("g2"))
+            .agg(
+                F.sum("b1").cast("long").alias("b2"),
+                F.count(F.lit(1)).cast("long").alias("n_in"),
+            )
+            .where(F.col("n_in") == f)
+        )
+        t = l0.agg(
+            F.count(F.lit(1)).cast("long").alias("n_l0"),
+            F.sum("b0").cast("long").alias("raw_bytes"),
+        )
+        m1 = l1f.agg(
+            F.coalesce(F.sum("b1"), F.lit(0)).cast("long").alias("l1_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_l1f"),
+        )
+        m2 = l2f.agg(
+            F.coalesce(F.sum("b2"), F.lit(0)).cast("long").alias("l2_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_l2f"),
+        )
+        ideal = (
+            l0.groupBy("topic", "partition_id")
+            .agg(F.sum("nmsg").alias("nmsgs"))
+            .agg(
+                F.sum(F.expr(f"(nmsgs + {cap} - 1) div {cap}"))
+                .cast("long")
+                .alias("ideal")
+            )
+        )
+        arm = (
+            t.crossJoin(F.broadcast(m1))
+            .crossJoin(F.broadcast(m2))
+            .crossJoin(F.broadcast(ideal))
+            .select(
+                F.lit(sm).cast("long").alias("seg_max"),
+                "n_l0",
+                F.expr(
+                    "CAST((1000000 * (CAST(raw_bytes AS DECIMAL(38,0))"
+                    " + l1_bytes + l2_bytes)) div raw_bytes AS BIGINT)"
+                ).alias("write_amp_ppm"),
+                F.expr(
+                    f"CAST(n_l0 - {f - 1} * n_l1f - {f - 1} * n_l2f AS BIGINT)"
+                ).alias("files_per_scan"),
+                F.expr(
+                    f"CAST((CAST(n_l0 - {f - 1} * n_l1f - {f - 1} * n_l2f"
+                    f" AS DECIMAL(38,0)) * 1000000) div ideal AS BIGINT)"
+                ).alias("read_amp_ppm"),
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("seg_max")
