@@ -92,6 +92,9 @@ HEADLINE = [
     # round-10 additions: exact substring-level dedup (Lee et al. cut)
     "p_substring_dedup",
     "p_ivf_pq_rerank",
+    # round-11 addition: trained fixed-K coarse codebook (the linear
+    # assignment — 2.57x wall at 100x data vs the stride rule's 16.6x)
+    "p_ivf_pq_rerank_trained",
 ]
 
 

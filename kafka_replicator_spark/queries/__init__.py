@@ -243,6 +243,8 @@ _NEW_THIS_ROUND: list[str] = [
     "r_amplification_pareto",
     "p_stitch_width_invariance",
     "p_bpe_roundtrip",
+    "p_ivfpq_trained_recall",
+    "r_t15_drain_model",
 ]
 
 

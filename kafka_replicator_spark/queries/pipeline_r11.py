@@ -361,6 +361,105 @@ def q_ivfpq_filter_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- trained-rerank recall
+
+
+def _ivfpq_trained_recall_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        _PQ_DIST_SQL,
+        _quantized_sql_cte,
+        ivf_pq_rerank_sql,
+    )
+
+    ids = ", ".join(str(i) for i in _TR_PROBES)
+    dist = _PQ_DIST_SQL
+    denom = len(_TR_PROBES) * 5
+    approx = ivf_pq_rerank_sql(
+        _TR_PROBES,
+        k=5,
+        shortlist=20,
+        coarse_codebook="trained",
+        n_clusters=_TR_K,
+        train_iters=_TR_ITERS,
+        code_limit=_TR_CODE_LIMIT,
+    )
+    return f"""
+WITH approx AS MATERIALIZED (
+  SELECT probe_id, neighbor_id FROM ({approx})
+),
+exact AS MATERIALIZED (
+  WITH {_quantized_sql_cte()},
+  probes AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
+  scored AS (
+    SELECT probe_id, q.vec_id AS neighbor_id,
+           {dist.format(a='pqe', b='qe')} AS l2
+    FROM q, probes WHERE q.vec_id <> probe_id
+  )
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY l2 ASC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hits,
+       CAST({denom} AS BIGINT) AS n_expected,
+       CAST((count(*) * 1000000) // {denom} AS BIGINT) AS recall_ppm
+FROM approx JOIN exact USING (probe_id, neighbor_id)
+"""
+
+
+@register(
+    "p_ivfpq_trained_recall",
+    _ivfpq_trained_recall_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="recall@5 of the TRAINED fixed-K IVFPQ chain against the exact "
+    "int8 brute-force L2 ground truth — the quality half of the "
+    "linear-assignment fix (p_ivfpq_recall measures the stride path): "
+    "a trained codebook that made assignment linear but emptied recall "
+    "would be no fix at all, so the curve and this number travel "
+    "together; same probe set, same denominator, directly comparable",
+)
+def q_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        _l2_int_arrays,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = _sim.ivf_pq_rerank(
+        emb,
+        _TR_PROBES,
+        k=5,
+        shortlist=20,
+        coarse_codebook="trained",
+        n_clusters=_TR_K,
+        train_iters=_TR_ITERS,
+        code_limit=_TR_CODE_LIMIT,
+    ).select("probe_id", "neighbor_id")
+    q = quantize_embeddings(emb).select("vec_id", "qe")
+    probes = q.filter(F.col("vec_id").isin(_TR_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
+    )
+    scored = q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    denom = len(_TR_PROBES) * 5
+    return approx.join(exact, ["probe_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.lit(denom).cast("long").alias("n_expected"),
+        F.expr(f"CAST((count(1) * 1000000) div {denom} AS BIGINT)").alias("recall_ppm"),
+    )
+
+
 # --------------------------------- BPE round-trip fidelity
 
 from kafka_replicator_spark.functions import corpus as _corpus  # noqa: E402

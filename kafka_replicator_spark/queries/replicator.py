@@ -4158,3 +4158,124 @@ def q_amplification_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("seg_max")
+
+
+# ---------------------------------- T15 backpressure drain model (r11)
+
+#: maxFilesPerTrigger ladder — brackets the pacing the streaming tests
+#: exercise (tests/test_streaming.py uses 1)
+_T15_CAPS = (1, 2, 5)
+
+
+def _t15_oracle() -> str:
+    arms = []
+    for cap in _T15_CAPS:
+        arms.append(f"""
+SELECT CAST({cap} AS BIGINT) AS max_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_files,
+       CAST(max(trig) + 1 AS BIGINT) AS n_triggers,
+       CAST(max(bmsgs) AS BIGINT) AS max_batch_msgs,
+       CAST(max(done) AS BIGINT) AS worst_completion_trigger
+FROM (
+  SELECT trig, sum(message_count) AS bmsgs,
+         max(max(pdone)) OVER () AS done, max(trig) OVER () AS trig_max
+  FROM (
+    SELECT (grank - 1) // {cap} AS trig, message_count,
+           max((grank - 1) // {cap})
+             OVER (PARTITION BY topic, partition_id) AS pdone
+    FROM ranked
+  ) GROUP BY trig
+) t(trig, bmsgs, done, trig_max)""")
+    u = " UNION ALL ".join(arms)
+    return with_ctes(
+        MESSAGES_CTE,
+        TAGGED_CTE,
+        SEGMENTS_CTE,
+        """ranked AS MATERIALIZED (
+  SELECT topic, partition_id, segment_seq, message_count,
+         row_number() OVER (
+           ORDER BY topic, partition_id, start_offset) AS grank
+  FROM segments
+)""",
+        select=f"""
+SELECT * FROM ({u}) ORDER BY max_files
+""",
+    )
+
+
+@register(
+    "r_t15_drain_model",
+    _t15_oracle(),
+    tags=("parity", "streaming", "sweep"),
+    doc="T15 backpressure drain model, upgrading maxFilesPerTrigger "
+    "pacing from t-only to oracle-checked (VERDICT coverage table): "
+    "segment files drain in the deterministic path-sort order "
+    "(topic/partition/%020d start offset — the order "
+    "r_path_sort_equivalence pins equals offset order), capped at "
+    f"max_files per trigger over the literal ladder {_T15_CAPS}; per cap "
+    "the model yields trigger count (= ceil(files/cap)), the largest "
+    "per-trigger message batch (the memory high-water mark pacing "
+    "exists to bound), and the worst per-partition completion trigger "
+    "(how long a straggler partition waits behind the global cap — the "
+    "pacing-vs-staleness tradeoff).  The rank runs on the bounded "
+    "segment-metadata grain, the r_o4 catalog precedent "
+    "(streaming/ingress_stream.py maxFilesPerTrigger; "
+    "tests/test_streaming.py)",
+)
+def q_t15_drain_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    segs = _segments(spark, sf_dir).select(
+        "topic", "partition_id", "start_offset", "message_count"
+    )
+    w_rank = Window.orderBy("topic", "partition_id", "start_offset")
+    ranked = track_cached(
+        segs.select(
+            "topic",
+            "partition_id",
+            "message_count",
+            F.row_number().over(w_rank).alias("grank"),
+        )
+    )
+    out = None
+    for cap in _T15_CAPS:
+        tagged = ranked.select(
+            "topic",
+            "partition_id",
+            "message_count",
+            F.expr(f"(grank - 1) div {cap}").alias("trig"),
+        )
+        pdone = tagged.groupBy("topic", "partition_id").agg(
+            F.max("trig").alias("pd")
+        )
+        batches = tagged.groupBy("trig").agg(
+            F.sum("message_count").alias("bmsgs")
+        )
+        arm = (
+            batches.agg(
+                F.lit(cap).cast("long").alias("max_files"),
+                (F.max("trig") + 1).cast("long").alias("n_triggers"),
+                F.max("bmsgs").cast("long").alias("max_batch_msgs"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    ranked.agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    pdone.agg(
+                        F.max("pd").cast("long").alias("worst_completion_trigger")
+                    )
+                )
+            )
+            .select(
+                "max_files",
+                "n_files",
+                "n_triggers",
+                "max_batch_msgs",
+                "worst_completion_trigger",
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("max_files")
