@@ -245,6 +245,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_bpe_roundtrip",
     "p_ivfpq_trained_recall",
     "r_t15_drain_model",
+    "p_semantic_dedup_trained",
+    "p_trained_cell_balance",
 ]
 
 

@@ -361,6 +361,144 @@ def q_ivfpq_filter_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- SemDeDup over the trained assignment
+
+
+def _semantic_dedup_trained_sql(tau: float = 0.92) -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        _LIST_COS_SQL,
+        ivf_assign_trained_sql_ctes,
+    )
+
+    cos = _LIST_COS_SQL
+    return f"""
+{ivf_assign_trained_sql_ctes(_TR_K, _TR_ITERS)},
+near AS (
+  SELECT b.vec_id AS b_id, count(*) AS n_near
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id,
+       CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       CAST(coalesce(n.n_near, 0) AS INTEGER) AS n_near,
+       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
+"""
+
+
+@register(
+    "p_semantic_dedup_trained",
+    _semantic_dedup_trained_sql(),
+    tags=("pipeline", "dedup", "similarity"),
+    doc="SemDeDup over the TRAINED fixed-K assignment — the linear-"
+    "assignment fix generalized from retrieval to the dedup family: "
+    "p_semantic_dedup_auto's auto-G assignment is still N^1.5 (its "
+    "centroid count grows with the corpus), while this variant's "
+    f"kmeans_train(K={_TR_K}) coarse pass is N*K; the near-dup scan "
+    "itself (same _semantic_scan: drop any vector whose 6dp-rounded "
+    "cosine to a lower-id cluster-mate reaches 0.92) is unchanged, so "
+    "keep/drop semantics differ from the stride variants only through "
+    "cell geometry — data-driven cells concentrate true near-dups, the "
+    "same effect p_ivfpq_trained_recall measures "
+    "(functions/similarity.ivf_assign_trained + _semantic_scan)",
+)
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        _semantic_scan,
+        ivf_assign_trained,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = track_cached(
+        ivf_assign_trained(emb, n_clusters=_TR_K, iters=_TR_ITERS)
+    )
+    return _semantic_scan(assigned, 0.92)
+
+
+# --------------------------------- trained vs stride cell balance
+
+
+def _cell_balance_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import (
+        ivf_assign_2level_sql_ctes,
+        ivf_assign_trained_sql_ctes,
+    )
+
+    def arm(name: str, ctes: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  {ctes}
+  SELECT '{name}' AS quantizer, centroid_id FROM assigned
+)"""
+
+    arms = [
+        arm("trained", ivf_assign_trained_sql_ctes(_TR_K, _TR_ITERS)),
+        arm("stride2l", ivf_assign_2level_sql_ctes(250, None)),
+    ]
+    return f"""
+WITH {", ".join(arms)},
+occ AS (
+  SELECT quantizer, centroid_id, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT * FROM trained UNION ALL SELECT * FROM stride2l)
+  GROUP BY quantizer, centroid_id
+)
+SELECT quantizer,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_assigned,
+       CAST(max(n) AS BIGINT) AS max_cell,
+       CAST(min(n) AS BIGINT) AS min_cell,
+       CAST(max(n) * 1000000 // (sum(n) // count(*)) AS BIGINT)
+         AS max_over_mean_ppm
+FROM occ GROUP BY quantizer ORDER BY quantizer
+"""
+
+
+@register(
+    "p_trained_cell_balance",
+    _cell_balance_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="cell-occupancy balance of the trained fixed-K quantizer vs the "
+    "auto-G stride rule (the skew gauge of the two IVF assignments: the "
+    "per-cell candidate scan is bounded by the LARGEST cell, so "
+    "max/mean occupancy is the straggler multiplier a skewed codebook "
+    "inflicts on every probe landing in the hot cell) — cells, assigned "
+    "totals (the 2-level variant may drop zero-fine-member vectors, its "
+    "documented contract; the trained one is total), max/min cell and "
+    "max-over-mean in ppm, one row per quantizer from one occupancy agg",
+)
+def q_trained_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        ivf_assign_2level,
+        ivf_assign_trained,
+    )
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    arms = [
+        ("trained", ivf_assign_trained(emb, n_clusters=_TR_K, iters=_TR_ITERS)),
+        ("stride2l", ivf_assign_2level(emb, 250, None)),
+    ]
+    out = None
+    for name, assigned in arms:
+        occ = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        arm = occ.agg(
+            F.lit(name).alias("quantizer"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_assigned"),
+            F.max("n").cast("long").alias("max_cell"),
+            F.min("n").cast("long").alias("min_cell"),
+            F.expr(
+                "CAST(max(n) * 1000000 div (sum(n) div count(1)) AS BIGINT)"
+            ).alias("max_over_mean_ppm"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("quantizer")
+
+
 # --------------------------------- trained-rerank recall
 
 
