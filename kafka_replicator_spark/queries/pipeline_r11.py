@@ -622,6 +622,74 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.bpe_roundtrip(load_table(spark, sf_dir, "documents"), k=20)
 
 
+# --------------------------------- cut window-size sensitivity
+
+from kafka_replicator_spark.functions.dedup import (  # noqa: E402
+    substring_cut,
+    substring_cut_sql,
+)
+
+#: window-size ladder around the ExactSubstr default (Lee et al. tune this
+#: knob: small windows over-cut natural collocations, large ones miss
+#: short boilerplate)
+_CUT_W_LADDER = (6, 8, 12)
+
+
+def _cut_sensitivity_oracle() -> str:
+    ctes = []
+    arms = []
+    for w in _CUT_W_LADDER:
+        ctes.append(
+            f"cw{w} AS MATERIALIZED (SELECT * FROM ({substring_cut_sql(w)}))"
+        )
+        arms.append(f"""
+SELECT CAST({w} AS BIGINT) AS window_w,
+       CAST(sum(CASE WHEN cut_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_cut,
+       CAST(sum(cut_tokens) AS BIGINT) AS cut_tokens,
+       CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens
+FROM cw{w}""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+        + " UNION ALL ".join(arms)
+        + ") ORDER BY window_w"
+    )
+
+
+@register(
+    "p_cut_window_sensitivity",
+    _cut_sensitivity_oracle(),
+    tags=("pipeline", "dedup", "sweep"),
+    doc="ExactSubstr window-size sensitivity: corpus cut volume at "
+    f"w = {_CUT_W_LADDER} (the knob Lee et al. tune — small windows "
+    "over-cut natural collocations, large windows miss short "
+    "boilerplate); cut_tokens is MONOTONE NON-INCREASING in w (every "
+    "repeated w-window contains a repeated (w-1)-window... the converse, "
+    "so coverage shrinks as w grows) — the ladder locates the knee.  "
+    "Arms are full independent cut chains (window hashes differ per w, "
+    "nothing shareable), sibling CTE scopes in the oracle",
+)
+def q_cut_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = track_cached(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    out = None
+    for w in _CUT_W_LADDER:
+        cut = substring_cut(docs, w=w)
+        arm = cut.agg(
+            F.lit(w).cast("long").alias("window_w"),
+            F.sum(F.when(F.col("cut_tokens") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_cut"),
+            F.sum("cut_tokens").cast("long").alias("cut_tokens"),
+            F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("window_w")
+
+
 # --------------------------------- shuffle-width invariance audit
 
 _WIDTH_ARMS = (8, 32)

@@ -4279,3 +4279,68 @@ def q_t15_drain_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("max_files")
+
+
+# ---------------------------------- T16 session-window bursts (r11)
+
+#: session gap in microseconds (10 minutes)
+_SESS_GAP_US = 600_000_000
+
+
+@register(
+    "r_session_bursts",
+    with_ctes(
+        MESSAGES_CTE,
+        f"""flagged AS (
+  SELECT topic, partition_id, msg_offset, ts_us, msg_size,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM messages
+  WINDOW w AS (PARTITION BY topic, partition_id ORDER BY ts_us, msg_offset)
+)""",
+        f"""isl AS (
+  SELECT topic, partition_id, ts_us, msg_size,
+         sum(brk) OVER (PARTITION BY topic, partition_id
+                        ORDER BY ts_us, msg_offset
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)""",
+        select=f"""
+SELECT topic, partition_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + {_SESS_GAP_US} AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_messages,
+       CAST(sum(msg_size) AS BIGINT) AS sum_bytes
+FROM isl
+GROUP BY topic, partition_id, island
+ORDER BY topic, partition_id, session_start_us
+""",
+    ),
+    tags=("parity", "streaming", "aggregation"),
+    doc="traffic bursts per partition via Spark's NATIVE session_window "
+    "(streaming/sessions.session_message_stats run batch-side — the same "
+    "operator the streaming session tests drive) checked against the "
+    "classic lag-gap islands oracle: a session extends while consecutive "
+    "events arrive within 10 minutes, closes at last event + gap "
+    "(window end = max ts + gap, Spark's session_window contract; merge "
+    "iff diff < gap, so the islands break is >= gap).  Bridges the "
+    "streaming surface to the oracle gate — the burst profile behind "
+    "rollover tuning.  Outputs epoch-µs BIGINTs, never raw timestamps",
+)
+def q_session_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.streaming.sessions import session_message_stats
+
+    msgs = events_as_messages(spark, sf_dir)
+    return (
+        session_message_stats(msgs, gap="10 minutes", ts_col="ts_ns")
+        .select(
+            "topic",
+            "partition_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            F.col("n_messages").cast("long").alias("n_messages"),
+            F.col("sum_bytes").cast("long").alias("sum_bytes"),
+        )
+        .orderBy("topic", "partition_id", "session_start_us")
+    )
