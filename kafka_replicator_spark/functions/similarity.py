@@ -522,6 +522,39 @@ FROM s{iters}
     )
 
 
+def kmeans_model(
+    embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """The trained centroid table as broadcast-ready DOUBLE arrays:
+    (cluster, cd) from :func:`kmeans_train`'s integer micro-unit
+    components divided once — THE one Spark-side builder of the model
+    frame, shared by :func:`ivf_assign_trained` and the inertia audits."""
+    return kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim).groupBy(
+        "cluster"
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_micro"))),
+            lambda s: s["centroid_micro"] / F.lit(1e6),
+        ).alias("cd")
+    )
+
+
+def kmeans_model_sql_ctes(n_clusters: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Open WITH block ending in ``model`` = (cluster, cd) — the SQL twin
+    of :func:`kmeans_model` (kmeans_train_sql's unrolled body + the model
+    list), shared by :func:`ivf_assign_trained_sql_ctes` and the inertia
+    audits so the model derivation is single-sourced."""
+    km = kmeans_train_sql(k=n_clusters, iters=iters, dim=dim)
+    body = km.partition("WITH ")[2].rpartition("\nSELECT cluster, dim,")[0]
+    return f"""WITH {body},
+model AS (
+  SELECT cluster,
+         list(CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
+              ORDER BY dim) AS cd
+  FROM s{iters} GROUP BY cluster
+)"""
+
+
 def ivf_assign_trained(
     embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
 ) -> DataFrame:
@@ -546,13 +579,7 @@ def ivf_assign_trained(
     :func:`ivf_assign` / :func:`ivf_assign_2level`, so the IVFPQ chain and
     the SemDeDup scan compose unchanged.
     """
-    model = kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim)
-    cents = model.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid_micro"))),
-            lambda s: s["centroid_micro"] / F.lit(1e6),
-        ).alias("cd")
-    )
+    cents = kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
     emb = track_cached(
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
@@ -619,15 +646,7 @@ def ivf_assign_trained_sql_ctes(
     ordering key, identical tie-break).  THE one generator of the trained
     assignment text, shared by ivf_topk_trained_sql and the trained IVFPQ
     oracle so the rule can never silently diverge."""
-    km = kmeans_train_sql(k=n_clusters, iters=iters, dim=dim)
-    body = km.partition("WITH ")[2].rpartition("\nSELECT cluster, dim,")[0]
-    return f"""WITH {body},
-model AS (
-  SELECT cluster,
-         list(CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
-              ORDER BY dim) AS cd
-  FROM s{iters} GROUP BY cluster
-),
+    return f"""{kmeans_model_sql_ctes(n_clusters, iters, dim)},
 assigned AS (
   SELECT vec_id, e, cluster AS centroid_id FROM (
     SELECT emb.vec_id, emb.e, m.cluster,

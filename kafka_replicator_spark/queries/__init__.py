@@ -250,6 +250,8 @@ _NEW_THIS_ROUND: list[str] = [
     "a_benford_price",
     "r_session_bursts",
     "p_cut_window_sensitivity",
+    "p_trained_inertia_descent",
+    "r_msg_size_histogram",
 ]
 
 

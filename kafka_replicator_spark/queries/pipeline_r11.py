@@ -499,6 +499,90 @@ def q_trained_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("quantizer")
 
 
+# --------------------------------- Lloyd inertia descent
+
+_INERTIA_ITERS = (1, 2)
+
+
+def _inertia_oracle() -> str:
+    from kafka_replicator_spark.functions.similarity import kmeans_model_sql_ctes
+
+    arms = []
+    for i in _INERTIA_ITERS:
+        arms.append(f"""it{i} AS MATERIALIZED (
+  {kmeans_model_sql_ctes(_TR_K, i)}
+  SELECT CAST({i} AS BIGINT) AS iters,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(qd) AS BIGINT) AS inertia_micro
+  FROM (
+    SELECT CAST(floor(md * 1000000 + 0.5) AS BIGINT) AS qd
+    FROM (
+      SELECT emb.vec_id,
+             min(list_dot_product(e, e) - 2 * list_dot_product(e, cd)
+                 + list_dot_product(cd, cd)) AS md
+      FROM emb, model GROUP BY emb.vec_id
+    )
+  )
+)""")
+    u = " UNION ALL ".join(f"SELECT * FROM it{i}" for i in _INERTIA_ITERS)
+    return f"WITH {', '.join(arms)}\nSELECT * FROM ({u}) ORDER BY iters"
+
+
+@register(
+    "p_trained_inertia_descent",
+    _inertia_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="Lloyd's-descent audit of kmeans_train: total quantization inertia "
+    "(sum over vectors of min squared-L2 to any centroid, each distance "
+    "quantized to micro BEFORE the integer fold — the r05 rule) under "
+    f"the K={_TR_K} model at {_INERTIA_ITERS[0]} vs {_INERTIA_ITERS[1]} "
+    "training iterations.  Lloyd's objective is non-increasing per "
+    "iteration, so inertia(2) <= inertia(1) up to the micro-unit centroid "
+    "rounding — the descent evidence behind the fixed iteration budget "
+    "every trained-codebook consumer inherits; min-per-vector is an "
+    "order-free aggregate (no tie-break needed), so the arms share no "
+    "assignment machinery (functions/similarity.kmeans_model)",
+)
+def q_trained_inertia_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.similarity import (
+        _dbl,
+        _spread_emb,
+        dot_col,
+        kmeans_model,
+    )
+
+    raw = track_cached(load_table(spark, sf_dir, "embeddings"))
+    emb = track_cached(
+        _spread_emb(raw).select("vec_id", _dbl("embedding").alias("e"))
+    )
+    out = None
+    for i in _INERTIA_ITERS:
+        cents = kmeans_model(raw, n_clusters=_TR_K, iters=i)
+        md = (
+            emb.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                (
+                    dot_col(F.col("e"), F.col("e"))
+                    - 2 * dot_col(F.col("e"), F.col("cd"))
+                    + dot_col(F.col("cd"), F.col("cd"))
+                ).alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("md"))
+        )
+        arm = md.select(
+            F.expr("CAST(floor(md * 1000000 + 0.5) AS BIGINT)").alias("qd")
+        ).agg(
+            F.lit(i).cast("long").alias("iters"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.col("qd").cast("decimal(38,0)")).cast("long").alias("inertia_micro"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("iters")
+
+
 # --------------------------------- trained-rerank recall
 
 

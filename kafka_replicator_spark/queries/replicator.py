@@ -4344,3 +4344,58 @@ def q_session_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "partition_id", "session_start_us")
     )
+
+
+# ---------------------------------- X6 message-size histogram (r11)
+
+#: log2 size-bucket thresholds (bytes) — literal ladder per the r07
+#: df_histogram rule (runtime log2 is never trusted cross-engine)
+_SIZE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _size_bucket_case(col: str) -> str:
+    arms = " ".join(f"WHEN {col} <= {t} THEN {t}" for t in _SIZE_BUCKETS)
+    return f"CASE {arms} ELSE {2 * _SIZE_BUCKETS[-1]} END"
+
+
+@register(
+    "r_msg_size_histogram",
+    with_ctes(
+        MESSAGES_CTE,
+        select=f"""
+SELECT partition_id,
+       CAST({_size_bucket_case('msg_size')} AS BIGINT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_messages,
+       CAST(sum(msg_size) AS BIGINT) AS sum_bytes,
+       CAST(max(msg_size) AS BIGINT) AS max_bytes
+FROM messages
+GROUP BY partition_id, size_bucket
+ORDER BY partition_id, size_bucket
+""",
+    ),
+    tags=("parity", "aggregation"),
+    doc="per-partition message-size histogram on the X6 size expression "
+    "(core/schema.message_size_col — the reference's producer-side size "
+    "accounting, pkg/core/schema.go): log2 byte buckets via the literal "
+    f"ladder {_SIZE_BUCKETS}, count/bytes/max per bucket — the payload "
+    "profile behind MaxSegmentSize and batch.size tuning (a fat tail "
+    "here means byte-based rollover fires long before the message-count "
+    "one, r_amplification_pareto's other axis); one map-side "
+    "aggregation, no joins",
+)
+def q_msg_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = events_as_messages(spark, sf_dir)
+    return (
+        msgs.groupBy(
+            "partition_id",
+            F.expr(f"CAST({_size_bucket_case('msg_size')} AS BIGINT)").alias(
+                "size_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_messages"),
+            F.sum("msg_size").cast("long").alias("sum_bytes"),
+            F.max("msg_size").cast("long").alias("max_bytes"),
+        )
+        .orderBy("partition_id", "size_bucket")
+    )
