@@ -61,8 +61,10 @@ KERNELS = [
     "p_substring_dedup",
     "p_ivf_pq_rerank",
     # round 11: trained fixed-K coarse codebook (VERDICT r10 #1) — the
-    # linear N·K assignment vs the stride rule's N^1.5
+    # linear N·K assignment vs the stride rule's N^1.5; the SemDeDup twin
+    # generalizes the same fix to the dedup family
     "p_ivf_pq_rerank_trained",
+    "p_semantic_dedup_trained",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
