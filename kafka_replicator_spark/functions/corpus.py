@@ -775,8 +775,12 @@ def bpe_roundtrip(docs: DataFrame, k: int = 20) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
 
     merges = bpe_merges(docs, k).select("pair")
+    # length >= 1 guard on BOTH engines: an empty token (double/leading
+    # space) would hit the sequence(1,0) -> [1,0] vs range(1,1) -> empty
+    # cross-engine trap in the chars frame below
     wc = track_cached(
         spread(docs.select(F.explode(tokens_col()).alias("w")))
+        .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -884,6 +888,7 @@ WITH merges AS MATERIALIZED (SELECT pair FROM ({bpe_merges_sql(k)})),
 wc AS MATERIALIZED (
   SELECT w, count(*) AS c
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 1
   GROUP BY w
 ),
 pos AS (

@@ -613,9 +613,9 @@ def ivf_topk_trained(
     the probe's cell — the end-to-end trained flavor of ``ivf_topk``.
     Model and corpus stay DataFrames throughout; the k×dim model
     broadcasts."""
-    assigned = ivf_assign_trained(
-        embeddings, n_clusters=n_clusters, iters=iters
-    ).cache()  # probes + candidates
+    assigned = track_cached(
+        ivf_assign_trained(embeddings, n_clusters=n_clusters, iters=iters)
+    )  # probes + candidates
     probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id"
     )
@@ -824,6 +824,52 @@ def pq_code_assign(subs: DataFrame, code_entries: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "code_id", "cdist")
     )
+
+
+def exact_int8_topk(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact brute-force top-``k`` neighbors by int8 L2 — THE ANN
+    ground-truth recipe (quantize → probe-broadcast corpus scan →
+    BIGINT L2 → per-probe rank, ties to the smaller neighbor id),
+    single-sourced for every recall/curve eval so two evals can never
+    silently measure against different truths.  Probe-bounded broadcast
+    scan, never all-pairs.  Returns (probe_id, neighbor_id)."""
+    q = quantize_embeddings(embeddings).select("vec_id", "qe")
+    probes = q.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
+    )
+    scored = q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id")
+    )
+
+
+def exact_int8_topk_sql_scope(probe_ids: list[int], k: int = 5) -> str:
+    """The nested-scope SQL twin of :func:`exact_int8_topk` — the body of
+    an ``exact AS MATERIALIZED ( ... )`` CTE (its own WITH scope, so it
+    composes beside other IVFPQ chains without alias collisions)."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    dist = _PQ_DIST_SQL
+    return f"""WITH {_quantized_sql_cte()},
+  probes AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
+  scored AS (
+    SELECT probe_id, q.vec_id AS neighbor_id,
+           {dist.format(a='pqe', b='qe')} AS l2
+    FROM q, probes WHERE q.vec_id <> probe_id
+  )
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY l2 ASC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {k}"""
 
 
 def pq_topk(

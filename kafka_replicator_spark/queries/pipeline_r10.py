@@ -1774,31 +1774,17 @@ def q_rbo_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_recall_oracle() -> str:
     from kafka_replicator_spark.functions.similarity import (
-        _PQ_DIST_SQL,
-        _quantized_sql_cte,
+        exact_int8_topk_sql_scope,
         ivf_pq_rerank_sql,
     )
 
-    ids = ", ".join(str(i) for i in _RERANK_PROBES)
-    dist = _PQ_DIST_SQL
     denom = len(_RERANK_PROBES) * 5
     return f"""
 WITH approx AS MATERIALIZED (
   SELECT probe_id, neighbor_id FROM ({ivf_pq_rerank_sql(_RERANK_PROBES, k=5, shortlist=20)})
 ),
 exact AS MATERIALIZED (
-  WITH {_quantized_sql_cte()},
-  probes AS (SELECT vec_id AS probe_id, qe AS pqe FROM q WHERE vec_id IN ({ids})),
-  scored AS (
-    SELECT probe_id, q.vec_id AS neighbor_id,
-           {dist.format(a='pqe', b='qe')} AS l2
-    FROM q, probes WHERE q.vec_id <> probe_id
-  )
-  SELECT probe_id, neighbor_id FROM (
-    SELECT probe_id, neighbor_id,
-           row_number() OVER (PARTITION BY probe_id ORDER BY l2 ASC, neighbor_id ASC) AS rn
-    FROM scored
-  ) WHERE rn <= 5
+  {exact_int8_topk_sql_scope(_RERANK_PROBES, k=5)}
 )
 SELECT CAST(count(*) AS BIGINT) AS n_hits,
        CAST({denom} AS BIGINT) AS n_expected,
@@ -1821,34 +1807,13 @@ FROM approx JOIN exact USING (probe_id, neighbor_id)
     "scan, never all-pairs",
 )
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
-    from kafka_replicator_spark.functions.similarity import (
-        _l2_int_arrays,
-        quantize_embeddings,
-    )
+    from kafka_replicator_spark.functions.similarity import exact_int8_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     approx = _sim.ivf_pq_rerank(emb, _RERANK_PROBES, k=5, shortlist=20).select(
         "probe_id", "neighbor_id"
     )
-    q = quantize_embeddings(emb).select("vec_id", "qe")
-    probes = q.filter(F.col("vec_id").isin(_RERANK_PROBES)).select(
-        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
-    )
-    scored = (
-        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
-    exact = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("probe_id", "neighbor_id")
-    )
+    exact = exact_int8_topk(emb, _RERANK_PROBES, k=5)
     denom = len(_RERANK_PROBES) * 5
     return approx.join(exact, ["probe_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
@@ -2005,31 +1970,15 @@ def q_ivfpq_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions.similarity import (
-        _l2_int_arrays,
+        exact_int8_topk,
         ivf_pq_scored,
-        quantize_embeddings,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     scored = track_cached(
         ivf_pq_scored(emb, _RERANK_PROBES, shortlist=max(_SHORTLIST_ARMS))
     )
-    q = quantize_embeddings(emb).select("vec_id", "qe")
-    probes = q.filter(F.col("vec_id").isin(_RERANK_PROBES)).select(
-        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pqe")
-    )
-    w_ex = W.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
-    exact = track_cached(
-        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _l2_int_arrays(F.col("pqe"), F.col("qe")).alias("l2"),
-        )
-        .withColumn("rn", F.row_number().over(w_ex))
-        .filter(F.col("rn") <= 5)
-        .select("probe_id", "neighbor_id")
-    )
+    exact = track_cached(exact_int8_topk(emb, _RERANK_PROBES, k=5))
     denom = len(_RERANK_PROBES) * 5
     w_arm = W.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     out = None

@@ -4175,17 +4175,17 @@ SELECT CAST({cap} AS BIGINT) AS max_files,
        (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_files,
        CAST(max(trig) + 1 AS BIGINT) AS n_triggers,
        CAST(max(bmsgs) AS BIGINT) AS max_batch_msgs,
-       CAST(max(done) AS BIGINT) AS worst_completion_trigger
+       CAST(min(done) AS BIGINT) AS first_completion_trigger
 FROM (
   SELECT trig, sum(message_count) AS bmsgs,
-         max(max(pdone)) OVER () AS done, max(trig) OVER () AS trig_max
+         min(min(pdone)) OVER () AS done
   FROM (
     SELECT (grank - 1) // {cap} AS trig, message_count,
            max((grank - 1) // {cap})
              OVER (PARTITION BY topic, partition_id) AS pdone
     FROM ranked
   ) GROUP BY trig
-) t(trig, bmsgs, done, trig_max)""")
+) t(trig, bmsgs, done)""")
     u = " UNION ALL ".join(arms)
     return with_ctes(
         MESSAGES_CTE,
@@ -4215,9 +4215,11 @@ SELECT * FROM ({u}) ORDER BY max_files
     f"max_files per trigger over the literal ladder {_T15_CAPS}; per cap "
     "the model yields trigger count (= ceil(files/cap)), the largest "
     "per-trigger message batch (the memory high-water mark pacing "
-    "exists to bound), and the worst per-partition completion trigger "
-    "(how long a straggler partition waits behind the global cap — the "
-    "pacing-vs-staleness tradeoff).  The rank runs on the bounded "
+    "exists to bound), and the FIRST per-partition completion trigger "
+    "(the straggler spread is n_triggers-1 minus this: the last-finishing "
+    "partition always lands at n_triggers-1 by construction, so the "
+    "EARLIEST finisher is where the pacing-vs-staleness information "
+    "lives).  The rank runs on the bounded "
     "segment-metadata grain, the r_o4 catalog precedent "
     "(streaming/ingress_stream.py maxFilesPerTrigger; "
     "tests/test_streaming.py)",
@@ -4265,7 +4267,7 @@ def q_t15_drain_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(
                 F.broadcast(
                     pdone.agg(
-                        F.max("pd").cast("long").alias("worst_completion_trigger")
+                        F.min("pd").cast("long").alias("first_completion_trigger")
                     )
                 )
             )
@@ -4274,7 +4276,7 @@ def q_t15_drain_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_files",
                 "n_triggers",
                 "max_batch_msgs",
-                "worst_completion_trigger",
+                "first_completion_trigger",
             )
         )
         out = arm if out is None else out.unionAll(arm)
