@@ -252,6 +252,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_cut_window_sensitivity",
     "p_trained_inertia_descent",
     "r_msg_size_histogram",
+    "p_rrf_k_sweep",
+    "a_hurst_rs",
 ]
 
 

@@ -566,3 +566,141 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_micro"),
     )
     return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(_RRF_TOP)
+
+
+# ------------------------------------------------ RRF k-parameter sweep
+
+#: Cormack et al.'s k=60 bracketed from both sides: small k → rank-1
+#: dominance (the top list wins outright), large k → flat consensus
+_RRF_K_LADDER = (10, 60, 240)
+_RRF_SWEEP_TOP = 10
+
+
+def _rrf_sweep_oracle() -> str:
+    arms = []
+    for k in _RRF_K_LADDER:
+        arms.append(f"""
+SELECT CAST({k} AS BIGINT) AS rrf_k,
+       CAST(count(*) AS BIGINT) AS n_top,
+       CAST(sum(CASE WHEN bm25_rank > 0 AND quality_rank > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN quality_rank < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bm25_only,
+       CAST(sum(CASE WHEN bm25_rank < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_only,
+       CAST(sum(rrf_micro) AS BIGINT) AS sum_rrf_micro
+FROM (
+  SELECT * FROM (
+    SELECT doc_id,
+           coalesce(b.r, -1) AS bm25_rank,
+           coalesce(q.r, -1) AS quality_rank,
+           (CASE WHEN b.r IS NOT NULL THEN 1000000 // ({k} + b.r) ELSE 0 END
+            + CASE WHEN q.r IS NOT NULL THEN 1000000 // ({k} + q.r) ELSE 0 END)
+             AS rrf_micro
+    FROM bmr b FULL JOIN qr q USING (doc_id)
+  ) ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_SWEEP_TOP}
+)""")
+    u = " UNION ALL ".join(arms)
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+  FROM bm
+),
+qc AS ({_QC_SQL}),
+qtop AS (
+  SELECT doc_id, mean_milli FROM qc
+  ORDER BY mean_milli DESC, doc_id LIMIT {_RRF_TOP}
+),
+qr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY mean_milli DESC, doc_id) AS BIGINT) AS r
+  FROM qtop
+)
+SELECT * FROM ({u}) ORDER BY rrf_k
+"""
+
+
+@register(
+    "p_rrf_k_sweep",
+    _rrf_sweep_oracle(),
+    tags=("pipeline", "retrieval", "sweep"),
+    doc="RRF k-parameter sensitivity over the literal ladder "
+    f"{_RRF_K_LADDER} (Cormack et al.'s 60 bracketed both ways): the "
+    f"fused top-{_RRF_SWEEP_TOP}'s composition per k — docs present in "
+    "BOTH source lists vs carried by one alone, plus the exact "
+    "integer-micro mass — small k lets a single rank-1 hit dominate, "
+    "large k rewards consensus; every arm reuses the SAME two rank "
+    "frames (one BM25 pass, one classifier pass — the literal-ladder "
+    "sweep pattern), so the sweep costs one chain, not three",
+)
+def q_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions import scoring
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = q_bm25_scores(spark, sf_dir)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("br"),
+    )
+    qtop = (
+        scoring.quality_classifier(docs)
+        .select("doc_id", "mean_milli")
+        .orderBy(F.col("mean_milli").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    qr = qtop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_milli").desc(), "doc_id"))
+        .cast("long")
+        .alias("qr"),
+    )
+    joined = track_cached(bmr.join(qr, "doc_id", "full"))  # every arm reuses it
+    out = None
+    for k in _RRF_K_LADDER:
+        fused = joined.select(
+            "doc_id",
+            F.coalesce("br", F.lit(-1)).alias("bm25_rank"),
+            F.coalesce("qr", F.lit(-1)).alias("quality_rank"),
+            (
+                F.when(
+                    F.col("br").isNotNull(), F.expr(f"1000000 div ({k} + br)")
+                ).otherwise(0)
+                + F.when(
+                    F.col("qr").isNotNull(), F.expr(f"1000000 div ({k} + qr)")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+        top = fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(
+            _RRF_SWEEP_TOP
+        )
+        arm = top.agg(
+            F.lit(k).cast("long").alias("rrf_k"),
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+            F.sum(
+                F.when(
+                    (F.col("bm25_rank") > 0) & (F.col("quality_rank") > 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+            F.sum(F.when(F.col("quality_rank") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bm25_only"),
+            F.sum(F.when(F.col("bm25_rank") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_only"),
+            F.sum("rrf_micro").cast("long").alias("sum_rrf_micro"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("rrf_k")
