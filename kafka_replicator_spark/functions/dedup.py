@@ -732,13 +732,20 @@ def minhash_signatures_sql(k: int = 16, n: int = 3, rel: str = "documents") -> s
 def minhash_bands(
     docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4,
     shingles: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key) rows for LSH banding — one pass over the
     signatures: bands come out of a single explode, not a union of per-band
     selects (which would recompute the signature subtree ``bands`` times).
+
+    ``sig`` lets a caller that already materialized (and typically cached)
+    the :func:`minhash_signatures` frame share it across several band
+    layouts (the bands-ladder sweep) instead of re-hashing per arm —
+    the same sharing contract ``shingles`` provides one level down.
     """
     rows = k // bands
-    sig = minhash_signatures(docs, k=k, n=n, shingles=shingles)
+    if sig is None:
+        sig = minhash_signatures(docs, k=k, n=n, shingles=shingles)
     band_structs = F.array(
         *[
             F.struct(

@@ -254,6 +254,7 @@ _NEW_THIS_ROUND: list[str] = [
     "r_msg_size_histogram",
     "p_rrf_k_sweep",
     "a_hurst_rs",
+    "p_lsh_bands_ladder",
 ]
 
 

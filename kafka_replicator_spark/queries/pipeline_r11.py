@@ -747,6 +747,95 @@ def q_cut_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_w")
 
 
+# --------------------------------- LSH bands-layout ladder
+
+#: band layouts of the k=16 signature: (bands, rows/band) = (2,8)/(4,4)/
+#: (8,2) — the OTHER LSH knob beside signature width
+#: (p_minhash_k_sensitivity); more bands = more permissive (capture
+#: probability 1-(1-s^rows)^bands rises as rows shrink)
+_BAND_LADDER = (2, 4, 8)
+_BAND_K, _BAND_N = 16, 3
+
+
+def _band_ladder_oracle() -> str:
+    from kafka_replicator_spark.functions.dedup import (
+        minhash_bands_cte_sql,
+        minhash_signatures_sql,
+    )
+
+    ctes = [f"sig AS MATERIALIZED ({minhash_signatures_sql(_BAND_K, _BAND_N)})"]
+    arms = []
+    for b in _BAND_LADDER:
+        ctes.append(
+            f"banded_{b} AS MATERIALIZED ({minhash_bands_cte_sql(_BAND_K, b)})"
+        )
+        ctes.append(f"""pairs_{b} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded_{b} a JOIN banded_{b} b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)""")
+        arms.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({_BAND_K // b} AS BIGINT) AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+         AS n_endpoint_ids
+FROM pairs_{b}""")
+    u = " UNION ALL ".join(arms)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({u}) ORDER BY bands"
+
+
+@register(
+    "p_lsh_bands_ladder",
+    _band_ladder_oracle(),
+    tags=("pipeline", "dedup", "sweep"),
+    doc="LSH band-layout sensitivity at fixed signature width k=16: "
+    f"candidate-pair volume under bands = {_BAND_LADDER} (rows/band "
+    "8/4/2) — the capture curve 1-(1-s^rows)^bands says more bands admit "
+    "weaker similarities, and this query prices that in PAIRS (the "
+    "verification cost the banding knob actually controls; "
+    "p_minhash_k_sensitivity sweeps the other knob).  Every arm bands "
+    "the SAME cached signature frame (minhash_bands' new sig= sharing "
+    "contract — one shingle+hash pass for the whole ladder); pair "
+    "counts are necessarily non-decreasing in bands only at equal "
+    "rows*bands... here layouts nest (2,8)->(4,4)->(8,2), where "
+    "coarser rows strictly widen capture",
+)
+def q_lsh_bands_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from kafka_replicator_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = track_cached(minhash_signatures(docs, k=_BAND_K, n=_BAND_N))
+    out = None
+    for b in _BAND_LADDER:
+        banded = track_cached(
+            minhash_bands(docs, k=_BAND_K, bands=b, sig=sig)
+        )  # self-joined below
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        bb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+        pairs = (
+            a.join(bb, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        arm = pairs.agg(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(_BAND_K // b).cast("long").alias("rows_per_band"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("long")
+            .alias("n_endpoint_ids"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("bands")
+
+
 # --------------------------------- shuffle-width invariance audit
 
 _WIDTH_ARMS = (8, 32)
