@@ -766,13 +766,17 @@ def minhash_bands(
 def lsh_candidate_pairs(
     docs: DataFrame, k: int = 16, n: int = 3, bands: int = 4,
     shingles: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands of
     ``k // bands`` rows; documents agreeing on ALL rows of any band become a
     candidate pair.  The band join is an equi-join on a string band key —
     no O(n²) pair enumeration, the property that survives 100 TB.
+    ``shingles``/``sig`` forward the sharing contracts one level down.
     """
-    banded = track_cached(minhash_bands(docs, k=k, n=n, bands=bands, shingles=shingles))
+    banded = track_cached(
+        minhash_bands(docs, k=k, n=n, bands=bands, shingles=shingles, sig=sig)
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (

@@ -92,7 +92,7 @@ SELECT CAST({b} AS BIGINT) AS block_days,
 FROM (
   SELECT blk,
          CAST(floor((max(by_dev) - min(by_dev))
-                    / sqrt(CAST({b} AS DOUBLE) * any_value(v)) * 1000000 + 0.5)
+                    / sqrt(CAST(any_value(v) AS DOUBLE)) * 1000000 + 0.5)
               AS BIGINT) AS rs_ppm
   FROM (
     SELECT (t - 1) // {b} AS blk, t, cents,
@@ -129,11 +129,13 @@ ORDER BY block_days
     f"block sizes {_RS_BLOCKS}: per block, R = range of cumulative "
     "deviations from the block mean and S = within-block std, kept EXACT "
     "by clearing the mean — b*Y_j = b*prefix - j*block_sum (integer) and "
-    "b^2*var*b = b*sum(x^2) - sum(x)^2 = V (integer), so R/S = "
-    "b*R / sqrt(b*V) needs exactly ONE IEEE sqrt (correctly rounded, "
-    "bit-identical cross-engine — the cramers_v rule) before the "
-    "floor(x*1e6+0.5) quantization; per-b mean over blocks is an integer "
-    "floor division.  Growing mean R/S across the ladder is the "
+    "V = b*sum(x^2) - sum(x)^2 = b^2*var (integer), so range(b*Y) = b*R "
+    "and sqrt(V) = b*S cancel their b's: R/S = range(by_dev)/sqrt(V), "
+    "exactly ONE IEEE sqrt (correctly rounded, bit-identical "
+    "cross-engine — the cramers_v rule) before the floor(x*1e6+0.5) "
+    "quantization (a review pass caught a spurious extra b under the "
+    "sqrt that reported (R/S)/sqrt(b)); per-b mean over blocks is an "
+    "integer floor division.  Growing mean R/S across the ladder is the "
     "long-range-dependence signal (H > 1/2) bursty event streams show; "
     "zero-variance blocks are excluded deterministically on both engines",
 )
@@ -154,16 +156,14 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    n_used = ds.agg(F.max("t").alias("mx")).select(
-        F.col("mx").alias("mx")
-    )
+    # one metadata-scale collect; each arm trims to full blocks by literal
+    n_days = ds.agg(F.max("t")).collect()[0][0]
     out = None
     for b in _RS_BLOCKS:
         wblk = Window.partitionBy("blk")
         wrun = wblk.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
         blocks = (
-            ds.crossJoin(F.broadcast(n_used))
-            .filter(F.col("t") <= F.expr(f"(mx div {b}) * {b}"))
+            ds.filter(F.col("t") <= (n_days // b) * b)
             .select("t", "cents", F.expr(f"(t - 1) div {b}").alias("blk"))
             .select(
                 "blk",
@@ -199,7 +199,7 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("v") > 0)
             .select(
                 F.expr(
-                    f"CAST(floor((mxd - mnd) / sqrt(CAST({b} AS DOUBLE) * v)"
+                    "CAST(floor((mxd - mnd) / sqrt(CAST(v AS DOUBLE))"
                     " * 1000000 + 0.5) AS BIGINT)"
                 ).alias("rs_ppm")
             )

@@ -805,7 +805,7 @@ FROM pairs_{b}""")
 def q_lsh_bands_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions.dedup import (
-        minhash_bands,
+        lsh_candidate_pairs,
         minhash_signatures,
     )
 
@@ -813,17 +813,9 @@ def q_lsh_bands_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = track_cached(minhash_signatures(docs, k=_BAND_K, n=_BAND_N))
     out = None
     for b in _BAND_LADDER:
-        banded = track_cached(
-            minhash_bands(docs, k=_BAND_K, bands=b, sig=sig)
-        )  # self-joined below
-        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-        bb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-        pairs = (
-            a.join(bb, ["band", "band_key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        # the single-sourced pair semantics (tie rule, distinct) — never a
+        # local copy of the self-join
+        pairs = lsh_candidate_pairs(docs, k=_BAND_K, bands=b, sig=sig)
         arm = pairs.agg(
             F.lit(b).cast("long").alias("bands"),
             F.lit(_BAND_K // b).cast("long").alias("rows_per_band"),

@@ -488,11 +488,18 @@ from kafka_replicator_spark.functions.scoring import quality_classifier_sql as _
 _QC_SQL = _qc_sql_builder()
 
 
-@register(
-    "p_rrf_fusion",
-    f"""
-WITH bm AS ({_BM25_SQL}),
-bmr AS (
+
+def _rrf_ranks_sql(materialized: bool = False) -> str:
+    """The bm/bmr/qc/qtop/qr rank-frame CTE block (emitted inside an open
+    WITH) — THE one generator of the RRF input-list text, shared by
+    p_rrf_fusion and the k-parameter sweep so they can never rank
+    different lists.  ``materialized`` marks the multiply-referenced
+    bmr/qr AS MATERIALIZED for consumers that read them once per ladder
+    arm (the r06 rule); the single-reference fusion keeps the plain
+    form (text unchanged from its ever-green round)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""bm AS ({_BM25_SQL}),
+bmr AS{m} (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
   FROM bm
@@ -502,32 +509,16 @@ qtop AS (
   SELECT doc_id, mean_milli FROM qc
   ORDER BY mean_milli DESC, doc_id LIMIT {_RRF_TOP}
 ),
-qr AS (
+qr AS{m} (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY mean_milli DESC, doc_id) AS BIGINT) AS r
   FROM qtop
-),
-fused AS (
-  SELECT doc_id,
-         coalesce(b.r, -1) AS bm25_rank,
-         coalesce(q.r, -1) AS quality_rank,
-         (CASE WHEN b.r IS NOT NULL THEN 1000000 // ({_RRF_K} + b.r) ELSE 0 END
-          + CASE WHEN q.r IS NOT NULL THEN 1000000 // ({_RRF_K} + q.r) ELSE 0 END)
-           AS rrf_micro
-  FROM bmr b FULL JOIN qr q USING (doc_id)
-)
-SELECT doc_id, bm25_rank, quality_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
-FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOP}
-""",
-    tags=("pipeline", "retrieval"),
-    doc="hybrid ranking via reciprocal-rank fusion (Cormack et al. 2009, "
-    "k=60): the BM25 relevance list fused with the quality-classifier "
-    "list, contributions as exact integer micro-units (1e6 div (60+rank)) "
-    "so the fused order is engine-independent; both input lists are "
-    "top-k distributed TakeOrdered frames, the fusion joins two ≤k-row "
-    "frames — corpus never reshuffles for the fusion stage",
-)
-def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+)"""
+
+
+def _rrf_rank_frames(spark: SparkSession, sf_dir: str):
+    """Spark twin of :func:`_rrf_ranks_sql`: the (bmr, qr) rank frames
+    (columns ``br`` / ``qr``) both RRF consumers join."""
     from pyspark.sql import Window
 
     from kafka_replicator_spark.functions import scoring
@@ -554,6 +545,35 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qr"),
     )
+    return bmr, qr
+
+
+@register(
+    "p_rrf_fusion",
+    f"""
+WITH {_rrf_ranks_sql()},
+fused AS (
+  SELECT doc_id,
+         coalesce(b.r, -1) AS bm25_rank,
+         coalesce(q.r, -1) AS quality_rank,
+         (CASE WHEN b.r IS NOT NULL THEN 1000000 // ({_RRF_K} + b.r) ELSE 0 END
+          + CASE WHEN q.r IS NOT NULL THEN 1000000 // ({_RRF_K} + q.r) ELSE 0 END)
+           AS rrf_micro
+  FROM bmr b FULL JOIN qr q USING (doc_id)
+)
+SELECT doc_id, bm25_rank, quality_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOP}
+""",
+    tags=("pipeline", "retrieval"),
+    doc="hybrid ranking via reciprocal-rank fusion (Cormack et al. 2009, "
+    "k=60): the BM25 relevance list fused with the quality-classifier "
+    "list, contributions as exact integer micro-units (1e6 div (60+rank)) "
+    "so the fused order is engine-independent; both input lists are "
+    "top-k distributed TakeOrdered frames, the fusion joins two ≤k-row "
+    "frames — corpus never reshuffles for the fusion stage",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bmr, qr = _rrf_rank_frames(spark, sf_dir)
     fused = bmr.join(qr, "doc_id", "full").select(
         "doc_id",
         F.coalesce("br", F.lit(-1)).alias("bm25_rank"),
@@ -602,22 +622,7 @@ FROM (
 )""")
     u = " UNION ALL ".join(arms)
     return f"""
-WITH bm AS ({_BM25_SQL}),
-bmr AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
-  FROM bm
-),
-qc AS ({_QC_SQL}),
-qtop AS (
-  SELECT doc_id, mean_milli FROM qc
-  ORDER BY mean_milli DESC, doc_id LIMIT {_RRF_TOP}
-),
-qr AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY mean_milli DESC, doc_id) AS BIGINT) AS r
-  FROM qtop
-)
+WITH {_rrf_ranks_sql(materialized=True)}
 SELECT * FROM ({u}) ORDER BY rrf_k
 """
 
@@ -636,33 +641,9 @@ SELECT * FROM ({u}) ORDER BY rrf_k
     "sweep pattern), so the sweep costs one chain, not three",
 )
 def q_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from kafka_replicator_spark.cacheutil import track_cached
-    from kafka_replicator_spark.functions import scoring
 
-    docs = load_table(spark, sf_dir, "documents")
-    bm = q_bm25_scores(spark, sf_dir)
-    bmr = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
-        .cast("long")
-        .alias("br"),
-    )
-    qtop = (
-        scoring.quality_classifier(docs)
-        .select("doc_id", "mean_milli")
-        .orderBy(F.col("mean_milli").desc(), "doc_id")
-        .limit(_RRF_TOP)
-    )
-    qr = qtop.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("mean_milli").desc(), "doc_id"))
-        .cast("long")
-        .alias("qr"),
-    )
+    bmr, qr = _rrf_rank_frames(spark, sf_dir)
     joined = track_cached(bmr.join(qr, "doc_id", "full"))  # every arm reuses it
     out = None
     for k in _RRF_K_LADDER:
