@@ -255,6 +255,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_rrf_k_sweep",
     "a_hurst_rs",
     "p_lsh_bands_ladder",
+    "p_cascade_order_sensitivity",
 ]
 
 

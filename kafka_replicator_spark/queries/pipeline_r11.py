@@ -747,6 +747,117 @@ def q_cut_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_w")
 
 
+# --------------------------------- dedup cascade ORDER sensitivity
+
+
+@register(
+    "p_cascade_order_sensitivity",
+    f"""
+WITH surv AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+t1 AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.text FROM documents d JOIN surv USING (doc_id)
+),
+ca AS MATERIALIZED (SELECT * FROM ({substring_cut_sql(_SUBSTR_W, rel='t1')})),
+cb AS MATERIALIZED (SELECT * FROM ({substring_cut_sql(_SUBSTR_W)})),
+survb AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+    FROM cb
+  ) WHERE rn = 1
+),
+nraw AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT 'exact_first' AS pipeline,
+       CAST(count(*) AS BIGINT) AS n_docs_final,
+       CAST(sum(kept_tokens) AS BIGINT) AS tokens_final,
+       CAST(sum(cut_tokens) AS BIGINT) AS cut_tokens,
+       CAST((SELECT n FROM nraw) - count(*) AS BIGINT) AS n_exact_removed
+FROM ca
+UNION ALL
+SELECT 'cut_first',
+       (SELECT CAST(count(*) AS BIGINT) FROM survb),
+       (SELECT CAST(sum(kept_tokens) AS BIGINT)
+        FROM cb JOIN survb USING (doc_id)),
+       CAST(sum(cut_tokens) AS BIGINT),
+       CAST(count(*) - (SELECT count(*) FROM survb) AS BIGINT)
+FROM cb
+ORDER BY pipeline
+""",
+    tags=("pipeline", "compose", "dedup"),
+    doc="order-of-operations sensitivity of the dedup cascade: exact-then-"
+    "cut vs cut-then-exact over the SAME corpus and window.  Running the "
+    "cut FIRST sees every exact duplicate still present, so all their "
+    "windows are corpus-repeated and the cut removes strictly more "
+    "tokens (the wasted work the exact-first order avoids); running "
+    "exact dedup SECOND then collapses docs that differed ONLY in "
+    "boilerplate the cut removed — a class of duplicates exact-first "
+    "can never see (fully-cut docs all hash to md5('') and collapse to "
+    "one).  The two finals bracket the design space the cascade picks "
+    "from; per-arm doc/token accounting, sibling CTE scopes",
+)
+def q_cascade_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    docs = track_cached(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    n_raw = docs.count()
+    surv = (
+        docs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    ca = substring_cut(surv, w=_SUBSTR_W)
+    arm_a = ca.agg(
+        F.lit("exact_first").alias("pipeline"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_final"),
+        F.sum("kept_tokens").cast("long").alias("tokens_final"),
+        F.sum("cut_tokens").cast("long").alias("cut_tokens"),
+        (F.lit(n_raw) - F.count(F.lit(1))).cast("long").alias("n_exact_removed"),
+    )
+    cb = track_cached(substring_cut(docs, w=_SUBSTR_W))
+    survb = (
+        cb.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "kept_tokens")
+    )
+    b_tot = cb.agg(
+        F.sum("cut_tokens").cast("long").alias("cut_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_cut_docs"),
+    )
+    b_fin = survb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_final"),
+        F.sum("kept_tokens").cast("long").alias("tokens_final"),
+    )
+    arm_b = (
+        b_fin.crossJoin(F.broadcast(b_tot))
+        .select(
+            F.lit("cut_first").alias("pipeline"),
+            "n_docs_final",
+            "tokens_final",
+            "cut_tokens",
+            (F.col("n_cut_docs") - F.col("n_docs_final"))
+            .cast("long")
+            .alias("n_exact_removed"),
+        )
+    )
+    return arm_a.unionAll(arm_b).orderBy("pipeline")
+
+
 # --------------------------------- LSH bands-layout ladder
 
 #: band layouts of the k=16 signature: (bands, rows/band) = (2,8)/(4,4)/

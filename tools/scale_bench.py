@@ -65,6 +65,9 @@ KERNELS = [
     # generalizes the same fix to the dedup family
     "p_ivf_pq_rerank_trained",
     "p_semantic_dedup_trained",
+    # round 11: the iterated ExactSubstr cut (VERDICT r10 #3) — each round
+    # is the measured-FLAT substring_dedup chain, fixpoint <= max_rounds of it
+    "p_substring_fixpoint",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
