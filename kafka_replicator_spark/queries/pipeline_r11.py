@@ -401,12 +401,14 @@ FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
     "cosine to a lower-id cluster-mate reaches 0.92) is unchanged, so "
     "keep/drop semantics differ from the stride variants only through "
     "cell geometry — data-driven cells concentrate true near-dups, the "
-    "same effect p_ivfpq_trained_recall measures.  Honest asymptotics: "
-    "at fixed K the within-cell pair scan is N^2/K, so the measured "
-    "win (1.03x/0.95x/3.33x at 10x/30x/100x vs auto-G's "
-    "1.14x/2.53x/7.72x, faster absolutely at every size — SCALE_r11) "
-    "comes from the assignment term; production scales K with the "
-    "corpus via n_clusters, keeping train time N*K "
+    "same effect p_ivfpq_trained_recall measures.  HONEST asymptotics "
+    "(noop-materialized, SCALE_r11 honest_*): at fixed K the within-cell "
+    "pair scan is N^2/K — measured QUADRATIC, 16.2x at 10x / 92.6x at "
+    "30x vs auto-G's 6.92x/27.6x — so this variant exists as the "
+    "negative control of the design matrix: fixed-K coarse codebooks "
+    "fix probe-bounded retrieval scans (p_ivf_pq_rerank_trained, 4.03x "
+    "at 100x) and are the WRONG shape for all-pairs-within-cell dedup, "
+    "where the cell count must grow with the corpus (auto-G) "
     "(functions/similarity.ivf_assign_trained + _semantic_scan)",
 )
 def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

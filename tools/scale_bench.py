@@ -144,8 +144,17 @@ def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     best, n = None, 0
     for _ in range(runs):
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        # materialize EVERY row and column via the noop sink — a bare
+        # .count() lets Catalyst prune row-preserving tails (a LEFT JOIN
+        # against unique-key aggregates plus everything feeding it is
+        # ELIMINATED under count: round-11 diagnosis — p_substring_dedup's
+        # whole window-hash chain vanished and its "flat" curve measured
+        # the doc scan; the dedup-family near scans likewise), which is
+        # exactly what an asymptotic claim must not skip
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        n = df.count()  # row count reported, outside the timed window
         best = dt if best is None else min(best, dt)
         release_cached()
         spark.catalog.clearCache()
