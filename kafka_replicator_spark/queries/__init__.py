@@ -256,6 +256,8 @@ _NEW_THIS_ROUND: list[str] = [
     "a_hurst_rs",
     "p_lsh_bands_ladder",
     "p_cascade_order_sensitivity",
+    "p_semantic_dedup_bucketed",
+    "p_semdedup_bucketed_agreement",
 ]
 
 

@@ -749,6 +749,117 @@ def q_cut_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_w")
 
 
+# --------------------------------- bucketed SemDeDup scan
+
+_SB_PLANES = 4
+
+
+@register(
+    "p_semantic_dedup_bucketed",
+    _sim.semantic_dedup_bucketed_sql(n_planes=_SB_PLANES),
+    tags=("pipeline", "dedup", "similarity"),
+    doc="SemDeDup with the LSH-BUCKETED near scan — the structural fix for "
+    "the honest scale finding (the within-cell all-pairs scan, masked by "
+    "count-pruning in every prior wall number, is 58.8x at 100x under "
+    f"auto-G): sign-LSH over {_SB_PLANES} deterministic integer "
+    "hyperplanes blocks the pair scan per (cell, bucket) — expected "
+    f"2^{_SB_PLANES} = {2 ** _SB_PLANES}x fewer pairs.  A deterministic "
+    "RELAXATION, not hidden randomness: drop iff a lower-id 6dp-cosine "
+    ">= 0.92 mate shares cell AND bucket; a c=0.99 dup pair crosses one "
+    "plane w.p. arccos(c)/pi ~ 0.045, and "
+    "p_semdedup_bucketed_agreement MEASURES the retention instead of "
+    "assuming it (functions/similarity.semantic_dedup_bucketed)",
+)
+def q_semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.semantic_dedup_bucketed(
+        load_table(spark, sf_dir, "embeddings"), n_planes=_SB_PLANES
+    )
+
+
+#: the agreement audit's threshold sits INSIDE the corpus's cosine range
+#: (max pairwise cosine on the synthetic embeddings is ~0.51, so the
+#: family default 0.92 drops nothing anywhere) — at c≈0.45 a pair crosses
+#: one hyperplane w.p. arccos(c)/pi ≈ 0.35, putting the audit at the
+#: UNFAVORABLE end of the retention curve (expected ~(0.65)^4 ≈ 18%);
+#: dup-grade pairs (c≈0.99) retain ~(0.955)^4 ≈ 83% — the measured number
+#: below is the honest floor, not the production operating point
+_SB_AUDIT_TAU = 0.40
+
+
+@register(
+    "p_semdedup_bucketed_agreement",
+    f"""
+WITH fullscan AS MATERIALIZED (
+  SELECT vec_id, kept
+  FROM ({_sim.semantic_dedup_2level_sql(tau=_SB_AUDIT_TAU, coarse_factor=None)})
+),
+bucketed AS MATERIALIZED (
+  SELECT vec_id, kept
+  FROM ({_sim.semantic_dedup_bucketed_sql(tau=_SB_AUDIT_TAU, n_planes=_SB_PLANES)})
+),
+j AS (
+  SELECT f.kept AS kept_full, b.kept AS kept_bucketed
+  FROM fullscan f JOIN bucketed b USING (vec_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_full,
+       CAST(sum(CASE WHEN kept_bucketed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_bucketed,
+       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_both,
+       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
+                     THEN 1 ELSE 0 END) * 1000000
+            // nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS drop_retention_ppm
+FROM j
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="retention audit of the bucketed SemDeDup scan against the full "
+    f"within-cell scan (same auto-G cells, same tau={_SB_AUDIT_TAU} — "
+    "placed inside the corpus's cosine range, see _SB_AUDIT_TAU: the "
+    "synthetic embeddings have no dup-grade pairs, so this measures the "
+    "retention curve's unfavorable low-cosine end, the honest floor): of "
+    "the vectors the full scan drops, what share does the bucketed scan "
+    "still drop (drop_retention_ppm) — the measured recall of the "
+    "2^planes pair-volume reduction; bucketed can never drop a vector "
+    "the full scan keeps (its pair set is a subset), so the 2x2 "
+    "degenerates to this one ratio plus the counts",
+)
+def q_semdedup_bucketed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    full = _sim.semantic_dedup_2level(
+        emb, tau=_SB_AUDIT_TAU, coarse_factor=None
+    ).select("vec_id", F.col("kept").alias("kept_full"))
+    buck = _sim.semantic_dedup_bucketed(
+        emb, tau=_SB_AUDIT_TAU, n_planes=_SB_PLANES
+    ).select("vec_id", F.col("kept").alias("kept_bucketed"))
+    j = full.join(buck, "vec_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("kept_full") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_full"),
+        F.sum(F.when(F.col("kept_bucketed") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_bucketed"),
+        F.sum(
+            F.when((F.col("kept_full") == 0) & (F.col("kept_bucketed") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("dropped_both"),
+        F.expr(
+            "CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0"
+            " THEN 1 ELSE 0 END) * 1000000"
+            " div nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("drop_retention_ppm"),
+    )
+
+
 # --------------------------------- dedup cascade ORDER sensitivity
 
 

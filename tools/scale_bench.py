@@ -68,6 +68,9 @@ KERNELS = [
     # round 11: the iterated ExactSubstr cut (VERDICT r10 #3) — each round
     # is the measured-FLAT substring_dedup chain, fixpoint <= max_rounds of it
     "p_substring_fixpoint",
+    # round 11 (post-correction): the LSH-bucketed SemDeDup scan — the
+    # structural answer to the honest near-scan numbers
+    "p_semantic_dedup_bucketed",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
