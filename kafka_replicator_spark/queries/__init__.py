@@ -56,10 +56,21 @@ def with_ctes(*ctes: str, select: str) -> str:
 #: registry each round, so ``all_queries`` orders every name WITHOUT a
 #: green row ahead of this set, then the round's new queries, then this
 #: remainder as ballast.  After round 10 (50/50 green, tenth consecutive)
-#: every registered name has a green driver row — cumulative 465/465 — so
-#: the round-11 window is entirely spare; round-11 additions go straight
-#: into ``_NEW_THIS_ROUND`` until it fills (50 names).
+#: every registered name has a green driver row — after round 11 (50/50
+#: green, eleventh consecutive) cumulative 487/487 — so the round-12
+#: window is entirely spare; round-12 additions go straight into
+#: ``_NEW_THIS_ROUND`` until it fills (50 names).
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r11 (folded in at the round-12 rotation) ---
+    'p_ivf_pq_rerank_trained', 'p_substring_fixpoint',
+    'p_e2e_fixpoint_cascade', 'p_ivfpq_filter_aware',
+    'r_amplification_pareto', 'p_stitch_width_invariance',
+    'p_bpe_roundtrip', 'p_ivfpq_trained_recall', 'r_t15_drain_model',
+    'p_semantic_dedup_trained', 'p_trained_cell_balance',
+    'a_benford_price', 'r_session_bursts', 'p_cut_window_sensitivity',
+    'p_trained_inertia_descent', 'r_msg_size_histogram', 'p_rrf_k_sweep',
+    'a_hurst_rs', 'p_lsh_bands_ladder', 'p_cascade_order_sensitivity',
+    'p_semantic_dedup_bucketed', 'p_semdedup_bucketed_agreement',
     # --- green in CORRECTNESS_r10 (folded in at the round-11 rotation) ---
     'p_substring_dedup', 'p_e2e_substring_pack', 'p_bpe_fertility',
     'p_quality_calibration_drift', 'r_read_amplification',
@@ -229,40 +240,17 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries in THIS round's (round 11) driver window behind any never-green
-#: backlog.  CORRECTNESS_r10 was 50/50 green, so the round-10 window's 44
-#: names folded into ``_EVER_GREEN`` (cumulative 465/465 driver-verified)
-#: and the round-11 window is ENTIRELY spare — round-11 additions go
+#: Queries in THIS round's (round 12) driver window behind any never-green
+#: backlog.  CORRECTNESS_r11 was 50/50 green, so the round-11 window's 22
+#: names folded into ``_EVER_GREEN`` (cumulative 487/487 driver-verified)
+#: and the round-12 window is ENTIRELY spare — round-12 additions go
 #: straight HERE until the window fills (50 names), then overflow into
 #: ``_STAGED_NEXT_ROUND``.
-_NEW_THIS_ROUND: list[str] = [
-    "p_ivf_pq_rerank_trained",
-    "p_substring_fixpoint",
-    "p_e2e_fixpoint_cascade",
-    "p_ivfpq_filter_aware",
-    "r_amplification_pareto",
-    "p_stitch_width_invariance",
-    "p_bpe_roundtrip",
-    "p_ivfpq_trained_recall",
-    "r_t15_drain_model",
-    "p_semantic_dedup_trained",
-    "p_trained_cell_balance",
-    "a_benford_price",
-    "r_session_bursts",
-    "p_cut_window_sensitivity",
-    "p_trained_inertia_descent",
-    "r_msg_size_histogram",
-    "p_rrf_k_sweep",
-    "a_hurst_rs",
-    "p_lsh_bands_ladder",
-    "p_cascade_order_sensitivity",
-    "p_semantic_dedup_bucketed",
-    "p_semdedup_bucketed_agreement",
-]
+_NEW_THIS_ROUND: list[str] = []
 
 
 #: Queries registered mid-round AFTER the window filled (none pending —
-#: round-10 closed with 6 spare window slots; keep list order at the next
+#: round-11 closed with 28 spare window slots; keep list order at the next
 #: rotation).
 _STAGED_NEXT_ROUND: list[str] = []
 
