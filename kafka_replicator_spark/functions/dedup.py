@@ -363,13 +363,24 @@ def cut_to_fixpoint(docs: DataFrame, w: int = 8, max_rounds: int = 3) -> DataFra
     """
     cur = docs.select("doc_id", "source", "text")
     first = None
+    first_cut = None
     last = None
     for _ in range(max_rounds):
         cut = track_cached(substring_cut(cur, w=w))
         if first is None:
             first = cut.select("doc_id", F.col("n_tokens").alias("__orig"))
+            first_cut = cut
+        prev = last
         last = cut
+        # the stop-check agg materializes THIS round's cache (reading the
+        # previous round's cache once, never its lineage) ...
         total = cut.agg(F.sum("cut_tokens")).collect()[0][0] or 0
+        # ... after which the previous round's cache is superseded —
+        # unpersist it (keeping round 1, which backs `first`, and the
+        # newest round) so at most two corpus-text copies stay pinned
+        # instead of max_rounds (ADVICE r11)
+        if prev is not None and prev is not first_cut:
+            prev.unpersist()
         if total == 0:
             break
         cur = cut.select("doc_id", "source", F.col("clean_text").alias("text"))
@@ -746,6 +757,17 @@ def minhash_bands(
     rows = k // bands
     if sig is None:
         sig = minhash_signatures(docs, k=k, n=n, shingles=shingles)
+    else:
+        # the sharing contract requires a signature frame built with the
+        # SAME k — a wider/narrower frame would silently band a prefix of
+        # the columns (wrong band keys) instead of failing (ADVICE r11)
+        want = {f"sig_{i}" for i in range(k)}
+        got = {c for c in sig.columns if c.startswith("sig_")}
+        if got != want:
+            raise ValueError(
+                f"minhash_bands(sig=...) expects exactly sig_0..sig_{k - 1} "
+                f"for k={k}; supplied frame has {sorted(got)}"
+            )
     band_structs = F.array(
         *[
             F.struct(

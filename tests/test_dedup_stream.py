@@ -70,7 +70,14 @@ def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path):
 #: disk — the only option once keyed state exceeds executor memory).
 #: Recovery semantics must be identical (VERDICT r10 #5).
 _PROVIDERS = {
-    "hdfs": None,  # engine default
+    # explicit class, NOT None: relying on "conf unset" would silently
+    # re-test whatever backend an earlier test left configured (ADVICE
+    # r11) — each param pins its own provider so the arms are
+    # self-contained regardless of session history.
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
     "rocksdb": (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
@@ -90,16 +97,14 @@ def test_stream_dedup_state_survives_restart(spark, sf_dir, tmp_path, provider):
     checkpoint, and both must show the same recovery behavior."""
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(conf_key, None)
-    if _PROVIDERS[provider] is not None:
-        spark.conf.set(conf_key, _PROVIDERS[provider])
+    spark.conf.set(conf_key, _PROVIDERS[provider])
     try:
         _run_dedup_restart(spark, sf_dir, tmp_path)
     finally:
-        if _PROVIDERS[provider] is not None:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def _run_dedup_restart(spark, sf_dir, tmp_path):

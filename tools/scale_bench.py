@@ -144,8 +144,8 @@ def generate_corpus(base_dir: str, out_dir: str, mult: int) -> None:
 def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     from kafka_replicator_spark.cacheutil import release_cached
 
-    best, n = None, 0
-    for _ in range(runs):
+    best, n, last_df = None, 0, None
+    for i in range(runs):
         t0 = time.perf_counter()
         # materialize EVERY row and column via the noop sink — a bare
         # .count() lets Catalyst prune row-preserving tails (a LEFT JOIN
@@ -157,8 +157,12 @@ def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        n = df.count()  # row count reported, outside the timed window
         best = dt if best is None else min(best, dt)
+        if i == runs - 1:
+            # row count reported once, after the LAST timed pass and
+            # before its release_cached — re-running the full plan per
+            # run inflated scale-bench wall time at 100x (ADVICE r11)
+            n = df.count()
         release_cached()
         spark.catalog.clearCache()
     return best, n
