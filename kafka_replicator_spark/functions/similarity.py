@@ -1541,7 +1541,13 @@ def semantic_dedup_2level(
     """SemDeDup over the two-level IVF assignment — identical near-dup scan
     (``_semantic_scan``), hierarchical assignment: the corpus-size-robust
     variant of :func:`semantic_dedup` (see the measured caveat there).
-    ``coarse_factor=None`` auto-scales G ∝ √C (VERDICT r08 #4)."""
+    ``coarse_factor=None`` auto-scales G ∝ √C (VERDICT r08 #4).
+
+    SCALE NOTE (honest r11 re-measurement, SCALE_r11 honest_*): the
+    within-cell all-pairs NEAR SCAN is itself 58.8x wall at 100x once the
+    cells skew — the family's scale path is
+    :func:`semantic_dedup_bucketed` with the auto-derived plane count,
+    which caps the scan at linear work."""
     assigned = track_cached(
         ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
     )
@@ -1631,13 +1637,71 @@ FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
 """
 
 
+def derive_n_planes(
+    assigned: DataFrame,
+    pairs_per_vec: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 16,
+) -> int:
+    """Auto-scale the sign-LSH plane count from the measured cell-size
+    skew (VERDICT r11 #1: a FIXED n_planes is a 2^n constant-factor pair
+    cut — the within-(cell,bucket) groups grow linearly again once cells
+    skew): pick the smallest p with ``Σ|cell|² <= pairs_per_vec · N · 2^p``
+    — the bucketed scan's expected candidate-pair volume is Σ|cell|²/2^p
+    (unrelated cell-mates share all p sign bits w.p. 2^-p), so the rule
+    caps the scan at ~``pairs_per_vec`` candidate pairs per vector, i.e.
+    LINEAR total work, at any corpus size and any skew.
+
+    One metadata-scale job (two nested aggregates over the assignment
+    frame, one collected row); per-cell count squares are lifted to
+    DECIMAL(38,0) BEFORE the sum (Σc² reaches ~1e18 at 1e9 vectors — the
+    LONG-overflow rule), and the comparison ladder is pure integer
+    arithmetic, so the DuckDB oracle derives the identical p — the same
+    derive-the-knob-in-SQL discipline as auto-G
+    (:func:`ivf_assign_2level`).
+    """
+    row = (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sumsq"),
+            F.sum("c").alias("n"),
+        )
+        .collect()[0]
+    )
+    sumsq = int(row["sumsq"] or 0)
+    n = int(row["n"] or 0)
+    for p in range(min_planes, max_planes):
+        if sumsq <= pairs_per_vec * n * (1 << p):
+            return p
+    return max_planes
+
+
+def derive_n_planes_case_sql(
+    pairs_per_vec: int = 64, min_planes: int = 4, max_planes: int = 16
+) -> str:
+    """The integer CASE ladder mirroring :func:`derive_n_planes`, over a
+    relation ``cellsz(c)`` of per-cell counts — THE one generator of the
+    plane-count rule's SQL text.  No log2 anywhere (float log2 is not
+    trusted cross-engine even at powers of two — the r07 rule); p is
+    bounded, so the ladder is max_planes - min_planes literal integer
+    comparisons.  DuckDB sums BIGINT into HUGEINT, matching the Spark
+    side's DECIMAL(38,0) lift exactly."""
+    arms = "\n    ".join(
+        f"WHEN sum(c * c) <= {pairs_per_vec} * sum(c) * {1 << p} THEN {p}"
+        for p in range(min_planes, max_planes)
+    )
+    return f"SELECT CASE {arms}\n    ELSE {max_planes} END AS p FROM cellsz"
+
+
 def semantic_dedup_bucketed(
     embeddings: DataFrame,
     tau: float = 0.92,
     centroid_stride: int = 250,
     coarse_factor: int | None = None,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
+    pairs_per_vec: int = 64,
 ) -> DataFrame:
     """SemDeDup with an LSH-BUCKETED near-dup scan — the structural answer
     to the honest scale measurement (SCALE_r11 honest_*: the within-cell
@@ -1647,6 +1711,12 @@ def semantic_dedup_bucketed(
     integer hyperplanes) and the pair scan runs per (cell, bucket), an
     expected 2^n_planes reduction of the pair volume.
 
+    ``n_planes=None`` (the family default since round 12) AUTO-SCALES the
+    plane count with the measured cell-size skew via
+    :func:`derive_n_planes` — the fixed-plane form is a 2^n constant
+    factor, the auto form caps the scan at ~``pairs_per_vec`` candidate
+    pairs per vector (linear total work) at any corpus size.
+
     Semantics are a DETERMINISTIC relaxation, not an approximation with
     hidden randomness: a vector is dropped iff a lower-id near-dup (6dp
     cosine >= tau) shares BOTH its cell and its bucket.  A true near-dup
@@ -1654,30 +1724,89 @@ def semantic_dedup_bucketed(
     (~0.045 at c=0.99), so retention falls gently with n_planes — the
     companion agreement query measures it on real data rather than
     assuming it.  Everything stays oracle-exact: the hyperplanes are
-    driver-side literals, the bucket is an integer, the scan rule is the
-    shared :func:`_semantic_scan` with the bucket in its blocking key.
+    driver-side literals (prefix-stable in p, so the derived-p plan equals
+    the masked max-plane bucket the oracle computes), the bucket is an
+    integer, the scan rule is the shared :func:`_semantic_scan` with the
+    bucket in its blocking key.
     """
     assigned = track_cached(
         ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
     )
+    if n_planes is None:
+        n_planes = derive_n_planes(assigned, pairs_per_vec)
     ab = assigned.join(lsh_buckets(embeddings, n_planes, dim), "vec_id")
     return _semantic_scan(ab, tau, keys=("centroid_id", "bucket"))
+
+
+def semantic_dedup_bucketed_auto(
+    embeddings: DataFrame,
+    tau: float = 0.92,
+    centroid_stride: int = 250,
+    coarse_factor: int | None = None,
+    dim: int = 64,
+    pairs_per_vec: int = 64,
+) -> DataFrame:
+    """:func:`semantic_dedup_bucketed` with the auto-derived plane count
+    EXPOSED as an ``n_planes`` output column, so the knob derivation
+    itself flows through the driver's value hash (the auto-G precedent:
+    the derived constant must be oracle-replayed, not assumed)."""
+    assigned = track_cached(
+        ivf_assign_2level(embeddings, centroid_stride, coarse_factor)
+    )
+    p = derive_n_planes(assigned, pairs_per_vec)
+    ab = assigned.join(lsh_buckets(embeddings, p, dim), "vec_id")
+    return _semantic_scan(ab, tau, keys=("centroid_id", "bucket")).select(
+        "*", F.lit(p).cast("long").alias("n_planes")
+    )
+
+
+def _bucketed_bk_cte_sql(
+    n_planes: int | None, dim: int, pairs_per_vec: int
+) -> str:
+    """The ``bk`` CTE chain for the bucketed SemDeDup oracles: a literal
+    plane count embeds :func:`lsh_buckets_sql` directly; ``None`` derives
+    p in SQL exactly as :func:`derive_n_planes` does (cellsz/npl CTEs) and
+    MASKS the max-plane bucket to the low p bits — sign-LSH bucket bits
+    are prefix-stable in p (plane seeds depend only on the plane index),
+    so ``bucket % 2^p`` over 16 planes equals the p-plane bucket the Spark
+    side computes."""
+    if n_planes is not None:
+        return f"bk AS MATERIALIZED ({lsh_buckets_sql(n_planes, dim)})"
+    return f"""cellsz AS (SELECT count(*) AS c FROM assigned GROUP BY centroid_id),
+npl AS MATERIALIZED ({derive_n_planes_case_sql(pairs_per_vec)}),
+bkfull AS ({lsh_buckets_sql(16, dim)}),
+bk AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(bucket % (1::BIGINT << (SELECT p FROM npl)) AS BIGINT) AS bucket
+  FROM bkfull
+)"""
 
 
 def semantic_dedup_bucketed_sql(
     tau: float = 0.92,
     centroid_stride: int = 250,
     coarse_factor: int | None = None,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     dim: int = 64,
+    pairs_per_vec: int = 64,
+    with_n_planes_col: bool = False,
 ) -> str:
     """DuckDB mirror of :func:`semantic_dedup_bucketed` — the shared
     2-level assignment block plus the literal-hyperplane bucket CTE, the
-    near scan blocked on (centroid_id, bucket)."""
+    near scan blocked on (centroid_id, bucket).  ``n_planes=None`` derives
+    the plane count in SQL (see :func:`_bucketed_bk_cte_sql`);
+    ``with_n_planes_col`` appends the derived count as an output column
+    (the :func:`semantic_dedup_bucketed_auto` mirror)."""
     cos = _LIST_COS_SQL
+    np_col = ""
+    if with_n_planes_col:
+        np_expr = (
+            "(SELECT p FROM npl)" if n_planes is None else str(n_planes)
+        )
+        np_col = f",\n       CAST({np_expr} AS BIGINT) AS n_planes"
     return f"""
 {ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)},
-bk AS MATERIALIZED ({lsh_buckets_sql(n_planes, dim)}),
+{_bucketed_bk_cte_sql(n_planes, dim, pairs_per_vec)},
 ab AS MATERIALIZED (
   SELECT a.vec_id, a.e, a.centroid_id, bk.bucket
   FROM assigned a JOIN bk USING (vec_id)
@@ -1693,7 +1822,7 @@ near AS (
 SELECT s.vec_id,
        CAST(s.centroid_id AS BIGINT) AS centroid_id,
        CAST(coalesce(n.n_near, 0) AS INTEGER) AS n_near,
-       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept{np_col}
 FROM ab s LEFT JOIN near n ON s.vec_id = n.b_id
 """
 

@@ -36,7 +36,11 @@ from kafka_replicator_spark.sources.tables import load_table
     "auto-scaled as G = floor(sqrt(C)+0.5) from the fine-centroid count — "
     "the fixed-G variant's per-cell scans grow as C/G (superlinear past "
     "30x corpus, measured); sqrt-scaling holds N^1.5 at any size, and the "
-    "oracle derives the identical G from the same count",
+    "oracle derives the identical G from the same count.  SCALE NOTE "
+    "(honest r11 re-measurement): the within-cell all-pairs NEAR SCAN is "
+    "58.8x wall at 100x — the scale path is the LSH-bucketed scan with "
+    "the auto-derived plane count (p_semantic_dedup_bucketed_auto, "
+    "functions/similarity.semantic_dedup_bucketed)",
 )
 def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.functions import similarity

@@ -1,0 +1,86 @@
+"""Round-12 property tests: the auto-planes bucketed SemDeDup scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_replicator_spark.cacheutil import release_cached
+from kafka_replicator_spark.functions import similarity as sim
+from kafka_replicator_spark.sources.tables import load_table
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_cached()
+
+
+def test_auto_planes_degenerate_equals_fixed(spark, sf_dir):
+    """With a pair budget large enough that the derivation lands on
+    min_planes, the auto path must equal the fixed n_planes=min form
+    bit-for-bit — plane seeds depend only on the plane index, so the
+    derived-p bucket is the fixed-p bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign_2level(emb, coarse_factor=None)
+    p = sim.derive_n_planes(assigned, pairs_per_vec=10**9)
+    assert p == 4, "a huge pair budget must land on min_planes"
+    auto = (
+        sim.semantic_dedup_bucketed(emb, tau=0.40, pairs_per_vec=10**9)
+        .orderBy("vec_id")
+        .collect()
+    )
+    fixed = (
+        sim.semantic_dedup_bucketed(emb, tau=0.40, n_planes=4)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert auto == fixed
+
+
+def test_derive_n_planes_scales_with_skew(spark):
+    """The derivation must respond to cell-size skew: one giant cell
+    forces more planes than a uniform assignment of the same N."""
+    n = 4096
+    uniform = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("e"),
+        (F.col("id") % 64).alias("centroid_id"),
+    )
+    skewed = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("e"),
+        F.lit(0).alias("centroid_id"),
+    )
+    p_u = sim.derive_n_planes(uniform, pairs_per_vec=4)
+    p_s = sim.derive_n_planes(skewed, pairs_per_vec=4)
+    # uniform: sumsq = 64*64^2 = 262144 <= 4*4096*2^p -> p=4
+    assert p_u == 4
+    # skewed: sumsq = 4096^2 = 16777216 <= 16384*2^p -> 2^p >= 1024 -> p=10
+    assert p_s == 10
+
+
+def test_bucketed_drop_is_subset_of_full(spark, sf_dir):
+    """The bucketed scan's pair set is a subset of the full scan's, so it
+    can never drop a vector the full scan keeps — and at the audit tau the
+    drop branch is EXERCISED (VERDICT r11 #4: nonzero drops)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = sim.semantic_dedup_2level(emb, tau=0.40, coarse_factor=None).select(
+        "vec_id", F.col("kept").alias("kept_full")
+    )
+    buck = sim.semantic_dedup_bucketed_auto(emb, tau=0.40).select(
+        "vec_id", F.col("kept").alias("kept_bucketed")
+    )
+    j = full.join(buck, "vec_id").agg(
+        F.sum(F.when(F.col("kept_full") == 0, 1).otherwise(0)).alias("df"),
+        F.sum(F.when(F.col("kept_bucketed") == 0, 1).otherwise(0)).alias("db"),
+        F.sum(
+            F.when(
+                (F.col("kept_full") == 1) & (F.col("kept_bucketed") == 0), 1
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    assert j["bad"] == 0, "bucketed dropped a vector the full scan keeps"
+    assert j["df"] > 0, "audit tau must exercise the drop branch"
+    assert j["db"] > 0, "audit tau must exercise the bucketed drop branch"
+    assert j["db"] <= j["df"]
