@@ -95,6 +95,10 @@ HEADLINE = [
     # round-11 addition: trained fixed-K coarse codebook (the linear
     # assignment — 2.57x wall at 100x data vs the stride rule's 16.6x)
     "p_ivf_pq_rerank_trained",
+    # round-12 additions (VERDICT r11 #5): the bucketed SemDeDup scan and
+    # its auto-planes successor get per-round regression lines
+    "p_semantic_dedup_bucketed",
+    "p_semantic_dedup_bucketed_auto",
 ]
 
 
@@ -442,6 +446,92 @@ def main() -> None:
             if k not in timings:
                 errors[k] = msg
 
+    # NOOP-SINK section (VERDICT r11 #2): the count() protocol above lets
+    # Catalyst prune row-preserving tails (the r11 measurement correction —
+    # a LEFT JOIN against a unique-key aggregate and everything feeding it
+    # is ELIMINATED under count), so the headline numbers under-measure the
+    # substring-cut and SemDeDup lines.  The count section is kept this
+    # round for per-line history continuity; this parallel section times
+    # the SAME queries materialized via the noop sink (every row and
+    # column), recorded as noop_queries/noop_total in the same artifact.
+    # r13 seeds bench_prev_noop.json from BENCH_r12 and compares
+    # noop-to-noop; the count section then retires.
+    noop_passes = int(os.environ.get("SPARK_GRAFT_NOOP_PASSES", "2"))
+    noop_timings: dict[str, float] = {}
+    noop_errors: dict[str, str] = {}
+
+    def run_noop_pass(tag: str) -> tuple[dict[str, float], dict[str, str]]:
+        t: dict[str, float] = {}
+        e: dict[str, str] = {}
+        for name in HEADLINE:
+            q = registry[name]
+            try:
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t[name] = round(time.perf_counter() - t0, 3)
+                print(f"# [{tag}] {name}: {t[name]:.3f}s", file=sys.stderr)
+            except Exception as ex:
+                e[name] = f"{type(ex).__name__}: {ex}"[:300]
+                print(f"# [{tag}] {name}: ERROR {e[name]}", file=sys.stderr)
+            release_cached()
+        return t, e
+
+    if noop_passes > 0:
+        noop_timings, noop_errors = run_noop_pass("noop1")
+        for p in range(2, noop_passes + 1):
+            time.sleep(pass_gap)
+            t2, e2 = run_noop_pass(f"noop{p}")
+            for k, v in t2.items():
+                noop_timings[k] = min(noop_timings.get(k, v), v)
+                noop_errors.pop(k, None)
+            for k, msg in e2.items():
+                if k not in noop_timings:
+                    noop_errors[k] = msg
+
+    noop_section = {}
+    if noop_timings or noop_errors:
+        noop_section = {
+            "noop_total": round(sum(noop_timings.values()), 3),
+            "noop_timed": len(noop_timings),
+            "noop_queries": noop_timings,
+            "noop_errors": noop_errors,
+        }
+        # noop-to-noop comparable ratio once a prior-round noop snapshot
+        # exists (bench_prev_noop.json — seeded from BENCH_r12 onward)
+        noop_prev_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_prev_noop.json"
+        )
+        if os.path.exists(noop_prev_path):
+            try:
+                nsnap = json.load(open(noop_prev_path))
+                if nsnap.get("sf") is not None and _sf_token(nsnap["sf"]) != _sf_token(sf_dir):
+                    raise ValueError(
+                        f"noop snapshot sf {nsnap['sf']!r} != bench dir {sf_dir!r}"
+                    )
+                ncommon = [
+                    k for k in noop_timings if k in nsnap.get("noop_queries", {})
+                ]
+                nprev = sum(nsnap["noop_queries"][k] for k in ncommon)
+                nnow = sum(noop_timings[k] for k in ncommon)
+                noop_section.update(
+                    {
+                        "noop_comparable_n": len(ncommon),
+                        "noop_comparable_prev_sec": round(nprev, 3),
+                        "noop_comparable_now_sec": round(nnow, 3),
+                        "noop_comparable_ratio": round(nnow / nprev, 3)
+                        if nprev
+                        else None,
+                    }
+                )
+                if nprev:
+                    print(
+                        f"# noop comparable: {nnow:.2f}s / {nprev:.2f}s = "
+                        f"{nnow / nprev:.2f}x over {len(ncommon)} shared lines",
+                        file=sys.stderr,
+                    )
+            except Exception as ex:
+                print(f"# noop snapshot unreadable: {ex}", file=sys.stderr)
+
     total = sum(v for k, v in timings.items() if k in HEADLINE)
     total += timings.get("segment_lifecycle", 0.0)
 
@@ -496,6 +586,7 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 **comparable,
+                **noop_section,
                 "sf": sf_dir,
             }
         )

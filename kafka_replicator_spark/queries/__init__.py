@@ -251,6 +251,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_semantic_dedup_auto_tau40",
     "p_semantic_dedup_bucketed_tau40",
     "p_semdedup_bucketed_auto_agreement",
+    "p_semantic_dedup_incremental",
+    "p_semdedup_batch_invariance",
 ]
 
 

@@ -170,3 +170,77 @@ def q_semdedup_bucketed_auto_agreement(
             " AS BIGINT)"
         ).alias("drop_retention_ppm"),
     )
+
+
+# ------------------------------------- incremental semantic dedup
+
+@register(
+    "p_semantic_dedup_incremental",
+    _sim.semantic_dedup_incremental_sql(tau=_DROP_TAU, n_batches=2),
+    tags=("pipeline", "dedup", "similarity", "incremental"),
+    doc="incremental SemDeDup ingest (VERDICT r11 #6 — the vector "
+    "family's mergeability contract, the twin of p_minhash_mergeability): "
+    "the corpus arrives as 2 consecutive vec_id-range batches folded "
+    "through semantic_dedup_ingest — each batch scans ONLY the cells it "
+    "touches (prior rows there plus the batch itself), never a corpus "
+    "rescan, against a FROZEN centroid set; the final state is "
+    "bit-identical to the one-shot scan (batch-split invariance pinned "
+    f"at 1/2/4 splits in tests/test_round12_properties.py).  tau={_DROP_TAU} "
+    "(inside the corpus cosine range) so the drop branch is exercised "
+    "(functions/similarity.semantic_dedup_ingest)",
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.semantic_dedup_incremental(
+        load_table(spark, sf_dir, "embeddings"), tau=_DROP_TAU, n_batches=2
+    )
+
+
+@register(
+    "p_semdedup_batch_invariance",
+    f"""
+WITH one AS MATERIALIZED (
+  SELECT vec_id, n_near, kept
+  FROM ({_sim.semantic_dedup_incremental_sql(tau=_DROP_TAU, n_batches=1)})
+),
+two AS MATERIALIZED (
+  SELECT vec_id, n_near, kept
+  FROM ({_sim.semantic_dedup_incremental_sql(tau=_DROP_TAU, n_batches=2)})
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN o.kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+       CAST(sum(CASE WHEN o.kept <> t.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_mismatch,
+       CAST(sum(CASE WHEN o.n_near <> t.n_near THEN 1 ELSE 0 END) AS BIGINT)
+         AS near_mismatch
+FROM one o JOIN two t USING (vec_id)
+""",
+    tags=("pipeline", "dedup", "eval", "incremental"),
+    doc="batch-split invariance audit, DRIVER-VERIFIED: the one-shot "
+    "frozen-centroid scan vs the 2-batch incremental fold must agree on "
+    "every vector's (kept, n_near) — kept_mismatch and near_mismatch are "
+    "structurally zero (id-monotone batches freeze each row's lower-id "
+    "mate set), and the oracle recomputes both arms independently so the "
+    "driver hash pins the zeros at every scale",
+)
+def q_semdedup_batch_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    one = _sim.semantic_dedup_incremental(emb, tau=_DROP_TAU, n_batches=1).select(
+        "vec_id", F.col("n_near").alias("nn1"), F.col("kept").alias("k1")
+    )
+    two = _sim.semantic_dedup_incremental(emb, tau=_DROP_TAU, n_batches=2).select(
+        "vec_id", F.col("n_near").alias("nn2"), F.col("kept").alias("k2")
+    )
+    return one.join(two, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("k1") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped"),
+        F.sum(F.when(F.col("k1") != F.col("k2"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_mismatch"),
+        F.sum(F.when(F.col("nn1") != F.col("nn2"), 1).otherwise(0))
+        .cast("long")
+        .alias("near_mismatch"),
+    )

@@ -84,3 +84,23 @@ def test_bucketed_drop_is_subset_of_full(spark, sf_dir):
     assert j["df"] > 0, "audit tau must exercise the drop branch"
     assert j["db"] > 0, "audit tau must exercise the bucketed drop branch"
     assert j["db"] <= j["df"]
+
+
+@pytest.mark.parametrize("n_batches", [2, 4])
+def test_incremental_batch_split_invariance(spark, sf_dir, n_batches):
+    """Folding semantic_dedup_ingest over 2 or 4 id-monotone batches must
+    equal the one-shot frozen-centroid scan bit-for-bit (VERDICT r11 #6:
+    the vector family's mergeability contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = (
+        sim.semantic_dedup_incremental(emb, tau=0.40, n_batches=1)
+        .orderBy("vec_id")
+        .collect()
+    )
+    multi = (
+        sim.semantic_dedup_incremental(emb, tau=0.40, n_batches=n_batches)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert one == multi
+    assert any(r["kept"] == 0 for r in one), "tau must exercise drops"

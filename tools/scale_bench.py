@@ -71,6 +71,11 @@ KERNELS = [
     # round 11 (post-correction): the LSH-bucketed SemDeDup scan — the
     # structural answer to the honest near-scan numbers
     "p_semantic_dedup_bucketed",
+    # round 12: the AUTO-PLANES bucketed scan (VERDICT r11 #1) — the fixed
+    # n_planes=4 cut is a 2^4 constant factor; deriving p from the
+    # measured cell-size skew caps the scan at a constant pair budget per
+    # vector, so this curve should hold the trained-rerank class (~4x@100x)
+    "p_semantic_dedup_bucketed_auto",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
