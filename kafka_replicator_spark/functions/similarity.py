@@ -556,7 +556,11 @@ model AS (
 
 
 def ivf_assign_trained(
-    embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest TRAINED k-means centroid — the
     fixed-K coarse quantizer that makes IVF assignment LINEAR in the corpus
@@ -577,9 +581,16 @@ def ivf_assign_trained(
 
     Returns (vec_id, e, centroid_id) — the same frame shape as
     :func:`ivf_assign` / :func:`ivf_assign_2level`, so the IVFPQ chain and
-    the SemDeDup scan compose unchanged.
+    the SemDeDup scan compose unchanged.  ``model`` lets a caller that
+    already materialized (and typically cached) the :func:`kmeans_model`
+    frame share it instead of paying the training iterations twice (the
+    multiprobe path ranks probe cells against the same model).
     """
-    cents = kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+    cents = (
+        kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+        if model is None
+        else model
+    )
     emb = track_cached(
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
@@ -2111,6 +2122,117 @@ probe_cells AS (
              ORDER BY {cos.format(a='pe', b='ce')} DESC, centroid_id ASC
            ) AS rn
     FROM probes, cents
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT probe_id, c.vec_id AS neighbor_id,
+         {cos.format(a='pe', b='c.e')} AS cos
+  FROM assigned c JOIN probe_cells USING (centroid_id)
+  WHERE c.vec_id <> probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk_trained_multiprobe(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF multiprobe over TRAINED fixed-K cells (VERDICT r11 #7: the
+    recall knob existed only for the stride path) — each probe ranks the
+    K model centroids by the SAME squared-L2 key the assignment argmins
+    on (ties to the smaller cluster id) and scans its top ``nprobe``
+    cells, the standard fix for nprobe=1 boundary misses.  The probe-cell
+    ranking is a window on the bounded |probes|·K frame (probe grain —
+    never corpus grain); candidate volume scales linearly with nprobe,
+    corpus passes stay at one, and the k×dim model is trained ONCE and
+    shared with the assignment via the ``model=`` forwarding contract."""
+    model = track_cached(
+        kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+    )
+    assigned = track_cached(
+        ivf_assign_trained(
+            embeddings, n_clusters=n_clusters, iters=iters, dim=dim, model=model
+        )
+    )
+    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pw = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probe_cells = (
+        probes.join(F.broadcast(model))
+        .select(
+            "probe_id",
+            "pe",
+            "cluster",
+            (
+                dot_col(F.col("pe"), F.col("pe"))
+                - 2 * dot_col(F.col("pe"), F.col("cd"))
+                + dot_col(F.col("cd"), F.col("cd"))
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "pe", F.col("cluster").alias("centroid_id"))
+    )
+    cands = assigned.join(F.broadcast(probe_cells), ["centroid_id"]).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_topk_trained_multiprobe_sql(
+    probe_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ivf_topk_trained_multiprobe` — the shared
+    trained-assignment block plus the probe-cell rank (same squared-L2
+    ordering key as the assignment argmin) and the cell-union scan."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    cos = _LIST_COS_SQL
+    return f"""
+{ivf_assign_trained_sql_ctes(n_clusters, iters, dim)},
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM assigned WHERE vec_id IN ({ids})),
+probe_cells AS (
+  SELECT probe_id, pe, cluster AS centroid_id FROM (
+    SELECT probes.probe_id, probes.pe, m.cluster,
+           row_number() OVER (
+             PARTITION BY probe_id
+             ORDER BY list_dot_product(pe, pe) - 2 * list_dot_product(pe, cd)
+                      + list_dot_product(cd, cd) ASC,
+                      m.cluster ASC
+           ) AS rn
+    FROM probes, model m
   ) WHERE rn <= {nprobe}
 ),
 scored AS (

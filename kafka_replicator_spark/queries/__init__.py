@@ -253,6 +253,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_semdedup_bucketed_auto_agreement",
     "p_semantic_dedup_incremental",
     "p_semdedup_batch_invariance",
+    "p_ivf_trained_multiprobe",
+    "p_trained_nprobe_recall_curve",
 ]
 
 

@@ -244,3 +244,146 @@ def q_semdedup_batch_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("near_mismatch"),
     )
+
+
+# ------------------------------------- trained-IVF multiprobe (recall knob)
+
+_TMP_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+_TMP_NPROBES = (1, 2, 4)
+_TMP_K = 5
+#: same fixed-K design point as p_ivf_pq_rerank_trained
+_TMP_CLUSTERS, _TMP_ITERS = 16, 2
+
+
+@register(
+    "p_ivf_trained_multiprobe",
+    _sim.ivf_topk_trained_multiprobe_sql(
+        _TMP_PROBES, k=_TMP_K, nprobe=2, n_clusters=_TMP_CLUSTERS, iters=_TMP_ITERS
+    ),
+    tags=("pipeline", "similarity"),
+    doc="IVF multiprobe over TRAINED fixed-K cells (VERDICT r11 #7: the "
+    "recall knob existed only for the stride path) — each probe ranks the "
+    f"K={_TMP_CLUSTERS} model centroids by the assignment's own "
+    "squared-L2 key and scans its top-2 cells; probe-cell rank is a "
+    "bounded probe-grain window, the model trains once and is shared "
+    "with the assignment via model= forwarding "
+    "(functions/similarity.ivf_topk_trained_multiprobe)",
+)
+def q_ivf_trained_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ivf_topk_trained_multiprobe(
+        load_table(spark, sf_dir, "embeddings"),
+        _TMP_PROBES,
+        k=_TMP_K,
+        nprobe=2,
+        n_clusters=_TMP_CLUSTERS,
+        iters=_TMP_ITERS,
+    )
+
+
+def _trained_nprobe_curve_sql() -> str:
+    per_np = []
+    for np_ in _TMP_NPROBES:
+        per_np.append(
+            f"""SELECT {np_} AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((1000000 * count(*)) // {len(_TMP_PROBES) * _TMP_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT probe_id, neighbor_id
+      FROM ({_sim.ivf_topk_trained_multiprobe_sql(
+          _TMP_PROBES, k=_TMP_K, nprobe=np_,
+          n_clusters=_TMP_CLUSTERS, iters=_TMP_ITERS)}))
+  ivf JOIN bf USING (probe_id, neighbor_id)"""
+        )
+    union = "\nUNION ALL ".join(per_np)
+    return f"""
+WITH bf AS MATERIALIZED (
+  SELECT probe_id, neighbor_id
+  FROM ({_sim.brute_force_topk_sql(_TMP_PROBES, k=_TMP_K)})
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe, n_hits, recall_ppm FROM ({union})
+"""
+
+
+@register(
+    "p_trained_nprobe_recall_curve",
+    _trained_nprobe_curve_sql(),
+    tags=("pipeline", "similarity", "audit"),
+    doc="recall-vs-nprobe curve for the TRAINED fixed-K IVF cells: exact "
+    f"recall@{_TMP_K} against the brute-force cosine baseline at nprobe "
+    f"= {_TMP_NPROBES} — the accuracy/cost dial of the linear-assignment "
+    "path (its stride twin is p_ivf_probe_recall_curve).  Spark arms are "
+    "carved from ONE shared model + assignment + max-nprobe scored frame "
+    "(the shortlist-curve discipline); recall is monotone non-decreasing "
+    "in nprobe by construction (cell sets nest); 3 output rows",
+)
+def q_trained_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+    from pyspark.sql import Window
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    bf = track_cached(
+        _sim.brute_force_topk(emb, _TMP_PROBES, k=_TMP_K).select(
+            "probe_id", "neighbor_id"
+        )
+    )
+    model = track_cached(
+        _sim.kmeans_model(emb, n_clusters=_TMP_CLUSTERS, iters=_TMP_ITERS)
+    )
+    assigned = track_cached(
+        _sim.ivf_assign_trained(
+            emb, n_clusters=_TMP_CLUSTERS, iters=_TMP_ITERS, model=model
+        )
+    )
+    probes = assigned.filter(F.col("vec_id").isin(_TMP_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pw = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probe_cells = (
+        probes.join(F.broadcast(model))
+        .select(
+            "probe_id",
+            "pe",
+            "cluster",
+            (
+                _sim.dot_col(F.col("pe"), F.col("pe"))
+                - 2 * _sim.dot_col(F.col("pe"), F.col("cd"))
+                + _sim.dot_col(F.col("cd"), F.col("cd"))
+            ).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= max(_TMP_NPROBES))
+        .select(
+            "probe_id", "pe", F.col("cluster").alias("centroid_id"),
+            F.col("rn").alias("cell_rank"),
+        )
+    )
+    # ONE cosine pass at the widest nprobe; arms filter cell_rank
+    scored = track_cached(
+        assigned.join(F.broadcast(probe_cells), ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cell_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            _sim.cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        )
+    )
+    denom = len(_TMP_PROBES) * _TMP_K
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    out = None
+    for np_ in _TMP_NPROBES:
+        arm = (
+            scored.filter(F.col("cell_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TMP_K)
+            .select("probe_id", "neighbor_id")
+        )
+        frame = arm.join(bf, ["probe_id", "neighbor_id"]).agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.expr(f"CAST((1000000 * count(1)) div {denom} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        out = frame if out is None else out.unionAll(frame)
+    return out
