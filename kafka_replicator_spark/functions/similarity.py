@@ -1771,6 +1771,72 @@ def semantic_dedup_bucketed_auto(
     )
 
 
+def semantic_dedup_bucketed_trained(
+    embeddings: DataFrame,
+    tau: float = 0.92,
+    n_clusters: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    pairs_per_vec: int = 64,
+) -> DataFrame:
+    """The fully LINEAR SemDeDup: trained fixed-K coarse assignment (N·K —
+    :func:`ivf_assign_trained`) + the auto-planes bucketed scan (pair
+    volume capped at ~pairs_per_vec per vector by :func:`derive_n_planes`).
+
+    This closes the design matrix semantic_dedup_trained opened: fixed-K
+    cells alone are the all-pairs scan's NEGATIVE control (|cell| = N/K ⇒
+    Σ|cell|² = N²/K, quadratic — measured 92.6x at 30x), but the
+    auto-planes rule reacts to exactly that growth — Σc² = N²/K forces
+    p ≈ log2(N/(K·ppv)), so the plane count climbs logarithmically and
+    the scan stays at ~ppv·N pairs.  Assignment linear, bucketing linear
+    (p dot products per vector), scan linear: the only SemDeDup flavor
+    whose every stage is O(N) at fixed K.  Derived p ships as an output
+    column; the oracle replays assignment, ladder, and mask exactly."""
+    assigned = track_cached(
+        ivf_assign_trained(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+    )
+    p = derive_n_planes(assigned, pairs_per_vec)
+    ab = assigned.join(lsh_buckets(embeddings, p, dim), "vec_id")
+    return _semantic_scan(ab, tau, keys=("centroid_id", "bucket")).select(
+        "*", F.lit(p).cast("long").alias("n_planes")
+    )
+
+
+def semantic_dedup_bucketed_trained_sql(
+    tau: float = 0.92,
+    n_clusters: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    pairs_per_vec: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup_bucketed_trained` — the
+    shared trained-assignment block (:func:`ivf_assign_trained_sql_ctes`)
+    plus the auto-planes bucket chain and the (cell, bucket) scan."""
+    cos = _LIST_COS_SQL
+    return f"""
+{ivf_assign_trained_sql_ctes(n_clusters, iters, dim)},
+{_bucketed_bk_cte_sql(None, dim, pairs_per_vec)},
+ab AS MATERIALIZED (
+  SELECT a.vec_id, a.e, a.centroid_id, bk.bucket
+  FROM assigned a JOIN bk USING (vec_id)
+),
+near AS (
+  SELECT b.vec_id AS b_id, count(*) AS n_near
+  FROM ab a JOIN ab b
+    ON a.centroid_id = b.centroid_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id,
+       CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       CAST(coalesce(n.n_near, 0) AS INTEGER) AS n_near,
+       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+       CAST((SELECT p FROM npl) AS BIGINT) AS n_planes
+FROM ab s LEFT JOIN near n ON s.vec_id = n.b_id
+"""
+
+
 def _bucketed_bk_cte_sql(
     n_planes: int | None, dim: int, pairs_per_vec: int
 ) -> str:

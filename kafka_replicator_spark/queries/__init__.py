@@ -255,6 +255,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_semdedup_batch_invariance",
     "p_ivf_trained_multiprobe",
     "p_trained_nprobe_recall_curve",
+    "r_compaction_steady_state",
+    "p_semantic_dedup_bucketed_trained",
 ]
 
 

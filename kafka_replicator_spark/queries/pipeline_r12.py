@@ -387,3 +387,25 @@ def q_trained_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = frame if out is None else out.unionAll(frame)
     return out
+
+
+@register(
+    "p_semantic_dedup_bucketed_trained",
+    _sim.semantic_dedup_bucketed_trained_sql(tau=_DROP_TAU),
+    tags=("pipeline", "dedup", "similarity"),
+    doc="the fully LINEAR SemDeDup: trained fixed-K coarse assignment "
+    "(N*K — the p_ivf_pq_rerank_trained design point) + the auto-planes "
+    "bucketed scan (pair volume capped at ~64 pairs/vector).  Fixed-K "
+    "cells alone are the all-pairs scan's negative control (|cell|=N/K "
+    "makes sum(|cell|^2) = N^2/K — p_semantic_dedup_trained measured "
+    "92.6x at 30x), but the auto-planes ladder reacts to exactly that "
+    "growth: p ~ log2(N/(K*ppv)) climbs logarithmically, so assignment, "
+    "bucketing, and scan are ALL O(N) — the one SemDeDup flavor with no "
+    f"superlinear stage.  tau={_DROP_TAU} exercises the drop branch; "
+    "derived p is a hashed output column "
+    "(functions/similarity.semantic_dedup_bucketed_trained)",
+)
+def q_semantic_dedup_bucketed_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.semantic_dedup_bucketed_trained(
+        load_table(spark, sf_dir, "embeddings"), tau=_DROP_TAU
+    )

@@ -4401,3 +4401,215 @@ def q_msg_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_id", "size_bucket")
     )
+
+
+# ------------------------------- compaction steady-state level model (r12)
+
+#: the two MaxSegmentSize points of the steady-state sweep (VERDICT r11
+#: #7): small segments climb levels fast inside a fixed round budget,
+#: large ones may never fill a window — the levels-reached-vs-input-rate
+#: model a capacity plan reads next to r_amplification_pareto's byte axes
+_SS_SEG_POINTS = (50, 200)
+_SS_FANIN = 2
+#: literal per-level round schedule: 4 rounds at level 0 (producing up to
+#: 4 L1 segments per partition), 2 at level 1, 1 at level 2 — a fixed
+#: 7-round budget both engines unroll identically
+_SS_SCHEDULE = ((0, 4), (1, 2), (2, 1))
+
+
+def _ss_arm_sql(sm: int) -> tuple[list[str], list[str]]:
+    f = _SS_FANIN
+    ctes = [
+        f"""ss_l0_{sm} AS (
+  SELECT topic, partition_id, msg_offset // {sm} AS seq,
+         min(msg_offset) AS lo, max(msg_offset) AS hi,
+         CAST(count(*) AS BIGINT) AS nmsg
+  FROM messages GROUP BY topic, partition_id, msg_offset // {sm}
+)""",
+        f"""ss_l1_{sm} AS (
+  SELECT * FROM (
+    SELECT topic, partition_id, seq // {f} AS g,
+           min(lo) AS lo, max(hi) AS hi,
+           CAST(sum(nmsg) AS BIGINT) AS nmsg, count(*) AS c
+    FROM ss_l0_{sm} WHERE seq // {f} < 4
+    GROUP BY topic, partition_id, seq // {f}
+  ) WHERE c = {f}
+)""",
+        f"""ss_l2_{sm} AS (
+  SELECT * FROM (
+    SELECT topic, partition_id, g // {f} AS h,
+           min(lo) AS lo, max(hi) AS hi,
+           CAST(sum(nmsg) AS BIGINT) AS nmsg, count(*) AS c
+    FROM ss_l1_{sm} WHERE g // {f} < 2
+    GROUP BY topic, partition_id, g // {f}
+  ) WHERE c = {f}
+)""",
+    ]
+    rows = []
+    rnd = 0
+    for k in range(4):
+        rnd += 1
+        rows.append(
+            f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
+       CAST(0 AS INTEGER) AS level, topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_merged, min(lo) AS lo_offset,
+       max(hi) AS hi_offset, CAST(sum(nmsg) AS BIGINT) AS n_msgs
+FROM ss_l0_{sm} WHERE seq // {f} = {k}
+GROUP BY topic, partition_id HAVING count(*) = {f}"""
+        )
+    for j in range(2):
+        rnd += 1
+        rows.append(
+            f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
+       CAST(1 AS INTEGER) AS level, topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_merged, min(lo) AS lo_offset,
+       max(hi) AS hi_offset, CAST(sum(nmsg) AS BIGINT) AS n_msgs
+FROM ss_l1_{sm} WHERE g // {f} = {j}
+GROUP BY topic, partition_id HAVING count(*) = {f}"""
+        )
+    rnd += 1
+    rows.append(
+        f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
+       CAST(2 AS INTEGER) AS level, topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_merged, min(lo) AS lo_offset,
+       max(hi) AS hi_offset, CAST(sum(nmsg) AS BIGINT) AS n_msgs
+FROM ss_l2_{sm} WHERE h // {f} = 0
+GROUP BY topic, partition_id HAVING count(*) = {f}"""
+    )
+    return ctes, rows
+
+
+def _ss_oracle() -> str:
+    ctes = [MESSAGES_CTE]
+    rows: list[str] = []
+    for sm in _SS_SEG_POINTS:
+        c, r = _ss_arm_sql(sm)
+        ctes.extend(c)
+        rows.extend(r)
+    return with_ctes(
+        *ctes,
+        select="SELECT * FROM ("
+        + "\nUNION ALL ".join(rows)
+        + ")\nORDER BY seg_max, round, topic, partition_id",
+    )
+
+
+@register(
+    "r_compaction_steady_state",
+    _ss_oracle(),
+    tags=("parity", "aggregation", "sweep"),
+    doc="compaction steady-state level model (VERDICT r11 #7: compose "
+    "r_compaction_convergence's iterated real planner with "
+    "r_amplification_pareto's MaxSegmentSize sweep): the REAL "
+    f"plan_compaction driven through the literal schedule {_SS_SCHEDULE} "
+    f"(level, rounds) at fan-in {_SS_FANIN} for each MaxSegmentSize arm "
+    f"{_SS_SEG_POINTS} — per round, the first full window per partition "
+    "of that level merges into level+1 (O1 heap order + A8 bounded "
+    "take), so the output records how HIGH each arm's data climbs inside "
+    "a fixed round budget: small segments fill windows fast and reach "
+    "level 2; large segments may never fill a level-1 window at the same "
+    "input volume.  The oracle restates each round as the k-th fan-in "
+    "window per level (the r_compaction_convergence closed form, applied "
+    "per level to the previous level's full windows — exactly the pareto "
+    "arms' rollup CTEs); absent/partial windows yield no row on either "
+    "engine.  Metadata grain throughout; per-round caching truncates "
+    "lineage (compactor.go:176-242 iterated)",
+)
+def q_compaction_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = track_cached(
+        events_as_messages(spark, sf_dir).select(
+            "topic", "partition_id", "msg_offset", "msg_size"
+        )
+    )
+    f = _SS_FANIN
+    out: DataFrame | None = None
+    for sm in _SS_SEG_POINTS:
+        cur = (
+            msgs.groupBy(
+                "topic",
+                "partition_id",
+                F.expr(f"msg_offset div {sm}").alias("segment_seq"),
+            )
+            .agg(
+                F.min("msg_offset").alias("start_offset"),
+                F.max("msg_offset").alias("end_offset"),
+                F.count(F.lit(1)).cast("long").alias("message_count"),
+                F.sum("msg_size").cast("long").alias("size_bytes"),
+            )
+            .select(
+                F.lit("local").alias("region"),
+                "topic",
+                "partition_id",
+                F.lit(0).cast("int").alias("level"),
+                "segment_seq",
+                "start_offset",
+                "end_offset",
+                "message_count",
+                "size_bytes",
+            )
+            # 7 iterated rounds nest anti-joins/unions: caching alone does
+            # NOT truncate the LOGICAL plan, and Catalyst's analysis cost
+            # explodes with the nesting depth (measured: minutes at round
+            # ~10).  localCheckpoint cuts the lineage to a leaf each round
+            # — metadata-scale rows, so the eager materialization is cheap
+            # (the p_dup_clusters precedent).
+            .localCheckpoint()
+        )
+        rnd = 0
+        for level, n_rounds in _SS_SCHEDULE:
+            for per_level in range(n_rounds):
+                rnd += 1
+                plan = track_cached(
+                    plan_compaction(
+                        cur,
+                        min_level=level,
+                        max_level=level,
+                        min_count=f,
+                        max_count=f,
+                        min_bytes=1,
+                        max_bytes=1 << 60,
+                    )
+                )
+                agg = plan.groupBy("topic", "partition_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_merged"),
+                    F.min("start_offset").alias("lo_offset"),
+                    F.max("end_offset").alias("hi_offset"),
+                    F.sum("message_count").cast("long").alias("n_msgs"),
+                ).select(
+                    F.lit(sm).cast("long").alias("seg_max"),
+                    F.lit(rnd).cast("int").alias("round"),
+                    F.lit(level).cast("int").alias("level"),
+                    "*",
+                )
+                out = agg if out is None else out.unionByName(agg)
+                merged = plan.groupBy("topic", "partition_id").agg(
+                    F.min("start_offset").alias("start_offset"),
+                    F.max("end_offset").alias("end_offset"),
+                    F.sum("message_count").cast("long").alias("message_count"),
+                    F.sum("size_bytes").cast("long").alias("size_bytes"),
+                ).select(
+                    F.lit("local").alias("region"),
+                    "topic",
+                    "partition_id",
+                    F.lit(level + 1).cast("int").alias("level"),
+                    F.lit(per_level).cast("long").alias("segment_seq"),
+                    "start_offset",
+                    "end_offset",
+                    "message_count",
+                    "size_bytes",
+                )
+                cur = (
+                    cur.join(
+                        plan.select(
+                            "topic", "partition_id", "level", "segment_seq"
+                        ),
+                        ["topic", "partition_id", "level", "segment_seq"],
+                        "left_anti",
+                    )
+                    .unionByName(merged)
+                    .localCheckpoint()  # truncate lineage (see above)
+                )
+        del cur
+    return out.orderBy("seg_max", "round", "topic", "partition_id")

@@ -76,6 +76,9 @@ KERNELS = [
     # measured cell-size skew caps the scan at a constant pair budget per
     # vector, so this curve should hold the trained-rerank class (~4x@100x)
     "p_semantic_dedup_bucketed_auto",
+    # round 12: the fully linear flavor — trained fixed-K assignment (N*K)
+    # + auto-planes scan (pair budget): every stage O(N)
+    "p_semantic_dedup_bucketed_trained",
 ]
 
 #: same spirit as the testdata ids (dense from 0) — variant v offsets ids by
