@@ -257,6 +257,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_trained_nprobe_recall_curve",
     "r_compaction_steady_state",
     "p_semantic_dedup_bucketed_trained",
+    "p_planes_budget_sweep",
 ]
 
 

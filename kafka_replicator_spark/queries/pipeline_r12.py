@@ -409,3 +409,132 @@ def q_semantic_dedup_bucketed_trained(spark: SparkSession, sf_dir: str) -> DataF
     return _sim.semantic_dedup_bucketed_trained(
         load_table(spark, sf_dir, "embeddings"), tau=_DROP_TAU
     )
+
+
+# ------------------------------------- plane-budget sweep (ppv ladder)
+
+_PB_LADDER = (16, 64, 256)
+
+
+def _planes_budget_sweep_sql() -> str:
+    """Three pair-budget arms over ONE shared assignment + ONE shared
+    16-plane bucket frame: per arm, the derived plane count, the actual
+    candidate-pair volume (the quantity the budget rule caps), and the
+    drop count at the audit tau.  Arm CTEs are alias-suffixed siblings in
+    one top-level WITH (same-scope duplicate aliases are an error on both
+    engines); the npl ladder text comes from the single generator."""
+    cos = _sim._LIST_COS_SQL
+    ctes = [
+        _sim.ivf_assign_2level_sql_ctes(250, None)[len("WITH ") :],
+        "cellsz AS (SELECT count(*) AS c FROM assigned GROUP BY centroid_id)",
+        f"bkfull AS MATERIALIZED ({_sim.lsh_buckets_sql(16, 64)})",
+    ]
+    arms = []
+    for ppv in _PB_LADDER:
+        ctes.append(
+            f"npl{ppv} AS MATERIALIZED ({_sim.derive_n_planes_case_sql(ppv)})"
+        )
+        ctes.append(
+            f"""ab{ppv} AS MATERIALIZED (
+  SELECT a.vec_id, a.e, a.centroid_id,
+         CAST(bkfull.bucket % (1::BIGINT << (SELECT p FROM npl{ppv})) AS BIGINT)
+           AS bucket
+  FROM assigned a JOIN bkfull USING (vec_id)
+)"""
+        )
+        ctes.append(
+            f"""cp{ppv} AS (
+  SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS cand_pairs
+  FROM (SELECT count(*) AS c FROM ab{ppv} GROUP BY centroid_id, bucket)
+)"""
+        )
+        ctes.append(
+            f"""dr{ppv} AS (
+  SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS dropped
+  FROM ab{ppv} a JOIN ab{ppv} b
+    ON a.centroid_id = b.centroid_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {_DROP_TAU}
+)"""
+        )
+        arms.append(
+            f"""SELECT CAST({ppv} AS BIGINT) AS pairs_per_vec,
+       CAST((SELECT p FROM npl{ppv}) AS BIGINT) AS n_planes,
+       (SELECT cand_pairs FROM cp{ppv}) AS cand_pairs,
+       (SELECT dropped FROM dr{ppv}) AS dropped"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(arms)
+        + ") ORDER BY pairs_per_vec"
+    )
+
+
+@register(
+    "p_planes_budget_sweep",
+    _planes_budget_sweep_sql(),
+    tags=("pipeline", "dedup", "sweep"),
+    doc="pair-budget ladder for the auto-planes rule: at pairs_per_vec = "
+    f"{_PB_LADDER}, the derived plane count, the ACTUAL candidate-pair "
+    "volume (the quantity the budget caps — tighter budgets must never "
+    "raise it), and the drop count at the audit tau (retention falls as "
+    "planes split true near-pairs) — the accuracy/cost dial of the "
+    "bucketed scan, measured not assumed.  ONE shared auto-G assignment "
+    "and ONE shared 16-plane bucket frame feed all arms (bucket bits are "
+    "prefix-stable, so each arm is a mask); 3 output rows",
+)
+def q_planes_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    assigned = track_cached(_sim.ivf_assign_2level(emb, 250, None))
+    bkfull = track_cached(_sim.lsh_buckets(emb, 16, 64))
+    out = None
+    for ppv in _PB_LADDER:
+        p = _sim.derive_n_planes(assigned, ppv)
+        ab = track_cached(
+            assigned.join(bkfull, "vec_id").select(
+                "vec_id",
+                "e",
+                "centroid_id",
+                (F.col("bucket") % F.lit(1 << p)).cast("long").alias("bucket"),
+            )
+        )
+        cp = ab.groupBy("centroid_id", "bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        ).agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("cand_pairs")
+        )
+        a = ab.select(
+            "centroid_id", "bucket", F.col("vec_id").alias("a_id"),
+            F.col("e").alias("ae"),
+        )
+        b = ab.select(
+            "centroid_id", "bucket", F.col("vec_id").alias("b_id"),
+            F.col("e").alias("be"),
+        )
+        dr = (
+            a.join(b, ["centroid_id", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(
+                F.round(
+                    _sim.cosine_col(F.col("ae"), F.col("be")), 6
+                ) >= _DROP_TAU
+            )
+            .agg(F.countDistinct("b_id").cast("long").alias("dropped"))
+        )
+        arm = (
+            cp.crossJoin(F.broadcast(dr))
+            .select(
+                F.lit(ppv).cast("long").alias("pairs_per_vec"),
+                F.lit(p).cast("long").alias("n_planes"),
+                "cand_pairs",
+                "dropped",
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("pairs_per_vec")
