@@ -99,6 +99,8 @@ HEADLINE = [
     # its auto-planes successor get per-round regression lines
     "p_semantic_dedup_bucketed",
     "p_semantic_dedup_bucketed_auto",
+    # the fully linear flavor (trained fixed-K assignment + auto-planes)
+    "p_semantic_dedup_bucketed_trained",
 ]
 
 

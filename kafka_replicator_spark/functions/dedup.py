@@ -753,6 +753,10 @@ def minhash_bands(
     the :func:`minhash_signatures` frame share it across several band
     layouts (the bands-ladder sweep) instead of re-hashing per arm —
     the same sharing contract ``shingles`` provides one level down.
+    CONTRACT: the supplied frame must have been built with the same ``k``
+    (schema-checked below) AND the same shingle width ``n`` — the n half
+    is unobservable from the schema, so it is the caller's obligation;
+    a mismatched n silently bands different shingle semantics.
     """
     rows = k // bands
     if sig is None:

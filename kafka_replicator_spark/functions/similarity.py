@@ -586,11 +586,21 @@ def ivf_assign_trained(
     frame share it instead of paying the training iterations twice (the
     multiprobe path ranks probe cells against the same model).
     """
-    cents = (
-        kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
-        if model is None
-        else model
-    )
+    if model is None:
+        cents = kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+    else:
+        # the forwarding contract: the supplied frame must be the model the
+        # n_clusters param claims — a k-mismatched (or foreign-corpus) frame
+        # would silently assign against the wrong cells (the minhash_bands
+        # sig= guard's spirit; one count job on a k-row, typically cached
+        # frame)
+        n_model = model.count()
+        if n_model != n_clusters:
+            raise ValueError(
+                f"ivf_assign_trained(model=...) expects a {n_clusters}-row "
+                f"kmeans_model frame; supplied frame has {n_model} clusters"
+            )
+        cents = model
     emb = track_cached(
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
@@ -1811,30 +1821,12 @@ def semantic_dedup_bucketed_trained_sql(
 ) -> str:
     """DuckDB mirror of :func:`semantic_dedup_bucketed_trained` — the
     shared trained-assignment block (:func:`ivf_assign_trained_sql_ctes`)
-    plus the auto-planes bucket chain and the (cell, bucket) scan."""
-    cos = _LIST_COS_SQL
+    plus the auto-planes bucket chain and the shared scan tail."""
+    np_col = ",\n       CAST((SELECT p FROM npl) AS BIGINT) AS n_planes"
     return f"""
 {ivf_assign_trained_sql_ctes(n_clusters, iters, dim)},
 {_bucketed_bk_cte_sql(None, dim, pairs_per_vec)},
-ab AS MATERIALIZED (
-  SELECT a.vec_id, a.e, a.centroid_id, bk.bucket
-  FROM assigned a JOIN bk USING (vec_id)
-),
-near AS (
-  SELECT b.vec_id AS b_id, count(*) AS n_near
-  FROM ab a JOIN ab b
-    ON a.centroid_id = b.centroid_id AND a.bucket = b.bucket
-   AND a.vec_id < b.vec_id
-  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {tau}
-  GROUP BY b.vec_id
-)
-SELECT s.vec_id,
-       CAST(s.centroid_id AS BIGINT) AS centroid_id,
-       CAST(coalesce(n.n_near, 0) AS INTEGER) AS n_near,
-       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
-       CAST((SELECT p FROM npl) AS BIGINT) AS n_planes
-FROM ab s LEFT JOIN near n ON s.vec_id = n.b_id
-"""
+{_bucketed_scan_tail_sql(tau, np_col)}"""
 
 
 def _bucketed_bk_cte_sql(
@@ -1859,32 +1851,15 @@ bk AS MATERIALIZED (
 )"""
 
 
-def semantic_dedup_bucketed_sql(
-    tau: float = 0.92,
-    centroid_stride: int = 250,
-    coarse_factor: int | None = None,
-    n_planes: int | None = 4,
-    dim: int = 64,
-    pairs_per_vec: int = 64,
-    with_n_planes_col: bool = False,
-) -> str:
-    """DuckDB mirror of :func:`semantic_dedup_bucketed` — the shared
-    2-level assignment block plus the literal-hyperplane bucket CTE, the
-    near scan blocked on (centroid_id, bucket).  ``n_planes=None`` derives
-    the plane count in SQL (see :func:`_bucketed_bk_cte_sql`);
-    ``with_n_planes_col`` appends the derived count as an output column
-    (the :func:`semantic_dedup_bucketed_auto` mirror)."""
+def _bucketed_scan_tail_sql(tau: float, np_col: str) -> str:
+    """The (cell, bucket)-blocked near scan + final select over the
+    ``assigned`` + ``bk`` CTEs — THE one generator of the bucketed scan
+    text, shared by :func:`semantic_dedup_bucketed_sql` (2-level
+    assignment) and :func:`semantic_dedup_bucketed_trained_sql` (trained
+    assignment) so the scan rule can never silently fork between the
+    family's oracles."""
     cos = _LIST_COS_SQL
-    np_col = ""
-    if with_n_planes_col:
-        np_expr = (
-            "(SELECT p FROM npl)" if n_planes is None else str(n_planes)
-        )
-        np_col = f",\n       CAST({np_expr} AS BIGINT) AS n_planes"
-    return f"""
-{ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)},
-{_bucketed_bk_cte_sql(n_planes, dim, pairs_per_vec)},
-ab AS MATERIALIZED (
+    return f"""ab AS MATERIALIZED (
   SELECT a.vec_id, a.e, a.centroid_id, bk.bucket
   FROM assigned a JOIN bk USING (vec_id)
 ),
@@ -1902,6 +1877,34 @@ SELECT s.vec_id,
        CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept{np_col}
 FROM ab s LEFT JOIN near n ON s.vec_id = n.b_id
 """
+
+
+def semantic_dedup_bucketed_sql(
+    tau: float = 0.92,
+    centroid_stride: int = 250,
+    coarse_factor: int | None = None,
+    n_planes: int | None = None,
+    dim: int = 64,
+    pairs_per_vec: int = 64,
+    with_n_planes_col: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup_bucketed` — the shared
+    2-level assignment block plus the literal-hyperplane bucket CTE, the
+    near scan blocked on (centroid_id, bucket).  ``n_planes=None`` (the
+    family default, matching the Spark side) derives the plane count in
+    SQL (see :func:`_bucketed_bk_cte_sql`); ``with_n_planes_col`` appends
+    the derived count as an output column (the
+    :func:`semantic_dedup_bucketed_auto` mirror)."""
+    np_col = ""
+    if with_n_planes_col:
+        np_expr = (
+            "(SELECT p FROM npl)" if n_planes is None else str(n_planes)
+        )
+        np_col = f",\n       CAST({np_expr} AS BIGINT) AS n_planes"
+    return f"""
+{ivf_assign_2level_sql_ctes(centroid_stride, coarse_factor)},
+{_bucketed_bk_cte_sql(n_planes, dim, pairs_per_vec)},
+{_bucketed_scan_tail_sql(tau, np_col)}"""
 
 
 # ------------------------------------------ incremental semantic dedup
@@ -2009,12 +2012,16 @@ def semantic_dedup_incremental(
     n_batches: int = 2,
 ) -> DataFrame:
     """Fold :func:`semantic_dedup_ingest` over ``n_batches`` consecutive
-    vec_id ranges of the corpus (bounds at min + k·(span+1)/n, integer
-    arithmetic) with the frozen stride-rule centroid set, returning the
+    vec_id ranges of the corpus (batch k = [lo + span·k // n,
+    lo + span·(k+1) // n) with span = hi − lo + 1, pure integer division)
+    with the frozen stride-rule centroid set, returning the
     final dedup state WITHOUT the embedding column — (vec_id,
     centroid_id, n_near, kept), the driver-hashable shape.  With the same
     frozen centroids the result is independent of ``n_batches`` (the
     batch-split invariance the property test pins at 1/2/4 splits)."""
+    # batch k covers [lo + span*k // n, lo + span*(k+1) // n) with
+    # span = hi - lo + 1 — the same integer-division bounds the SQL mirror
+    # computes
     emb = track_cached(_spread_emb(embeddings))
     centroids = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
         F.col("vec_id").alias("centroid_id"), _dbl("embedding").alias("ce")
@@ -2206,23 +2213,22 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def ivf_topk_trained_multiprobe(
+def trained_multiprobe_scored(
     embeddings: DataFrame,
     probe_ids: list[int],
-    k: int = 5,
-    nprobe: int = 2,
+    nprobe: int,
     n_clusters: int = 8,
     iters: int = 2,
     dim: int = 64,
 ) -> DataFrame:
-    """IVF multiprobe over TRAINED fixed-K cells (VERDICT r11 #7: the
-    recall knob existed only for the stride path) — each probe ranks the
-    K model centroids by the SAME squared-L2 key the assignment argmins
-    on (ties to the smaller cluster id) and scans its top ``nprobe``
-    cells, the standard fix for nprobe=1 boundary misses.  The probe-cell
-    ranking is a window on the bounded |probes|·K frame (probe grain —
-    never corpus grain); candidate volume scales linearly with nprobe,
-    corpus passes stay at one, and the k×dim model is trained ONCE and
+    """The trained-multiprobe candidate frame — (probe_id, cell_rank,
+    neighbor_id, cos) over each probe's top ``nprobe`` trained cells: THE
+    one Spark-side builder of the probe-cell ranking (the assignment's own
+    squared-L2 key, ties to the smaller cluster id — a window on the
+    bounded |probes|·K frame, never corpus grain) and the cell-union
+    cosine scan, shared by :func:`ivf_topk_trained_multiprobe` and the
+    nprobe recall-curve sweep (which carves its arms from one call at the
+    widest nprobe via ``cell_rank``).  The k×dim model trains ONCE and is
     shared with the assignment via the ``model=`` forwarding contract."""
     model = track_cached(
         kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
@@ -2250,15 +2256,42 @@ def ivf_topk_trained_multiprobe(
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "pe", F.col("cluster").alias("centroid_id"))
+        .select(
+            "probe_id",
+            "pe",
+            F.col("cluster").alias("centroid_id"),
+            F.col("rn").alias("cell_rank"),
+        )
     )
-    cands = assigned.join(F.broadcast(probe_cells), ["centroid_id"]).filter(
-        F.col("vec_id") != F.col("probe_id")
+    return (
+        assigned.join(F.broadcast(probe_cells), ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cell_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        )
     )
-    scored = cands.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+
+
+def ivf_topk_trained_multiprobe(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF multiprobe over TRAINED fixed-K cells (VERDICT r11 #7: the
+    recall knob existed only for the stride path) — each probe scans its
+    top ``nprobe`` cells, the standard fix for nprobe=1 boundary misses;
+    candidate volume scales linearly with nprobe, corpus passes stay at
+    one.  The candidate frame comes from the shared
+    :func:`trained_multiprobe_scored` builder."""
+    scored = trained_multiprobe_scored(
+        embeddings, probe_ids, nprobe, n_clusters=n_clusters, iters=iters, dim=dim
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -326,46 +326,15 @@ def q_trained_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             "probe_id", "neighbor_id"
         )
     )
-    model = track_cached(
-        _sim.kmeans_model(emb, n_clusters=_TMP_CLUSTERS, iters=_TMP_ITERS)
-    )
-    assigned = track_cached(
-        _sim.ivf_assign_trained(
-            emb, n_clusters=_TMP_CLUSTERS, iters=_TMP_ITERS, model=model
-        )
-    )
-    probes = assigned.filter(F.col("vec_id").isin(_TMP_PROBES)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
-    )
-    pw = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("cluster"))
-    probe_cells = (
-        probes.join(F.broadcast(model))
-        .select(
-            "probe_id",
-            "pe",
-            "cluster",
-            (
-                _sim.dot_col(F.col("pe"), F.col("pe"))
-                - 2 * _sim.dot_col(F.col("pe"), F.col("cd"))
-                + _sim.dot_col(F.col("cd"), F.col("cd"))
-            ).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= max(_TMP_NPROBES))
-        .select(
-            "probe_id", "pe", F.col("cluster").alias("centroid_id"),
-            F.col("rn").alias("cell_rank"),
-        )
-    )
-    # ONE cosine pass at the widest nprobe; arms filter cell_rank
+    # ONE cosine pass at the widest nprobe via the shared builder; arms
+    # filter cell_rank
     scored = track_cached(
-        assigned.join(F.broadcast(probe_cells), ["centroid_id"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "cell_rank",
-            F.col("vec_id").alias("neighbor_id"),
-            _sim.cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        _sim.trained_multiprobe_scored(
+            emb,
+            _TMP_PROBES,
+            nprobe=max(_TMP_NPROBES),
+            n_clusters=_TMP_CLUSTERS,
+            iters=_TMP_ITERS,
         )
     )
     denom = len(_TMP_PROBES) * _TMP_K
@@ -426,7 +395,10 @@ def _planes_budget_sweep_sql() -> str:
     cos = _sim._LIST_COS_SQL
     ctes = [
         _sim.ivf_assign_2level_sql_ctes(250, None)[len("WITH ") :],
-        "cellsz AS (SELECT count(*) AS c FROM assigned GROUP BY centroid_id)",
+        # referenced 4x (cellsz + three arms) — DuckDB inlines plain CTEs
+        # per reference (the r06 rule), so pin one materialization
+        "assigned_m AS MATERIALIZED (SELECT * FROM assigned)",
+        "cellsz AS (SELECT count(*) AS c FROM assigned_m GROUP BY centroid_id)",
         f"bkfull AS MATERIALIZED ({_sim.lsh_buckets_sql(16, 64)})",
     ]
     arms = []
@@ -439,7 +411,7 @@ def _planes_budget_sweep_sql() -> str:
   SELECT a.vec_id, a.e, a.centroid_id,
          CAST(bkfull.bucket % (1::BIGINT << (SELECT p FROM npl{ppv})) AS BIGINT)
            AS bucket
-  FROM assigned a JOIN bkfull USING (vec_id)
+  FROM assigned_m a JOIN bkfull USING (vec_id)
 )"""
         )
         ctes.append(

@@ -4418,6 +4418,12 @@ _SS_SCHEDULE = ((0, 4), (1, 2), (2, 1))
 
 
 def _ss_arm_sql(sm: int) -> tuple[list[str], list[str]]:
+    """Per-arm CTE chain + round rows, derived ENTIRELY from _SS_SCHEDULE
+    so editing the schedule changes both engines together: level ℓ's
+    segment table is the full fan-in windows of level ℓ-1's table bounded
+    by that level's round count, and round r at level ℓ is the r-th
+    window of level ℓ's table (the r_compaction_convergence closed form
+    applied per level)."""
     f = _SS_FANIN
     ctes = [
         f"""ss_l0_{sm} AS (
@@ -4425,57 +4431,39 @@ def _ss_arm_sql(sm: int) -> tuple[list[str], list[str]]:
          min(msg_offset) AS lo, max(msg_offset) AS hi,
          CAST(count(*) AS BIGINT) AS nmsg
   FROM messages GROUP BY topic, partition_id, msg_offset // {sm}
-)""",
-        f"""ss_l1_{sm} AS (
-  SELECT * FROM (
-    SELECT topic, partition_id, seq // {f} AS g,
-           min(lo) AS lo, max(hi) AS hi,
-           CAST(sum(nmsg) AS BIGINT) AS nmsg, count(*) AS c
-    FROM ss_l0_{sm} WHERE seq // {f} < 4
-    GROUP BY topic, partition_id, seq // {f}
-  ) WHERE c = {f}
-)""",
-        f"""ss_l2_{sm} AS (
-  SELECT * FROM (
-    SELECT topic, partition_id, g // {f} AS h,
-           min(lo) AS lo, max(hi) AS hi,
-           CAST(sum(nmsg) AS BIGINT) AS nmsg, count(*) AS c
-    FROM ss_l1_{sm} WHERE g // {f} < 2
-    GROUP BY topic, partition_id, g // {f}
-  ) WHERE c = {f}
-)""",
+)"""
     ]
+    # level ℓ's table (ℓ >= 1) = full windows of level ℓ-1, bounded by the
+    # number of rounds the schedule runs AT level ℓ-1 (each round produces
+    # at most one level-ℓ segment per partition)
+    for idx in range(1, len(_SS_SCHEDULE)):
+        prev_level, prev_rounds = _SS_SCHEDULE[idx - 1]
+        seq_col = "seq" if idx == 1 else f"g{idx - 1}"
+        ctes.append(
+            f"""ss_l{idx}_{sm} AS (
+  SELECT * FROM (
+    SELECT topic, partition_id, {seq_col} // {f} AS g{idx},
+           min(lo) AS lo, max(hi) AS hi,
+           CAST(sum(nmsg) AS BIGINT) AS nmsg, count(*) AS c
+    FROM ss_l{idx - 1}_{sm} WHERE {seq_col} // {f} < {prev_rounds}
+    GROUP BY topic, partition_id, {seq_col} // {f}
+  ) WHERE c = {f}
+)"""
+        )
     rows = []
     rnd = 0
-    for k in range(4):
-        rnd += 1
-        rows.append(
-            f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
-       CAST(0 AS INTEGER) AS level, topic, partition_id,
+    for idx, (level, n_rounds) in enumerate(_SS_SCHEDULE):
+        seq_col = "seq" if idx == 0 else f"g{idx}"
+        for k in range(n_rounds):
+            rnd += 1
+            rows.append(
+                f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
+       CAST({level} AS INTEGER) AS level, topic, partition_id,
        CAST(count(*) AS BIGINT) AS n_merged, min(lo) AS lo_offset,
        max(hi) AS hi_offset, CAST(sum(nmsg) AS BIGINT) AS n_msgs
-FROM ss_l0_{sm} WHERE seq // {f} = {k}
+FROM ss_l{idx}_{sm} WHERE {seq_col} // {f} = {k}
 GROUP BY topic, partition_id HAVING count(*) = {f}"""
-        )
-    for j in range(2):
-        rnd += 1
-        rows.append(
-            f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
-       CAST(1 AS INTEGER) AS level, topic, partition_id,
-       CAST(count(*) AS BIGINT) AS n_merged, min(lo) AS lo_offset,
-       max(hi) AS hi_offset, CAST(sum(nmsg) AS BIGINT) AS n_msgs
-FROM ss_l1_{sm} WHERE g // {f} = {j}
-GROUP BY topic, partition_id HAVING count(*) = {f}"""
-        )
-    rnd += 1
-    rows.append(
-        f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({rnd} AS INTEGER) AS round,
-       CAST(2 AS INTEGER) AS level, topic, partition_id,
-       CAST(count(*) AS BIGINT) AS n_merged, min(lo) AS lo_offset,
-       max(hi) AS hi_offset, CAST(sum(nmsg) AS BIGINT) AS n_msgs
-FROM ss_l2_{sm} WHERE h // {f} = 0
-GROUP BY topic, partition_id HAVING count(*) = {f}"""
-    )
+            )
     return ctes, rows
 
 

@@ -152,7 +152,7 @@ def generate_corpus(base_dir: str, out_dir: str, mult: int) -> None:
 def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     from kafka_replicator_spark.cacheutil import release_cached
 
-    best, n, last_df = None, 0, None
+    best, n = None, 0
     for i in range(runs):
         t0 = time.perf_counter()
         # materialize EVERY row and column via the noop sink — a bare
