@@ -1945,6 +1945,8 @@ def semantic_dedup_ingest(
     batch: DataFrame,
     centroids: DataFrame,
     tau: float = 0.92,
+    n_planes: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """One incremental SemDeDup ingest step (VERDICT r11 #6 — the vector
     family's mergeability contract, the twin of p_minhash_mergeability):
@@ -1966,26 +1968,39 @@ def semantic_dedup_ingest(
     corpus rescan — and prior rows' own (n_near, kept) never change (their
     lower-id mate set is frozen by id monotonicity).
 
+    ``n_planes`` additionally blocks the scan per (cell, LSH bucket) —
+    the bucketed relaxation composed with ingest.  The hyperplanes are
+    corpus-INDEPENDENT literals (:func:`hyperplanes` seeds by plane
+    index), so bucketing preserves batch-split invariance exactly; the
+    plane count is FROZEN like the centroid set (a production index
+    derives it at build time — changing it is a reindex, not an ingest).
+    State rows then carry a ``bucket`` column.
+
     Returns the updated state covering ``state`` ∪ ``batch``.
     """
-    ab = track_cached(ivf_assign_frozen(batch, centroids))
+    ab = ivf_assign_frozen(batch, centroids)
+    keys = ["centroid_id"]
+    if n_planes is not None:
+        ab = ab.join(lsh_buckets(batch, n_planes, dim), "vec_id")
+        keys.append("bucket")
+    ab = track_cached(ab)
     cand = ab.select(
-        "centroid_id", F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
+        *keys, F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
     )
     if state is not None:
-        touched = ab.select("centroid_id").distinct()
-        prior = state.join(F.broadcast(touched), "centroid_id").select(
-            "centroid_id", F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
+        touched = ab.select(*keys).distinct()
+        prior = state.join(F.broadcast(touched), keys).select(
+            *keys, F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
         )
         cand = prior.unionByName(cand)
     near = (
         cand.join(
             ab.select(
-                "centroid_id",
+                *keys,
                 F.col("vec_id").alias("b_id"),
                 F.col("e").alias("be"),
             ),
-            "centroid_id",
+            keys,
         )
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
@@ -1998,6 +2013,7 @@ def semantic_dedup_ingest(
     new_rows = ab.join(near, ab.vec_id == near.b_id, "left").select(
         "vec_id",
         "e",
+        *([F.col("bucket").cast("long").alias("bucket")] if n_planes is not None else []),
         F.col("centroid_id").cast("long").alias("centroid_id"),
         F.coalesce("nn", F.lit(0)).cast("int").alias("n_near"),
         (F.col("nn").isNull()).cast("int").alias("kept"),
@@ -2010,15 +2026,19 @@ def semantic_dedup_incremental(
     tau: float = 0.92,
     centroid_stride: int = 250,
     n_batches: int = 2,
+    n_planes: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Fold :func:`semantic_dedup_ingest` over ``n_batches`` consecutive
     vec_id ranges of the corpus (batch k = [lo + span·k // n,
     lo + span·(k+1) // n) with span = hi − lo + 1, pure integer division)
     with the frozen stride-rule centroid set, returning the
     final dedup state WITHOUT the embedding column — (vec_id,
-    centroid_id, n_near, kept), the driver-hashable shape.  With the same
-    frozen centroids the result is independent of ``n_batches`` (the
-    batch-split invariance the property test pins at 1/2/4 splits)."""
+    centroid_id, n_near, kept), the driver-hashable shape (plus
+    ``bucket`` when ``n_planes`` blocks the scan per (cell, LSH bucket)).
+    With the same frozen centroids (and corpus-independent hyperplanes)
+    the result is independent of ``n_batches`` (the batch-split
+    invariance the property test pins at 1/2/4 splits)."""
     # batch k covers [lo + span*k // n, lo + span*(k+1) // n) with
     # span = hi - lo + 1 — the same integer-division bounds the SQL mirror
     # computes
@@ -2034,26 +2054,49 @@ def semantic_dedup_incremental(
         b_hi = int(lo) + (span * (k + 1)) // n_batches
         batch = emb.filter((F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_hi))
         state = track_cached(
-            semantic_dedup_ingest(state, batch, centroids, tau)
+            semantic_dedup_ingest(
+                state, batch, centroids, tau, n_planes=n_planes, dim=dim
+            )
         )
-    return state.select("vec_id", "centroid_id", "n_near", "kept")
+    cols = ["vec_id", "centroid_id", "n_near", "kept"]
+    if n_planes is not None:
+        cols.insert(1, "bucket")
+    return state.select(*cols)
 
 
 def semantic_dedup_incremental_sql(
-    tau: float = 0.92, centroid_stride: int = 250, n_batches: int = 2
+    tau: float = 0.92,
+    centroid_stride: int = 250,
+    n_batches: int = 2,
+    n_planes: int | None = None,
+    dim: int = 64,
 ) -> str:
     """DuckDB mirror of :func:`semantic_dedup_incremental`: per-batch
     sibling CTE chains (assign → touched-cell prior ∪ batch → near →
     state rows), final state the UNION ALL of every batch's rows.  The
     argmax is replayed by a row_number window (ties by ascending
-    centroid id), batch bounds by the same integer-division rule."""
+    centroid id), batch bounds by the same integer-division rule.
+    ``n_planes`` adds the LSH bucket to the blocking key (literal
+    hyperplanes, one shared bucket CTE; the touched filter becomes a
+    tuple IN)."""
     cos = _LIST_COS_SQL
+    bucketed = n_planes is not None
     ctes = [
         "emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"cents AS MATERIALIZED (SELECT vec_id AS centroid_id, e AS ce "
         f"FROM emb WHERE vec_id % {centroid_stride} = 0)",
         "bounds AS (SELECT min(vec_id) AS lo, max(vec_id) - min(vec_id) + 1 AS span FROM emb)",
     ]
+    if bucketed:
+        ctes.append(
+            f"bks AS MATERIALIZED ({lsh_buckets_sql(n_planes, dim)})"
+        )
+    keys = "centroid_id, bucket" if bucketed else "centroid_id"
+    on_keys = (
+        "u.centroid_id = v.centroid_id AND u.bucket = v.bucket"
+        if bucketed
+        else "u.centroid_id = v.centroid_id"
+    )
     finals = []
     prior_states: list[str] = []
     for k in range(n_batches):
@@ -2065,46 +2108,63 @@ def semantic_dedup_incremental_sql(
     AND vec_id <  lo + (span * {k + 1}) // {n_batches}
 )"""
         )
-        ctes.append(
-            f"""a{b} AS MATERIALIZED (
+        assign_cols = "vec_id, e, centroid_id"
+        assign_body = f"""
   SELECT vec_id, e, centroid_id FROM (
     SELECT {b}.vec_id, {b}.e, cents.centroid_id,
            row_number() OVER (PARTITION BY {b}.vec_id
              ORDER BY {cos.format(a='e', b='ce')} DESC, centroid_id ASC) AS rn
     FROM {b}, cents
   ) WHERE rn = 1
-)"""
-        )
+"""
+        if bucketed:
+            assign_body = f"""
+  SELECT x.vec_id, x.e, x.centroid_id, bks.bucket
+  FROM ({assign_body.strip()}) x JOIN bks USING (vec_id)
+"""
+        ctes.append(f"a{b} AS MATERIALIZED ({assign_body})")
         if prior_states:
+            # DuckDB rejects (a, b) IN (subquery) — tuple membership is
+            # spelled EXISTS (round-12 engine note)
+            def _touched(s: str) -> str:
+                if bucketed:
+                    return (
+                        f"EXISTS (SELECT 1 FROM a{b} t WHERE "
+                        f"t.centroid_id = {s}.centroid_id AND t.bucket = {s}.bucket)"
+                    )
+                return f"centroid_id IN (SELECT DISTINCT centroid_id FROM a{b})"
+
             prior_union = " UNION ALL ".join(
-                f"SELECT centroid_id, vec_id AS a_id, e AS ae FROM {s} "
-                f"WHERE centroid_id IN (SELECT DISTINCT centroid_id FROM a{b})"
+                f"SELECT {keys}, vec_id AS a_id, e AS ae FROM {s} "
+                f"WHERE {_touched(s)}"
                 for s in prior_states
             )
-            cand = f"{prior_union} UNION ALL SELECT centroid_id, vec_id, e FROM a{b}"
+            cand = f"{prior_union} UNION ALL SELECT {keys}, vec_id, e FROM a{b}"
         else:
-            cand = f"SELECT centroid_id, vec_id AS a_id, e AS ae FROM a{b}"
+            cand = f"SELECT {keys}, vec_id AS a_id, e AS ae FROM a{b}"
         ctes.append(f"cand{b} AS ({cand})")
         ctes.append(
             f"""n{b} AS (
   SELECT v.vec_id AS b_id, count(*) AS nn
   FROM cand{b} u JOIN a{b} v
-    ON u.centroid_id = v.centroid_id AND u.a_id < v.vec_id
+    ON {on_keys} AND u.a_id < v.vec_id
   WHERE round({cos.format(a='u.ae', b='v.e')}, 6) >= {tau}
   GROUP BY v.vec_id
 )"""
         )
+        s_bucket = ", a.bucket" if bucketed else ""
         ctes.append(
             f"""s{b} AS MATERIALIZED (
-  SELECT a.vec_id, a.e, a.centroid_id,
+  SELECT a.vec_id, a.e, a.centroid_id{s_bucket},
          coalesce(n.nn, 0) AS n_near,
          CASE WHEN n.nn IS NULL THEN 1 ELSE 0 END AS kept
   FROM a{b} a LEFT JOIN n{b} n ON a.vec_id = n.b_id
 )"""
         )
         prior_states.append(f"s{b}")
+        f_bucket = "CAST(bucket AS BIGINT) AS bucket, " if bucketed else ""
         finals.append(
-            f"SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, "
+            f"SELECT vec_id, {f_bucket}CAST(centroid_id AS BIGINT) AS centroid_id, "
             f"CAST(n_near AS INTEGER) AS n_near, CAST(kept AS INTEGER) AS kept "
             f"FROM s{b}"
         )

@@ -258,6 +258,7 @@ _NEW_THIS_ROUND: list[str] = [
     "r_compaction_steady_state",
     "p_semantic_dedup_bucketed_trained",
     "p_planes_budget_sweep",
+    "p_semantic_dedup_incremental_bucketed",
 ]
 
 

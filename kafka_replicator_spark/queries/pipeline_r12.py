@@ -510,3 +510,27 @@ def q_planes_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("pairs_per_vec")
+
+
+@register(
+    "p_semantic_dedup_incremental_bucketed",
+    _sim.semantic_dedup_incremental_sql(tau=_DROP_TAU, n_batches=2, n_planes=4),
+    tags=("pipeline", "dedup", "similarity", "incremental"),
+    doc="the incremental ingest fold composed with the bucketed scan — "
+    "the production shape for a continuously-arriving corpus: each batch "
+    "scans only the (cell, LSH bucket) groups it touches.  The "
+    "hyperplanes are corpus-INDEPENDENT literals, so bucketing preserves "
+    "batch-split invariance EXACTLY (the plane count is frozen with the "
+    "centroid set — changing it is a reindex, not an ingest); the state "
+    f"carries the bucket column through the driver hash.  tau={_DROP_TAU} "
+    "exercises drops (functions/similarity.semantic_dedup_ingest)",
+)
+def q_semantic_dedup_incremental_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sim.semantic_dedup_incremental(
+        load_table(spark, sf_dir, "embeddings"),
+        tau=_DROP_TAU,
+        n_batches=2,
+        n_planes=4,
+    )

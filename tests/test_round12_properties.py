@@ -104,3 +104,21 @@ def test_incremental_batch_split_invariance(spark, sf_dir, n_batches):
     )
     assert one == multi
     assert any(r["kept"] == 0 for r in one), "tau must exercise drops"
+
+
+def test_incremental_bucketed_invariance(spark, sf_dir):
+    """Bucketing must not break the fold's batch-split invariance: the
+    hyperplanes are corpus-independent, so 1-batch == 4-batch bucketed
+    states bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = (
+        sim.semantic_dedup_incremental(emb, tau=0.40, n_batches=1, n_planes=4)
+        .orderBy("vec_id")
+        .collect()
+    )
+    four = (
+        sim.semantic_dedup_incremental(emb, tau=0.40, n_batches=4, n_planes=4)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert one == four
