@@ -259,6 +259,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_semantic_dedup_bucketed_trained",
     "p_planes_budget_sweep",
     "p_semantic_dedup_incremental_bucketed",
+    "r_steady_state_live_files",
 ]
 
 

@@ -4482,6 +4482,111 @@ def _ss_oracle() -> str:
     )
 
 
+def _ss_drive(
+    spark: SparkSession, sf_dir: str, sm: int
+) -> tuple[DataFrame | None, DataFrame]:
+    """Drive the REAL plan_compaction through _SS_SCHEDULE at
+    MaxSegmentSize ``sm`` — THE one Spark-side executor of the
+    steady-state loop, shared by r_compaction_steady_state (per-round
+    rows) and r_steady_state_live_files (the final listing).  Returns
+    (per-round agg union, final listing)."""
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    msgs = track_cached(
+        events_as_messages(spark, sf_dir).select(
+            "topic", "partition_id", "msg_offset", "msg_size"
+        )
+    )
+    f = _SS_FANIN
+    out: DataFrame | None = None
+    cur = (
+        msgs.groupBy(
+            "topic",
+            "partition_id",
+            F.expr(f"msg_offset div {sm}").alias("segment_seq"),
+        )
+        .agg(
+            F.min("msg_offset").alias("start_offset"),
+            F.max("msg_offset").alias("end_offset"),
+            F.count(F.lit(1)).cast("long").alias("message_count"),
+            F.sum("msg_size").cast("long").alias("size_bytes"),
+        )
+        .select(
+            F.lit("local").alias("region"),
+            "topic",
+            "partition_id",
+            F.lit(0).cast("int").alias("level"),
+            "segment_seq",
+            "start_offset",
+            "end_offset",
+            "message_count",
+            "size_bytes",
+        )
+        # 7 iterated rounds nest anti-joins/unions: caching alone does
+        # NOT truncate the LOGICAL plan, and Catalyst's analysis cost
+        # explodes with the nesting depth (measured: minutes at round
+        # ~10).  localCheckpoint cuts the lineage to a leaf each round
+        # — metadata-scale rows, so the eager materialization is cheap
+        # (the p_dup_clusters precedent).
+        .localCheckpoint()
+    )
+    rnd = 0
+    for level, n_rounds in _SS_SCHEDULE:
+        for per_level in range(n_rounds):
+            rnd += 1
+            plan = track_cached(
+                plan_compaction(
+                    cur,
+                    min_level=level,
+                    max_level=level,
+                    min_count=f,
+                    max_count=f,
+                    min_bytes=1,
+                    max_bytes=1 << 60,
+                )
+            )
+            agg = plan.groupBy("topic", "partition_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_merged"),
+                F.min("start_offset").alias("lo_offset"),
+                F.max("end_offset").alias("hi_offset"),
+                F.sum("message_count").cast("long").alias("n_msgs"),
+            ).select(
+                F.lit(sm).cast("long").alias("seg_max"),
+                F.lit(rnd).cast("int").alias("round"),
+                F.lit(level).cast("int").alias("level"),
+                "*",
+            )
+            out = agg if out is None else out.unionByName(agg)
+            merged = plan.groupBy("topic", "partition_id").agg(
+                F.min("start_offset").alias("start_offset"),
+                F.max("end_offset").alias("end_offset"),
+                F.sum("message_count").cast("long").alias("message_count"),
+                F.sum("size_bytes").cast("long").alias("size_bytes"),
+            ).select(
+                F.lit("local").alias("region"),
+                "topic",
+                "partition_id",
+                F.lit(level + 1).cast("int").alias("level"),
+                F.lit(per_level).cast("long").alias("segment_seq"),
+                "start_offset",
+                "end_offset",
+                "message_count",
+                "size_bytes",
+            )
+            cur = (
+                cur.join(
+                    plan.select(
+                        "topic", "partition_id", "level", "segment_seq"
+                    ),
+                    ["topic", "partition_id", "level", "segment_seq"],
+                    "left_anti",
+                )
+                .unionByName(merged)
+                .localCheckpoint()  # truncate lineage (see above)
+            )
+    return out, cur
+
+
 @register(
     "r_compaction_steady_state",
     _ss_oracle(),
@@ -4504,100 +4609,106 @@ def _ss_oracle() -> str:
     "lineage (compactor.go:176-242 iterated)",
 )
 def q_compaction_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
-
-    msgs = track_cached(
-        events_as_messages(spark, sf_dir).select(
-            "topic", "partition_id", "msg_offset", "msg_size"
-        )
-    )
-    f = _SS_FANIN
     out: DataFrame | None = None
     for sm in _SS_SEG_POINTS:
-        cur = (
-            msgs.groupBy(
-                "topic",
-                "partition_id",
-                F.expr(f"msg_offset div {sm}").alias("segment_seq"),
-            )
-            .agg(
-                F.min("msg_offset").alias("start_offset"),
-                F.max("msg_offset").alias("end_offset"),
-                F.count(F.lit(1)).cast("long").alias("message_count"),
-                F.sum("msg_size").cast("long").alias("size_bytes"),
-            )
-            .select(
-                F.lit("local").alias("region"),
-                "topic",
-                "partition_id",
-                F.lit(0).cast("int").alias("level"),
-                "segment_seq",
-                "start_offset",
-                "end_offset",
-                "message_count",
-                "size_bytes",
-            )
-            # 7 iterated rounds nest anti-joins/unions: caching alone does
-            # NOT truncate the LOGICAL plan, and Catalyst's analysis cost
-            # explodes with the nesting depth (measured: minutes at round
-            # ~10).  localCheckpoint cuts the lineage to a leaf each round
-            # — metadata-scale rows, so the eager materialization is cheap
-            # (the p_dup_clusters precedent).
-            .localCheckpoint()
-        )
-        rnd = 0
-        for level, n_rounds in _SS_SCHEDULE:
-            for per_level in range(n_rounds):
-                rnd += 1
-                plan = track_cached(
-                    plan_compaction(
-                        cur,
-                        min_level=level,
-                        max_level=level,
-                        min_count=f,
-                        max_count=f,
-                        min_bytes=1,
-                        max_bytes=1 << 60,
-                    )
-                )
-                agg = plan.groupBy("topic", "partition_id").agg(
-                    F.count(F.lit(1)).cast("long").alias("n_merged"),
-                    F.min("start_offset").alias("lo_offset"),
-                    F.max("end_offset").alias("hi_offset"),
-                    F.sum("message_count").cast("long").alias("n_msgs"),
-                ).select(
-                    F.lit(sm).cast("long").alias("seg_max"),
-                    F.lit(rnd).cast("int").alias("round"),
-                    F.lit(level).cast("int").alias("level"),
-                    "*",
-                )
-                out = agg if out is None else out.unionByName(agg)
-                merged = plan.groupBy("topic", "partition_id").agg(
-                    F.min("start_offset").alias("start_offset"),
-                    F.max("end_offset").alias("end_offset"),
-                    F.sum("message_count").cast("long").alias("message_count"),
-                    F.sum("size_bytes").cast("long").alias("size_bytes"),
-                ).select(
-                    F.lit("local").alias("region"),
-                    "topic",
-                    "partition_id",
-                    F.lit(level + 1).cast("int").alias("level"),
-                    F.lit(per_level).cast("long").alias("segment_seq"),
-                    "start_offset",
-                    "end_offset",
-                    "message_count",
-                    "size_bytes",
-                )
-                cur = (
-                    cur.join(
-                        plan.select(
-                            "topic", "partition_id", "level", "segment_seq"
-                        ),
-                        ["topic", "partition_id", "level", "segment_seq"],
-                        "left_anti",
-                    )
-                    .unionByName(merged)
-                    .localCheckpoint()  # truncate lineage (see above)
-                )
-        del cur
+        rounds, _ = _ss_drive(spark, sf_dir, sm)
+        out = rounds if out is None else out.unionByName(rounds)
     return out.orderBy("seg_max", "round", "topic", "partition_id")
+
+
+def _ss_live_arm_sql(sm: int) -> list[str]:
+    """Per-arm live-listing rows at the END of the _SS_SCHEDULE budget,
+    derived from the same ss_l* window CTEs: level ℓ's live segments are
+    those not consumed by level ℓ+1's windows; the top level is whatever
+    the last round produced.  Scalar aggregates, so every (arm, level)
+    emits exactly one row (zeros included) on both engines."""
+    f = _SS_FANIN
+    rows = []
+    n_levels = len(_SS_SCHEDULE)
+    last_level, last_rounds = _SS_SCHEDULE[-1]
+    for idx in range(n_levels):
+        seq_col = "seq" if idx == 0 else f"g{idx}"
+        if idx < n_levels - 1:
+            consumed = (
+                f"EXISTS (SELECT 1 FROM ss_l{idx + 1}_{sm} w WHERE "
+                f"w.topic = l.topic AND w.partition_id = l.partition_id "
+                f"AND w.g{idx + 1} = l.{seq_col} // {f})"
+            )
+        else:
+            consumed = (
+                f"EXISTS (SELECT 1 FROM (SELECT topic, partition_id, "
+                f"{seq_col} // {f} AS h FROM ss_l{idx}_{sm} "
+                f"WHERE {seq_col} // {f} < {last_rounds} "
+                f"GROUP BY topic, partition_id, {seq_col} // {f} "
+                f"HAVING count(*) = {f}) w WHERE "
+                f"w.topic = l.topic AND w.partition_id = l.partition_id "
+                f"AND w.h = l.{seq_col} // {f})"
+            )
+        rows.append(
+            f"""SELECT CAST({sm} AS BIGINT) AS seg_max, CAST({idx} AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(coalesce(sum(nmsg), 0) AS BIGINT) AS live_msgs
+FROM ss_l{idx}_{sm} l WHERE NOT {consumed}"""
+        )
+    # the top level: segments the last round produced (one per full window)
+    top_seq = "seq" if n_levels == 1 else f"g{n_levels - 1}"
+    rows.append(
+        f"""SELECT CAST({sm} AS BIGINT) AS seg_max,
+       CAST({last_level + 1} AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(coalesce(sum(nmsg), 0) AS BIGINT) AS live_msgs
+FROM (SELECT topic, partition_id, CAST(sum(nmsg) AS BIGINT) AS nmsg
+      FROM ss_l{n_levels - 1}_{sm}
+      WHERE {top_seq} // {f} < {last_rounds}
+      GROUP BY topic, partition_id, {top_seq} // {f}
+      HAVING count(*) = {f})"""
+    )
+    return rows
+
+
+def _ss_live_oracle() -> str:
+    ctes = [MESSAGES_CTE]
+    rows: list[str] = []
+    for sm in _SS_SEG_POINTS:
+        c, _ = _ss_arm_sql(sm)
+        ctes.extend(c)
+        rows.extend(_ss_live_arm_sql(sm))
+    return with_ctes(
+        *ctes,
+        select="SELECT * FROM ("
+        + "\nUNION ALL ".join(rows)
+        + ")\nORDER BY seg_max, level",
+    )
+
+
+@register(
+    "r_steady_state_live_files",
+    _ss_live_oracle(),
+    tags=("parity", "aggregation", "sweep"),
+    doc="the live segment listing at the END of r_compaction_steady_state's "
+    f"round budget, per (MaxSegmentSize arm {_SS_SEG_POINTS}, level): how "
+    "many files a scan must open (files-per-scan = read amplification, "
+    "the pareto sweep's other axis) and how many messages sit at each "
+    "level once the budget runs out — small segments leave a tall, "
+    "mostly-compacted pyramid, large ones a flat L0-heavy one.  The "
+    "Spark side aggregates the REAL final listing from the shared "
+    "_ss_drive loop; the oracle derives live = produced minus consumed "
+    "from the same per-level window closed forms; every (arm, level) "
+    "emits exactly one row (zeros included)",
+)
+def q_steady_state_live_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    top = _SS_SCHEDULE[-1][0] + 1
+    for sm in _SS_SEG_POINTS:
+        _, final = _ss_drive(spark, sf_dir, sm)
+        for level in range(top + 1):
+            arm = final.filter(F.col("level") == level).agg(
+                F.lit(sm).cast("long").alias("seg_max"),
+                F.lit(level).cast("int").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.coalesce(F.sum("message_count"), F.lit(0))
+                .cast("long")
+                .alias("live_msgs"),
+            )
+            out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("seg_max", "level")
