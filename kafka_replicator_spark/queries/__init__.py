@@ -260,6 +260,7 @@ _NEW_THIS_ROUND: list[str] = [
     "p_planes_budget_sweep",
     "p_semantic_dedup_incremental_bucketed",
     "r_steady_state_live_files",
+    "p_semdedup_trained_bucketed_agreement",
 ]
 
 

@@ -534,3 +534,101 @@ def q_semantic_dedup_incremental_bucketed(
         n_batches=2,
         n_planes=4,
     )
+
+
+def _trained_fullscan_sql(tau: float) -> str:
+    """Trained fixed-K assignment + the UNBUCKETED within-cell scan at
+    ``tau`` — the comparison arm for the linear flavor's retention audit
+    (the K=16 design point shared with p_semantic_dedup_trained)."""
+    cos = _sim._LIST_COS_SQL
+    return f"""
+{_sim.ivf_assign_trained_sql_ctes(16, 2)},
+near AS (
+  SELECT b.vec_id AS b_id, count(*) AS n_near
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id,
+       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
+"""
+
+
+@register(
+    "p_semdedup_trained_bucketed_agreement",
+    f"""
+WITH fullscan AS MATERIALIZED (
+  SELECT vec_id, kept FROM ({_trained_fullscan_sql(_DROP_TAU)})
+),
+bucketed AS MATERIALIZED (
+  SELECT vec_id, kept, n_planes
+  FROM ({_sim.semantic_dedup_bucketed_trained_sql(tau=_DROP_TAU)})
+),
+j AS (
+  SELECT f.kept AS kept_full, b.kept AS kept_bucketed, b.n_planes
+  FROM fullscan f JOIN bucketed b USING (vec_id)
+)
+SELECT CAST(max(n_planes) AS BIGINT) AS n_planes,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_full,
+       CAST(sum(CASE WHEN kept_bucketed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_bucketed,
+       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_both,
+       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
+                     THEN 1 ELSE 0 END) * 1000000
+            // nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS drop_retention_ppm
+FROM j
+""",
+    tags=("pipeline", "dedup", "eval"),
+    doc="retention audit of the fully LINEAR flavor: the trained-cell "
+    f"FULL scan vs the trained-cell auto-planes bucketed scan at "
+    f"tau={_DROP_TAU} — the bucketed pair set is a subset, so the 2x2 "
+    "degenerates to drop_retention_ppm + counts; K=16 cells are much "
+    "larger than auto-G's (N/16 vs ~stride), so the derived plane count "
+    "and the retention floor both differ from "
+    "p_semdedup_bucketed_auto_agreement — this row is the linear "
+    "flavor's own measured accuracy cost",
+)
+def q_semdedup_trained_bucketed_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    assigned = track_cached(
+        _sim.ivf_assign_trained(emb, n_clusters=16, iters=2)
+    )
+    full = _sim._semantic_scan(assigned, _DROP_TAU).select(
+        "vec_id", F.col("kept").alias("kept_full")
+    )
+    buck = _sim.semantic_dedup_bucketed_trained(emb, tau=_DROP_TAU).select(
+        "vec_id", F.col("kept").alias("kept_bucketed"), "n_planes"
+    )
+    j = full.join(buck, "vec_id")
+    return j.agg(
+        F.max("n_planes").cast("long").alias("n_planes"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("kept_full") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_full"),
+        F.sum(F.when(F.col("kept_bucketed") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_bucketed"),
+        F.sum(
+            F.when((F.col("kept_full") == 0) & (F.col("kept_bucketed") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("dropped_both"),
+        F.expr(
+            "CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0"
+            " THEN 1 ELSE 0 END) * 1000000"
+            " div nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("drop_retention_ppm"),
+    )
