@@ -2108,7 +2108,6 @@ def semantic_dedup_incremental_sql(
     AND vec_id <  lo + (span * {k + 1}) // {n_batches}
 )"""
         )
-        assign_cols = "vec_id, e, centroid_id"
         assign_body = f"""
   SELECT vec_id, e, centroid_id FROM (
     SELECT {b}.vec_id, {b}.e, cents.centroid_id,

@@ -95,6 +95,54 @@ def q_semantic_dedup_bucketed_tau40(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+
+def _agreement_tail_sql() -> str:
+    """The agreement aggregation over the ``j(kept_full, kept_bucketed,
+    n_planes)`` CTE — THE one generator of the retention-audit metric
+    text, shared by both agreement oracles so a metric fix can never
+    fork them."""
+    return """SELECT CAST(max(n_planes) AS BIGINT) AS n_planes,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_full,
+       CAST(sum(CASE WHEN kept_bucketed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_bucketed,
+       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_both,
+       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
+                     THEN 1 ELSE 0 END) * 1000000
+            // nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS drop_retention_ppm
+FROM j"""
+
+
+def _agreement_agg(j: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_agreement_tail_sql` over the joined
+    (kept_full, kept_bucketed, n_planes) frame."""
+    return j.agg(
+        F.max("n_planes").cast("long").alias("n_planes"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("kept_full") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_full"),
+        F.sum(F.when(F.col("kept_bucketed") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_bucketed"),
+        F.sum(
+            F.when((F.col("kept_full") == 0) & (F.col("kept_bucketed") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("dropped_both"),
+        F.expr(
+            "CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0"
+            " THEN 1 ELSE 0 END) * 1000000"
+            " div nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("drop_retention_ppm"),
+    )
+
+
 @register(
     "p_semdedup_bucketed_auto_agreement",
     f"""
@@ -111,19 +159,7 @@ j AS (
   SELECT f.kept AS kept_full, b.kept AS kept_bucketed, b.n_planes
   FROM fullscan f JOIN bucketed b USING (vec_id)
 )
-SELECT CAST(max(n_planes) AS BIGINT) AS n_planes,
-       CAST(count(*) AS BIGINT) AS n_vectors,
-       CAST(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS dropped_full,
-       CAST(sum(CASE WHEN kept_bucketed = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS dropped_bucketed,
-       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_both,
-       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
-                     THEN 1 ELSE 0 END) * 1000000
-            // nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS drop_retention_ppm
-FROM j
+{_agreement_tail_sql()}
 """,
     tags=("pipeline", "dedup", "eval"),
     doc="retention audit of the AUTO-PLANES bucketed scan against the full "
@@ -147,29 +183,7 @@ def q_semdedup_bucketed_auto_agreement(
     buck = _sim.semantic_dedup_bucketed_auto(emb, tau=_DROP_TAU).select(
         "vec_id", F.col("kept").alias("kept_bucketed"), "n_planes"
     )
-    j = full.join(buck, "vec_id")
-    return j.agg(
-        F.max("n_planes").cast("long").alias("n_planes"),
-        F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.sum(F.when(F.col("kept_full") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("dropped_full"),
-        F.sum(F.when(F.col("kept_bucketed") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("dropped_bucketed"),
-        F.sum(
-            F.when((F.col("kept_full") == 0) & (F.col("kept_bucketed") == 0), 1)
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("dropped_both"),
-        F.expr(
-            "CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0"
-            " THEN 1 ELSE 0 END) * 1000000"
-            " div nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)"
-            " AS BIGINT)"
-        ).alias("drop_retention_ppm"),
-    )
+    return _agreement_agg(full.join(buck, "vec_id"))
 
 
 # ------------------------------------- incremental semantic dedup
@@ -538,22 +552,14 @@ def q_semantic_dedup_incremental_bucketed(
 
 def _trained_fullscan_sql(tau: float) -> str:
     """Trained fixed-K assignment + the UNBUCKETED within-cell scan at
-    ``tau`` — the comparison arm for the linear flavor's retention audit
-    (the K=16 design point shared with p_semantic_dedup_trained)."""
-    cos = _sim._LIST_COS_SQL
-    return f"""
-{_sim.ivf_assign_trained_sql_ctes(16, 2)},
-near AS (
-  SELECT b.vec_id AS b_id, count(*) AS n_near
-  FROM assigned a JOIN assigned b
-    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE round({cos.format(a='a.e', b='b.e')}, 6) >= {tau}
-  GROUP BY b.vec_id
-)
-SELECT s.vec_id,
-       CAST(CASE WHEN n.n_near IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
-FROM assigned s LEFT JOIN near n ON s.vec_id = n.b_id
-"""
+    ``tau`` — single-sourced from pipeline_r11's builder (the same
+    _TR_K/_TR_ITERS design point as p_semantic_dedup_trained), projected
+    to (vec_id, kept) by the agreement wrapper."""
+    from kafka_replicator_spark.queries.pipeline_r11 import (
+        _semantic_dedup_trained_sql,
+    )
+
+    return _semantic_dedup_trained_sql(tau)
 
 
 @register(
@@ -570,19 +576,7 @@ j AS (
   SELECT f.kept AS kept_full, b.kept AS kept_bucketed, b.n_planes
   FROM fullscan f JOIN bucketed b USING (vec_id)
 )
-SELECT CAST(max(n_planes) AS BIGINT) AS n_planes,
-       CAST(count(*) AS BIGINT) AS n_vectors,
-       CAST(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS dropped_full,
-       CAST(sum(CASE WHEN kept_bucketed = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS dropped_bucketed,
-       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_both,
-       CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0
-                     THEN 1 ELSE 0 END) * 1000000
-            // nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS drop_retention_ppm
-FROM j
+{_agreement_tail_sql()}
 """,
     tags=("pipeline", "dedup", "eval"),
     doc="retention audit of the fully LINEAR flavor: the trained-cell "
@@ -606,29 +600,17 @@ def q_semdedup_trained_bucketed_agreement(
     full = _sim._semantic_scan(assigned, _DROP_TAU).select(
         "vec_id", F.col("kept").alias("kept_full")
     )
-    buck = _sim.semantic_dedup_bucketed_trained(emb, tau=_DROP_TAU).select(
-        "vec_id", F.col("kept").alias("kept_bucketed"), "n_planes"
-    )
-    j = full.join(buck, "vec_id")
-    return j.agg(
-        F.max("n_planes").cast("long").alias("n_planes"),
-        F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.sum(F.when(F.col("kept_full") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("dropped_full"),
-        F.sum(F.when(F.col("kept_bucketed") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("dropped_bucketed"),
-        F.sum(
-            F.when((F.col("kept_full") == 0) & (F.col("kept_bucketed") == 0), 1)
-            .otherwise(0)
+    # compose the bucketed arm from the SAME cached assignment (review
+    # pass 2: semantic_dedup_bucketed_trained would re-train the k-means
+    # from scratch) — identical semantics by construction
+    p = _sim.derive_n_planes(assigned)
+    ab = assigned.join(_sim.lsh_buckets(emb, p), "vec_id")
+    buck = (
+        _sim._semantic_scan(ab, _DROP_TAU, keys=("centroid_id", "bucket"))
+        .select(
+            "vec_id",
+            F.col("kept").alias("kept_bucketed"),
+            F.lit(p).cast("long").alias("n_planes"),
         )
-        .cast("long")
-        .alias("dropped_both"),
-        F.expr(
-            "CAST(sum(CASE WHEN kept_full = 0 AND kept_bucketed = 0"
-            " THEN 1 ELSE 0 END) * 1000000"
-            " div nullif(sum(CASE WHEN kept_full = 0 THEN 1 ELSE 0 END), 0)"
-            " AS BIGINT)"
-        ).alias("drop_retention_ppm"),
     )
+    return _agreement_agg(full.join(buck, "vec_id"))

@@ -4426,7 +4426,7 @@ def _ss_arm_sql(sm: int) -> tuple[list[str], list[str]]:
     applied per level)."""
     f = _SS_FANIN
     ctes = [
-        f"""ss_l0_{sm} AS (
+        f"""ss_l0_{sm} AS MATERIALIZED (
   SELECT topic, partition_id, msg_offset // {sm} AS seq,
          min(msg_offset) AS lo, max(msg_offset) AS hi,
          CAST(count(*) AS BIGINT) AS nmsg
@@ -4440,7 +4440,7 @@ def _ss_arm_sql(sm: int) -> tuple[list[str], list[str]]:
         prev_level, prev_rounds = _SS_SCHEDULE[idx - 1]
         seq_col = "seq" if idx == 1 else f"g{idx - 1}"
         ctes.append(
-            f"""ss_l{idx}_{sm} AS (
+            f"""ss_l{idx}_{sm} AS MATERIALIZED (
   SELECT * FROM (
     SELECT topic, partition_id, {seq_col} // {f} AS g{idx},
            min(lo) AS lo, max(hi) AS hi,
@@ -4482,21 +4482,26 @@ def _ss_oracle() -> str:
     )
 
 
-def _ss_drive(
-    spark: SparkSession, sf_dir: str, sm: int
-) -> tuple[DataFrame | None, DataFrame]:
-    """Drive the REAL plan_compaction through _SS_SCHEDULE at
-    MaxSegmentSize ``sm`` — THE one Spark-side executor of the
-    steady-state loop, shared by r_compaction_steady_state (per-round
-    rows) and r_steady_state_live_files (the final listing).  Returns
-    (per-round agg union, final listing)."""
+def _ss_msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
 
-    msgs = track_cached(
+    return track_cached(
         events_as_messages(spark, sf_dir).select(
             "topic", "partition_id", "msg_offset", "msg_size"
         )
     )
+
+
+def _ss_drive(msgs: DataFrame, sm: int) -> tuple[DataFrame | None, DataFrame]:
+    """Drive the REAL plan_compaction through _SS_SCHEDULE at
+    MaxSegmentSize ``sm`` over a pre-built (and typically cached)
+    messages frame — THE one Spark-side executor of the steady-state
+    loop, shared by r_compaction_steady_state (per-round rows) and
+    r_steady_state_live_files (the final listing); callers build the
+    frame ONCE across both arms via _ss_msgs.  Returns (per-round agg
+    union, final listing)."""
+    from kafka_replicator_spark.cacheutil import track_cached
+
     f = _SS_FANIN
     out: DataFrame | None = None
     cur = (
@@ -4609,9 +4614,10 @@ def _ss_drive(
     "lineage (compactor.go:176-242 iterated)",
 )
 def q_compaction_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _ss_msgs(spark, sf_dir)
     out: DataFrame | None = None
     for sm in _SS_SEG_POINTS:
-        rounds, _ = _ss_drive(spark, sf_dir, sm)
+        rounds, _ = _ss_drive(msgs, sm)
         out = rounds if out is None else out.unionByName(rounds)
     return out.orderBy("seg_max", "round", "topic", "partition_id")
 
@@ -4697,10 +4703,11 @@ def _ss_live_oracle() -> str:
     "emits exactly one row (zeros included)",
 )
 def q_steady_state_live_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _ss_msgs(spark, sf_dir)
     out: DataFrame | None = None
     top = _SS_SCHEDULE[-1][0] + 1
     for sm in _SS_SEG_POINTS:
-        _, final = _ss_drive(spark, sf_dir, sm)
+        _, final = _ss_drive(msgs, sm)
         for level in range(top + 1):
             arm = final.filter(F.col("level") == level).agg(
                 F.lit(sm).cast("long").alias("seg_max"),

@@ -122,3 +122,6 @@ def test_incremental_bucketed_invariance(spark, sf_dir):
         .collect()
     )
     assert one == four
+    # without drops the comparison is vacuous — a broken touched-bucket
+    # path would still pass (the unbucketed sibling's guard, mirrored)
+    assert any(r["kept"] == 0 for r in one), "tau must exercise drops"
