@@ -261,6 +261,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_semantic_dedup_incremental_bucketed",
     "r_steady_state_live_files",
     "p_semdedup_trained_bucketed_agreement",
+    "a_shared_sql_grouping_sets",
+    "a_grubbs_price",
 ]
 
 

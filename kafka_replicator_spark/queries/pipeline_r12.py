@@ -614,3 +614,132 @@ def q_semdedup_trained_bucketed_agreement(
         )
     )
     return _agreement_agg(full.join(buck, "vec_id"))
+
+
+# ------------------------------------- shared-SQL surface + analytics
+
+#: identical SQL text runs on BOTH engines (the a_shared_sql_* family):
+#: GROUPING SETS + grouping() verified to parse and agree on Spark 4 and
+#: DuckDB 1.x (round-12 probe); group columns are coalesced to sentinels
+#: so no NULL flows through the driver hash
+_GROUPING_SETS_SQL = """
+SELECT coalesce(CAST(n_regionkey AS BIGINT), -1) AS region_key,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(grouping(n_regionkey) AS INTEGER) AS g_region,
+       CAST(grouping(n_name) AS INTEGER) AS g_nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_regionkey, n_name), (n_regionkey), ())
+ORDER BY g_region, g_nation, region_key, nation
+"""
+
+
+@register(
+    "a_shared_sql_grouping_sets",
+    _GROUPING_SETS_SQL,
+    tags=("analytics", "shared-sql"),
+    doc="SAME SQL text on both engines: GROUPING SETS ((region, nation), "
+    "(region), ()) with grouping() disambiguation over the customer-"
+    "nation join — the multi-grain rollup surface (detail + region "
+    "subtotals + grand total in one pass; Spark plans ONE Expand node, "
+    "not three scans).  Group columns coalesced to sentinels so no NULL "
+    "reaches the driver hash; cents via floor(x*100+0.5) (the DOUBLE "
+    "cents rule).  Verified: Spark 4 and DuckDB parse the identical "
+    "clause and agree bit-for-bit",
+)
+def q_shared_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "a_grubbs_price",
+    f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY day
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq
+  FROM d
+),
+dev AS (
+  SELECT day, abs(CAST(m.n AS HUGEINT) * cents - m.s) AS adev FROM d, m
+),
+mx AS (SELECT max(adev) AS mdev FROM dev)
+SELECT m.n AS n_days,
+       CAST((SELECT min(day) FROM dev, mx WHERE adev = mdev) AS BIGINT)
+         AS outlier_day,
+       CAST((1000000 * (m.n - 1) * (SELECT mdev * mdev FROM mx))
+            // (m.n * (m.n * m.sq - m.s * m.s)) AS BIGINT) AS g2_ppm
+FROM m
+""",
+    tags=("analytics", "stats"),
+    doc="Grubbs outlier statistic over daily revenue: G^2 = "
+    "max(x - mean)^2 / s^2 as ONE exact integer ratio — "
+    "G2 = (n-1)*max(n*x - S)^2 / (n*(n*sum(x^2) - S^2)) with cents via "
+    "floor(x*100+0.5), every fold HUGEINT/DECIMAL-lifted (max|n*x-S|^2 "
+    "reaches ~1e24), outlier_day = min day attaining the max deviation "
+    "(deterministic tie-break).  Completes the outlier-test family next "
+    "to a_jarque_bera_price (moments) and a_pettitt_changepoint (ranks); "
+    "1 output row",
+)
+def q_grubbs_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}").alias(
+                "day"
+            ),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    d = track_cached(d)
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq"),
+    )
+    dev = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        "s",
+        "sq",
+        F.abs(F.col("n").cast("decimal(38,0)") * F.col("cents") - F.col("s")).alias(
+            "adev"
+        ),
+    )
+    from kafka_replicator_spark.cacheutil import track_cached as _tc
+
+    dev = _tc(dev)
+    mx = dev.agg(F.max("adev").alias("mdev"))
+    outlier = (
+        dev.join(F.broadcast(mx), dev.adev == mx.mdev)
+        .agg(F.min("day").alias("outlier_day"))
+    )
+    return (
+        m.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(outlier))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("outlier_day").cast("long").alias("outlier_day"),
+            F.expr(
+                "CAST((1000000 * (n - 1) * (mdev * mdev))"
+                " div (n * (n * sq - s * s)) AS BIGINT)"
+            ).alias("g2_ppm"),
+        )
+    )
