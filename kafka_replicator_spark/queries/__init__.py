@@ -39,6 +39,11 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
     def deco(fn):
+        # a silent override would replace an ever-green query's fn/oracle
+        # with a new one under the driver's feet (nearly happened in r12:
+        # a_shared_sql_grouping_sets already existed in analytics.py)
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
         return fn
 
@@ -261,7 +266,6 @@ _NEW_THIS_ROUND: list[str] = [
     "p_semantic_dedup_incremental_bucketed",
     "r_steady_state_live_files",
     "p_semdedup_trained_bucketed_agreement",
-    "a_shared_sql_grouping_sets",
     "a_grubbs_price",
 ]
 

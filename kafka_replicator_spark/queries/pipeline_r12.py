@@ -618,43 +618,6 @@ def q_semdedup_trained_bucketed_agreement(
 
 # ------------------------------------- shared-SQL surface + analytics
 
-#: identical SQL text runs on BOTH engines (the a_shared_sql_* family):
-#: GROUPING SETS + grouping() verified to parse and agree on Spark 4 and
-#: DuckDB 1.x (round-12 probe); group columns are coalesced to sentinels
-#: so no NULL flows through the driver hash
-_GROUPING_SETS_SQL = """
-SELECT coalesce(CAST(n_regionkey AS BIGINT), -1) AS region_key,
-       coalesce(n_name, 'ALL') AS nation,
-       CAST(grouping(n_regionkey) AS INTEGER) AS g_region,
-       CAST(grouping(n_name) AS INTEGER) AS g_nation,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS acctbal_cents
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY GROUPING SETS ((n_regionkey, n_name), (n_regionkey), ())
-ORDER BY g_region, g_nation, region_key, nation
-"""
-
-
-@register(
-    "a_shared_sql_grouping_sets",
-    _GROUPING_SETS_SQL,
-    tags=("analytics", "shared-sql"),
-    doc="SAME SQL text on both engines: GROUPING SETS ((region, nation), "
-    "(region), ()) with grouping() disambiguation over the customer-"
-    "nation join — the multi-grain rollup surface (detail + region "
-    "subtotals + grand total in one pass; Spark plans ONE Expand node, "
-    "not three scans).  Group columns coalesced to sentinels so no NULL "
-    "reaches the driver hash; cents via floor(x*100+0.5) (the DOUBLE "
-    "cents rule).  Verified: Spark 4 and DuckDB parse the identical "
-    "clause and agree bit-for-bit",
-)
-def q_shared_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    return spark.sql(_GROUPING_SETS_SQL)
-
-
 _DAY_US = 86_400_000_000
 
 
