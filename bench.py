@@ -3,8 +3,22 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each timing covers the full query execution (plan + run + collect-count);
-the Spark session warmup is excluded (paid once, amortized in production).
+PROTOCOL (since round 13, completing the VERDICT r11 #2 / r12 #1
+migration): the headline section materializes every query via the noop
+sink (`df.write.format("noop")`) — count() lets Catalyst prune
+row-preserving tails (a LEFT JOIN against a unique-key aggregate and
+everything feeding it is ELIMINATED under count; the r11 measurement
+correction), so noop is the honest protocol.  The headline comparable is
+noop-to-noop against the committed bench_prev_noop.json snapshot.  A
+one-pass count section remains as a courtesy column for one round
+(count_queries; its comparable is retired).  The FULL output JSON is also
+written to $SPARK_GRAFT_BENCH_OUT (default bench_last.json beside this
+file) so per-line history never depends on the driver's 2000-char tail —
+commit it as BENCH_LOCAL_r{N}.json at each clean run.
+
+The lifecycle trio (segment_lifecycle / _skewed / _latelost) is wall-clock
+end-to-end work (writes + replay), immune to count-pruning; it is timed as
+before and the uniform lifecycle stays in the headline total.
 """
 
 from __future__ import annotations
@@ -329,37 +343,40 @@ def main() -> None:
         except (TypeError, ValueError):
             return os.path.basename(os.path.normpath(str(v)))
 
-    snap: dict = {}
-    prev_times: dict[str, float] = {}
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_prev.json")
-    if os.path.exists(prev_path):
+    # previous-round noop snapshot: per-line times steer the contention
+    # retry and feed the headline noop-to-noop comparable (ONE load).
+    nsnap: dict = {}
+    prev_noop: dict[str, float] = {}
+    noop_prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_prev_noop.json"
+    )
+    if os.path.exists(noop_prev_path):
         try:
-            snap = json.load(open(prev_path))
-            if snap.get("sf") is None or _sf_token(snap["sf"]) == _sf_token(sf_dir):
-                prev_times = snap.get("queries", {})
+            nsnap = json.load(open(noop_prev_path))
+            if nsnap.get("sf") is None or _sf_token(nsnap["sf"]) == _sf_token(sf_dir):
+                prev_noop = nsnap.get("noop_queries", {})
         except Exception:
-            snap = {}
+            nsnap = {}
 
     def run_pass(tag: str) -> tuple[dict[str, float], dict[str, str]]:
-        """One full end-to-end pass over the headline set + lifecycle lines."""
+        """One full end-to-end NOOP pass over the headline set + lifecycle."""
         timings: dict[str, float] = {}
         errors: dict[str, str] = {}
         for name in HEADLINE:
             q = registry[name]
-            # best of two: the first run pays JIT/codegen/cache warmup that a
-            # long-running deployment amortizes; min is the steady-state
-            # latency.  If the best-of-2 still sits >1.15x of last round's
-            # recorded time, take a third run — external machine contention
-            # spikes individual runs 2-3x (BASELINE.md).
-            best, n = None, 0
+            # single timed noop materialization per pass; if it sits >1.15x
+            # of last round's recorded line, take ONE immediate retry —
+            # external machine contention spikes individual runs 2-3x
+            # (BASELINE.md) and the cross-pass min supplies the rest.
+            best = None
             try:
-                for run in range(3):
-                    if run == 2 and not (
-                        name in prev_times and best > prev_times[name] * 1.15
+                for run in range(2):
+                    if run == 1 and not (
+                        name in prev_noop and best > prev_noop[name] * 1.15
                     ):
                         break
                     t0 = time.perf_counter()
-                    n = q.fn(spark, sf_dir).count()
+                    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
             except Exception as ex:  # isolate: one broken query must never zero
@@ -367,7 +384,7 @@ def main() -> None:
                 print(f"# [{tag}] {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
             timings[name] = round(best, 3)
-            print(f"# [{tag}] {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+            print(f"# [{tag}] {name}: {best:.3f}s", file=sys.stderr)
             release_cached()  # drop operator-internal pinned frames between queries
 
         # best-of-two per pass (×2 passes = four samples; VERDICT r08 #5
@@ -448,151 +465,102 @@ def main() -> None:
             if k not in timings:
                 errors[k] = msg
 
-    # NOOP-SINK section (VERDICT r11 #2): the count() protocol above lets
-    # Catalyst prune row-preserving tails (the r11 measurement correction —
-    # a LEFT JOIN against a unique-key aggregate and everything feeding it
-    # is ELIMINATED under count), so the headline numbers under-measure the
-    # substring-cut and SemDeDup lines.  The count section is kept this
-    # round for per-line history continuity; this parallel section times
-    # the SAME queries materialized via the noop sink (every row and
-    # column), recorded as noop_queries/noop_total in the same artifact.
-    # r13 seeds bench_prev_noop.json from BENCH_r12 and compares
-    # noop-to-noop; the count section then retires.
-    noop_passes = int(os.environ.get("SPARK_GRAFT_NOOP_PASSES", "2"))
-    noop_timings: dict[str, float] = {}
-    noop_errors: dict[str, str] = {}
-
-    def run_noop_pass(tag: str) -> tuple[dict[str, float], dict[str, str]]:
-        t: dict[str, float] = {}
-        e: dict[str, str] = {}
+    # COUNT courtesy section (retiring — VERDICT r12 #1): one single pass of
+    # the legacy fn(...).count() timings for per-line history continuity.
+    # No comparable is computed (the count comparable is retired; the
+    # headline comparable above is noop-to-noop).  Drop this section in r14.
+    count_passes = int(os.environ.get("SPARK_GRAFT_COUNT_PASSES", "1"))
+    count_timings: dict[str, float] = {}
+    count_errors: dict[str, str] = {}
+    for _ in range(count_passes):
         for name in HEADLINE:
             q = registry[name]
             try:
                 t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                t[name] = round(time.perf_counter() - t0, 3)
-                print(f"# [{tag}] {name}: {t[name]:.3f}s", file=sys.stderr)
+                n = q.fn(spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                count_timings[name] = min(count_timings.get(name, dt), dt)
+                count_errors.pop(name, None)
+                print(f"# [count] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
             except Exception as ex:
-                e[name] = f"{type(ex).__name__}: {ex}"[:300]
-                print(f"# [{tag}] {name}: ERROR {e[name]}", file=sys.stderr)
+                if name not in count_timings:
+                    count_errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                print(f"# [count] {name}: ERROR {type(ex).__name__}", file=sys.stderr)
             release_cached()
-        return t, e
 
-    if noop_passes > 0:
-        noop_timings, noop_errors = run_noop_pass("noop1")
-        for p in range(2, noop_passes + 1):
-            time.sleep(pass_gap)
-            t2, e2 = run_noop_pass(f"noop{p}")
-            for k, v in t2.items():
-                noop_timings[k] = min(noop_timings.get(k, v), v)
-                noop_errors.pop(k, None)
-            for k, msg in e2.items():
-                if k not in noop_timings:
-                    noop_errors[k] = msg
-
-    noop_section = {}
-    if noop_timings or noop_errors:
-        noop_section = {
-            "noop_total": round(sum(noop_timings.values()), 3),
-            "noop_timed": len(noop_timings),
-            "noop_queries": noop_timings,
-            "noop_errors": noop_errors,
+    count_section = {}
+    if count_timings or count_errors:
+        count_section = {
+            "count_total": round(sum(count_timings.values()), 3),
+            "count_timed": len(count_timings),
+            "count_queries": count_timings,
+            "count_errors": count_errors,
         }
-        # noop-to-noop comparable ratio once a prior-round noop snapshot
-        # exists (bench_prev_noop.json — seeded from BENCH_r12 onward)
-        noop_prev_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_prev_noop.json"
-        )
-        if os.path.exists(noop_prev_path):
-            try:
-                nsnap = json.load(open(noop_prev_path))
-                if nsnap.get("sf") is not None and _sf_token(nsnap["sf"]) != _sf_token(sf_dir):
-                    raise ValueError(
-                        f"noop snapshot sf {nsnap['sf']!r} != bench dir {sf_dir!r}"
-                    )
-                ncommon = [
-                    k for k in noop_timings if k in nsnap.get("noop_queries", {})
-                ]
-                nprev = sum(nsnap["noop_queries"][k] for k in ncommon)
-                nnow = sum(noop_timings[k] for k in ncommon)
-                noop_section.update(
-                    {
-                        "noop_comparable_n": len(ncommon),
-                        "noop_comparable_prev_sec": round(nprev, 3),
-                        "noop_comparable_now_sec": round(nnow, 3),
-                        "noop_comparable_ratio": round(nnow / nprev, 3)
-                        if nprev
-                        else None,
-                    }
-                )
-                if nprev:
-                    print(
-                        f"# noop comparable: {nnow:.2f}s / {nprev:.2f}s = "
-                        f"{nnow / nprev:.2f}x over {len(ncommon)} shared lines",
-                        file=sys.stderr,
-                    )
-            except Exception as ex:
-                print(f"# noop snapshot unreadable: {ex}", file=sys.stderr)
 
     total = sum(v for k, v in timings.items() if k in HEADLINE)
     total += timings.get("segment_lifecycle", 0.0)
 
-    # round-over-round comparable-subset delta against the checked-in
-    # previous-round snapshot (bench_prev.json, refreshed each round from
-    # the recorded BENCH artifact): sum the SAME query set on both sides so
-    # the ratio is meaningful even as the headline list grows.  Skew and
-    # latelost lines are excluded, same policy as the headline total.
-    # only compare like-for-like scale factors: the snapshot is the
-    # per-round sf0.1 artifact; a quick sf0.01 pass must not emit a bogus
-    # cross-scale ratio.  _sf_token (above) normalizes both sides to the
-    # 'sfN' basename token.
+    # HEADLINE comparable: noop-to-noop against the committed prior-round
+    # snapshot (bench_prev_noop.json — per-line noop times under the
+    # "noop_queries" key, refreshed each round from the committed
+    # BENCH_LOCAL artifact, never the driver tail).  Skew and latelost
+    # lines are excluded, same policy as the headline total.  Only compare
+    # like-for-like scale factors: a quick sf0.01 pass must not emit a
+    # bogus cross-scale ratio (_sf_token normalizes both sides).
     comparable = {}
-    if snap:
-        try:
-            if snap.get("sf") is not None and _sf_token(snap["sf"]) != _sf_token(sf_dir):
-                raise ValueError(f"snapshot sf {snap['sf']!r} != bench dir {sf_dir!r}")
-            common = [
-                k
-                for k in timings
-                if k in snap.get("queries", {})
-                and (k in HEADLINE or k == "segment_lifecycle")
-            ]
-            prev_sum = sum(snap["queries"][k] for k in common)
-            now_sum = sum(timings[k] for k in common)
-            comparable = {
-                "comparable_round": snap.get("round"),
-                "comparable_n": len(common),
-                "comparable_prev_sec": round(prev_sum, 3),
-                "comparable_now_sec": round(now_sum, 3),
-                "comparable_ratio": round(now_sum / prev_sum, 3) if prev_sum else None,
-            }
-            if prev_sum:
-                print(
-                    f"# comparable vs {snap.get('round')}: {now_sum:.2f}s / "
-                    f"{prev_sum:.2f}s = {now_sum / prev_sum:.2f}x over "
-                    f"{len(common)} shared lines",
-                    file=sys.stderr,
-                )
-        except Exception as ex:  # a corrupt snapshot must never break bench
-            print(f"# comparable snapshot unreadable: {ex}", file=sys.stderr)
+    if prev_noop:
+        common = [k for k in timings if k in prev_noop and k in HEADLINE]
+        prev_sum = sum(prev_noop[k] for k in common)
+        now_sum = sum(timings[k] for k in common)
+        comparable = {
+            "comparable_round": nsnap.get("round"),
+            "noop_comparable_n": len(common),
+            "noop_comparable_prev_sec": round(prev_sum, 3),
+            "noop_comparable_now_sec": round(now_sum, 3),
+            "noop_comparable_ratio": round(now_sum / prev_sum, 3) if prev_sum else None,
+        }
+        if prev_sum:
+            print(
+                f"# noop comparable vs {nsnap.get('round')}: {now_sum:.2f}s / "
+                f"{prev_sum:.2f}s = {now_sum / prev_sum:.2f}x over "
+                f"{len(common)} shared lines",
+                file=sys.stderr,
+            )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                # how many queries the total actually covers — a shrunken
-                # comparable set (errors) must be visible, not silent
-                "timed": len([k for k in timings if k in HEADLINE]) + (1 if "segment_lifecycle" in timings else 0),
-                "queries": timings,
-                "errors": errors,
-                **comparable,
-                **noop_section,
-                "sf": sf_dir,
-            }
-        )
+    # key order matters downstream: the driver records only a 2000-char
+    # TAIL of this line, so the headline comparable + error dicts + sf sit
+    # LAST (always preserved) and the bulky courtesy count dict sits first
+    # (sacrificed on truncation — its history lives in the committed
+    # BENCH_LOCAL artifact, which holds the FULL line).
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "protocol": "noop",
+        "value": round(total, 3),
+        "unit": "sec",
+        **count_section,
+        # how many queries the total actually covers — a shrunken
+        # comparable set (errors) must be visible, not silent
+        "timed": len([k for k in timings if k in HEADLINE])
+        + (1 if "segment_lifecycle" in timings else 0),
+        "noop_queries": timings,
+        "errors": errors,
+        **comparable,
+        "sf": sf_dir,
+    }
+    line = json.dumps(out)
+    # full-line artifact: per-line history must never depend on the
+    # driver's 2000-char tail again (VERDICT r12 #1) — commit this file as
+    # BENCH_LOCAL_r{N}.json at each clean run.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except Exception as ex:
+        print(f"# bench_last write failed: {ex}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

@@ -1706,10 +1706,16 @@ def derive_n_planes_case_sql(
     plane-count rule's SQL text.  No log2 anywhere (float log2 is not
     trusted cross-engine even at powers of two — the r07 rule); p is
     bounded, so the ladder is max_planes - min_planes literal integer
-    comparisons.  DuckDB sums BIGINT into HUGEINT, matching the Spark
-    side's DECIMAL(38,0) lift exactly."""
+    comparisons.  The per-cell count is lifted to HUGEINT BEFORE the
+    multiply (ADVICE r12: bare ``c * c`` would overflow BIGINT for a
+    single cell above ~3.04e9 rows — the same pre-multiply lift the Spark
+    twin does with DECIMAL(38,0)), and the sums are coalesced to 0 so an
+    EMPTY assignment relation derives ``min_planes`` on both engines
+    (0 <= 0 satisfies the first arm) instead of NULL-falling to the ELSE
+    ``max_planes`` arm (ADVICE r12)."""
     arms = "\n    ".join(
-        f"WHEN sum(c * c) <= {pairs_per_vec} * sum(c) * {1 << p} THEN {p}"
+        f"WHEN coalesce(sum(CAST(c AS HUGEINT) * c), 0)"
+        f" <= {pairs_per_vec} * coalesce(sum(c), 0) * {1 << p} THEN {p}"
         for p in range(min_planes, max_planes)
     )
     return f"SELECT CASE {arms}\n    ELSE {max_planes} END AS p FROM cellsz"
@@ -1947,6 +1953,7 @@ def semantic_dedup_ingest(
     tau: float = 0.92,
     n_planes: int | None = None,
     dim: int = 64,
+    validate: bool = False,
 ) -> DataFrame:
     """One incremental SemDeDup ingest step (VERDICT r11 #6 — the vector
     family's mergeability contract, the twin of p_minhash_mergeability):
@@ -1976,8 +1983,26 @@ def semantic_dedup_ingest(
     derives it at build time — changing it is a reindex, not an ingest).
     State rows then carry a ``bucket`` column.
 
+    ``validate=True`` enforces the monotonicity contract eagerly (two
+    single-row metadata aggregates: min batch id vs max state id) and
+    raises ``ValueError`` on a violation — the ivf_assign_trained(model=)
+    / minhash_bands(sig=) guard precedent (ADVICE r12; without it a
+    contract breach silently freezes stale (n_near, kept) on prior rows).
+    Off by default so steady-state ingest pays no extra jobs; turn it on
+    for first-use / test paths.
+
     Returns the updated state covering ``state`` ∪ ``batch``.
     """
+    if validate and state is not None:
+        state_hi = state.agg(F.max("vec_id")).collect()[0][0]
+        batch_lo = batch.agg(F.min("vec_id")).collect()[0][0]
+        if state_hi is not None and batch_lo is not None and batch_lo <= state_hi:
+            raise ValueError(
+                "semantic_dedup_ingest: monotonicity contract violated — "
+                f"min(batch.vec_id)={batch_lo} <= max(state.vec_id)={state_hi}; "
+                "every batch id must exceed every state id (prior rows' "
+                "(n_near, kept) are frozen by id monotonicity)"
+            )
     ab = ivf_assign_frozen(batch, centroids)
     keys = ["centroid_id"]
     if n_planes is not None:

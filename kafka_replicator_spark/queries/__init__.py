@@ -61,11 +61,20 @@ def with_ctes(*ctes: str, select: str) -> str:
 #: registry each round, so ``all_queries`` orders every name WITHOUT a
 #: green row ahead of this set, then the round's new queries, then this
 #: remainder as ballast.  After round 10 (50/50 green, tenth consecutive)
-#: every registered name has a green driver row — after round 11 (50/50
-#: green, eleventh consecutive) cumulative 487/487 — so the round-12
-#: window is entirely spare; round-12 additions go straight into
+#: every registered name has a green driver row — after round 12 (50/50
+#: green, twelfth consecutive) cumulative 502/502 — so the round-13
+#: window is entirely spare; round-13 additions go straight into
 #: ``_NEW_THIS_ROUND`` until it fills (50 names).
 _EVER_GREEN = frozenset({
+    # --- green in CORRECTNESS_r12 (folded in at the round-13 rotation) ---
+    'p_semantic_dedup_bucketed_auto', 'p_semantic_dedup_auto_tau40',
+    'p_semantic_dedup_bucketed_tau40', 'p_semdedup_bucketed_auto_agreement',
+    'p_semantic_dedup_incremental', 'p_semdedup_batch_invariance',
+    'p_ivf_trained_multiprobe', 'p_trained_nprobe_recall_curve',
+    'r_compaction_steady_state', 'p_semantic_dedup_bucketed_trained',
+    'p_planes_budget_sweep', 'p_semantic_dedup_incremental_bucketed',
+    'r_steady_state_live_files', 'p_semdedup_trained_bucketed_agreement',
+    'a_grubbs_price',
     # --- green in CORRECTNESS_r11 (folded in at the round-12 rotation) ---
     'p_ivf_pq_rerank_trained', 'p_substring_fixpoint',
     'p_e2e_fixpoint_cascade', 'p_ivfpq_filter_aware',
@@ -245,33 +254,17 @@ _EVER_GREEN = frozenset({
     'r_x8_metric_names',
 })
 
-#: Queries in THIS round's (round 12) driver window behind any never-green
-#: backlog.  CORRECTNESS_r11 was 50/50 green, so the round-11 window's 22
-#: names folded into ``_EVER_GREEN`` (cumulative 487/487 driver-verified)
-#: and the round-12 window is ENTIRELY spare — round-12 additions go
+#: Queries in THIS round's (round 13) driver window behind any never-green
+#: backlog.  CORRECTNESS_r12 was 50/50 green, so the round-12 window's 15
+#: names folded into ``_EVER_GREEN`` (cumulative 502/502 driver-verified)
+#: and the round-13 window is ENTIRELY spare — round-13 additions go
 #: straight HERE until the window fills (50 names), then overflow into
 #: ``_STAGED_NEXT_ROUND``.
-_NEW_THIS_ROUND: list[str] = [
-    "p_semantic_dedup_bucketed_auto",
-    "p_semantic_dedup_auto_tau40",
-    "p_semantic_dedup_bucketed_tau40",
-    "p_semdedup_bucketed_auto_agreement",
-    "p_semantic_dedup_incremental",
-    "p_semdedup_batch_invariance",
-    "p_ivf_trained_multiprobe",
-    "p_trained_nprobe_recall_curve",
-    "r_compaction_steady_state",
-    "p_semantic_dedup_bucketed_trained",
-    "p_planes_budget_sweep",
-    "p_semantic_dedup_incremental_bucketed",
-    "r_steady_state_live_files",
-    "p_semdedup_trained_bucketed_agreement",
-    "a_grubbs_price",
-]
+_NEW_THIS_ROUND: list[str] = []
 
 
 #: Queries registered mid-round AFTER the window filled (none pending —
-#: round-11 closed with 28 spare window slots; keep list order at the next
+#: round-12 closed with 35 spare window slots; keep list order at the next
 #: rotation).
 _STAGED_NEXT_ROUND: list[str] = []
 

@@ -44,6 +44,14 @@ def test_stream_ingest_matches_batch_scan(spark, sf_dir, tmp_path):
     emb.filter(F.col("vec_id") > mid).coalesce(1).write.parquet(
         f"{indir}/batch=1"
     )
+    # FileStreamSource orders newly-discovered files by MODIFICATION TIME,
+    # not path — two back-to-back writes can tie on a coarse-mtime
+    # filesystem and arrive reordered (ADVICE r12).  Force strictly
+    # increasing mtimes in id order so maxFilesPerTrigger=1 delivers
+    # batch=0 before batch=1 deterministically.
+    for i, sub in enumerate(("batch=0", "batch=1")):
+        for fn in os.listdir(f"{indir}/{sub}"):
+            os.utime(f"{indir}/{sub}/{fn}", (1_700_000_000 + 60 * i,) * 2)
 
     centroids = emb.filter(F.col("vec_id") % 250 == 0).select(
         F.col("vec_id").alias("centroid_id"),
@@ -57,8 +65,11 @@ def test_stream_ingest_matches_batch_scan(spark, sf_dir, tmp_path):
             if os.path.exists(state_dir)
             else None
         )
+        # validate=True: the eager monotonicity guard (ADVICE r12) — a
+        # reordered file delivery would raise here instead of silently
+        # freezing stale (n_near, kept) on prior rows
         new_state = sim.semantic_dedup_ingest(
-            state, batch_df, centroids, tau=0.40
+            state, batch_df, centroids, tau=0.40, validate=True
         )
         # overwrite-into-temp then swap would be the production shape;
         # append of ONLY the new rows is equivalent here because prior
