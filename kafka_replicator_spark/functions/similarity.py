@@ -469,12 +469,17 @@ def kmeans_train(
     )
 
 
-def kmeans_train_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def kmeans_train_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, rel: str = "embeddings"
+) -> str:
     """Unrolled-iteration oracle: c0 → (assign → sum → centroid)ⁿ, a
-    literal SQL mirror of the Spark plan above."""
+    literal SQL mirror of the Spark plan above.  ``rel`` lets a composed
+    oracle train on a different relation (a vec_id-bounded subquery — the
+    retrain-decision query trains on the index-build-time half of the
+    corpus); the default text is byte-identical to the pre-param form."""
     d1 = dim + 1
     parts = [
-        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {rel})",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
          list_transform(e, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS cm
@@ -522,16 +527,14 @@ FROM s{iters}
     )
 
 
-def kmeans_model(
-    embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
-) -> DataFrame:
-    """The trained centroid table as broadcast-ready DOUBLE arrays:
-    (cluster, cd) from :func:`kmeans_train`'s integer micro-unit
-    components divided once — THE one Spark-side builder of the model
-    frame, shared by :func:`ivf_assign_trained` and the inertia audits."""
-    return kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim).groupBy(
-        "cluster"
-    ).agg(
+def kmeans_model_from_train(train: DataFrame) -> DataFrame:
+    """Fold a :func:`kmeans_train` long-format frame (cluster, dim,
+    centroid_micro, n_members) into the broadcast-ready (cluster, cd)
+    model shape — THE one micro→double conversion, shared by
+    :func:`kmeans_model` and callers that keep the long frame around
+    (the retrain-decision query joins the frozen micro components AND
+    assigns from the same single training run)."""
+    return train.groupBy("cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "centroid_micro"))),
             lambda s: s["centroid_micro"] / F.lit(1e6),
@@ -539,12 +542,27 @@ def kmeans_model(
     )
 
 
-def kmeans_model_sql_ctes(n_clusters: int = 8, iters: int = 2, dim: int = 64) -> str:
+def kmeans_model(
+    embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """The trained centroid table as broadcast-ready DOUBLE arrays:
+    (cluster, cd) from :func:`kmeans_train`'s integer micro-unit
+    components divided once — THE one Spark-side builder of the model
+    frame, shared by :func:`ivf_assign_trained` and the inertia audits."""
+    return kmeans_model_from_train(
+        kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim)
+    )
+
+
+def kmeans_model_sql_ctes(
+    n_clusters: int = 8, iters: int = 2, dim: int = 64, rel: str = "embeddings"
+) -> str:
     """Open WITH block ending in ``model`` = (cluster, cd) — the SQL twin
     of :func:`kmeans_model` (kmeans_train_sql's unrolled body + the model
     list), shared by :func:`ivf_assign_trained_sql_ctes` and the inertia
-    audits so the model derivation is single-sourced."""
-    km = kmeans_train_sql(k=n_clusters, iters=iters, dim=dim)
+    audits so the model derivation is single-sourced.  ``rel`` forwards to
+    :func:`kmeans_train_sql` (byte-identical default)."""
+    km = kmeans_train_sql(k=n_clusters, iters=iters, dim=dim, rel=rel)
     body = km.partition("WITH ")[2].rpartition("\nSELECT cluster, dim,")[0]
     return f"""WITH {body},
 model AS (
@@ -553,6 +571,95 @@ model AS (
               ORDER BY dim) AS cd
   FROM s{iters} GROUP BY cluster
 )"""
+
+
+def save_kmeans_model(
+    model: DataFrame, path: str, n_clusters: int, iters: int, dim: int
+) -> None:
+    """Persist a trained coarse-quantizer model (VERDICT r12 #2 — the
+    index-build vs serve split): a production 100 TB continuously-ingesting
+    index trains ONCE at build time and every serve/ingest path loads the
+    frozen artifact; before this, the model only lived inside a query's
+    lineage and "frozen" meant re-deriving it per session.
+
+    The artifact is a SELF-DESCRIBING parquet table: one row per cluster
+    with (cluster BIGINT, cd ARRAY<DOUBLE>, k INT, iters INT, dim INT) —
+    the training hyperparameters ride as constant metadata columns, so
+    load needs no sidecar and the table remains queryable by any engine.
+    Doubles roundtrip bit-exactly through parquet, and the model
+    components are integer micro-units divided once (:func:`kmeans_model`),
+    so save→load→assign is BIT-IDENTICAL to assigning from the in-lineage
+    frame (pinned by the roundtrip test).  k rows = metadata scale; one
+    file via coalesce(1).
+
+    Raises if ``model`` is not the (cluster, cd) shape with exactly
+    ``n_clusters`` rows of ``dim`` components — the ivf_assign_trained
+    ``model=`` guard applied at WRITE time, where a bad artifact would
+    otherwise poison every future load.
+    """
+    row = model.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("cd")).alias("dmin"),
+        F.max(F.size("cd")).alias("dmax"),
+    ).collect()[0]
+    if row["n"] != n_clusters or row["dmin"] != dim or row["dmax"] != dim:
+        raise ValueError(
+            f"save_kmeans_model: expected {n_clusters} clusters of dim {dim}; "
+            f"got {row['n']} rows with dim range [{row['dmin']}, {row['dmax']}]"
+        )
+    (
+        model.select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("cd").cast("array<double>").alias("cd"),
+            F.lit(n_clusters).cast("int").alias("k"),
+            F.lit(iters).cast("int").alias("iters"),
+            F.lit(dim).cast("int").alias("dim"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_kmeans_model(spark, path: str) -> tuple[DataFrame, dict[str, int]]:
+    """Load a :func:`save_kmeans_model` artifact: returns the (cluster, cd)
+    model frame (feed it to ``ivf_assign_trained(model=...)`` /
+    ``trained_multiprobe_scored(model=...)``) plus the training metadata
+    ``{"n_clusters", "iters", "dim"}`` read from the artifact's constant
+    metadata columns.  Validates internal consistency (exactly one
+    metadata tuple; row count == k) so a corrupt or mixed-write artifact
+    fails at load, not silently mis-assigns at serve time."""
+    df = spark.read.parquet(path)
+    metas = df.select("k", "iters", "dim").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"load_kmeans_model: {path} holds {len(metas)} distinct metadata "
+            "tuples — not a single saved model"
+        )
+    meta = {
+        "n_clusters": int(metas[0]["k"]),
+        "iters": int(metas[0]["iters"]),
+        "dim": int(metas[0]["dim"]),
+    }
+    model = df.select("cluster", "cd")
+    n = model.count()
+    if n != meta["n_clusters"]:
+        raise ValueError(
+            f"load_kmeans_model: artifact claims k={meta['n_clusters']} but "
+            f"holds {n} cluster rows"
+        )
+    return model, meta
+
+
+def kmeans_model_as_centroids(model: DataFrame) -> DataFrame:
+    """Adapt a (cluster, cd) kmeans model to the frozen-centroid shape
+    (centroid_id, ce) that :func:`ivf_assign_frozen` /
+    :func:`semantic_dedup_ingest` consume — the loaded artifact drives the
+    incremental SemDeDup ingest directly (the persisted-model serve
+    path)."""
+    return model.select(
+        F.col("cluster").cast("long").alias("centroid_id"), F.col("cd").alias("ce")
+    )
 
 
 def ivf_assign_trained(

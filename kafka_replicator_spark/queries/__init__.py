@@ -260,7 +260,9 @@ _EVER_GREEN = frozenset({
 #: and the round-13 window is ENTIRELY spare — round-13 additions go
 #: straight HERE until the window fills (50 names), then overflow into
 #: ``_STAGED_NEXT_ROUND``.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "p_model_retrain_decision",
+]
 
 
 #: Queries registered mid-round AFTER the window filled (none pending —
@@ -272,7 +274,7 @@ _STAGED_NEXT_ROUND: list[str] = []
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose, pipeline_r9, analytics_r9, pipeline_r10, analytics_r10, pipeline_r11, analytics_r11, pipeline_r12  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose, pipeline_r9, analytics_r9, pipeline_r10, analytics_r10, pipeline_r11, analytics_r11, pipeline_r12, pipeline_r13  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]
