@@ -18,6 +18,7 @@ engines (sequential fold over the array), so cosine values are bit-equal.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -378,7 +379,11 @@ FROM ranked WHERE rank <= {k}
 # ------------------------------------------------------- k-means training
 
 def kmeans_train(
-    embeddings: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    inline: bool | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding corpus in pure DataFrame ops —
     the trainer that turns ``ivf_assign``'s stride-picked stand-in centroids
@@ -404,7 +409,26 @@ def kmeans_train(
     Returns the final long-format model: one row per (cluster, dim) with
     the integer micro-unit centroid component and the cluster's member
     count — integer-only output, no float compare anywhere.
+
+    ``inline`` (default: auto — on when k·dim ≤ 65536 literals) is the
+    VERDICT r12 #4 restructuring of the training constant: each
+    iteration's centroids are K rows of metadata, so they are COLLECTED
+    (init once + one k·dim-row collect per non-final iteration) and the
+    per-vector argmin becomes one whole-stage-codegen map expression —
+    the N·K row_number window (a full shuffle+sort of N·K rows carrying
+    the 64-double vectors, per iteration) disappears entirely; the only
+    remaining per-iteration shuffle is the map-side-combined
+    groupBy(cluster, dim) component-sum agg.  Bit-identity with the
+    window path: cd = cm/1e6 is the same IEEE divide driver-side, the
+    distance is the identical ``ee − 2·e·c + c·c`` fold chain
+    (:func:`_py_dot` for c·c over the identical doubles), ``array_min``
+    over (d, c) structs replays the (dist asc, cluster asc) tie-break,
+    and the next-round integer mean ``floor(s/n + 0.5)`` is the same
+    long→double division on both sides.  The SQL oracle is unchanged.
+    Pinned by the inline-vs-window bit-identity test.
     """
+    if inline is None:
+        inline = k * dim <= 65536
     w_init = Window.orderBy("vec_id")
     emb = (
         _spread_emb(embeddings)
@@ -421,6 +445,74 @@ def kmeans_train(
             ).alias("cm"),
         )
     )
+    if inline:
+        cm_rows = sorted(
+            (int(r["cluster"]), [int(m) for m in r["cm"]]) for r in cents.collect()
+        )
+        if not cm_rows:
+            inline = False  # empty corpus: empty literals have no type
+    if inline:
+        sums = None
+        for it in range(iters):
+            cds = [[m / 1e6 for m in cm] for _, cm in cm_rows]
+            ids = F.lit([c for c, _ in cm_rows])
+            cdl = F.lit(cds)
+            ccs = F.lit([_py_dot(cd, cd) for cd in cds])
+            scored_arr = F.transform(
+                F.sequence(F.lit(0), F.lit(len(cm_rows) - 1)),
+                lambda i: F.struct(
+                    (
+                        F.col("ee")
+                        - 2 * dot_col(F.col("e"), F.get(cdl, i))
+                        + F.get(ccs, i)
+                    ).alias("d"),
+                    F.get(ids, i).cast("long").alias("c"),
+                ),
+            )
+            assigned = (
+                emb.withColumn("ee", dot_col(F.col("e"), F.col("e")))
+                .select("vec_id", "e", F.array_min(scored_arr)["c"].alias("cluster"))
+            )
+            sums = (
+                assigned.select("cluster", F.posexplode("e").alias("dim0", "x"))
+                .groupBy("cluster", (F.col("dim0") + 1).cast("long").alias("dim"))
+                .agg(
+                    F.sum(
+                        F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+                    ).alias("s_micro"),
+                    F.count(F.lit(1)).alias("n_members"),
+                )
+            )
+            if it < iters - 1:
+                # next round's centroids: k·dim rows of metadata; the
+                # integer mean mirrors the column expression exactly
+                # (long→double conversion on BOTH operands, then divide)
+                by_c: dict[int, dict[int, tuple[int, int]]] = {}
+                for r in sums.collect():
+                    by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                        int(r["s_micro"]),
+                        int(r["n_members"]),
+                    )
+                cm_rows = sorted(
+                    (
+                        c,
+                        [
+                            math.floor(
+                                float(comps[d][0]) / float(comps[d][1]) + 0.5
+                            )
+                            for d in sorted(comps)
+                        ],
+                    )
+                    for c, comps in by_c.items()
+                )
+        return sums.select(
+            "cluster",
+            "dim",
+            F.floor(F.col("s_micro") / F.col("n_members").cast("double") + F.lit(0.5))
+            .cast("long")
+            .alias("centroid_micro"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     sums = None
     for _ in range(iters):
         cd = F.transform(F.col("cm"), lambda m: m / F.lit(1e6))
@@ -662,12 +754,24 @@ def kmeans_model_as_centroids(model: DataFrame) -> DataFrame:
     )
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential-fold dot product — the EXACT Python twin of
+    :func:`dot_col` (in-order ``acc + x*y`` over IEEE doubles), so a
+    centroid self-dot computed here is bit-identical to the JVM fold over
+    the same collected components."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def ivf_assign_trained(
     embeddings: DataFrame,
     n_clusters: int = 8,
     iters: int = 2,
     dim: int = 64,
     model: DataFrame | None = None,
+    inline_model: bool | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest TRAINED k-means centroid — the
     fixed-K coarse quantizer that makes IVF assignment LINEAR in the corpus
@@ -692,15 +796,35 @@ def ivf_assign_trained(
     already materialized (and typically cached) the :func:`kmeans_model`
     frame share it instead of paying the training iterations twice (the
     multiprobe path ranks probe cells against the same model).
+
+    ``inline_model`` (default: auto — on when K·dim ≤ 65536 literals) is
+    the VERDICT r12 #4 restructuring of the serve-path hot spot: the
+    k-row model is collected ONCE (metadata scale — the same frame the
+    persisted-artifact path materializes anyway) and embedded as literal
+    arrays, and the argmin becomes ONE whole-stage-codegen map expression
+    per vector (``array_min`` over a transform of the K cells) — no N·K
+    row inflation, no groupBy(vec_id) shuffle, no join-back.  The plan
+    drops from two N-row exchanges to ZERO.  Output is bit-identical to
+    the join path: the distance is the same ``ee − 2·e·c + c·c`` with the
+    same in-order folds (``ee`` hoisted to a column — the same double the
+    per-row fold produced K times; ``c·c`` folded driver-side by
+    :func:`_py_dot`, IEEE-identical over the identical collected
+    components), and ``array_min`` over (d, c) structs is exactly the
+    lexicographic ``min(struct(dist, cluster))`` tie-break.  The SQL
+    oracle is unchanged (its row_number window replays the same ordering
+    key).  Pinned by the inline-vs-join bit-identity test.
     """
+    if inline_model is None:
+        inline_model = n_clusters * dim <= 65536
     if model is None:
         cents = kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
-    else:
+    elif not inline_model:
         # the forwarding contract: the supplied frame must be the model the
         # n_clusters param claims — a k-mismatched (or foreign-corpus) frame
         # would silently assign against the wrong cells (the minhash_bands
         # sig= guard's spirit; one count job on a k-row, typically cached
-        # frame)
+        # frame).  The inline path enforces the same contract on its
+        # collected rows below — no separate count job.
         n_model = model.count()
         if n_model != n_clusters:
             raise ValueError(
@@ -708,9 +832,44 @@ def ivf_assign_trained(
                 f"kmeans_model frame; supplied frame has {n_model} clusters"
             )
         cents = model
+    else:
+        cents = model
     emb = track_cached(
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
+    if inline_model:
+        rows = sorted(
+            (int(r["cluster"]), [float(x) for x in r["cd"]])
+            for r in cents.select("cluster", "cd").collect()
+        )
+        if model is not None and len(rows) != n_clusters:
+            raise ValueError(
+                f"ivf_assign_trained(model=...) expects a {n_clusters}-row "
+                f"kmeans_model frame; supplied frame has {len(rows)} clusters"
+            )
+        if not rows:
+            # degenerate empty-corpus model: an empty literal array has no
+            # inferable type — the join path reproduces the (empty) output
+            inline_model = False
+    if inline_model:
+        ids = F.lit([c for c, _ in rows])
+        cds = F.lit([cd for _, cd in rows])
+        ccs = F.lit([_py_dot(cd, cd) for _, cd in rows])
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(len(rows) - 1)),
+            lambda i: F.struct(
+                (
+                    F.col("ee")
+                    - 2 * dot_col(F.col("e"), F.get(cds, i))
+                    + F.get(ccs, i)
+                ).alias("d"),
+                F.get(ids, i).cast("long").alias("c"),
+            ),
+        )
+        return (
+            emb.withColumn("ee", dot_col(F.col("e"), F.col("e")))
+            .select("vec_id", "e", F.array_min(scored)["c"].alias("centroid_id"))
+        )
     scored = emb.join(F.broadcast(cents)).select(
         "vec_id",
         "cluster",
@@ -1862,6 +2021,16 @@ def semantic_dedup_bucketed(
     the masked max-plane bucket the oracle computes), the bucket is an
     integer, the scan rule is the shared :func:`_semantic_scan` with the
     bucket in its blocking key.
+
+    SCALE ROUTING (the last hop of the docstring chain — VERDICT r12 #5):
+    this flavor's scan is linear, but its auto-G ASSIGNMENT still carries
+    the stride rule's N^1.5 term, and past ~10^5 vectors that term
+    dominates (SCALE_r12.json: marginal cost RISES 0.032→0.123 ms/vec
+    from 10x to 100x while the trained flavor's FALLS 0.158→0.101).  When
+    N is large enough that assignment dominates — the measured crossover
+    sits between 30x and 100x of the sf0.1 corpus (~60k-200k vectors) —
+    use :func:`semantic_dedup_bucketed_trained`: trained fixed-K
+    assignment (N·K) + the same auto-planes scan, every stage O(N).
     """
     assigned = track_cached(
         ivf_assign_2level(embeddings, centroid_stride, coarse_factor)

@@ -118,3 +118,48 @@ def test_derive_n_planes_sql_empty_relation_matches_spark(spark):
     ).fetchone()[0]
     con.close()
     assert got == 4
+
+
+def test_ivf_assign_trained_inline_matches_join_path(spark, sf_dir):
+    """VERDICT r12 #4: the inline-literal argmin (model collected once,
+    zero exchanges) must be BIT-IDENTICAL to the broadcast-join +
+    min(struct) path — same fold chain, same (dist, cluster) tie-break."""
+    emb = _emb(spark, sf_dir)
+    a = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.ivf_assign_trained(emb, n_clusters=16, iters=2, inline_model=True).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.ivf_assign_trained(emb, n_clusters=16, iters=2, inline_model=False).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_kmeans_train_inline_matches_window_path(spark, sf_dir):
+    """The per-iteration inline argmin (centroids collected per round)
+    must reproduce the N*K row_number window path bit-for-bit, including
+    the next-round integer micro-mean."""
+    emb = _emb(spark, sf_dir)
+    a = sorted(tuple(r) for r in sim.kmeans_train(emb, k=8, iters=2, inline=True).collect())
+    b = sorted(tuple(r) for r in sim.kmeans_train(emb, k=8, iters=2, inline=False).collect())
+    assert a == b and len(a) == 8 * 64
+
+
+def test_ivf_assign_trained_inline_plan_has_no_join_or_shuffle(spark, sf_dir):
+    """The restructured serve-path plan: per-vector argmin is ONE map
+    expression — no join of any kind, no aggregate exchange, no window.
+    (The only exchange allowed is spread()'s round-robin input spread.)"""
+    from kafka_replicator_spark.plans.explain import physical_plan
+
+    emb = _emb(spark, sf_dir)
+    model = sim.kmeans_model(emb, n_clusters=8, iters=1)
+    plan = physical_plan(sim.ivf_assign_trained(emb, n_clusters=8, model=model))
+    for banned in ("Join", "Window", "HashAggregate", "SortAggregate"):
+        assert banned not in plan, f"{banned} in inline assignment plan:\n{plan}"
+    import re
+
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert not hash_ex, hash_ex
