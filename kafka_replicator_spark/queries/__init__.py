@@ -262,6 +262,8 @@ _EVER_GREEN = frozenset({
 #: ``_STAGED_NEXT_ROUND``.
 _NEW_THIS_ROUND: list[str] = [
     "p_model_retrain_decision",
+    "r_dedup_state_compacted",
+    "r_t1_age_ladder",
 ]
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_replicator_spark.cacheutil import track_cached
 from kafka_replicator_spark.functions import similarity as _sim
 from kafka_replicator_spark.queries import register
 from kafka_replicator_spark.sources.tables import load_table
@@ -399,16 +400,21 @@ def q_semantic_dedup_bucketed_trained(spark: SparkSession, sf_dir: str) -> DataF
 _PB_LADDER = (16, 64, 256)
 
 
-def _planes_budget_sweep_sql() -> str:
+def _ppv_sweep_sql_from(assign_block_sans_with: str) -> str:
     """Three pair-budget arms over ONE shared assignment + ONE shared
     16-plane bucket frame: per arm, the derived plane count, the actual
     candidate-pair volume (the quantity the budget rule caps), and the
     drop count at the audit tau.  Arm CTEs are alias-suffixed siblings in
     one top-level WITH (same-scope duplicate aliases are an error on both
-    engines); the npl ladder text comes from the single generator."""
+    engines); the npl ladder text comes from the single generator.
+
+    THE one generator of the ppv-ladder text — takes any assignment CTE
+    block ending in ``assigned`` (vec_id, e, centroid_id), so the auto-G
+    sweep (p_planes_budget_sweep) and the trained sweep
+    (p_trained_ppv_sweep, round 13) can never fork the metric."""
     cos = _sim._LIST_COS_SQL
     ctes = [
-        _sim.ivf_assign_2level_sql_ctes(250, None)[len("WITH ") :],
+        assign_block_sans_with,
         # referenced 4x (cellsz + three arms) — DuckDB inlines plain CTEs
         # per reference (the r06 rule), so pin one materialization
         "assigned_m AS MATERIALIZED (SELECT * FROM assigned)",
@@ -458,24 +464,16 @@ def _planes_budget_sweep_sql() -> str:
     )
 
 
-@register(
-    "p_planes_budget_sweep",
-    _planes_budget_sweep_sql(),
-    tags=("pipeline", "dedup", "sweep"),
-    doc="pair-budget ladder for the auto-planes rule: at pairs_per_vec = "
-    f"{_PB_LADDER}, the derived plane count, the ACTUAL candidate-pair "
-    "volume (the quantity the budget caps — tighter budgets must never "
-    "raise it), and the drop count at the audit tau (retention falls as "
-    "planes split true near-pairs) — the accuracy/cost dial of the "
-    "bucketed scan, measured not assumed.  ONE shared auto-G assignment "
-    "and ONE shared 16-plane bucket frame feed all arms (bucket bits are "
-    "prefix-stable, so each arm is a mask); 3 output rows",
-)
-def q_planes_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_replicator_spark.cacheutil import track_cached
+def _planes_budget_sweep_sql() -> str:
+    """The auto-G instance of the ppv-ladder text (the original round-12
+    registration — byte-identical through the factoring)."""
+    return _ppv_sweep_sql_from(_sim.ivf_assign_2level_sql_ctes(250, None)[len("WITH ") :])
 
-    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
-    assigned = track_cached(_sim.ivf_assign_2level(emb, 250, None))
+
+def _ppv_sweep_frame(emb: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_ppv_sweep_sql_from`: the three-arm ladder
+    over a supplied (cached) assignment frame — shared by the auto-G and
+    trained sweeps so the Spark metric can't fork either."""
     bkfull = track_cached(_sim.lsh_buckets(emb, 16, 64))
     out = None
     for ppv in _PB_LADDER:
@@ -524,6 +522,27 @@ def q_planes_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("pairs_per_vec")
+
+
+@register(
+    "p_planes_budget_sweep",
+    _planes_budget_sweep_sql(),
+    tags=("pipeline", "dedup", "sweep"),
+    doc="pair-budget ladder for the auto-planes rule: at pairs_per_vec = "
+    f"{_PB_LADDER}, the derived plane count, the ACTUAL candidate-pair "
+    "volume (the quantity the budget caps — tighter budgets must never "
+    "raise it), and the drop count at the audit tau (retention falls as "
+    "planes split true near-pairs) — the accuracy/cost dial of the "
+    "bucketed scan, measured not assumed.  ONE shared auto-G assignment "
+    "and ONE shared 16-plane bucket frame feed all arms (bucket bits are "
+    "prefix-stable, so each arm is a mask); 3 output rows",
+)
+def q_planes_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.cacheutil import track_cached
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    assigned = track_cached(_sim.ivf_assign_2level(emb, 250, None))
+    return _ppv_sweep_frame(emb, assigned)
 
 
 @register(

@@ -51,12 +51,13 @@ _RETRAIN_K = 8
 _RETRAIN_ITERS = 2
 
 
-def _retrain_decision_sql() -> str:
-    """Half-corpus kmeans model (shared builders, rel-parameterized) +
-    full-corpus frozen assignment + per-cell centroid-shift + the
-    relative retrain gate."""
-    return f"""
-{_sim.kmeans_model_sql_ctes(_RETRAIN_K, _RETRAIN_ITERS, rel=_HALF_REL)},
+def _half_model_assign_block() -> str:
+    """Open WITH block: half-corpus kmeans model (shared builders,
+    rel-parameterized) + FULL-corpus assignment against the frozen half
+    model, ending in ``assignedf`` = (vec_id, e, centroid_id) — shared by
+    the retrain-decision and reassignment-delta oracles so the frozen
+    serve-path rule has ONE text."""
+    return f"""{_sim.kmeans_model_sql_ctes(_RETRAIN_K, _RETRAIN_ITERS, rel=_HALF_REL)},
 embfull AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 assignedf AS (
   SELECT vec_id, e, cluster AS centroid_id FROM (
@@ -69,7 +70,14 @@ assignedf AS (
            ) AS rn
     FROM embfull f, model m
   ) WHERE rn = 1
-),
+)"""
+
+
+def _retrain_decision_sql() -> str:
+    """Half-corpus frozen-model assignment + per-cell centroid-shift +
+    the relative retrain gate."""
+    return f"""
+{_half_model_assign_block()},
 frozen AS (
   SELECT cluster, dim,
          CAST(floor(s_micro / CAST(n_members AS DOUBLE) + 0.5) AS BIGINT) AS mu_frozen
@@ -180,4 +188,349 @@ def q_model_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("retrain"),
+    )
+
+
+# --------------------------- compacted-topic mirror of the dedup state
+
+_DS_TAU = 0.40  # inside the corpus cosine range — the drop branch fires
+_DS_STRIDE = 250
+
+
+def _dedup_state_compacted_sql() -> str:
+    """Oracle: the one-shot frozen-centroid scan (bit-identical to the
+    2-batch fold by the driver-verified batch-split invariance) filtered
+    to survivors, with the version count derived from the publish
+    schedule (batch-2 keys are published twice — the redelivery)."""
+    scan = _sim.semantic_dedup_incremental_sql(tau=_DS_TAU, n_batches=1)
+    return f"""
+WITH scan AS MATERIALIZED (
+  SELECT vec_id, centroid_id, n_near, kept FROM ({scan})
+),
+bounds AS (
+  SELECT min(vec_id) AS lo, max(vec_id) - min(vec_id) + 1 AS span
+  FROM embeddings
+)
+SELECT s.vec_id, s.centroid_id, CAST(s.n_near AS INTEGER) AS n_near,
+       CAST(CASE WHEN s.vec_id >= b.lo + b.span // 2 THEN 2 ELSE 1 END
+            AS BIGINT) AS n_versions
+FROM scan s, bounds b
+WHERE s.kept = 1
+"""
+
+
+@register(
+    "r_dedup_state_compacted",
+    _dedup_state_compacted_sql(),
+    tags=("parity", "pipeline", "dedup", "incremental"),
+    doc="S5-style compacted-topic mirror of the SEMANTIC DEDUP STATE "
+    "table (VERDICT r12 #7 — ties the LLM-pipeline state to the "
+    "replicator machinery): the 2-batch incremental ingest publishes "
+    "each batch's new state rows as keyed messages (offset = "
+    "generation*span + vec_id-lo; DROPPED vectors publish as TOMBSTONES "
+    "— null value columns, checkpoint_store.go:187-190), batch 2 is "
+    "published TWICE (foreachBatch redelivery after a checkpoint "
+    "restart — T13 duplicate tolerance, the deterministic re-emission "
+    "the streaming ingest test proves), and the REAL "
+    "compacted_topic_state operator replays the log: LWW per vec_id, "
+    "tombstoned keys absent from the live state.  Output = live "
+    "survivors with their per-key version count (batch-2 keys exactly "
+    "2).  The oracle replays the one-shot scan — bit-identical to the "
+    "fold by the driver-verified batch-split invariance — and derives "
+    "versions from the publish schedule (operators/checkpoints.py:51; "
+    "functions/similarity.semantic_dedup_ingest)",
+)
+def q_dedup_state_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.checkpoints import compacted_topic_state
+
+    emb = track_cached(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    mid = lo + span // 2
+    centroids = emb.filter(F.col("vec_id") % _DS_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    b1 = emb.filter(F.col("vec_id") < mid)
+    b2 = emb.filter(F.col("vec_id") >= mid)
+    s1 = track_cached(_sim.semantic_dedup_ingest(None, b1, centroids, tau=_DS_TAU))
+    s2 = track_cached(_sim.semantic_dedup_ingest(s1, b2, centroids, tau=_DS_TAU))
+
+    def _publish(state: DataFrame, gen: int) -> DataFrame:
+        # kept=0 rows publish as tombstones: every value column null
+        return state.select(
+            "vec_id",
+            (F.lit(gen) * F.lit(span) + F.col("vec_id") - F.lit(lo)).alias("offset"),
+            F.when(F.col("kept") == 1, F.col("centroid_id")).alias("centroid_id"),
+            F.when(F.col("kept") == 1, F.col("n_near")).alias("n_near"),
+        )
+
+    new2 = s2.filter(F.col("vec_id") >= mid)
+    log = (
+        _publish(s1, 0)
+        .unionByName(_publish(new2, 1))
+        .unionByName(_publish(new2, 2))  # redelivery after restart
+    )
+    live = compacted_topic_state(
+        log, key_cols=["vec_id"], order_col="offset",
+        value_cols=["centroid_id", "n_near"],
+    )
+    versions = log.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions")
+    )
+    return live.join(versions, "vec_id").select(
+        "vec_id",
+        "centroid_id",
+        F.col("n_near").cast("int").alias("n_near"),
+        "n_versions",
+    )
+
+
+# ---------------------------------------- T1 age-axis rollover ladder
+
+#: age-window divisors (A = partition ts-span // div) — the T1 age axis
+#: had no ladder; size/count got theirs in r11/r12
+_AGE_DIVS = (8, 2)
+
+
+def _t1_age_ladder_sql() -> str:
+    from kafka_replicator_spark.sources.messages import MESSAGES_ORACLE_CTE
+
+    return f"""
+WITH messages AS MATERIALIZED ({MESSAGES_ORACLE_CTE}),
+pm AS MATERIALIZED (
+  SELECT topic, partition_id, min(ts_us) AS lo_ts,
+         max(ts_us) - min(ts_us) + 1 AS span_ts,
+         count(*) AS n
+  FROM messages GROUP BY topic, partition_id
+),
+tagged AS (
+  SELECT a.age_div, m.topic, m.partition_id,
+         (m.ts_us - p.lo_ts) // greatest(p.span_ts // a.age_div, 1)
+           AS age_bucket,
+         p.n // 16 + 1 AS max_count,
+         m.msg_offset, m.ts_us, m.msg_size
+  FROM messages m
+  JOIN pm p USING (topic, partition_id),
+       (VALUES ({_AGE_DIVS[0]}), ({_AGE_DIVS[1]})) a(age_div)
+),
+seq AS (
+  SELECT age_div, topic, partition_id, age_bucket,
+         (row_number() OVER (
+            PARTITION BY age_div, topic, partition_id, age_bucket
+            ORDER BY msg_offset) - 1) // max_count AS seg_seq,
+         msg_offset, ts_us, msg_size
+  FROM tagged
+)
+SELECT CAST(age_div AS BIGINT) AS age_div, topic, partition_id,
+       CAST(age_bucket AS BIGINT) AS age_bucket,
+       CAST(seg_seq AS BIGINT) AS seg_seq,
+       CAST(count(*) AS BIGINT) AS message_count,
+       min(msg_offset) AS start_offset, max(msg_offset) AS end_offset,
+       min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
+       CAST(sum(msg_size) AS BIGINT) AS size_bytes
+FROM seq
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register(
+    "r_t1_age_ladder",
+    _t1_age_ladder_sql(),
+    tags=("parity", "aggregation", "streaming-model"),
+    doc="T1 MaxSegmentAge rollover LADDER (VERDICT r12 #7 — the age axis "
+    "had no ladder, unlike size r11/count r12): the streaming egress "
+    "models the age timer as the microbatch window (streaming/"
+    "egress_stream.py:7-9 — trigger interval ~ MaxSegmentAge; reference "
+    "pkg/egress/worker.go:139-141), so the batch replay tags each "
+    "message with its span-relative age window (A = partition ts-span "
+    "// div, div 8 vs 2) anchored at the partition's first event time, "
+    "then the count rollover runs INSIDE each window (row_number per "
+    "(partition, window) // (n//16+1) — both thresholds span-/count-"
+    "relative so BOTH axes bite at every scale).  Output = per-segment "
+    "count/extent/bytes per arm — the segment-count-vs-age frontier the "
+    "T1 knob trades (more, smaller segments at div 8)",
+)
+def q_t1_age_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.sources.messages import events_as_messages
+
+    msgs = events_as_messages(spark, sf_dir).select(
+        "topic", "partition_id", "msg_offset", "ts_us", "msg_size"
+    )
+    pm = msgs.groupBy("topic", "partition_id").agg(
+        F.min("ts_us").alias("lo_ts"),
+        (F.max("ts_us") - F.min("ts_us") + F.lit(1)).alias("span_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    arms = None
+    for div in _AGE_DIVS:
+        arm = msgs.join(F.broadcast(pm), ["topic", "partition_id"]).select(
+            F.lit(div).cast("long").alias("age_div"),
+            "topic",
+            "partition_id",
+            F.expr(
+                f"(ts_us - lo_ts) div greatest(span_ts div {div}, 1)"
+            ).alias("age_bucket"),
+            F.expr("n div 16 + 1").alias("max_count"),
+            "msg_offset",
+            "ts_us",
+            "msg_size",
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    w = Window.partitionBy("age_div", "topic", "partition_id", "age_bucket").orderBy(
+        "msg_offset"
+    )
+    seq = arms.select(
+        "age_div",
+        "topic",
+        "partition_id",
+        F.col("age_bucket").cast("long").alias("age_bucket"),
+        "msg_offset",
+        "ts_us",
+        "msg_size",
+        (F.row_number().over(w) - 1).cast("long").alias("rn0"),
+        F.col("max_count"),
+    ).select(
+        "age_div",
+        "topic",
+        "partition_id",
+        "age_bucket",
+        "msg_offset",
+        "ts_us",
+        "msg_size",
+        F.expr("rn0 div max_count").cast("long").alias("seg_seq"),
+    )
+    return seq.groupBy("age_div", "topic", "partition_id", "age_bucket", "seg_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("message_count"),
+        F.min("msg_offset").alias("start_offset"),
+        F.max("msg_offset").alias("end_offset"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.sum("msg_size").cast("long").alias("size_bytes"),
+    )
+
+
+# ------------------------------ trained-flavor pair-budget (ppv) ladder
+
+
+def _trained_ppv_sweep_sql() -> str:
+    from kafka_replicator_spark.queries.pipeline_r12 import _ppv_sweep_sql_from
+
+    return _ppv_sweep_sql_from(
+        _sim.ivf_assign_trained_sql_ctes(16, 2, 64)[len("WITH ") :]
+    )
+
+
+@register(
+    "p_trained_ppv_sweep",
+    _trained_ppv_sweep_sql(),
+    tags=("pipeline", "dedup", "sweep"),
+    doc="pair-budget ladder for the fully LINEAR SemDeDup flavor "
+    "(completes the sweep symmetry — the auto-G flavor got "
+    "p_planes_budget_sweep in r12): at pairs_per_vec = (16, 64, 256) "
+    "over the TRAINED fixed-K assignment, the derived plane count (the "
+    "ladder reacts to the fixed-K Sum(c^2) = N^2/K growth with "
+    "p ~ log2(N/(K*ppv))), the actual candidate-pair volume, and the "
+    "drop count at the audit tau — the accuracy/cost dial VERDICT r12 "
+    "priced at ~6 s of scan per plane at 100x.  ONE shared trained "
+    "assignment + ONE 16-plane bucket frame feed all arms; the ladder "
+    "text is the r12 single-source generator, so the two sweeps can "
+    "never fork the metric (queries/pipeline_r12._ppv_sweep_sql_from)",
+)
+def q_trained_ppv_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.pipeline_r12 import _ppv_sweep_frame
+
+    emb = track_cached(load_table(spark, sf_dir, "embeddings"))
+    assigned = track_cached(
+        _sim.ivf_assign_trained(emb, n_clusters=16, iters=2)
+    )
+    return _ppv_sweep_frame(emb, assigned)
+
+
+# ----------------------------- retrain reassignment delta (reindex cost)
+
+
+def _retrain_delta_sql() -> str:
+    """Frozen half-model assignment (the shared block) vs a FULL-corpus
+    retrained assignment, nested as sibling derived tables (the kmeans
+    builder owns fixed CTE aliases, so the two training bodies cannot be
+    siblings in one WITH — sibling NESTED scopes are the r10-note-legal
+    shape)."""
+    return f"""
+WITH ha AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    {_half_model_assign_block()}
+    SELECT vec_id, centroid_id FROM assignedf
+  )
+),
+fa AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    {_sim.ivf_assign_trained_sql_ctes(_RETRAIN_K, _RETRAIN_ITERS)}
+    SELECT vec_id, centroid_id FROM assigned
+  )
+),
+j AS (
+  SELECT h.vec_id, h.centroid_id AS h_cell, f.centroid_id AS f_cell
+  FROM ha h JOIN fa f ON f.vec_id = h.vec_id
+)
+SELECT h_cell AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members_frozen,
+       CAST(sum(CASE WHEN f_cell <> h_cell THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST(1000000 * sum(CASE WHEN f_cell <> h_cell THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS moved_ppm
+FROM j GROUP BY 1
+"""
+
+
+@register(
+    "p_retrain_reassignment_delta",
+    _retrain_delta_sql(),
+    tags=("pipeline", "similarity", "model"),
+    doc="the REINDEX COST the retrain decision implies: per frozen cell, "
+    "how many vectors change cells when the half-corpus serve model is "
+    "retrained on the full corpus (same first-k init lineage, so cluster "
+    "ids correspond).  The churn statistic is what a production index "
+    "weighs against p_model_retrain_decision's drift gate — retraining "
+    "a cell whose members all stay is pure cost, moving members must be "
+    "re-scanned by the dedup state (the semantic_dedup_ingest docstring's "
+    "'changing the model is a reindex' priced per cell).  Both "
+    "assignments replayed relationally; both moved/stayed branches "
+    "nonzero at every tested scale (functions/similarity."
+    "ivf_assign_trained, .kmeans_model)",
+)
+def q_retrain_reassignment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = track_cached(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    mid = int(lo) + (int(hi) - int(lo) + 1) // 2
+    half = emb.filter(F.col("vec_id") < mid)
+    m_half = track_cached(
+        _sim.kmeans_model(half, n_clusters=_RETRAIN_K, iters=_RETRAIN_ITERS)
+    )
+    ha = _sim.ivf_assign_trained(
+        emb, n_clusters=_RETRAIN_K, model=m_half
+    ).select("vec_id", F.col("centroid_id").alias("h_cell"))
+    fa = _sim.ivf_assign_trained(
+        emb, n_clusters=_RETRAIN_K, iters=_RETRAIN_ITERS
+    ).select("vec_id", F.col("centroid_id").alias("f_cell"))
+    return (
+        ha.join(fa, "vec_id")
+        .groupBy(F.col("h_cell").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members_frozen"),
+            F.sum(F.when(F.col("f_cell") != F.col("h_cell"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN f_cell <> h_cell THEN 1 ELSE 0 END)"
+                " div count(1) AS BIGINT)"
+            ).alias("moved_ppm"),
+        )
     )
