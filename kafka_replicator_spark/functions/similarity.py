@@ -2580,6 +2580,7 @@ def trained_multiprobe_scored(
     n_clusters: int = 8,
     iters: int = 2,
     dim: int = 64,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """The trained-multiprobe candidate frame — (probe_id, cell_rank,
     neighbor_id, cos) over each probe's top ``nprobe`` trained cells: THE
@@ -2589,10 +2590,15 @@ def trained_multiprobe_scored(
     cosine scan, shared by :func:`ivf_topk_trained_multiprobe` and the
     nprobe recall-curve sweep (which carves its arms from one call at the
     widest nprobe via ``cell_rank``).  The k×dim model trains ONCE and is
-    shared with the assignment via the ``model=`` forwarding contract."""
-    model = track_cached(
-        kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
-    )
+    shared with the assignment via the ``model=`` forwarding contract;
+    a caller-supplied ``model`` (e.g. a :func:`load_kmeans_model`
+    artifact, or a stale index-build-time model for the staleness audit)
+    serves BOTH the probe-cell ranking and the assignment, exactly the
+    persisted-artifact serve path."""
+    if model is None:
+        model = track_cached(
+            kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+        )
     assigned = track_cached(
         ivf_assign_trained(
             embeddings, n_clusters=n_clusters, iters=iters, dim=dim, model=model
@@ -2676,11 +2682,21 @@ def ivf_topk_trained_multiprobe_sql(
 ) -> str:
     """DuckDB mirror of :func:`ivf_topk_trained_multiprobe` — the shared
     trained-assignment block plus the probe-cell rank (same squared-L2
-    ordering key as the assignment argmin) and the cell-union scan."""
+    ordering key as the assignment argmin) and the cell-union scan
+    (:func:`trained_multiprobe_tail_sql` — the tail composes over ANY
+    block providing ``assigned`` + ``model``, e.g. the staleness audit's
+    half-corpus model block)."""
+    return f"""
+{ivf_assign_trained_sql_ctes(n_clusters, iters, dim)},{trained_multiprobe_tail_sql(probe_ids, k, nprobe)}"""
+
+
+def trained_multiprobe_tail_sql(probe_ids: list[int], k: int, nprobe: int) -> str:
+    """The probes → probe_cells → scored → ranked tail over relations
+    ``assigned`` (vec_id, e, centroid_id) and ``model`` (cluster, cd) —
+    THE one generator of the multiprobe scan text."""
     ids = ", ".join(str(i) for i in probe_ids)
     cos = _LIST_COS_SQL
     return f"""
-{ivf_assign_trained_sql_ctes(n_clusters, iters, dim)},
 probes AS (SELECT vec_id AS probe_id, e AS pe FROM assigned WHERE vec_id IN ({ids})),
 probe_cells AS (
   SELECT probe_id, pe, cluster AS centroid_id FROM (

@@ -264,6 +264,12 @@ _NEW_THIS_ROUND: list[str] = [
     "p_model_retrain_decision",
     "r_dedup_state_compacted",
     "r_t1_age_ladder",
+    "p_trained_ppv_sweep",
+    "p_retrain_reassignment_delta",
+    "a_mcnemar_urgent",
+    "a_kendalls_w_nation",
+    "r_age_chain_compaction",
+    "p_stale_model_recall",
 ]
 
 
@@ -276,7 +282,7 @@ _STAGED_NEXT_ROUND: list[str] = []
 def all_queries() -> dict[str, Query]:
     # import for side effects (registration) — kept lazy so a syntax error in
     # one family doesn't take down the whole registry at import time.
-    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose, pipeline_r9, analytics_r9, pipeline_r10, analytics_r10, pipeline_r11, analytics_r11, pipeline_r12, pipeline_r13  # noqa: F401
+    from kafka_replicator_spark.queries import replicator, curation, analytics_ext, analytics_tpch, pipeline_ext, pipeline_r4, pipeline_r5, pipeline_r6, pipeline_prof, analytics_behavior, analytics, pipeline, quality_audit, analytics_ts, graph_analytics, lexical, embeddings_ext, staged_ext, retrieval_ext, eval_metrics, analytics_sql_ext, curation_ext, pipeline_audits, pipeline_r7, analytics_r7, pipeline_r8, compose, pipeline_r9, analytics_r9, pipeline_r10, analytics_r10, pipeline_r11, analytics_r11, pipeline_r12, pipeline_r13, analytics_r13  # noqa: F401
 
     names = list(REGISTRY)
     new = [n for n in _NEW_THIS_ROUND + _STAGED_NEXT_ROUND if n in REGISTRY]

@@ -296,11 +296,14 @@ def q_dedup_state_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGE_DIVS = (8, 2)
 
 
-def _t1_age_ladder_sql() -> str:
+def _age_grid_ctes() -> str:
+    """The age-grid CTE body (messages → per-partition spans → age-window
+    tags → within-window count rollover), ending in ``seq`` — THE one
+    generator of the T1 age-axis model's text, shared by the ladder and
+    the compaction-chain oracles."""
     from kafka_replicator_spark.sources.messages import MESSAGES_ORACLE_CTE
 
-    return f"""
-WITH messages AS MATERIALIZED ({MESSAGES_ORACLE_CTE}),
+    return f"""messages AS MATERIALIZED ({MESSAGES_ORACLE_CTE}),
 pm AS MATERIALIZED (
   SELECT topic, partition_id, min(ts_us) AS lo_ts,
          max(ts_us) - min(ts_us) + 1 AS span_ts,
@@ -324,7 +327,12 @@ seq AS (
             ORDER BY msg_offset) - 1) // max_count AS seg_seq,
          msg_offset, ts_us, msg_size
   FROM tagged
-)
+)"""
+
+
+def _t1_age_ladder_sql() -> str:
+    return f"""
+WITH {_age_grid_ctes()}
 SELECT CAST(age_div AS BIGINT) AS age_div, topic, partition_id,
        CAST(age_bucket AS BIGINT) AS age_bucket,
        CAST(seg_seq AS BIGINT) AS seg_seq,
@@ -337,24 +345,10 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
-@register(
-    "r_t1_age_ladder",
-    _t1_age_ladder_sql(),
-    tags=("parity", "aggregation", "streaming-model"),
-    doc="T1 MaxSegmentAge rollover LADDER (VERDICT r12 #7 — the age axis "
-    "had no ladder, unlike size r11/count r12): the streaming egress "
-    "models the age timer as the microbatch window (streaming/"
-    "egress_stream.py:7-9 — trigger interval ~ MaxSegmentAge; reference "
-    "pkg/egress/worker.go:139-141), so the batch replay tags each "
-    "message with its span-relative age window (A = partition ts-span "
-    "// div, div 8 vs 2) anchored at the partition's first event time, "
-    "then the count rollover runs INSIDE each window (row_number per "
-    "(partition, window) // (n//16+1) — both thresholds span-/count-"
-    "relative so BOTH axes bite at every scale).  Output = per-segment "
-    "count/extent/bytes per arm — the segment-count-vs-age frontier the "
-    "T1 knob trades (more, smaller segments at div 8)",
-)
-def q_t1_age_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _age_grid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_age_grid_ctes`: the tagged message frame
+    (age_div, topic, partition_id, age_bucket, seg_seq, msg_offset,
+    ts_us, msg_size) — shared by the ladder and the compaction chain."""
     from pyspark.sql import Window
 
     from kafka_replicator_spark.sources.messages import events_as_messages
@@ -405,6 +399,28 @@ def q_t1_age_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "msg_size",
         F.expr("rn0 div max_count").cast("long").alias("seg_seq"),
     )
+    return seq
+
+
+@register(
+    "r_t1_age_ladder",
+    _t1_age_ladder_sql(),
+    tags=("parity", "aggregation", "streaming-model"),
+    doc="T1 MaxSegmentAge rollover LADDER (VERDICT r12 #7 — the age axis "
+    "had no ladder, unlike size r11/count r12): the streaming egress "
+    "models the age timer as the microbatch window (streaming/"
+    "egress_stream.py:7-9 — trigger interval ~ MaxSegmentAge; reference "
+    "pkg/egress/worker.go:139-141), so the batch replay tags each "
+    "message with its span-relative age window (A = partition ts-span "
+    "// div, div 8 vs 2) anchored at the partition's first event time, "
+    "then the count rollover runs INSIDE each window (row_number per "
+    "(partition, window) // (n//16+1) — both thresholds span-/count-"
+    "relative so BOTH axes bite at every scale).  Output = per-segment "
+    "count/extent/bytes per arm — the segment-count-vs-age frontier the "
+    "T1 knob trades (more, smaller segments at div 8)",
+)
+def q_t1_age_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _age_grid_frame(spark, sf_dir)
     return seq.groupBy("age_div", "topic", "partition_id", "age_bucket", "seg_seq").agg(
         F.count(F.lit(1)).cast("long").alias("message_count"),
         F.min("msg_offset").alias("start_offset"),
@@ -534,3 +550,219 @@ def q_retrain_reassignment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("moved_ppm"),
         )
     )
+
+
+# ------------------- egress(age grid) -> REAL compaction chain (T1 x A8)
+
+#: fan-in for the age-chain compaction round (min_count = max_count —
+#: the exact-window discipline of the steady-state family)
+_AC_FANIN = 3
+
+
+def _age_chain_sql() -> str:
+    """Age-grid segments → the O1 heap-order first-F window per
+    partition, per age arm — the closed form of ONE plan_compaction
+    round (min_count = max_count = F, no size gate) over the grid's
+    listing."""
+    return f"""
+WITH {_age_grid_ctes()},
+segs AS MATERIALIZED (
+  SELECT age_div, topic, partition_id,
+         min(msg_offset) AS start_offset, max(msg_offset) AS end_offset,
+         CAST(count(*) AS BIGINT) AS message_count,
+         CAST(sum(msg_size) AS BIGINT) AS size_bytes
+  FROM seq GROUP BY age_div, topic, partition_id, age_bucket, seg_seq
+),
+rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY age_div, topic, partition_id
+           ORDER BY start_offset ASC, end_offset DESC) AS rn
+  FROM segs
+)
+SELECT CAST(age_div AS BIGINT) AS age_div, topic, partition_id,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       min(start_offset) AS lo_offset, max(end_offset) AS hi_offset,
+       CAST(sum(message_count) AS BIGINT) AS n_msgs,
+       CAST(sum(size_bytes) AS BIGINT) AS merged_bytes
+FROM rk WHERE rn <= {_AC_FANIN}
+GROUP BY 1, 2, 3
+HAVING count(*) = {_AC_FANIN}
+"""
+
+
+@register(
+    "r_age_chain_compaction",
+    _age_chain_sql(),
+    tags=("parity", "compaction", "streaming-model"),
+    doc="egress→compaction chain at TWO MaxSegmentAge points (VERDICT "
+    "r12 #7's second half): the T1 age-grid segment plan (the shared "
+    "age-ladder generator, div 8 vs 2) feeds the REAL plan_compaction "
+    "for one exact-fan-in round per arm (min_count = max_count = "
+    f"{_AC_FANIN}).  Age-windowed segments' OFFSET extents can overlap "
+    "(windows cut by event time, offsets interleave), so this "
+    "specifically exercises the O1 heap order (start asc, end desc) on "
+    "a listing the count/size axes never produce; the oracle replays "
+    "the first-F window closed form over the same grid "
+    "(operators/compaction.py:48; the A8 bounded take against T1 age "
+    "segments)",
+)
+def q_age_chain_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.operators.compaction import plan_compaction
+
+    seq = track_cached(_age_grid_frame(spark, sf_dir))
+    out = None
+    for div in _AGE_DIVS:
+        listing = (
+            seq.filter(F.col("age_div") == div)
+            .groupBy("topic", "partition_id", "age_bucket", "seg_seq")
+            .agg(
+                F.min("msg_offset").alias("start_offset"),
+                F.max("msg_offset").alias("end_offset"),
+                F.count(F.lit(1)).cast("long").alias("message_count"),
+                F.sum("msg_size").cast("long").alias("size_bytes"),
+            )
+            .select(
+                F.lit("local").alias("region"),
+                "topic",
+                "partition_id",
+                F.lit(0).cast("int").alias("level"),
+                "start_offset",
+                "end_offset",
+                "message_count",
+                "size_bytes",
+            )
+        )
+        plan = plan_compaction(
+            listing,
+            min_level=0,
+            max_level=0,
+            min_count=_AC_FANIN,
+            max_count=_AC_FANIN,
+            min_bytes=1,
+            max_bytes=1 << 60,
+        )
+        arm = (
+            plan.groupBy("topic", "partition_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_merged"),
+                F.min("start_offset").alias("lo_offset"),
+                F.max("end_offset").alias("hi_offset"),
+                F.sum("message_count").cast("long").alias("n_msgs"),
+                F.sum("size_bytes").cast("long").alias("merged_bytes"),
+            )
+            .select(
+                F.lit(div).cast("long").alias("age_div"),
+                "topic",
+                "partition_id",
+                "n_merged",
+                "lo_offset",
+                "hi_offset",
+                "n_msgs",
+                "merged_bytes",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# -------------------------- serve-path staleness cost (recall vs model age)
+
+_SR_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+_SR_K = 5
+_SR_NPROBE = 2
+
+
+def _stale_model_recall_sql() -> str:
+    """Two self-contained multiprobe arms (frozen half-corpus model vs a
+    model retrained on the full corpus) sharing the r12 tail generator,
+    joined against the brute-force cosine ground truth."""
+    tail = _sim.trained_multiprobe_tail_sql(_SR_PROBES, _SR_K, _SR_NPROBE)
+    half_arm = f"""{_half_model_assign_block()},
+assigned AS (SELECT vec_id, e, centroid_id FROM assignedf),{tail}"""
+    full_arm = f"""
+{_sim.ivf_assign_trained_sql_ctes(_RETRAIN_K, _RETRAIN_ITERS)},{tail}"""
+    denom = len(_SR_PROBES) * _SR_K
+    return f"""
+WITH bf AS MATERIALIZED (
+  SELECT probe_id, neighbor_id
+  FROM ({_sim.brute_force_topk_sql(_SR_PROBES, k=_SR_K)})
+),
+ha AS MATERIALIZED (
+  SELECT probe_id, neighbor_id FROM ({half_arm})
+),
+fa AS MATERIALIZED (
+  SELECT probe_id, neighbor_id FROM ({full_arm})
+)
+SELECT arm, n_hits,
+       CAST((1000000 * n_hits) // {denom} AS BIGINT) AS recall_ppm
+FROM (
+  SELECT 'frozen_half' AS arm, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ha JOIN bf USING (probe_id, neighbor_id)
+  UNION ALL
+  SELECT 'retrained_full' AS arm, CAST(count(*) AS BIGINT) AS n_hits
+  FROM fa JOIN bf USING (probe_id, neighbor_id)
+)
+"""
+
+
+@register(
+    "p_stale_model_recall",
+    _stale_model_recall_sql(),
+    tags=("pipeline", "similarity", "model", "eval"),
+    doc="the serve-path STALENESS COST: multiprobe recall@5 (nprobe=2, "
+    "vs the brute-force cosine baseline) under the frozen index-build-"
+    "time model (trained on the vec_id-lower half) vs a model retrained "
+    "on the full corpus — what p_model_retrain_decision's drift gate is "
+    "actually protecting.  The stale arm serves BOTH probe-cell ranking "
+    "and assignment from the old model (the persisted-artifact serve "
+    "path via trained_multiprobe_scored(model=)); both arms share the "
+    "r12 multiprobe tail generator and the same ground truth, so the "
+    "delta is purely the model's age (functions/similarity."
+    "trained_multiprobe_tail_sql)",
+)
+def q_stale_model_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = track_cached(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    mid = int(lo) + (int(hi) - int(lo) + 1) // 2
+    m_half = track_cached(
+        _sim.kmeans_model(
+            emb.filter(F.col("vec_id") < mid),
+            n_clusters=_RETRAIN_K,
+            iters=_RETRAIN_ITERS,
+        )
+    )
+    bf = track_cached(
+        _sim.brute_force_topk(emb, _SR_PROBES, k=_SR_K).select(
+            "probe_id", "neighbor_id"
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    denom = len(_SR_PROBES) * _SR_K
+    out = None
+    for arm_name, model in (("frozen_half", m_half), ("retrained_full", None)):
+        scored = _sim.trained_multiprobe_scored(
+            emb,
+            _SR_PROBES,
+            nprobe=_SR_NPROBE,
+            n_clusters=_RETRAIN_K,
+            iters=_RETRAIN_ITERS,
+            model=model,
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _SR_K)
+            .select("probe_id", "neighbor_id")
+        )
+        frame = topk.join(bf, ["probe_id", "neighbor_id"]).agg(
+            F.lit(arm_name).alias("arm"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.expr(f"CAST((1000000 * count(1)) div {denom} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out
