@@ -2371,6 +2371,7 @@ def semantic_dedup_incremental_sql(
     n_batches: int = 2,
     n_planes: int | None = None,
     dim: int = 64,
+    audit: bool = False,
 ) -> str:
     """DuckDB mirror of :func:`semantic_dedup_incremental`: per-batch
     sibling CTE chains (assign → touched-cell prior ∪ batch → near →
@@ -2379,7 +2380,17 @@ def semantic_dedup_incremental_sql(
     centroid id), batch bounds by the same integer-division rule.
     ``n_planes`` adds the LSH bucket to the blocking key (literal
     hyperplanes, one shared bucket CTE; the touched filter becomes a
-    tuple IN)."""
+    tuple IN).
+
+    ``audit=True`` keeps EVERY CTE identical (single-source — the audit
+    can never diverge from the ingest it audits) but swaps the final
+    select for the per-batch COST STATISTICS of the touched-cells
+    contract: batch size, distinct touched cells, prior state rows the
+    scan actually reads (cand minus the batch's own rows), and the total
+    prior state size — the driver-hashable form of 'each batch scans
+    only the cells it touches, never the corpus'.  Unbucketed only."""
+    if audit and n_planes is not None:
+        raise ValueError("audit=True supports the unbucketed form only")
     cos = _LIST_COS_SQL
     bucketed = n_planes is not None
     ctes = [
@@ -2461,13 +2472,28 @@ def semantic_dedup_incremental_sql(
   FROM a{b} a LEFT JOIN n{b} n ON a.vec_id = n.b_id
 )"""
         )
+        if audit:
+            prior_total = (
+                " + ".join(f"(SELECT count(*) FROM {s})" for s in prior_states)
+                or "0"
+            )
+            finals.append(
+                f"""SELECT CAST({k} AS BIGINT) AS batch,
+       (SELECT CAST(count(*) AS BIGINT) FROM a{b}) AS batch_size,
+       (SELECT CAST(count(DISTINCT centroid_id) AS BIGINT) FROM a{b})
+         AS touched_cells,
+       CAST((SELECT count(*) FROM cand{b}) - (SELECT count(*) FROM a{b})
+            AS BIGINT) AS prior_rows_scanned,
+       CAST({prior_total} AS BIGINT) AS prior_rows_total"""
+            )
         prior_states.append(f"s{b}")
         f_bucket = "CAST(bucket AS BIGINT) AS bucket, " if bucketed else ""
-        finals.append(
-            f"SELECT vec_id, {f_bucket}CAST(centroid_id AS BIGINT) AS centroid_id, "
-            f"CAST(n_near AS INTEGER) AS n_near, CAST(kept AS INTEGER) AS kept "
-            f"FROM s{b}"
-        )
+        if not audit:
+            finals.append(
+                f"SELECT vec_id, {f_bucket}CAST(centroid_id AS BIGINT) AS centroid_id, "
+                f"CAST(n_near AS INTEGER) AS n_near, CAST(kept AS INTEGER) AS kept "
+                f"FROM s{b}"
+            )
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(finals)
 
 

@@ -270,6 +270,7 @@ _NEW_THIS_ROUND: list[str] = [
     "a_kendalls_w_nation",
     "r_age_chain_compaction",
     "p_stale_model_recall",
+    "p_ingest_touched_cells",
 ]
 
 
