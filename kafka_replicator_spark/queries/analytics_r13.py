@@ -201,10 +201,12 @@ def q_kendalls_w_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", "nk", F.row_number().over(w).cast("long").alias("rk")
     )
     sums = ranked.groupBy("nk").agg(F.sum("rk").cast("long").alias("rsum"))
-    dims = full_n.crossJoin(F.broadcast(yrs)).agg(
-        F.max("m").cast("long").alias("m"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    # m comes from yrs ALONE (the oracle's scalar subquery) — deriving it
+    # via max() over the full_n crossJoin would be NULL when no nation
+    # spans every year, diverging from the oracle's real year count
+    dims = yrs.crossJoin(
+        F.broadcast(full_n.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ).select(F.col("m").cast("long").alias("m"), "n")
     s4 = sums.crossJoin(F.broadcast(dims)).agg(
         F.sum(
             (2 * F.col("rsum") - F.col("m") * (F.col("n") + 1))

@@ -27,6 +27,7 @@ relationally with the shared kmeans/assignment builders.
 from __future__ import annotations
 
 import hashlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,11 +138,15 @@ def q_model_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the REAL persisted path: save the trained model, load it back, and
     # assign from the LOADED frame (the artifact dir must outlive this
     # function — the returned frame is lazy, so no cleanup here; k rows).
-    # Path is DETERMINISTIC per corpus so repeated invocations (sweeps,
-    # bench passes) overwrite one artifact instead of leaking temp dirs.
+    # Path is deterministic per (process, corpus): repeated invocations in
+    # one process (sweeps, bench passes) overwrite one artifact instead of
+    # leaking temp dirs, while the pid keeps concurrent processes (a
+    # driver pass overlapping a local sweep) from overwrite-racing each
+    # other's mid-read artifact.
     path = (
         tempfile.gettempdir()
-        + f"/krs_model_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/kmeans"
+        + f"/krs_model_{os.getpid()}_"
+        + f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/kmeans"
     )
     _sim.save_kmeans_model(
         _sim.kmeans_model_from_train(kt), path,
@@ -154,9 +159,7 @@ def q_model_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = assigned.select(
         "centroid_id",
-        F.posexplode(
-            F.transform("e", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"))
-        ).alias("dim0", "v"),
+        F.posexplode(_sim.micro_units("e")).alias("dim0", "v"),
     )
     cur = dims.groupBy(
         "centroid_id", (F.col("dim0") + 1).cast("long").alias("dim")
@@ -208,7 +211,9 @@ def _dedup_state_compacted_sql() -> str:
     2-batch fold by the driver-verified batch-split invariance) filtered
     to survivors, with the version count derived from the publish
     schedule (batch-2 keys are published twice — the redelivery)."""
-    scan = _sim.semantic_dedup_incremental_sql(tau=_DS_TAU, n_batches=1)
+    scan = _sim.semantic_dedup_incremental_sql(
+        tau=_DS_TAU, centroid_stride=_DS_STRIDE, n_batches=1
+    )
     return f"""
 WITH scan AS MATERIALIZED (
   SELECT vec_id, centroid_id, n_near, kept FROM ({scan})
@@ -821,13 +826,27 @@ def q_ingest_touched_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_lo = lo + (span * k) // _TC_BATCHES
         b_hi = lo + (span * (k + 1)) // _TC_BATCHES
         batch = emb.filter((F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_hi))
-        a_k = track_cached(_sim.ivf_assign_frozen(batch, centroids))
-        stats = a_k.agg(
+        # ONE ingest per batch; the batch's assignment stats come from the
+        # ingest's OWN new state rows (they carry centroid_id, and prior
+        # rows are frozen so the batch's rows are exactly the id range) —
+        # no second ivf_assign_frozen pass.  8 iterated folds nest the
+        # ingest's joins/unions: caching does NOT truncate the LOGICAL
+        # plan and Catalyst analysis explodes with depth (the r12
+        # steady-state lesson) — localCheckpoint cuts lineage to a leaf
+        # each fold; state rows are corpus-bounded.
+        prev = state
+        state = _sim.semantic_dedup_ingest(
+            prev, batch, centroids, tau=_DS_TAU
+        ).localCheckpoint()
+        newrows = state.filter(
+            (F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_hi)
+        )
+        stats = newrows.agg(
             F.lit(k).cast("long").alias("batch"),
             F.count(F.lit(1)).cast("long").alias("batch_size"),
             F.countDistinct("centroid_id").cast("long").alias("touched_cells"),
         )
-        if state is None:
+        if prev is None:
             frame = stats.select(
                 "batch",
                 "batch_size",
@@ -836,23 +855,16 @@ def q_ingest_touched_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long").alias("prior_rows_total"),
             )
         else:
-            touched = a_k.select("centroid_id").distinct()
+            touched = newrows.select("centroid_id").distinct()
             scanned = (
-                state.join(F.broadcast(touched), "centroid_id", "left_semi")
+                prev.join(F.broadcast(touched), "centroid_id", "left_semi")
                 .agg(F.count(F.lit(1)).cast("long").alias("prior_rows_scanned"))
             )
-            total = state.agg(
+            total = prev.agg(
                 F.count(F.lit(1)).cast("long").alias("prior_rows_total")
             )
             frame = stats.crossJoin(F.broadcast(scanned)).crossJoin(
                 F.broadcast(total)
             )
         out = frame if out is None else out.unionByName(frame)
-        # 8 iterated folds nest the ingest's joins/unions: caching does
-        # NOT truncate the LOGICAL plan and Catalyst analysis explodes
-        # with depth (the r12 steady-state lesson) — localCheckpoint cuts
-        # lineage to a leaf each fold; state rows are corpus-bounded
-        state = _sim.semantic_dedup_ingest(
-            state, batch, centroids, tau=_DS_TAU
-        ).localCheckpoint()
     return out
