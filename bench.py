@@ -115,6 +115,10 @@ HEADLINE = [
     "p_semantic_dedup_bucketed_auto",
     # the fully linear flavor (trained fixed-K assignment + auto-planes)
     "p_semantic_dedup_bucketed_trained",
+    # round-13 additions: the persisted-model lifecycle (train → save →
+    # load → assign → drift gate) and the serve-path staleness audit
+    "p_model_retrain_decision",
+    "p_stale_model_recall",
 ]
 
 

@@ -163,3 +163,35 @@ def test_ivf_assign_trained_inline_plan_has_no_join_or_shuffle(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert not hash_ex, hash_ex
+
+
+def test_multiprobe_from_persisted_model_matches_in_lineage(spark, sf_dir, tmp_path):
+    """The full serve path over the persisted artifact: multiprobe top-k
+    driven from a load_kmeans_model frame must be bit-identical to the
+    in-lineage model (model= serves BOTH probe-cell ranking and
+    assignment)."""
+    emb = _emb(spark, sf_dir)
+    model = sim.kmeans_model(emb, n_clusters=8, iters=2)
+    path = str(tmp_path / "m")
+    sim.save_kmeans_model(model, path, n_clusters=8, iters=2, dim=64)
+    loaded, _ = sim.load_kmeans_model(spark, path)
+    probes = [0, 1, 2, 3]
+
+    def topk(m):
+        scored = sim.trained_multiprobe_scored(
+            emb, probes, nprobe=2, n_clusters=8, iters=2, model=m
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return sorted(
+            (r["probe_id"], r["neighbor_id"], r["rank"])
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("probe_id", "neighbor_id", "rank")
+            .collect()
+        )
+
+    assert topk(loaded) == topk(model) and len(topk(loaded)) == 20
