@@ -430,10 +430,10 @@ def kmeans_train(
     if inline is None:
         inline = k * dim <= 65536
     w_init = Window.orderBy("vec_id")
-    emb = (
-        _spread_emb(embeddings)
-        .select("vec_id", _dbl("embedding").alias("e"))
-        .cache()  # scanned once per iteration
+    emb = track_cached(  # scanned once per iteration; tracked so sweep/
+        # bench harnesses can release it between queries (the inline path
+        # materializes it EAGERLY at construction via the init collect)
+        _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
     cents = (
         emb.orderBy("vec_id")
@@ -734,11 +734,23 @@ def load_kmeans_model(spark, path: str) -> tuple[DataFrame, dict[str, int]]:
         "dim": int(metas[0]["dim"]),
     }
     model = df.select("cluster", "cd")
-    n = model.count()
-    if n != meta["n_clusters"]:
+    row = model.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("cd")).alias("dmin"),
+        F.max(F.size("cd")).alias("dmax"),
+    ).collect()[0]
+    if row["n"] != meta["n_clusters"]:
         raise ValueError(
             f"load_kmeans_model: artifact claims k={meta['n_clusters']} but "
-            f"holds {n} cluster rows"
+            f"holds {row['n']} cluster rows"
+        )
+    # the save-side shape guard applied at LOAD too: rows whose cd length
+    # contradicts the dim metadata would null-poison downstream distance
+    # folds and silently mis-assign at serve time
+    if row["dmin"] != meta["dim"] or row["dmax"] != meta["dim"]:
+        raise ValueError(
+            f"load_kmeans_model: artifact claims dim={meta['dim']} but cd "
+            f"lengths span [{row['dmin']}, {row['dmax']}]"
         )
     return model, meta
 
@@ -923,7 +935,11 @@ def ivf_topk_trained(
 
 
 def ivf_assign_trained_sql_ctes(
-    n_clusters: int = 8, iters: int = 2, dim: int = 64
+    n_clusters: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    rel: str = "embeddings",
+    assign_rel: str | None = None,
 ) -> str:
     """Open WITH block ending in ``assigned`` = (vec_id, e, centroid_id):
     the trained fixed-K coarse assignment mirroring
@@ -932,8 +948,14 @@ def ivf_assign_trained_sql_ctes(
     the Spark side's map-side ``min(struct(dist, cluster))`` — identical
     ordering key, identical tie-break).  THE one generator of the trained
     assignment text, shared by ivf_topk_trained_sql and the trained IVFPQ
-    oracle so the rule can never silently diverge."""
-    return f"""{kmeans_model_sql_ctes(n_clusters, iters, dim)},
+    oracle so the rule can never silently diverge.
+
+    ``rel`` forwards to the kmeans builder (train on a subquery relation);
+    ``assign_rel`` assigns a DIFFERENT relation against that model — the
+    frozen serve path (train on the index-build-time corpus, assign the
+    current one).  Both default to the byte-identical original text."""
+    if assign_rel is None:
+        return f"""{kmeans_model_sql_ctes(n_clusters, iters, dim, rel=rel)},
 assigned AS (
   SELECT vec_id, e, cluster AS centroid_id FROM (
     SELECT emb.vec_id, emb.e, m.cluster,
@@ -944,6 +966,20 @@ assigned AS (
                       m.cluster ASC
            ) AS rn
     FROM emb, model m
+  ) WHERE rn = 1
+)"""
+    return f"""{kmeans_model_sql_ctes(n_clusters, iters, dim, rel=rel)},
+emba AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {assign_rel}),
+assigned AS (
+  SELECT vec_id, e, cluster AS centroid_id FROM (
+    SELECT f.vec_id, f.e, m.cluster,
+           row_number() OVER (
+             PARTITION BY f.vec_id
+             ORDER BY list_dot_product(f.e, f.e) - 2 * list_dot_product(f.e, cd)
+                      + list_dot_product(cd, cd) ASC,
+                      m.cluster ASC
+           ) AS rn
+    FROM emba f, model m
   ) WHERE rn = 1
 )"""
 
@@ -2453,7 +2489,12 @@ def semantic_dedup_incremental_sql(
             cand = f"{prior_union} UNION ALL SELECT {keys}, vec_id, e FROM a{b}"
         else:
             cand = f"SELECT {keys}, vec_id AS a_id, e AS ae FROM a{b}"
-        ctes.append(f"cand{b} AS ({cand})")
+        # audit mode reads cand{b} twice (the near join AND the audit
+        # count) — the r06 rule: multiply-referenced oracle CTEs pin AS
+        # MATERIALIZED (DuckDB inlines plain CTEs per reference); the
+        # single-referenced non-audit form keeps the original text
+        cand_kw = "AS MATERIALIZED" if audit else "AS"
+        ctes.append(f"cand{b} {cand_kw} ({cand})")
         ctes.append(
             f"""n{b} AS (
   SELECT v.vec_id AS b_id, count(*) AS nn

@@ -54,25 +54,15 @@ _RETRAIN_ITERS = 2
 
 
 def _half_model_assign_block() -> str:
-    """Open WITH block: half-corpus kmeans model (shared builders,
-    rel-parameterized) + FULL-corpus assignment against the frozen half
-    model, ending in ``assignedf`` = (vec_id, e, centroid_id) — shared by
-    the retrain-decision and reassignment-delta oracles so the frozen
-    serve-path rule has ONE text."""
-    return f"""{_sim.kmeans_model_sql_ctes(_RETRAIN_K, _RETRAIN_ITERS, rel=_HALF_REL)},
-embfull AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-assignedf AS (
-  SELECT vec_id, e, cluster AS centroid_id FROM (
-    SELECT f.vec_id, f.e, m.cluster,
-           row_number() OVER (
-             PARTITION BY f.vec_id
-             ORDER BY list_dot_product(f.e, f.e) - 2 * list_dot_product(f.e, cd)
-                      + list_dot_product(cd, cd) ASC,
-                      m.cluster ASC
-           ) AS rn
-    FROM embfull f, model m
-  ) WHERE rn = 1
-)"""
+    """Open WITH block: half-corpus kmeans model + FULL-corpus assignment
+    against the frozen half model, ending in ``assigned`` = (vec_id, e,
+    centroid_id) — delegated entirely to the shared trained-assignment
+    generator (assign_rel=, the serve-path form) so the argmin rule has
+    ONE text across the retrain-decision / reassignment-delta /
+    stale-recall oracles and every other trained consumer."""
+    return _sim.ivf_assign_trained_sql_ctes(
+        _RETRAIN_K, _RETRAIN_ITERS, rel=_HALF_REL, assign_rel="embeddings"
+    )
 
 
 def _retrain_decision_sql() -> str:
@@ -87,9 +77,10 @@ frozen AS (
 ),
 cur AS (
   SELECT centroid_id, CAST(t.dim AS BIGINT) AS dim,
-         CAST(sum(CAST(floor(e[t.dim] * 1e6 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS mu_cur,
+         CAST(floor(sum(CAST(floor(e[t.dim] * 1e6 + 0.5) AS BIGINT))
+                    / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mu_cur,
          count(*) AS n
-  FROM assignedf, range(1, 65) t(dim)
+  FROM assigned, range(1, 65) t(dim)
   GROUP BY 1, 2
 ),
 per AS MATERIALIZED (
@@ -161,10 +152,18 @@ def q_model_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         F.posexplode(_sim.micro_units("e")).alias("dim0", "v"),
     )
+    # the ROUNDING mean floor(s/n + 0.5) — the same rule mu_frozen uses
+    # (kmeans_train's centroid_micro), so an unchanged cell reports
+    # shift EXACTLY zero; a truncating mean here would bias the absolute
+    # statistic by up to 1 micro/dim at its zero point (review catch)
     cur = dims.groupBy(
         "centroid_id", (F.col("dim0") + 1).cast("long").alias("dim")
     ).agg(
-        F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mu_cur"),
+        F.floor(
+            F.sum("v") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mu_cur"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     per = (
@@ -492,7 +491,7 @@ def _retrain_delta_sql() -> str:
 WITH ha AS MATERIALIZED (
   SELECT vec_id, centroid_id FROM (
     {_half_model_assign_block()}
-    SELECT vec_id, centroid_id FROM assignedf
+    SELECT vec_id, centroid_id FROM assigned
   )
 ),
 fa AS MATERIALIZED (
@@ -689,7 +688,7 @@ def _stale_model_recall_sql() -> str:
     joined against the brute-force cosine ground truth."""
     tail = _sim.trained_multiprobe_tail_sql(_SR_PROBES, _SR_K, _SR_NPROBE)
     half_arm = f"""{_half_model_assign_block()},
-assigned AS (SELECT vec_id, e, centroid_id FROM assignedf),{tail}"""
+{tail}"""
     full_arm = f"""
 {_sim.ivf_assign_trained_sql_ctes(_RETRAIN_K, _RETRAIN_ITERS)},{tail}"""
     denom = len(_SR_PROBES) * _SR_K

@@ -194,4 +194,5 @@ def test_multiprobe_from_persisted_model_matches_in_lineage(spark, sf_dir, tmp_p
             .collect()
         )
 
-    assert topk(loaded) == topk(model) and len(topk(loaded)) == 20
+    got, want = topk(loaded), topk(model)
+    assert got == want and len(got) == 20
