@@ -271,6 +271,7 @@ _NEW_THIS_ROUND: list[str] = [
     "r_age_chain_compaction",
     "p_stale_model_recall",
     "p_ingest_touched_cells",
+    "a_shared_sql_distinct_from",
 ]
 
 

@@ -224,3 +224,51 @@ def q_kendalls_w_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("w_ppm"),
     )
+
+
+# -------------------------------- shared-text null-safe comparison surface
+
+#: identical text on BOTH engines (spark.sql over registered views == the
+#: DuckDB oracle) — IS [NOT] DISTINCT FROM verified to agree, incl. the
+#: NULL-vs-NULL and NULL-vs-value cells.  NOTE the probe that did NOT
+#: make it a query: try_cast('3.5' AS BIGINT) ROUNDS to 4 on DuckDB but
+#: NULLs on Spark — try_cast of fractional strings is a cross-engine trap.
+SHARED_SQL_DISTINCT_FROM = """
+WITH latest AS (
+  SELECT c.c_custkey,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  THEN o.o_orderkey END) AS last_urgent,
+         max(o.o_orderkey) AS last_any
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN last_urgent IS DISTINCT FROM last_any
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_not_last,
+       CAST(sum(CASE WHEN last_urgent IS NOT DISTINCT FROM last_any
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_is_last,
+       CAST(sum(CASE WHEN last_any IS NULL
+                     AND last_urgent IS NOT DISTINCT FROM last_any
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_null_agree
+FROM latest
+"""
+
+
+@register(
+    "a_shared_sql_distinct_from",
+    SHARED_SQL_DISTINCT_FROM,
+    tags=("analytics", "sql"),
+    doc="SQL front door: null-safe comparison via IS [NOT] DISTINCT FROM "
+    "through the same-text contract — orderless customers produce "
+    "NULL/NULL cells (counted as EQUAL by IS NOT DISTINCT FROM, pinned "
+    "by the null_null_agree column) and urgent-less customers produce "
+    "NULL-vs-value cells (DISTINCT FROM true); ordinary equality would "
+    "silently drop both classes to UNKNOWN.  Verified byte-identical "
+    "semantics on both engines including the NULL cells; the probe that "
+    "FAILED the contract is recorded beside the text (try_cast of "
+    "fractional strings rounds on DuckDB, NULLs on Spark)",
+)
+def q_shared_sql_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.analytics_sql_ext import _run_shared_sql
+
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_DISTINCT_FROM)
