@@ -2421,12 +2421,13 @@ def semantic_dedup_incremental_sql(
     ``audit=True`` keeps EVERY CTE identical (single-source — the audit
     can never diverge from the ingest it audits) but swaps the final
     select for the per-batch COST STATISTICS of the touched-cells
-    contract: batch size, distinct touched cells, prior state rows the
-    scan actually reads (cand minus the batch's own rows), and the total
-    prior state size — the driver-hashable form of 'each batch scans
-    only the cells it touches, never the corpus'.  Unbucketed only."""
-    if audit and n_planes is not None:
-        raise ValueError("audit=True supports the unbucketed form only")
+    contract: batch size, distinct touched blocking groups, prior state
+    rows the scan actually reads (cand minus the batch's own rows), and
+    the total prior state size — the driver-hashable form of 'each batch
+    scans only the cells it touches, never the corpus'.  The bucketed
+    form counts (cell, bucket) groups under the column name
+    ``touched_groups`` (the unbucketed column stays ``touched_cells`` —
+    its registered text predates the extension)."""
     cos = _LIST_COS_SQL
     bucketed = n_planes is not None
     ctes = [
@@ -2518,11 +2519,18 @@ def semantic_dedup_incremental_sql(
                 " + ".join(f"(SELECT count(*) FROM {s})" for s in prior_states)
                 or "0"
             )
+            touched = (
+                f"(SELECT CAST(count(*) AS BIGINT) FROM "
+                f"(SELECT DISTINCT centroid_id, bucket FROM a{b}))\n"
+                "         AS touched_groups"
+                if bucketed
+                else f"(SELECT CAST(count(DISTINCT centroid_id) AS BIGINT) "
+                f"FROM a{b})\n         AS touched_cells"
+            )
             finals.append(
                 f"""SELECT CAST({k} AS BIGINT) AS batch,
        (SELECT CAST(count(*) AS BIGINT) FROM a{b}) AS batch_size,
-       (SELECT CAST(count(DISTINCT centroid_id) AS BIGINT) FROM a{b})
-         AS touched_cells,
+       {touched},
        CAST((SELECT count(*) FROM cand{b}) - (SELECT count(*) FROM a{b})
             AS BIGINT) AS prior_rows_scanned,
        CAST({prior_total} AS BIGINT) AS prior_rows_total"""

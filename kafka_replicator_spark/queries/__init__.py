@@ -272,6 +272,8 @@ _NEW_THIS_ROUND: list[str] = [
     "p_stale_model_recall",
     "p_ingest_touched_cells",
     "a_shared_sql_distinct_from",
+    "p_ingest_touched_groups_bucketed",
+    "a_shared_sql_order_by_all",
 ]
 
 

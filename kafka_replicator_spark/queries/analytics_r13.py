@@ -272,3 +272,34 @@ def q_shared_sql_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.queries.analytics_sql_ext import _run_shared_sql
 
     return _run_shared_sql(spark, sf_dir, SHARED_SQL_DISTINCT_FROM)
+
+
+# ------------------------------------ shared-text ORDER BY ALL surface
+
+SHARED_SQL_ORDER_BY_ALL = """
+SELECT o.o_orderpriority,
+       CAST(year(o.o_orderdate) AS BIGINT) AS y,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders o
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "a_shared_sql_order_by_all",
+    SHARED_SQL_ORDER_BY_ALL,
+    tags=("analytics", "sql"),
+    doc="SQL front door: GROUP BY ALL composed with ORDER BY ALL through "
+    "the same-text contract — VERIFIED both engines expand ALL to the "
+    "full select list left-to-right (the (priority, year) grain makes "
+    "the total order deterministic), completing the *BY ALL pair next "
+    "to r10's a_shared_sql_group_by_all.  Cents via the floor(x*100+"
+    "0.5) rule (o_totalprice ships as DOUBLE)",
+)
+def q_shared_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_replicator_spark.queries.analytics_sql_ext import _run_shared_sql
+
+    return _run_shared_sql(spark, sf_dir, SHARED_SQL_ORDER_BY_ALL)

@@ -867,3 +867,80 @@ def q_ingest_touched_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = frame if out is None else out.unionByName(frame)
     return out
+
+
+@register(
+    "p_ingest_touched_groups_bucketed",
+    _sim.semantic_dedup_incremental_sql(
+        tau=_DS_TAU, centroid_stride=_TC_STRIDE, n_batches=_TC_BATCHES,
+        n_planes=4, audit=True,
+    ),
+    tags=("pipeline", "dedup", "incremental", "audit"),
+    doc="the touched-cells cost audit for the BUCKETED ingest — the "
+    "production shape (each batch scans only the (cell, LSH bucket) "
+    "groups it touches): per batch, size, distinct touched (cell, "
+    "bucket) groups, prior state rows actually read under the tuple-"
+    "EXISTS filter, and total prior state.  Bucketing splits each "
+    "touched cell across 2^4 buckets, so the scanned share drops below "
+    "the unbucketed audit's at the same stride — the bucket's "
+    "contribution to ingest cost, measured.  Every CTE shared with the "
+    "bucketed ingest oracle via audit=True "
+    "(functions/similarity.semantic_dedup_incremental_sql)",
+)
+def q_ingest_touched_groups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = track_cached(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    centroids = track_cached(
+        emb.filter(F.col("vec_id") % _TC_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("ce"),
+        )
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    state = None
+    out = None
+    for k in range(_TC_BATCHES):
+        b_lo = lo + (span * k) // _TC_BATCHES
+        b_hi = lo + (span * (k + 1)) // _TC_BATCHES
+        batch = emb.filter((F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_hi))
+        prev = state
+        state = _sim.semantic_dedup_ingest(
+            prev, batch, centroids, tau=_DS_TAU, n_planes=4
+        ).localCheckpoint()
+        newrows = state.filter(
+            (F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_hi)
+        )
+        stats = newrows.agg(
+            F.lit(k).cast("long").alias("batch"),
+            F.count(F.lit(1)).cast("long").alias("batch_size"),
+            F.countDistinct("centroid_id", "bucket")
+            .cast("long")
+            .alias("touched_groups"),
+        )
+        if prev is None:
+            frame = stats.select(
+                "batch",
+                "batch_size",
+                "touched_groups",
+                F.lit(0).cast("long").alias("prior_rows_scanned"),
+                F.lit(0).cast("long").alias("prior_rows_total"),
+            )
+        else:
+            touched = newrows.select("centroid_id", "bucket").distinct()
+            scanned = (
+                prev.join(
+                    F.broadcast(touched), ["centroid_id", "bucket"], "left_semi"
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("prior_rows_scanned"))
+            )
+            total = prev.agg(
+                F.count(F.lit(1)).cast("long").alias("prior_rows_total")
+            )
+            frame = stats.crossJoin(F.broadcast(scanned)).crossJoin(
+                F.broadcast(total)
+            )
+        out = frame if out is None else out.unionByName(frame)
+    return out
