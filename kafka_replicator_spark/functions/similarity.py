@@ -378,6 +378,105 @@ FROM ranked WHERE rank <= {k}
 
 # ------------------------------------------------------- k-means training
 
+def _kmeans_inline_final_sums(
+    embeddings: DataFrame, k: int, iters: int
+) -> list[tuple[int, int, int, int]] | None:
+    """THE one driver-driven inline Lloyd loop (VERDICT r12 #4), shared by
+    :func:`kmeans_train` and :func:`kmeans_model`: each iteration's
+    centroids are K rows of metadata, so they are collected and embedded
+    as literal arrays, and the per-vector argmin is ONE whole-stage-codegen
+    map expression (``array_min`` over a transform of the K cells) — no
+    N·K row inflation, no groupBy(vec_id) shuffle, no join-back.
+
+    Returns the FINAL iteration's per-(cluster, dim) integer component
+    sums as driver rows ``[(cluster, dim, s_micro, n_members), ...]``
+    sorted by (cluster, dim) — every downstream model/centroid derivation
+    is a pure-integer driver fold over them — or ``None`` on an empty
+    corpus (empty literal arrays have no type; callers fall back to the
+    window/join path, which reproduces the empty output).
+
+    One collect per iteration (k·dim rows each) plus the k-row init
+    collect; bit-identity with the window path is pinned by
+    test_kmeans_train_inline_matches_window_path.
+    """
+    w_init = Window.orderBy("vec_id")
+    emb = track_cached(  # scanned once per iteration; tracked so sweep/
+        # bench harnesses can release it between queries (this loop
+        # materializes it EAGERLY at construction via the init collect)
+        _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cluster"),
+            F.transform(
+                "e", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("cm"),
+        )
+    )
+    cm_rows = sorted(
+        (int(r["cluster"]), [int(m) for m in r["cm"]]) for r in cents.collect()
+    )
+    if not cm_rows:
+        return None
+    final: list[tuple[int, int, int, int]] = []
+    for it in range(iters):
+        cds = [[m / 1e6 for m in cm] for _, cm in cm_rows]
+        ids = F.lit([c for c, _ in cm_rows])
+        cdl = F.lit(cds)
+        ccs = F.lit([_py_dot(cd, cd) for cd in cds])
+        scored_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(len(cm_rows) - 1)),
+            lambda i: F.struct(
+                (
+                    F.col("ee")
+                    - 2 * dot_col(F.col("e"), F.get(cdl, i))
+                    + F.get(ccs, i)
+                ).alias("d"),
+                F.get(ids, i).cast("long").alias("c"),
+            ),
+        )
+        assigned = (
+            emb.withColumn("ee", dot_col(F.col("e"), F.col("e")))
+            .select("vec_id", "e", F.array_min(scored_arr)["c"].alias("cluster"))
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("e").alias("dim0", "x"))
+            .groupBy("cluster", (F.col("dim0") + 1).cast("long").alias("dim"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+                ).alias("s_micro"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        final = sorted(
+            (int(r["cluster"]), int(r["dim"]), int(r["s_micro"]), int(r["n_members"]))
+            for r in sums.collect()
+        )
+        if it < iters - 1:
+            # next round's centroids: the integer mean mirrors the column
+            # expression exactly (long→double conversion on BOTH operands,
+            # then divide)
+            by_c: dict[int, dict[int, tuple[int, int]]] = {}
+            for c, d, s, n in final:
+                by_c.setdefault(c, {})[d] = (s, n)
+            cm_rows = sorted(
+                (
+                    c,
+                    [
+                        math.floor(
+                            float(comps[d][0]) / float(comps[d][1]) + 0.5
+                        )
+                        for d in sorted(comps)
+                    ],
+                )
+                for c, comps in by_c.items()
+            )
+    return final
+
+
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
@@ -429,10 +528,29 @@ def kmeans_train(
     """
     if inline is None:
         inline = k * dim <= 65536
+    if inline:
+        rows = _kmeans_inline_final_sums(embeddings, k, iters)
+        if rows is not None:
+            # the final sums are k·dim rows of METADATA, already collected
+            # by the driver-driven loop — return them as a LOCAL relation
+            # so every downstream consumer (model fold, save, the inline
+            # assignment's collect, broadcast joins) pays ZERO Spark jobs
+            # instead of re-running the final training job per
+            # materialization.  centroid_micro is the same rounding mean,
+            # driver-side: float(s)/float(n) mirrors the column's
+            # long→double division exactly (both operands converted first).
+            data = [
+                (c, d, math.floor(float(s) / float(n) + 0.5), n)
+                for c, d, s, n in rows
+            ]
+            sc = embeddings.sparkSession.sparkContext
+            return embeddings.sparkSession.createDataFrame(
+                sc.parallelize(data, 1),
+                "cluster long, dim long, centroid_micro long, n_members long",
+            )
+        inline = False  # empty corpus: empty literals have no type
     w_init = Window.orderBy("vec_id")
-    emb = track_cached(  # scanned once per iteration; tracked so sweep/
-        # bench harnesses can release it between queries (the inline path
-        # materializes it EAGERLY at construction via the init collect)
+    emb = track_cached(  # scanned once per iteration
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
     cents = (
@@ -445,74 +563,6 @@ def kmeans_train(
             ).alias("cm"),
         )
     )
-    if inline:
-        cm_rows = sorted(
-            (int(r["cluster"]), [int(m) for m in r["cm"]]) for r in cents.collect()
-        )
-        if not cm_rows:
-            inline = False  # empty corpus: empty literals have no type
-    if inline:
-        sums = None
-        for it in range(iters):
-            cds = [[m / 1e6 for m in cm] for _, cm in cm_rows]
-            ids = F.lit([c for c, _ in cm_rows])
-            cdl = F.lit(cds)
-            ccs = F.lit([_py_dot(cd, cd) for cd in cds])
-            scored_arr = F.transform(
-                F.sequence(F.lit(0), F.lit(len(cm_rows) - 1)),
-                lambda i: F.struct(
-                    (
-                        F.col("ee")
-                        - 2 * dot_col(F.col("e"), F.get(cdl, i))
-                        + F.get(ccs, i)
-                    ).alias("d"),
-                    F.get(ids, i).cast("long").alias("c"),
-                ),
-            )
-            assigned = (
-                emb.withColumn("ee", dot_col(F.col("e"), F.col("e")))
-                .select("vec_id", "e", F.array_min(scored_arr)["c"].alias("cluster"))
-            )
-            sums = (
-                assigned.select("cluster", F.posexplode("e").alias("dim0", "x"))
-                .groupBy("cluster", (F.col("dim0") + 1).cast("long").alias("dim"))
-                .agg(
-                    F.sum(
-                        F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
-                    ).alias("s_micro"),
-                    F.count(F.lit(1)).alias("n_members"),
-                )
-            )
-            if it < iters - 1:
-                # next round's centroids: k·dim rows of metadata; the
-                # integer mean mirrors the column expression exactly
-                # (long→double conversion on BOTH operands, then divide)
-                by_c: dict[int, dict[int, tuple[int, int]]] = {}
-                for r in sums.collect():
-                    by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
-                        int(r["s_micro"]),
-                        int(r["n_members"]),
-                    )
-                cm_rows = sorted(
-                    (
-                        c,
-                        [
-                            math.floor(
-                                float(comps[d][0]) / float(comps[d][1]) + 0.5
-                            )
-                            for d in sorted(comps)
-                        ],
-                    )
-                    for c, comps in by_c.items()
-                )
-        return sums.select(
-            "cluster",
-            "dim",
-            F.floor(F.col("s_micro") / F.col("n_members").cast("double") + F.lit(0.5))
-            .cast("long")
-            .alias("centroid_micro"),
-            F.col("n_members").cast("long").alias("n_members"),
-        )
     sums = None
     for _ in range(iters):
         cd = F.transform(F.col("cm"), lambda m: m / F.lit(1e6))
@@ -634,15 +684,51 @@ def kmeans_model_from_train(train: DataFrame) -> DataFrame:
     )
 
 
+def _model_rows_from_sums(
+    rows: list[tuple[int, int, int, int]],
+) -> list[tuple[int, list[float]]]:
+    """(cluster, dim, s_micro, n_members) driver rows → (cluster, cd)
+    model rows: the SAME rounding mean floor(s/n + 0.5) and micro→double
+    division (``m / 1e6``) as :func:`kmeans_model_from_train`'s column
+    expressions — float(s)/float(n) and int/1e6 are the identical IEEE
+    ops driver-side."""
+    by_c: dict[int, dict[int, tuple[int, int]]] = {}
+    for c, d, s, n in rows:
+        by_c.setdefault(c, {})[d] = (s, n)
+    return sorted(
+        (
+            c,
+            [
+                math.floor(float(comps[d][0]) / float(comps[d][1]) + 0.5) / 1e6
+                for d in sorted(comps)
+            ],
+        )
+        for c, comps in by_c.items()
+    )
+
+
 def kmeans_model(
     embeddings: DataFrame, n_clusters: int = 8, iters: int = 2, dim: int = 64
 ) -> DataFrame:
     """The trained centroid table as broadcast-ready DOUBLE arrays:
     (cluster, cd) from :func:`kmeans_train`'s integer micro-unit
     components divided once — THE one Spark-side builder of the model
-    frame, shared by :func:`ivf_assign_trained` and the inertia audits."""
+    frame, shared by :func:`ivf_assign_trained` and the inertia audits.
+
+    Inline regime (k·dim ≤ 65536, the same gate as :func:`kmeans_train`):
+    the model is folded driver-side from the collected final sums and
+    returned as a LOCAL k-row relation — consumers' collects and
+    broadcasts pay no recompute and need no cache."""
+    if n_clusters * dim <= 65536:
+        rows = _kmeans_inline_final_sums(embeddings, n_clusters, iters)
+        if rows is not None:
+            sc = embeddings.sparkSession.sparkContext
+            return embeddings.sparkSession.createDataFrame(
+                sc.parallelize(_model_rows_from_sums(rows), 1),
+                "cluster long, cd array<double>",
+            )
     return kmeans_model_from_train(
-        kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim)
+        kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim, inline=False)
     )
 
 
@@ -722,23 +808,28 @@ def load_kmeans_model(spark, path: str) -> tuple[DataFrame, dict[str, int]]:
     metadata tuple; row count == k) so a corrupt or mixed-write artifact
     fails at load, not silently mis-assigns at serve time."""
     df = spark.read.parquet(path)
-    metas = df.select("k", "iters", "dim").distinct().collect()
-    if len(metas) != 1:
-        raise ValueError(
-            f"load_kmeans_model: {path} holds {len(metas)} distinct metadata "
-            "tuples — not a single saved model"
-        )
-    meta = {
-        "n_clusters": int(metas[0]["k"]),
-        "iters": int(metas[0]["iters"]),
-        "dim": int(metas[0]["dim"]),
-    }
-    model = df.select("cluster", "cd")
-    row = model.agg(
+    # ONE validation job: metadata uniqueness, row count and cd-length
+    # bounds from a single aggregate over the k-row artifact
+    row = df.agg(
+        F.count_distinct(F.struct("k", "iters", "dim")).alias("n_meta"),
+        F.min("k").alias("k"),
+        F.min("iters").alias("iters"),
+        F.min("dim").alias("dim"),
         F.count(F.lit(1)).alias("n"),
         F.min(F.size("cd")).alias("dmin"),
         F.max(F.size("cd")).alias("dmax"),
     ).collect()[0]
+    if row["n_meta"] != 1:
+        raise ValueError(
+            f"load_kmeans_model: {path} holds {row['n_meta']} distinct metadata "
+            "tuples — not a single saved model"
+        )
+    meta = {
+        "n_clusters": int(row["k"]),
+        "iters": int(row["iters"]),
+        "dim": int(row["dim"]),
+    }
+    model = df.select("cluster", "cd")
     if row["n"] != meta["n_clusters"]:
         raise ValueError(
             f"load_kmeans_model: artifact claims k={meta['n_clusters']} but "
@@ -828,7 +919,14 @@ def ivf_assign_trained(
     """
     if inline_model is None:
         inline_model = n_clusters * dim <= 65536
-    if model is None:
+    rows = None
+    if model is None and inline_model:
+        # in-lineage training: fold the model rows driver-side from the
+        # shared inline loop — no intermediate model frame, no collect
+        sums = _kmeans_inline_final_sums(embeddings, n_clusters, iters)
+        if sums is not None:
+            rows = _model_rows_from_sums(sums)
+    if model is None and rows is None:
         cents = kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
     elif not inline_model:
         # the forwarding contract: the supplied frame must be the model the
@@ -849,7 +947,7 @@ def ivf_assign_trained(
     emb = track_cached(
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
-    if inline_model:
+    if inline_model and rows is None:
         rows = sorted(
             (int(r["cluster"]), [float(x) for x in r["cd"]])
             for r in cents.select("cluster", "cd").collect()
@@ -2671,9 +2769,13 @@ def trained_multiprobe_scored(
     serves BOTH the probe-cell ranking and the assignment, exactly the
     persisted-artifact serve path."""
     if model is None:
-        model = track_cached(
-            kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
-        )
+        model = kmeans_model(embeddings, n_clusters=n_clusters, iters=iters, dim=dim)
+        if n_clusters * dim > 65536:
+            # outside the inline regime kmeans_model is a distributed
+            # training lineage — cache it so the probe-cell ranking and
+            # the assignment don't train twice (inline models are LOCAL
+            # k-row relations: caching them only adds scan jobs)
+            model = track_cached(model)
     assigned = track_cached(
         ivf_assign_trained(
             embeddings, n_clusters=n_clusters, iters=iters, dim=dim, model=model

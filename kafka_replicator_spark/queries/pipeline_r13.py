@@ -123,9 +123,9 @@ def q_model_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
     mid = int(lo) + (int(hi) - int(lo) + 1) // 2
     half = emb.filter(F.col("vec_id") < mid)
-    kt = track_cached(
-        _sim.kmeans_train(half, k=_RETRAIN_K, iters=_RETRAIN_ITERS)
-    )
+    # kmeans_train in the inline regime returns a LOCAL k·dim-row relation
+    # (the r13-opt restructuring) — no cache needed, collects are free
+    kt = _sim.kmeans_train(half, k=_RETRAIN_K, iters=_RETRAIN_ITERS)
     # the REAL persisted path: save the trained model, load it back, and
     # assign from the LOADED frame (the artifact dir must outlive this
     # function — the returned frame is lazy, so no cleanup here; k rows).
@@ -537,9 +537,7 @@ def q_retrain_reassignment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
     mid = int(lo) + (int(hi) - int(lo) + 1) // 2
     half = emb.filter(F.col("vec_id") < mid)
-    m_half = track_cached(
-        _sim.kmeans_model(half, n_clusters=_RETRAIN_K, iters=_RETRAIN_ITERS)
-    )
+    m_half = _sim.kmeans_model(half, n_clusters=_RETRAIN_K, iters=_RETRAIN_ITERS)
     ha = _sim.ivf_assign_trained(
         emb, n_clusters=_RETRAIN_K, model=m_half
     ).select("vec_id", F.col("centroid_id").alias("h_cell"))
@@ -738,12 +736,10 @@ def q_stale_model_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
     mid = int(lo) + (int(hi) - int(lo) + 1) // 2
-    m_half = track_cached(
-        _sim.kmeans_model(
-            emb.filter(F.col("vec_id") < mid),
-            n_clusters=_RETRAIN_K,
-            iters=_RETRAIN_ITERS,
-        )
+    m_half = _sim.kmeans_model(
+        emb.filter(F.col("vec_id") < mid),
+        n_clusters=_RETRAIN_K,
+        iters=_RETRAIN_ITERS,
     )
     bf = track_cached(
         _sim.brute_force_topk(emb, _SR_PROBES, k=_SR_K).select(
