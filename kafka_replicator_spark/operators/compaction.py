@@ -115,18 +115,23 @@ def plan_compaction(
     # qualification: a partition compacts only when the take reaches the min
     # count AND the min size — the reference skips on either shortfall
     # (compactor.go:226-235: count < MinSegmentCount skips, then
-    # totalSize < MinSegmentSize skips).
-    qual = (
-        planned.groupBy("topic", "partition_id")
-        .agg(F.count(F.lit(1)).alias("_n"), F.sum("size_bytes").alias("_sz"))
-        .filter((F.col("_n") >= min_count) & (F.col("_sz") >= min_bytes))
-        .select("topic", "partition_id")
+    # totalSize < MinSegmentSize skips).  Computed as unordered WINDOW
+    # aggregates over the same planned frame — same partition keys as the
+    # heap-order window, so no extra exchange and ONE pipeline, where the
+    # former groupBy + broadcast-semi-join build side re-executed the whole
+    # listing→floor→window subtree per consumer (a fresh metadata plan paid
+    # ~3 redundant sub-executions; per-partition count/sum are the same
+    # aggregates, so the selected rows are identical).
+    wq = Window.partitionBy("topic", "partition_id")
+    qualified = (
+        planned.withColumn("_qn", F.count(F.lit(1)).over(wq))
+        .withColumn("_qsz", F.sum("size_bytes").over(wq))
+        .filter((F.col("_qn") >= min_count) & (F.col("_qsz") >= min_bytes))
     )
-    selected = planned.join(F.broadcast(qual), ["topic", "partition_id"], "left_semi").drop(
-        "_rn", "_cum_before"
-    )
+    selected = qualified.drop("_rn", "_cum_before", "_qn", "_qsz")
     if not include_superseded:
         return selected
+    qual = qualified.select("topic", "partition_id").distinct()
     superseded = with_floor.filter(F.col("end_offset") < F.col("compact_floor")).join(
         F.broadcast(qual), ["topic", "partition_id"], "left_semi"
     )
@@ -300,7 +305,8 @@ def merge_segments(
         "levels array<int>, paths array<string>"
     )
     spec_df = spark.createDataFrame(
-        [tuple(s.values()) for s in specs], schema=spec_schema
+        spark.sparkContext.parallelize([tuple(s.values()) for s in specs], 1),
+        schema=spec_schema,
     )
     result_schema = (
         "region string, topic string, partition_id int, level int, "

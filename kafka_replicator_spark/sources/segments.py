@@ -75,7 +75,15 @@ def list_segments(
                     path,
                 )
             )
-    return spark.createDataFrame(rows, schema=SEGMENT_SCHEMA)
+    # ONE partition: the listing is metadata-scale (path strings, not
+    # data), and the default 32-slice parallelize makes every downstream
+    # metadata job a 32-task job of empty partitions — measured ~35% of
+    # each tiny plan/collect's cost at bench scale.  Anything data-scale
+    # downstream (the merge fan-out, segment reads) repartitions by its
+    # own keys anyway.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=SEGMENT_SCHEMA
+    )
 
 
 def heap_order(segments: DataFrame) -> DataFrame:
