@@ -1774,18 +1774,28 @@ def _semantic_scan(
     key set — the bucketed variant adds the LSH ``bucket`` column so the
     all-pairs scan runs per (cell, bucket) instead of per cell."""
     keep_cols = list(keys)
+    # each side's norm is hoisted to a per-ROW column before the pair
+    # join — the per-pair cosine then folds ONE dot instead of three
+    # (sqrt(dot(e,e)) per side was recomputed for every candidate pair;
+    # same expression tree, identical IEEE value, guide §2.3).  The 8-byte
+    # norm column is noise next to the dim-double embedding it rides with.
+    an = F.sqrt(dot_col(F.col("e"), F.col("e")))
     a = assigned.select(
-        *keep_cols, F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
+        *keep_cols, F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
+        an.alias("an"),
     )
     b = assigned.select(
-        *keep_cols, F.col("vec_id").alias("b_id"), F.col("e").alias("be")
+        *keep_cols, F.col("vec_id").alias("b_id"), F.col("e").alias("be"),
+        an.alias("bn"),
     )
     near = (
         a.join(b, keep_cols)
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "b_id",
-            F.round(cosine_col(F.col("ae"), F.col("be")), 6).alias("cos"),
+            F.round(
+                dot_col(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
         .groupBy("b_id")
@@ -2419,13 +2429,18 @@ def semantic_dedup_ingest(
         ab = ab.join(lsh_buckets(batch, n_planes, dim), "vec_id")
         keys.append("bucket")
     ab = track_cached(ab)
+    # per-row norm hoist, as in _semantic_scan: one dot per candidate pair
+    # instead of three (identical IEEE expression tree per operand)
+    norm = F.sqrt(dot_col(F.col("e"), F.col("e")))
     cand = ab.select(
-        *keys, F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
+        *keys, F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
+        norm.alias("an"),
     )
     if state is not None:
         touched = ab.select(*keys).distinct()
         prior = state.join(F.broadcast(touched), keys).select(
-            *keys, F.col("vec_id").alias("a_id"), F.col("e").alias("ae")
+            *keys, F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
+            norm.alias("an"),
         )
         cand = prior.unionByName(cand)
     near = (
@@ -2434,12 +2449,16 @@ def semantic_dedup_ingest(
                 *keys,
                 F.col("vec_id").alias("b_id"),
                 F.col("e").alias("be"),
+                norm.alias("bn"),
             ),
             keys,
         )
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
-            "b_id", F.round(cosine_col(F.col("ae"), F.col("be")), 6).alias("cos")
+            "b_id",
+            F.round(
+                dot_col(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
         .groupBy("b_id")
