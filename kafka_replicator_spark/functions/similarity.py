@@ -68,15 +68,22 @@ def brute_force_topk(
     The probe side is broadcast; the corpus never shuffles.  Ranking ties
     are broken by neighbor id for determinism.
     """
-    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    # per-row norm hoist: sqrt(dot(e,e)) once per corpus row / probe row
+    # instead of once per (probe, candidate) pair — identical IEEE value
+    # (same per-operand fold; float multiply is commutative)
+    norm = F.sqrt(dot_col(F.col("e"), F.col("e")))
+    emb = _spread_emb(embeddings).select(
+        "vec_id", _dbl("embedding").alias("e")
+    ).withColumn("en", norm)
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"),
+        F.col("en").alias("pn"),
     )
     pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
     scored = pairs.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -198,10 +205,17 @@ def ann_topk(
     """
     emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     buckets = lsh_buckets(embeddings, n_planes, dim)
-    # probes + candidates both read this subtree; cache beats 2× recompute
-    emb_b = track_cached(emb.join(buckets, "vec_id"))
+    # probes + candidates both read this subtree; cache beats 2× recompute.
+    # The per-row norm rides in the cache so the bucket-local scoring folds
+    # ONE dot per pair (identical IEEE value — see brute_force_topk).
+    emb_b = track_cached(
+        emb.join(buckets, "vec_id").withColumn(
+            "en", F.sqrt(dot_col(F.col("e"), F.col("e")))
+        )
+    )
     probes = emb_b.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "bucket"
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "bucket",
+        F.col("en").alias("pn"),
     )
     cands = emb_b.join(F.broadcast(probes), ["bucket"]).filter(
         F.col("vec_id") != F.col("probe_id")
@@ -209,7 +223,7 @@ def ann_topk(
     scored = cands.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -248,13 +262,31 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs that
     collide in a bucket are scored (the embedding analog of MinHash-LSH)."""
     emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
-    emb_b = track_cached(emb.join(lsh_buckets(embeddings, n_planes, dim), "vec_id"))
-    a = emb_b.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket")
-    b = emb_b.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "bucket")
+    # per-row norm hoist: one dot per bucket-collision pair (see
+    # brute_force_topk); the norm rides the cached bucket frame
+    emb_b = track_cached(
+        emb.join(lsh_buckets(embeddings, n_planes, dim), "vec_id").withColumn(
+            "en", F.sqrt(dot_col(F.col("e"), F.col("e")))
+        )
+    )
+    a = emb_b.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket",
+        F.col("en").alias("na"),
+    )
+    b = emb_b.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "bucket",
+        F.col("en").alias("nb"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
@@ -290,15 +322,22 @@ def ivf_assign(embeddings: DataFrame, centroid_stride: int = 250) -> DataFrame:
     executor; past that, use :func:`ivf_assign_2level` (hierarchical
     assignment, 22.8x at 100x) or a fixed trained centroid count.
     """
-    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    # per-row norm hoist: each vector's norm folds once, not once per
+    # centroid; each centroid's norm rides the broadcast (identical IEEE
+    # value — same per-operand fold, float multiply is commutative)
+    norm = F.sqrt(dot_col(F.col("e"), F.col("e")))
+    emb = _spread_emb(embeddings).select(
+        "vec_id", _dbl("embedding").alias("e")
+    ).withColumn("en", norm)
     cents = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"),
+        F.col("en").alias("cn"),
     )
     scored = emb.join(F.broadcast(cents)).select(
         "vec_id",
         "e",
         "centroid_id",
-        cosine_col(F.col("e"), F.col("ce")).alias("ccos"),
+        (dot_col(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     return (
@@ -315,16 +354,18 @@ def ivf_topk(
     (nprobe=1).  The scale path when buckets must follow the data
     distribution rather than random hyperplanes."""
     assigned = track_cached(ivf_assign(embeddings, centroid_stride))  # probes + cands
-    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id"
+    an = assigned.withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
+    probes = an.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id",
+        F.col("en").alias("pn"),
     )
-    cands = assigned.join(F.broadcast(probes), ["centroid_id"]).filter(
+    cands = an.join(F.broadcast(probes), ["centroid_id"]).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     scored = cands.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1013,16 +1054,18 @@ def ivf_topk_trained(
     assigned = track_cached(
         ivf_assign_trained(embeddings, n_clusters=n_clusters, iters=iters)
     )  # probes + candidates
-    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id"
+    an = assigned.withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
+    probes = an.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), "centroid_id",
+        F.col("en").alias("pn"),
     )
-    cands = assigned.join(F.broadcast(probes), ["centroid_id"]).filter(
+    cands = an.join(F.broadcast(probes), ["centroid_id"]).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     ranked = cands.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
     )
     w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1908,11 +1951,17 @@ def ivf_assign_2level(
     covers every vec_id).  The SQL oracle mirrors the drop, so parity
     holds; callers needing total coverage should use the flat assignment.
     """
+    # per-row norm hoist (see ivf_assign): every scoring stage below folds
+    # ONE dot per pair, with each side's norm computed once per row and
+    # riding the cache/broadcast — identical IEEE values
     emb = track_cached(
-        _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+        _spread_emb(embeddings)
+        .select("vec_id", _dbl("embedding").alias("e"))
+        .withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
     )
     fine = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("fid"), F.col("e").alias("fe")
+        F.col("vec_id").alias("fid"), F.col("e").alias("fe"),
+        F.col("en").alias("fn"),
     )
     # one cheap count job over the cached frame: sizes both the auto coarse
     # factor and the broadcast-vs-shuffle decision for the per-cell table
@@ -1923,7 +1972,10 @@ def ivf_assign_2level(
         coarse_factor = max(1, int(math.floor(math.sqrt(n_fine) + 0.5)))
     coarse = emb.filter(
         F.col("vec_id") % (centroid_stride * coarse_factor) == 0
-    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    ).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("en").alias("cn"),
+    )
 
     def _argmax(scored: DataFrame, id_col: str, cos: Column, cand: str, out: str) -> DataFrame:
         best = scored.groupBy(id_col).agg(
@@ -1934,14 +1986,14 @@ def ivf_assign_2level(
     f2c = _argmax(
         fine.join(F.broadcast(coarse)),
         "fid",
-        cosine_col(F.col("fe"), F.col("ce")),
+        dot_col(F.col("fe"), F.col("ce")) / (F.col("fn") * F.col("cn")),
         "cid",
         "coarse_id",
     )
     v2c = _argmax(
         emb.join(F.broadcast(coarse)),
         "vec_id",
-        cosine_col(F.col("e"), F.col("ce")),
+        dot_col(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn")),
         "cid",
         "coarse_id",
     )
@@ -1958,7 +2010,11 @@ def ivf_assign_2level(
         cell_side = f2c.join(fine.hint("merge"), "fid").hint("merge")
     cands = emb.join(v2c, "vec_id").join(cell_side, "coarse_id")
     final = _argmax(
-        cands, "vec_id", cosine_col(F.col("e"), F.col("fe")), "fid", "centroid_id"
+        cands,
+        "vec_id",
+        dot_col(F.col("e"), F.col("fe")) / (F.col("en") * F.col("fn")),
+        "fid",
+        "centroid_id",
     )
     return emb.join(final, "vec_id").select("vec_id", "e", "centroid_id")
 
@@ -2348,12 +2404,18 @@ def ivf_assign_frozen(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     ``vectors``: (vec_id, embedding); ``centroids``: (centroid_id, ce).
     Returns (vec_id, e, centroid_id).
     """
-    emb = vectors.select("vec_id", _dbl("embedding").alias("e"))
-    scored = emb.join(F.broadcast(centroids)).select(
+    # per-row norm hoist (see ivf_assign): one dot per (vector, centroid)
+    emb = vectors.select("vec_id", _dbl("embedding").alias("e")).withColumn(
+        "en", F.sqrt(dot_col(F.col("e"), F.col("e")))
+    )
+    cents = centroids.withColumn(
+        "cn", F.sqrt(dot_col(F.col("ce"), F.col("ce")))
+    )
+    scored = emb.join(F.broadcast(cents)).select(
         "vec_id",
         "e",
         "centroid_id",
-        cosine_col(F.col("e"), F.col("ce")).alias("ccos"),
+        (dot_col(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))).alias("ccos"),
     )
     best = scored.groupBy("vec_id").agg(
         F.max(
@@ -2680,30 +2742,33 @@ def ivf_topk_multiprobe(
     scales linearly with nprobe, corpus passes stay at one.
     """
     assigned = track_cached(ivf_assign(embeddings, centroid_stride))
-    cents = assigned.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    an = assigned.withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
+    cents = an.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"),
+        F.col("en").alias("cn"),
     ).dropDuplicates(["centroid_id"])
-    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    probes = an.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"),
+        F.col("en").alias("pn"),
     )
     pw = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     probe_cells = (
         probes.join(F.broadcast(cents))
         .select(
-            "probe_id", "pe", "centroid_id",
-            cosine_col(F.col("pe"), F.col("ce")).alias("ccos"),
+            "probe_id", "pe", "pn", "centroid_id",
+            (dot_col(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))).alias("ccos"),
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "pe", "centroid_id")
+        .select("probe_id", "pe", "pn", "centroid_id")
     )
-    cands = assigned.join(F.broadcast(probe_cells), ["centroid_id"]).filter(
+    cands = an.join(F.broadcast(probe_cells), ["centroid_id"]).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     scored = cands.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -2800,8 +2865,10 @@ def trained_multiprobe_scored(
             embeddings, n_clusters=n_clusters, iters=iters, dim=dim, model=model
         )
     )
-    probes = assigned.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    an = assigned.withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
+    probes = an.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"),
+        F.col("en").alias("pn"),
     )
     pw = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("cluster"))
     probe_cells = (
@@ -2809,6 +2876,7 @@ def trained_multiprobe_scored(
         .select(
             "probe_id",
             "pe",
+            "pn",
             "cluster",
             (
                 dot_col(F.col("pe"), F.col("pe"))
@@ -2821,18 +2889,19 @@ def trained_multiprobe_scored(
         .select(
             "probe_id",
             "pe",
+            "pn",
             F.col("cluster").alias("centroid_id"),
             F.col("rn").alias("cell_rank"),
         )
     )
     return (
-        assigned.join(F.broadcast(probe_cells), ["centroid_id"])
+        an.join(F.broadcast(probe_cells), ["centroid_id"])
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "cell_rank",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+            (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
         )
     )
 
@@ -3091,12 +3160,17 @@ def coreset_select(embeddings: DataFrame, centroid_stride: int = 100) -> DataFra
 
     One broadcast map pass for assignment + one cell-keyed rank window.
     """
-    emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    emb = _spread_emb(embeddings).select(
+        "vec_id", _dbl("embedding").alias("e")
+    ).withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
     cents = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"),
+        F.col("en").alias("cn"),
     )
     scored = emb.join(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", cosine_col(F.col("e"), F.col("ce")).alias("ccos")
+        "vec_id",
+        "centroid_id",
+        (dot_col(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))).alias("ccos"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     assigned = (
