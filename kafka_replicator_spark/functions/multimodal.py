@@ -210,18 +210,24 @@ def media_embed_topk(docs: DataFrame, probe_ids: list[int], k: int = 5) -> DataF
     """
     from pyspark.sql import Window
 
-    from kafka_replicator_spark.functions.similarity import cosine_col
+    from kafka_replicator_spark.functions.similarity import dot_col
 
-    emb = track_cached(embed_media(synthesize_media(docs)))
+    # per-row norm hoist (r13-opt, see brute_force_topk): one dot per pair
+    emb = track_cached(
+        embed_media(synthesize_media(docs)).withColumn(
+            "en", F.sqrt(dot_col(F.col("e"), F.col("e")))
+        )
+    )
     probes = emb.filter(F.col("doc_id").isin(probe_ids)).select(
-        F.col("doc_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("doc_id").alias("probe_id"), F.col("e").alias("pe"),
+        F.col("en").alias("pn"),
     )
     pairs = emb.join(F.broadcast(probes), F.col("doc_id") != F.col("probe_id"))
     scored = pairs.select(
         "probe_id",
         F.col("doc_id").alias("neighbor_id"),
         "kind",
-        cosine_col(F.col("pe"), F.col("e")).alias("cos"),
+        (dot_col(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("en"))).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

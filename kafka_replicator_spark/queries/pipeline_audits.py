@@ -718,13 +718,19 @@ def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_replicator_spark.cacheutil import track_cached
     from kafka_replicator_spark.functions.similarity import cosine_col, ivf_assign
 
+    from kafka_replicator_spark.functions.similarity import dot_col
+
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = track_cached(ivf_assign(emb))
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "centroid_id"
+    # per-row norm hoist (r13-opt, see _semantic_scan): one dot per pair
+    an = assigned.withColumn("en", F.sqrt(dot_col(F.col("e"), F.col("e"))))
+    a = an.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "centroid_id",
+        F.col("en").alias("na"),
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "centroid_id"
+    b = an.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "centroid_id",
+        F.col("en").alias("nb"),
     )
     # collapse the pair stream to per-vector max(cos) BEFORE the threshold
     # cross-join: dropped-at-tau == max(cos) >= tau, and the distinct-count
@@ -732,7 +738,12 @@ def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = (
         a.join(b, "centroid_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("b_id", F.round(cosine_col(F.col("ae"), F.col("be")), 6).alias("cos"))
+        .select(
+            "b_id",
+            F.round(
+                dot_col(F.col("ae"), F.col("be")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
         .groupBy("b_id")
         .agg(F.max("cos").alias("max_cos"))
     )

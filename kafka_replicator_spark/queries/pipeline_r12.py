@@ -493,20 +493,24 @@ def _ppv_sweep_frame(emb: DataFrame, assigned: DataFrame) -> DataFrame:
             .cast("long")
             .alias("cand_pairs")
         )
-        a = ab.select(
+        # per-row norm hoist (r13-opt, see _semantic_scan): one dot per pair
+        abn = ab.withColumn("en", F.sqrt(_sim.dot_col(F.col("e"), F.col("e"))))
+        a = abn.select(
             "centroid_id", "bucket", F.col("vec_id").alias("a_id"),
-            F.col("e").alias("ae"),
+            F.col("e").alias("ae"), F.col("en").alias("na"),
         )
-        b = ab.select(
+        b = abn.select(
             "centroid_id", "bucket", F.col("vec_id").alias("b_id"),
-            F.col("e").alias("be"),
+            F.col("e").alias("be"), F.col("en").alias("nb"),
         )
         dr = (
             a.join(b, ["centroid_id", "bucket"])
             .filter(F.col("a_id") < F.col("b_id"))
             .filter(
                 F.round(
-                    _sim.cosine_col(F.col("ae"), F.col("be")), 6
+                    _sim.dot_col(F.col("ae"), F.col("be"))
+                    / (F.col("na") * F.col("nb")),
+                    6,
                 ) >= _DROP_TAU
             )
             .agg(F.countDistinct("b_id").cast("long").alias("dropped"))
