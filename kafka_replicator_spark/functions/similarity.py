@@ -500,22 +500,138 @@ def _kmeans_inline_final_sums(
             # next round's centroids: the integer mean mirrors the column
             # expression exactly (long→double conversion on BOTH operands,
             # then divide)
-            by_c: dict[int, dict[int, tuple[int, int]]] = {}
-            for c, d, s, n in final:
-                by_c.setdefault(c, {})[d] = (s, n)
-            cm_rows = sorted(
-                (
-                    c,
-                    [
-                        math.floor(
-                            float(comps[d][0]) / float(comps[d][1]) + 0.5
-                        )
-                        for d in sorted(comps)
-                    ],
-                )
-                for c, comps in by_c.items()
-            )
+            cm_rows = _next_round_cm(final)
     return final
+
+
+def _next_round_cm(
+    final: list[tuple[int, int, int, int]],
+) -> list[tuple[int, list[int]]]:
+    """The next Lloyd round's integer micro centroids from one round's
+    (cluster, dim, s_micro, n_members) sums — the rounding mean
+    ``floor(s/n + 0.5)`` with BOTH operands converted to double first,
+    mirroring the column expression exactly (shared by the single-arm and
+    fused inline loops)."""
+    by_c: dict[int, dict[int, tuple[int, int]]] = {}
+    for c, d, s, n in final:
+        by_c.setdefault(c, {})[d] = (s, n)
+    return sorted(
+        (
+            c,
+            [
+                math.floor(float(comps[d][0]) / float(comps[d][1]) + 0.5)
+                for d in sorted(comps)
+            ],
+        )
+        for c, comps in by_c.items()
+    )
+
+
+def _kmeans_inline_final_sums_fused(
+    embeddings: DataFrame,
+    arm_filters: list[Column | None],
+    k: int,
+    iters: int,
+) -> list[list[tuple[int, int, int, int]] | None]:
+    """The inline Lloyd loop of :func:`_kmeans_inline_final_sums` trained
+    over SEVERAL filter-arms of ONE corpus at once (r13 optimization —
+    the retrain-audit queries train a frozen half-corpus model AND a
+    full-corpus model back to back, paying two cached scans and two sum
+    jobs per iteration for sums one job can produce):
+
+    * one shared spread+cached (vec_id, e) scan — each arm is a FILTER on
+      the cache (``None`` = the whole corpus), so the half-corpus arm
+      stops materializing its own copy of the corpus;
+    * per iteration, each arm's assignment keeps the EXACT single-arm
+      expression (its own literal centroid arrays, the same
+      ``ee − 2·e·c + c·c`` fold, the same ``array_min`` tie-break) — the
+      arms are unionByName'd with an arm tag and the component sums fold
+      in ONE ``groupBy(arm, cluster, dim)`` job instead of one job per
+      arm.  Integer sums are associative, so splitting them by ``arm``
+      cannot change any arm's sums: every arm's final sums are
+      BIT-IDENTICAL to its own :func:`_kmeans_inline_final_sums` run
+      (pinned by test_kmeans_models_fused_matches_separate).
+
+    Returns one final-sums list per arm (``None`` for an empty arm —
+    callers fall back to the per-arm path, which reproduces the empty
+    output).
+    """
+    base = track_cached(  # ONE cached corpus scan shared by every arm
+        _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
+    )
+    w_init = Window.orderBy("vec_id")
+    arms = [base if f is None else base.filter(f) for f in arm_filters]
+    cm_by_arm: list[list[tuple[int, list[int]]] | None] = []
+    for fr in arms:
+        cents = (
+            fr.orderBy("vec_id")
+            .limit(k)
+            .select(
+                (F.row_number().over(w_init) - 1).cast("long").alias("cluster"),
+                F.transform(
+                    "e", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+                ).alias("cm"),
+            )
+        )
+        rows = sorted(
+            (int(r["cluster"]), [int(m) for m in r["cm"]]) for r in cents.collect()
+        )
+        cm_by_arm.append(rows or None)
+    finals: list[list[tuple[int, int, int, int]] | None] = [None] * len(arms)
+    live = [t for t in range(len(arms)) if cm_by_arm[t]]
+    if not live:
+        return finals
+    for it in range(iters):
+        tagged = None
+        for t in live:
+            cm_rows = cm_by_arm[t]
+            cds = [[m / 1e6 for m in cm] for _, cm in cm_rows]
+            ids = F.lit([c for c, _ in cm_rows])
+            cdl = F.lit(cds)
+            ccs = F.lit([_py_dot(cd, cd) for cd in cds])
+            scored_arr = F.transform(
+                F.sequence(F.lit(0), F.lit(len(cm_rows) - 1)),
+                lambda i: F.struct(
+                    (
+                        F.col("ee")
+                        - 2 * dot_col(F.col("e"), F.get(cdl, i))
+                        + F.get(ccs, i)
+                    ).alias("d"),
+                    F.get(ids, i).cast("long").alias("c"),
+                ),
+            )
+            part = (
+                arms[t]
+                .withColumn("ee", dot_col(F.col("e"), F.col("e")))
+                .select(
+                    F.lit(t).cast("int").alias("arm"),
+                    "e",
+                    F.array_min(scored_arr)["c"].alias("cluster"),
+                )
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        sums = (
+            tagged.select("arm", "cluster", F.posexplode("e").alias("dim0", "x"))
+            .groupBy(
+                "arm", "cluster", (F.col("dim0") + 1).cast("long").alias("dim")
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+                ).alias("s_micro"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        per_arm: dict[int, list[tuple[int, int, int, int]]] = {t: [] for t in live}
+        for r in sums.collect():
+            per_arm[int(r["arm"])].append(
+                (int(r["cluster"]), int(r["dim"]), int(r["s_micro"]), int(r["n_members"]))
+            )
+        for t in live:
+            finals[t] = sorted(per_arm[t])
+            if it < iters - 1:
+                cm_by_arm[t] = _next_round_cm(finals[t])
+    return finals
 
 
 def kmeans_train(
@@ -771,6 +887,50 @@ def kmeans_model(
     return kmeans_model_from_train(
         kmeans_train(embeddings, k=n_clusters, iters=iters, dim=dim, inline=False)
     )
+
+
+def kmeans_models_fused(
+    embeddings: DataFrame,
+    arm_filters: list[Column | None],
+    n_clusters: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[DataFrame]:
+    """One :func:`kmeans_model` per filter-arm of ONE corpus, trained over
+    a single shared cached scan with the per-iteration component-sum jobs
+    fused across arms (:func:`_kmeans_inline_final_sums_fused`) — the r13
+    optimization for the retrain-audit queries, which train a frozen
+    half-corpus model and a full-corpus model back to back.  Each arm's
+    model is BIT-IDENTICAL to its own :func:`kmeans_model` call (same
+    per-row expressions, associative integer sums, same driver fold);
+    outside the inline regime (or for an empty arm) it falls back to the
+    per-arm path, which reproduces the same output by the existing
+    bit-identity pins.  ``None`` in ``arm_filters`` means the whole
+    corpus."""
+    spark = embeddings.sparkSession
+
+    def _arm_frame(f: Column | None) -> DataFrame:
+        return embeddings if f is None else embeddings.filter(f)
+
+    if n_clusters * dim <= 65536:
+        finals = _kmeans_inline_final_sums_fused(
+            embeddings, arm_filters, n_clusters, iters
+        )
+        return [
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(_model_rows_from_sums(rows), 1),
+                "cluster long, cd array<double>",
+            )
+            if rows is not None
+            else kmeans_model(
+                _arm_frame(f), n_clusters=n_clusters, iters=iters, dim=dim
+            )
+            for f, rows in zip(arm_filters, finals)
+        ]
+    return [
+        kmeans_model(_arm_frame(f), n_clusters=n_clusters, iters=iters, dim=dim)
+        for f in arm_filters
+    ]
 
 
 def kmeans_model_sql_ctes(

@@ -536,13 +536,23 @@ def q_retrain_reassignment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
     mid = int(lo) + (int(hi) - int(lo) + 1) // 2
-    half = emb.filter(F.col("vec_id") < mid)
-    m_half = _sim.kmeans_model(half, n_clusters=_RETRAIN_K, iters=_RETRAIN_ITERS)
+    # r13-opt: the frozen half-corpus model and the full-corpus model
+    # train over ONE shared cached scan with the per-iteration sum jobs
+    # fused across arms (bit-identical per arm — associative integer
+    # sums; pinned by test_kmeans_models_fused_matches_separate), and
+    # the full arm assigns from its fused model instead of re-training
+    # in-lineage (same literals — the model rows ARE the final sums)
+    m_half, m_full = _sim.kmeans_models_fused(
+        emb,
+        [F.col("vec_id") < mid, None],
+        n_clusters=_RETRAIN_K,
+        iters=_RETRAIN_ITERS,
+    )
     ha = _sim.ivf_assign_trained(
         emb, n_clusters=_RETRAIN_K, model=m_half
     ).select("vec_id", F.col("centroid_id").alias("h_cell"))
     fa = _sim.ivf_assign_trained(
-        emb, n_clusters=_RETRAIN_K, iters=_RETRAIN_ITERS
+        emb, n_clusters=_RETRAIN_K, model=m_full
     ).select("vec_id", F.col("centroid_id").alias("f_cell"))
     return (
         ha.join(fa, "vec_id")
@@ -736,8 +746,13 @@ def q_stale_model_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
     mid = int(lo) + (int(hi) - int(lo) + 1) // 2
-    m_half = _sim.kmeans_model(
-        emb.filter(F.col("vec_id") < mid),
+    # r13-opt: both arms' models train over ONE shared cached scan with
+    # the per-iteration sum jobs fused (bit-identical per arm; the
+    # retrained arm's explicit model= is the same local relation the
+    # in-lineage path would fold — identical literal arrays)
+    m_half, m_full = _sim.kmeans_models_fused(
+        emb,
+        [F.col("vec_id") < mid, None],
         n_clusters=_RETRAIN_K,
         iters=_RETRAIN_ITERS,
     )
@@ -749,7 +764,7 @@ def q_stale_model_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     denom = len(_SR_PROBES) * _SR_K
     out = None
-    for arm_name, model in (("frozen_half", m_half), ("retrained_full", None)):
+    for arm_name, model in (("frozen_half", m_half), ("retrained_full", m_full)):
         scored = _sim.trained_multiprobe_scored(
             emb,
             _SR_PROBES,

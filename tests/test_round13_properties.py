@@ -196,3 +196,38 @@ def test_multiprobe_from_persisted_model_matches_in_lineage(spark, sf_dir, tmp_p
 
     got, want = topk(loaded), topk(model)
     assert got == want and len(got) == 20
+
+
+def test_kmeans_models_fused_matches_separate(spark, sf_dir):
+    """r13-opt: kmeans_models_fused trains every filter-arm's model over
+    ONE shared cached scan with the per-iteration component-sum jobs
+    fused across arms — each arm's model must be BIT-IDENTICAL (exact
+    float equality) to its own kmeans_model call, the bit-identity the
+    retrain-audit queries' oracles rely on."""
+    emb = _emb(spark, sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    mid = int(lo) + (int(hi) - int(lo) + 1) // 2
+    arms = [F.col("vec_id") < mid, None]
+    fused = sim.kmeans_models_fused(emb, arms, n_clusters=8, iters=2)
+    sep = [
+        sim.kmeans_model(emb.filter(arms[0]), n_clusters=8, iters=2),
+        sim.kmeans_model(emb, n_clusters=8, iters=2),
+    ]
+    for f, s in zip(fused, sep):
+        got = sorted((r["cluster"], tuple(r["cd"])) for r in f.collect())
+        want = sorted((r["cluster"], tuple(r["cd"])) for r in s.collect())
+        assert len(got) == 8
+        assert got == want  # exact float equality — same ints, same folds
+
+
+def test_kmeans_models_fused_empty_arm_falls_back(spark, sf_dir):
+    """An empty filter-arm must fall back to the per-arm path (empty
+    literal arrays have no type) and reproduce kmeans_model's empty
+    output, while sibling arms still train fused."""
+    emb = _emb(spark, sf_dir)
+    lo = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    fused = sim.kmeans_models_fused(
+        emb, [F.col("vec_id") < lo, None], n_clusters=8, iters=2
+    )
+    assert fused[0].count() == 0
+    assert fused[1].count() == 8
