@@ -559,24 +559,35 @@ def _kmeans_inline_final_sums_fused(
     base = track_cached(  # ONE cached corpus scan shared by every arm
         _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     )
-    w_init = Window.orderBy("vec_id")
     arms = [base if f is None else base.filter(f) for f in arm_filters]
-    cm_by_arm: list[list[tuple[int, list[int]]] | None] = []
-    for fr in arms:
-        cents = (
-            fr.orderBy("vec_id")
-            .limit(k)
-            .select(
-                (F.row_number().over(w_init) - 1).cast("long").alias("cluster"),
-                F.transform(
-                    "e", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
-                ).alias("cm"),
-            )
+    # the init collects fuse into ONE job too: each arm's first-k frame is
+    # tagged and unioned, and row_number partitions by arm — identical
+    # rows per arm to the single-arm init (the global window over a k-row
+    # frame IS the per-arm window over that arm's k rows)
+    tagged_init = None
+    for t, fr in enumerate(arms):
+        part = fr.orderBy("vec_id").limit(k).select(
+            F.lit(t).cast("int").alias("arm"), "vec_id", "e"
         )
-        rows = sorted(
-            (int(r["cluster"]), [int(m) for m in r["cm"]]) for r in cents.collect()
+        tagged_init = (
+            part if tagged_init is None else tagged_init.unionByName(part)
         )
-        cm_by_arm.append(rows or None)
+    w_init = Window.partitionBy("arm").orderBy("vec_id")
+    cents = tagged_init.select(
+        "arm",
+        (F.row_number().over(w_init) - 1).cast("long").alias("cluster"),
+        F.transform(
+            "e", lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("cm"),
+    )
+    rows_by_arm: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in cents.collect():
+        rows_by_arm.setdefault(int(r["arm"]), []).append(
+            (int(r["cluster"]), [int(m) for m in r["cm"]])
+        )
+    cm_by_arm: list[list[tuple[int, list[int]]] | None] = [
+        sorted(rows_by_arm.get(t, [])) or None for t in range(len(arms))
+    ]
     finals: list[list[tuple[int, int, int, int]] | None] = [None] * len(arms)
     live = [t for t in range(len(arms)) if cm_by_arm[t]]
     if not live:
