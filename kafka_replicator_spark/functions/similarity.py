@@ -420,7 +420,10 @@ FROM ranked WHERE rank <= {k}
 # ------------------------------------------------------- k-means training
 
 def _kmeans_inline_final_sums(
-    embeddings: DataFrame, k: int, iters: int
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    snapshots: dict[int, list[tuple[int, int, int, int]]] | None = None,
 ) -> list[tuple[int, int, int, int]] | None:
     """THE one driver-driven inline Lloyd loop (VERDICT r12 #4), shared by
     :func:`kmeans_train` and :func:`kmeans_model`: each iteration's
@@ -439,6 +442,13 @@ def _kmeans_inline_final_sums(
     One collect per iteration (k·dim rows each) plus the k-row init
     collect; bit-identity with the window path is pinned by
     test_kmeans_train_inline_matches_window_path.
+
+    ``snapshots`` (r13 optimization): a caller-owned dict that receives
+    {iter_count: final sums after that many iterations} for every key it
+    is pre-seeded with — a Lloyd run at ``iters`` computes every prefix's
+    sums anyway (each iteration's collect feeds the next centroids), so
+    an iteration-ladder consumer trains ONCE instead of once per rung;
+    each prefix's sums are exactly the sums its own shorter run returns.
     """
     w_init = Window.orderBy("vec_id")
     emb = track_cached(  # scanned once per iteration; tracked so sweep/
@@ -496,6 +506,8 @@ def _kmeans_inline_final_sums(
             (int(r["cluster"]), int(r["dim"]), int(r["s_micro"]), int(r["n_members"]))
             for r in sums.collect()
         )
+        if snapshots is not None and (it + 1) in snapshots:
+            snapshots[it + 1] = list(final)
         if it < iters - 1:
             # next round's centroids: the integer mean mirrors the column
             # expression exactly (long→double conversion on BOTH operands,
@@ -941,6 +953,48 @@ def kmeans_models_fused(
     return [
         kmeans_model(_arm_frame(f), n_clusters=n_clusters, iters=iters, dim=dim)
         for f in arm_filters
+    ]
+
+
+def kmeans_models_prefix(
+    embeddings: DataFrame,
+    iters_list: list[int],
+    n_clusters: int = 8,
+    dim: int = 64,
+) -> list[DataFrame]:
+    """One :func:`kmeans_model` per iteration count in ``iters_list``
+    from a SINGLE inline training run at ``max(iters_list)`` (r13
+    optimization — the inertia-descent ladder trained once per rung):
+    Lloyd's loop computes every prefix's component sums on the way to the
+    deepest rung, so each rung's model is folded from the snapshot its
+    own shorter run would have returned — bit-identical by construction
+    (same init, same per-iteration expressions; pinned by
+    test_kmeans_models_prefix_matches_separate).  Rungs the snapshot
+    cannot serve (iters < 1, empty corpus, outside the inline regime)
+    fall back to their own :func:`kmeans_model` call."""
+    spark = embeddings.sparkSession
+    if n_clusters * dim <= 65536 and iters_list and max(iters_list) >= 1:
+        snaps: dict[int, list[tuple[int, int, int, int]]] = {
+            i: [] for i in iters_list if i >= 1
+        }
+        rows = _kmeans_inline_final_sums(
+            embeddings, n_clusters, max(iters_list), snapshots=snaps
+        )
+        if rows is not None:
+            return [
+                spark.createDataFrame(
+                    spark.sparkContext.parallelize(
+                        _model_rows_from_sums(snaps[i]), 1
+                    ),
+                    "cluster long, cd array<double>",
+                )
+                if i >= 1
+                else kmeans_model(embeddings, n_clusters=n_clusters, iters=i, dim=dim)
+                for i in iters_list
+            ]
+    return [
+        kmeans_model(embeddings, n_clusters=n_clusters, iters=i, dim=dim)
+        for i in iters_list
     ]
 
 

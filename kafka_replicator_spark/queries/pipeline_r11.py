@@ -556,16 +556,25 @@ def q_trained_inertia_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dbl,
         _spread_emb,
         dot_col,
-        kmeans_model,
+        kmeans_models_prefix,
     )
 
     raw = track_cached(load_table(spark, sf_dir, "embeddings"))
     emb = track_cached(
         _spread_emb(raw).select("vec_id", _dbl("embedding").alias("e"))
     )
+    # r13-opt: one training run at the deepest rung serves every rung's
+    # model (Lloyd prefixes — bit-identical; the per-rung re-train paid
+    # an extra init + sums pass for sums the deep run already collected)
+    models = dict(
+        zip(
+            _INERTIA_ITERS,
+            kmeans_models_prefix(raw, list(_INERTIA_ITERS), n_clusters=_TR_K),
+        )
+    )
     out = None
     for i in _INERTIA_ITERS:
-        cents = kmeans_model(raw, n_clusters=_TR_K, iters=i)
+        cents = models[i]
         md = (
             emb.join(F.broadcast(cents))
             .select(

@@ -231,3 +231,18 @@ def test_kmeans_models_fused_empty_arm_falls_back(spark, sf_dir):
     )
     assert fused[0].count() == 0
     assert fused[1].count() == 8
+
+
+def test_kmeans_models_prefix_matches_separate(spark, sf_dir):
+    """r13-opt: kmeans_models_prefix folds each rung's model from the
+    deepest run's per-iteration snapshot — every rung must be
+    BIT-IDENTICAL (exact float equality) to its own kmeans_model call at
+    that iteration count (Lloyd prefixes are exact)."""
+    emb = _emb(spark, sf_dir)
+    prefix = sim.kmeans_models_prefix(emb, [1, 2], n_clusters=8)
+    for m, i in zip(prefix, (1, 2)):
+        sep = sim.kmeans_model(emb, n_clusters=8, iters=i)
+        got = sorted((r["cluster"], tuple(r["cd"])) for r in m.collect())
+        want = sorted((r["cluster"], tuple(r["cd"])) for r in sep.collect())
+        assert len(got) == 8
+        assert got == want
