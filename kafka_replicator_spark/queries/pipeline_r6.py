@@ -1145,8 +1145,9 @@ s{t} AS MATERIALIZED (
     "selections maximizing 7*rel - 3*max-sim-to-selected — every score "
     "an exact BIGINT, ties broken by vec_id, the per-round argmax reads "
     "a 12-row frame.  The oracle unrolls the 5 rounds as MATERIALIZED "
-    "CTEs; the Spark side collects one argmax row per round "
-    "(metadata-scale, bounded by the candidate list); 5 output rows",
+    "CTEs; the Spark side collects the constant-bounded pool ONCE and "
+    "replays the greedy rounds driver-side in exact Python ints "
+    "(bit-identical — every score is integer); 5 output rows",
 )
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1176,36 +1177,47 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = m.crossJoin(F.broadcast(qvec)).select(
         "vec_id", "em", rel_expr.alias("rel")
     )
-    cand = track_cached(
-        scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_CAND)
+    # r13-opt: the candidate pool is CONSTANT-bounded (distributed
+    # TakeOrdered LIMIT 12) and every MMR quantity over it — the pairwise
+    # dots, max-sim, and the 7*rel - 3*maxsim selection key — is exact
+    # integer arithmetic, so ONE TakeOrdered job collects the pool and the
+    # greedy loop replays driver-side with bit-identical Python ints (JVM
+    # long == Python int below overflow; micro-unit dots peak ~6e13).  The
+    # per-round head(1) jobs, the pairwise-dot frame and both caches
+    # disappear (was 17 Spark jobs of plan-compile floor, now 1).
+    cand_rows = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_CAND).collect()
     )
-    a = cand.select(F.col("vec_id").alias("va"), F.col("em").alias("ea"))
-    b = cand.select(F.col("vec_id").alias("vb"), F.col("em").alias("eb"))
-    dot = dot_int_col(F.col("ea"), F.col("eb"))
-    dots = track_cached(
-        a.join(b, F.col("va") != F.col("vb")).select("va", "vb", dot.alias("dot"))
+    cands = sorted(
+        (
+            (int(r["rel"]), int(r["vec_id"]), [int(x) for x in r["em"]])
+            for r in cand_rows
+        ),
+        key=lambda c: (-c[0], c[1]),
     )
-    first = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id")).select("vec_id", "rel").head(1)[0]
-    )
-    picked: list[tuple[int, int, int, int]] = [(1, first["vec_id"], first["rel"], -1)]
+
+    def _idot(a: list[int], b: list[int]) -> int:
+        acc = 0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    first = cands[0]
+    picked: list[tuple[int, int, int, int]] = [(1, first[1], first[0], -1)]
+    sel_ems: list[list[int]] = [first[2]]
+    sel_ids = {first[1]}
     for t in range(2, _MMR_SELECT + 1):
-        sel_ids = [p[1] for p in picked]
-        best = (
-            cand.filter(~F.col("vec_id").isin(sel_ids))
-            .join(
-                dots.filter(F.col("vb").isin(sel_ids)),
-                F.col("vec_id") == F.col("va"),
-            )
-            .groupBy("vec_id", "rel")
-            .agg(F.max("dot").cast("long").alias("maxsim"))
-            .orderBy(
-                F.desc(_MMR_REL_W * F.col("rel") - _MMR_DIV_W * F.col("maxsim")),
-                F.asc("vec_id"),
-            )
-            .head(1)[0]
-        )
-        picked.append((t, best["vec_id"], best["rel"], best["maxsim"]))
+        best = None  # ((-key, vec_id), vec_id, rel, maxsim)
+        for rel, vid, em in cands:
+            if vid in sel_ids:
+                continue
+            maxsim = max(_idot(em, s) for s in sel_ems)
+            order = (-(_MMR_REL_W * rel - _MMR_DIV_W * maxsim), vid)
+            if best is None or order < best[0]:
+                best = (order, vid, rel, maxsim, em)
+        picked.append((t, best[1], best[2], best[3]))
+        sel_ids.add(best[1])
+        sel_ems.append(best[4])
     return spark.createDataFrame(
         picked, schema="sel_rank long, vec_id long, rel long, maxsim long"
     )
@@ -1747,13 +1759,22 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "h"
         )
     )
-    covered = None  # DataFrame of distinct h
-    picked: list[tuple[int, int, int, int]] = []
+    # r13-opt: the covered set for round t IS the distinct h of the picked
+    # docs, so each round derives it from the SAME cached shingle frame
+    # (broadcast anti-join side bounded by <=4 docs' shingles) instead of
+    # growing a union-distinct cache chain — plan size stays CONSTANT per
+    # round (the old chain re-analyzed a deeper lineage every round:
+    # 33/65/97/129/161/193-task argmax jobs), and the per-round
+    # covered.count() materialization job is deferred to ONE cumulative
+    # job after the loop (min-pick-rank per h, counted per rank — the
+    # same |distinct h over picks 1..t| the oracle's c{t} counts).
+    picked: list[tuple[int, int, int]] = []
     excluded: list[int] = []
     for t in range(1, _COV_SELECT + 1):
         rem = sh.filter(~F.col("doc_id").isin(excluded)) if excluded else sh
-        if covered is not None:
-            rem = rem.join(covered, "h", "left_anti")
+        if excluded:
+            cov = sh.filter(F.col("doc_id").isin(excluded)).select("h").distinct()
+            rem = rem.join(F.broadcast(cov), "h", "left_anti")
         gains = rem.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("gain"))
         top = gains.filter(F.col("gain") > 0).orderBy(
             F.desc("gain"), F.asc("doc_id")
@@ -1761,14 +1782,30 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not top:
             break
         doc, gain = top[0]["doc_id"], top[0]["gain"]
-        win = sh.filter(F.col("doc_id") == doc).select("h").distinct()
-        covered = track_cached(
-            win if covered is None else covered.unionAll(win).distinct()
-        )
-        picked.append((t, doc, gain, covered.count()))
+        picked.append((t, doc, gain))
         excluded.append(doc)
+    totals: dict[int, int] = {}
+    if picked:
+        r = F.when(F.col("doc_id") == picked[0][1], F.lit(1))
+        for t, doc, _ in picked[1:]:
+            r = r.when(F.col("doc_id") == doc, F.lit(t))
+        per_rank = (
+            sh.filter(F.col("doc_id").isin([p[1] for p in picked]))
+            .select(r.alias("r"), "h")
+            .groupBy("h")
+            .agg(F.min("r").alias("r"))
+            .groupBy("r")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        by_rank = {int(row["r"]): int(row["n"]) for row in per_rank}
+        run = 0
+        for t, _, _ in picked:
+            run += by_rank.get(t, 0)
+            totals[t] = run
     return spark.createDataFrame(
-        picked, schema="sel_rank long, doc_id long, gain long, covered_total long"
+        [(t, doc, gain, totals[t]) for (t, doc, gain) in picked],
+        schema="sel_rank long, doc_id long, gain long, covered_total long",
     )
 
 
