@@ -1638,25 +1638,29 @@ def dedup_best_quality(docs: DataFrame) -> DataFrame:
     :func:`exact_duplicates`' min-id canonical choice (metadata like source
     reputation often rides the same pattern).
 
-    The rank window is keyed by content hash — duplicate-group-sized
-    partitions, never a global sort.
+    The survivor pick is a map-side ``max(struct(quality_score, -doc_id))``
+    per content hash (identical tie-breaks to the (quality DESC, doc_id
+    ASC) rank) fused with the copy count into ONE aggregate — never a
+    per-group sort, and no second pass + join for the counts.
     """
     from kafka_replicator_spark.functions.text import quality_score
 
     q = quality_score(docs).select("doc_id", "quality_score")
     d = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash")).join(q, "doc_id")
-    w = Window.partitionBy("content_hash").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    ranked = d.withColumn("rn", F.row_number().over(w))
-    counts = d.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_copies"))
     return (
-        ranked.filter(F.col("rn") == 1)
-        .join(counts, "content_hash")
+        d.groupBy("content_hash")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"), (-F.col("doc_id")).alias("ni")
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
         .select(
             "content_hash",
-            F.col("doc_id").alias("survivor_id"),
-            F.col("quality_score").alias("survivor_quality"),
+            (-F.col("b.ni")).alias("survivor_id"),
+            F.col("b.q").alias("survivor_quality"),
             "n_copies",
         )
     )

@@ -1499,7 +1499,14 @@ def pq_code_assign(subs: DataFrame, code_entries: DataFrame) -> DataFrame:
     """Nearest-codebook-entry assignment per (vec, subspace): broadcast the
     codebook, exact BIGINT L2, deterministic code_id tiebreak.  Returns
     (vec_id, s, code_id, cdist) — ``cdist`` is the per-subspace squared
-    quantization error the distortion audit aggregates."""
+    quantization error the distortion audit aggregates.
+
+    r13-opt note: a map-side ``min(struct(cdist, code_id))`` aggregate
+    (the ivf_assign_2level idiom) was tried here and measured 1.8x WORSE
+    at 30x corpus (18.8 -> 34.7 s in the p_ivf_pq_rerank scale kernel):
+    struct aggregates compile to SortAggregate, whose interpreted struct
+    comparisons cost more per scored pair than the window's UnsafeRow
+    sort — the rank window stands."""
     w_assign = Window.partitionBy("vec_id", "s").orderBy(F.asc("cdist"), F.asc("code_id"))
     return (
         subs.join(F.broadcast(code_entries), "s")
@@ -3383,7 +3390,8 @@ def coreset_select(embeddings: DataFrame, centroid_stride: int = 100) -> DataFra
     pipeline trains on instead of the full corpus (one row per cell,
     however large the corpus).
 
-    One broadcast map pass for assignment + one cell-keyed rank window.
+    One broadcast map pass for assignment + one cell-keyed argmax/count
+    aggregate (map-side partial, no rank window).
     """
     emb = _spread_emb(embeddings).select(
         "vec_id", _dbl("embedding").alias("e")
@@ -3397,21 +3405,31 @@ def coreset_select(embeddings: DataFrame, centroid_stride: int = 100) -> DataFra
         "centroid_id",
         (dot_col(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))).alias("ccos"),
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    # both ranks are rn=1 argmaxes, so each becomes a map-side
+    # max(struct(ccos, -id)) aggregate (r08 idiom, exact same tie-breaks),
+    # and the per-cell size count fuses into the SAME per-centroid
+    # aggregate — 2 windows + 1 join collapse to 2 hash aggregations
     assigned = (
-        scored.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "ccos")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos").alias("c"), (-F.col("centroid_id")).alias("ni"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.ni")).alias("centroid_id"), F.col("b.c").alias("ccos"))
     )
-    wc = Window.partitionBy("centroid_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
-    reps = assigned.withColumn("rep_rn", F.row_number().over(wc))
-    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        reps.filter(F.col("rep_rn") == 1)
-        .join(sizes, "centroid_id")
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos").alias("c"), (-F.col("vec_id")).alias("ni"))
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
         .select(
             "centroid_id",
-            F.col("vec_id").alias("representative_id"),
-            F.round("ccos", 6).alias("rep_cos"),
+            (-F.col("b.ni")).alias("representative_id"),
+            F.round(F.col("b.c"), 6).alias("rep_cos"),
             "n_members",
         )
     )
