@@ -246,3 +246,107 @@ def test_kmeans_models_prefix_matches_separate(spark, sf_dir):
         want = sorted((r["cluster"], tuple(r["cd"])) for r in sep.collect())
         assert len(got) == 8
         assert got == want
+
+
+def test_coreset_select_fused_agg_matches_window_reference(spark, sf_dir):
+    """r13-opt: coreset_select's two rank windows + size join collapsed
+    into two max(struct) aggregates — the output must be BIT-IDENTICAL
+    to the window-based reference (same (ccos DESC, id ASC) tie-breaks),
+    and the plan must carry no Window and no Join."""
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions.similarity import (
+        _dbl,
+        _spread_emb,
+        coreset_select,
+        dot_col,
+    )
+    from kafka_replicator_spark.plans.explain import physical_plan
+
+    emb = _emb(spark, sf_dir)
+    got_df = coreset_select(emb)
+    plan = physical_plan(got_df)
+    assert "Window" not in plan, plan
+    # the only join left is the broadcast assignment scan — the
+    # reps-to-sizes shuffle join is gone
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+    # window-based reference: the pre-r13 shape, inline
+    e = _spread_emb(emb).select("vec_id", _dbl("embedding").alias("e")).withColumn(
+        "en", F.sqrt(dot_col(F.col("e"), F.col("e")))
+    )
+    cents = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("en").alias("cn"),
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        (dot_col(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cn"))).alias("ccos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "ccos")
+    )
+    wc = Window.partitionBy("centroid_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    want_df = (
+        assigned.withColumn("rep_rn", F.row_number().over(wc))
+        .filter(F.col("rep_rn") == 1)
+        .join(
+            assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_members")),
+            "centroid_id",
+        )
+        .select(
+            "centroid_id",
+            F.col("vec_id").alias("representative_id"),
+            F.round("ccos", 6).alias("rep_cos"),
+            "n_members",
+        )
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want  # exact equality, doubles included
+
+
+def test_dedup_best_quality_fused_agg_matches_window_reference(spark, sf_dir):
+    """r13-opt: dedup_best_quality's survivor window + count join fused
+    into ONE aggregate — bit-identical to the window reference, no
+    Window and no content-hash join in the plan (the only join left is
+    the doc⋈quality-score build)."""
+    from pyspark.sql import Window
+
+    from kafka_replicator_spark.functions.dedup import dedup_best_quality
+    from kafka_replicator_spark.functions.text import quality_score
+    from kafka_replicator_spark.plans.explain import physical_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    got_df = dedup_best_quality(docs)
+    assert "Window" not in physical_plan(got_df)
+
+    q = quality_score(docs).select("doc_id", "quality_score")
+    d = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash")).join(
+        q, "doc_id"
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    want_df = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            d.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_copies")),
+            "content_hash",
+        )
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality_score").alias("survivor_quality"),
+            "n_copies",
+        )
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
