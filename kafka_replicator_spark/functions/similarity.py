@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 from kafka_replicator_spark.cacheutil import track_cached
+from kafka_replicator_spark.functions.litfast import (
+    lit_doubles,
+    lit_doubles2d,
+    lit_longs,
+)
 
 
 def _spread_emb(embeddings: DataFrame) -> DataFrame:
@@ -178,7 +183,7 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> Data
     emb = _spread_emb(embeddings).select("vec_id", _dbl("embedding").alias("e"))
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(hyperplanes(n_planes, dim)):
-        w = F.array(*[F.lit(float(x)) for x in plane])
+        w = lit_doubles(float(x) for x in plane)
         proj = dot_col(F.col("e"), w)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return emb.select("vec_id", bucket.alias("bucket"))
@@ -474,9 +479,11 @@ def _kmeans_inline_final_sums(
     final: list[tuple[int, int, int, int]] = []
     for it in range(iters):
         cds = [[m / 1e6 for m in cm] for _, cm in cm_rows]
-        ids = F.lit([c for c, _ in cm_rows])
-        cdl = F.lit(cds)
-        ccs = F.lit([_py_dot(cd, cd) for cd in cds])
+        # litfast renderings are bit-identical to F.lit (see litfast.py)
+        # and ~150x cheaper to construct — this ran once per iteration
+        ids = lit_longs(c for c, _ in cm_rows)
+        cdl = lit_doubles2d(cds)
+        ccs = lit_doubles(_py_dot(cd, cd) for cd in cds)
         scored_arr = F.transform(
             F.sequence(F.lit(0), F.lit(len(cm_rows) - 1)),
             lambda i: F.struct(
@@ -609,9 +616,9 @@ def _kmeans_inline_final_sums_fused(
         for t in live:
             cm_rows = cm_by_arm[t]
             cds = [[m / 1e6 for m in cm] for _, cm in cm_rows]
-            ids = F.lit([c for c, _ in cm_rows])
-            cdl = F.lit(cds)
-            ccs = F.lit([_py_dot(cd, cd) for cd in cds])
+            ids = lit_longs(c for c, _ in cm_rows)
+            cdl = lit_doubles2d(cds)
+            ccs = lit_doubles(_py_dot(cd, cd) for cd in cds)
             scored_arr = F.transform(
                 F.sequence(F.lit(0), F.lit(len(cm_rows) - 1)),
                 lambda i: F.struct(
@@ -1228,9 +1235,9 @@ def ivf_assign_trained(
             # inferable type — the join path reproduces the (empty) output
             inline_model = False
     if inline_model:
-        ids = F.lit([c for c, _ in rows])
-        cds = F.lit([cd for _, cd in rows])
-        ccs = F.lit([_py_dot(cd, cd) for _, cd in rows])
+        ids = lit_longs(c for c, _ in rows)
+        cds = lit_doubles2d(cd for _, cd in rows)
+        ccs = lit_doubles(_py_dot(cd, cd) for _, cd in rows)
         scored = F.transform(
             F.sequence(F.lit(0), F.lit(len(rows) - 1)),
             lambda i: F.struct(

@@ -31,6 +31,7 @@ from kafka_replicator_spark.functions.hashing import (
     hash_family_col,
     hash_family_params,
 )
+from kafka_replicator_spark.functions.litfast import lit_longs
 
 #: default geometry: 2^16 bits (1024 int64 blocks), 4 hash positions
 BLOOM_M_BITS = 1 << 16
@@ -64,7 +65,10 @@ def bloom_build(dim: DataFrame, key_col: str, k: int = BLOOM_K, m_bits: int = BL
 
 def bloom_might_contain(key_col, blocks: list[int], k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS):
     """Pure column predicate: all k bit positions set in the block literal."""
-    arr = F.lit(blocks)
+    # litfast: F.lit of the 1024-long block list cost ~1 s of driver time
+    # per call (element-wise py4j); the SQL rendering is one gateway call
+    # with identical values (r13 optimization, see functions/litfast.py)
+    arr = lit_longs(blocks)
     checks = [
         F.element_at(arr, ((p / 64).cast("long") + 1).cast("int")).bitwiseAND(
             F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))

@@ -72,7 +72,7 @@ def main() -> int:
                 pass
             print(
                 f"  job {j['jobId']:4d} {dur:7.3f}s tasks={j['numTasks']:5d} "
-                f"stages={len(j['stageIds'])} desc={str(j.get('description'))[:90]}"
+                f"stages={len(j['stageIds'])} desc={str(j.get('description') or j.get('name'))[:90]}"
             )
     return 0
 
