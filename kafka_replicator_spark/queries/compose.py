@@ -79,7 +79,14 @@ def _qual_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
     survivors = track_cached(survivors)
-    qual = gopher_quality(survivors, keep=("source", "text")).filter(F.col("passes") == 1)
+    # r13 opt: the gate output is read three times (the mix stitch collect,
+    # qual_agg, and the mix assembly tail) and Gopher's tokenize+sort
+    # column work is the chain's per-row cost — cache it so it runs once.
+    # grouped_rank_cumsum's output is physical-partitioning-independent by
+    # contract, so the cache cannot change any value.
+    qual = track_cached(
+        gopher_quality(survivors, keep=("source", "text")).filter(F.col("passes") == 1)
+    )
     return survivors, qual
 
 
