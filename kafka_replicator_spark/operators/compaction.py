@@ -253,10 +253,9 @@ def merge_segments(
         c_lo, c_hi = spec["chunk_lo"], spec["chunk_hi"]
         arrow_types = _arrow_segment_types()
         canonical = pa.schema([(c, arrow_types[c]) for c in SEGMENT_DATA_COLS])
-        parts = []
-        for s, e, lvl, path in sorted(
-            zip(spec["starts"], spec["ends"], spec["levels"], spec["paths"])
-        ):
+        srt = sorted(zip(spec["starts"], spec["ends"], spec["levels"], spec["paths"]))
+        plain_parts = []
+        for s, e, lvl, path in srt:
             t = pq.read_table(
                 path,
                 filters=[("msg_offset", ">=", c_lo), ("msg_offset", "<=", c_hi)],
@@ -270,29 +269,50 @@ def merge_segments(
                 else:
                     col = pa.nulls(t.num_rows, type=arrow_types[c])
                 cols.append(col)
-            part = pa.Table.from_arrays(cols, schema=canonical)
-            parts.append(
-                part.append_column("__s", pa.array([s] * t.num_rows, pa.int64()))
-                .append_column("__e", pa.array([e] * t.num_rows, pa.int64()))
-                .append_column("__l", pa.array([lvl] * t.num_rows, pa.int64()))
-            )
-        merged = pa.concat_tables(parts)
-        # heap-order winner picking for overlaps (start asc, end desc, level
-        # asc per offset — utils/heap.go:71-91), then first-per-offset
-        merged = merged.sort_by(
-            [
-                ("msg_offset", "ascending"),
-                ("__s", "ascending"),
-                ("__e", "descending"),
-                ("__l", "ascending"),
+            plain_parts.append((s, e, lvl, pa.Table.from_arrays(cols, schema=canonical)))
+        # r13 opt: when the input extents are DISJOINT (metadata check — the
+        # steady egress case: greedy assignment emits non-overlapping
+        # segments) and every file is internally strictly offset-sorted (the
+        # writer invariant, verified per file with one vectorized pass),
+        # concatenating the files in start order IS the sorted, duplicate-
+        # free result — the full-table sort gather, the three per-row
+        # heap-key constant columns and the dedup mask are all no-ops.
+        # Overlapping listings (the compaction-of-overlaps case the r_*
+        # steady-state queries exercise) take the original heap-order path.
+        disjoint = all(srt[i + 1][0] > srt[i][1] for i in range(len(srt) - 1))
+        if disjoint:
+            for _s, _e, _lvl, part in plain_parts:
+                po = part.column("msg_offset").to_numpy()
+                if len(po) > 1 and not (po[1:] > po[:-1]).all():
+                    disjoint = False
+                    break
+        if disjoint:
+            out = pa.concat_tables([p for _, _, _, p in plain_parts])
+        else:
+            parts = [
+                part.append_column("__s", pa.array([s] * part.num_rows, pa.int64()))
+                .append_column("__e", pa.array([e] * part.num_rows, pa.int64()))
+                .append_column("__l", pa.array([lvl] * part.num_rows, pa.int64()))
+                for s, e, lvl, part in plain_parts
             ]
-        )
-        offs = merged.column("msg_offset").to_numpy()
-        if len(offs):
-            keep = np.concatenate([[True], offs[1:] != offs[:-1]])
-            if not keep.all():
-                merged = merged.filter(pa.array(keep))
-        out = merged.select(SEGMENT_DATA_COLS)
+            merged = pa.concat_tables(parts)
+            # heap-order winner picking for overlaps (start asc, end desc,
+            # level asc per offset — utils/heap.go:71-91), then
+            # first-per-offset
+            merged = merged.sort_by(
+                [
+                    ("msg_offset", "ascending"),
+                    ("__s", "ascending"),
+                    ("__e", "descending"),
+                    ("__l", "ascending"),
+                ]
+            )
+            offs = merged.column("msg_offset").to_numpy()
+            if len(offs):
+                keep = np.concatenate([[True], offs[1:] != offs[:-1]])
+                if not keep.all():
+                    merged = merged.filter(pa.array(keep))
+            out = merged.select(SEGMENT_DATA_COLS)
         return _publish_segment_table(
             out, root=root, region=region, topic=spec["topic"],
             partition_id=int(spec["partition_id"]), level=int(spec["out_level"]),

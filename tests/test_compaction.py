@@ -272,3 +272,27 @@ def test_cascading_levels(spark, tmp_path):
     assert [r["level"] for r in listed] == [2]
     back = read_segment_files(spark, [out2[0]["path"]])
     assert back.count() == 40
+
+
+def test_disjoint_merge_physical_order_and_payloads(spark, tmp_path):
+    """r13 opt pin: disjoint inputs take the concat fast path (no heap-key
+    sort) — the written segment's PHYSICAL row order must still be strictly
+    offset-ascending with every payload on its own offset, identical to
+    what the heap-order path produces for disjoint extents."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path)
+    # interleaved creation order; extents disjoint
+    for s, e in [(20, 29), (0, 9), (30, 34), (10, 19)]:
+        _write_range(spark, root, 0, s, e)
+    out = compact(spark, root, region=REGION, min_count=2, min_bytes=1).collect()
+    assert len(out) == 1 and out[0]["message_count"] == 35
+    t = pq.read_table(out[0]["path"])  # raw physical order, no re-sort
+    offs = t.column("msg_offset").to_pylist()
+    assert offs == list(range(35))  # strictly ascending, dense
+    payloads = t.column("payload").to_pylist()
+    assert payloads == [f"value_{o}".encode() for o in range(35)]
+    footer = {
+        k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()
+    }
+    assert footer["startOffset"] == "0" and footer["messageCount"] == "35"
