@@ -423,7 +423,14 @@ def _write_one_segment_arrow(
     """
     import pyarrow as pa
 
-    table = table.sort_by([("msg_offset", "ascending")])
+    # r13 opt: the group usually arrives offset-sorted (shuffle readers
+    # drain map outputs in map order, and upstream data is offset-ordered
+    # per partition), making the full-table sort gather a wasted copy —
+    # one vectorized strictly-increasing check (~0.2 ms per 250k rows vs
+    # ~56 ms CPU for the sort) skips it; any tie or inversion falls back.
+    po = table.column("msg_offset").to_numpy()
+    if len(po) > 1 and not (po[1:] > po[:-1]).all():
+        table = table.sort_by([("msg_offset", "ascending")])
     if isinstance(level, str):
         level = int(table.column(level)[0].as_py())
     topic = str(table.column("topic")[0].as_py())
